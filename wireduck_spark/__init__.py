@@ -1,0 +1,28 @@
+"""wireduck_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of the wireduck reference (a DuckDB extension
+that exposes PCAP captures as SQL tables; see /root/reference, SURVEY.md).
+
+Architecture (Spark-first, not a port):
+
+- ``sources/``    — the ``pcap`` Python Data Source (PySpark 4 DataSource
+                    API): native libpcap dissection + optional tshark-backed
+                    full dissection, glossary catalog, FT_* type mapping.
+- ``operators/``  — the host-delegated relational surface (SURVEY.md §2
+                    Tier B) expressed as declarative DataFrame/SQL builders,
+                    each paired with a DuckDB oracle query.
+- ``functions/``  — training-data-pipeline operators: dedup (exact/minhash/
+                    simhash/jaccard/embedding), similarity search, text
+                    analysis, multimodal column plumbing.
+- ``streaming/``  — Structured Streaming analogues (watermarked windows,
+                    pcap directory tailing).
+
+Everything is built on the public PySpark 4.x API; physical execution is
+delegated to Catalyst/Tungsten (AQE on, broadcast joins for small dims,
+partition-count tuned via ``session.get_spark``).
+"""
+
+from wireduck_spark.registry import QUERIES, load_all_queries
+
+__version__ = "0.1.0"
+
+__all__ = ["QUERIES", "load_all_queries", "__version__"]

@@ -1,0 +1,431 @@
+"""Deduplication operators over `documents` / `embeddings` — the dedup half
+of the training-data-pipeline surface (BASELINE.json north_star): exact
+hash dedup, char-n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine
+near-dup.
+
+Every query is paired with a DuckDB oracle. The cross-engine trick that
+makes MinHash/SimHash oracle-checkable is a *portable* 60-bit string hash:
+
+    Spark : CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+(identical md5 hex -> identical 60-bit integer in both engines), reduced
+mod p = 1e9+7 before the (a*h + b) % p permutations so products stay far
+inside int64.
+
+Scale notes: exact dedup is one hash-groupBy; MinHash/LSH is the 100-TB
+path (signatures are fixed-size per doc, candidates come from band-bucket
+joins — no quadratic pair join); the n-gram Jaccard query uses source-key
+blocking to bound the pair space and exists mainly as the exact verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import query, table
+
+P = 1_000_000_007
+# (a, b) parameters of the 8 minhash permutations (fixed, arbitrary odd a).
+MINHASH_SEEDS = [
+    (472882049, 127), (741380651, 911), (104395303, 7919), (32452867, 5477),
+    (979590017, 337), (295075153, 2089), (613651369, 4013), (198491329, 6991),
+]
+SHINGLE_LEN = 4
+PREFIX = 200  # shingle the first 200 chars (documents are short bags-of-words)
+
+# -- portable 60-bit string hash ------------------------------------------
+SPARK_H60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT) % 1000000007"
+DUCK_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT) % 1000000007"
+
+# -- shared shingle CTE (DuckDB) ------------------------------------------
+DUCK_SHINGLES = f"""
+        SELECT doc_id, source, sh
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(length(substring(lower(text), 1, {PREFIX}))
+                                         - {SHINGLE_LEN - 1}, 1) + 1),
+                       i -> substring(substring(lower(text), 1, {PREFIX}),
+                                      CAST(i AS INTEGER), {SHINGLE_LEN})))) AS sh
+            FROM documents
+        )
+"""
+
+
+def _spark_shingles(d: DataFrame) -> DataFrame:
+    """doc_id, source, sh: distinct char-4-gram shingles of the first 200
+    lowercased chars (same construction as DUCK_SHINGLES)."""
+    return d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(substring(lower(text),"
+                    f" 1, {PREFIX})) - {SHINGLE_LEN - 1}, 1)),"
+                    f" i -> substring(substring(lower(text), 1, {PREFIX}),"
+                    f" i, {SHINGLE_LEN}))"
+                )
+            )
+        ).alias("sh"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) >= 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: group on content hash, keep the smallest doc_id.
+
+    Scale: a single hash-groupBy on md5(text) — the canonical exact-dedup
+    plan at any scale (the hash shuffles instead of the full text).
+    """
+    d = table(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({DUCK_SHINGLES}),
+    sizes AS (
+        SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - p.common), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact char-4-gram Jaccard near-dup pairs (>= 0.5), blocked by
+    `source` so the candidate space is bounded per block.
+
+    Scale: this is the *verifier*; unblocked exact Jaccard is quadratic and
+    intentionally not offered — dedup_minhash_lsh is the 100-TB path.
+    """
+    d = table(spark, sf, "documents")
+    sh = _spark_shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB CTE computing the 8 minhash values per doc."""
+    h = DUCK_H60.format(s="sh")
+    mins = ",\n               ".join(
+        f"CAST(min(({a} * h + {b}) % {P}) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    return f"""
+    shingles AS ({DUCK_SHINGLES}),
+    hashed AS (
+        SELECT doc_id, {h} AS h FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+        SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || mh1 AS sig
+            FROM sig
+        UNION ALL
+        SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || mh3 FROM sig
+        UNION ALL
+        SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || mh5 FROM sig
+        UNION ALL
+        SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || mh7 FROM sig
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               ROUND((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+                    + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+                    + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+                    + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+                    + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END
+                    + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+                    + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END
+                    + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) / 8.0, 4)
+                   AS est_jaccard
+        FROM candidates c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est
+    """,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash (8 permutations) + LSH (4 bands x 2 rows) near-dup candidate
+    pairs with the signature-estimated Jaccard.
+
+    Scale (the 100-TB dedup path): signatures are 8 ints per doc computed
+    in one pass (shingle -> hash -> 8 mins, map-side combinable); LSH
+    banding turns all-pairs into equality joins on band signatures, so the
+    shuffle volume is O(docs), never O(docs^2). The estimate join touches
+    only candidate pairs.
+    """
+    d = table(spark, sf, "documents")
+    hashed = _spark_shingles(d).select(
+        "doc_id", F.expr(SPARK_H60.format(s="sh")).alias("h")
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P)
+            .cast("bigint")
+            .alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_SEEDS)
+        ]
+    )
+    bands = None
+    for band in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws("_", f"mh{2 * band}", f"mh{2 * band + 1}").alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(8.0), 4).alias("est_jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tokens AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                   AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {DUCK_H60.format(s="tok")} % 65536 AS h FROM tokens
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM hashed, unnest(range(0, 16)) AS t(b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0
+                         THEN CAST(1 << CAST(b AS INTEGER) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash16
+    FROM votes GROUP BY doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash per document over distinct word tokens: each token's
+    hash votes +-1 per bit position; the fingerprint packs the positive
+    votes. Near-dup candidates are then hamming-close fingerprints
+    (bit_count(xor) — see tests), compared via O(docs) bucketing on the
+    fingerprint at scale.
+    """
+    d = table(spark, sf, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("tok"),
+    )
+    hashed = tokens.select(
+        "doc_id", (F.expr(SPARK_H60.format(s="tok")) % 65536).alias("h")
+    )
+    votes = (
+        hashed.join(F.broadcast(spark.range(0, 16).select(F.col("id").alias("b"))))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN shiftright(h, CAST(b AS INT)) % 2 = 1"
+                    " THEN 1 ELSE -1 END"
+                )
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN vote > 0"
+                " THEN CAST(shiftleft(1L, CAST(b AS INT)) AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("simhash16")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(a.embedding) + 1),
+                       i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                          * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(a.embedding) + 1),
+                          i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                             * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+                      (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(b.embedding) + 1),
+                          i -> CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                             * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+                      (x, y) -> x + y))) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.9
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup: cosine >= 0.9 pairs within the same label bucket.
+
+    The cosine is an identical left-fold in both engines (zip -> double
+    products -> sequential sum), so values match bit-for-bit before
+    rounding. Label blocking stands in for the IVF/LSH bucketing that
+    bounds the pair space at 100 TB (see functions/similarity.py).
+    """
+    emb = table(spark, sf, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_a = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("a.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm_b = F.aggregate(
+        F.zip_with(
+            F.col("b.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.sqrt(norm_a) * F.sqrt(norm_b))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

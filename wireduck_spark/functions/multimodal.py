@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary` columns
+with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+The container has no image/audio codecs, so the decode step is a
+deterministic fake behind the `fake_decode_stats` mapInPandas transform
+(clearly marked; swap in PIL/torchaudio/ffmpeg on a real cluster). What IS
+real and tested: the schema contract, the binary column handling, the
+Arrow batch shape through mapInPandas, and the partitioning story.
+
+The testdata has no binary table, so `mm_binary_metadata` manufactures a
+deterministic binary column from md5(text) — the point is exercising
+Spark's BinaryType end-to-end with a DuckDB oracle (BLOB via from_hex).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+)
+
+from wireduck_spark.registry import query, table
+
+# Schema of a multimodal asset table at scale: content is opaque bytes,
+# metadata is typed columns (never parse bytes to learn what you already
+# know). Partition by (modality, shard of asset_id) in a real deployment.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("byte_len", LongType(), True),
+    ]
+)
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("byte_len", LongType(), True),
+        StructField("first_byte", LongType(), True),
+        StructField("checksum_mod", LongType(), True),
+    ]
+)
+
+
+def fake_decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas transform standing in for image/audio decode.
+
+    Deterministic fake: real deployments replace the body with e.g.
+    PIL.Image.open(io.BytesIO(content)) / resize / feature extraction.
+    The Arrow batch shape (Iterator[pd.DataFrame] -> Iterator[pd.DataFrame])
+    and the schema contract are the real, tested part.
+    """
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "byte_len": content.map(lambda b: len(b) if b is not None else 0),
+                "first_byte": content.map(
+                    lambda b: int(b[0]) if b is not None and len(b) else -1
+                ),
+                "checksum_mod": content.map(
+                    lambda b: sum(b) % 251 if b is not None else -1
+                ),
+            }
+        )
+
+
+def documents_as_assets(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic binary asset table derived from documents (md5 bytes
+    as fake image content)."""
+    d = table(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("content"),
+        F.lit("image/fake").alias("mime"),
+        F.length(F.to_binary(F.md5("text"), F.lit("hex")))
+        .cast("bigint")
+        .alias("byte_len"),
+    )
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           'image' AS modality,
+           CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS byte_len,
+           upper(substr(md5(text), 1, 8)) AS magic_hex,
+           CAST(length(text) % 512 + 1 AS BIGINT) AS fake_width,
+           CAST(length(text) % 384 + 1 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def mm_binary_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column metadata path: bytes stay opaque, typed metadata is
+    derived/selected without decoding (the scan never materializes content
+    for metadata-only queries — column pruning keeps the binary out of the
+    read schema at scale)."""
+    d = table(spark, sf, "documents")
+    content = F.to_binary(F.md5("text"), F.lit("hex"))
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.length(content).cast("bigint").alias("byte_len"),
+        F.upper(F.substring(F.md5("text"), 1, 8)).alias("magic_hex"),
+        (F.length("text") % 512 + 1).cast("bigint").alias("fake_width"),
+        (F.length("text") % 384 + 1).cast("bigint").alias("fake_height"),
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS byte_len,
+           CAST(('0x' || substr(md5(text), 1, 2))::INTEGER AS BIGINT) AS first_byte,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, 17),
+                        i -> ('0x' || substr(md5(text), CAST(i * 2 - 1 AS INTEGER),
+                                             2))::BIGINT)),
+                (a, x) -> a + x) % 251 AS BIGINT) AS checksum_mod
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Pandas-UDF decode path: binary content -> per-asset features via
+    Arrow-batched mapInPandas (the fake decode). The oracle recomputes the
+    same deterministic stats from the md5 bytes in SQL, proving the Python
+    batch path agrees with a relational definition.
+
+    Scale: mapInPandas streams Arrow batches executor-side — the pattern
+    for real decode/resize/feature-extract over 100 TB of media; partition
+    count (not driver memory) bounds the working set.
+    """
+    assets = documents_as_assets(spark, sf).select("asset_id", "content")
+    return assets.mapInPandas(fake_decode_stats, schema=DECODE_SCHEMA)

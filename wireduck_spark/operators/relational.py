@@ -1,0 +1,826 @@
+"""Tier-B relational surface (SURVEY.md §2): projection, filter, every join
+type, aggregation (plain/distinct/rollup/cube/grouping-sets/stats), windows,
+sort/limit, set ops, distinct.
+
+The reference (wireduck) delegates all of these to its host engine
+(/root/reference/README.md:15 — "analytics, aggregation, joining and other
+data wrangling"); here they are Spark DataFrame built-ins, so Catalyst gets
+full freedom: predicate pushdown into the parquet scan, broadcast joins for
+the small dimensions, partial (map-side) aggregation, AQE re-planning.
+
+Scale notes are on each query: the plan each builder declares is the one
+you'd want at 100 TB (broadcastable dims stay broadcastable, big-table
+joins shuffle on their join key only, aggregations are partial-agg
+friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import cents, query, table, ts_str
+
+# --------------------------------------------------------------------------
+# Scan + aggregate (flagship — the reference's README.md:160-167 groupby,
+# re-expressed on lineitem; also the entry() smoke query)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_base_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+               AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+           ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan", "filter"),
+    bench=True,
+)
+def agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filter -> groupBy -> multi-agg.
+
+    Scale: filter + column pruning push into the parquet scan; the groupBy
+    keys have tiny cardinality (R/A/N x O/F) so partial aggregation reduces
+    ~everything map-side before a 6-row shuffle.
+    """
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+                ).cast("bigint")
+            ).alias("sum_disc_price_e4"),
+            F.round(F.sum("l_quantity") / F.count("*"), 4).alias("avg_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Projection & filter
+# --------------------------------------------------------------------------
+
+
+@query(
+    "proj_expressions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS qty,
+           l_extendedprice AS base_price,
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0)
+                AS BIGINT) AS charge_cents,
+           upper(l_returnflag) || '/' || l_linestatus AS flag_status
+    FROM lineitem
+    """,
+    tags=("projection",),
+)
+def proj_expressions(spark: SparkSession, sf: str) -> DataFrame:
+    """Column select / alias / arithmetic / string concat (pure projection).
+
+    Scale: narrow ReadSchema (6 of 11 columns reach the scan), zero
+    shuffles, whole-stage codegen end to end.
+    """
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_extendedprice").alias("base_price"),
+        # integer cents, not round(x, 2): decimal rounding of a double differs
+        # in the last ulp between engines; rounding to an integer does not
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("charge_cents"),
+        F.concat(F.upper("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias(
+            "flag_status"
+        ),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 23:59:59'
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_totalprice > 50000
+      AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+      AND o_custkey IS NOT NULL
+    """,
+    tags=("filter",),
+)
+def filter_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """WHERE surface: BETWEEN / IN / LIKE / compare / NOT / IS NULL.
+
+    Scale: every conjunct is Catalyst-pushable — .explain shows them in
+    PushedFilters at the parquet scan, so row groups are skipped by
+    min/max stats before any row is materialized.
+    """
+    o = table(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderdate").between("1996-01-01 00:00:00", "1997-12-31 23:59:59")
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & (F.col("o_totalprice") > 50000)
+        & ~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 100000))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+    bench=True,
+)
+def join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join fact->dim, aggregated by dim attribute.
+
+    Scale: customer is the small side — broadcast() hints it explicitly so
+    the 100-TB orders table never shuffles for the join; the only exchange
+    is the 5-group final aggregation.
+    """
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS order_cnt,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)), 0)
+                AS BIGINT) AS spend_cents
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders.
+
+    Scale: outer joins can't broadcast the preserved side; this shuffles
+    both sides on custkey — the natural key — and AQE handles skew.
+    """
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.coalesce(F.sum(cents(F.col("o_totalprice"))), F.lit(0))
+            .cast("bigint")
+            .alias("spend_cents"),
+        )
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS order_cnt
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer join (all customers preserved from the right side)."""
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS cust_cnt
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, COUNT(*) AS supp_cnt
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           cn.cust_cnt, sn.supp_cnt
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (nulls on both edges)."""
+    c = (
+        table(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("supp_cnt"))
+    )
+    return c.join(s, c.nk == s.nk_s, "full").select(
+        F.coalesce(c.nk, s.nk_s).alias("nationkey"), "cust_cnt", "supp_cnt"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (EXISTS rewrite): customers with a >400k order.
+
+    Scale: semi-join only needs the distinct keys of the filtered side;
+    Catalyst broadcasts them when small (runtime-checked by AQE).
+    """
+    c = table(spark, sf, "customer")
+    big = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS rewrite): customers with no orders."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    """Cartesian product of the two tiny catalogs (25 x 5)."""
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return n.crossJoin(r).select("n_name", "r_name")
+
+
+@query(
+    "join_theta_nonequi",
+    oracle="""
+    SELECT s1.s_nationkey AS nationkey,
+           COUNT(*) AS pair_cnt,
+           CAST(SUM(CAST(ROUND((s1.s_acctbal - s2.s_acctbal) * 100, 0) AS BIGINT))
+                AS BIGINT) AS gap_cents
+    FROM supplier s1 JOIN supplier s2
+      ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal > s2.s_acctbal
+    GROUP BY s1.s_nationkey
+    """,
+    tags=("join",),
+)
+def join_theta_nonequi(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta join: equi on nation + strict inequality on balance.
+
+    Scale: the equi conjunct lets Spark hash-partition on nationkey and
+    evaluate the inequality inside each partition — no broadcast-nested-
+    loop over the full cross product.
+    """
+    s1 = table(spark, sf, "supplier").alias("s1")
+    s2 = table(spark, sf, "supplier").alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.s_nationkey") == F.col("s2.s_nationkey"))
+            & (F.col("s1.s_acctbal") > F.col("s2.s_acctbal")),
+        )
+        .groupBy(F.col("s1.s_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("pair_cnt"),
+            F.sum(
+                F.round((F.col("s1.s_acctbal") - F.col("s2.s_acctbal")) * 100, 0).cast(
+                    "bigint"
+                )
+            ).alias("gap_cents"),
+        )
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m-%d %H:%M:%S')
+               AS order_month,
+           COUNT(*) AS shipped_in_90d
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY date_trunc('month', o.o_orderdate)
+    """,
+    tags=("join",),
+    bench=True,
+)
+def join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Range/interval join: ship date within 90 days of the order date.
+
+    Scale: the equi conjunct (orderkey) carries the shuffle; the interval
+    predicate is a cheap post-filter inside the joined partitions — the
+    pattern that keeps interval joins tractable at 100 TB.
+    """
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 90 DAYS")),
+        )
+        .groupBy(ts_str(F.date_trunc("month", "o_orderdate")).alias("order_month"))
+        .agg(F.count("*").alias("shipped_in_90d"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_basic_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT/MIN/MAX/SUM per group (min/max of raw doubles are exact)."""
+    e = table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+        ts_str(F.min("ts")).alias("first_ts"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT aggregates (expand-based two-phase plan in Spark)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.sum_distinct(F.col("l_quantity").cast("bigint")).alias("sum_distinct_qty"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only check
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No oracle: sketch estimates
+    are engine-specific; the driver records a rows-only check
+    (SURVEY.md §2 marks this row approx)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping_id disambiguation."""
+    li = table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over status x priority."""
+    o = table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("sum_cents"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_cents")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    o = table(spark, sf, "orders")
+    o.createOrReplaceTempView("wd_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM wd_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_variance_corr",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(avg(l_quantity), 6) AS mean_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(stddev_samp(l_quantity), 6) AS std_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_variance_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates, rounded to 6dp (both engines are numerically
+    stable well past 1e-9 on this data; rounding absorbs ulp drift)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_quantity"), 6).alias("mean_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "agg_median_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_median_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median / interpolated percentiles (same (n-1)p definition in
+    Spark `percentile` and DuckDB `quantile_cont`)."""
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile (unique tiebreak on custkey).
+
+    Scale: single shuffle on the partition key; all four functions share
+    one Window spec so Spark evaluates them in a single WindowExec pass.
+    """
+    c = table(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER w, 2) AS delta_prev,
+           lead(event_type) OVER w AS next_type,
+           first_value(value) OVER w AS first_val,
+           ROUND(value - first_value(value) OVER w, 2) AS drift
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def window_analytic(spark: SparkSession, sf: str) -> DataFrame:
+    """lag / lead / first_value analytics per user timeline."""
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("value").over(w).alias("first_val"),
+        F.round(F.col("value") - F.first("value").over(w), 2).alias("drift"),
+    )
+
+
+@query(
+    "window_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS roll3_cents,
+           CAST(COUNT(*) OVER (PARTITION BY user_id
+                               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cnt_last_hour
+    FROM events
+    """,
+    tags=("window",),
+    bench=True,
+)
+def window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS and RANGE frames: 3-row rolling sum + trailing-1h event count.
+
+    The RANGE frame runs over epoch seconds (integer) so Spark's numeric
+    rangeBetween and DuckDB's numeric RANGE agree exactly.
+    """
+    e = table(spark, sf, "events")
+    w_rows = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents(F.col("value"))).over(w_rows).cast("bigint").alias("roll3_cents"),
+        F.count("*").over(w_range).cast("bigint").alias("cnt_last_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def sort_limit_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k by price (unique tiebreak on orderkey).
+
+    Scale: Spark plans TakeOrderedAndProject — per-partition heaps of 100
+    rows, no global sort of the 100-TB table.
+    """
+    o = table(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT nk, src, COUNT(*) AS n FROM (
+        SELECT c_nationkey AS nk, 'cust' AS src FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nk, 'supp' AS src FROM supplier
+    ) GROUP BY nk, src
+    """,
+    tags=("setop",),
+)
+def setop_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL of two tagged projections, then aggregate."""
+    c = (
+        table(spark, sf, "customer")
+        .select(F.col("c_nationkey").alias("nk"))
+        .withColumn("src", F.lit("cust"))
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .select(F.col("s_nationkey").alias("nk"))
+        .withColumn("src", F.lit("supp"))
+    )
+    return c.unionByName(s).groupBy("nk", "src").agg(F.count("*").alias("n"))
+
+
+@query(
+    "setop_intersect_except",
+    oracle="""
+    SELECT nk, 'both' AS tag FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
+    )
+    UNION ALL
+    SELECT nk, 'cust_only' AS tag FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
+    )
+    """,
+    tags=("setop",),
+)
+def setop_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT and EXCEPT (distinct set semantics), tagged and unioned."""
+    c = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nk"))
+        .distinct()
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nk"))
+        .distinct()
+    )
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    cust_only = c.exceptAll(s).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(cust_only)
+
+
+@query(
+    "distinct_dedup_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year
+    FROM lineitem
+    """,
+    tags=("distinct",),
+)
+def distinct_dedup_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """SELECT DISTINCT / dropDuplicates on a projected tuple."""
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+    ).dropDuplicates()
+
+
+@query(
+    "sampling_bernoulli",
+    oracle=None,  # RNG streams differ across engines — rows-only check
+    tags=("sampling",),
+)
+def sampling_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed (deterministic within Spark,
+    not across engines — driver records rows-only)."""
+    li = table(spark, sf, "lineitem")
+    return li.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(
+        F.count("*").alias("n")
+    )

@@ -1,0 +1,260 @@
+"""Scalar function families (SURVEY.md §2 Tier B): string, date/time, math,
+conditional, array, JSON, cast/try-cast.
+
+All expressions stay JVM-side (built-in pyspark.sql.functions — no Python
+UDFs), so every query here is a single WholeStageCodegen span over the
+parquet scan: the shape that matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import query, table, ts_str
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_name) AS name_lower,
+           substring(c_name, 1, 8) AS name_prefix,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           string_split(c_name, '#')[2] AS name_num,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           trim(concat('  ', c_mktsegment, '  ')) AS trimmed,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           CASE WHEN c_name LIKE '%00001%' THEN 1 ELSE 0 END AS has_00001
+    FROM customer
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """substring/length/case/replace/split/regexp/trim/concat/LIKE."""
+    c = table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_short"
+        ),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_num"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string"))
+        .alias("seg_nation"),
+        F.when(F.col("c_name").like("%00001%"), 1).otherwise(0).alias("has_00001"),
+    )
+
+
+@query(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS mo,
+           CAST(day(ts) AS BIGINT) AS d,
+           CAST(hour(ts) AS BIGINT) AS h,
+           CAST(minute(ts) AS BIGINT) AS mi,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS ts_plus_90m,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+               AS days_since_jan1
+    FROM events
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """extract parts / date_trunc / epoch / interval arithmetic / datediff."""
+    e = table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("mo"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.minute("ts").cast("bigint").alias("mi"),
+        ts_str(F.date_trunc("day", "ts")).alias("day_start"),
+        F.unix_timestamp("ts").cast("bigint").alias("epoch_s"),
+        ts_str(F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_jan1"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_discount - 0.05), 4) AS disc_dev,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           ROUND(ln(l_extendedprice), 4) AS log_price,
+           ROUND(sqrt(l_quantity), 4) AS sqrt_qty,
+           ROUND(exp(l_discount), 4) AS exp_disc,
+           ROUND(pow(l_quantity, 2), 1) AS qty_sq
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """abs/floor/ceil/mod/ln/sqrt/exp/pow (transcendentals rounded to 4dp
+    to absorb libm-vs-JVM last-ulp differences)."""
+    li = table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.round(F.log("l_extendedprice"), 4).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.exp("l_discount"), 4).alias("exp_disc"),
+        F.round(F.pow("l_quantity", F.lit(2)), 1).alias("qty_sq"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 1000 THEN 'low'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS balance_tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nation_parity
+    FROM customer
+    """,
+    tags=("scalar", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE WHEN tiers / COALESCE / NULLIF / IF."""
+    c = table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+        .alias("seg_or_other"),
+        F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias(
+            "nation_parity"
+        ),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           string_split(o_orderpriority, '-') AS pri_parts,
+           CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS n_parts,
+           string_split(o_orderpriority, '-')[1] AS pri_code,
+           string_split(o_orderpriority, '-')[2] AS pri_label,
+           list_contains(string_split(o_orderpriority, '-'), 'HIGH') AS is_high
+    FROM orders
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """split -> array ops: size / element_at / array_contains.
+
+    (The packet-domain idiom is split(frame.protocols, ':') — SURVEY.md §2;
+    same shape here on o_orderpriority.)
+    """
+    o = table(spark, sf, "orders")
+    parts = F.split("o_orderpriority", "-")
+    return o.select(
+        "o_orderkey",
+        parts.alias("pri_parts"),
+        F.size(parts).cast("bigint").alias("n_parts"),
+        F.element_at(parts, 1).alias("pri_code"),
+        F.element_at(parts, 2).alias("pri_label"),
+        F.array_contains(parts, "HIGH").alias("is_high"),
+    )
+
+
+@query(
+    "scalar_explode_unnest",
+    oracle="""
+    SELECT part AS pri_part, COUNT(*) AS n
+    FROM orders, unnest(string_split(o_orderpriority, '-')) AS t(part)
+    GROUP BY part
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """explode/unnest an array column, then aggregate."""
+    o = table(spark, sf, "orders")
+    return (
+        o.select(F.explode(F.split("o_orderpriority", "-")).alias("pri_part"))
+        .groupBy("pri_part")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_json_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path extraction from the events.props string column."""
+    e = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("bigint").alias("k_num"),
+        (k.cast("bigint") % 10).alias("k_mod10"),
+    )
+
+
+@query(
+    "scalar_cast_try",
+    oracle="""
+    SELECT c_custkey,
+           TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           TRY_CAST(c_mktsegment AS BIGINT) AS seg_as_num,
+           CAST(trunc(c_acctbal) AS BIGINT) AS bal_trunc
+    FROM customer
+    """,
+    tags=("scalar", "cast"),
+)
+def scalar_cast_try(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit casts + try_cast null-on-error semantics (the reference's
+    per-cell null-on-parse-error behavior, cpp:224-237, as an expression).
+
+    Note: Spark's double->bigint cast truncates toward zero while DuckDB's
+    rounds, so the oracle spells it trunc() explicitly.
+    """
+    c = table(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)").alias(
+            "name_num"
+        ),
+        F.expr("TRY_CAST(c_mktsegment AS BIGINT)").alias("seg_as_num"),
+        F.col("c_acctbal").cast("bigint").alias("bal_trunc"),
+    )

@@ -1,0 +1,212 @@
+"""Time-series operators over the `events` table (the batch analogues of the
+streaming surface in SURVEY.md §2: tumbling/sliding/session windows, as-of
+join). `events.ts` plays the role of `frame.time_epoch` from the packet
+domain (FIXTURES.md §D).
+
+These are the batch twins of the Structured Streaming versions in
+wireduck_spark.streaming — the same F.window / F.session_window expressions
+run under readStream with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import cents, query, table, ts_str
+
+
+@query(
+    "tw_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    """,
+    tags=("timeseries", "window"),
+    bench=True,
+)
+def tw_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour windows (F.window == DuckDB time_bucket).
+
+    Scale: window-start is a pure function of ts, so this is an ordinary
+    hash aggregation — partial aggregation map-side, one shuffle on
+    (bucket, type). Streaming twin: readStream + withWatermark + same agg.
+    """
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+@query(
+    "tw_sliding",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL 30 MINUTE]) AS ws,
+               value
+        FROM events
+    )
+    GROUP BY ws
+    """,
+    tags=("timeseries", "window"),
+)
+def tw_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows: 1 hour long, 30-minute slide (each event lands in
+    exactly 2 windows; the oracle materializes both via unnest)."""
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(ts_str(F.col("w.start")).alias("window_start"), "n", "sum_cents")
+    )
+
+
+@query(
+    "tw_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    tags=("timeseries", "window", "session"),
+    bench=True,
+)
+def tw_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows with a 10-minute inactivity gap per user.
+
+    Spark's F.session_window merges events whose windows [ts, ts+gap)
+    overlap; the oracle reproduces that with the classic gaps-and-islands
+    rewrite (lag + running sum). Session end = last event + gap in both.
+
+    Scale: one shuffle on user_id; Spark's native session-window operator
+    merges partial sessions map-side. Streaming twin uses the same
+    expression with a watermark for state eviction.
+    """
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            ts_str(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, max(value) AS pvalue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           ROUND(p.pvalue, 2) AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("timeseries", "join", "asof"),
+    bench=True,
+)
+def join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for every click, the latest purchase value at ts <= click
+    ts by the same user (DuckDB ASOF JOIN semantics, inclusive).
+
+    Spark has no native as-of operator (SURVEY.md §2 Tier B); the scalable
+    rewrite is union-merge + running last_value, which costs ONE shuffle on
+    user_id (same as a sort-merge join would) and never builds the
+    candidate cross product that a range-join rewrite implies:
+
+      union(purchases as kind=0, clicks as kind=1)
+        -> window last(pvalue, ignorenulls) over
+           (partition user order by ts, kind rows unbounded preceding)
+        -> keep kind=1
+
+    Purchases sort before clicks at equal ts (kind 0 < 1) to get the
+    inclusive `>=` bound. The purchase side is pre-aggregated to unique
+    (user, ts) so ties are deterministic.
+    """
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "user_id", "ts", F.lit(0).alias("kind"), "pvalue",
+        )
+    )
+    merged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("last_pvalue", F.last("pvalue", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts")).alias("click_ts"),
+            F.round("last_pvalue", 2).alias("last_purchase_value"),
+        )
+    )
