@@ -1,0 +1,69 @@
+"""Synthetic pcap byte fixtures (SURVEY.md §5.2: libpcap framing is a
+24-byte global header + 16-byte record headers — trivially writable)."""
+
+from __future__ import annotations
+
+import struct
+
+
+def ipv4_checksum_stub() -> int:
+    return 0  # checksum validity is not dissected
+
+
+def build_eth_ipv4_tcp(
+    src: str, dst: str, sport: int, dport: int, seq: int, ack: int,
+    flags: int, payload: bytes,
+) -> bytes:
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x0800)
+    ip_payload_len = 20 + len(payload)
+    ip = struct.pack(
+        ">BBHHHBBH4s4s",
+        0x45, 0, 20 + ip_payload_len, 1, 0, 64, 6, ipv4_checksum_stub(),
+        bytes(int(x) for x in src.split(".")),
+        bytes(int(x) for x in dst.split(".")),
+    )
+    tcp = struct.pack(
+        ">HHIIBBHHH", sport, dport, seq, ack, 5 << 4, flags, 8192, 0, 0
+    )
+    return eth + ip + tcp + payload
+
+
+def build_eth_ipv4_udp(
+    src: str, dst: str, sport: int, dport: int, payload: bytes
+) -> bytes:
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x0800)
+    udp_len = 8 + len(payload)
+    ip = struct.pack(
+        ">BBHHHBBH4s4s",
+        0x45, 0, 20 + udp_len, 1, 0, 64, 17, 0,
+        bytes(int(x) for x in src.split(".")),
+        bytes(int(x) for x in dst.split(".")),
+    )
+    udp = struct.pack(">HHHH", sport, dport, udp_len, 0xABCD)
+    return eth + ip + udp + payload
+
+
+def build_pcap(frames: list[tuple[float, bytes]], nanos: bool = False) -> bytes:
+    """frames: [(epoch_ts, frame_bytes)] -> classic libpcap bytes."""
+    magic = 0xA1B23C4D if nanos else 0xA1B2C3D4
+    out = struct.pack("<IHHiIII", magic, 2, 4, 0, 0, 262144, 1)
+    mult = 1_000_000_000 if nanos else 1_000_000
+    for ts, data in frames:
+        sec = int(ts)
+        frac = int(round((ts - sec) * mult))
+        out += struct.pack("<IIII", sec, frac, len(data), len(data)) + data
+    return out
+
+
+def two_flow_pcap() -> bytes:
+    """3 TCP packets (one flow, 5+7 payload bytes) + 1 UDP packet."""
+    f1 = build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1111, 80, 100, 0, 0x02, b"")
+    f2 = build_eth_ipv4_tcp("10.0.0.2", "10.0.0.1", 80, 1111, 200, 101, 0x12,
+                            b"hello")
+    f3 = build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1111, 80, 101, 201, 0x18,
+                            b"goodbye")
+    f4 = build_eth_ipv4_udp("10.0.0.3", "10.0.0.4", 5353, 53, b"dns?")
+    return build_pcap(
+        [(1700000000.0, f1), (1700000000.5, f2), (1700000001.25, f3),
+         (1700000002.0, f4)]
+    )

@@ -1,0 +1,98 @@
+"""Training-data pipeline operators: dedup/similarity/multimodal invariants
+that the DuckDB oracle can't express (recall vs. exact baseline, hamming
+distance, Arrow batch plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wireduck_spark.functions.multimodal import (
+    DECODE_SCHEMA, documents_as_assets, fake_decode_stats,
+)
+from wireduck_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """MinHash est_jaccard within 0.45 of exact n-gram jaccard on shared
+    pairs (8 permutations -> coarse but correlated)."""
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert est, "LSH should produce candidate pairs on this corpus"
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    shared = set(est) & set(exact)
+    for pair in shared:
+        assert abs(est[pair] - exact[pair]) <= 0.45
+
+
+def test_simhash_range(spark, sf_dir):
+    rows = QUERIES["dedup_simhash"].fn(spark, sf_dir).collect()
+    assert all(0 <= r["simhash16"] < 65536 for r in rows)
+    n_docs = QUERIES["dedup_exact"].fn(spark, sf_dir).count()
+    assert len(rows) == n_docs
+
+
+def test_ann_equals_bucket_restricted_exact(spark, sf_dir):
+    """The testdata embeddings are isotropic (labels are not geometric
+    clusters), so bucketed-ANN recall vs. global top-k is ~nprobe/nlist by
+    theory — not a correctness signal. The correctness property is: the
+    ANN result IS the exact top-k restricted to the probed bucket."""
+    from pyspark.sql import Window
+
+    from wireduck_spark.functions.similarity import (
+        N_QUERY_VECS, TOP_K, cosine,
+    )
+    from wireduck_spark.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("q_emb"),
+    )
+    restricted = (
+        q.join(emb, (emb.label == F.col("qlabel")) & (emb.vec_id != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    expected = {
+        (r["query_id"], r["neighbor_id"])
+        for r in restricted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["sim_ann_ivf_bucketed"].fn(spark, sf_dir).collect()
+    }
+    assert approx == expected
+    assert len(approx) == N_QUERY_VECS * TOP_K
+
+
+def test_multimodal_decode_batches(spark, sf_dir):
+    assets = documents_as_assets(spark, sf_dir)
+    out = assets.mapInPandas(fake_decode_stats, schema=DECODE_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == assets.count()
+    r = rows[0]
+    assert r["byte_len"] == 16  # md5 -> 16 bytes
+    assert 0 <= r["first_byte"] <= 255
+    assert 0 <= r["checksum_mod"] < 251
+
+
+def test_binary_column_roundtrip(spark, sf_dir):
+    assets = documents_as_assets(spark, sf_dir)
+    row = assets.select("content").first()
+    assert isinstance(row["content"], bytearray | bytes)
+    assert len(row["content"]) == 16

@@ -1,0 +1,147 @@
+"""The `pcap` DataSource end-to-end through Spark: schema inference,
+options, native engine reads, mocked-tshark reads, filter translation,
+multi-file globs (SURVEY.md §5.2)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull
+
+from tests.pcap_fixtures import two_flow_pcap
+from wireduck_spark.sources import pcap as pcap_mod
+from wireduck_spark.sources.pcap import (
+    read_pcap, translate_filters_to_display,
+)
+from wireduck_spark.sources.tshark import build_argv, parse_tsv_line
+
+FIXTURE = "/root/reference/fix.pcap"
+
+
+@pytest.fixture()
+def pcap_file(tmp_path):
+    p = tmp_path / "a.pcap"
+    p.write_bytes(two_flow_pcap())
+    return str(p)
+
+
+def test_default_schema(spark, pcap_file):
+    df = read_pcap(spark, pcap_file, engine="native")
+    assert df.columns == [
+        "frame.time_epoch", "frame.number", "frame.len", "frame.protocols",
+        "_ws.col.info",
+    ]
+    assert df.count() == 4
+
+
+def test_protocols_schema_and_values(spark, pcap_file):
+    df = read_pcap(spark, pcap_file, protocols=["tcp"], engine="native")
+    assert df.columns[-1] == "_ws.col.info"
+    rows = df.orderBy("`frame.number`").collect()
+    tcp_rows = [r for r in rows if r["tcp.srcport"] is not None]
+    assert len(tcp_rows) == 3
+    # UDP packet has NULL tcp fields (absent-protocol semantics)
+    udp_row = rows[-1]
+    assert udp_row["tcp.srcport"] is None
+
+
+def test_climit(spark, pcap_file):
+    df = read_pcap(spark, pcap_file, climit=2, engine="native")
+    assert df.count() == 2
+
+
+def test_multifile_glob(spark, tmp_path):
+    for name in ("a.pcap", "b.pcap"):
+        (tmp_path / name).write_bytes(two_flow_pcap())
+    df = read_pcap(spark, f"{tmp_path}/*.pcap", engine="native")
+    assert df.count() == 8
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture not present")
+def test_golden_aggregate_through_spark(spark):
+    t = read_pcap(spark, FIXTURE, protocols=["tcp"], engine="native")
+    got = {
+        (r["srcport"], r["dstport"]): (r["n"], r["s"])
+        for r in t.groupBy(
+            F.col("`tcp.srcport`").alias("srcport"),
+            F.col("`tcp.dstport`").alias("dstport"),
+        )
+        .agg(F.count("*").alias("n"), F.sum("`tcp.len`").alias("s"))
+        .collect()
+    }
+    assert got[(11001, 53867)] == (429, 259678)
+    assert got[(53867, 11001)] == (56, 19702)
+
+
+# -- tshark path (mocked: no tshark in this container) ----------------------
+
+
+def test_build_argv_matches_reference_shape():
+    argv = build_argv("/x/f.pcap", ["frame.number", "tcp.srcport"],
+                      climit=4, cfilter="tcp.len > 0")
+    assert argv[:5] == ["tshark", "-r", "/x/f.pcap", "-T", "fields"]
+    assert argv[5:9] == ["-e", "frame.number", "-e", "tcp.srcport"]
+    assert argv[9:11] == ["-c", "4"]
+    assert argv[11:13] == ["-Y", "tcp.len > 0"]
+
+
+def test_parse_tsv_line_pads_and_skips():
+    assert parse_tsv_line("", 3) is None
+    assert parse_tsv_line("a\tb", 3) == ["a", "b", ""]
+    assert parse_tsv_line("a\tb\tc\td", 3) == ["a", "b", "c"]
+
+
+CANNED_TSV = (
+    "1448733575.25\t1\t74\teth:ethertype:ip:tcp\tinfo1\n"
+    "1448733575.50\t2\tBADNUM\teth:ethertype:ip:tcp\tinfo2\n"
+    ""  # zero-field row -> skipped
+)
+
+
+def test_tshark_engine_with_mock(spark, pcap_file):
+    """tshark path end-to-end through Spark with canned TSV (the
+    `tshark_mock_tsv` option is the subprocess seam — reader construction
+    happens in Spark's Python worker, beyond monkeypatch reach)."""
+    pcap_mod.register(spark)
+    df = (
+        spark.read.format("pcap")
+        .option("engine", "tshark")
+        .option("cfilter", "tcp.len > 0")
+        .option("tshark_mock_tsv", CANNED_TSV)
+        .load(pcap_file)
+        .orderBy("`frame.number`")
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["frame.len"] == 74
+    assert rows[0]["frame.time_epoch"].microsecond == 250000
+    # BADNUM -> NULL cell only; the rest of the row survives (deviation §4.4)
+    assert rows[1]["frame.len"] is None
+    assert rows[1]["_ws.col.info"] == "info2"
+
+
+def test_filter_translation():
+    df, n = translate_filters_to_display(
+        [
+            EqualTo(("tcp.srcport",), 80),
+            GreaterThan(("tcp.len",), 0),
+            In(("ip.proto",), (6, 17)),
+            IsNull(("udp.srcport",)),
+            EqualTo(("_ws.col.info",), 'say "hi"'),
+        ]
+    )
+    assert n == 5
+    assert "(tcp.srcport == 80)" in df
+    assert "(tcp.len > 0)" in df
+    assert "(ip.proto in {6 17})" in df
+    assert "(!(udp.srcport))" in df
+    assert '\\"hi\\"' in df
+
+
+def test_pushdown_plan_prunes_rows(spark, pcap_file):
+    """Filters reach pushFilters (conf enabled in register()) and results
+    stay correct because all filters are also re-applied by Spark."""
+    df = read_pcap(spark, pcap_file, protocols=["tcp"], engine="native")
+    out = df.filter(F.col("`tcp.srcport`") == 1111).count()
+    assert out == 2

@@ -22,7 +22,31 @@ partition-count tuned via ``session.get_spark``).
 """
 
 from wireduck_spark.registry import QUERIES, load_all_queries
+from wireduck_spark.sources.glossary import (
+    check_tshark_installed,
+    initialize_glossary,
+)
+from wireduck_spark.sources.pcap import PcapDataSource, read_pcap
+from wireduck_spark.sources.pcap import register as register_pcap_source
 
 __version__ = "0.1.0"
 
-__all__ = ["QUERIES", "load_all_queries", "__version__"]
+
+def init(spark) -> None:
+    """One-call setup (reference `LOAD wireduck` parity, cpp:476-504):
+    glossary cache + temp views, `pcap` data source registration."""
+    initialize_glossary(spark)
+    register_pcap_source(spark)
+
+
+__all__ = [
+    "QUERIES",
+    "PcapDataSource",
+    "check_tshark_installed",
+    "init",
+    "initialize_glossary",
+    "load_all_queries",
+    "read_pcap",
+    "register_pcap_source",
+    "__version__",
+]

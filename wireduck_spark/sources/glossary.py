@@ -1,0 +1,319 @@
+"""Glossary catalog: Wireshark's data dictionary driving dynamic schema
+inference (reference: glossary_protocols / glossary_fields tables built
+from `tshark -G`, /root/reference/src/wireduck_extension.cpp:275-428, and
+FetchSelectedFields cpp:53-78).
+
+Spark-first design (SURVEY.md §3.1):
+
+- built once from `tshark -G protocols` / `tshark -G fields` subprocesses
+  on the driver (the glossary is small — no need to distribute), cached as
+  parquet under the repo-local cache dir, registered as the temp views
+  `glossary_protocols` / `glossary_fields`;
+- `DataSource.schema()` must work WITHOUT a SparkSession (it runs at plan
+  time), so selection/ordering is plain Python over cached rows;
+- when tshark is absent (this container), a bundled builtin glossary
+  covering the native dissector's field set keeps schema inference fully
+  functional — documented deviation, flipped automatically when tshark
+  exists.
+
+Deviations from the reference (SURVEY.md §4.4): duplicate filter_names are
+dropped on first occurrence; re-initialization overwrites instead of
+appending duplicates.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from dataclasses import dataclass
+
+DEFAULT_FIELDS = (
+    "frame.number", "frame.time_epoch", "frame.protocols", "frame.len",
+    "_ws.col.info",
+)  # cpp:63 hard-coded default field list
+
+# Display order of the defaults as observed in README.md:46-62 — produced
+# by glossary insertion order of the frame protocol, _ws.col.info last.
+_CACHE_ENV = "WIREDUCK_GLOSSARY_DIR"
+
+
+@dataclass(frozen=True)
+class GlossaryField:
+    field_name: str
+    filter_name: str
+    field_type: str
+    protocol_filter_name: str
+    encoding: str | None = None
+    bitmask: str | None = None
+    description: str | None = None
+
+
+@dataclass(frozen=True)
+class GlossaryProtocol:
+    full_name: str
+    short_name: str
+    filter_name: str
+    can_enable: bool = True
+    is_displayed: bool = True
+    is_filterable: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Builtin fallback glossary (covers the native dissector's field surface)
+# ---------------------------------------------------------------------------
+
+BUILTIN_PROTOCOLS = [
+    GlossaryProtocol("Frame", "Frame", "frame"),
+    GlossaryProtocol("Ethernet", "Ethernet", "eth"),
+    GlossaryProtocol("Internet Protocol Version 4", "IPv4", "ip"),
+    GlossaryProtocol("Internet Protocol Version 6", "IPv6", "ipv6"),
+    GlossaryProtocol("Transmission Control Protocol", "TCP", "tcp"),
+    GlossaryProtocol("User Datagram Protocol", "UDP", "udp"),
+    GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
+]
+
+_F = GlossaryField
+BUILTIN_FIELDS = [
+    # frame (insertion order drives the README default column order)
+    _F("Epoch Arrival Time", "frame.time_epoch", "FT_ABSOLUTE_TIME", "frame"),
+    _F("Frame Number", "frame.number", "FT_UINT32", "frame"),
+    _F("Frame Length", "frame.len", "FT_UINT32", "frame"),
+    _F("Capture Length", "frame.cap_len", "FT_UINT32", "frame"),
+    _F("Protocols in frame", "frame.protocols", "FT_STRING", "frame"),
+    # eth
+    _F("Destination", "eth.dst", "FT_ETHER", "eth"),
+    _F("Source", "eth.src", "FT_ETHER", "eth"),
+    _F("Type", "eth.type", "FT_UINT16", "eth"),
+    # ip
+    _F("Version", "ip.version", "FT_UINT8", "ip"),
+    _F("Header Length", "ip.hdr_len", "FT_UINT8", "ip"),
+    _F("Total Length", "ip.len", "FT_UINT16", "ip"),
+    _F("Time to Live", "ip.ttl", "FT_UINT8", "ip"),
+    _F("Protocol", "ip.proto", "FT_UINT8", "ip"),
+    _F("Source Address", "ip.src", "FT_IPv4", "ip"),
+    _F("Destination Address", "ip.dst", "FT_IPv4", "ip"),
+    # ipv6
+    _F("Source Address", "ipv6.src", "FT_IPv6", "ipv6"),
+    _F("Destination Address", "ipv6.dst", "FT_IPv6", "ipv6"),
+    # tcp
+    _F("Source Port", "tcp.srcport", "FT_UINT16", "tcp"),
+    _F("Destination Port", "tcp.dstport", "FT_UINT16", "tcp"),
+    _F("Stream index", "tcp.stream", "FT_UINT32", "tcp"),
+    _F("Sequence Number", "tcp.seq", "FT_UINT32", "tcp"),
+    _F("Acknowledgment Number", "tcp.ack", "FT_UINT32", "tcp"),
+    _F("Header Length", "tcp.hdr_len", "FT_UINT8", "tcp"),
+    _F("TCP Segment Len", "tcp.len", "FT_UINT32", "tcp"),
+    _F("Syn", "tcp.flags.syn", "FT_BOOLEAN", "tcp"),
+    _F("Acknowledgment", "tcp.flags.ack", "FT_BOOLEAN", "tcp"),
+    _F("Fin", "tcp.flags.fin", "FT_BOOLEAN", "tcp"),
+    _F("Reset", "tcp.flags.reset", "FT_BOOLEAN", "tcp"),
+    _F("Push", "tcp.flags.push", "FT_BOOLEAN", "tcp"),
+    _F("Window", "tcp.window_size_value", "FT_UINT16", "tcp"),
+    _F("Checksum", "tcp.checksum", "FT_UINT16", "tcp"),
+    _F("TCP payload", "tcp.payload", "FT_BYTES", "tcp"),
+    # udp
+    _F("Source Port", "udp.srcport", "FT_UINT16", "udp"),
+    _F("Destination Port", "udp.dstport", "FT_UINT16", "udp"),
+    _F("Length", "udp.length", "FT_UINT16", "udp"),
+    _F("Checksum", "udp.checksum", "FT_UINT16", "udp"),
+    # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
+    _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
+]
+
+
+# ---------------------------------------------------------------------------
+# tshark -G parsing (cpp:288-338 protocols, cpp:357-425 fields)
+# ---------------------------------------------------------------------------
+
+
+def check_tshark_installed() -> bool:
+    """Reference A12 (cpp:254-261) — here a PATH probe, no subprocess."""
+    return shutil.which("tshark") is not None
+
+
+def parse_protocols_output(text: str) -> list[GlossaryProtocol]:
+    """Parse `tshark -G protocols` TSV (6 columns, T/F booleans)."""
+    out = []
+    for line in text.splitlines():
+        parts = [p.strip() for p in line.split("\t")]
+        if len(parts) < 3:
+            continue
+        flags = [(p == "T") for p in parts[3:6]] + [True] * 3
+        out.append(
+            GlossaryProtocol(parts[0], parts[1], parts[2], *flags[:3])
+        )
+    return out
+
+
+def parse_fields_output(text: str) -> list[GlossaryField]:
+    """Parse `tshark -G fields` TSV, keeping only `F` rows (cpp:368-375),
+    deduping filter_name on first occurrence (deviation, §4.4)."""
+    out = []
+    seen: set[str] = set()
+    for line in text.splitlines():
+        parts = [p.strip() for p in line.split("\t")]
+        if not parts or parts[0] != "F" or len(parts) < 5:
+            continue
+        filter_name = parts[2]
+        if filter_name in seen:
+            continue
+        seen.add(filter_name)
+        out.append(
+            GlossaryField(
+                field_name=parts[1],
+                filter_name=filter_name,
+                field_type=parts[3],
+                protocol_filter_name=parts[4],
+                encoding=parts[5] if len(parts) > 5 else None,
+                bitmask=parts[6] if len(parts) > 6 else None,
+                description=parts[7] if len(parts) > 7 else None,
+            )
+        )
+    return out
+
+
+def _run_tshark_g(what: str) -> str:
+    # argv list, never a shell string (deviation from cpp popen, §4.4)
+    res = subprocess.run(
+        ["tshark", "-G", what], capture_output=True, text=True, check=True
+    )
+    return res.stdout
+
+
+# ---------------------------------------------------------------------------
+# Build / cache / load
+# ---------------------------------------------------------------------------
+
+
+def cache_dir() -> str:
+    env = os.environ.get(_CACHE_ENV)
+    if env:
+        return env
+    # repo-local cache when the package lives on a real filesystem; when
+    # imported from an addPyFile zip (executor-side), fall back to tempdir
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    if os.path.isdir(root):
+        return os.path.join(root, ".wireduck_cache")
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "wireduck_glossary_cache")
+
+
+def build_glossary(
+    use_tshark: bool | None = None,
+) -> tuple[list[GlossaryProtocol], list[GlossaryField]]:
+    """Build the glossary rows — from tshark when available, else builtin."""
+    if use_tshark is None:
+        use_tshark = check_tshark_installed()
+    if use_tshark:
+        return (
+            parse_protocols_output(_run_tshark_g("protocols")),
+            parse_fields_output(_run_tshark_g("fields")),
+        )
+    return list(BUILTIN_PROTOCOLS), list(BUILTIN_FIELDS)
+
+
+def save_glossary(protocols, fields, directory: str | None = None) -> str:
+    """Persist as parquet via pyarrow (no SparkSession needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    directory = directory or cache_dir()
+    os.makedirs(directory, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "full_name": [p.full_name for p in protocols],
+            "short_name": [p.short_name for p in protocols],
+            "filter_name": [p.filter_name for p in protocols],
+            "can_enable": [p.can_enable for p in protocols],
+            "is_displayed": [p.is_displayed for p in protocols],
+            "is_filterable": [p.is_filterable for p in protocols],
+        }),
+        os.path.join(directory, "glossary_protocols.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "field_name": [f.field_name for f in fields],
+            "filter_name": [f.filter_name for f in fields],
+            "field_type": [f.field_type for f in fields],
+            "protocol_filter_name": [f.protocol_filter_name for f in fields],
+            "encoding": [f.encoding for f in fields],
+            "bitmask": [f.bitmask for f in fields],
+            "description": [f.description for f in fields],
+        }),
+        os.path.join(directory, "glossary_fields.parquet"),
+    )
+    return directory
+
+
+def load_fields(directory: str | None = None) -> list[GlossaryField]:
+    """Load glossary fields from cache; build+save on cold start."""
+    import pyarrow.parquet as pq
+
+    directory = directory or cache_dir()
+    path = os.path.join(directory, "glossary_fields.parquet")
+    if not os.path.exists(path):
+        protocols, fields = build_glossary()
+        save_glossary(protocols, fields, directory)
+        return fields
+    t = pq.read_table(path)
+    cols = {name: t.column(name).to_pylist() for name in t.column_names}
+    return [
+        GlossaryField(
+            cols["field_name"][i], cols["filter_name"][i], cols["field_type"][i],
+            cols["protocol_filter_name"][i], cols["encoding"][i],
+            cols["bitmask"][i], cols["description"][i],
+        )
+        for i in range(t.num_rows)
+    ]
+
+
+def fetch_selected_fields(
+    protocols: list[str], fields: list[GlossaryField] | None = None
+) -> list[GlossaryField]:
+    """Replicates FetchSelectedFields (cpp:53-78): the 5 default frame
+    fields plus every field of the requested protocols, ordered
+    frame-first, then requested protocols in argument order, then
+    unknown-protocol fields (`_ws.col.info`) last; glossary insertion
+    order within each rank."""
+    fields = fields if fields is not None else load_fields()
+
+    def rank(f: GlossaryField):
+        if f.protocol_filter_name == "frame":
+            return -1
+        if f.protocol_filter_name in protocols:
+            return 1 + protocols.index(f.protocol_filter_name)
+        return 10**9  # NULL ordering in the reference CASE -> sorts last
+
+    selected = [
+        (i, f)
+        for i, f in enumerate(fields)
+        if f.filter_name in DEFAULT_FIELDS or f.protocol_filter_name in protocols
+    ]
+    selected.sort(key=lambda t: (rank(t[1]), t[0]))
+    return [f for _, f in selected]
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing API (reference A11/A13 parity)
+# ---------------------------------------------------------------------------
+
+
+def initialize_glossary(spark, force: bool = False, directory: str | None = None):
+    """Build/refresh the glossary cache and register the two temp views.
+    Returns the reference-shaped status DataFrame (A11, cpp:430-450)."""
+    directory = directory or cache_dir()
+    pp = os.path.join(directory, "glossary_protocols.parquet")
+    fp = os.path.join(directory, "glossary_fields.parquet")
+    if force or not (os.path.exists(pp) and os.path.exists(fp)):
+        protocols, fields = build_glossary()
+        save_glossary(protocols, fields, directory)
+    spark.read.parquet(pp).createOrReplaceTempView("glossary_protocols")
+    spark.read.parquet(fp).createOrReplaceTempView("glossary_fields")
+    return spark.createDataFrame(
+        [("glossary_protocols initialized",), ("glossary_fields initialized",)],
+        "status_message: string",
+    )

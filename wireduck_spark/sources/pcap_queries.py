@@ -1,3 +1,82 @@
-"""Queries over the `pcap` data source (filled in alongside sources/pcap.py;
-registered separately so the relational corpus imports without a pcap
-fixture present)."""
+"""Registry queries over the `pcap` data source.
+
+DuckDB cannot read pcap, so these are rows-only entries in the driver's
+correctness gate (SURVEY.md §2 marks the pcap scan rows-only); the exact
+golden values from the reference README (429/259678 + 56/19702 on
+fix.pcap) are asserted in tests/test_pcap_source.py instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import query, ts_str
+from wireduck_spark.sources.pcap import read_pcap
+
+FIXTURE = "/root/reference/fix.pcap"
+
+
+def _have_fixture() -> bool:
+    return os.path.exists(FIXTURE)
+
+
+if _have_fixture():
+
+    @query("pcap_scan_default", oracle=None, tags=("pcap", "scan"))
+    def pcap_scan_default(spark: SparkSession, sf: str) -> DataFrame:
+        """Default 5-column scan (reference README.md:45-62 shape):
+        per-protocol-path packet counts and byte sums."""
+        df = read_pcap(spark, FIXTURE, engine="native")
+        return (
+            df.groupBy(F.col("`frame.protocols`").alias("protocols"))
+            .agg(
+                F.count("*").alias("n_packets"),
+                F.sum("`frame.len`").cast("bigint").alias("total_bytes"),
+                ts_str(F.min("`frame.time_epoch`")).alias("first_seen"),
+            )
+        )
+
+    @query("pcap_flagship_portpair", oracle=None, tags=("pcap", "agg"),
+           bench=False)
+    def pcap_flagship_portpair(spark: SparkSession, sf: str) -> DataFrame:
+        """The reference's flagship aggregate (README.md:160-167):
+        count + sum(tcp.len) per (srcport, dstport). Golden values on
+        fix.pcap: (429, 259678, 11001, 53867) / (56, 19702, 53867, 11001)
+        — asserted in tests."""
+        t = read_pcap(spark, FIXTURE, protocols=["tcp"], engine="native")
+        return (
+            t.groupBy(
+                F.col("`tcp.srcport`").alias("srcport"),
+                F.col("`tcp.dstport`").alias("dstport"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("`tcp.len`").cast("bigint").alias("sum_tcp_len"),
+            )
+        )
+
+    @query("pcap_flow_stats", oracle=None, tags=("pcap", "window"))
+    def pcap_flow_stats(spark: SparkSession, sf: str) -> DataFrame:
+        """Per-TCP-stream flow statistics (packets, bytes, duration,
+        SYN/FIN counts) — the packet-domain session analytics the
+        reference delegates to its host engine."""
+        t = read_pcap(spark, FIXTURE, protocols=["tcp"], engine="native")
+        return (
+            t.filter(F.col("`tcp.stream`").isNotNull())
+            .groupBy(F.col("`tcp.stream`").alias("stream"))
+            .agg(
+                F.count("*").alias("n_packets"),
+                F.sum("`tcp.len`").cast("bigint").alias("payload_bytes"),
+                F.round(
+                    F.unix_timestamp(F.max("`frame.time_epoch`"))
+                    - F.unix_timestamp(F.min("`frame.time_epoch`")),
+                    0,
+                ).cast("bigint").alias("duration_s"),
+                F.sum(F.when(F.col("`tcp.flags.syn`"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("syn_count"),
+            )
+        )
