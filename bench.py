@@ -1,0 +1,59 @@
+"""Benchmark harness: runs the headline queries (bench=True in the
+registry) at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"name": sec, ...}, "sf": 0.1}
+
+Timing = full query execution to collected results (plan + execute +
+transfer), after a one-query session warmup so JVM/codegen startup isn't
+attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wireduck_spark.registry import load_all_queries  # noqa: E402
+from wireduck_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    queries = load_all_queries()
+    bench_set = {n: s for n, s in sorted(queries.items()) if s.bench}
+
+    spark = get_spark("wireduck-bench")
+    # warmup: JVM + codegen + parquet footer reads
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_set.items():
+        t0 = time.perf_counter()
+        n_rows = len(spec.fn(spark, sf_dir).collect())
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"# {name}: {dt:.3f}s ({n_rows} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

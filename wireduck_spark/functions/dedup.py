@@ -32,44 +32,61 @@ MINHASH_SEEDS = [
     (472882049, 127), (741380651, 911), (104395303, 7919), (32452867, 5477),
     (979590017, 337), (295075153, 2089), (613651369, 4013), (198491329, 6991),
 ]
-SHINGLE_LEN = 4
-PREFIX = 200  # shingle the first 200 chars (documents are short bags-of-words)
-
 # -- portable 60-bit string hash ------------------------------------------
 SPARK_H60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT) % 1000000007"
 DUCK_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT) % 1000000007"
 
-# -- shared shingle CTE (DuckDB) ------------------------------------------
-DUCK_SHINGLES = f"""
+# -- shared shingle CTE (DuckDB): distinct word-3-gram shingles -----------
+# (word n-grams, not char n-grams: on shared-vocabulary corpora char
+# shingles give every doc pair ~0.5 Jaccard and LSH banding degenerates
+# into the quadratic pair join it exists to avoid)
+DUCK_SHINGLES = """
         SELECT doc_id, source, sh
         FROM (
             SELECT doc_id, source,
-                   unnest(list_distinct(list_transform(
-                       range(1, greatest(length(substring(lower(text), 1, {PREFIX}))
-                                         - {SHINGLE_LEN - 1}, 1) + 1),
-                       i -> substring(substring(lower(text), 1, {PREFIX}),
-                                      CAST(i AS INTEGER), {SHINGLE_LEN})))) AS sh
-            FROM documents
+                   unnest(list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> toks[CAST(i AS INTEGER)] || ' '
+                                 || toks[CAST(i + 1 AS INTEGER)] || ' '
+                                 || toks[CAST(i + 2 AS INTEGER)])
+                       ELSE [array_to_string(toks, ' ')] END)) AS sh
+            FROM (
+                SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents
+            )
         )
 """
 
 
 def _spark_shingles(d: DataFrame) -> DataFrame:
-    """doc_id, source, sh: distinct char-4-gram shingles of the first 200
-    lowercased chars (same construction as DUCK_SHINGLES)."""
-    return d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(substring(lower(text),"
-                    f" 1, {PREFIX})) - {SHINGLE_LEN - 1}, 1)),"
-                    f" i -> substring(substring(lower(text), 1, {PREFIX}),"
-                    f" i, {SHINGLE_LEN}))"
+    """doc_id, source, sh: distinct word-3-gram shingles (same
+    construction as DUCK_SHINGLES).
+
+    `toks` is materialized as a column BEFORE the transform lambda — an
+    expression inside the lambda body would re-run the regex tokenizer per
+    shingle element (~70x per doc), which measured 20x slower.
+    """
+    return (
+        d.withColumn(
+            "toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "CASE WHEN size(toks) >= 3 THEN"
+                        " transform(sequence(1, size(toks) - 2),"
+                        " i -> concat(element_at(toks, i), ' ',"
+                        " element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+                        " ELSE array(array_join(toks, ' ')) END"
+                    )
                 )
-            )
-        ).alias("sh"),
+            ).alias("sh"),
+        )
     )
 
 
@@ -120,12 +137,12 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     FROM pairs p
     JOIN sizes sa ON p.doc_a = sa.doc_id
     JOIN sizes sb ON p.doc_b = sb.doc_id
-    WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.5
+    WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.2
     """,
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact char-4-gram Jaccard near-dup pairs (>= 0.5), blocked by
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.2), blocked by
     `source` so the candidate space is bounded per block.
 
     Scale: this is the *verifier*; unblocked exact Jaccard is quadratic and
@@ -156,7 +173,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
+        .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -241,14 +258,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             for j, (a, b) in enumerate(MINHASH_SEEDS)
         ]
     )
-    bands = None
-    for band in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws("_", f"mh{2 * band}", f"mh{2 * band + 1}").alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Signatures are the materialization point of minhash dedup (8 ints per
+    # doc regardless of corpus size): cache them so the bands/est branches
+    # don't recompute the shingle->hash pipeline per lineage.
+    sig = sig.cache()
+    # all 4 band signatures in ONE pass over sig (posexplode), not 4 unions
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
