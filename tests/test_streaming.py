@@ -1,0 +1,118 @@
+"""Structured Streaming: watermarked windows (checked against the batch
+twins), applyInPandasWithState, and the pcap directory-tailing stream."""
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.pcap_fixtures import two_flow_pcap
+from wireduck_spark.registry import load_all_queries, table
+from wireduck_spark.streaming.stateful import running_user_totals
+from wireduck_spark.streaming.windows import (
+    read_events_stream, run_to_completion, tumbling_counts,
+)
+
+QUERIES = load_all_queries()
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
+    """Streaming tumbling counts over the full (finite) stream == the
+    oracle-checked batch query's result."""
+    stream = read_events_stream(spark, events_dir)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_cents"])
+        for r in run_to_completion(
+            tumbling_counts(stream), "t_tumbling_stream"
+        ).collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_cents"])
+        for r in QUERIES["tw_tumbling"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_stateful_running_totals(spark, sf_dir, events_dir):
+    """applyInPandasWithState accumulates per-user totals equal to the
+    batch groupBy (single micro-batch -> no eviction in play)."""
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_cents"])
+        for r in spark.sql(
+            "SELECT * FROM t_user_totals WHERE NOT expired"
+        ).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
+def test_pcap_stream_tails_directory(spark, tmp_path):
+    """New pcap files appearing in the directory become new micro-batches."""
+    from wireduck_spark.streaming.pcap_stream import read_pcap_stream
+
+    capture_dir = tmp_path / "captures"
+    capture_dir.mkdir()
+    (capture_dir / "cap-001.pcap").write_bytes(two_flow_pcap())
+
+    stream = read_pcap_stream(spark, f"{capture_dir}/*.pcap")
+    q = (
+        stream.groupBy("`frame.protocols`")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("t_pcap_stream")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = {r[0]: r["n"] for r in spark.sql(
+                "SELECT * FROM t_pcap_stream").collect()}
+            if rows.get("eth:ethertype:ip:tcp") == 3:
+                break
+            time.sleep(0.5)
+        assert rows.get("eth:ethertype:ip:tcp") == 3
+        assert rows.get("eth:ethertype:ip:udp") == 1
+
+        # second capture file lands -> counts double
+        (capture_dir / "cap-002.pcap").write_bytes(two_flow_pcap())
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = {r[0]: r["n"] for r in spark.sql(
+                "SELECT * FROM t_pcap_stream").collect()}
+            if rows.get("eth:ethertype:ip:tcp") == 6:
+                break
+            time.sleep(0.5)
+        assert rows.get("eth:ethertype:ip:tcp") == 6
+    finally:
+        q.stop()

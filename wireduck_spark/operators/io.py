@@ -1,0 +1,102 @@
+"""Source/sink surface (SURVEY.md §2 Tier B rows "parquet/csv/json scans"
+and "query result -> table/file"): every query writes through a real
+format round-trip — write to disk, re-read, return the re-read result —
+so the driver's oracle checks the SINK path, not just the computation.
+
+Scratch files live under the repo cache dir, partitioned by scale factor
+so concurrent sf runs don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import cents, query, table
+from wireduck_spark.sources.glossary import cache_dir
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(cache_dir(), "io_scratch", tag, name)
+
+
+@query(
+    "io_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("io", "sink"),
+)
+def io_parquet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate -> write parquet (overwrite) -> re-read -> return.
+
+    Scale: parquet is the native sink (columnar, predicate-pushdown-able
+    on re-read); overwrite mode is the idempotent batch-job pattern.
+    """
+    o = table(spark, sf, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )
+    path = _scratch(sf, "orders_by_status.parquet")
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "io_csv_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(c_nationkey AS BIGINT) AS nationkey
+    FROM customer WHERE c_acctbal > 5000
+    """,
+    tags=("io", "sink"),
+)
+def io_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection -> CSV with header -> re-read with explicit schema.
+
+    Integer/string columns only: CSV is not a faithful float transport,
+    and the round-trip is what's under test.
+    """
+    c = table(spark, sf, "customer")
+    out = c.filter(F.col("c_acctbal") > 5000).select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+    )
+    path = _scratch(sf, "rich_customers.csv")
+    out.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.option("header", True).schema(
+        "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, nationkey BIGINT"
+    ).csv(path)
+
+
+@query(
+    "io_json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_type IN ('signup', 'error')
+    """,
+    tags=("io", "sink"),
+)
+def io_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Filter + JSON-extract -> write JSON lines -> re-read with schema."""
+    e = table(spark, sf, "events")
+    out = e.filter(F.col("event_type").isin("signup", "error")).select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    path = _scratch(sf, "signup_errors.json")
+    out.write.mode("overwrite").json(path)
+    return spark.read.schema("event_id BIGINT, event_type STRING, k BIGINT").json(
+        path
+    )

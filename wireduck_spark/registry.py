@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "wireduck_spark.operators.relational",
     "wireduck_spark.operators.scalars",
     "wireduck_spark.operators.timeseries",
+    "wireduck_spark.operators.io",
     "wireduck_spark.functions.text",
     "wireduck_spark.functions.dedup",
     "wireduck_spark.functions.similarity",

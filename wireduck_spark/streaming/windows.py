@@ -1,0 +1,91 @@
+"""Structured Streaming twins of the batch time-series operators
+(SURVEY.md §2 "Streaming" row — absent in the reference, which is
+file-only; this is the Spark-native extension the reference's roadmap
+gestures at).
+
+The same F.window / F.session_window expressions used by the
+oracle-checked batch queries (operators/timeseries.py) run here under
+readStream with a watermark — the batch results ARE the streaming
+results' ground truth, which is how tests/test_streaming.py checks them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import cents
+
+# ts is TIMESTAMP(NANOS) in the driver parquet — read as raw int64 nanos
+# and rebuild microsecond timestamps (same handling as registry.table()).
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
+    """File-based event stream: each parquet file dropped into `directory`
+    becomes (at most) one micro-batch. At scale this is the standard
+    landing-zone pattern (object-store prefix + file notification); the
+    query code is identical for Kafka — only this reader changes."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(directory)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling 1h windows per event_type (streaming twin of
+    the oracle-checked `tw_tumbling`). The watermark bounds state: windows
+    older than max(event time) - watermark are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows (10-minute gap) per user — streaming
+    twin of `tw_session`. Spark merges overlapping partial sessions across
+    micro-batches in the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, table_name: str) -> DataFrame:
+    """Drain all available input into an in-memory sink and return the
+    result table (test/debug harness; production uses a real sink +
+    trigger)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {table_name}")
