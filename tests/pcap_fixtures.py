@@ -43,6 +43,62 @@ def build_eth_ipv4_udp(
     return eth + ip + udp + payload
 
 
+def build_eth_arp(
+    opcode: int, src_mac: bytes, src_ip: str, dst_mac: bytes, dst_ip: str
+) -> bytes:
+    eth = bytes(6) + src_mac + struct.pack(">H", 0x0806)
+    arp = struct.pack(">HHBBH", 1, 0x0800, 6, 4, opcode)
+    arp += src_mac + bytes(int(x) for x in src_ip.split("."))
+    arp += dst_mac + bytes(int(x) for x in dst_ip.split("."))
+    return eth + arp
+
+
+def build_eth_ipv4_icmp(
+    src: str, dst: str, icmp_type: int, code: int, ident: int, seq: int
+) -> bytes:
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x0800)
+    icmp = struct.pack(">BBHHH", icmp_type, code, 0, ident, seq) + b"ping"
+    ip = struct.pack(
+        ">BBHHHBBH4s4s",
+        0x45, 0, 20 + len(icmp), 1, 0, 64, 1, 0,
+        bytes(int(x) for x in src.split(".")),
+        bytes(int(x) for x in dst.split(".")),
+    )
+    return eth + ip + icmp
+
+
+def dns_query_payload(qname: str, qtype: int = 1, dns_id: int = 0x1234) -> bytes:
+    q = b"".join(
+        bytes([len(lbl)]) + lbl.encode() for lbl in qname.split(".")
+    ) + b"\x00"
+    return struct.pack(">HHHHHH", dns_id, 0x0100, 1, 0, 0, 0) + q + struct.pack(
+        ">HH", qtype, 1
+    )
+
+
+def build_pcapng(frames: list[tuple[float, bytes]], linktype: int = 1) -> bytes:
+    """Minimal pcapng: SHB + one IDB (usec tsresol default) + EPBs."""
+
+    def block(btype: int, body: bytes) -> bytes:
+        pad = (-len(body)) % 4
+        total = 12 + len(body) + pad
+        return (
+            struct.pack("<II", btype, total) + body + bytes(pad)
+            + struct.pack("<I", total)
+        )
+
+    shb = block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    idb = block(0x00000001, struct.pack("<HHI", linktype, 0, 262144))
+    out = shb + idb
+    for ts, data in frames:
+        us = int(round(ts * 1_000_000))
+        body = struct.pack(
+            "<IIIII", 0, us >> 32, us & 0xFFFFFFFF, len(data), len(data)
+        ) + data
+        out += block(0x00000006, body)
+    return out
+
+
 def build_pcap(frames: list[tuple[float, bytes]], nanos: bool = False) -> bytes:
     """frames: [(epoch_ts, frame_bytes)] -> classic libpcap bytes."""
     magic = 0xA1B23C4D if nanos else 0xA1B2C3D4

@@ -5,9 +5,14 @@ import os
 
 import pytest
 
-from tests.pcap_fixtures import build_pcap, build_eth_ipv4_tcp, two_flow_pcap
+from tests.pcap_fixtures import (
+    build_eth_arp, build_eth_ipv4_icmp, build_eth_ipv4_tcp,
+    build_eth_ipv4_udp, build_pcap, build_pcapng, dns_query_payload,
+    two_flow_pcap,
+)
 from wireduck_spark.sources.native import (
-    iter_packets, read_global_header, scan_record_offsets,
+    byte_range_partitions, is_pcapng, iter_packets, read_global_header,
+    stream_id,
 )
 
 FIXTURE = "/root/reference/fix.pcap"
@@ -41,7 +46,11 @@ def test_dissection(pcap_file):
     assert p2["tcp.flags.syn"] is True and p2["tcp.flags.ack"] is True
     assert p3["tcp.len"] == 7
     assert p3["tcp.payload"] == b"goodbye".hex()
-    assert p1["tcp.stream"] == p2["tcp.stream"] == p3["tcp.stream"] == 0
+    # content-derived stream id: same conversation -> same id, both
+    # directions, partition-invariant (deviation from tshark's ordinal)
+    assert p1["tcp.stream"] == p2["tcp.stream"] == p3["tcp.stream"]
+    assert p1["tcp.stream"] == stream_id("10.0.0.1", 1111, "10.0.0.2", 80)
+    assert p1["tcp.stream"] == stream_id("10.0.0.2", 80, "10.0.0.1", 1111)
     assert p4["frame.protocols"] == "eth:ethertype:ip:udp"
     assert p4["udp.srcport"] == 5353 and p4["udp.dstport"] == 53
     assert p4["udp.length"] == 12
@@ -58,15 +67,128 @@ def test_nanosecond_timestamps(tmp_path):
     assert pkt["frame.time_epoch"].microsecond == 0  # 456ns truncates to 0us
 
 
-def test_offset_splitting(pcap_file):
-    """Byte-range partition plan: slices cover every packet exactly once,
-    with global frame numbers."""
-    parts = scan_record_offsets(pcap_file, 3)
-    assert sum(n for _, n, _ in parts) == 4
-    seen = []
-    for off, n, first in parts:
-        seen += [p["frame.number"] for p in iter_packets(pcap_file, off, n, first)]
-    assert seen == [1, 2, 3, 4]
+def test_byte_range_splitting(pcap_file):
+    """Fixed byte-range plan + executor-side resync: every packet lands in
+    exactly one slice, for ANY split count, and per-flow aggregates match
+    the unsplit read (partition-invariant tcp.stream)."""
+    whole = list(iter_packets(pcap_file))
+
+    def flow_stats(pkts):
+        out = {}
+        for p in pkts:
+            s = p.get("tcp.stream")
+            if s is not None:
+                c, b = out.get(s, (0, 0))
+                out[s] = (c + 1, b + p["tcp.len"])
+        return out
+
+    size = os.path.getsize(pcap_file)
+    for n_splits in (1, 2, 3, 5, 16):
+        parts = byte_range_partitions(pcap_file, n_splits)
+        assert parts[0][0] == 24 and parts[-1][1] == size
+        pkts = [p for s, e in parts for p in iter_packets(pcap_file, s, e)]
+        assert len(pkts) == len(whole)
+        # same packets, same order when concatenated in range order
+        assert [p["frame.len"] for p in pkts] == [
+            p["frame.len"] for p in whole
+        ]
+        assert flow_stats(pkts) == flow_stats(whole)
+
+
+def test_split_plan_reads_nothing(pcap_file, monkeypatch):
+    """The partition plan must never read the capture on the driver
+    (round-1 scale-killer: a full driver-side header walk). Only
+    os.path.getsize is consulted."""
+    import builtins
+
+    real_open = builtins.open
+
+    def deny_open(path, *a, **k):
+        if str(path) == pcap_file:
+            raise AssertionError("partition planning opened the capture")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", deny_open)
+    parts = byte_range_partitions(pcap_file, 4)
+    assert len(parts) >= 1
+
+
+def test_arp_dissection(tmp_path):
+    req = build_eth_arp(1, b"\xaa\xbb\xcc\x00\x00\x01", "192.168.1.10",
+                        bytes(6), "192.168.1.1")
+    rep = build_eth_arp(2, b"\xaa\xbb\xcc\x00\x00\x02", "192.168.1.1",
+                        b"\xaa\xbb\xcc\x00\x00\x01", "192.168.1.10")
+    p = tmp_path / "arp.pcap"
+    p.write_bytes(build_pcap([(1.0, req), (1.1, rep)]))
+    a, b = list(iter_packets(str(p)))
+    assert a["frame.protocols"] == "eth:ethertype:arp"
+    assert a["arp.opcode"] == 1 and b["arp.opcode"] == 2
+    assert a["arp.src.proto_ipv4"] == "192.168.1.10"
+    assert a["arp.dst.proto_ipv4"] == "192.168.1.1"
+    assert "Who has 192.168.1.1?" in a["_ws.col.info"]
+    assert "192.168.1.1 is at aa:bb:cc:00:00:02" == b["_ws.col.info"]
+
+
+def test_icmp_dissection(tmp_path):
+    echo = build_eth_ipv4_icmp("10.0.0.1", "8.8.8.8", 8, 0, 77, 3)
+    reply = build_eth_ipv4_icmp("8.8.8.8", "10.0.0.1", 0, 0, 77, 3)
+    p = tmp_path / "icmp.pcap"
+    p.write_bytes(build_pcap([(1.0, echo), (1.05, reply)]))
+    a, b = list(iter_packets(str(p)))
+    assert a["frame.protocols"] == "eth:ethertype:ip:icmp"
+    assert a["icmp.type"] == 8 and b["icmp.type"] == 0
+    assert a["icmp.ident"] == 77 and a["icmp.seq"] == 3
+    assert a["_ws.col.info"] == "Echo (ping) request"
+
+
+def test_dns_dissection(tmp_path):
+    q = build_eth_ipv4_udp("10.0.0.1", "8.8.8.8", 40000, 53,
+                           dns_query_payload("example.com", 28, 0xBEEF))
+    p = tmp_path / "dns.pcap"
+    p.write_bytes(build_pcap([(1.0, q)]))
+    (pkt,) = list(iter_packets(str(p)))
+    assert pkt["frame.protocols"] == "eth:ethertype:ip:udp:dns"
+    assert pkt["dns.id"] == 0xBEEF
+    assert pkt["dns.flags.response"] is False
+    assert pkt["dns.count.queries"] == 1
+    assert pkt["dns.qry.name"] == "example.com"
+    assert pkt["dns.qry.type"] == 28
+    assert "Standard query 0xbeef example.com" == pkt["_ws.col.info"]
+
+
+def test_http_dissection(tmp_path):
+    req = build_eth_ipv4_tcp("10.0.0.1", "93.184.216.34", 50000, 80, 1, 1,
+                             0x18, b"GET /index.html HTTP/1.1\r\nHost: x\r\n")
+    resp = build_eth_ipv4_tcp("93.184.216.34", "10.0.0.1", 80, 50000, 1, 30,
+                              0x18, b"HTTP/1.1 404 Not Found\r\n\r\n")
+    p = tmp_path / "http.pcap"
+    p.write_bytes(build_pcap([(1.0, req), (1.2, resp)]))
+    a, b = list(iter_packets(str(p)))
+    assert a["frame.protocols"].endswith("tcp:http")
+    assert a["http.request.method"] == "GET"
+    assert a["http.request.uri"] == "/index.html"
+    assert b["http.response.code"] == 404
+    assert b["http.response.phrase"] == "Not Found"
+
+
+def test_pcapng_reading(tmp_path):
+    """Same packets through pcapng framing == classic framing (the native
+    engine hard-rejected pcapng in round 1; Wireshark writes it by
+    default since 1.8)."""
+    f1 = build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1111, 80, 100, 0, 0x02,
+                            b"")
+    f2 = build_eth_ipv4_udp("10.0.0.3", "10.0.0.4", 5353, 53, b"dns?")
+    frames = [(1700000000.25, f1), (1700000001.0, f2)]
+    png = tmp_path / "cap.pcapng"
+    png.write_bytes(build_pcapng(frames))
+    classic = tmp_path / "cap.pcap"
+    classic.write_bytes(build_pcap(frames))
+    assert is_pcapng(str(png)) and not is_pcapng(str(classic))
+    got = list(iter_packets(str(png)))
+    want = list(iter_packets(str(classic)))
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        assert g == w  # identical dissection incl. us timestamps
 
 
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture not present")
@@ -84,6 +206,7 @@ def test_fixture_golden_aggregate():
     assert n == 485
     assert agg[(11001, 53867)] == (429, 259678)
     assert agg[(53867, 11001)] == (56, 19702)
-    # single loopback session -> one tcp stream
-    streams = {p.get("tcp.stream") for p in iter_packets(FIXTURE)}
-    assert streams == {0}
+    # single loopback session -> one tcp stream (content-derived id)
+    streams = {p["tcp.stream"] for p in iter_packets(FIXTURE)
+               if "tcp.stream" in p}
+    assert len(streams) == 1

@@ -6,7 +6,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNull
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, IsNotNull, IsNull
 
 from tests.pcap_fixtures import two_flow_pcap
 from wireduck_spark.sources import pcap as pcap_mod
@@ -56,6 +56,25 @@ def test_multifile_glob(spark, tmp_path):
     df = read_pcap(spark, f"{tmp_path}/*.pcap", engine="native")
     assert df.count() == 8
     assert df.rdd.getNumPartitions() == 2  # one partition per file
+
+
+def test_climit_global_across_glob(spark, tmp_path):
+    """climit is a GLOBAL cap (reference single-file semantics) even over
+    a multi-file glob — round-1 ADVICE: per-partition `-c` alone returned
+    up to N*n_files rows."""
+    for name in ("a.pcap", "b.pcap", "c.pcap"):
+        (tmp_path / name).write_bytes(two_flow_pcap())
+    assert read_pcap(spark, f"{tmp_path}/*.pcap", climit=5,
+                     engine="native").count() == 5
+
+
+def test_empty_glob_raises(spark, tmp_path):
+    """No matching files -> clear error at planning, not a confusing
+    per-partition FileNotFoundError (round-1 ADVICE)."""
+    df = read_pcap(spark, f"{tmp_path}/nothing-*.pcap", engine="native")
+    with pytest.raises(Exception) as exc:
+        df.count()
+    assert "no files match" in str(exc.value)
 
 
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture not present")
@@ -121,22 +140,48 @@ def test_tshark_engine_with_mock(spark, pcap_file):
     assert rows[1]["_ws.col.info"] == "info2"
 
 
-def test_filter_translation():
+FIELD_TYPES = {
+    "tcp.srcport": "FT_UINT16", "tcp.len": "FT_UINT32",
+    "ip.proto": "FT_UINT8", "udp.srcport": "FT_UINT16",
+    "_ws.col.info": "FT_STRING", "ip.src": "FT_IPv4",
+    "smpp.broadcast_rep_num": "FT_UINT_STRING",
+    "tcp.flags.syn": "FT_BOOLEAN",
+}
+
+
+def test_filter_translation_pushes_only_superset_safe():
+    """Round-1 ADVICE (high): only numeric comparisons on true integer/
+    float FT_* fields plus IsNotNull are superset-safe. String/IP/bytes
+    comparisons, IsNull, StringContains, and boolean fields must NOT be
+    pushed — tshark evaluates them with typed semantics while Spark
+    re-evaluates with string semantics, so pushing can drop rows Spark
+    would keep (over-filter = silently wrong results)."""
     df, n = translate_filters_to_display(
         [
             EqualTo(("tcp.srcport",), 80),
             GreaterThan(("tcp.len",), 0),
             In(("ip.proto",), (6, 17)),
-            IsNull(("udp.srcport",)),
-            EqualTo(("_ws.col.info",), 'say "hi"'),
-        ]
+            IsNotNull(("udp.srcport",)),
+        ],
+        FIELD_TYPES,
     )
-    assert n == 5
+    assert n == 4
     assert "(tcp.srcport == 80)" in df
     assert "(tcp.len > 0)" in df
     assert "(ip.proto in {6 17})" in df
-    assert "(!(udp.srcport))" in df
-    assert '\\"hi\\"' in df
+    assert "(udp.srcport)" in df
+
+
+def test_filter_translation_refuses_unsafe():
+    unsafe = [
+        IsNull(("udp.srcport",)),              # !(field) over-filters
+        EqualTo(("_ws.col.info",), "hi"),      # string equality
+        GreaterThan(("ip.src",), "10.0.0.0"),  # IP-typed ordering
+        EqualTo(("smpp.broadcast_rep_num",), 3),  # FT_UINT_STRING misclass
+        EqualTo(("tcp.flags.syn",), True),     # boolean spelling mismatch
+    ]
+    df, n = translate_filters_to_display(unsafe, FIELD_TYPES)
+    assert df is None and n == 0
 
 
 def test_pushdown_plan_prunes_rows(spark, pcap_file):

@@ -45,7 +45,10 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
 
 def test_stateful_running_totals(spark, sf_dir, events_dir):
     """applyInPandasWithState accumulates per-user totals equal to the
-    batch groupBy (single micro-batch -> no eviction in play)."""
+    batch groupBy. No idle timeout: availableNow + ProcessingTimeTimeout
+    live-locks (timeouts can't fire once the source drains — see
+    running_user_totals docstring); the timeout branch is unit-tested in
+    test_stateful_timeout_branch."""
     stream = read_events_stream(spark, events_dir)
     q = (
         running_user_totals(stream)
@@ -73,6 +76,62 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_timeout_branch():
+    """The eviction path (hasTimedOut -> remove + expired=true row) and the
+    timeout arming, exercised with a fake GroupState — no streaming query
+    needed (and none could finish: see test above)."""
+    import pandas as pd
+
+    from wireduck_spark.streaming.stateful import make_update_fn
+
+    class FakeState:
+        def __init__(self, value=None, timed_out=False):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self.removed = True
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = make_update_fn(60_000)
+
+    # accumulate branch: folds rows, arms the timeout
+    st = FakeState((2, 300))
+    [out] = fn((7,), [pd.DataFrame({"value": [1.0, 2.5]})], st)
+    assert st._v == (4, 650) and st.timeout_set == 60_000
+    assert out["expired"].tolist() == [False]
+    assert out["sum_cents"].tolist() == [650]
+
+    # eviction branch: emits the final totals flagged expired, drops state
+    st = FakeState((4, 650), timed_out=True)
+    [out] = fn((7,), [], st)
+    assert st.removed
+    assert out["expired"].tolist() == [True]
+    assert out["n_events"].tolist() == [4]
+
+    # no-timeout variant never arms a timeout
+    st = FakeState()
+    fn_nt = make_update_fn(None)
+    [_] = fn_nt((7,), [pd.DataFrame({"value": [1.0]})], st)
+    assert st.timeout_set is None
 
 
 def test_pcap_stream_tails_directory(spark, tmp_path):

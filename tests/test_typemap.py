@@ -48,7 +48,11 @@ def test_cast_double_bool_ts():
     assert cast_cell("x", DoubleType()) is None
     assert cast_cell("1", BooleanType()) is True
     assert cast_cell("0", BooleanType()) is False
-    assert cast_cell("true", BooleanType()) is False  # == "1" semantics
+    # tshark 4.x prints True/False under -T fields; both spellings accepted
+    # (round-1 ADVICE — strict =="1" made set flags False on tshark engine)
+    assert cast_cell("True", BooleanType()) is True
+    assert cast_cell("true", BooleanType()) is True
+    assert cast_cell("False", BooleanType()) is False
     ts = cast_cell("1448733575.25", TimestampType())
     assert ts == datetime(2015, 11, 28, 17, 59, 35, 250000)  # keeps sub-second
     assert cast_cell("nope", TimestampType()) is None

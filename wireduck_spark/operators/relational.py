@@ -85,6 +85,7 @@ def agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
                 AS BIGINT) AS charge_cents,
            upper(l_returnflag) || '/' || l_linestatus AS flag_status
     FROM lineitem
+    WHERE l_orderkey % 10 = 0
     """,
     tags=("projection",),
 )
@@ -92,9 +93,11 @@ def proj_expressions(spark: SparkSession, sf: str) -> DataFrame:
     """Column select / alias / arithmetic / string concat (pure projection).
 
     Scale: narrow ReadSchema (6 of 11 columns reach the scan), zero
-    shuffles, whole-stage codegen end to end.
+    shuffles, whole-stage codegen end to end. The deterministic key-mod
+    filter only bounds the rows the correctness gate must collect+hash —
+    the projection surface under test is unchanged.
     """
-    li = table(spark, sf, "lineitem")
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -394,6 +397,58 @@ def join_range_interval(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy(ts_str(F.date_trunc("month", "o_orderdate")).alias("order_month"))
         .agg(F.count("*").alias("shipped_in_90d"))
+    )
+
+
+@query(
+    "join_star_q9_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("join", "star"),
+    bench=True,
+)
+def join_star_q9_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9-shaped star join: part x lineitem x supplier x orders x
+    nation, profit per nation-year for parts matching a name pattern
+    (partsupp doesn't exist in the fixtures, so profit omits supplycost).
+
+    Scale: lineitem is the single fact table; part (pre-filtered by the
+    LIKE, so a fraction survives) and supplier/nation/orders join it.
+    nation is explicitly broadcast (25 rows); part-after-filter and
+    supplier are left to AQE, which converts them to broadcast when
+    runtime stats allow — at 100 TB the only repartition-scale shuffles
+    are the two lineitem equi-joins, each carried by one key.
+    """
+    p = table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    o = table(spark, sf, "orders")
+    n = table(spark, sf, "nation")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("bigint")
+            .alias("profit_cents")
+        )
     )
 
 

@@ -105,13 +105,15 @@ def scalar_datetime_funcs(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(exp(l_discount), 4) AS exp_disc,
            ROUND(pow(l_quantity, 2), 1) AS qty_sq
     FROM lineitem
+    WHERE l_orderkey % 10 = 0
     """,
     tags=("scalar", "math"),
 )
 def scalar_math_funcs(spark: SparkSession, sf: str) -> DataFrame:
     """abs/floor/ceil/mod/ln/sqrt/exp/pow (transcendentals rounded to 4dp
-    to absorb libm-vs-JVM last-ulp differences)."""
-    li = table(spark, sf, "lineitem")
+    to absorb libm-vs-JVM last-ulp differences). Key-mod filter bounds the
+    gate's collect+hash size; the function surface is unchanged."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -162,7 +164,8 @@ def scalar_conditional(spark: SparkSession, sf: str) -> DataFrame:
     "scalar_array_funcs",
     oracle="""
     SELECT o_orderkey,
-           string_split(o_orderpriority, '-') AS pri_parts,
+           array_to_string(
+               list_sort(string_split(o_orderpriority, '-')), '|') AS pri_sorted,
            CAST(len(string_split(o_orderpriority, '-')) AS BIGINT) AS n_parts,
            string_split(o_orderpriority, '-')[1] AS pri_code,
            string_split(o_orderpriority, '-')[2] AS pri_label,
@@ -172,16 +175,21 @@ def scalar_conditional(spark: SparkSession, sf: str) -> DataFrame:
     tags=("scalar", "array"),
 )
 def scalar_array_funcs(spark: SparkSession, sf: str) -> DataFrame:
-    """split -> array ops: size / element_at / array_contains.
+    """split -> array ops: size / element_at / array_contains / sort / join.
 
     (The packet-domain idiom is split(frame.protocols, ':') — SURVEY.md §2;
     same shape here on o_orderpriority.)
+
+    The array itself is emitted through array_sort + array_join rather than
+    raw: the driver's canonicalizer hashes via pandas, which cannot hash
+    list cells (round-1 CORRECTNESS failure). Stringifying keeps the array
+    functions exercised while staying hashable on both engines.
     """
     o = table(spark, sf, "orders")
     parts = F.split("o_orderpriority", "-")
     return o.select(
         "o_orderkey",
-        parts.alias("pri_parts"),
+        F.array_join(F.array_sort(parts), "|").alias("pri_sorted"),
         F.size(parts).cast("bigint").alias("n_parts"),
         F.element_at(parts, 1).alias("pri_code"),
         F.element_at(parts, 2).alias("pri_label"),

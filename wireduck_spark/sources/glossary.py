@@ -66,10 +66,16 @@ class GlossaryProtocol:
 BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Frame", "Frame", "frame"),
     GlossaryProtocol("Ethernet", "Ethernet", "eth"),
+    GlossaryProtocol("Address Resolution Protocol", "ARP/RARP", "arp"),
     GlossaryProtocol("Internet Protocol Version 4", "IPv4", "ip"),
     GlossaryProtocol("Internet Protocol Version 6", "IPv6", "ipv6"),
+    GlossaryProtocol("Internet Control Message Protocol", "ICMP", "icmp"),
+    GlossaryProtocol("Internet Control Message Protocol v6", "ICMPv6",
+                     "icmpv6"),
     GlossaryProtocol("Transmission Control Protocol", "TCP", "tcp"),
     GlossaryProtocol("User Datagram Protocol", "UDP", "udp"),
+    GlossaryProtocol("Domain Name System", "DNS", "dns"),
+    GlossaryProtocol("Hypertext Transfer Protocol", "HTTP", "http"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -117,6 +123,38 @@ BUILTIN_FIELDS = [
     _F("Destination Port", "udp.dstport", "FT_UINT16", "udp"),
     _F("Length", "udp.length", "FT_UINT16", "udp"),
     _F("Checksum", "udp.checksum", "FT_UINT16", "udp"),
+    # arp
+    _F("Opcode", "arp.opcode", "FT_UINT16", "arp"),
+    _F("Sender MAC address", "arp.src.hw_mac", "FT_ETHER", "arp"),
+    _F("Sender IP address", "arp.src.proto_ipv4", "FT_IPv4", "arp"),
+    _F("Target MAC address", "arp.dst.hw_mac", "FT_ETHER", "arp"),
+    _F("Target IP address", "arp.dst.proto_ipv4", "FT_IPv4", "arp"),
+    # icmp
+    _F("Type", "icmp.type", "FT_UINT8", "icmp"),
+    _F("Code", "icmp.code", "FT_UINT8", "icmp"),
+    _F("Checksum", "icmp.checksum", "FT_UINT16", "icmp"),
+    _F("Identifier (BE)", "icmp.ident", "FT_UINT16", "icmp"),
+    _F("Sequence Number (BE)", "icmp.seq", "FT_UINT16", "icmp"),
+    # icmpv6
+    _F("Type", "icmpv6.type", "FT_UINT8", "icmpv6"),
+    _F("Code", "icmpv6.code", "FT_UINT8", "icmpv6"),
+    _F("Checksum", "icmpv6.checksum", "FT_UINT16", "icmpv6"),
+    # dns
+    _F("Transaction ID", "dns.id", "FT_UINT16", "dns"),
+    _F("Response", "dns.flags.response", "FT_BOOLEAN", "dns"),
+    _F("Questions", "dns.count.queries", "FT_UINT16", "dns"),
+    _F("Answer RRs", "dns.count.answers", "FT_UINT16", "dns"),
+    _F("Authority RRs", "dns.count.auth_rr", "FT_UINT16", "dns"),
+    _F("Additional RRs", "dns.count.add_rr", "FT_UINT16", "dns"),
+    _F("Name", "dns.qry.name", "FT_STRING", "dns"),
+    _F("Type", "dns.qry.type", "FT_UINT16", "dns"),
+    # http
+    _F("Request Method", "http.request.method", "FT_STRING", "http"),
+    _F("Request URI", "http.request.uri", "FT_STRING", "http"),
+    _F("Request Version", "http.request.version", "FT_STRING", "http"),
+    _F("Response Version", "http.response.version", "FT_STRING", "http"),
+    _F("Status Code", "http.response.code", "FT_UINT16", "http"),
+    _F("Response Phrase", "http.response.phrase", "FT_STRING", "http"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -186,6 +224,11 @@ def _run_tshark_g(what: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
+# by version so an old cache can't mask newly added builtin fields.
+GLOSSARY_VERSION = 2
+
+
 def cache_dir() -> str:
     env = os.environ.get(_CACHE_ENV)
     if env:
@@ -196,10 +239,12 @@ def cache_dir() -> str:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     if os.path.isdir(root):
-        return os.path.join(root, ".wireduck_cache")
+        return os.path.join(root, f".wireduck_cache/v{GLOSSARY_VERSION}")
     import tempfile
 
-    return os.path.join(tempfile.gettempdir(), "wireduck_glossary_cache")
+    return os.path.join(
+        tempfile.gettempdir(), f"wireduck_glossary_cache_v{GLOSSARY_VERSION}"
+    )
 
 
 def build_glossary(

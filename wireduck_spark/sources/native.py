@@ -7,8 +7,8 @@ The reference can only scan pcap by shelling out to tshark
 header + 16-byte record headers) plus Ethernet/IPv4/IPv6/TCP/UDP header
 dissection in struct-unpacking Python. Because it reads bytes directly, a
 single large capture can be SPLIT BY BYTE RANGE into Spark partitions
-(`scan_record_offsets`) — the reference is architecturally single-threaded
-(one tshark pipe, cpp:126,180).
+(`byte_range_partitions` + executor-side `resync_offset`) — the reference
+is architecturally single-threaded (one tshark pipe, cpp:126,180).
 
 Emitted fields use Wireshark filter names (tcp.srcport, ip.src, ...) with
 tshark-compatible value semantics, so the same glossary-driven schema
@@ -18,10 +18,14 @@ protocols) stay NULL — exactly how absent fields behave in the reference.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import struct
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import datetime, timedelta
+from functools import lru_cache
+
+_EPOCH0 = datetime(1970, 1, 1)  # naive UTC epoch (exact us arithmetic)
 
 MAGIC_US_LE = 0xA1B2C3D4
 MAGIC_US_BE = 0xD4C3B2A1
@@ -63,33 +67,76 @@ def read_global_header(buf: bytes) -> PcapInfo:
     return PcapInfo(endian, div, linktype, snaplen)
 
 
-def scan_record_offsets(path: str, n_splits: int) -> list[tuple[int, int, int]]:
-    """One cheap header-only pass over the file producing up to n_splits
-    (byte_offset, n_packets, first_frame_number) slices of roughly equal
-    packet count — the partition plan for splitting ONE capture file
-    across executors."""
+def byte_range_partitions(path: str, n_splits: int) -> list[tuple[int, int]]:
+    """Fixed byte-range partition plan for splitting ONE capture across
+    executors: [(start_byte, end_byte)] slices of roughly equal size.
+
+    Scale-safe by construction: the plan is computed from os.path.getsize
+    ALONE — the driver reads zero bytes of the capture (round-1 version
+    walked every 16-byte record header driver-side, a full sequential pass
+    of a 1 TB file before any executor started). Executors resync to the
+    first real record boundary inside their range (`resync_offset`), the
+    same strategy Hadoop text splits use with newline resync."""
     size = os.path.getsize(path)
-    with open(path, "rb") as fh:
-        info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
-        offsets = []  # byte offset of each record
-        off = GLOBAL_HEADER_LEN
-        while off + RECORD_HEADER_LEN <= size:
-            fh.seek(off)
-            hdr = fh.read(RECORD_HEADER_LEN)
-            if len(hdr) < RECORD_HEADER_LEN:
-                break
-            _, _, incl, _ = struct.unpack(info.endian + "IIII", hdr)
-            offsets.append(off)
-            off += RECORD_HEADER_LEN + incl
-    n = len(offsets)
-    if n == 0:
-        return []
-    n_splits = max(1, min(n_splits, n))
-    per = (n + n_splits - 1) // n_splits
+    payload = size - GLOBAL_HEADER_LEN
+    if payload <= 0:
+        return [(GLOBAL_HEADER_LEN, size)]
+    n_splits = max(1, n_splits)
+    per = (payload + n_splits - 1) // n_splits
     return [
-        (offsets[i], min(per, n - i), i + 1)  # frame numbers are 1-based
-        for i in range(0, n, per)
+        (GLOBAL_HEADER_LEN + i * per,
+         min(GLOBAL_HEADER_LEN + (i + 1) * per, size))
+        for i in range((payload + per - 1) // per)
     ]
+
+
+_RESYNC_CHAIN = 3  # consecutive plausible records required to accept a sync
+_MAX_SANE_CAPLEN = 4 * 262144
+
+
+def _chain_validates(buf: bytes, rel: int, info: PcapInfo, abs_base: int,
+                     size: int) -> bool:
+    """True if a chain of plausible records starts at buf[rel:].
+
+    Plausibility per record: 0 < caplen <= snaplen (sane-capped), caplen <=
+    origlen, fractional timestamp < divisor, record fits in the file. The
+    chain accepts early when it runs cleanly into EOF or off the window.
+    """
+    cap = min(info.snaplen or _MAX_SANE_CAPLEN, _MAX_SANE_CAPLEN)
+    off = rel
+    for i in range(_RESYNC_CHAIN):
+        if off + RECORD_HEADER_LEN > len(buf):
+            return i > 0  # window exhausted after >=1 valid record
+        _, frac, incl, orig = struct.unpack(
+            info.endian + "IIII", buf[off:off + RECORD_HEADER_LEN]
+        )
+        if not (0 < incl <= cap and incl <= orig and frac < info.ts_divisor
+                and abs_base + off + RECORD_HEADER_LEN + incl <= size):
+            return False
+        off += RECORD_HEADER_LEN + incl
+        if abs_base + off >= size:
+            return True  # chained exactly into EOF
+    return True
+
+
+def resync_offset(fh, info: PcapInfo, start: int, size: int) -> int:
+    """First byte offset >= start where a plausible record chain begins
+    (executor-side; reads only this partition's neighborhood). Returns
+    `size` when no record starts in the remainder.
+
+    False-positive odds per candidate: frac<divisor passes for ~0.02% of
+    random u32s (usec), caplen bounds for ~0.1%, chained 3 deep —
+    effectively zero against real payload bytes.
+    """
+    if start <= GLOBAL_HEADER_LEN:
+        return GLOBAL_HEADER_LEN
+    window = _MAX_SANE_CAPLEN * (_RESYNC_CHAIN + 1)
+    fh.seek(start)
+    buf = fh.read(min(window, max(size - start, 0)))
+    for rel in range(len(buf)):
+        if _chain_validates(buf, rel, info, start, size):
+            return start + rel
+    return size
 
 
 def _mac(b: bytes) -> str:
@@ -148,11 +195,41 @@ def dissect_packet(data: bytes, linktype: int, fields: dict) -> None:
         fields["ipv6.src"] = _ipv6(data[off + 8:off + 24])
         fields["ipv6.dst"] = _ipv6(data[off + 24:off + 40])
         _dissect_l4(data, off + 40, next_header, payload_len, protos, fields)
+    elif ethertype == 0x0806 and len(data) >= off + 28:  # ARP (over IPv4)
+        protos.append("arp")
+        _dissect_arp(data, off, fields)
     elif ethertype == 0x0806:
         protos.append("arp")
     else:
         protos.append("data")
     fields["frame.protocols"] = ":".join(protos)
+
+
+def _dissect_arp(data: bytes, off: int, fields: dict) -> None:
+    """ARP for Ethernet/IPv4 (hlen=6, plen=4 — the only wire-common case)."""
+    _hw, _pt, hlen, plen, opcode = struct.unpack(
+        ">HHBBH", data[off:off + 8]
+    )
+    fields["arp.opcode"] = opcode
+    if hlen == 6 and plen == 4 and len(data) >= off + 28:
+        fields["arp.src.hw_mac"] = _mac(data[off + 8:off + 14])
+        fields["arp.src.proto_ipv4"] = _ipv4(data[off + 14:off + 18])
+        fields["arp.dst.hw_mac"] = _mac(data[off + 18:off + 24])
+        fields["arp.dst.proto_ipv4"] = _ipv4(data[off + 24:off + 28])
+        if opcode == 1:
+            fields["_ws.col.info"] = (
+                f"Who has {fields['arp.dst.proto_ipv4']}?"
+                f" Tell {fields['arp.src.proto_ipv4']}"
+            )
+        elif opcode == 2:
+            fields["_ws.col.info"] = (
+                f"{fields['arp.src.proto_ipv4']} is at"
+                f" {fields['arp.src.hw_mac']}"
+            )
+
+
+_HTTP_METHODS = (b"GET ", b"POST ", b"PUT ", b"DELETE ", b"HEAD ",
+                 b"OPTIONS ", b"PATCH ", b"TRACE ", b"CONNECT ")
 
 
 def _dissect_l4(
@@ -188,6 +265,8 @@ def _dissect_l4(
             f"{sport} → {dport} [{flagstr}] Seq={seq} Ack={ack}"
             f" Len={payload_len}"
         )
+        if payload and _dissect_http(payload, fields):
+            protos.append("http")
     elif proto == 17 and len(data) >= off + 8:  # UDP
         protos.append("udp")
         sport, dport, length, checksum = struct.unpack(">HHHH", data[off:off + 8])
@@ -196,67 +275,287 @@ def _dissect_l4(
         fields["udp.length"] = length
         fields["udp.checksum"] = checksum
         fields["_ws.col.info"] = f"{sport} → {dport} Len={length - 8}"
+        payload = data[off + 8:off + 8 + max(length - 8, 0)]
+        if (sport in (53, 5353) or dport in (53, 5353)) and len(payload) >= 12:
+            proto_name = "mdns" if 5353 in (sport, dport) else "dns"
+            if _dissect_dns(payload, fields):
+                protos.append(proto_name)
+    elif proto == 1 and len(data) >= off + 4:  # ICMP
+        protos.append("icmp")
+        fields["icmp.type"] = data[off]
+        fields["icmp.code"] = data[off + 1]
+        fields["icmp.checksum"] = struct.unpack(">H", data[off + 2:off + 4])[0]
+        if data[off] in (0, 8) and len(data) >= off + 8:
+            fields["icmp.ident"], fields["icmp.seq"] = struct.unpack(
+                ">HH", data[off + 4:off + 8]
+            )
+        kind = {0: "Echo (ping) reply", 3: "Destination unreachable",
+                8: "Echo (ping) request", 11: "Time-to-live exceeded"}.get(
+                    data[off], f"Type {data[off]}")
+        fields["_ws.col.info"] = kind
+    elif proto == 58 and len(data) >= off + 4:  # ICMPv6
+        protos.append("icmpv6")
+        fields["icmpv6.type"] = data[off]
+        fields["icmpv6.code"] = data[off + 1]
+        fields["icmpv6.checksum"] = struct.unpack(">H", data[off + 2:off + 4])[0]
     else:
         protos.append("data")
 
 
-class StreamTracker:
-    """tcp.stream index assignment: one index per 4-tuple connection, in
-    first-seen order within a capture slice (tshark-compatible for
-    whole-file reads; per-partition-relative when a file is split)."""
+def _dns_name(payload: bytes, off: int, depth: int = 0) -> tuple[str, int]:
+    """Decode one (possibly compressed) DNS name; returns (name, next_off).
+    Compression loops are depth-bounded."""
+    labels = []
+    while off < len(payload) and depth < 16:
+        length = payload[off]
+        if length == 0:
+            return ".".join(labels), off + 1
+        if length & 0xC0 == 0xC0:  # compression pointer
+            if off + 1 >= len(payload):
+                break
+            ptr = ((length & 0x3F) << 8) | payload[off + 1]
+            tail, _ = _dns_name(payload, ptr, depth + 1)
+            if tail:
+                labels.append(tail)
+            return ".".join(labels), off + 2
+        off += 1
+        labels.append(
+            payload[off:off + length].decode("ascii", errors="replace")
+        )
+        off += length
+        depth += 1
+    return ".".join(labels), off
 
-    def __init__(self):
-        self._streams: dict = {}
 
-    def index(self, src, sport, dst, dport) -> int:
-        key = frozenset(((src, sport), (dst, dport)))
-        if key not in self._streams:
-            self._streams[key] = len(self._streams)
-        return self._streams[key]
+def _dissect_dns(payload: bytes, fields: dict) -> bool:
+    """DNS header + first question (the analytics-relevant surface:
+    transaction id, response flag, section counts, query name/type)."""
+    try:
+        dns_id, dns_flags, qd, an, ns, ar = struct.unpack(
+            ">HHHHHH", payload[:12]
+        )
+    except struct.error:
+        return False
+    fields["dns.id"] = dns_id
+    fields["dns.flags.response"] = bool(dns_flags & 0x8000)
+    fields["dns.count.queries"] = qd
+    fields["dns.count.answers"] = an
+    fields["dns.count.auth_rr"] = ns
+    fields["dns.count.add_rr"] = ar
+    if qd >= 1 and len(payload) > 12:
+        name, noff = _dns_name(payload, 12)
+        fields["dns.qry.name"] = name
+        if noff + 4 <= len(payload):
+            qtype, _qclass = struct.unpack(">HH", payload[noff:noff + 4])
+            fields["dns.qry.type"] = qtype
+        verb = "Standard query response" if dns_flags & 0x8000 else \
+            "Standard query"
+        fields["_ws.col.info"] = f"{verb} 0x{dns_id:04x} {name}"
+    return True
+
+
+def _dissect_http(payload: bytes, fields: dict) -> bool:
+    """HTTP/1.x start-line only (request method/uri/version or response
+    code/phrase) — the fields port-pair analytics join on."""
+    if payload.startswith(b"HTTP/"):
+        line = payload.split(b"\r\n", 1)[0][:512].decode("ascii",
+                                                         errors="replace")
+        parts = line.split(" ", 2)
+        fields["http.response.version"] = parts[0]
+        if len(parts) > 1 and parts[1].isdigit():
+            fields["http.response.code"] = int(parts[1])
+        if len(parts) > 2:
+            fields["http.response.phrase"] = parts[2]
+        fields["_ws.col.info"] = line
+        return True
+    if payload.startswith(_HTTP_METHODS):
+        line = payload.split(b"\r\n", 1)[0][:512].decode("ascii",
+                                                         errors="replace")
+        parts = line.split(" ", 2)
+        fields["http.request.method"] = parts[0]
+        if len(parts) > 1:
+            fields["http.request.uri"] = parts[1]
+        if len(parts) > 2:
+            fields["http.request.version"] = parts[2]
+        fields["_ws.col.info"] = line
+        return True
+    return False
+
+
+@lru_cache(maxsize=65536)
+def stream_id(src, sport, dst, dport) -> int:
+    """Content-derived tcp.stream: stable 63-bit hash of the canonical
+    (sorted) endpoint pair.
+
+    Deviation from tshark's first-seen ordinal (deliberate — round-1
+    ADVICE): an ordinal is scan-order-dependent, so byte-range splitting a
+    capture silently renumbered/merged flows. A content hash is
+    partition-invariant by construction: the same connection gets the same
+    id in every slice, every file, every run. Grouping semantics are
+    identical (one id per 4-tuple conversation); only the id VALUES differ
+    from tshark's 0,1,2,...
+    """
+    a, b = sorted(((str(src), int(sport)), (str(dst), int(dport))))
+    h = hashlib.md5(f"{a[0]}:{a[1]}|{b[0]}:{b[1]}".encode()).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+PCAPNG_MAGIC = b"\x0a\x0d\x0d\x0a"  # SHB block type, endian-invariant
+
+
+def is_pcapng(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(4) == PCAPNG_MAGIC
+
+
+def _iter_classic_records(fh, size: int, start_byte, end_byte):
+    """(record_offset, epoch_us, incl, orig, data, linktype) per record of
+    a classic-libpcap file, honoring byte-range slices with resync."""
+    info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
+    off = GLOBAL_HEADER_LEN
+    if start_byte is not None and start_byte > GLOBAL_HEADER_LEN:
+        off = resync_offset(fh, info, start_byte, size)
+    end = end_byte if end_byte is not None else size
+    fh.seek(off)
+    while off < end:
+        hdr = fh.read(RECORD_HEADER_LEN)
+        if len(hdr) < RECORD_HEADER_LEN:
+            break
+        ts_s, ts_frac, incl, orig = struct.unpack(info.endian + "IIII", hdr)
+        data = fh.read(incl)
+        if len(data) < incl:
+            break
+        # integer microseconds (no float round-trip: ns captures keep
+        # exact us truncation, and 2038+ second counts stay exact)
+        epoch_us = ts_s * 1_000_000 + (
+            ts_frac // 1000 if info.ts_divisor == 1_000_000_000 else ts_frac
+        )
+        yield off, epoch_us, incl, orig, data, info.linktype
+        off += RECORD_HEADER_LEN + incl
+
+
+_SHB_TYPE = 0x0A0D0D0A
+_IDB_TYPE = 0x00000001
+_SPB_TYPE = 0x00000003
+_EPB_TYPE = 0x00000006
+
+
+def _idb_tsresol(body: bytes, endian: str) -> int:
+    """Parse IDB options for if_tsresol (code 9) -> ticks per second.
+    Default is 10^-6 (pcapng spec)."""
+    off = 8  # linktype u16 + reserved u16 + snaplen u32
+    while off + 4 <= len(body):
+        code, ln = struct.unpack(endian + "HH", body[off:off + 4])
+        if code == 0:
+            break
+        val = body[off + 4:off + 4 + ln]
+        if code == 9 and ln >= 1:
+            v = val[0]
+            return 2 ** (v & 0x7F) if v & 0x80 else 10 ** v
+        off += 4 + ((ln + 3) & ~3)
+    return 1_000_000
+
+
+def _iter_pcapng_records(fh, size: int):
+    """(block_offset, epoch_us, incl, orig, data, linktype) per packet
+    block of a pcapng file: SHB (endianness per section) + IDB (linktype,
+    ts resolution per interface) + EPB/SPB packet blocks. The reference
+    reads pcapng only via tshark (cpp:109 just hands the path over); this
+    makes the tshark-free engine accept the Wireshark-default format."""
+    off = 0
+    endian = "<"
+    interfaces: list[tuple[int, int]] = []  # (linktype, ticks_per_s)
+    while off + 12 <= size:
+        fh.seek(off)
+        head = fh.read(8)
+        if len(head) < 8:
+            break
+        btype_le = struct.unpack("<I", head[:4])[0]
+        if btype_le == _SHB_TYPE:
+            bom = fh.read(4)
+            endian = "<" if bom == b"\x4d\x3c\x2b\x1a" else ">"
+            interfaces = []  # section restart
+        btype, blen = struct.unpack(endian + "II", head)
+        if blen < 12 or off + blen > size:
+            break
+        body = fh.read(blen - 12)[: blen - 12]
+        if btype == _IDB_TYPE and len(body) >= 8:
+            linktype = struct.unpack(endian + "H", body[:2])[0]
+            interfaces.append((linktype, _idb_tsresol(body, endian)))
+        elif btype == _EPB_TYPE and len(body) >= 20:
+            if_id, ts_hi, ts_lo, incl, orig = struct.unpack(
+                endian + "IIIII", body[:20]
+            )
+            data = body[20:20 + incl]
+            linktype, ticks = (
+                interfaces[if_id] if if_id < len(interfaces) else (1, 1_000_000)
+            )
+            ts = (ts_hi << 32) | ts_lo
+            epoch_us = ts * 1_000_000 // ticks
+            yield off, epoch_us, incl, orig, data, linktype
+        elif btype == _SPB_TYPE and len(body) >= 4:
+            orig = struct.unpack(endian + "I", body[:4])[0]
+            data = body[4:]
+            linktype = interfaces[0][0] if interfaces else 1
+            incl = min(orig, len(data))
+            yield off, 0, incl, orig, data[:incl], linktype
+        off += blen
 
 
 def iter_packets(
     path: str,
-    start_offset: int | None = None,
-    n_packets: int | None = None,
-    first_frame: int = 1,
+    start_byte: int | None = None,
+    end_byte: int | None = None,
+    raw_ts: bool = False,
 ):
-    """Yield one {filter_name: value} dict per packet.
+    """Yield one {filter_name: value} dict per packet (classic pcap or
+    pcapng — format sniffed from the first 4 bytes).
 
-    start_offset/n_packets allow byte-range slicing of one file (the
-    partition plan from scan_record_offsets); frame numbers stay global
-    via first_frame.
+    start_byte/end_byte select a byte-range slice of one CLASSIC file (the
+    plan from byte_range_partitions): a record belongs to the slice iff its
+    record header STARTS in [resync(start_byte), end_byte) — every record
+    is owned by exactly one slice, and the executor resyncs to the first
+    real record boundary itself (the driver never walks the file). pcapng
+    reads are never split (block framing has no fixed-size resync).
+
+    frame.number: 1-based ordinal for whole-file reads (tshark parity);
+    for byte-range slices it is the record's byte offset — a globally
+    unique, monotone, partition-invariant surrogate (a true ordinal would
+    require counting every prior record, i.e. a full pre-scan).
+
+    raw_ts=True emits frame.time_epoch as epoch MICROSECONDS (int) instead
+    of a datetime — the Arrow emission fast path (pyarrow builds the
+    timestamp column straight from int64s, no per-packet datetime object).
     """
+    size = os.path.getsize(path)
     with open(path, "rb") as fh:
-        info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
-        fh.seek(start_offset if start_offset is not None else GLOBAL_HEADER_LEN)
-        streams = StreamTracker()
-        frame_no = first_frame
-        emitted = 0
-        while n_packets is None or emitted < n_packets:
-            hdr = fh.read(RECORD_HEADER_LEN)
-            if len(hdr) < RECORD_HEADER_LEN:
-                break
-            ts_s, ts_frac, incl, orig = struct.unpack(info.endian + "IIII", hdr)
-            data = fh.read(incl)
-            if len(data) < incl:
-                break
-            epoch = ts_s + ts_frac / info.ts_divisor
+        if fh.read(4) == PCAPNG_MAGIC:
+            fh.seek(0)
+            records = _iter_pcapng_records(fh, size)
+            split = False
+        else:
+            fh.seek(0)
+            records = _iter_classic_records(fh, size, start_byte, end_byte)
+            split = start_byte is not None and (
+                start_byte > GLOBAL_HEADER_LEN
+                or (end_byte is not None and end_byte < size)
+            )
+        frame_no = 1
+        for off, epoch_us, incl, orig, data, linktype in records:
             fields: dict = {
-                "frame.number": frame_no,
-                "frame.time_epoch": datetime.fromtimestamp(
-                    epoch, tz=timezone.utc
-                ).replace(tzinfo=None),
+                "frame.number": off if split else frame_no,
+                "frame.time_epoch": epoch_us if raw_ts else (
+                    _EPOCH0 + timedelta(microseconds=epoch_us)
+                ),
                 "frame.len": orig,
                 "frame.cap_len": incl,
             }
-            dissect_packet(data, info.linktype, fields)
+            dissect_packet(data, linktype, fields)
             if "tcp.srcport" in fields:
                 src = fields.get("ip.src") or fields.get("ipv6.src")
                 dst = fields.get("ip.dst") or fields.get("ipv6.dst")
-                fields["tcp.stream"] = streams.index(
+                fields["tcp.stream"] = stream_id(
                     src, fields["tcp.srcport"], dst, fields["tcp.dstport"]
                 )
             yield fields
             frame_no += 1
-            emitted += 1

@@ -25,7 +25,8 @@ def _have_fixture() -> bool:
 
 if _have_fixture():
 
-    @query("pcap_scan_default", oracle=None, tags=("pcap", "scan"))
+    @query("pcap_scan_default", oracle=None, tags=("pcap", "scan"),
+           bench=True)
     def pcap_scan_default(spark: SparkSession, sf: str) -> DataFrame:
         """Default 5-column scan (reference README.md:45-62 shape):
         per-protocol-path packet counts and byte sums."""
@@ -70,11 +71,14 @@ if _have_fixture():
             .agg(
                 F.count("*").alias("n_packets"),
                 F.sum("`tcp.len`").cast("bigint").alias("payload_bytes"),
+                # raw timestamp diff in seconds, sub-second precision kept
+                # (unix_timestamp() truncates to seconds BEFORE subtracting,
+                # zeroing the duration of sub-second flows — round-1 VERDICT)
                 F.round(
-                    F.unix_timestamp(F.max("`frame.time_epoch`"))
-                    - F.unix_timestamp(F.min("`frame.time_epoch`")),
-                    0,
-                ).cast("bigint").alias("duration_s"),
+                    F.max("`frame.time_epoch`").cast("double")
+                    - F.min("`frame.time_epoch`").cast("double"),
+                    6,
+                ).alias("duration_s"),
                 F.sum(F.when(F.col("`tcp.flags.syn`"), 1).otherwise(0))
                 .cast("bigint")
                 .alias("syn_count"),

@@ -57,7 +57,13 @@ def cast_cell(value: str | None, dtype: DataType):
         if isinstance(dtype, DoubleType):
             return float(value)
         if isinstance(dtype, BooleanType):
-            return value == "1"
+            # reference: value == "1" (cpp:214). Modern tshark 4.x prints
+            # FT_BOOLEAN as "True"/"False" under -T fields, so the strict
+            # replication made every set flag False on the tshark engine
+            # while the native engine emitted correct bools (round-1
+            # ADVICE). Accept both spellings; everything else is False,
+            # matching the reference for "0"/garbage.
+            return value in ("1", "True", "true")
         if isinstance(dtype, TimestampType):
             return datetime.fromtimestamp(float(value), tz=timezone.utc).replace(
                 tzinfo=None

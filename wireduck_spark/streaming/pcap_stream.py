@@ -69,12 +69,16 @@ class PcapStreamReader(SimpleDataSourceStreamReader):
         end = {"files": json.dumps(sorted(done | set(new_files)))}
         names = [f.name for f in self.schema_.fields]
 
-        def rows():
-            for path in new_files:
-                for fields in native.iter_packets(path):
-                    yield tuple(fields.get(n) for n in names)
-
-        return rows(), end
+        # Spark's SimpleStreamReader prefetch cache needs BOTH iterator
+        # semantics (add_result_to_cache calls next(it)) AND copyability
+        # (getCache copy.copy()s it for replay) — a generator fails copy,
+        # a plain list fails next(). A list_iterator satisfies both.
+        rows = [
+            tuple(fields.get(n) for n in names)
+            for path in new_files
+            for fields in native.iter_packets(path)
+        ]
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         done = set(json.loads(start.get("files", "[]")))

@@ -38,43 +38,66 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def update_user_totals(
-    key: tuple,
-    batches: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch's rows for one user into running totals."""
-    (user_id,) = key
-    if state.hasTimedOut:
+def make_update_fn(idle_timeout_ms: int | None):
+    """Build the per-group update function, optionally arming an idle
+    processing-time timeout that evicts + emits `expired=true`."""
+
+    def update_user_totals(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, cents = state.get if state.exists else (0, 0)
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "sum_cents": [cents],
+                 "expired": [True]}
+            )
+            return
         n, cents = state.get if state.exists else (0, 0)
-        state.remove()
+        for pdf in batches:
+            n += len(pdf)
+            cents += int(round(pdf["value"].sum() * 100))
+        state.update((n, cents))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_cents": [cents],
-             "expired": [True]}
+             "expired": [False]}
         )
-        return
-    n, cents = state.get if state.exists else (0, 0)
-    for pdf in batches:
-        n += len(pdf)
-        cents += int(round(pdf["value"].sum() * 100))
-    state.update((n, cents))
-    state.setTimeoutDuration(60_000)  # evict after 60s idle (processing time)
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_cents": [cents],
-         "expired": [False]}
+
+    return update_user_totals
+
+
+def running_user_totals(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
+    """events (streaming) -> one running-total row per user per batch.
+
+    idle_timeout_ms arms per-key processing-time eviction — pass it ONLY
+    under a continuous trigger (processingTime): with availableNow, Spark
+    stops scheduling micro-batches once the source drains, so registered
+    timeouts can never fire and the query NEVER terminates (diagnosed
+    round 2: availableNow + ProcessingTimeTimeout = live-lock; NoTimeout
+    completes in seconds). State stays bounded either way for finite
+    inputs; long-running deployments should set a timeout and use a
+    processing-time trigger.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
     )
-
-
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """events (streaming) -> one running-total row per user per batch."""
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            update_user_totals,
+            make_update_fn(idle_timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )
