@@ -231,6 +231,9 @@ class PcapReader(DataSourceReader):
             int(options["climit"]) if options.get("climit") is not None else None
         )
         self.cfilter = options.get("cfilter") or None
+        self.split_threshold = int(
+            options.get("split_threshold", SPLIT_THRESHOLD_BYTES)
+        )
         engine = options.get("engine", "auto")
         if engine == "auto":
             import shutil
@@ -279,7 +282,8 @@ class PcapReader(DataSourceReader):
                 self.engine == "native"
                 and self.climit is None
                 and os.path.exists(path)
-                and os.path.getsize(path) > SPLIT_THRESHOLD_BYTES
+                and os.path.getsize(path) > self.split_threshold
+                and not native.is_pcapng(path)  # pcapng: no fixed resync
             ):
                 for start, end in native.byte_range_partitions(
                     path, TARGET_SPLITS
