@@ -116,6 +116,28 @@ def test_split_read_through_spark(spark, tmp_path):
     assert agg(split) == agg(whole)
 
 
+def test_multiproto_dissect_through_spark(spark, tmp_path):
+    """DNS/HTTP/ICMP/ARP columns flow through the glossary-driven schema
+    and the Arrow batch path with real values (no tshark)."""
+    from wireduck_spark.sources.synth import multiproto_capture
+
+    cap = multiproto_capture(str(tmp_path / "multiproto.pcap"))
+    df = read_pcap(spark, cap, protocols=["dns", "http", "icmp", "arp"],
+                   engine="native")
+    rows = df.orderBy("`frame.number`").collect()
+    assert len(rows) == 12
+    dns_names = [r["dns.qry.name"] for r in rows if r["dns.qry.name"]]
+    assert dns_names == ["example.com", "spark.apache.org", "example.com"]
+    assert [r["http.request.method"] for r in rows
+            if r["http.request.method"]] == ["GET", "GET"]
+    assert [r["http.response.code"] for r in rows
+            if r["http.response.code"] is not None] == [200, 404]
+    assert [r["icmp.type"] for r in rows
+            if r["icmp.type"] is not None] == [8, 0]
+    assert [r["arp.opcode"] for r in rows
+            if r["arp.opcode"] is not None] == [1, 2]
+
+
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture not present")
 def test_golden_aggregate_through_spark(spark):
     t = read_pcap(spark, FIXTURE, protocols=["tcp"], engine="native")

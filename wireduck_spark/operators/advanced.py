@@ -1,0 +1,333 @@
+"""Advanced relational surface (SURVEY.md §2 Tier B completions): correlated
+subqueries (EXISTS / IN / scalar), CTEs, PIVOT / UNPIVOT, ordered string/
+array aggregation, latest-row-per-key (QUALIFY pattern), percent_rank /
+cume_dist, and gap-filled resampling.
+
+All host-delegated operators in the reference (DuckDB executes them over
+read_pcap output); here each is stock Spark SQL / DataFrame API with a
+DuckDB oracle twin. SQL-text queries use spark.sql's DataFrame template
+args ({li} etc.) so no temp-view registration leaks across sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wireduck_spark.registry import cents, query, table, ts_str
+
+SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+@query(
+    "subquery_exists_in",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey <= 2)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'P')
+    """,
+    tags=("subquery",),
+)
+def subquery_exists_in(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS + uncorrelated IN + NOT EXISTS.
+
+    Scale: Catalyst rewrites EXISTS/IN into left-semi joins and NOT EXISTS
+    into a left-anti join — same physical shape as the explicit semi/anti
+    queries, so the subquery surface costs nothing extra at 100 TB.
+    """
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    n = table(spark, sf, "nation")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM {c} c
+        WHERE EXISTS (SELECT 1 FROM {o} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+          AND c.c_nationkey IN (SELECT n_nationkey FROM {n}
+                                WHERE n_regionkey <= 2)
+          AND NOT EXISTS (SELECT 1 FROM {o} o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+        """,
+        c=c, o=o, n=n,
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (orders 2x pricier than
+    the mean). Catalyst plans the subquery once and broadcasts the scalar."""
+    o = table(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM {o}
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM {o})
+        """,
+        o=o,
+    )
+
+
+@query(
+    "cte_reuse",
+    oracle="""
+    WITH seg_stats AS (
+        SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM customer GROUP BY c_mktsegment
+    ),
+    big AS (SELECT * FROM seg_stats WHERE n_cust > 100)
+    SELECT a.seg, a.n_cust, a.bal_cents,
+           CAST(a.n_cust - b.n_cust AS BIGINT) AS vs_building
+    FROM big a CROSS JOIN (SELECT n_cust FROM seg_stats
+                           WHERE seg = 'BUILDING') b
+    """,
+    tags=("cte",),
+)
+def cte_reuse(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH clause referenced twice (per-segment stats vs one segment's
+    baseline). Spark resolves CTEs by inlining + optional reuse exchange."""
+    c = table(spark, sf, "customer")
+    return spark.sql(
+        """
+        WITH seg_stats AS (
+            SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT))
+                        AS BIGINT) AS bal_cents
+            FROM {c} GROUP BY c_mktsegment
+        ),
+        big AS (SELECT * FROM seg_stats WHERE n_cust > 100)
+        SELECT a.seg, a.n_cust, a.bal_cents,
+               CAST(a.n_cust - b.n_cust AS BIGINT) AS vs_building
+        FROM big a CROSS JOIN (SELECT n_cust FROM seg_stats
+                               WHERE seg = 'BUILDING') b
+        """,
+        c=c,
+    )
+
+
+@query(
+    "pivot_segments",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           {", ".join(
+               "CAST(COALESCE(SUM(CASE WHEN c_mktsegment = '" + s
+               + "' THEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END), 0)"
+               " AS BIGINT) AS " + s.lower()
+               for s in SEGMENTS)}
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("pivot",),
+)
+def pivot_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: account balance cents per nation x market segment.
+
+    Scale: the explicit value list keeps pivot a single pass (no distinct
+    scan to discover columns) — groupBy(nation).pivot(seg, [..]) is one
+    shuffle, same as a plain aggregation.
+    """
+    c = table(spark, sf, "customer")
+    out = (
+        c.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .pivot("c_mktsegment", list(SEGMENTS))
+        .agg(F.sum(cents(F.col("c_acctbal"))))
+    )
+    return out.select(
+        "nationkey",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(s.lower())
+            for s in SEGMENTS
+        ],
+    )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'n_orders' AS metric, CAST(n_orders AS BIGINT) AS v
+        FROM base
+    UNION ALL
+    SELECT o_orderstatus, 'price_cents', price_cents FROM base
+    UNION ALL
+    SELECT o_orderstatus, 'n_custs', n_custs FROM base
+    """,
+    tags=("pivot",),
+)
+def unpivot_melt(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-status metrics -> (status, metric, value)
+    long form — df.unpivot maps to Spark's Expand node (no shuffle)."""
+    o = table(spark, sf, "orders")
+    base = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+    return base.unpivot(
+        ["o_orderstatus"], ["n_orders", "price_cents", "n_custs"],
+        "metric", "v",
+    )
+
+
+@query(
+    "agg_string_array",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           array_to_string(list_sort(list(n_name)), '|') AS nations_arr,
+           CAST(len(list(n_name)) AS BIGINT) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def agg_string_array(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string_agg / array_agg (sorted then joined so both engines
+    agree regardless of aggregation order; arrays stringified for the
+    driver's hasher)."""
+    n = table(spark, sf, "nation")
+    collected = F.sort_array(F.collect_list("n_name"))
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(collected, ",").alias("nations_csv"),
+        F.array_join(collected, "|").alias("nations_arr"),
+        F.size(F.collect_list("n_name")).cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("window", "dedup"),
+)
+def latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest event per user (QUALIFY row_number()=1 — THE workhorse dedup
+    of CDC / snapshot pipelines).
+
+    Scale: one shuffle on the key; Spark pushes the rn=1 filter into
+    WindowExec as a running-limit (WindowGroupLimit) so each group stops
+    after the first row instead of materializing all rows.
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                ts_str(F.col("ts")).alias("ts_s"))
+    )
+
+
+@query(
+    "window_percent_cume",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def window_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank / cume_dist / decile over the global balance ordering
+    (unique tiebreak; both engines compute (rank-1)/(n-1) identically)."""
+    c = table(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+
+
+@query(
+    "resample_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events WHERE user_id <= 20 GROUP BY user_id
+    ),
+    grid AS (
+        SELECT b.user_id, g.h
+        FROM bounds b,
+             LATERAL (SELECT unnest(generate_series(b.t0, b.t1,
+                                                    INTERVAL 1 HOUR)) AS h) g
+    ),
+    actual AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+        FROM events WHERE user_id <= 20 GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN actual a ON g.user_id = a.user_id AND g.h = a.h
+    """,
+    tags=("timeseries",),
+)
+def resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly resample with gap filling: a per-user dense hour grid
+    (sequence + explode) left-joined to actual counts, zeros for silent
+    hours — the time-series densification operator.
+
+    Scale: the grid is generated from each user's (min,max) — two aggs and
+    one explode, no driver-side loop; the join is per-user co-partitioned.
+    """
+    e = table(spark, sf, "events").filter(F.col("user_id") <= 20)
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    actual = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(actual, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            ts_str(F.col("h")).alias("hour_s"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

@@ -40,6 +40,7 @@ TABLES = (
 # Module paths that register queries on import.
 _QUERY_MODULES = (
     "wireduck_spark.operators.relational",
+    "wireduck_spark.operators.advanced",
     "wireduck_spark.operators.scalars",
     "wireduck_spark.operators.timeseries",
     "wireduck_spark.operators.io",

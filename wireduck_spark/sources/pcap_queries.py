@@ -59,6 +59,32 @@ if _have_fixture():
             )
         )
 
+    @query("pcap_dns_http_dissect", oracle=None, tags=("pcap", "dissect"))
+    def pcap_dns_http_dissect(spark: SparkSession, sf: str) -> DataFrame:
+        """Deep-protocol dissection without tshark (round-1 VERDICT gap #1):
+        DNS query names + HTTP methods/codes from the native dissector over
+        a deterministic synthetic capture (sources/synth.py). The reference
+        needs tshark for any of these columns (wireduck_extension.cpp:109).
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import multiproto_capture
+
+        cap = multiproto_capture(
+            os.path.join(cache_dir(), "synth", "multiproto.pcap")
+        )
+        df = read_pcap(spark, cap, protocols=["dns", "http", "icmp", "arp"],
+                       engine="native")
+        return (
+            df.groupBy(
+                F.col("`dns.qry.name`").alias("qry_name"),
+                F.col("`http.request.method`").alias("http_method"),
+                F.col("`http.response.code`").alias("http_code"),
+                F.col("`icmp.type`").alias("icmp_type"),
+                F.col("`arp.opcode`").alias("arp_op"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+
     @query("pcap_flow_stats", oracle=None, tags=("pcap", "window"))
     def pcap_flow_stats(spark: SparkSession, sf: str) -> DataFrame:
         """Per-TCP-stream flow statistics (packets, bytes, duration,

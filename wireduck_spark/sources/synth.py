@@ -1,0 +1,112 @@
+"""Deterministic synthetic capture builder (classic libpcap framing:
+24-byte global header + 16-byte record headers — SURVEY.md §5.1).
+
+Used by the registry's protocol-dissection queries: DuckDB can't read
+pcap and the reference fixture (fix.pcap) carries only one TCP flow, so
+multi-protocol coverage (DNS/HTTP/ARP/ICMP) runs over a capture
+synthesized bit-for-bit reproducibly here.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+
+def _eth(src_mac: bytes, ethertype: int) -> bytes:
+    return bytes(6) + src_mac + struct.pack(">H", ethertype)
+
+
+def _ipv4(src: str, dst: str, proto: int, payload_len: int) -> bytes:
+    return struct.pack(
+        ">BBHHHBBH4s4s",
+        0x45, 0, 20 + payload_len, 1, 0, 64, proto, 0,
+        bytes(int(x) for x in src.split(".")),
+        bytes(int(x) for x in dst.split(".")),
+    )
+
+
+def tcp_frame(src: str, dst: str, sport: int, dport: int, seq: int,
+              flags: int, payload: bytes) -> bytes:
+    tcp = struct.pack(">HHIIBBHHH", sport, dport, seq, 0, 5 << 4, flags,
+                      8192, 0, 0) + payload
+    return _eth(b"\x02\0\0\0\0\x01", 0x0800) + _ipv4(
+        src, dst, 6, len(tcp)
+    ) + tcp
+
+
+def udp_frame(src: str, dst: str, sport: int, dport: int,
+              payload: bytes) -> bytes:
+    udp = struct.pack(">HHHH", sport, dport, 8 + len(payload), 0) + payload
+    return _eth(b"\x02\0\0\0\0\x01", 0x0800) + _ipv4(
+        src, dst, 17, len(udp)
+    ) + udp
+
+
+def icmp_frame(src: str, dst: str, icmp_type: int, ident: int,
+               seq: int) -> bytes:
+    icmp = struct.pack(">BBHHH", icmp_type, 0, 0, ident, seq) + b"ping"
+    return _eth(b"\x02\0\0\0\0\x01", 0x0800) + _ipv4(
+        src, dst, 1, len(icmp)
+    ) + icmp
+
+
+def arp_frame(opcode: int, src_mac: bytes, src_ip: str, dst_ip: str) -> bytes:
+    arp = struct.pack(">HHBBH", 1, 0x0800, 6, 4, opcode)
+    arp += src_mac + bytes(int(x) for x in src_ip.split("."))
+    arp += bytes(6) + bytes(int(x) for x in dst_ip.split("."))
+    return _eth(src_mac, 0x0806) + arp
+
+
+def dns_query(qname: str, qtype: int = 1, dns_id: int = 0x1234) -> bytes:
+    q = b"".join(
+        bytes([len(p)]) + p.encode() for p in qname.split(".")
+    ) + b"\x00"
+    return struct.pack(">HHHHHH", dns_id, 0x0100, 1, 0, 0, 0) + q + \
+        struct.pack(">HH", qtype, 1)
+
+
+def write_pcap(path: str, frames: list[tuple[float, bytes]]) -> str:
+    out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)
+    for ts, data in frames:
+        sec = int(ts)
+        frac = int(round((ts - sec) * 1_000_000))
+        out += struct.pack("<IIII", sec, frac, len(data), len(data)) + data
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(out)
+    os.replace(tmp, path)
+    return path
+
+
+def multiproto_capture(path: str) -> str:
+    """Write (idempotently) a 12-frame capture covering ARP, ICMP, DNS,
+    HTTP and plain TCP/UDP — deterministic bytes, stable across runs."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700000000.0
+    frames = [
+        (t + 0.0, arp_frame(1, b"\x02\0\0\0\0\x01", "10.0.0.1", "10.0.0.254")),
+        (t + 0.1, arp_frame(2, b"\x02\0\0\0\0\xfe", "10.0.0.254", "10.0.0.1")),
+        (t + 0.2, dns_query_frame("example.com", 1, 0x1111)),
+        (t + 0.3, dns_query_frame("spark.apache.org", 28, 0x2222)),
+        (t + 0.4, dns_query_frame("example.com", 1, 0x3333)),
+        (t + 0.5, icmp_frame("10.0.0.1", "8.8.8.8", 8, 7, 1)),
+        (t + 0.6, icmp_frame("8.8.8.8", "10.0.0.1", 0, 7, 1)),
+        (t + 1.0, tcp_frame("10.0.0.1", "93.184.216.34", 40001, 80, 1, 0x18,
+                            b"GET /index.html HTTP/1.1\r\nHost: e\r\n\r\n")),
+        (t + 1.1, tcp_frame("93.184.216.34", "10.0.0.1", 80, 40001, 1, 0x18,
+                            b"HTTP/1.1 200 OK\r\n\r\n")),
+        (t + 1.2, tcp_frame("10.0.0.1", "93.184.216.34", 40001, 80, 40, 0x18,
+                            b"GET /missing HTTP/1.1\r\nHost: e\r\n\r\n")),
+        (t + 1.3, tcp_frame("93.184.216.34", "10.0.0.1", 80, 40001, 20, 0x18,
+                            b"HTTP/1.1 404 Not Found\r\n\r\n")),
+        (t + 2.0, udp_frame("10.0.0.9", "10.0.0.10", 9999, 10000, b"hello")),
+    ]
+    return write_pcap(path, frames)
+
+
+def dns_query_frame(qname: str, qtype: int, dns_id: int) -> bytes:
+    return udp_frame("10.0.0.1", "1.1.1.1", 40000, 53,
+                     dns_query(qname, qtype, dns_id))
