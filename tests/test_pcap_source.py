@@ -138,6 +138,24 @@ def test_multiproto_dissect_through_spark(spark, tmp_path):
             if r["arp.opcode"] is not None] == [1, 2]
 
 
+def test_tls_dissect_through_spark(spark, tmp_path):
+    """TLS record/handshake fields + ClientHello SNI via the native
+    dissector (content-based detection, not port-based)."""
+    from wireduck_spark.sources.synth import tls_capture
+
+    cap = tls_capture(str(tmp_path / "tls.pcap"))
+    df = read_pcap(spark, cap, protocols=["tls"], engine="native")
+    rows = df.orderBy("`frame.number`").collect()
+    assert len(rows) == 4
+    assert [r["tls.record.content_type"] for r in rows] == [22, 22, 22, 23]
+    assert [r["tls.handshake.type"] for r in rows] == [1, 2, 1, None]
+    snis = [r["tls.handshake.extensions_server_name"] for r in rows]
+    assert snis == ["spark.apache.org", None, "duckdb.org", None]
+    assert rows[2]["tls.handshake.version"] == 0x0304
+    assert rows[0]["tls.handshake.cipher_suites_length"] == 4
+    assert "tls" in rows[0]["frame.protocols"]
+
+
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture not present")
 def test_golden_aggregate_through_spark(spark):
     t = read_pcap(spark, FIXTURE, protocols=["tcp"], engine="native")

@@ -76,6 +76,7 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("User Datagram Protocol", "UDP", "udp"),
     GlossaryProtocol("Domain Name System", "DNS", "dns"),
     GlossaryProtocol("Hypertext Transfer Protocol", "HTTP", "http"),
+    GlossaryProtocol("Transport Layer Security", "TLS", "tls"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -155,6 +156,16 @@ BUILTIN_FIELDS = [
     _F("Response Version", "http.response.version", "FT_STRING", "http"),
     _F("Status Code", "http.response.code", "FT_UINT16", "http"),
     _F("Response Phrase", "http.response.phrase", "FT_STRING", "http"),
+    # tls
+    _F("Content Type", "tls.record.content_type", "FT_UINT8", "tls"),
+    _F("Version", "tls.record.version", "FT_UINT16", "tls"),
+    _F("Length", "tls.record.length", "FT_UINT16", "tls"),
+    _F("Handshake Type", "tls.handshake.type", "FT_UINT8", "tls"),
+    _F("Version", "tls.handshake.version", "FT_UINT16", "tls"),
+    _F("Cipher Suites Length", "tls.handshake.cipher_suites_length",
+       "FT_UINT16", "tls"),
+    _F("Server Name", "tls.handshake.extensions_server_name", "FT_STRING",
+       "tls"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -226,7 +237,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 2
+GLOSSARY_VERSION = 3
 
 
 def cache_dir() -> str:

@@ -265,8 +265,11 @@ def _dissect_l4(
             f"{sport} → {dport} [{flagstr}] Seq={seq} Ack={ack}"
             f" Len={payload_len}"
         )
-        if payload and _dissect_http(payload, fields):
-            protos.append("http")
+        if payload:
+            if _dissect_http(payload, fields):
+                protos.append("http")
+            elif _dissect_tls(payload, fields):
+                protos.append("tls")
     elif proto == 17 and len(data) >= off + 8:  # UDP
         protos.append("udp")
         sport, dport, length, checksum = struct.unpack(">HHHH", data[off:off + 8])
@@ -380,6 +383,79 @@ def _dissect_http(payload: bytes, fields: dict) -> bool:
         fields["_ws.col.info"] = line
         return True
     return False
+
+
+_TLS_HS_NAMES = {1: "Client Hello", 2: "Server Hello", 11: "Certificate",
+                 16: "Client Key Exchange", 20: "Finished"}
+
+
+def _dissect_tls(payload: bytes, fields: dict) -> bool:
+    """TLS record layer + handshake header + ClientHello SNI.
+
+    Detection is content-based (record type 20-23, legacy version 0x03xx,
+    sane length), not port-based — QUIC-less TLS on any port dissects.
+    The reference surfaces these fields only through tshark; this is the
+    tshark-free subset a flow-analytics user actually joins on: record
+    type/version, handshake type/version, and the SNI host name.
+    """
+    if len(payload) < 5:
+        return False
+    ctype = payload[0]
+    if ctype < 20 or ctype > 23 or payload[1] != 0x03 or payload[2] > 0x04:
+        return False
+    rec_len = struct.unpack(">H", payload[3:5])[0]
+    if rec_len == 0 or rec_len > (1 << 14) + 2048:
+        return False
+    fields["tls.record.content_type"] = ctype
+    fields["tls.record.version"] = struct.unpack(">H", payload[1:3])[0]
+    fields["tls.record.length"] = rec_len
+    info = f"TLS record type {ctype}"
+    body = payload[5:5 + rec_len]
+    if ctype == 22 and len(body) >= 4:  # handshake
+        hs_type = body[0]
+        fields["tls.handshake.type"] = hs_type
+        info = _TLS_HS_NAMES.get(hs_type, f"Handshake {hs_type}")
+        if hs_type in (1, 2) and len(body) >= 6:
+            fields["tls.handshake.version"] = struct.unpack(
+                ">H", body[4:6]
+            )[0]
+        if hs_type == 1:
+            sni, cs_len = _client_hello_details(body[4:])
+            if cs_len is not None:
+                fields["tls.handshake.cipher_suites_length"] = cs_len
+            if sni:
+                fields["tls.handshake.extensions_server_name"] = sni
+                info = f"Client Hello (SNI={sni})"
+    fields["_ws.col.info"] = info
+    return True
+
+
+def _client_hello_details(b: bytes) -> tuple[str | None, int | None]:
+    """(SNI host name, cipher_suites byte length) from a ClientHello body
+    (post handshake-header); (None, None) on any truncation."""
+    try:
+        off = 2 + 32  # client_version + random
+        off += 1 + b[off]  # session_id
+        cs_len = struct.unpack(">H", b[off:off + 2])[0]
+        off += 2 + cs_len  # cipher_suites
+        off += 1 + b[off]  # compression_methods
+        if off + 2 > len(b):
+            return None, cs_len
+        ext_total = struct.unpack(">H", b[off:off + 2])[0]
+        off += 2
+        end = min(off + ext_total, len(b))
+        while off + 4 <= end:
+            etype, elen = struct.unpack(">HH", b[off:off + 4])
+            off += 4
+            if etype == 0 and elen >= 5:  # server_name
+                # list_len(2) + type(1) + name_len(2) + name
+                name_len = struct.unpack(">H", b[off + 3:off + 5])[0]
+                name = b[off + 5:off + 5 + name_len]
+                return name.decode("ascii", errors="replace"), cs_len
+            off += elen
+        return None, cs_len
+    except (IndexError, struct.error):
+        return None, None
 
 
 @lru_cache(maxsize=65536)

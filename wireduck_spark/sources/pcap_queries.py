@@ -85,6 +85,26 @@ if _have_fixture():
             .agg(F.count("*").alias("n"))
         )
 
+    @query("pcap_tls_sni", oracle=None, tags=("pcap", "dissect"))
+    def pcap_tls_sni(spark: SparkSession, sf: str) -> DataFrame:
+        """TLS visibility without tshark: SNI host names + handshake
+        types/versions from the record-layer dissector over a synthetic
+        handshake capture — the join key of flow-to-domain analytics."""
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import tls_capture
+
+        cap = tls_capture(os.path.join(cache_dir(), "synth", "tls.pcap"))
+        df = read_pcap(spark, cap, protocols=["tls"], engine="native")
+        return (
+            df.filter(F.col("`tls.record.content_type`").isNotNull())
+            .groupBy(
+                F.col("`tls.handshake.extensions_server_name`").alias("sni"),
+                F.col("`tls.handshake.type`").alias("hs_type"),
+                F.col("`tls.record.content_type`").alias("rec_type"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+
     @query("pcap_flow_stats", oracle=None, tags=("pcap", "window"))
     def pcap_flow_stats(spark: SparkSession, sf: str) -> DataFrame:
         """Per-TCP-stream flow statistics (packets, bytes, duration,

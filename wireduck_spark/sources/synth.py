@@ -79,6 +79,49 @@ def write_pcap(path: str, frames: list[tuple[float, bytes]]) -> str:
     return path
 
 
+def tls_client_hello(sni: str, version: int = 0x0303) -> bytes:
+    """Minimal-but-well-formed TLS ClientHello record with an SNI
+    extension (deterministic random bytes)."""
+    host = sni.encode()
+    ext_sni = struct.pack(">HHHBH", 0, len(host) + 5, len(host) + 3, 0,
+                          len(host)) + host
+    exts = struct.pack(">H", len(ext_sni)) + ext_sni
+    body = struct.pack(">H", version) + bytes(range(32))  # version + random
+    body += b"\x00"  # empty session id
+    body += struct.pack(">H", 4) + b"\x13\x01\x13\x02"  # 2 cipher suites
+    body += b"\x01\x00"  # compression: null
+    body += exts
+    hs = b"\x01" + len(body).to_bytes(3, "big") + body
+    return b"\x16\x03\x01" + struct.pack(">H", len(hs)) + hs
+
+
+def tls_server_hello(version: int = 0x0303) -> bytes:
+    body = struct.pack(">H", version) + bytes(range(32)) + b"\x00" + \
+        b"\x13\x01" + b"\x00"
+    hs = b"\x02" + len(body).to_bytes(3, "big") + body
+    return b"\x16\x03\x03" + struct.pack(">H", len(hs)) + hs
+
+
+def tls_capture(path: str) -> str:
+    """3-frame TLS exchange: two ClientHellos (distinct SNI) + one
+    ServerHello, plus an application-data record."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700000100.0
+    frames = [
+        (t + 0.0, tcp_frame("10.0.0.1", "142.250.1.1", 50001, 443, 1, 0x18,
+                            tls_client_hello("spark.apache.org"))),
+        (t + 0.1, tcp_frame("142.250.1.1", "10.0.0.1", 443, 50001, 1, 0x18,
+                            tls_server_hello())),
+        (t + 0.2, tcp_frame("10.0.0.2", "142.250.1.2", 50002, 443, 1, 0x18,
+                            tls_client_hello("duckdb.org", 0x0304))),
+        (t + 0.3, tcp_frame("142.250.1.1", "10.0.0.1", 443, 50001, 40, 0x18,
+                            b"\x17\x03\x03\x00\x05hello")),
+    ]
+    return write_pcap(path, frames)
+
+
 def multiproto_capture(path: str) -> str:
     """Write (idempotently) a 12-frame capture covering ARP, ICMP, DNS,
     HTTP and plain TCP/UDP — deterministic bytes, stable across runs."""
