@@ -134,6 +134,116 @@ def test_stateful_timeout_branch():
     assert st.timeout_set is None
 
 
+def test_dedup_stream_drops_replays(spark, sf_dir, tmp_path):
+    """The same events file landing twice (at-least-once replay) dedups
+    back to the batch-distinct count via dropDuplicatesWithinWatermark."""
+    from wireduck_spark.streaming.joins import dedup_stream
+
+    d = tmp_path / "replayed"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-001.parquet")
+
+    stream = dedup_stream(read_events_stream(spark, str(d)), "10 years")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.sql("SELECT count(*) AS n FROM t_dedup_stream").collect()[0]["n"]
+    expected = table(spark, sf_dir, "events").count()
+    assert n == expected  # 2x input rows, 1x distinct event_ids
+
+
+def test_enrich_stream_static_join(spark, sf_dir, events_dir):
+    """Stream-static join output == the equivalent batch join."""
+    from wireduck_spark.streaming.joins import enrich_stream
+
+    dim = table(spark, sf_dir, "customer")
+    stream = enrich_stream(read_events_stream(spark, events_dir), dim)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_enrich_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: (r["segment"], r["nationkey"])
+        for r in spark.sql("SELECT * FROM t_enrich_stream").collect()
+    }
+    e = table(spark, sf_dir, "events")
+    expected = {
+        r["event_id"]: (r["c_mktsegment"], r["c_nationkey"])
+        for r in e.join(
+            dim, e.user_id == dim.c_custkey, "left"
+        ).select("event_id", "c_mktsegment", "c_nationkey").collect()
+    }
+    assert got == expected
+
+
+def test_stream_stream_interval_join(spark, sf_dir, events_dir):
+    """Watermarked stream-stream join (purchase within 1h of a click)
+    == the equivalent batch interval join."""
+    from wireduck_spark.streaming.joins import purchase_attribution
+
+    src = read_events_stream(spark, events_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    q = (
+        purchase_attribution(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("t_attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["purchase_id"]): r["purchase_cents"]
+        for r in spark.sql("SELECT * FROM t_attr_stream").collect()
+    }
+
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    expected = {
+        (r["click_id"], r["purchase_id"]): r["cents"]
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.round(F.col("purchase_value") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
 def test_pcap_stream_tails_directory(spark, tmp_path):
     """New pcap files appearing in the directory become new micro-batches."""
     from wireduck_spark.streaming.pcap_stream import read_pcap_stream
