@@ -32,6 +32,20 @@ def main() -> None:
     spark = get_spark("wireduck-bench")
     # warmup: JVM + codegen + parquet footer reads
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup 2: the Python-datasource machinery (plan-time Python process,
+    # executor worker pool, package zip shipping) is a one-time ~5 s cost
+    # that would otherwise land on whichever pcap query runs first — same
+    # rationale as the JVM warmup above. Also pre-builds the cached synth
+    # capture so pcap_throughput_split times scanning, not file creation.
+    if any(s.tags and "pcap" in s.tags for s in bench_set.values()):
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.pcap import read_pcap
+        from wireduck_spark.sources.synth import throughput_capture
+
+        throughput_capture(os.path.join(cache_dir(), "synth",
+                                        "throughput.pcap"))
+        read_pcap(spark, "/root/reference/fix.pcap", engine="native",
+                  climit=1).count()
 
     timings: dict[str, float] = {}
     for name, spec in bench_set.items():

@@ -139,14 +139,23 @@ def resync_offset(fh, info: PcapInfo, start: int, size: int) -> int:
     return size
 
 
+# Address renderers are the dissector's #1 CPU cost (2 MACs + 2 IPs per
+# packet): bytes.hex/inet_ntoa are C-level, and real captures carry few
+# distinct addresses, so an lru_cache turns the common case into one dict
+# hit per address.
+@lru_cache(maxsize=65536)
 def _mac(b: bytes) -> str:
-    return ":".join(f"{x:02x}" for x in b)
+    return b.hex(":")
 
 
+@lru_cache(maxsize=65536)
 def _ipv4(b: bytes) -> str:
-    return ".".join(str(x) for x in b)
+    import socket
+
+    return socket.inet_ntoa(b)
 
 
+@lru_cache(maxsize=65536)
 def _ipv6(b: bytes) -> str:
     parts = [f"{(b[i] << 8) | b[i + 1]:x}" for i in range(0, 16, 2)]
     return ":".join(parts)  # non-compressed form (deterministic)
@@ -154,6 +163,12 @@ def _ipv6(b: bytes) -> str:
 
 _TCP_FLAG_NAMES = (
     (0x02, "SYN"), (0x10, "ACK"), (0x01, "FIN"), (0x04, "RST"), (0x08, "PSH"),
+)
+
+# flags byte -> "SYN, ACK" label: 256-entry table beats a per-packet join
+_TCP_FLAG_STR = tuple(
+    ", ".join(n for m, n in _TCP_FLAG_NAMES if flags & m)
+    for flags in range(256)
 )
 
 
@@ -260,7 +275,7 @@ def _dissect_l4(
         payload = data[off + data_off:off + data_off + payload_len]
         if payload:
             fields["tcp.payload"] = payload.hex()
-        flagstr = ", ".join(n for m, n in _TCP_FLAG_NAMES if flags & m)
+        flagstr = _TCP_FLAG_STR[flags]
         fields["_ws.col.info"] = (
             f"{sport} → {dport} [{flagstr}] Seq={seq} Ack={ack}"
             f" Len={payload_len}"

@@ -299,22 +299,54 @@ class PcapReader(DataSourceReader):
         names = [f.name for f in self.schema_.fields]
         dtypes = [f.dataType for f in self.schema_.fields]
         if self.engine == "native":
-            rows = self._rows_native(partition, names, dtypes)
+            yield from self._batches_native(partition, names)
         else:
             rows = self._rows_tshark(partition, names, dtypes)
-        yield from _arrow_batches(rows, self.schema_)
+            yield from _arrow_batches(rows, self.schema_)
 
-    def _rows_native(self, partition: PcapPartition, names, dtypes):
+    def _batches_native(self, partition: PcapPartition, names):
+        """Columnar emission: packet dicts append straight into per-column
+        builders, one pyarrow RecordBatch per ARROW_BATCH_ROWS — no
+        intermediate row tuples (each batch crosses to the JVM as one
+        Arrow IPC message; the reference's analogue is the 2048-row
+        DataChunk, cpp:176)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        aschema = pa.schema(
+            [pa.field(f.name, to_arrow_type(f.dataType))
+             for f in self.schema_.fields]
+        )
+
+        def flush(cols):
+            return pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, aschema)],
+                schema=aschema,
+            )
+
         limit = self.climit
-        n = 0
+        cols: list[list] = [[] for _ in names]
+        name_cols = list(zip(names, cols))
+        n_in_batch = 0
+        n_total = 0
         for fields in native.iter_packets(
             partition.path, partition.start_byte, partition.end_byte,
             raw_ts=True,
         ):
-            if limit is not None and n >= limit:
+            if limit is not None and n_total >= limit:
                 break
-            yield tuple(fields.get(name) for name in names)
-            n += 1
+            get = fields.get
+            for name, col in name_cols:
+                col.append(get(name))
+            n_in_batch += 1
+            n_total += 1
+            if n_in_batch >= ARROW_BATCH_ROWS:
+                yield flush(cols)
+                cols = [[] for _ in names]
+                name_cols = list(zip(names, cols))
+                n_in_batch = 0
+        if n_in_batch:
+            yield flush(cols)
 
     def _rows_tshark(self, partition: PcapPartition, names, dtypes):
         cfilter = self.cfilter

@@ -67,14 +67,15 @@ def dns_query(qname: str, qtype: int = 1, dns_id: int = 0x1234) -> bytes:
 
 
 def write_pcap(path: str, frames: list[tuple[float, bytes]]) -> str:
-    out = struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)
+    chunks = [struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 262144, 1)]
     for ts, data in frames:
         sec = int(ts)
         frac = int(round((ts - sec) * 1_000_000))
-        out += struct.pack("<IIII", sec, frac, len(data), len(data)) + data
+        chunks.append(struct.pack("<IIII", sec, frac, len(data), len(data)))
+        chunks.append(data)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        fh.write(out)
+        fh.write(b"".join(chunks))
     os.replace(tmp, path)
     return path
 
@@ -119,6 +120,26 @@ def tls_capture(path: str) -> str:
         (t + 0.3, tcp_frame("142.250.1.1", "10.0.0.1", 443, 50001, 40, 0x18,
                             b"\x17\x03\x03\x00\x05hello")),
     ]
+    return write_pcap(path, frames)
+
+
+def throughput_capture(path: str, n_packets: int = 200_000) -> str:
+    """~21 MB deterministic capture (mixed TCP/UDP, 50 ports) for the
+    bench's pcap-throughput entry: big enough that dissection dominates
+    session overhead, small enough to build once in ~2 s (cached)."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700000000.0
+    payload = b"x" * 40
+    frames = []
+    for i in range(n_packets):
+        if i % 4 == 3:
+            frames.append((t + i * 1e-4, udp_frame(
+                "10.0.0.1", "10.0.0.2", 1000 + i % 50, 2000, payload)))
+        else:
+            frames.append((t + i * 1e-4, tcp_frame(
+                "10.0.0.1", "10.0.0.2", 1000 + i % 50, 80, i, 0x18, payload)))
     return write_pcap(path, frames)
 
 
