@@ -1,0 +1,151 @@
+"""Sketch aggregates: HLL distinct-count, sketch union (re-aggregation),
+approximate quantiles (SURVEY.md §2 approx row, widened).
+
+At 100 TB these are not approximations of convenience — a mergeable
+sketch is the only way to compute distincts/quantiles in one pass with
+bounded memory, re-aggregate them across days/partitions, and serve
+rollups without rescanning. Spark's Apache-DataSketches HLL functions
+(hll_sketch_agg / hll_union_agg / hll_sketch_estimate) are map-side
+combinable: each partition builds a fixed-size sketch, the shuffle moves
+KB not rows.
+
+Oracle strategy: estimates are engine-specific (DataSketches HLL vs
+DuckDB's own HLL), so raw estimates can never hash-match. Instead each
+engine asserts ITS OWN estimate against ITS OWN exact count and emits
+the boolean — the oracle checks the accuracy CONTRACT (within tolerance)
+plus the exact counts, which is the portable truth of a sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import query, table
+
+# lgConfigK=14 -> ~0.8% relative standard error; 3% tolerance = >3 sigma.
+_LG_K = 14
+_TOL = 0.03
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS exact_distinct,
+           (abs(approx_count_distinct(c_custkey) - COUNT(DISTINCT c_custkey))
+            <= {_TOL} * COUNT(DISTINCT c_custkey)) AS within_tol
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("sketch", "agg"),
+)
+def sketch_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment HLL distinct customers: exact count (hash-checked) +
+    the sketch-accuracy contract boolean.
+
+    Scale: the sketch agg is a fixed 2^14-bucket state per group per
+    partition — map-side combined, while COUNT(DISTINCT) re-shuffles every
+    distinct value. At 100 TB only the sketch column survives; the exact
+    column is the test harness.
+    """
+    c = table(spark, sf, "customer")
+    est = F.hll_sketch_estimate(
+        F.hll_sketch_agg("c_custkey", F.lit(_LG_K))
+    )
+    exact = F.count_distinct("c_custkey").cast("bigint")
+    return c.groupBy("c_mktsegment").agg(
+        exact.alias("exact_distinct"),
+        (F.abs(est - exact) <= _TOL * exact).alias("within_tol"),
+    )
+
+
+@query(
+    "sketch_hll_union_rollup",
+    oracle=f"""
+    WITH per_nation AS (
+        SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS nd
+        FROM customer GROUP BY c_nationkey
+    ),
+    total AS (
+        SELECT COUNT(DISTINCT c_custkey) AS exact_total FROM customer
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_nation) AS BIGINT) AS n_groups,
+           CAST(t.exact_total AS BIGINT) AS exact_total,
+           (abs((SELECT approx_count_distinct(c_custkey) FROM customer)
+                - t.exact_total) <= {_TOL} * t.exact_total) AS within_tol
+    FROM total t
+    """,
+    tags=("sketch", "agg"),
+)
+def sketch_hll_union_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """The rollup property that makes sketches worth it: build one HLL
+    sketch PER NATION, then hll_union_agg the 25 sketches into a global
+    distinct estimate — no rescan of the base table.
+
+    Scale: this is the daily->monthly rollup pattern — persist per-day
+    (per-partition) sketches, union them on demand. The union moves 25
+    sketches of ~16 KB, not 150 M customer keys. The oracle can't union
+    DuckDB HLL states across a GROUP BY, so it checks the same contract
+    on a direct global approx pass — the exact_total and group count are
+    the hash-checked truth.
+    """
+    c = table(spark, sf, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", F.lit(_LG_K)).alias("sk")
+    )
+    unioned = per_nation.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+    )
+    exact = c.agg(
+        F.count_distinct("c_custkey").cast("bigint").alias("exact_total")
+    )
+    return (
+        unioned.crossJoin(F.broadcast(exact))  # both sides are 1 row
+        .select(
+            "n_groups",
+            "exact_total",
+            (
+                F.abs(F.col("est_total") - F.col("exact_total"))
+                <= _TOL * F.col("exact_total")
+            ).alias("within_tol"),
+        )
+    )
+
+
+@query(
+    "sketch_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           (abs(approx_quantile(o_totalprice, 0.5)
+                - median(o_totalprice)) <= 0.05 * median(o_totalprice))
+               AS p50_within,
+           (abs(approx_quantile(o_totalprice, 0.95)
+                - quantile_cont(o_totalprice, 0.95))
+            <= 0.05 * quantile_cont(o_totalprice, 0.95)) AS p95_within,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sketch", "agg"),
+)
+def sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate p50/p95 per order status, asserted against the exact
+    continuous quantiles within 5% — the one-pass bounded-memory quantile
+    path (Spark: percentile_approx/KLL-style; DuckDB: approx_quantile).
+
+    Scale: exact percentiles need a per-group sort (or full value
+    collection); the approx sketch is map-combinable fixed state. 100-TB
+    latency dashboards run on exactly this operator.
+    """
+    o = table(spark, sf, "orders")
+    exact_p50 = F.expr("percentile(o_totalprice, 0.5)")
+    exact_p95 = F.expr("percentile(o_totalprice, 0.95)")
+    ap50 = F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000))
+    ap95 = F.percentile_approx("o_totalprice", F.lit(0.95), F.lit(10000))
+    return o.groupBy("o_orderstatus").agg(
+        (F.abs(ap50 - exact_p50) <= 0.05 * exact_p50).alias("p50_within"),
+        (F.abs(ap95 - exact_p95) <= 0.05 * exact_p95).alias("p95_within"),
+        F.count("*").alias("n"),
+    )

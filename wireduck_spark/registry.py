@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "wireduck_spark.operators.relational",
     "wireduck_spark.operators.advanced",
     "wireduck_spark.operators.tpch",
+    "wireduck_spark.operators.sketches",
     "wireduck_spark.operators.scalars",
     "wireduck_spark.operators.timeseries",
     "wireduck_spark.operators.io",
