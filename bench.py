@@ -30,8 +30,12 @@ def main() -> None:
     bench_set = {n: s for n, s in sorted(queries.items()) if s.bench}
 
     spark = get_spark("wireduck-bench")
-    # warmup: JVM + codegen + parquet footer reads
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: JVM + codegen + parquet footer reads + one agg so whole-stage
+    # codegen/shuffle machinery is hot before the first timed query
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+    )
     # warmup 2: the Python-datasource machinery (plan-time Python process,
     # executor worker pool, package zip shipping) is a one-time ~5 s cost
     # that would otherwise land on whichever pcap query runs first — same

@@ -509,16 +509,30 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines — rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           (abs(approx_count_distinct(l_partkey)
+                - COUNT(DISTINCT l_partkey))
+            <= 0.05 * COUNT(DISTINCT l_partkey)) AS within_tol,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). No oracle: sketch estimates
-    are engine-specific; the driver records a rows-only check
-    (SURVEY.md §2 marks this row approx)."""
+    """approx_count_distinct (HyperLogLog++). Raw sketch estimates are
+    engine-specific and can never hash-match, so the oracle checks the
+    accuracy CONTRACT instead (each engine's estimate within 5% of its
+    own exact count — same pattern as operators/sketches.py), plus the
+    exact count and row count which are portable truths."""
     li = table(spark, sf, "lineitem")
+    approx = F.approx_count_distinct("l_partkey", 0.01)
+    exact = F.count_distinct("l_partkey").cast("bigint")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("within_tol"),
+        exact.alias("exact_parts"),
         F.count("*").alias("n"),
     )
 
