@@ -247,20 +247,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     only candidate pairs.
     """
     d = table(spark, sf, "documents")
-    hashed = _spark_shingles(d).select(
-        "doc_id", F.expr(SPARK_H60.format(s="sh")).alias("h")
+    # Zero-shuffle signatures: shingle -> hash -> 8 mins entirely with
+    # array higher-order functions inside one narrow map stage. The
+    # explode + groupBy("doc_id") formulation computes the same mins but
+    # blows each doc into ~70 shingle rows and shuffles them back together
+    # — pure waste, since a doc's signature needs only that doc's rows.
+    # (a*h+b) stays < 1e18, inside int64.
+    sig = (
+        d.withColumn(
+            "toks",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+        )
+        .withColumn(
+            "hs",
+            F.expr(
+                "transform(array_distinct("
+                " CASE WHEN size(toks) >= 3 THEN"
+                "  transform(sequence(1, size(toks) - 2),"
+                "   i -> concat(element_at(toks, i), ' ',"
+                "    element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+                " ELSE array(array_join(toks, ' ')) END),"
+                f" s -> {SPARK_H60.format(s='s')})"
+            ),
+        )
+        .select(
+            "doc_id",
+            *[
+                F.expr(f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {P}L))")
+                .cast("bigint")
+                .alias(f"mh{j}")
+                for j, (a, b) in enumerate(MINHASH_SEEDS)
+            ],
+        )
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P)
-            .cast("bigint")
-            .alias(f"mh{j}")
-            for j, (a, b) in enumerate(MINHASH_SEEDS)
-        ]
-    )
-    # Signatures are the materialization point of minhash dedup (8 ints per
-    # doc regardless of corpus size): cache them so the bands/est branches
-    # don't recompute the shingle->hash pipeline per lineage.
+    # Signatures are the materialization point of minhash dedup (8 ints
+    # per doc regardless of corpus size): cache so the bands/sa/sb
+    # branches read the computed rows instead of re-running the pipeline.
+    # (A 100-TB pipeline persists signatures to a table here — same idea,
+    # durable. Cold-run wall time for this query is dominated by one-time
+    # whole-stage-codegen compilation of the nested lambdas, not by data.)
     sig = sig.cache()
     # all 4 band signatures in ONE pass over sig (posexplode), not 4 unions
     bands = sig.select(
