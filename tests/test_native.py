@@ -191,6 +191,37 @@ def test_pcapng_reading(tmp_path):
         assert g == w  # identical dissection incl. us timestamps
 
 
+def test_pcapng_byte_range_split_invariance(tmp_path):
+    """Byte-range slices of one pcapng capture see every packet exactly
+    once (EPB-marker resync), matching the whole-file read — the same
+    contract the classic reader has."""
+    frames = [
+        (1700000000.0 + i * 0.001,
+         build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 1000 + i % 7, 53,
+                            bytes([i % 251]) * (i % 100)))
+        for i in range(500)
+    ]
+    png = tmp_path / "big.pcapng"
+    png.write_bytes(build_pcapng(frames))
+    size = os.path.getsize(png)
+
+    whole = {
+        (p["frame.time_epoch"], p["udp.srcport"], p["frame.len"])
+        for p in iter_packets(str(png))
+    }
+    assert len(whole) == 500
+
+    got = []
+    for start, end in byte_range_partitions(str(png), 7):
+        got.extend(
+            (p["frame.time_epoch"], p["udp.srcport"], p["frame.len"])
+            for p in iter_packets(str(png), start, end)
+        )
+    assert len(got) == 500  # no duplicates across slices
+    assert set(got) == whole
+    assert byte_range_partitions(str(png), 7)[-1][1] == size
+
+
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture not present")
 def test_fixture_golden_aggregate():
     """The reference README.md:160-167 golden result, reproduced without

@@ -547,25 +547,130 @@ def _idb_tsresol(body: bytes, endian: str) -> int:
     return 1_000_000
 
 
-def _iter_pcapng_records(fh, size: int):
-    """(block_offset, epoch_us, incl, orig, data, linktype) per packet
-    block of a pcapng file: SHB (endianness per section) + IDB (linktype,
-    ts resolution per interface) + EPB/SPB packet blocks. The reference
-    reads pcapng only via tshark (cpp:109 just hands the path over); this
-    makes the tshark-free engine accept the Wireshark-default format."""
+_MAX_SANE_BLOCK = 4 * 1024 * 1024
+
+
+def _pcapng_block_len(buf: bytes, rel: int, endian: str, abs_base: int,
+                      size: int) -> int | None:
+    """Block length if the block at buf[rel:] has valid pcapng framing
+    (sane length, 4-aligned, in-file, trailing length echo), else None."""
+    if rel + 12 > len(buf):
+        return None
+    blen = struct.unpack(endian + "I", buf[rel + 4:rel + 8])[0]
+    if blen < 12 or blen % 4 or blen > _MAX_SANE_BLOCK \
+            or abs_base + rel + blen > size:
+        return None
+    if rel + blen <= len(buf):
+        trailer = struct.unpack(
+            endian + "I", buf[rel + blen - 4:rel + blen]
+        )[0]
+        if trailer != blen:
+            return None
+    return blen
+
+
+def _pcapng_chain_validates(buf: bytes, rel: int, endian: str, abs_base: int,
+                            size: int) -> bool:
+    """True if an EPB with a chain of framing-valid blocks starts at
+    buf[rel:] (pcapng analogue of _chain_validates)."""
+    if rel + 4 > len(buf) or struct.unpack(
+        endian + "I", buf[rel:rel + 4]
+    )[0] != _EPB_TYPE:
+        return False
+    off = rel
+    for i in range(_RESYNC_CHAIN):
+        if off + 12 > len(buf):
+            return i > 0
+        blen = _pcapng_block_len(buf, off, endian, abs_base, size)
+        if blen is None:
+            return False
+        off += blen
+        if abs_base + off >= size:
+            return True
+    return True
+
+
+def pcapng_resync_offset(fh, endian: str, start: int, size: int) -> int:
+    """First offset >= start where a plausible EPB chain begins (executor-
+    side, reads only this partition's neighborhood) — `size` if none.
+
+    Candidates come from bytes.find on the EPB block-type marker (C-speed
+    scan; every real EPB starts with it), then chain-validate — same
+    cost profile as the classic resync."""
+    window = _MAX_SANE_BLOCK + 4096
+    fh.seek(start)
+    buf = fh.read(min(window, max(size - start, 0)))
+    marker = struct.pack(endian + "I", _EPB_TYPE)
+    rel = buf.find(marker)
+    while rel != -1:
+        if _pcapng_chain_validates(buf, rel, endian, start, size):
+            return start + rel
+        rel = buf.find(marker, rel + 1)
+    return size
+
+
+def _pcapng_preamble(fh, size: int):
+    """(endian, interfaces, first_packet_off): walk the head of the file —
+    SHB + IDBs (+NRBs etc.) — up to the first packet block. pcapng puts
+    interface definitions before the packets they describe, so a byte-range
+    executor reads this O(KB) preamble plus its own slice. (An IDB added
+    mid-file for a hot-plugged interface would be missed by slices after
+    it — documented limitation; such captures should disable splitting.)"""
     off = 0
     endian = "<"
-    interfaces: list[tuple[int, int]] = []  # (linktype, ticks_per_s)
+    interfaces: list[tuple[int, int]] = []
     while off + 12 <= size:
         fh.seek(off)
         head = fh.read(8)
         if len(head) < 8:
             break
-        btype_le = struct.unpack("<I", head[:4])[0]
-        if btype_le == _SHB_TYPE:
+        if struct.unpack("<I", head[:4])[0] == _SHB_TYPE:
+            bom = fh.read(4)
+            endian = "<" if bom == b"\x4d\x3c\x2b\x1a" else ">"
+            interfaces = []
+        btype, blen = struct.unpack(endian + "II", head)
+        if blen < 12 or off + blen > size:
+            break
+        if btype in (_EPB_TYPE, _SPB_TYPE):
+            return endian, interfaces, off
+        if btype == _IDB_TYPE:
+            body = fh.read(min(blen - 12, 4096))
+            if len(body) >= 8:
+                linktype = struct.unpack(endian + "H", body[:2])[0]
+                interfaces.append((linktype, _idb_tsresol(body, endian)))
+        off += blen
+    return endian, interfaces, size
+
+
+def _iter_pcapng_records(fh, size: int, start_byte=None, end_byte=None):
+    """(block_offset, epoch_us, incl, orig, data, linktype) per packet
+    block of a pcapng file: SHB (endianness per section) + IDB (linktype,
+    ts resolution per interface) + EPB/SPB packet blocks. The reference
+    reads pcapng only via tshark (cpp:109 just hands the path over); this
+    makes the tshark-free engine accept the Wireshark-default format.
+
+    start_byte/end_byte select a byte-range slice: the executor reads the
+    head preamble (endian + interface table), resyncs to the first EPB
+    whose block STARTS inside [start, end), and stops at end — the same
+    owned-by-exactly-one-slice contract as the classic reader."""
+    endian, interfaces, first_pkt = _pcapng_preamble(fh, size)
+    off = first_pkt
+    if start_byte is not None and start_byte > first_pkt:
+        off = pcapng_resync_offset(fh, endian, start_byte, size)
+    # a block is owned by this slice iff it STARTS in [off, end) — even
+    # when its header/body extend past end (the next slice resyncs past it)
+    end = end_byte if end_byte is not None else size
+    while off < end and off + 12 <= size:
+        fh.seek(off)
+        head = fh.read(8)
+        if len(head) < 8:
+            break
+        if struct.unpack("<I", head[:4])[0] == _SHB_TYPE:
             bom = fh.read(4)
             endian = "<" if bom == b"\x4d\x3c\x2b\x1a" else ">"
             interfaces = []  # section restart
+            fh.seek(off)
+            head = fh.read(8)
         btype, blen = struct.unpack(endian + "II", head)
         if blen < 12 or off + blen > size:
             break
@@ -602,12 +707,14 @@ def iter_packets(
     """Yield one {filter_name: value} dict per packet (classic pcap or
     pcapng — format sniffed from the first 4 bytes).
 
-    start_byte/end_byte select a byte-range slice of one CLASSIC file (the
-    plan from byte_range_partitions): a record belongs to the slice iff its
-    record header STARTS in [resync(start_byte), end_byte) — every record
-    is owned by exactly one slice, and the executor resyncs to the first
-    real record boundary itself (the driver never walks the file). pcapng
-    reads are never split (block framing has no fixed-size resync).
+    start_byte/end_byte select a byte-range slice (the plan from
+    byte_range_partitions): a record belongs to the slice iff its record
+    header STARTS in [resync(start_byte), end_byte) — every record is
+    owned by exactly one slice, and the executor resyncs to the first real
+    record boundary itself (the driver never walks the file). Classic
+    files resync on 16-byte record-header plausibility chains; pcapng
+    resyncs on EPB block-marker chains after reading the O(KB) head
+    preamble (SHB endianness + interface table).
 
     frame.number: 1-based ordinal for whole-file reads (tshark parity);
     for byte-range slices it is the record's byte offset — a globally
@@ -622,8 +729,10 @@ def iter_packets(
     with open(path, "rb") as fh:
         if fh.read(4) == PCAPNG_MAGIC:
             fh.seek(0)
-            records = _iter_pcapng_records(fh, size)
-            split = False
+            records = _iter_pcapng_records(fh, size, start_byte, end_byte)
+            split = start_byte is not None and (
+                start_byte > 0 or (end_byte is not None and end_byte < size)
+            )
         else:
             fh.seek(0)
             records = _iter_classic_records(fh, size, start_byte, end_byte)

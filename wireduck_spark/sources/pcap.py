@@ -283,7 +283,6 @@ class PcapReader(DataSourceReader):
                 and self.climit is None
                 and os.path.exists(path)
                 and os.path.getsize(path) > self.split_threshold
-                and not native.is_pcapng(path)  # pcapng: no fixed resync
             ):
                 for start, end in native.byte_range_partitions(
                     path, TARGET_SPLITS
