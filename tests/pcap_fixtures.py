@@ -76,6 +76,40 @@ def dns_query_payload(qname: str, qtype: int = 1, dns_id: int = 0x1234) -> bytes
     )
 
 
+def build_eth_ipv6_udp(
+    src16: bytes, dst16: bytes, sport: int, dport: int, payload: bytes
+) -> bytes:
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x86DD)
+    udp_len = 8 + len(payload)
+    ip6 = struct.pack(">IHBB", 0x60000000, udp_len, 17, 64) + src16 + dst16
+    udp = struct.pack(">HHHH", sport, dport, udp_len, 0)
+    return eth + ip6 + udp + payload
+
+
+def build_eth_ipv6_icmpv6(src16: bytes, dst16: bytes, icmp_type: int) -> bytes:
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x86DD)
+    icmp6 = struct.pack(">BBH", icmp_type, 0, 0) + b"ping6"
+    ip6 = struct.pack(">IHBB", 0x60000000, len(icmp6), 58, 255) + src16 + dst16
+    return eth + ip6 + icmp6
+
+
+def build_vlan_ipv4_tcp(
+    vlan_id: int, src: str, dst: str, sport: int, dport: int
+) -> bytes:
+    """802.1Q-tagged TCP SYN."""
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x8100)
+    tag = struct.pack(">HH", vlan_id, 0x0800)
+    ip = struct.pack(
+        ">BBHHHBBH4s4s",
+        0x45, 0, 40, 1, 0, 64, 6, 0,
+        bytes(int(x) for x in src.split(".")),
+        bytes(int(x) for x in dst.split(".")),
+    )
+    tcp = struct.pack(">HHIIBBHHH", sport, dport, 1, 0, 5 << 4, 0x02, 8192,
+                      0, 0)
+    return eth + tag + ip + tcp
+
+
 def build_pcapng(frames: list[tuple[float, bytes]], linktype: int = 1) -> bytes:
     """Minimal pcapng: SHB + one IDB (usec tsresol default) + EPBs."""
 

@@ -191,6 +191,34 @@ def test_pcapng_reading(tmp_path):
         assert g == w  # identical dissection incl. us timestamps
 
 
+def test_ipv6_icmpv6_vlan_dissection(tmp_path):
+    """IPv6 addresses, ICMPv6 type, and 802.1Q VLAN de-encapsulation."""
+    from tests.pcap_fixtures import (
+        build_eth_ipv6_icmpv6, build_eth_ipv6_udp, build_vlan_ipv4_tcp,
+    )
+
+    src16 = bytes.fromhex("20010db8000000000000000000000001")
+    dst16 = bytes.fromhex("20010db8000000000000000000000002")
+    frames = [
+        (1700000000.0, build_eth_ipv6_udp(src16, dst16, 5000, 53, b"q")),
+        (1700000000.1, build_eth_ipv6_icmpv6(src16, dst16, 128)),
+        (1700000000.2, build_vlan_ipv4_tcp(42, "10.0.0.1", "10.0.0.2",
+                                           4444, 443)),
+    ]
+    p = tmp_path / "v6vlan.pcap"
+    p.write_bytes(build_pcap(frames))
+    pkts = list(iter_packets(str(p)))
+    assert pkts[0]["ipv6.src"] == "2001:db8:0:0:0:0:0:1"
+    assert pkts[0]["ipv6.dst"] == "2001:db8:0:0:0:0:0:2"
+    assert pkts[0]["udp.dstport"] == 53
+    assert "ipv6" in pkts[0]["frame.protocols"]
+    assert pkts[1]["icmpv6.type"] == 128
+    assert "icmpv6" in pkts[1]["frame.protocols"]
+    assert pkts[2]["tcp.dstport"] == 443 and pkts[2]["tcp.flags.syn"] is True
+    assert "vlan" in pkts[2]["frame.protocols"]
+    assert pkts[2]["ip.src"] == "10.0.0.1"
+
+
 def test_pcapng_byte_range_split_invariance(tmp_path):
     """Byte-range slices of one pcapng capture see every packet exactly
     once (EPB-marker resync), matching the whole-file read — the same
