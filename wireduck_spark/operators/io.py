@@ -52,6 +52,32 @@ def io_parquet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           CAST(SUM(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS key_sum
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("io", "sink"),
+)
+def io_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate -> write ORC -> re-read -> return (the other columnar
+    format Spark ships natively; DuckDB can't read ORC, so the oracle
+    recomputes from the source table — the round-trip preserving the
+    values IS the assertion)."""
+    n = table(spark, sf, "nation")
+    agg = n.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum(F.col("n_nationkey").cast("bigint")).alias("key_sum"),
+    )
+    path = _scratch(sf, "nations_by_region.orc")
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
     "io_csv_roundtrip",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment,

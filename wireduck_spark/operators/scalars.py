@@ -266,3 +266,41 @@ def scalar_cast_try(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("TRY_CAST(c_mktsegment AS BIGINT)").alias("seg_as_num"),
         F.col("c_acctbal").cast("bigint").alias("bal_trunc"),
     )
+
+
+@query(
+    "scalar_map_struct",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           struct_pack(name := n_name, rk := n_regionkey).name AS s_name,
+           CAST(struct_pack(name := n_name, rk := n_regionkey).rk
+                AS BIGINT) AS s_rk,
+           map_extract(MAP {'nation': n_name,
+                            'region': CAST(n_regionkey AS VARCHAR)},
+                       'nation')[1] AS m_nation,
+           array_to_string(list_sort(map_keys(
+               MAP {'nation': n_name,
+                    'region': CAST(n_regionkey AS VARCHAR)})), ',') AS m_keys
+    FROM nation
+    """,
+    tags=("scalar", "map", "struct"),
+)
+def scalar_map_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """STRUCT construction + field access and MAP construction + key
+    lookup / key enumeration (SURVEY.md §2 map/struct row), emitted as
+    flat scalars so the driver's hasher sees portable values."""
+    n = table(spark, sf, "nation")
+    s = F.struct(
+        F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk")
+    )
+    m = F.create_map(
+        F.lit("nation"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"),
+        s.getField("name").alias("s_name"),
+        s.getField("rk").cast("bigint").alias("s_rk"),
+        F.element_at(m, "nation").alias("m_nation"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("m_keys"),
+    )
