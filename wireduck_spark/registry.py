@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "wireduck_spark.functions.dedup",
     "wireduck_spark.functions.similarity",
     "wireduck_spark.functions.multimodal",
+    "wireduck_spark.functions.grouped",
     "wireduck_spark.sources.pcap_queries",
 )
 
