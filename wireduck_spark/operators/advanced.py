@@ -331,3 +331,36 @@ def resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "agg_skew_salted_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def agg_skew_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT) for skewed group keys.
+
+    A plain count-distinct on a heavy-hitter group shuffles every
+    (group, user) pair to ONE reducer per group — the task that OOMs at
+    100 TB. Salting by hash(user_id) % 16 splits each group into 16
+    sub-aggregations (phase 1), whose partial distinct counts ADD exactly
+    because each user lands in exactly one salt bucket (phase 2). Same
+    result, 16x the parallelism on the hot key, bounded per-task state.
+    """
+    e = table(spark, sf, "events")
+    salted = e.withColumn("salt", F.pmod(F.hash("user_id"), F.lit(16)))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.countDistinct("user_id").alias("part_users"),
+        F.count("*").alias("part_events"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("part_users").cast("bigint").alias("n_users"),
+        F.sum("part_events").cast("bigint").alias("n_events"),
+    )
