@@ -191,6 +191,29 @@ def test_pcapng_reading(tmp_path):
         assert g == w  # identical dissection incl. us timestamps
 
 
+def test_dns_answer_dissection(tmp_path):
+    """A-record answers: resolved address, CNAME chain, min TTL."""
+    import struct as st
+
+    q = b"\x07example\x03com\x00" + st.pack(">HH", 1, 1)
+    # response: qd=1 an=2 — CNAME then A (classic chain), name via pointer
+    hdr = st.pack(">HHHHHH", 0xBEEF, 0x8180, 1, 2, 0, 0)
+    cname_rd = b"\x03www\x07example\x03com\x00"
+    ans1 = b"\xc0\x0c" + st.pack(">HHIH", 5, 1, 300, len(cname_rd)) + cname_rd
+    ans2 = b"\xc0\x0c" + st.pack(">HHIH", 1, 1, 60, 4) + bytes([93, 184, 216, 34])
+    payload = hdr + q + ans1 + ans2
+    frame = build_eth_ipv4_udp("1.1.1.1", "10.0.0.1", 53, 40000, payload)
+    p = tmp_path / "dnsresp.pcap"
+    p.write_bytes(build_pcap([(1700000000.0, frame)]))
+    [pkt] = list(iter_packets(str(p)))
+    assert pkt["dns.flags.response"] is True
+    assert pkt["dns.qry.name"] == "example.com"
+    assert pkt["dns.a"] == "93.184.216.34"
+    assert pkt["dns.cname"] == "www.example.com"
+    assert pkt["dns.resp.ttl"] == 60
+    assert pkt["dns.count.answers"] == 2
+
+
 def test_ipv6_icmpv6_vlan_dissection(tmp_path):
     """IPv6 addresses, ICMPv6 type, and 802.1Q VLAN de-encapsulation."""
     from tests.pcap_fixtures import (

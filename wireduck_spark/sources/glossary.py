@@ -149,6 +149,10 @@ BUILTIN_FIELDS = [
     _F("Additional RRs", "dns.count.add_rr", "FT_UINT16", "dns"),
     _F("Name", "dns.qry.name", "FT_STRING", "dns"),
     _F("Type", "dns.qry.type", "FT_UINT16", "dns"),
+    _F("Address", "dns.a", "FT_IPv4", "dns"),
+    _F("AAAA Address", "dns.aaaa", "FT_IPv6", "dns"),
+    _F("CNAME", "dns.cname", "FT_STRING", "dns"),
+    _F("Time to live", "dns.resp.ttl", "FT_UINT32", "dns"),
     # http
     _F("Request Method", "http.request.method", "FT_STRING", "http"),
     _F("Request URI", "http.request.uri", "FT_STRING", "http"),
@@ -237,7 +241,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 3
+GLOSSARY_VERSION = 4
 
 
 def cache_dir() -> str:

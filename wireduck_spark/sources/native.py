@@ -366,10 +366,49 @@ def _dissect_dns(payload: bytes, fields: dict) -> bool:
         if noff + 4 <= len(payload):
             qtype, _qclass = struct.unpack(">HH", payload[noff:noff + 4])
             fields["dns.qry.type"] = qtype
+            noff += 4
         verb = "Standard query response" if dns_flags & 0x8000 else \
             "Standard query"
         fields["_ws.col.info"] = f"{verb} 0x{dns_id:04x} {name}"
+        if an >= 1 and dns_flags & 0x8000:
+            _dissect_dns_answers(payload, noff, an, fields)
     return True
+
+
+def _dissect_dns_answers(payload: bytes, off: int, an: int, fields) -> None:
+    """First A/AAAA/CNAME answers: resolved address (dns.a / dns.aaaa),
+    CNAME target, and the minimum TTL — the fields passive-DNS analytics
+    join on. Stops silently on truncation (per-cell-null philosophy)."""
+    a = aaaa = cname = None
+    min_ttl = None
+    try:
+        for _ in range(min(an, 32)):
+            _name, off = _dns_name(payload, off)
+            rtype, _rclass, ttl, rdlen = struct.unpack(
+                ">HHIH", payload[off:off + 10]
+            )
+            off += 10
+            rdata = payload[off:off + rdlen]
+            off += rdlen
+            if len(rdata) < rdlen:
+                break
+            min_ttl = ttl if min_ttl is None else min(min_ttl, ttl)
+            if rtype == 1 and rdlen == 4 and a is None:
+                a = _ipv4(rdata)
+            elif rtype == 28 and rdlen == 16 and aaaa is None:
+                aaaa = _ipv6(rdata)
+            elif rtype == 5 and cname is None:
+                cname, _ = _dns_name(payload, off - rdlen)
+    except (struct.error, IndexError):
+        pass
+    if a is not None:
+        fields["dns.a"] = a
+    if aaaa is not None:
+        fields["dns.aaaa"] = aaaa
+    if cname is not None:
+        fields["dns.cname"] = cname
+    if min_ttl is not None:
+        fields["dns.resp.ttl"] = min_ttl
 
 
 def _dissect_http(payload: bytes, fields: dict) -> bool:
