@@ -191,6 +191,35 @@ def test_pcapng_reading(tmp_path):
         assert g == w  # identical dissection incl. us timestamps
 
 
+def test_truncated_and_garbage_captures(tmp_path):
+    """Corrupt inputs degrade gracefully (per-cell-null philosophy at the
+    file level): truncated record -> stop after the good packets; garbage
+    payload bytes -> a frame row with NULL protocol fields, no exception."""
+    f1 = build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 1, 2, b"ok")
+    good = build_pcap([(1700000000.0, f1), (1700000001.0, f1)])
+
+    truncated = tmp_path / "trunc.pcap"
+    truncated.write_bytes(good[:-10])  # second record's body cut short
+    pkts = list(iter_packets(str(truncated)))
+    assert len(pkts) == 1 and pkts[0]["udp.srcport"] == 1
+
+    garbage = tmp_path / "garbage.pcap"
+    garbage.write_bytes(build_pcap([(1700000000.0, b"\xde\xad\xbe\xef" * 5)]))
+    [pkt] = list(iter_packets(str(garbage)))
+    assert pkt["frame.len"] == 20
+    assert pkt.get("udp.srcport") is None
+
+    empty = tmp_path / "empty.pcap"
+    empty.write_bytes(build_pcap([]))
+    assert list(iter_packets(str(empty))) == []
+
+    import pytest as _pytest
+    notpcap = tmp_path / "not.pcap"
+    notpcap.write_bytes(b"this is not a capture file at all..")
+    with _pytest.raises(ValueError):
+        list(iter_packets(str(notpcap)))
+
+
 def test_dns_answer_dissection(tmp_path):
     """A-record answers: resolved address, CNAME chain, min TTL."""
     import struct as st

@@ -34,9 +34,21 @@ __version__ = "0.1.0"
 
 def init(spark) -> None:
     """One-call setup (reference `LOAD wireduck` parity, cpp:476-504):
-    glossary cache + temp views, `pcap` data source registration."""
+    glossary cache + temp views, `pcap` data source registration, and the
+    `check_tshark_installed()` SQL function (reference cpp:455-461 — so
+    `SELECT check_tshark_installed()` works verbatim)."""
     initialize_glossary(spark)
     register_pcap_source(spark)
+    from pyspark.sql.types import BooleanType
+
+    try:
+        spark.udf.register(
+            "check_tshark_installed",
+            lambda: check_tshark_installed(),
+            BooleanType(),
+        )
+    except Exception:
+        pass  # already registered
 
 
 __all__ = [
