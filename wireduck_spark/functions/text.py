@@ -202,3 +202,110 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             "  0L, (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT)"
         ).alias("poly_hash"),
     )
+
+
+@query(
+    "sampling_stable_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM tagged
+    GROUP BY 1
+    """,
+    tags=("sampling", "split"),
+)
+def sampling_stable_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) bucket —
+    the reproducible-sampling practice for training pipelines (`sample()`
+    gives different rows per engine/partition layout; a content hash gives
+    the SAME split everywhere, forever, including on re-runs over grown
+    corpora). Uses the repo's portable 60-bit md5 prefix (functions/dedup
+    docstring) so the oracle agrees bucket-for-bucket.
+    """
+    d = table(spark, sf, "documents")
+    bucket = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle=r"""
+    WITH quality AS (
+        SELECT doc_id, lang, source, text,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+               CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM quality
+        WHERE n_words >= 5 AND punct_ratio <= 0.25
+    ),
+    deduped AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM filtered GROUP BY md5(text)
+    )
+    SELECT f.lang, f.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(f.n_words AS BIGINT)) AS BIGINT) AS total_words
+    FROM deduped d JOIN filtered f ON f.doc_id = d.keep_id
+    GROUP BY f.lang, f.source
+    """,
+    tags=("text", "pipeline"),
+)
+def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed corpus-cleaning pipeline: quality filter (min words,
+    max punctuation) -> exact dedup (md5, keep lowest doc_id) -> per
+    lang/source inventory. Each stage exists standalone in this module /
+    functions/dedup.py; this query proves they COMPOSE as one Catalyst
+    plan (filter pushes into the scan, dedup is one hash shuffle, the
+    inventory agg is map-combinable) — the shape of a real preprocessing
+    job, not an operator demo.
+    """
+    d = table(spark, sf, "documents")
+    n_words = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), 0)
+    )
+    punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9 ]"), 0)
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    filtered = (
+        d.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct)
+        .filter((F.col("n_words") >= 5) & (F.col("punct_ratio") <= 0.25))
+    )
+    keep = filtered.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return (
+        filtered.join(keep, filtered.doc_id == keep.keep_id)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_words").cast("bigint")).alias("total_words"),
+        )
+    )
