@@ -244,6 +244,57 @@ def test_stream_stream_interval_join(spark, sf_dir, events_dir):
     assert got == expected
 
 
+def test_pcap_stream_windowed_traffic(spark, tmp_path):
+    """Watermarked tumbling windows over the packet stream match the
+    batch aggregate of the same capture."""
+    from wireduck_spark.sources.pcap import read_pcap
+    from wireduck_spark.streaming.pcap_stream import (
+        read_pcap_stream, traffic_per_window,
+    )
+
+    capture_dir = tmp_path / "captures_w"
+    capture_dir.mkdir()
+    (capture_dir / "cap-001.pcap").write_bytes(two_flow_pcap())
+
+    stream = traffic_per_window(
+        read_pcap_stream(spark, f"{capture_dir}/*.pcap")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_pcap_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["protocols"]): (r["n_packets"], r["total_bytes"])
+        for r in spark.sql("SELECT * FROM t_pcap_windows").collect()
+    }
+
+    batch = read_pcap(spark, str(capture_dir / "cap-001.pcap"),
+                      engine="native")
+    expected = {
+        (r["window_start"], r["protocols"]): (r["n_packets"], r["total_bytes"])
+        for r in batch.groupBy(
+            F.date_format(
+                F.window(F.col("`frame.time_epoch`"), "10 seconds").getField(
+                    "start"
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            F.col("`frame.protocols`").alias("protocols"),
+        )
+        .agg(
+            F.count("*").alias("n_packets"),
+            F.sum("`frame.len`").cast("bigint").alias("total_bytes"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
 def test_pcap_stream_tails_directory(spark, tmp_path):
     """New pcap files appearing in the directory become new micro-batches."""
     from wireduck_spark.streaming.pcap_stream import read_pcap_stream

@@ -110,3 +110,36 @@ def read_pcap_stream(spark, path_glob: str, protocols: str = ""):
     if protocols:
         reader = reader.option("protocols", protocols)
     return reader.load(path_glob)
+
+
+def traffic_per_window(packets, window: str = "10 seconds",
+                       watermark: str = "30 seconds"):
+    """Watermarked tumbling traffic stats over a packet stream: packets
+    and bytes per (window, protocol path) — the continuous twin of
+    `pcap_scan_default`'s batch aggregate, keyed on packet CAPTURE time
+    (`frame.time_epoch`), not arrival time, so replayed/late capture
+    files land in the right window until the watermark closes it.
+
+    Scale: per-window per-protocol state only; the watermark bounds it.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        packets.withWatermark("`frame.time_epoch`", watermark)
+        .groupBy(
+            F.window(F.col("`frame.time_epoch`"), window).alias("w"),
+            F.col("`frame.protocols`").alias("protocols"),
+        )
+        .agg(
+            F.count("*").alias("n_packets"),
+            F.sum("`frame.len`").cast("bigint").alias("total_bytes"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "protocols",
+            "n_packets",
+            "total_bytes",
+        )
+    )
