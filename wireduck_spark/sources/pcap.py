@@ -66,7 +66,12 @@ from wireduck_spark.sources.typemap import cast_cell, map_ft_type
 # A single capture file is split into byte-range partitions above this size
 # (native engine only; tshark must stream a whole file).
 SPLIT_THRESHOLD_BYTES = 64 * 1024 * 1024
-TARGET_SPLITS = 16
+# Target bytes per split: the partition count grows with the file, so a
+# 1 TB capture yields ~8k parallel slices (a fixed split COUNT would give
+# 64 GB per task at that size — unrunnable). 128 MB matches the parquet
+# maxPartitionBytes default, the task size Spark schedulers are tuned for.
+TARGET_SPLIT_BYTES = 128 * 1024 * 1024
+MIN_SPLITS = 16
 
 # Rows per Arrow RecordBatch emitted by read() — the Python<->JVM transfer
 # unit (the reference's analogue is DuckDB's 2048-row DataChunk, cpp:176).
@@ -284,8 +289,13 @@ class PcapReader(DataSourceReader):
                 and os.path.exists(path)
                 and os.path.getsize(path) > self.split_threshold
             ):
+                size = os.path.getsize(path)
+                n_splits = max(
+                    MIN_SPLITS,
+                    (size + TARGET_SPLIT_BYTES - 1) // TARGET_SPLIT_BYTES,
+                )
                 for start, end in native.byte_range_partitions(
-                    path, TARGET_SPLITS
+                    path, n_splits
                 ):
                     parts.append(PcapPartition(path, start, end))
             else:
