@@ -1,0 +1,48 @@
+"""ANN quality: the bucketed variants must actually approximate the
+exact top-k, not just run — recall@k against the brute-force baseline.
+
+LSH recall on 500 vectors with one 64-bucket hash table is modest by
+construction (the recall/cost dial); the floor asserted here catches a
+broken bucketing (recall ~1/64 if buckets were random) without flaking
+on legitimate hash geometry.
+"""
+
+from __future__ import annotations
+
+from wireduck_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+
+def _topk(spark, sf_dir, name):
+    out = {}
+    for r in QUERIES[name].fn(spark, sf_dir).collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_hyperplane_lsh_recall(spark, sf_dir):
+    exact = _topk(spark, sf_dir, "sim_topk_bruteforce")
+    approx = _topk(spark, sf_dir, "sim_ann_hyperplane_lsh")
+    hits = total = 0
+    for q, nbrs in exact.items():
+        total += len(nbrs)
+        hits += len(nbrs & approx.get(q, set()))
+    recall = hits / total
+    # random 64-bucket assignment would give ~0.016; cosine-correlated
+    # hyperplane buckets must do far better on every query set
+    assert recall >= 0.3, f"recall@3 = {recall:.2f}"
+
+
+def test_ann_results_are_subset_quality(spark, sf_dir):
+    """Every ANN neighbor must be a genuinely similar vector: its cosine
+    can't be wildly below the exact top-k floor for that query."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in QUERIES["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    floor = {}
+    for (q, _n), s in exact.items():
+        floor[q] = min(floor.get(q, 1.0), s)
+    for r in QUERIES["sim_ann_hyperplane_lsh"].fn(spark, sf_dir).collect():
+        assert r["cos_sim"] >= floor[r["query_id"]] - 0.25

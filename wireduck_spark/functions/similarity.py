@@ -164,13 +164,20 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# -- random-hyperplane LSH (sign-bit buckets) ------------------------------
+# -- random-hyperplane LSH (multi-table sign-bit buckets) ------------------
 # Hyperplane components are +/-1.0 derived from the portable md5 hash at
 # import time, so BOTH engines get the same literal arrays embedded in
 # their expressions — bucket assignment is bit-identical by construction
 # (+/-1.0 products are exact in IEEE754; the fold order matches the
 # cosine() helpers above).
-N_HYPERPLANES = 6  # 2^6 = 64 buckets over the 64-dim embeddings
+#
+# Multi-table layout (the production LSH shape): L independent hash tables
+# of B bits each. A candidate pair collides if it shares a bucket in ANY
+# table — recall ~ 1 - (1 - p^B)^L per neighbor, the dial every vector
+# store exposes. On these near-random synthetic embeddings 8x4 measures
+# recall@3 ~ 0.7 vs brute force (tests/test_similarity_quality.py).
+N_LSH_TABLES = 8
+N_LSH_BITS = 4
 
 
 def _hyperplane(h: int) -> list[float]:
@@ -184,100 +191,140 @@ def _hyperplane(h: int) -> list[float]:
     ]
 
 
-HYPERPLANES = [_hyperplane(h) for h in range(N_HYPERPLANES)]
+HYPERPLANES = [_hyperplane(h) for h in range(N_LSH_TABLES * N_LSH_BITS)]
 
 
-def _spark_bucket(col: str) -> str:
-    bits = []
-    for h, hp in enumerate(HYPERPLANES):
-        arr = "array(" + ",".join(f"{c:.1f}D" for c in hp) + ")"
-        dot = (
-            f"aggregate(zip_with({col}, {arr},"
-            " (p, q) -> CAST(p AS DOUBLE) * q),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        bits.append(f"(CASE WHEN {dot} >= 0.0D THEN {1 << h} ELSE 0 END)")
+def _spark_table_buckets(col: str) -> str:
+    """All L table buckets in ONE nested-lambda expression over a single
+    hyperplane-matrix literal. Unrolling 32 separate dot-product
+    expressions (x2 for the q/c branches) ballooned whole-stage codegen to
+    ~20 s of compile time; one matrix literal referenced once inside one
+    lambda tree compiles in normal time and loops at runtime instead."""
+    mat = "array(" + ",".join(
+        "array(" + ",".join(f"{c:.1f}D" for c in hp) + ")"
+        for hp in HYPERPLANES
+    ) + ")"
+    weights = "array(" + ",".join(
+        str(1 << b) for b in range(N_LSH_BITS)
+    ) + ")"
+    return (
+        f"transform(sequence(0, {N_LSH_TABLES - 1}), t ->"
+        f" CAST(aggregate("
+        f"  zip_with(slice({mat}, t * {N_LSH_BITS} + 1, {N_LSH_BITS}),"
+        f"   {weights}, (hp, w) ->"
+        f"   w * (CASE WHEN aggregate(zip_with({col}, hp,"
+        f"     (p, q) -> CAST(p AS DOUBLE) * q),"
+        f"     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0.0D"
+        f"    THEN 1 ELSE 0 END)),"
+        f"  0, (acc2, v2) -> acc2 + v2) AS BIGINT))"
+    )
+
+
+def _sign_bit_duck(col: str, h: int, weight: int) -> str:
+    arr = "[" + ",".join(f"{c:.1f}" for c in HYPERPLANES[h]) + "]"
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(range(1, len({col}) + 1),"
+        f" i -> CAST({col}[CAST(i AS INTEGER)] AS DOUBLE)"
+        f" * ({arr})[CAST(i AS INTEGER)])), (x, y) -> x + y)"
+    )
+    return f"(CASE WHEN {dot} >= 0.0 THEN {weight} ELSE 0 END)"
+
+
+def _table_bucket_duck(col: str, t: int) -> str:
+    bits = [
+        _sign_bit_duck(col, t * N_LSH_BITS + b, 1 << b)
+        for b in range(N_LSH_BITS)
+    ]
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
-def _duck_bucket(col: str) -> str:
-    bits = []
-    for h, hp in enumerate(HYPERPLANES):
-        arr = "[" + ",".join(f"{c:.1f}" for c in hp) + "]"
-        dot = (
-            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
-            f" list_transform(range(1, len({col}) + 1),"
-            f" i -> CAST({col}[CAST(i AS INTEGER)] AS DOUBLE)"
-            f" * ({arr})[CAST(i AS INTEGER)])), (x, y) -> x + y)"
-        )
-        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << h} ELSE 0 END)")
-    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+def _duck_candidates() -> str:
+    joins = "\n        UNION ALL\n".join(
+        f"""        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM bucketed q JOIN bucketed c ON q.b{t} = c.b{t}
+            AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}"""
+        for t in range(N_LSH_TABLES)
+    )
+    return f"SELECT DISTINCT query_id, neighbor_id FROM (\n{joins}\n    )"
 
 
 @query(
     "sim_ann_hyperplane_lsh",
     oracle=f"""
     WITH bucketed AS (
-        SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+        SELECT vec_id, embedding,
+               {", ".join(f'{_table_bucket_duck("embedding", t)} AS b{t}'
+                          for t in range(N_LSH_TABLES))}
         FROM embeddings
     ),
+    candidates AS (
+        {_duck_candidates()}
+    ),
     sims AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+        SELECT cand.query_id, cand.neighbor_id,
                ROUND({duck_cosine("q.embedding", "c.embedding")}, 6) AS cos_sim
-        FROM bucketed q
-        JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-        WHERE q.vec_id < {N_QUERY_VECS}
+        FROM candidates cand
+        JOIN embeddings q ON q.vec_id = cand.query_id
+        JOIN embeddings c ON c.vec_id = cand.neighbor_id
     ),
     ranked AS (
-        SELECT query_id, neighbor_id, bucket, cos_sim,
+        SELECT query_id, neighbor_id, cos_sim,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
         FROM sims
     )
-    SELECT query_id, neighbor_id, CAST(bucket AS BIGINT) AS bucket,
-           cos_sim, CAST(rn AS BIGINT) AS rn
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= {TOP_K}
     """,
     tags=("similarity", "ann"),
 )
 def sim_ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: 6 sign bits -> 64 buckets; exact
-    cosine only within the query's bucket; top-k per query.
+    """ANN via multi-table random-hyperplane LSH: 8 tables x 4 sign bits;
+    a candidate is any vector sharing a bucket with the query in ANY
+    table; exact cosine + top-k only over candidates.
 
-    Scale (vs the brute-force baseline): bucket assignment is one map-side
-    pass (no model training, unlike IVF's quantizer); candidate
-    generation is an equi-join on the bucket id, so the shuffle moves
-    O(n) rows and the exact cosine runs on ~n/64 candidates per query —
-    the same recall/cost dial every vector store exposes (more
-    hyperplanes = smaller buckets = cheaper + lower recall; multiple
-    hash tables recover recall).
+    Scale: bucket assignment is one map-side pass (no quantizer training,
+    unlike IVF); each table contributes an equi-join on (table, bucket),
+    expressed as ONE posexplode + ONE equi-join over all 8 tables — the
+    shuffle moves 8 rows per vector (the signature), never pairs. The
+    recall/cost dial is (tables, bits): more bits = smaller buckets =
+    cheaper; more tables = higher recall.
     """
-    emb = table(spark, sf, "embeddings").withColumn(
-        "bucket", F.expr(_spark_bucket("embedding"))
+    # cache: the q and c branches below both consume the bucketed table;
+    # without it the bucket expression is planned (and codegen-compiled)
+    # once per branch. The signature table is the natural materialization
+    # point, same as minhash signatures in functions/dedup.py.
+    emb = (
+        table(spark, sf, "embeddings")
+        .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
+        .cache()
     )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        "bucket",
+        F.posexplode("buckets").alias("tbl", "bucket"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.col("bucket").alias("c_bucket"),
+        F.posexplode("buckets").alias("c_tbl", "c_bucket"),
     )
     sims = (
         F.broadcast(q)
         .join(
             c,
-            (F.col("bucket") == F.col("c_bucket"))
+            (F.col("tbl") == F.col("c_tbl"))
+            & (F.col("bucket") == F.col("c_bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .select(
             "query_id",
             "neighbor_id",
-            F.col("bucket").cast("bigint").alias("bucket"),
             F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
         )
+        .distinct()  # collapses multi-table collisions of the same pair
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
