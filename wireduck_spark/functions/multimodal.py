@@ -161,3 +161,104 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     """
     assets = documents_as_assets(spark, sf).select("asset_id", "content")
     return assets.mapInPandas(fake_decode_stats, schema=DECODE_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id bigint, frame_idx bigint, frame_hex string"
+FRAME_BYTES = 4
+FRAME_STRIDE = 2  # sample every 2nd frame
+
+
+def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling stub: treat content as a fixed-rate "video" of
+    FRAME_BYTES-sized frames, emit every FRAME_STRIDE-th frame. A real
+    implementation swaps the byte-slicing for pyav/ffmpeg keyframe
+    extraction (not in this container — SURVEY brief: stub the codec,
+    keep the Spark-side batch shape real)."""
+    for pdf in batches:
+        ids, idxs, hexes = [], [], []
+        for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+            if content is None:
+                continue
+            n_frames = len(content) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                ids.append(asset_id)
+                idxs.append(fi)
+                hexes.append(
+                    content[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES].hex()
+                )
+        yield pd.DataFrame(
+            {"asset_id": ids, "frame_idx": idxs, "frame_hex": hexes}
+        )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           substr(md5(text), CAST(fi * {FRAME_BYTES * 2} + 1 AS INTEGER),
+                  {FRAME_BYTES * 2}) AS frame_hex
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+             0, 16 // {FRAME_BYTES} - 1, {FRAME_STRIDE})) AS fi)
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Strided frame sampling over binary "video" content via mapInPandas
+    (one output row per sampled frame). The oracle re-derives the sampled
+    byte windows from the md5 hex in SQL.
+
+    Scale: sampling is a pure map with output fan-out n_frames/stride —
+    no shuffle; at 100 TB the only knobs are partition size and the
+    Arrow batch size, both already bounded.
+    """
+    assets = documents_as_assets(spark, sf).select("asset_id", "content")
+    return assets.mapInPandas(fake_frame_sample, schema=FRAME_SCHEMA)
+
+
+def resize_images(batches: Iterator[pd.DataFrame],
+                  real: bool = False) -> Iterator[pd.DataFrame]:
+    """Resize stub: real=True is the PIL path (unavailable in this
+    container — raises to make the seam explicit); the fake path
+    downsamples by byte-striding, preserving the batch contract."""
+    if real:
+        raise NotImplementedError(
+            "real resize needs PIL/ffmpeg; not present in this container"
+        )
+    for pdf in batches:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "resized_hex": content.map(
+                    lambda b: b[::2].hex() if b is not None else None
+                ),
+                "resized_len": content.map(
+                    lambda b: (len(b) + 1) // 2 if b is not None else 0
+                ).astype("int64"),
+            }
+        )
+
+
+@query(
+    "mm_resize_stub",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           lower(list_aggregate(
+               list_transform(range(0, 8),
+                   i -> substr(md5(text), CAST(i * 4 + 1 AS INTEGER), 2)),
+               'string_agg', '')) AS resized_hex,
+           CAST(8 AS BIGINT) AS resized_len
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def mm_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-stride "resize" via mapInPandas (every 2nd byte of the fake
+    image content); the oracle re-derives the strided hex in SQL."""
+    assets = documents_as_assets(spark, sf).select("asset_id", "content")
+    return assets.mapInPandas(
+        resize_images, schema="asset_id bigint, resized_hex string,"
+        " resized_len bigint"
+    )
