@@ -197,9 +197,9 @@ def _minhash_sig_sql() -> str:
     )"""
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Shared by dedup_minhash_lsh's oracle and the connected-components
+# oracle (which clusters these candidate pairs transitively).
+_LSH_PAIRS_SQL = f"""
     WITH {_minhash_sig_sql()},
     bands AS (
         SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || mh1 AS sig
@@ -232,7 +232,12 @@ def _minhash_sig_sql() -> str:
         JOIN sig sb ON c.doc_b = sb.doc_id
     )
     SELECT doc_a, doc_b, est_jaccard FROM est
-    """,
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_LSH_PAIRS_SQL,
     tags=("dedup",),
     bench=True,
 )
@@ -478,4 +483,80 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.9)
         .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE lsh AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM lsh WHERE est_jaccard >= 0.5
+    ),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, root) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(MIN(root) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: transitive
+    closure of LSH candidates (est_jaccard >= 0.5) via iterative min-label
+    propagation — the step that turns PAIRS into dedup GROUPS (keep one
+    doc per cluster). The oracle states the same fixpoint as a recursive
+    CTE.
+
+    Scale: each iteration is one equi-join + min-agg on the edge list —
+    shuffle O(edges); iterations needed = cluster diameter (near-dup
+    clusters are shallow; capped at 15). localCheckpoint truncates the
+    growing lineage each round — without it the plan doubles per
+    iteration. This driver-coordinated loop is the DataFrame-native shape
+    of Pregel/label propagation.
+    """
+    pairs = dedup_minhash_lsh(spark, sf).filter(F.col("est_jaccard") >= 0.5)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        und.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(15):
+        neigh = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
     )

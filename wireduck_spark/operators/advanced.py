@@ -364,3 +364,52 @@ def agg_skew_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("part_users").cast("bigint").alias("n_users"),
         F.sum("part_events").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("join", "fuzzy"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy self-join (entity resolution): customer-name pairs within
+    edit distance 1, blocked by nation.
+
+    Scale: the unblocked fuzzy join is O(n^2) edit-distance evals — the
+    blocking key (here nationkey; in production a q-gram or
+    length+prefix band) turns it into an equi-join whose shuffle carries
+    the block key, with the levenshtein filter running only inside
+    blocks. Same structure as the n-gram dedup verifier.
+    """
+    c = table(spark, sf, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nk") == F.col("nk_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 1),
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        )
+    )
