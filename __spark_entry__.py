@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from wireduck_spark.registry import QUERIES, load_all_queries  # noqa: E402
+from wireduck_spark.registry import (  # noqa: E402
+    QUERIES,
+    gate_queries,
+    load_all_queries,
+)
 
 load_all_queries()
 
@@ -37,16 +41,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in sorted(QUERIES.items())}
+    """Curated <=50-slot driver gate (the driver evaluates at most the
+    alphabetically-first 50 entries, so the slots are a budget — see
+    wireduck_spark/registry.py GATE/ROTATED_OUT). The FULL registry
+    (len(QUERIES) queries) remains verified by tools/check_oracle.py and
+    tests/test_all_queries_green.py every run."""
+    return {name: spec.fn for name, spec in gate_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for each oracle-checkable query (entries without an
-    oracle get the driver's weaker rows-only check — approx/sampling/pcap
-    per SURVEY.md §2)."""
+    """DuckDB twin for each oracle-checkable gate query (entries without an
+    oracle get the driver's weaker rows-only check — pcap per SURVEY.md §2)."""
     return {
         name: spec.oracle
-        for name, spec in sorted(QUERIES.items())
+        for name, spec in gate_queries().items()
         if spec.oracle is not None
     }

@@ -1,6 +1,9 @@
-"""Driver-contract smoke: entry(), queries()/oracle_sql() registry shape."""
+"""Driver-contract smoke: entry(), queries()/oracle_sql() gate shape."""
 
 import __spark_entry__ as contract
+from wireduck_spark.registry import GATE, QUERIES, ROTATED_OUT, load_all_queries
+
+load_all_queries()
 
 
 def test_entry_returns_rows(spark):
@@ -13,19 +16,31 @@ def test_entry_returns_rows(spark):
 def test_registry_shape():
     qs = contract.queries()
     oracles = contract.oracle_sql()
-    assert len(qs) >= 50
+    # the driver evaluates at most the first 50 sorted entries: the gate
+    # must fit the budget so NOTHING exposed to the driver goes dark.
+    assert len(qs) <= 50
     assert set(oracles) <= set(qs)
-    # the rows-only set is the documented one (approx/sampling/pcap)
+    # the rows-only set is the documented one (pcap has no DuckDB oracle)
     rows_only = set(qs) - set(oracles)
-    assert all(
-        n.startswith("pcap_") or n in {"agg_approx_distinct", "sampling_bernoulli"}
-        for n in rows_only
-    )
+    assert all(n.startswith("pcap_") for n in rows_only)
+
+
+def test_gate_partition():
+    """Every registered query is deliberately placed: either it consumes a
+    driver-gate slot (GATE) or it was rotated out after a green driver row
+    (ROTATED_OUT). A new query that lands in neither fails here, so it can't
+    silently displace gate coverage the way rounds 1-2 did."""
+    gate, rotated = set(GATE), set(ROTATED_OUT)
+    assert not gate & rotated, f"names in both: {sorted(gate & rotated)}"
+    missing = set(QUERIES) - gate - rotated
+    assert not missing, f"unplaced queries: {sorted(missing)}"
+    stale = (gate | rotated) - set(QUERIES)
+    assert not stale, f"gate lists unknown queries: {sorted(stale)}"
 
 
 def test_each_query_runs_at_sf0001(spark, sf_dir):
-    """Every registered query executes (collect is the checker's job; here
-    we only verify the plans resolve and run at tiny scale)."""
-    for name, fn in contract.queries().items():
-        df = fn(spark, sf_dir)
+    """Every REGISTERED query (not just the gate) executes: plans resolve
+    and run at tiny scale; value checks are test_all_queries_green's job."""
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
         df.limit(5).collect()

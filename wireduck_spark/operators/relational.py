@@ -883,13 +883,32 @@ def distinct_dedup_rows(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "sampling_bernoulli",
-    oracle=None,  # RNG streams differ across engines — rows-only check
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE (('0x' || substr(md5('bern42:' || CAST(l_orderkey AS VARCHAR)
+                                 || ':' || CAST(l_linenumber AS VARCHAR)),
+                           1, 15))::BIGINT) % 1000 < 100
+    GROUP BY l_returnflag
+    """,
     tags=("sampling",),
 )
 def sampling_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed (deterministic within Spark,
-    not across engines — driver records rows-only)."""
+    """Bernoulli p=0.1 sampling via a seeded content hash instead of
+    ``df.sample()``: each row's keep-decision is an independent coin flip
+    keyed on md5(seed || primary key), so the SAME rows are kept on every
+    engine, partition layout, and re-run (``sample()``'s RNG stream is
+    engine-private, which is why the round-1/2 version was rows-only).
+    Same portable 60-bit md5-prefix bucket as sampling_stable_split —
+    this is also the scale-correct pattern: a narrow map-side filter,
+    no RNG state, pushes through any shuffle unchanged."""
     li = table(spark, sf, "lineitem")
-    return li.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(
-        F.count("*").alias("n")
+    keep = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('bern42:', CAST(l_orderkey AS STRING),"
+            " ':', CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % 1000
+        < 100
     )
+    return li.filter(keep).groupBy("l_returnflag").agg(F.count("*").alias("n"))

