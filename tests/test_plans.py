@@ -83,6 +83,26 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert "Exchange" in plan
 
 
+def test_percent_cume_has_no_global_window(spark, sf_dir):
+    """window_percent_cume must not funnel the table through one task: its
+    two-pass rewrite leaves exactly the range-partitioned local Window
+    (partitioned by pid), never an un-partitioned Window over the scan."""
+    plan = plan_of(spark, "window_percent_cume", sf_dir)
+    # every Window operator in the plan must carry a partition spec: the
+    # formatted-plan detail line reads "Arguments: [...], [part cols], [...]"
+    # for partitioned windows; an un-partitioned global window renders an
+    # empty partition list "Arguments: [...], [], [sort...]".
+    win_args = [
+        ln for ln in plan.splitlines()
+        if "Arguments:" in ln and "windowspecdefinition" in ln
+    ]
+    assert win_args, "expected at least one Window operator"
+    for ln in win_args:
+        assert "], [], [" not in ln.replace(" ", ""), f"global window: {ln}"
+    # and no single-partition exchange feeding a sort of the full table
+    assert "Exchange SinglePartition" not in plan
+
+
 @pytest.mark.parametrize("name", ["join_range_interval", "join_theta_nonequi"])
 def test_nonequi_joins_carry_equi_conjunct(spark, sf_dir, name):
     """Range/theta joins must ride an equi-key shuffle (SortMergeJoin /

@@ -264,15 +264,61 @@ def latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
     tags=("window",),
 )
 def window_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
-    """percent_rank / cume_dist / decile over the global balance ordering
-    (unique tiebreak; both engines compute (rank-1)/(n-1) identically)."""
-    c = table(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    """percent_rank / cume_dist / decile over the global balance ordering,
+    computed SCALE-SAFE as a two-pass global rank instead of a single
+    un-partitioned Window (which funnels the whole table through one task
+    — correct at sf0.01, a straggler at 100 TB; round-2 VERDICT item #2).
+
+    Pass 1: ``repartitionByRange`` on the sort key (contiguous, ordered
+    ranges; RangePartitioner boundaries are deterministically sampled),
+    count rows per range partition, prefix-sum those counts on the driver
+    (#partitions values, not #rows). Pass 2: ``row_number`` within each
+    range partition plus the partition's offset = the exact global rank,
+    with every partition ranking in parallel. The ordering has a unique
+    tiebreak (c_custkey), so rank == row_number, cume_dist == rn/n, and
+    ntile(10) is reconstructed from rn with the standard first-(n%10)-
+    buckets-get-one-extra rule — identical to both engines' built-ins.
+    The driver-side action touches one tiny count per partition; the
+    persist pins the range layout between the count pass and rank pass.
+    """
+    c = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        c.repartitionByRange(nparts, F.col("c_acctbal"), F.col("c_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("pid"),
+    )
+    w_local = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    rn = (F.row_number().over(w_local) + off_expr).cast("bigint")
+    q, r = divmod(n, 10)
+    if q == 0:  # fewer rows than buckets: bucket == rank
+        decile = rn
+    else:
+        decile = F.when(
+            rn <= r * (q + 1), ((rn - 1) / F.lit(q + 1)).cast("bigint") + 1
+        ).otherwise(r + ((rn - 1 - r * (q + 1)) / F.lit(q)).cast("bigint") + 1)
+    pct = (
+        F.lit(0.0) if n <= 1
+        else F.round((rn - 1).cast("double") / F.lit(float(n - 1)), 6)
+    )
+    return ranged.select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        pct.alias("pct_rank"),
+        F.round(rn.cast("double") / F.lit(float(n)), 6).alias("cume"),
+        decile.cast("bigint").alias("decile"),
     )
 
 
