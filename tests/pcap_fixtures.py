@@ -110,33 +110,57 @@ def build_vlan_ipv4_tcp(
     return eth + tag + ip + tcp
 
 
-def build_pcapng(frames: list[tuple[float, bytes]], linktype: int = 1) -> bytes:
-    """Minimal pcapng: SHB + one IDB (usec tsresol default) + EPBs."""
+def pcapng_block(btype: int, body: bytes) -> bytes:
+    pad = (-len(body)) % 4
+    total = 12 + len(body) + pad
+    return (
+        struct.pack("<II", btype, total) + body + bytes(pad)
+        + struct.pack("<I", total)
+    )
 
-    def block(btype: int, body: bytes) -> bytes:
-        pad = (-len(body)) % 4
-        total = 12 + len(body) + pad
-        return (
-            struct.pack("<II", btype, total) + body + bytes(pad)
-            + struct.pack("<I", total)
-        )
 
-    shb = block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
-    idb = block(0x00000001, struct.pack("<HHI", linktype, 0, 262144))
+def build_pcapng(
+    frames: list[tuple[float, bytes]],
+    linktype: int = 1,
+    spb: bool = False,
+    mid_filler_bytes: int = 0,
+) -> bytes:
+    """Minimal pcapng: SHB + one IDB (usec tsresol default) + packet blocks.
+
+    spb=True emits Simple Packet Blocks (no timestamp/interface) instead of
+    EPBs. mid_filler_bytes inserts ~that many bytes of framing-valid NRB
+    filler blocks after the FIRST packet block (models the ISB/NRB/custom
+    runs long dumpcap captures interleave between packets)."""
+    shb = pcapng_block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
+    idb = pcapng_block(0x00000001, struct.pack("<HHI", linktype, 0, 262144))
     out = shb + idb
-    for ts, data in frames:
-        us = int(round(ts * 1_000_000))
-        body = struct.pack(
-            "<IIIII", 0, us >> 32, us & 0xFFFFFFFF, len(data), len(data)
-        ) + data
-        out += block(0x00000006, body)
+    for i, (ts, data) in enumerate(frames):
+        if spb:
+            body = struct.pack("<I", len(data)) + data
+            out += pcapng_block(0x00000003, body)
+        else:
+            us = int(round(ts * 1_000_000))
+            body = struct.pack(
+                "<IIIII", 0, us >> 32, us & 0xFFFFFFFF, len(data), len(data)
+            ) + data
+            out += pcapng_block(0x00000006, body)
+        if i == 0:
+            remaining = mid_filler_bytes
+            while remaining > 0:
+                chunk = min(remaining, 65536)
+                out += pcapng_block(0x00000004, bytes(chunk))
+                remaining -= chunk + 12
     return out
 
 
-def build_pcap(frames: list[tuple[float, bytes]], nanos: bool = False) -> bytes:
+def build_pcap(
+    frames: list[tuple[float, bytes]],
+    nanos: bool = False,
+    snaplen: int = 262144,
+) -> bytes:
     """frames: [(epoch_ts, frame_bytes)] -> classic libpcap bytes."""
     magic = 0xA1B23C4D if nanos else 0xA1B2C3D4
-    out = struct.pack("<IHHiIII", magic, 2, 4, 0, 0, 262144, 1)
+    out = struct.pack("<IHHiIII", magic, 2, 4, 0, 0, snaplen, 1)
     mult = 1_000_000_000 if nanos else 1_000_000
     for ts, data in frames:
         sec = int(ts)

@@ -321,3 +321,118 @@ def test_fixture_golden_aggregate():
     streams = {p["tcp.stream"] for p in iter_packets(FIXTURE)
                if "tcp.stream" in p}
     assert len(streams) == 1
+
+
+def test_snaplen_tightens_resync_cap(tmp_path):
+    """A declared small snaplen becomes the resync plausibility cap: split
+    invariance holds on a snaplen-64 capture (every record <= 64 bytes)."""
+    frames = [
+        (1700000000.0 + i, build_eth_ipv4_udp("10.0.0.1", "10.0.0.2",
+                                              1000 + i, 53, b"x")[:60])
+        for i in range(40)
+    ]
+    p = tmp_path / "snap64.pcap"
+    p.write_bytes(build_pcap(frames, snaplen=64))
+    whole = list(iter_packets(str(p)))
+    assert len(whole) == 40
+    pkts = [
+        pk
+        for s, e in byte_range_partitions(str(p), 4)
+        for pk in iter_packets(str(p), s, e)
+    ]
+    assert [pk["frame.len"] for pk in pkts] == [
+        pk["frame.len"] for pk in whole
+    ]
+
+
+def test_huge_snaplen_falls_back_to_unsplit(tmp_path):
+    """snaplen beyond the 1 MiB sane resync cap: byte-range slices fall
+    back to one unsplit read — the first slice owns every packet, the
+    others own none, and nothing is silently dropped (round-2 ADVICE)."""
+    frames = [
+        (1700000000.0 + i,
+         build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1111, 80, i, 0, 0x10,
+                            b"p" * 100))
+        for i in range(25)
+    ]
+    p = tmp_path / "bigsnap.pcap"
+    p.write_bytes(build_pcap(frames, snaplen=8 * 1024 * 1024))
+    whole = list(iter_packets(str(p)))
+    assert len(whole) == 25
+    parts = byte_range_partitions(str(p), 4)
+    assert len(parts) > 1
+    per_slice = [list(iter_packets(str(p), s, e)) for s, e in parts]
+    assert len(per_slice[0]) == 25  # first slice reads the whole file
+    assert all(len(sl) == 0 for sl in per_slice[1:])
+
+
+def test_classic_resync_scans_past_first_window(tmp_path):
+    """A >4 MiB run of non-record bytes between the split start and the
+    first real record must not yield an empty slice: the resync walks
+    window-by-window to the boundary (round-2 ADVICE)."""
+    import struct as _struct
+
+    from wireduck_spark.sources.native import read_global_header, resync_offset
+
+    frames = [
+        (1700000000.0 + i,
+         build_eth_ipv4_udp("10.0.0.9", "10.0.0.8", 999, 53, b"q"))
+        for i in range(3)
+    ]
+    tail = build_pcap(frames)[24:]  # records only
+    header = build_pcap([])[:24]
+    gap = bytes(5 * 1024 * 1024)  # zeros never chain-validate (caplen==0)
+    blob = header + gap + tail
+    p = tmp_path / "gap.pcap"
+    p.write_bytes(blob)
+    info = read_global_header(header)
+    with open(p, "rb") as fh:
+        off = resync_offset(fh, info, 30, len(blob))
+    assert off == 24 + len(gap)
+
+
+def test_pcapng_spb_split_invariance(tmp_path):
+    """SPB-only pcapng (no timestamps) survives byte-range splitting: the
+    resync accepts SPB markers too (round-2 ADVICE: EPB-only matching
+    dropped every packet in non-first slices)."""
+    frames = [
+        (0.0, build_eth_ipv4_tcp("10.1.0.1", "10.1.0.2", 5000 + i, 80,
+                                 i, 0, 0x18, b"spb-payload"))
+        for i in range(30)
+    ]
+    png = tmp_path / "spb.pcapng"
+    png.write_bytes(build_pcapng(frames, spb=True))
+    size = os.path.getsize(png)
+    whole = [p["tcp.srcport"] for p in iter_packets(str(png))]
+    assert whole == [5000 + i for i in range(30)]
+    cuts = [0, size // 3, 2 * size // 3, size]
+    sliced = [
+        p["tcp.srcport"]
+        for a, b in zip(cuts, cuts[1:])
+        for p in iter_packets(str(png), a, b)
+    ]
+    assert sliced == whole
+
+
+def test_pcapng_resync_scans_past_filler_run(tmp_path):
+    """A >4 MiB run of NRB filler blocks between packet blocks (long
+    dumpcap captures) must not blank the slice that starts inside it: the
+    pcapng resync continues into later windows (round-2 ADVICE)."""
+    frames = [
+        (1700000000.0 + i,
+         build_eth_ipv4_udp("10.2.0.1", "10.2.0.2", 7000 + i, 53, b"z"))
+        for i in range(2)
+    ]
+    png = tmp_path / "filler.pcapng"
+    png.write_bytes(
+        build_pcapng(frames, mid_filler_bytes=5 * 1024 * 1024)
+    )
+    size = os.path.getsize(png)
+    whole = [p["udp.srcport"] for p in iter_packets(str(png))]
+    assert whole == [7000, 7001]
+    # cut inside the filler run: packet 1 in slice A, packet 2 in slice B,
+    # whose resync must scan ~5 MiB of filler before finding the EPB
+    mid = size // 2
+    a = [p["udp.srcport"] for p in iter_packets(str(png), 0, mid)]
+    b = [p["udp.srcport"] for p in iter_packets(str(png), mid, size)]
+    assert a == [7000] and b == [7001]

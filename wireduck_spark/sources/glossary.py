@@ -84,7 +84,13 @@ _F = GlossaryField
 BUILTIN_FIELDS = [
     # frame (insertion order drives the README default column order)
     _F("Epoch Arrival Time", "frame.time_epoch", "FT_ABSOLUTE_TIME", "frame"),
-    _F("Frame Number", "frame.number", "FT_UINT32", "frame"),
+    # NOTE: for whole-file reads frame.number is tshark's 1-based ordinal;
+    # when a large capture is byte-range SPLIT across executors it becomes
+    # the record's byte offset — still unique and monotone in capture
+    # order, but not dense (a true ordinal would force a full pre-scan).
+    # Declared FT_UINT64/BIGINT so offsets of >4 GiB captures fit.
+    # Documented in README "frame.number semantics".
+    _F("Frame Number", "frame.number", "FT_UINT64", "frame"),
     _F("Frame Length", "frame.len", "FT_UINT32", "frame"),
     _F("Capture Length", "frame.cap_len", "FT_UINT32", "frame"),
     _F("Protocols in frame", "frame.protocols", "FT_STRING", "frame"),

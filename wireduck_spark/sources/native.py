@@ -94,15 +94,37 @@ _RESYNC_CHAIN = 3  # consecutive plausible records required to accept a sync
 _MAX_SANE_CAPLEN = 4 * 262144
 
 
+def _caplen_cap(info: PcapInfo) -> int:
+    """Per-record plausibility cap for split resync.
+
+    The header snaplen is authoritative when declared (round-2 ADVICE: a
+    1 MiB default cap silently dropped legitimate >1 MiB records at split
+    boundaries when the capture's snaplen allowed them); the 1 MiB sane
+    default applies only when snaplen is 0/unset. Captures whose snaplen
+    exceeds `splittable_snaplen` never reach this cap — they fall back to
+    an unsplit read (see _iter_classic_records)."""
+    return info.snaplen if 0 < info.snaplen else _MAX_SANE_CAPLEN
+
+
+def splittable_snaplen(info: PcapInfo) -> bool:
+    """Whether byte-range split resync is trustworthy for this capture.
+
+    A snaplen beyond the sane cap would need an unbounded resync window;
+    rather than risk silent drops, such captures read as ONE partition
+    (first slice takes the whole file, other slices yield nothing)."""
+    return not info.snaplen or info.snaplen <= _MAX_SANE_CAPLEN
+
+
 def _chain_validates(buf: bytes, rel: int, info: PcapInfo, abs_base: int,
                      size: int) -> bool:
     """True if a chain of plausible records starts at buf[rel:].
 
-    Plausibility per record: 0 < caplen <= snaplen (sane-capped), caplen <=
-    origlen, fractional timestamp < divisor, record fits in the file. The
-    chain accepts early when it runs cleanly into EOF or off the window.
+    Plausibility per record: 0 < caplen <= snaplen (header-honored, sane
+    default when unset), caplen <= origlen, fractional timestamp < divisor,
+    record fits in the file. The chain accepts early when it runs cleanly
+    into EOF or off the window.
     """
-    cap = min(info.snaplen or _MAX_SANE_CAPLEN, _MAX_SANE_CAPLEN)
+    cap = _caplen_cap(info)
     off = rel
     for i in range(_RESYNC_CHAIN):
         if off + RECORD_HEADER_LEN > len(buf):
@@ -127,15 +149,29 @@ def resync_offset(fh, info: PcapInfo, start: int, size: int) -> int:
     False-positive odds per candidate: frac<divisor passes for ~0.02% of
     random u32s (usec), caplen bounds for ~0.1%, chained 3 deep —
     effectively zero against real payload bytes.
+
+    Scans window-by-window to EOF instead of giving up after one window
+    (round-2 ADVICE: a single fixed window silently yielded zero records
+    when the first boundary lay beyond it). Windows overlap by one record
+    header so a chain starting in a window's tail is re-examined, never
+    falsely rejected.
     """
     if start <= GLOBAL_HEADER_LEN:
         return GLOBAL_HEADER_LEN
-    window = _MAX_SANE_CAPLEN * (_RESYNC_CHAIN + 1)
-    fh.seek(start)
-    buf = fh.read(min(window, max(size - start, 0)))
-    for rel in range(len(buf)):
-        if _chain_validates(buf, rel, info, start, size):
-            return start + rel
+    window = _caplen_cap(info) * (_RESYNC_CHAIN + 1)
+    base = start
+    while base < size:
+        fh.seek(base)
+        buf = fh.read(min(window, size - base))
+        if not buf:
+            break
+        for rel in range(len(buf)):
+            if _chain_validates(buf, rel, info, base, size):
+                return base + rel
+        # only candidates whose 16-byte header didn't fit the window can
+        # have been wrongly rejected — re-examine them in the next window
+        step = max(len(buf) - (RECORD_HEADER_LEN - 1), 1)
+        base += step
     return size
 
 
@@ -542,6 +578,14 @@ def _iter_classic_records(fh, size: int, start_byte, end_byte):
     """(record_offset, epoch_us, incl, orig, data, linktype) per record of
     a classic-libpcap file, honoring byte-range slices with resync."""
     info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
+    if not splittable_snaplen(info):
+        # snaplen beyond the sane resync cap: byte-range resync can't be
+        # trusted, so fall back to one unsplit read — the FIRST slice owns
+        # the whole file, every other slice owns nothing (exactly-once
+        # preserved without coordination; round-2 ADVICE fix).
+        if start_byte is not None and start_byte > GLOBAL_HEADER_LEN:
+            return
+        start_byte = end_byte = None
     off = GLOBAL_HEADER_LEN
     if start_byte is not None and start_byte > GLOBAL_HEADER_LEN:
         off = resync_offset(fh, info, start_byte, size)
@@ -610,11 +654,13 @@ def _pcapng_block_len(buf: bytes, rel: int, endian: str, abs_base: int,
 
 def _pcapng_chain_validates(buf: bytes, rel: int, endian: str, abs_base: int,
                             size: int) -> bool:
-    """True if an EPB with a chain of framing-valid blocks starts at
-    buf[rel:] (pcapng analogue of _chain_validates)."""
+    """True if a packet block (EPB or SPB) with a chain of framing-valid
+    blocks starts at buf[rel:] (pcapng analogue of _chain_validates).
+    SPB is accepted so SPB-only captures survive splitting (round-2 ADVICE:
+    EPB-only matching lost every packet in non-first slices of them)."""
     if rel + 4 > len(buf) or struct.unpack(
         endian + "I", buf[rel:rel + 4]
-    )[0] != _EPB_TYPE:
+    )[0] not in (_EPB_TYPE, _SPB_TYPE):
         return False
     off = rel
     for i in range(_RESYNC_CHAIN):
@@ -630,22 +676,43 @@ def _pcapng_chain_validates(buf: bytes, rel: int, endian: str, abs_base: int,
 
 
 def pcapng_resync_offset(fh, endian: str, start: int, size: int) -> int:
-    """First offset >= start where a plausible EPB chain begins (executor-
-    side, reads only this partition's neighborhood) — `size` if none.
+    """First offset >= start where a plausible packet-block chain (EPB or
+    SPB) begins (executor-side, reads only this partition's neighborhood)
+    — `size` if none.
 
-    Candidates come from bytes.find on the EPB block-type marker (C-speed
-    scan; every real EPB starts with it), then chain-validate — same
-    cost profile as the classic resync."""
+    Candidates come from bytes.find on the block-type markers (C-speed
+    scan; every real packet block starts with one), then chain-validate.
+    Scans window-by-window to EOF instead of giving up after ~4 MiB
+    (round-2 ADVICE: a run of ISB/NRB/custom blocks between packet blocks
+    — common in long dumpcap captures — pushed the first EPB past one
+    window and the slice silently yielded nothing). Windows overlap by one
+    block header so a tail candidate is re-examined, never lost."""
     window = _MAX_SANE_BLOCK + 4096
-    fh.seek(start)
-    buf = fh.read(min(window, max(size - start, 0)))
-    marker = struct.pack(endian + "I", _EPB_TYPE)
+    markers = [struct.pack(endian + "I", t) for t in (_EPB_TYPE, _SPB_TYPE)]
+    base = start
+    while base < size:
+        fh.seek(base)
+        buf = fh.read(min(window, size - base))
+        if not buf:
+            break
+        cands = sorted(
+            rel
+            for m in markers
+            for rel in _find_all(buf, m)
+        )
+        for rel in cands:
+            if _pcapng_chain_validates(buf, rel, endian, base, size):
+                return base + rel
+        step = max(len(buf) - 11, 1)  # re-examine candidates whose 12-byte
+        base += step                  # framing didn't fit this window
+    return size
+
+
+def _find_all(buf: bytes, marker: bytes):
     rel = buf.find(marker)
     while rel != -1:
-        if _pcapng_chain_validates(buf, rel, endian, start, size):
-            return start + rel
+        yield rel
         rel = buf.find(marker, rel + 1)
-    return size
 
 
 def _pcapng_preamble(fh, size: int):
