@@ -96,3 +96,18 @@ def test_binary_column_roundtrip(spark, sf_dir):
     row = assets.select("content").first()
     assert isinstance(row["content"], bytearray | bytes)
     assert len(row["content"]) == 16
+
+
+def test_cluster_components_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """checkpoint_dir switches lineage truncation from localCheckpoint to
+    reliable checkpoint() files, with identical cluster output (the 100-TB
+    path: a lost executor replays from storage instead of failing)."""
+    from wireduck_spark.functions.dedup import dedup_cluster_components
+
+    ckdir = tmp_path / "ckpt"
+    base = dedup_cluster_components(spark, sf_dir).collect()
+    rel = dedup_cluster_components(
+        spark, sf_dir, checkpoint_dir=str(ckdir)
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, rel))
+    assert any(ckdir.rglob("*")), "no reliable checkpoint files written"

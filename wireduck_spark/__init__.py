@@ -41,14 +41,15 @@ def init(spark) -> None:
     register_pcap_source(spark)
     from pyspark.sql.types import BooleanType
 
-    try:
-        spark.udf.register(
-            "check_tshark_installed",
-            lambda: check_tshark_installed(),
-            BooleanType(),
-        )
-    except Exception:
-        pass  # already registered
+    # spark.udf.register replaces an existing registration, so this is
+    # idempotent by itself; a genuine failure (broken session, py4j error)
+    # must propagate — the old blanket `except Exception: pass` here could
+    # leave the documented SQL function silently missing (round-2 ADVICE).
+    spark.udf.register(
+        "check_tshark_installed",
+        lambda: check_tshark_installed(),
+        BooleanType(),
+    )
 
 
 __all__ = [

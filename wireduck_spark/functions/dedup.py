@@ -505,7 +505,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """,
     tags=("dedup", "iterative"),
 )
-def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_cluster_components(
+    spark: SparkSession,
+    sf: str,
+    checkpoint_dir: str | None = None,
+    max_iters: int = 50,
+) -> DataFrame:
     """Connected components over the near-duplicate pair graph: transitive
     closure of LSH candidates (est_jaccard >= 0.5) via iterative min-label
     propagation — the step that turns PAIRS into dedup GROUPS (keep one
@@ -514,11 +519,24 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: each iteration is one equi-join + min-agg on the edge list —
     shuffle O(edges); iterations needed = cluster diameter (near-dup
-    clusters are shallow; capped at 15). localCheckpoint truncates the
-    growing lineage each round — without it the plan doubles per
-    iteration. This driver-coordinated loop is the DataFrame-native shape
-    of Pregel/label propagation.
+    clusters are shallow). The loop runs TO CONVERGENCE (changed == 0) and
+    raises if `max_iters` rounds don't reach it — never returns partial
+    labels (round-2 ADVICE: a silent 15-round cap could emit wrong
+    cluster_ids for a chain deeper than the cap). Per-round checkpointing
+    truncates the growing lineage — without it the plan doubles per
+    iteration: `checkpoint_dir=None` uses localCheckpoint (fast,
+    executor-local — right for single-node/gate runs); pass a reliable
+    directory (HDFS/S3) on a real cluster so a lost executor replays from
+    storage instead of failing the job. This driver-coordinated loop is
+    the DataFrame-native shape of Pregel/label propagation.
     """
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir is not None \
+            else df.localCheckpoint()
+
     pairs = dedup_minhash_lsh(spark, sf).filter(F.col("est_jaccard") >= 0.5)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -526,18 +544,17 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = (
+    labels = ckpt(
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
-    for _ in range(15):
+    for _ in range(max_iters):
         neigh = (
             und.join(labels, und.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nl"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neigh, labels.node == neigh.src, "left")
             .select(
                 "node",
@@ -545,7 +562,6 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -556,6 +572,12 @@ def dedup_cluster_components(spark: SparkSession, sf: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters; refusing "
+            "to return partial cluster_ids"
+        )
     return labels.select(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),

@@ -78,39 +78,18 @@ MIN_SPLITS = 16
 ARROW_BATCH_ROWS = 4096
 
 
-def _arrow_batches(rows, schema: StructType, batch_rows: int = ARROW_BATCH_ROWS):
-    """Pack an iterator of row tuples into pyarrow RecordBatches.
-
-    The Python DataSource API moves RecordBatches to the JVM over Arrow IPC
-    zero-copy; per-row tuple yields go through row-at-a-time pickling —
-    the round-1 VERDICT's #1 throughput bottleneck at 100 TB. Timestamp
-    cells may be naive-UTC datetimes (tshark path) or epoch-microsecond
-    ints (native fast path); pyarrow accepts both for timestamp[us, UTC].
-    """
+def _arrow_schema(schema: StructType):
+    """pyarrow twin of the Spark schema (RecordBatches cross the Python→JVM
+    boundary as Arrow IPC; the reference's analogue is DuckDB's 2048-row
+    DataChunk, cpp:176). Timestamp cells may be naive-UTC datetimes (tshark
+    path) or epoch-microsecond ints (native fast path); pyarrow accepts
+    both for timestamp[us, UTC]."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_type
 
-    aschema = pa.schema(
+    return pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
     )
-    cols: list[list] = [[] for _ in aschema]
-    n = 0
-    for row in rows:
-        for i, v in enumerate(row):
-            cols[i].append(v)
-        n += 1
-        if n >= batch_rows:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, aschema)],
-                schema=aschema,
-            )
-            cols = [[] for _ in aschema]
-            n = 0
-    if n:
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(c, type=f.type) for c, f in zip(cols, aschema)],
-            schema=aschema,
-        )
 
 
 @dataclass
@@ -310,8 +289,7 @@ class PcapReader(DataSourceReader):
         if self.engine == "native":
             yield from self._batches_native(partition, names)
         else:
-            rows = self._rows_tshark(partition, names, dtypes)
-            yield from _arrow_batches(rows, self.schema_)
+            yield from self._batches_tshark(partition, names, dtypes)
 
     def _batches_native(self, partition: PcapPartition, names):
         """Columnar emission: packet dicts append straight into per-column
@@ -320,12 +298,8 @@ class PcapReader(DataSourceReader):
         Arrow IPC message; the reference's analogue is the 2048-row
         DataChunk, cpp:176)."""
         import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_type
 
-        aschema = pa.schema(
-            [pa.field(f.name, to_arrow_type(f.dataType))
-             for f in self.schema_.fields]
-        )
+        aschema = _arrow_schema(self.schema_)
 
         def flush(cols):
             return pa.RecordBatch.from_arrays(
@@ -357,7 +331,43 @@ class PcapReader(DataSourceReader):
         if n_in_batch:
             yield flush(cols)
 
-    def _rows_tshark(self, partition: PcapPartition, names, dtypes):
+    def _batches_tshark(self, partition: PcapPartition, names, dtypes):
+        """Columnar tshark-path emission: TSV cells cast straight into
+        per-column builders as each line parses — the same zero-row-tuple
+        shape as _batches_native (round-2 VERDICT minor: the old path built
+        row tuples, then transposed them into column lists, one whole copy
+        of every batch for nothing)."""
+        import pyarrow as pa
+
+        aschema = _arrow_schema(self.schema_)
+
+        def flush(cols):
+            return pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, aschema)],
+                schema=aschema,
+            )
+
+        def batches(lines):
+            n_cols = len(names)
+            cols: list[list] = [[] for _ in range(n_cols)]
+            n = 0
+            for line in lines:
+                cells = parse_tsv_line(line, n_cols)
+                if cells is None:
+                    continue  # zero-field rows skipped (cpp:193)
+                for col, cell, dtype in zip(cols, cells, dtypes):
+                    col.append(cast_cell(cell.strip(), dtype))
+                n += 1
+                if n >= ARROW_BATCH_ROWS:
+                    yield flush(cols)
+                    cols = [[] for _ in range(n_cols)]
+                    n = 0
+            if n:
+                yield flush(cols)
+
+        if self.mock_tsv is not None:
+            yield from batches(self.mock_tsv.split("\n"))
+            return
         cfilter = self.cfilter
         if self.pushed_cfilter:
             cfilter = (
@@ -366,22 +376,8 @@ class PcapReader(DataSourceReader):
                 else self.pushed_cfilter
             )
         argv = build_argv(partition.path, names, self.climit, cfilter)
-
-        def emit(lines):
-            for line in lines:
-                cells = parse_tsv_line(line, len(names))
-                if cells is None:
-                    continue  # zero-field rows skipped (cpp:193)
-                yield tuple(
-                    cast_cell(cell.strip(), dtype)
-                    for cell, dtype in zip(cells, dtypes)
-                )
-
-        if self.mock_tsv is not None:
-            yield from emit(self.mock_tsv.split("\n"))
-            return
         with TsharkRunner(argv) as lines:
-            yield from emit(lines)
+            yield from batches(lines)
 
 
 def _ship_package(spark) -> None:
