@@ -336,3 +336,55 @@ def test_pcap_stream_tails_directory(spark, tmp_path):
         assert rows.get("eth:ethertype:ip:tcp") == 6
     finally:
         q.stop()
+
+
+def test_pcap_stream_multifile_batch_is_partitioned(tmp_path):
+    """A micro-batch spanning several new files must plan >1 input
+    partition (executor-side dissection — round-2 VERDICT #3: the old
+    simple reader dissected everything into one driver-side list)."""
+    from wireduck_spark.streaming.pcap_stream import (
+        PcapStreamDataSource, PcapStreamReader,
+    )
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    for i in range(3):
+        (d / f"c{i}.pcap").write_bytes(two_flow_pcap())
+    ds = PcapStreamDataSource(options={"path": f"{d}/*.pcap"})
+    reader = PcapStreamReader(ds.schema(), {"path": f"{d}/*.pcap"})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    parts = reader.partitions(start, end)
+    assert len(parts) == 3
+    # executor-side read: each partition emits Arrow batches totalling the
+    # file's 4 packets
+    counts = [sum(b.num_rows for b in reader.read(p)) for p in parts]
+    assert counts == [4, 4, 4]
+    # no new files -> empty (start == end) plan
+    assert reader.partitions(end, end) == []
+
+
+def test_pcap_stream_offsets_freeze_file_size(tmp_path):
+    """Replay determinism: partitions are planned from the size recorded
+    in the offset, so a batch re-plans identically even if a capture file
+    grew after it was listed."""
+    from wireduck_spark.streaming.pcap_stream import (
+        PcapStreamDataSource, PcapStreamReader,
+    )
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    p = d / "grow.pcap"
+    p.write_bytes(two_flow_pcap())
+    ds = PcapStreamDataSource(options={"path": f"{d}/*.pcap"})
+    reader = PcapStreamReader(ds.schema(), {"path": f"{d}/*.pcap"})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    frozen = reader.partitions(start, end)
+    # the capture "rotates badly": more records appended after listing
+    with open(p, "ab") as fh:
+        fh.write(two_flow_pcap()[24:])
+    replay = reader.partitions(start, end)
+    assert replay == frozen
+    assert sum(b.num_rows for pt in replay
+               for b in reader.read(pt)) == 4  # not 8

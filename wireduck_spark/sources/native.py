@@ -67,7 +67,9 @@ def read_global_header(buf: bytes) -> PcapInfo:
     return PcapInfo(endian, div, linktype, snaplen)
 
 
-def byte_range_partitions(path: str, n_splits: int) -> list[tuple[int, int]]:
+def byte_range_partitions(
+    path: str, n_splits: int, size: int | None = None
+) -> list[tuple[int, int]]:
     """Fixed byte-range partition plan for splitting ONE capture across
     executors: [(start_byte, end_byte)] slices of roughly equal size.
 
@@ -76,8 +78,13 @@ def byte_range_partitions(path: str, n_splits: int) -> list[tuple[int, int]]:
     walked every 16-byte record header driver-side, a full sequential pass
     of a 1 TB file before any executor started). Executors resync to the
     first real record boundary inside their range (`resync_offset`), the
-    same strategy Hadoop text splits use with newline resync."""
-    size = os.path.getsize(path)
+    same strategy Hadoop text splits use with newline resync.
+
+    Pass `size` to plan against a FROZEN size instead of the live file —
+    the streaming source records size-at-listing in its offset so a batch
+    replays identically even if the capture grew since."""
+    if size is None:
+        size = os.path.getsize(path)
     payload = size - GLOBAL_HEADER_LEN
     if payload <= 0:
         return [(GLOBAL_HEADER_LEN, size)]

@@ -92,6 +92,51 @@ def _arrow_schema(schema: StructType):
     )
 
 
+def native_arrow_batches(
+    schema: StructType,
+    path: str,
+    start_byte: int | None = None,
+    end_byte: int | None = None,
+    limit: int | None = None,
+):
+    """Columnar emission for the native engine (shared by the batch reader
+    and the partitioned stream reader): packet dicts append straight into
+    per-column builders, one pyarrow RecordBatch per ARROW_BATCH_ROWS — no
+    intermediate row tuples (each batch crosses to the JVM as one Arrow
+    IPC message; the reference's analogue is the 2048-row DataChunk,
+    cpp:176)."""
+    import pyarrow as pa
+
+    aschema = _arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+
+    def flush(cols):
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, aschema)],
+            schema=aschema,
+        )
+
+    cols: list[list] = [[] for _ in names]
+    name_cols = list(zip(names, cols))
+    n_in_batch = 0
+    n_total = 0
+    for fields in native.iter_packets(path, start_byte, end_byte, raw_ts=True):
+        if limit is not None and n_total >= limit:
+            break
+        get = fields.get
+        for name, col in name_cols:
+            col.append(get(name))
+        n_in_batch += 1
+        n_total += 1
+        if n_in_batch >= ARROW_BATCH_ROWS:
+            yield flush(cols)
+            cols = [[] for _ in names]
+            name_cols = list(zip(names, cols))
+            n_in_batch = 0
+    if n_in_batch:
+        yield flush(cols)
+
+
 @dataclass
 class PcapPartition(InputPartition):
     path: str
@@ -292,44 +337,10 @@ class PcapReader(DataSourceReader):
             yield from self._batches_tshark(partition, names, dtypes)
 
     def _batches_native(self, partition: PcapPartition, names):
-        """Columnar emission: packet dicts append straight into per-column
-        builders, one pyarrow RecordBatch per ARROW_BATCH_ROWS — no
-        intermediate row tuples (each batch crosses to the JVM as one
-        Arrow IPC message; the reference's analogue is the 2048-row
-        DataChunk, cpp:176)."""
-        import pyarrow as pa
-
-        aschema = _arrow_schema(self.schema_)
-
-        def flush(cols):
-            return pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, aschema)],
-                schema=aschema,
-            )
-
-        limit = self.climit
-        cols: list[list] = [[] for _ in names]
-        name_cols = list(zip(names, cols))
-        n_in_batch = 0
-        n_total = 0
-        for fields in native.iter_packets(
-            partition.path, partition.start_byte, partition.end_byte,
-            raw_ts=True,
-        ):
-            if limit is not None and n_total >= limit:
-                break
-            get = fields.get
-            for name, col in name_cols:
-                col.append(get(name))
-            n_in_batch += 1
-            n_total += 1
-            if n_in_batch >= ARROW_BATCH_ROWS:
-                yield flush(cols)
-                cols = [[] for _ in names]
-                name_cols = list(zip(names, cols))
-                n_in_batch = 0
-        if n_in_batch:
-            yield flush(cols)
+        yield from native_arrow_batches(
+            self.schema_, partition.path, partition.start_byte,
+            partition.end_byte, self.climit,
+        )
 
     def _batches_tshark(self, partition: PcapPartition, names, dtypes):
         """Columnar tshark-path emission: TSV cells cast straight into

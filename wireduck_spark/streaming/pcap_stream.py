@@ -2,12 +2,29 @@
 Streaming source (SURVEY.md §7.6 — live capture is absent in the
 reference; its README lists it as roadmap).
 
-`PcapStreamDataSource` implements SimpleDataSourceStreamReader: the
-offset is the sorted list of fully-processed files; each micro-batch
-dissects the files that appeared since the last offset with the same
-native dissector the batch source uses. Rotating-capture directories
-(tcpdump -G style) land files continuously; this reader turns them into
-an unbounded packet DataFrame for watermarked window queries.
+`PcapStreamDataSource` implements the PARTITIONED `DataSourceStreamReader`
+(round-2 VERDICT #3: the previous `SimpleDataSourceStreamReader`
+materialized every new file's packets into a driver-side Python list —
+fine for rotating tcpdump files, a scale-killer when a 10 GB capture
+lands):
+
+- The offset is `{file -> size_at_listing}` for every file ever matched.
+  `latestOffset()` only globs the directory (driver cost: one listing);
+  no capture bytes are read on the driver.
+- `partitions(start, end)` turns each newly-appeared file into one input
+  partition — or MANY byte-range partitions for large captures, reusing
+  the batch source's split plan — so dissection runs on EXECUTORS with
+  the same columnar Arrow emission as the batch reader.
+- Sizes are frozen into the offset, so a micro-batch replayed after a
+  failure re-reads exactly the same byte ranges even if a capture file
+  grew in between (the reason `byte_range_partitions` takes `size=`).
+
+Rotation contract: a file is consumed once, at the size it had when first
+listed — intended for rotate-on-close directories (tcpdump -G style),
+where files are complete when they appear. Bytes appended to an
+already-consumed file are not re-read (same rule as Spark's own
+FileStreamSource). The offset grows by one entry per file ever seen, the
+same bookkeeping FileStreamSource keeps in its seen-files log.
 """
 
 from __future__ import annotations
@@ -15,16 +32,31 @@ from __future__ import annotations
 import glob as globmod
 import json
 import os
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
-    SimpleDataSourceStreamReader,
+    DataSourceStreamReader,
+    InputPartition,
 )
 from pyspark.sql.types import StructField, StructType
 
-from wireduck_spark.sources import native
 from wireduck_spark.sources.glossary import fetch_selected_fields
+from wireduck_spark.sources.native import byte_range_partitions
+from wireduck_spark.sources.pcap import (
+    MIN_SPLITS,
+    SPLIT_THRESHOLD_BYTES,
+    TARGET_SPLIT_BYTES,
+    native_arrow_batches,
+)
 from wireduck_spark.sources.typemap import map_ft_type
+
+
+@dataclass
+class PcapStreamPartition(InputPartition):
+    path: str
+    start_byte: int
+    end_byte: int
 
 
 class PcapStreamDataSource(DataSource):
@@ -47,48 +79,59 @@ class PcapStreamDataSource(DataSource):
             ]
         )
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType) -> "PcapStreamReader":
         return PcapStreamReader(schema, dict(self.options))
 
 
-class PcapStreamReader(SimpleDataSourceStreamReader):
+class PcapStreamReader(DataSourceStreamReader):
+    """Partitioned stream reader: driver lists files, executors dissect."""
+
     def __init__(self, schema: StructType, options: dict):
         self.schema_ = schema
         self.pattern = options.get("path", "")
+        self._latest: dict[str, int] = {}
+
+    # -- Offsets (driver-side, listing only) --------------------------------
 
     def initialOffset(self) -> dict:
-        return {"files": json.dumps([])}
+        return {"files": json.dumps({})}
 
-    def _list_files(self) -> list[str]:
-        return sorted(p for p in globmod.glob(self.pattern) if os.path.isfile(p))
+    def latestOffset(self) -> dict:
+        seen = dict(self._latest)
+        for p in globmod.glob(self.pattern):
+            if p not in seen and os.path.isfile(p):
+                seen[p] = os.path.getsize(p)
+        self._latest = seen
+        return {"files": json.dumps(seen, sort_keys=True)}
 
-    def read(self, start: dict):
-        done = set(json.loads(start.get("files", "[]")))
-        current = self._list_files()
-        new_files = [p for p in current if p not in done]
-        end = {"files": json.dumps(sorted(done | set(new_files)))}
-        names = [f.name for f in self.schema_.fields]
+    # -- Planning ------------------------------------------------------------
 
-        # Spark's SimpleStreamReader prefetch cache needs BOTH iterator
-        # semantics (add_result_to_cache calls next(it)) AND copyability
-        # (getCache copy.copy()s it for replay) — a generator fails copy,
-        # a plain list fails next(). A list_iterator satisfies both.
-        rows = [
-            tuple(fields.get(n) for n in names)
-            for path in new_files
-            for fields in native.iter_packets(path)
-        ]
-        return iter(rows), end
+    def partitions(self, start: dict, end: dict) -> list[PcapStreamPartition]:
+        done = json.loads(start.get("files", "{}"))
+        upto = json.loads(end.get("files", "{}"))
+        parts: list[PcapStreamPartition] = []
+        for path in sorted(set(upto) - set(done)):
+            size = upto[path]
+            if size > SPLIT_THRESHOLD_BYTES:
+                n_splits = max(
+                    MIN_SPLITS,
+                    (size + TARGET_SPLIT_BYTES - 1) // TARGET_SPLIT_BYTES,
+                )
+                for s, e in byte_range_partitions(path, n_splits, size=size):
+                    parts.append(PcapStreamPartition(path, s, e))
+            else:
+                parts.append(PcapStreamPartition(path, 0, size))
+        return parts
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        done = set(json.loads(start.get("files", "[]")))
-        upto = set(json.loads(end.get("files", "[]")))
-        names = [f.name for f in self.schema_.fields]
-        for path in sorted(upto - done):
-            if not os.path.isfile(path):
-                continue
-            for fields in native.iter_packets(path):
-                yield tuple(fields.get(n) for n in names)
+    # -- Execution (executor-side) ------------------------------------------
+
+    def read(self, partition: PcapStreamPartition):
+        yield from native_arrow_batches(
+            self.schema_,
+            partition.path,
+            partition.start_byte,
+            partition.end_byte,
+        )
 
     def commit(self, end: dict) -> None:
         pass
