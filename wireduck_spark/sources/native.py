@@ -25,6 +25,8 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta
 from functools import lru_cache
 
+from wireduck_spark.sources.fs import filesystem_for
+
 _EPOCH0 = datetime(1970, 1, 1)  # naive UTC epoch (exact us arithmetic)
 
 MAGIC_US_LE = 0xA1B2C3D4
@@ -84,7 +86,7 @@ def byte_range_partitions(
     the streaming source records size-at-listing in its offset so a batch
     replays identically even if the capture grew since."""
     if size is None:
-        size = os.path.getsize(path)
+        size = filesystem_for(path).size(path)
     payload = size - GLOBAL_HEADER_LEN
     if payload <= 0:
         return [(GLOBAL_HEADER_LEN, size)]
@@ -577,7 +579,7 @@ PCAPNG_MAGIC = b"\x0a\x0d\x0d\x0a"  # SHB block type, endian-invariant
 
 
 def is_pcapng(path: str) -> bool:
-    with open(path, "rb") as fh:
+    with filesystem_for(path).open(path) as fh:
         return fh.read(4) == PCAPNG_MAGIC
 
 
@@ -837,9 +839,14 @@ def iter_packets(
     raw_ts=True emits frame.time_epoch as epoch MICROSECONDS (int) instead
     of a datetime — the Arrow emission fast path (pyarrow builds the
     timestamp column straight from int64s, no per-packet datetime object).
+
+    All IO goes through the `fs` seam, so `path` may be local, memory://
+    (tests), or any fsspec/pyarrow scheme (s3://, hdfs://, ...) — the
+    byte-range split contract is identical on all of them.
     """
-    size = os.path.getsize(path)
-    with open(path, "rb") as fh:
+    fs = filesystem_for(path)
+    size = fs.size(path)
+    with fs.open(path) as fh:
         if fh.read(4) == PCAPNG_MAGIC:
             fh.seek(0)
             records = _iter_pcapng_records(fh, size, start_byte, end_byte)

@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructField, StructType
 
 from wireduck_spark.sources import native
+from wireduck_spark.sources.fs import filesystem_for, path_scheme
 from wireduck_spark.sources.glossary import fetch_selected_fields, load_fields
 from wireduck_spark.sources.tshark import TsharkRunner, build_argv, parse_tsv_line
 from wireduck_spark.sources.typemap import cast_cell, map_ft_type
@@ -253,9 +254,15 @@ class PcapReader(DataSourceReader):
         # still matches itself. Empty matches error at partitions() time.
         pattern = str(options.get("path", ""))
         self.path_pattern = pattern
-        self.paths = sorted(globmod.glob(pattern))
-        if not self.paths and os.path.exists(pattern):
-            self.paths = [pattern]
+        if path_scheme(pattern) not in ("", "file"):
+            # remote/memory scheme: no local glob — one literal path per
+            # load() (remote listing is the catalog's job at scale)
+            fs = filesystem_for(pattern)
+            self.paths = [pattern] if fs.exists(pattern) else []
+        else:
+            self.paths = sorted(globmod.glob(pattern))
+            if not self.paths and os.path.exists(pattern):
+                self.paths = [pattern]
         self.climit = (
             int(options["climit"]) if options.get("climit") is not None else None
         )
@@ -307,19 +314,20 @@ class PcapReader(DataSourceReader):
             )
         parts: list[PcapPartition] = []
         for path in self.paths:
+            fs = filesystem_for(path)
             if (
                 self.engine == "native"
                 and self.climit is None
-                and os.path.exists(path)
-                and os.path.getsize(path) > self.split_threshold
+                and fs.exists(path)
+                and fs.size(path) > self.split_threshold
             ):
-                size = os.path.getsize(path)
+                size = fs.size(path)
                 n_splits = max(
                     MIN_SPLITS,
                     (size + TARGET_SPLIT_BYTES - 1) // TARGET_SPLIT_BYTES,
                 )
                 for start, end in native.byte_range_partitions(
-                    path, n_splits
+                    path, n_splits, size=size
                 ):
                     parts.append(PcapPartition(path, start, end))
             else:
