@@ -1,7 +1,13 @@
 """Driver-contract smoke: entry(), queries()/oracle_sql() gate shape."""
 
 import __spark_entry__ as contract
-from wireduck_spark.registry import GATE, QUERIES, ROTATED_OUT, load_all_queries
+from wireduck_spark.registry import (
+    GATE,
+    PENDING_GATE,
+    QUERIES,
+    ROTATED_OUT,
+    load_all_queries,
+)
 
 load_all_queries()
 
@@ -26,15 +32,17 @@ def test_registry_shape():
 
 
 def test_gate_partition():
-    """Every registered query is deliberately placed: either it consumes a
-    driver-gate slot (GATE) or it was rotated out after a green driver row
-    (ROTATED_OUT). A new query that lands in neither fails here, so it can't
-    silently displace gate coverage the way rounds 1-2 did."""
-    gate, rotated = set(GATE), set(ROTATED_OUT)
-    assert not gate & rotated, f"names in both: {sorted(gate & rotated)}"
-    missing = set(QUERIES) - gate - rotated
+    """Every registered query is deliberately placed: it consumes a driver
+    gate slot (GATE), was rotated out after a green driver row (ROTATED_OUT),
+    or is queued for the next rotation (PENDING_GATE). A new query that lands
+    in none of the three fails here, so it can't silently displace gate
+    coverage the way rounds 1-2 did."""
+    gate, rotated, pending = set(GATE), set(ROTATED_OUT), set(PENDING_GATE)
+    for a, b in ((gate, rotated), (gate, pending), (rotated, pending)):
+        assert not a & b, f"names in two buckets: {sorted(a & b)}"
+    missing = set(QUERIES) - gate - rotated - pending
     assert not missing, f"unplaced queries: {sorted(missing)}"
-    stale = (gate | rotated) - set(QUERIES)
+    stale = (gate | rotated | pending) - set(QUERIES)
     assert not stale, f"gate lists unknown queries: {sorted(stale)}"
 
 

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "wireduck_spark.operators.relational",
     "wireduck_spark.operators.advanced",
     "wireduck_spark.operators.tpch",
+    "wireduck_spark.operators.tpch2",
     "wireduck_spark.operators.sketches",
     "wireduck_spark.operators.scalars",
     "wireduck_spark.operators.timeseries",
@@ -213,6 +214,28 @@ ROTATED_OUT: tuple[str, ...] = (
     "pcap_tls_sni",
     "pipeline_corpus_clean",
     "pivot_segments",
+)
+
+
+PENDING_GATE: tuple[str, ...] = (
+    # Round-3 additions: no driver slot free this round (the 50 GATE slots
+    # are spent clearing the 45-query round-1/2 blind spot). Verified by
+    # tools/check_oracle.py + tests/test_all_queries_green.py now; first in
+    # line for GATE slots in round 4, when this round's newly-green rows
+    # rotate out.
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 )
 
 
