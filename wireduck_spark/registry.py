@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "wireduck_spark.functions.similarity",
     "wireduck_spark.functions.multimodal",
     "wireduck_spark.functions.grouped",
+    "wireduck_spark.functions.curation",
     "wireduck_spark.sources.pcap_queries",
 )
 
@@ -236,6 +237,10 @@ PENDING_GATE: tuple[str, ...] = (
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "dedup_semantic_kmeans",
+    "text_contamination_ngram",
+    "text_quality_repetition",
+    "sampling_stratified_source",
 )
 
 
