@@ -595,19 +595,27 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     in the fixtures).
 
     Scale: the EXISTS / NOT EXISTS pair is algebraized into ONE
-    per-order aggregate — n_supp = countDistinct(suppkey), n_rsupp =
-    countDistinct(suppkey where returned) — so lineitem is scanned twice
-    total (probe side + aggregate) instead of three times, and both
-    correlations become a single broadcast-joined lookup keyed on
-    orderkey. EXISTS(other supplier) <=> n_supp >= 2; NOT EXISTS(other
-    returned supplier) given l1 returned <=> n_rsupp = 1.
+    per-order aggregate — n_supp = distinct suppliers, n_rsupp =
+    distinct suppliers with a returned line — so lineitem is scanned
+    twice total (probe side + aggregate) instead of three times, and
+    both correlations become a single joined lookup keyed on orderkey.
+    EXISTS(other supplier) <=> n_supp >= 2; NOT EXISTS(other returned
+    supplier) given l1 returned <=> n_rsupp = 1. The distinct counts are
+    computed as a two-level aggregate (orderkey,suppkey) -> orderkey
+    rather than countDistinct, avoiding the Expand duplication
+    countDistinct plans (one shuffle per level, both map-combinable).
     """
     li = table(spark, sf, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_rsupp"),
+    per_order = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+        )
+        .groupBy(F.col("l_orderkey").alias("agg_okey"))
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("has_r").alias("n_rsupp"),
+        )
     )
     n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
     s = table(spark, sf, "supplier").join(
