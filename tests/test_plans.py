@@ -177,3 +177,14 @@ def test_semantic_kmeans_windows_are_partitioned(spark, sf_dir):
     assert win_args, "expected argmin Window operators"
     for ln in win_args:
         assert "], [], [" not in ln.replace(" ", ""), f"global window: {ln}"
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    """io_partitioned_pruning's re-read must carry the partition filter
+    at the scan (PartitionFilters), so only the matching directory is
+    listed - the difference between a directory lookup and a full scan
+    at 100 TB."""
+    plan = plan_of(spark, "io_partitioned_pruning", sf_dir)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf, "expected a partitioned scan"
+    assert any("o_orderstatus" in ln for ln in pf), pf

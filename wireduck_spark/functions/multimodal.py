@@ -262,3 +262,70 @@ def mm_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
         resize_images, schema="asset_id bigint, resized_hex string,"
         " resized_len bigint"
     )
+
+
+@query(
+    "mm_asset_dedup",
+    oracle="""
+    SELECT modality,
+           COUNT(*) AS n_assets,
+           CAST(COUNT(DISTINCT content_hex) AS BIGINT) AS n_unique_blobs,
+           CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+           CAST(SUM(byte_len)
+                - SUM(CASE WHEN rn = 1 THEN byte_len ELSE 0 END)
+                AS BIGINT) AS dedup_savings_bytes
+    FROM (
+      SELECT modality, content_hex, byte_len,
+             row_number() OVER (PARTITION BY modality, content_hex
+                                ORDER BY asset_id) AS rn
+      FROM (
+        SELECT doc_id AS asset_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image'
+                               WHEN 1 THEN 'audio'
+                               ELSE 'video' END AS modality,
+               md5(text) AS content_hex,
+               CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS byte_len
+        FROM documents)
+    )
+    GROUP BY modality
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_asset_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-addressed dedup of binary assets: group blobs by content
+    hash within each modality and count the storage a keep-one policy
+    reclaims (the de-facto first pass over any crawled media corpus —
+    identical bytes under different URLs/ids).
+
+    Scale: the shuffle key is the 16-byte content hash, never the blob —
+    the same never-move-the-payload rule as dedup_exact; per-modality
+    uniques and savings come from one window + one aggregate over hash
+    groups. At 100 TB the hash is computed at ingest and stored as a
+    column, so this query never reads content at all (column pruning).
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    content = F.to_binary(F.md5("text"), F.lit("hex"))
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.md5("text").alias("content_hex"),
+        F.length(content).cast("bigint").alias("byte_len"),
+    )
+    w = Window.partitionBy("modality", "content_hex").orderBy("asset_id")
+    ranked = assets.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("modality").agg(
+        F.count("*").alias("n_assets"),
+        F.countDistinct("content_hex").alias("n_unique_blobs"),
+        F.sum("byte_len").alias("total_bytes"),
+        (
+            F.sum("byte_len")
+            - F.sum(F.when(F.col("rn") == 1, F.col("byte_len")).otherwise(0))
+        ).alias("dedup_savings_bytes"),
+    )

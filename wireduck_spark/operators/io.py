@@ -126,3 +126,40 @@ def io_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema("event_id BIGINT, event_type STRING, k BIGINT").json(
         path
     )
+
+
+@query(
+    "io_partitioned_pruning",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("io", "sink", "partitioning"),
+)
+def io_partitioned_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-layout partitioned write + partition-pruned read: orders are
+    written `partitionBy(o_orderstatus)`, then re-read with a filter on
+    the partition column, so the scan touches only the o_orderstatus=F
+    directory (PartitionFilters in the plan — pinned by
+    tests/test_plans.py::test_partitioned_write_prunes_directories).
+
+    Scale: THE layout primitive at 100 TB — a date/status-partitioned
+    corpus turns full scans into directory lookups, and the partition
+    column costs zero bytes in the files. The aggregate after the pruned
+    read is map-side combinable onto 5 priority groups.
+    """
+    path = _scratch(sf, "orders_by_status")
+    o = table(spark, sf, "orders")
+    (
+        o.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    rr = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return rr.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+    )

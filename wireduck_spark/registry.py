@@ -241,6 +241,8 @@ PENDING_GATE: tuple[str, ...] = (
     "text_contamination_ngram",
     "text_quality_repetition",
     "sampling_stratified_source",
+    "io_partitioned_pruning",
+    "mm_asset_dedup",
 )
 
 
