@@ -388,3 +388,24 @@ def test_pcap_stream_offsets_freeze_file_size(tmp_path):
     assert replay == frozen
     assert sum(b.num_rows for pt in replay
                for b in reader.read(pt)) == 4  # not 8
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_dir):
+    """Streaming session windows (10-min gap, watermarked) over the full
+    finite stream == the oracle-checked batch tw_session per
+    (user, session_start): the state store must merge partial sessions
+    across micro-batches into exactly the batch sessions."""
+    from wireduck_spark.streaming.windows import session_counts
+
+    stream = read_events_stream(spark, events_dir)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in run_to_completion(
+            session_counts(stream), "t_session_stream"
+        ).collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in QUERIES["tw_session"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
