@@ -436,3 +436,25 @@ def test_pcapng_resync_scans_past_filler_run(tmp_path):
     a = [p["udp.srcport"] for p in iter_packets(str(png), 0, mid)]
     b = [p["udp.srcport"] for p in iter_packets(str(png), mid, size)]
     assert a == [7000] and b == [7001]
+
+
+def test_udp_stream_is_partition_invariant(tmp_path):
+    """udp.stream mirrors tcp.stream: a content-derived id identical for
+    both directions of a 4-tuple conversation and stable across byte-
+    range splits (fix.pcap is TCP-only, so a synthetic 2-conversation
+    UDP capture is used)."""
+    from wireduck_spark.sources.native import iter_packets
+    from wireduck_spark.sources.synth import udp_frame, write_pcap
+
+    cap = str(tmp_path / "udp_streams.pcap")
+    write_pcap(cap, [
+        (1.0, udp_frame("10.0.0.1", "10.0.0.2", 1111, 2222, b"q1")),
+        (1.1, udp_frame("10.0.0.2", "10.0.0.1", 2222, 1111, b"r1")),
+        (1.2, udp_frame("10.0.0.3", "10.0.0.4", 3333, 4444, b"q2")),
+    ])
+    pkts = [p for p in iter_packets(cap) if "udp.srcport" in p]
+    assert len(pkts) == 3
+    assert all("udp.stream" in p for p in pkts)
+    # both directions of conversation 1 share one id; conversation 2 differs
+    assert pkts[0]["udp.stream"] == pkts[1]["udp.stream"]
+    assert pkts[2]["udp.stream"] != pkts[0]["udp.stream"]

@@ -459,3 +459,92 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT NULLIF(o_orderpriority, '5-LOW') AS k,
+                      COUNT(*) AS n_a
+               FROM orders GROUP BY 1),
+         b AS (SELECT NULLIF(o_orderpriority, '1-URGENT') AS k,
+                      COUNT(*) AS n_b
+               FROM orders GROUP BY 1)
+    SELECT a.k AS key, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    tags=("join", "nulls"),
+)
+def join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics ETL needs when
+    joining on nullable dimension keys. Each side NULLs out a different
+    priority class, so exactly one NULL<=>NULL row must survive.
+
+    Scale: Spark plans eqNullSafe as a regular hash join on the
+    null-wrapped key (NULL hashes to a single bucket) — same shuffle as
+    an equi-join; beware only of NULL-skew, the salting pattern from
+    agg_skew_salted_distinct applies unchanged.
+    """
+    o = table(spark, sf, "orders")
+    a = (
+        o.select(F.expr("nullif(o_orderpriority, '5-LOW')").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        o.select(F.expr("nullif(o_orderpriority, '1-URGENT')").alias("kb"))
+        .groupBy("kb")
+        .agg(F.count("*").alias("n_b"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.kb))
+        .select(F.col("k").alias("key"), "n_a", "n_b")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY COUNT(*) DESC, o.o_orderpriority)
+               AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_orderpriority
+    ) WHERE rn = 1
+    """,
+    tags=("agg", "window"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic MODE: the most frequent order priority per market
+    segment, ties broken lexicographically — engines disagree on bare
+    mode()'s tie-break (and Spark's is non-deterministic), so the
+    portable form is count + rank with an explicit total order.
+
+    Scale: the count aggregate shrinks the data to (segment, priority)
+    cardinality BEFORE the window; the rn=1 filter then plans as
+    WindowGroupLimit over ~25 rows. Never window the raw fact table for
+    a mode.
+    """
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    cnt = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

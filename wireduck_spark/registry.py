@@ -243,6 +243,8 @@ PENDING_GATE: tuple[str, ...] = (
     "sampling_stratified_source",
     "io_partitioned_pruning",
     "mm_asset_dedup",
+    "join_null_safe",
+    "agg_mode_deterministic",
 )
 
 

@@ -113,6 +113,7 @@ BUILTIN_FIELDS = [
     _F("Source Port", "tcp.srcport", "FT_UINT16", "tcp"),
     _F("Destination Port", "tcp.dstport", "FT_UINT16", "tcp"),
     _F("Stream index", "tcp.stream", "FT_UINT32", "tcp"),
+    _F("Stream index", "udp.stream", "FT_UINT32", "udp"),
     _F("Sequence Number", "tcp.seq", "FT_UINT32", "tcp"),
     _F("Acknowledgment Number", "tcp.ack", "FT_UINT32", "tcp"),
     _F("Header Length", "tcp.hdr_len", "FT_UINT8", "tcp"),

@@ -877,5 +877,11 @@ def iter_packets(
                 fields["tcp.stream"] = stream_id(
                     src, fields["tcp.srcport"], dst, fields["tcp.dstport"]
                 )
+            elif "udp.srcport" in fields:
+                src = fields.get("ip.src") or fields.get("ipv6.src")
+                dst = fields.get("ip.dst") or fields.get("ipv6.dst")
+                fields["udp.stream"] = stream_id(
+                    src, fields["udp.srcport"], dst, fields["udp.dstport"]
+                )
             yield fields
             frame_no += 1
