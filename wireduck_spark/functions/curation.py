@@ -171,7 +171,7 @@ def dedup_semantic_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     oracle-checked but not a scale-bench headline (dedup_minhash_lsh is
     the bounded-candidate dedup benchmark).
     """
-    emb = table(spark, sf, "embeddings")
+    emb = table(spark, sf, "embeddings", spread=True)
     aug = emb.select("vec_id", "embedding").unionAll(
         emb.filter(F.col("vec_id") % 50 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
@@ -336,7 +336,7 @@ def text_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
     # lambda drops out of whole-stage codegen into interpreted eval
     # (measured 2.4 s vs 1.0 s for the split form at sf0.1).
     d = (
-        table(spark, sf, "documents")
+        table(spark, sf, "documents", spread=True)
         .select("doc_id", "source", toks.alias("toks"),
                 bucket.alias("bucket"))
         .withColumn(
@@ -446,7 +446,7 @@ def text_quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
     )
-    d = table(spark, sf, "documents").select(
+    d = table(spark, sf, "documents", spread=True).select(
         "doc_id", "source", toks.alias("t")
     )
     wstats = (
@@ -529,7 +529,7 @@ def sampling_stratified_source(spark: SparkSession, sf: str) -> DataFrame:
     The rate table here is a formula on the source name; in production
     it's a broadcast-joined config dimension — same plan.
     """
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     rate = 10 + 4 * (F.substring("source", 4, 10).cast("long") % 10)
     h = (
         F.expr(

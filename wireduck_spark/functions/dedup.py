@@ -108,7 +108,7 @@ def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     Scale: a single hash-groupBy on md5(text) — the canonical exact-dedup
     plan at any scale (the hash shuffles instead of the full text).
     """
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     return (
         d.groupBy(F.md5("text").alias("text_hash"))
         .agg(
@@ -148,7 +148,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     Scale: this is the *verifier*; unblocked exact Jaccard is quadratic and
     intentionally not offered — dedup_minhash_lsh is the 100-TB path.
     """
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     sh = _spark_shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -251,7 +251,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     shuffle volume is O(docs), never O(docs^2). The estimate join touches
     only candidate pairs.
     """
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     # Zero-shuffle signatures: shingle -> hash -> 8 mins entirely with
     # array higher-order functions inside one narrow map stage. The
     # explode + groupBy("doc_id") formulation computes the same mins but
@@ -367,7 +367,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     (bit_count(xor) — see tests), compared via O(docs) bucketing on the
     fingerprint at scale.
     """
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     tokens = d.select(
         "doc_id",
         F.explode(
@@ -439,7 +439,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     rounding. Label blocking stands in for the IVF/LSH bucketing that
     bounds the pair space at 100 TB (see functions/similarity.py).
     """
-    emb = table(spark, sf, "embeddings")
+    emb = table(spark, sf, "embeddings", spread=True)
     a = emb.alias("a")
     b = emb.alias("b")
     dot = F.aggregate(

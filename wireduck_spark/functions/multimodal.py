@@ -92,7 +92,7 @@ def fake_decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def documents_as_assets(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic binary asset table derived from documents (md5 bytes
     as fake image content)."""
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     return d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("modality"),
@@ -122,7 +122,7 @@ def mm_binary_metadata(spark: SparkSession, sf: str) -> DataFrame:
     derived/selected without decoding (the scan never materializes content
     for metadata-only queries — column pruning keeps the binary out of the
     read schema at scale)."""
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     content = F.to_binary(F.md5("text"), F.lit("hex"))
     return d.select(
         F.col("doc_id").alias("asset_id"),
@@ -305,7 +305,7 @@ def mm_asset_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     modality = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

@@ -79,7 +79,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     per partition). This is the exact-recall baseline the ANN variant is
     measured against.
     """
-    emb = table(spark, sf, "embeddings")
+    emb = table(spark, sf, "embeddings", spread=True)
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -137,7 +137,7 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     fraction of the corpus — the same plan shape IVF gives you in a vector
     DB. Recall vs. the exact baseline is measured in tests.
     """
-    emb = table(spark, sf, "embeddings")
+    emb = table(spark, sf, "embeddings", spread=True)
     probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("probe_label"),
@@ -297,7 +297,7 @@ def sim_ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # once per branch. The signature table is the natural materialization
     # point, same as minhash signatures in functions/dedup.py.
     emb = (
-        table(spark, sf, "embeddings")
+        table(spark, sf, "embeddings", spread=True)
         .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
         .cache()
     )

@@ -44,7 +44,7 @@ _LANG_PATTERNS = {
 def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace-word and BPE-ish (letters-run | digit | symbol) token
     counts per document."""
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), 0))
@@ -82,7 +82,7 @@ def text_token_count(spark: SparkSession, sf: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     """Quality signals: length, punctuation ratio, stopword ratio, average
     word length — the standard cheap pre-filters for LLM corpus cleaning."""
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     n_words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), 0))
     return d.select(
         "doc_id",
@@ -136,7 +136,7 @@ def _langid_scores_sql() -> str:
 def text_langid(spark: SparkSession, sf: str) -> DataFrame:
     """N-gram/stopword language-ID heuristic: score each language by
     stopword hits, argmax with a fixed priority tiebreak (en>de>fr>es)."""
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     scored = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -188,7 +188,7 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     polynomial rolling hash (mod 1e9+7), computed as an identical
     left-fold over character codes in Spark (aggregate) and DuckDB
     (list_reduce)."""
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     norm = F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 ]", ""))
     return d.select(
         "doc_id",
@@ -232,7 +232,7 @@ def sampling_stable_split(spark: SparkSession, sf: str) -> DataFrame:
     corpora). Uses the repo's portable 60-bit md5 prefix (functions/dedup
     docstring) so the oracle agrees bucket-for-bucket.
     """
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     bucket = (
         F.expr(
             "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
@@ -286,7 +286,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
     inventory agg is map-combinable) — the shape of a real preprocessing
     job, not an operator demo.
     """
-    d = table(spark, sf, "documents")
+    d = table(spark, sf, "documents", spread=True)
     n_words = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), 0)
     )

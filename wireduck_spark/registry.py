@@ -254,7 +254,8 @@ def gate_queries() -> dict[str, QuerySpec]:
     return {name: QUERIES[name] for name in sorted(GATE)}
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(spark: SparkSession, sf_dir: str, name: str,
+          spread: bool = False) -> DataFrame:
     """Load one driver-provided parquet table.
 
     Pins the session timezone to UTC so timestamp rendering matches the
@@ -264,6 +265,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (PARQUET_TYPE_ILLEGAL): read it via the nanosAsLong legacy conf and
     rebuild a microsecond TimestampType column (integer `div` — no double
     round-trip, nanos exceed double's 53-bit mantissa).
+
+    ``spread=True`` routes the scan through :func:`spread_small_scan` —
+    use it on tables that feed CPU-heavy *narrow* stages (shingling,
+    per-gram hashing, embedding folds, mapInPandas), where a one-file
+    scan would otherwise pin the whole stage to a single core.
     """
     from pyspark.sql import functions as F
 
@@ -276,6 +282,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        df = spread_small_scan(df)
+    return df
+
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition an under-parallelized scan up to default parallelism.
+
+    Small single-file parquet inputs plan as ONE input split, which pins
+    every narrow (no-shuffle) stage above them to a single core — measured
+    8-9 s single-core vs <1 s spread for the 8-gram contamination pipeline
+    at sf0.1. At real scale (100 TB => thousands of splits) the partition
+    count already exceeds parallelism and this is a no-op; the check is on
+    the *planned* scan partitions, so no data is read to decide.
+
+    The round-robin shuffle this inserts moves only the small table itself
+    (the whole point is that the table is small while the per-row compute
+    above it is not); Spark's round-robin repartition is retry-deterministic
+    (local sort before hashing), so failure replays cannot reorder results.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
