@@ -16,27 +16,35 @@ from pyspark.sql import functions as F
 
 from wireduck_spark.registry import cents
 
-# ts is TIMESTAMP(NANOS) in the driver parquet — read as raw int64 nanos
-# and rebuild microsecond timestamps (same handling as registry.table()).
-EVENTS_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
-    " value DOUBLE, props STRING"
-)
-
-
 def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     """File-based event stream: each parquet file dropped into `directory`
     becomes (at most) one micro-batch. At scale this is the standard
     landing-zone pattern (object-store prefix + file notification); the
-    query code is identical for Kafka — only this reader changes."""
+    query code is identical for Kafka — only this reader changes.
+
+    `ts` handling mirrors registry.table(): a batch peek at the directory
+    decides whether the files store TIMESTAMP (read as-is) or legacy
+    TIMESTAMP(NANOS) int64 (read as BIGINT via nanosAsLong, rebuilt to
+    microsecond timestamps). readStream needs an explicit schema, so the
+    peek also supplies it — one driver-side footer read, no data scan."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    batch_schema = spark.read.parquet(directory).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(directory)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in batch_schema).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (ltz); session tz is pinned UTC, so
+        # the cast is instant-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
