@@ -7,7 +7,10 @@ local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
 
 Timing = full query execution to collected results (plan + execute +
 transfer), after a one-query session warmup so JVM/codegen startup isn't
-attributed to the first query.
+attributed to the first query. Each query is timed twice and the MIN is
+reported (best-of-2): single-shot numbers on a shared box mix ambient
+load and first-touch JIT into whichever query runs first, and the
+steady-state time is the one that predicts cluster throughput.
 """
 
 from __future__ import annotations
@@ -53,11 +56,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in bench_set.items():
-        t0 = time.perf_counter()
-        n_rows = len(spec.fn(spark, sf_dir).collect())
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s ({n_rows} rows)", file=sys.stderr)
+        best, n_rows = None, 0
+        for _ in range(2):
+            # A query's internal .cache() must not let run 2 skip the work
+            # run 1 did — each timed run executes from the parquet up.
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_rows = len(spec.fn(spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {best:.3f}s ({n_rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
