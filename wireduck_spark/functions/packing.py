@@ -1,0 +1,154 @@
+"""Training-mix layout operators: sequence packing and deterministic
+global shuffle/sharding.
+
+These cover the last pre-training data-prep step after cleaning and
+dedup (SURVEY.md "beyond the reference" mandate): turning a curated
+document set into (a) fixed token-budget training sequences and (b) a
+reproducible shard layout for the data loader. Both are pure Catalyst
+plans — windows partitioned by bounded keys, no Python, no global
+un-partitioned window (the plan-audit rule from round 2's
+window_percent_cume finding).
+
+Cross-engine determinism: token counts are exact regexp-match counts
+(same convention as functions/text.py), hashes are the portable 60-bit
+md5 prefix (functions/dedup.py docstring), and all arithmetic is
+integer — so Spark partial aggregation and DuckDB single-node execution
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import query, table
+
+_WORD_RE = r"[A-Za-z0-9]+"
+
+# Portable 60-bit md5 prefix (functions/dedup.py docstring).
+_SPARK_H60 = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+_N_SHARDS = 16
+
+
+@query(
+    "seq_pack_greedy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text, '{_WORD_RE}')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS start_offset
+      FROM toks
+    )
+    SELECT source,
+           start_offset // {_PACK_BUDGET} AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY source, start_offset // {_PACK_BUDGET}
+    ORDER BY source, seq_id
+    """,
+    tags=("packing", "llm-pipeline"),
+)
+def seq_pack_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    """Pack documents into fixed {budget}-token training sequences.
+
+    GPT-style pretraining concatenates documents per domain in a
+    deterministic order and slices the token stream into fixed-length
+    sequences; a document belongs to the sequence where its first token
+    lands (seq_id = exclusive-running-token-offset // budget). That
+    running sum is a window PARTITIONED BY source — never a global
+    un-partitioned window — so each domain's stream packs independently
+    and in parallel. At 100 TB the per-source window shuffles once on
+    (source) and the per-partition running sum is a single streaming
+    pass; for a pathological single-source corpus, pre-split sources
+    into salted sub-sources upstream (the per-source layout is already
+    how training mixes are built).
+
+    Reference has no packing operator; this extends the pipeline surface
+    (SURVEY.md §2c).
+    """
+    toks = table(spark, sf, "documents", spread=True).select(
+        "source",
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_WORD_RE), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = toks.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("seq_id", F.expr(f"start_offset div {_PACK_BUDGET}"))
+    return (
+        placed.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+@query(
+    "shuffle_deterministic_shards",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             {_DUCK_H60.format(s="'shuf:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           h % {_N_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id)
+             AS BIGINT) AS pos
+    FROM hashed
+    ORDER BY shard, pos
+    """,
+    tags=("packing", "llm-pipeline"),
+)
+def shuffle_deterministic_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible global shuffle: md5-bucket docs into {n} shards with
+    a stable within-shard order.
+
+    Training runs need the SAME shuffle every restart (resume mid-epoch,
+    reproduce a loss spike) — rand() cannot provide that across engines
+    or retries, a content/key hash can (same argument as
+    sampling_stable_split). shard = h60(doc_id) % n is a plain hash
+    shuffle; pos = row_number within shard ordered by (h, doc_id) — a
+    window PARTITIONED BY shard, so state per task is one counter and
+    the sort is per-shard, never global. At 100 TB: one shuffle on
+    shard, n ~ O(thousands) balanced partitions (md5 is uniform), each
+    shard written as one data-loader file.
+    """
+    hashed = table(spark, sf, "documents", spread=True).select(
+        "doc_id",
+        F.expr(
+            _SPARK_H60.format(s="concat('shuf:', CAST(doc_id AS STRING))")
+        ).alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("shard", F.expr(f"h % {_N_SHARDS}"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

@@ -309,3 +309,125 @@ def pipeline_corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("n_words").cast("bigint")).alias("total_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing and corpus heavy hitters (round 3)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[A-Za-z0-9./_-]+"
+
+# The synthetic docs contain no PII, so both engines first inject
+# deterministic email/URL spans keyed on doc_id — the scrub then has
+# real positives to find, and a silently broken regex can't pass.
+_INJECT_SQL = (
+    "text || CASE"
+    " WHEN doc_id % 7 = 0 THEN ' contact a' || CAST(doc_id AS {str_t})"
+    " || '@mail-' || CAST(doc_id AS {str_t}) || '.example.com now'"
+    " WHEN doc_id % 11 = 3 THEN ' see https://host-'"
+    " || CAST(doc_id AS {str_t}) || '.example/path/x_1 ok'"
+    " ELSE '' END"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             {_INJECT_SQL.format(str_t="VARCHAR")} AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_URL_RE}')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_URL_RE}', '<URL>', 'g')) AS clean_fp
+    FROM aug
+    ORDER BY doc_id
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Detect and redact email/URL spans (the minimal PII scrub every
+    crawl pipeline runs before training).
+
+    Pure JVM regexps — narrow map stage, no shuffle, scales linearly.
+    Cross-engine regex care: the patterns use only syntax shared by
+    java.util.regex (Spark) and RE2 (DuckDB) — char classes, {2,}
+    bounds, no backslash-classes like \\S whose semantics differ; DuckDB
+    regexp_replace needs the explicit 'g' flag to match Spark's
+    replace-all default. clean_fp hashes the redacted text so the oracle
+    proves byte-identical output without shipping it.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "CASE"
+                " WHEN doc_id % 7 = 0 THEN ' contact a' || CAST(doc_id AS STRING)"
+                " || '@mail-' || CAST(doc_id AS STRING) || '.example.com now'"
+                " WHEN doc_id % 11 = 3 THEN ' see https://host-'"
+                " || CAST(doc_id AS STRING) || '.example/path/x_1 ok'"
+                " ELSE '' END"
+            ),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_URL_RE),
+        F.lit("<URL>"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_URL_RE), 0))
+        .cast("bigint")
+        .alias("n_urls"),
+        F.md5(clean.cast("binary")).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-20 most frequent words across the corpus (vocabulary
+    skew check before tokenizer training).
+
+    explode -> groupBy is the exact heavy-hitters plan: the explode is a
+    narrow generate, the count has map-side partial aggregation (word
+    cardinality << token count, so the shuffle moves the vocabulary,
+    not the corpus), and the top-k is TakeOrderedAndProject — each task
+    keeps 20 rows, the driver merges 20·tasks rows. At 100 TB the same
+    plan holds; if the vocabulary itself outgrew memory, the
+    sketch-based variant (sketch_* family) is the fallback.
+    Deterministic tie-break: (n DESC, word).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )

@@ -912,3 +912,44 @@ def sampling_bernoulli(spark: SparkSession, sf: str) -> DataFrame:
         < 100
     )
     return li.filter(keep).groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+    tags=("agg",),
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of order value (fixed 50k buckets).
+
+    Fixed-width bucketing keys the groupBy on floor(x/width) — a pure
+    map expression, so the aggregate is partial/map-combinable and the
+    shuffle moves one row per (task, bucket): ~a dozen buckets means the
+    shuffle is O(tasks), not O(rows), at any scale. floor() on identical
+    doubles is exact cross-engine (no rounding ambiguity); sums use
+    integer cents (registry rule 1). An adaptive-bounds histogram would
+    need a min/max pre-pass — fixed bounds keep it one stage, which is
+    how production profiling sweeps run.
+    """
+    o = table(spark, sf, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("bigint")
+            .alias("sum_cents"),
+        )
+        .withColumn("bucket_lo", F.col("bucket") * 50000)
+        .select("bucket", "bucket_lo", "n_orders", "sum_cents")
+        .orderBy("bucket")
+    )

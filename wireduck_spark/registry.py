@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "wireduck_spark.functions.multimodal",
     "wireduck_spark.functions.grouped",
     "wireduck_spark.functions.curation",
+    "wireduck_spark.functions.packing",
     "wireduck_spark.sources.pcap_queries",
 )
 
@@ -245,6 +246,12 @@ PENDING_GATE: tuple[str, ...] = (
     "mm_asset_dedup",
     "join_null_safe",
     "agg_mode_deterministic",
+    # late round-3 additions:
+    "seq_pack_greedy",
+    "shuffle_deterministic_shards",
+    "text_pii_scrub",
+    "text_heavy_hitters",
+    "agg_histogram_equiwidth",
 )
 
 
