@@ -188,3 +188,32 @@ def test_partitioned_write_prunes_directories(spark, sf_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
     assert pf, "expected a partitioned scan"
     assert any("o_orderstatus" in ln for ln in pf), pf
+
+
+def test_packing_windows_are_partitioned(spark, sf_dir):
+    """The packing family's running-sum / row_number windows must all be
+    partitioned (by source / shard) — a global window would funnel the
+    corpus through one task (the window_percent_cume lesson)."""
+    for name in ("seq_pack_greedy", "shuffle_deterministic_shards",
+                 "pipeline_training_mix"):
+        plan = plan_of(spark, name, sf_dir)
+        win_args = [
+            ln for ln in plan.splitlines()
+            if "Arguments:" in ln and "windowspecdefinition" in ln
+        ]
+        assert win_args, f"{name}: expected at least one Window operator"
+        for ln in win_args:
+            assert "], [], [" not in ln.replace(" ", ""), \
+                f"{name}: global window: {ln}"
+
+
+def test_quantize_has_no_shuffle_or_python(spark, sf_dir):
+    """embed_quantize_int8 is a pure narrow map: no Exchange (beyond the
+    small-scan spread), no Python workers in the plan."""
+    plan = plan_of(spark, "embed_quantize_int8", sf_dir)
+    assert "Python" not in plan
+    # the only exchanges allowed are the spread_small_scan round-robin
+    # and the output orderBy's range partitioning (display-determinism)
+    import re
+    kinds = set(re.findall(r"Exchange (\w+)", plan))
+    assert kinds <= {"RoundRobinPartitioning", "rangepartitioning"}, kinds

@@ -152,3 +152,177 @@ def shuffle_deterministic_shards(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+@query(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, source, text,
+             CAST(len(regexp_extract_all(text, '{_WORD_RE}')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+      WHERE len(regexp_extract_all(text, '{_WORD_RE}')) >= 5
+        AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+            / greatest(length(text), 1) <= 0.25
+    ),
+    keep AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM filtered GROUP BY md5(text)
+    ),
+    deduped AS (
+      SELECT f.doc_id, f.source, f.n_tokens
+      FROM filtered f JOIN keep k ON f.doc_id = k.keep_id
+    ),
+    sampled AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_tokens,
+               10 + 4 * (CAST(substr(source, 4) AS BIGINT) % 10) AS rate_pct,
+               {_DUCK_H60.format(
+                   s="source || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS hh
+        FROM deduped)
+      WHERE hh < rate_pct
+    ),
+    placed AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS start_offset
+      FROM sampled
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT start_offset // {_PACK_BUDGET}) AS BIGINT)
+               AS n_seqs,
+           CAST(SUM(n_tokens) AS BIGINT) AS mix_tokens
+    FROM placed
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("packing", "pipeline", "llm-pipeline"),
+)
+def pipeline_training_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """The full raw-corpus -> training-mix pipeline as ONE Catalyst plan:
+    quality filter -> exact dedup -> stratified per-source sampling ->
+    sequence packing -> per-source mix inventory.
+
+    Every stage exists standalone (pipeline_corpus_clean's filter/dedup,
+    sampling_stratified_source's hash-rate keep, seq_pack_greedy's
+    packing window); this query proves they COMPOSE: the filter pushes
+    to the scan, dedup is one hash shuffle, the sample keep is a narrow
+    map that runs inside the dedup exchange, and the packing window
+    reuses the per-source partitioning. At 100 TB the whole mix build is
+    three shuffles (dedup hash, source window, final agg) over
+    progressively smaller data — no stage re-reads the corpus.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_WORD_RE), 0)
+    ).cast("bigint")
+    punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9 ]"), 0)
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    filtered = (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", punct)
+        .filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.25))
+        .select("doc_id", "source", "text", "n_tokens")
+    )
+    keep = filtered.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(F.min("doc_id").alias("keep_id"))
+    deduped = filtered.join(
+        keep, filtered.doc_id == keep.keep_id
+    ).select("doc_id", "source", "n_tokens")
+    rate = 10 + 4 * (F.substring("source", 4, 10).cast("long") % 10)
+    hh = (
+        F.expr(_SPARK_H60.format(s="concat(source, ':', CAST(doc_id AS STRING))"))
+        % 100
+    )
+    sampled = (
+        deduped.withColumn("rate_pct", rate)
+        .withColumn("hh", hh)
+        .filter(F.col("hh") < F.col("rate_pct"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sampled.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct(
+                F.expr(f"start_offset div {_PACK_BUDGET}")
+            ).cast("bigint").alias("n_seqs"),
+            F.sum("n_tokens").cast("bigint").alias("mix_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             greatest(list_aggregate(
+                 list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE))), 'max'),
+               1e-30) AS maxabs,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(ROUND(maxabs / 127 * 1000000, 0) AS BIGINT) AS scale_micro,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           md5(array_to_string(
+               list_transform(embedding,
+                   x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 / maxabs, 0)
+                             AS BIGINT)),
+               ',')) AS q_fp
+    FROM scaled
+    ORDER BY vec_id
+    """,
+    tags=("embedding", "llm-pipeline"),
+)
+def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage/serving layout step (4x smaller than float32, what
+    vector stores and ANN serving tiers actually hold).
+
+    q = round(x * 127 / maxabs) per dimension, scale = maxabs/127 kept
+    as integer micros. Narrow map stage — array higher-order functions
+    only, no shuffle, no Python. Cross-engine determinism: floats are
+    widened to double BEFORE any arithmetic (float math promotes
+    differently per engine; double ops are IEEE-identical), the
+    quantized array is fingerprinted via md5 of its canonical
+    comma-joined form (arrays hash engine-specifically, strings don't —
+    same canonicalization as scalar_array_funcs), and a 1e-30 floor
+    guards all-zero vectors.
+    """
+    e = table(spark, sf, "embeddings", spread=True)
+    maxabs = F.greatest(
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ),
+        F.lit(1e-30),
+    )
+    scaled = e.withColumn("maxabs", maxabs)
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127 / F.col("maxabs"), 0)
+        .cast("bigint"),
+    )
+    return scaled.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127 * 1000000, 0).cast("bigint")
+        .alias("scale_micro"),
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.md5(F.array_join(q, ",").cast("binary")).alias("q_fp"),
+    ).orderBy("vec_id")

@@ -252,6 +252,8 @@ PENDING_GATE: tuple[str, ...] = (
     "text_pii_scrub",
     "text_heavy_hitters",
     "agg_histogram_equiwidth",
+    "pipeline_training_mix",
+    "embed_quantize_int8",
 )
 
 
