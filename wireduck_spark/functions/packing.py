@@ -201,6 +201,7 @@ def shuffle_deterministic_shards(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("packing", "pipeline", "llm-pipeline"),
+    bench=True,
 )
 def pipeline_training_mix(spark: SparkSession, sf: str) -> DataFrame:
     """The full raw-corpus -> training-mix pipeline as ONE Catalyst plan:
@@ -290,6 +291,7 @@ def pipeline_training_mix(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY vec_id
     """,
     tags=("embedding", "llm-pipeline"),
+    bench=True,
 )
 def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
