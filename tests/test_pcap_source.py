@@ -291,3 +291,33 @@ def test_ts_str_truncation_is_display_only(spark):
     assert all(
         len(r["first_seen"]) == 19 for r in heads
     ), "ts_str contract: 'YYYY-MM-DD HH:MM:SS' display form"
+
+
+def test_sql_temporary_view_over_pcap(spark, pcap_file):
+    """The pure-SQL path a reference user would take: CREATE TEMPORARY
+    VIEW ... USING pcap OPTIONS (...) and then plain spark.sql over it —
+    the Spark twin of the reference's `SELECT * FROM read_pcap('f.pcap',
+    protocols:=['tcp'])` table-function call (wireduck_extension.cpp:80).
+    Options flow through the DataSource identically to the reader API."""
+    from wireduck_spark.sources.pcap import register
+    register(spark)
+    spark.sql("DROP VIEW IF EXISTS capture_sql")
+    spark.sql(
+        "CREATE TEMPORARY VIEW capture_sql USING pcap OPTIONS ("
+        f"path '{pcap_file}', engine 'native', protocols 'tcp')"
+    )
+    assert spark.sql("SELECT count(*) AS n FROM capture_sql").collect()[0][
+        "n"] == 4
+    tcp = spark.sql(
+        "SELECT `frame.number`, `tcp.srcport` FROM capture_sql "
+        "WHERE `tcp.srcport` IS NOT NULL ORDER BY `frame.number`"
+    ).collect()
+    assert len(tcp) == 3
+    # climit through SQL OPTIONS caps rows exactly like the reader option
+    spark.sql("DROP VIEW IF EXISTS capture_sql_lim")
+    spark.sql(
+        "CREATE TEMPORARY VIEW capture_sql_lim USING pcap OPTIONS ("
+        f"path '{pcap_file}', engine 'native', climit '2')"
+    )
+    assert spark.sql(
+        "SELECT count(*) AS n FROM capture_sql_lim").collect()[0]["n"] == 2
