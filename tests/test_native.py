@@ -458,3 +458,74 @@ def test_udp_stream_is_partition_invariant(tmp_path):
     # both directions of conversation 1 share one id; conversation 2 differs
     assert pkts[0]["udp.stream"] == pkts[1]["udp.stream"]
     assert pkts[2]["udp.stream"] != pkts[0]["udp.stream"]
+
+
+def test_ntp_dissection(tmp_path):
+    import struct as _s
+    # v4 client poll: LI=0 VN=4 Mode=3, stratum 2, poll 6; xmt at a known
+    # instant (2024-01-01 00:00:00 UTC + 0.5 s in NTP 1900-based 32.32)
+    xmt_sec = 1704067200 + 2208988800
+    xmt_frac = 1 << 31  # 0.5 s
+    payload = (
+        bytes([(0 << 6) | (4 << 3) | 3, 2, 6, 0xEC])
+        + bytes(36)
+        + _s.pack(">II", xmt_sec, xmt_frac)
+    )
+    pkt_bytes = build_eth_ipv4_udp("10.0.0.9", "193.0.0.229", 45000, 123,
+                                   payload)
+    p = tmp_path / "ntp.pcap"
+    p.write_bytes(build_pcap([(1.0, pkt_bytes)]))
+    (pkt,) = list(iter_packets(str(p)))
+    assert pkt["frame.protocols"] == "eth:ethertype:ip:udp:ntp"
+    assert pkt["ntp.flags.vn"] == 4
+    assert pkt["ntp.flags.mode"] == 3
+    assert pkt["ntp.stratum"] == 2
+    assert pkt["ntp.ppoll"] == 6
+    assert pkt["ntp.xmt"] == 1704067200_500000  # epoch micros incl. frac
+    assert pkt["_ws.col.info"] == "NTP Version 4, client"
+
+
+def test_dhcp_dissection(tmp_path):
+    import struct as _s
+    mac = b"\xde\xad\xbe\xef\x00\x01"
+    fixed = bytearray(240)
+    fixed[0] = 1                      # BOOTREQUEST
+    fixed[1:4] = bytes([1, 6, 0])     # htype/hlen/hops
+    fixed[4:8] = _s.pack(">I", 0x3903F326)
+    fixed[12:16] = bytes(4)           # ciaddr 0.0.0.0
+    fixed[16:20] = bytes([192, 168, 1, 100])  # yiaddr
+    fixed[28:34] = mac
+    fixed[236:240] = b"\x63\x82\x53\x63"
+    options = bytes([53, 1, 3, 255])  # DHCP Request, end
+    pkt_bytes = build_eth_ipv4_udp("0.0.0.0", "255.255.255.255", 68, 67,
+                                   bytes(fixed) + options)
+    p = tmp_path / "dhcp.pcap"
+    p.write_bytes(build_pcap([(1.0, pkt_bytes)]))
+    (pkt,) = list(iter_packets(str(p)))
+    assert pkt["frame.protocols"] == "eth:ethertype:ip:udp:dhcp"
+    assert pkt["dhcp.type"] == 1
+    assert pkt["dhcp.id"] == 0x3903F326
+    assert pkt["dhcp.ip.client"] == "0.0.0.0"
+    assert pkt["dhcp.ip.your"] == "192.168.1.100"
+    assert pkt["dhcp.hw.mac_addr"] == "de:ad:be:ef:00:01"
+    assert pkt["dhcp.option.dhcp"] == 3
+    assert pkt["_ws.col.info"] == "DHCP Request - Transaction ID 0x3903f326"
+
+
+def test_ntp_fields_through_spark(spark, tmp_path):
+    """ntp.xmt flows through the Arrow path as TimestampType."""
+    import struct as _s
+    xmt_sec = 1704067200 + 2208988800
+    payload = (
+        bytes([(0 << 6) | (4 << 3) | 4, 1, 10, 0xEC])
+        + bytes(36) + _s.pack(">II", xmt_sec, 0)
+    )
+    pkt_bytes = build_eth_ipv4_udp("193.0.0.229", "10.0.0.9", 123, 45000,
+                                   payload)
+    p = tmp_path / "ntp2.pcap"
+    p.write_bytes(build_pcap([(1.0, pkt_bytes)]))
+    from wireduck_spark.sources.pcap import read_pcap
+    df = read_pcap(spark, str(p), protocols=["ntp"], engine="native")
+    row = df.collect()[0]
+    assert row["ntp.flags.mode"] == 4
+    assert str(row["ntp.xmt"]).startswith("2024-01-01 00:00:00")

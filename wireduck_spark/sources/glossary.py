@@ -77,6 +77,9 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Domain Name System", "DNS", "dns"),
     GlossaryProtocol("Hypertext Transfer Protocol", "HTTP", "http"),
     GlossaryProtocol("Transport Layer Security", "TLS", "tls"),
+    GlossaryProtocol("Network Time Protocol", "NTP", "ntp"),
+    GlossaryProtocol("Dynamic Host Configuration Protocol", "DHCP/BOOTP",
+                     "dhcp"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -167,6 +170,20 @@ BUILTIN_FIELDS = [
     _F("Response Version", "http.response.version", "FT_STRING", "http"),
     _F("Status Code", "http.response.code", "FT_UINT16", "http"),
     _F("Response Phrase", "http.response.phrase", "FT_STRING", "http"),
+    # ntp (field names/types match tshark's epan NTP dissector surface)
+    _F("Leap Indicator", "ntp.flags.li", "FT_UINT8", "ntp"),
+    _F("Version number", "ntp.flags.vn", "FT_UINT8", "ntp"),
+    _F("Mode", "ntp.flags.mode", "FT_UINT8", "ntp"),
+    _F("Peer Clock Stratum", "ntp.stratum", "FT_UINT8", "ntp"),
+    _F("Peer Polling Interval", "ntp.ppoll", "FT_INT8", "ntp"),
+    _F("Transmit Timestamp", "ntp.xmt", "FT_ABSOLUTE_TIME", "ntp"),
+    # dhcp (BOOTP framing; names match tshark's epan DHCP dissector)
+    _F("Message type", "dhcp.type", "FT_UINT8", "dhcp"),
+    _F("Transaction ID", "dhcp.id", "FT_UINT32", "dhcp"),
+    _F("Client IP address", "dhcp.ip.client", "FT_IPv4", "dhcp"),
+    _F("Your (client) IP address", "dhcp.ip.your", "FT_IPv4", "dhcp"),
+    _F("Client MAC address", "dhcp.hw.mac_addr", "FT_ETHER", "dhcp"),
+    _F("DHCP Message Type", "dhcp.option.dhcp", "FT_UINT8", "dhcp"),
     # tls
     _F("Content Type", "tls.record.content_type", "FT_UINT8", "tls"),
     _F("Version", "tls.record.version", "FT_UINT16", "tls"),
@@ -248,7 +265,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 4
+GLOSSARY_VERSION = 5  # v5: + ntp/dhcp builtin protocols+fields
 
 
 def cache_dir() -> str:

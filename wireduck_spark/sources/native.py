@@ -343,6 +343,12 @@ def _dissect_l4(
             proto_name = "mdns" if 5353 in (sport, dport) else "dns"
             if _dissect_dns(payload, fields):
                 protos.append(proto_name)
+        elif (sport == 123 or dport == 123) and len(payload) >= 48:
+            if _dissect_ntp(payload, fields):
+                protos.append("ntp")
+        elif (sport in (67, 68) or dport in (67, 68)) and len(payload) >= 240:
+            if _dissect_dhcp(payload, fields):
+                protos.append("dhcp")
     elif proto == 1 and len(data) >= off + 4:  # ICMP
         protos.append("icmp")
         fields["icmp.type"] = data[off]
@@ -388,6 +394,83 @@ def _dns_name(payload: bytes, off: int, depth: int = 0) -> tuple[str, int]:
         off += length
         depth += 1
     return ".".join(labels), off
+
+
+# NTP epoch (1900-01-01) -> Unix epoch (1970-01-01) offset, seconds.
+_NTP_UNIX_OFFSET = 2208988800
+
+_NTP_MODE_NAMES = {
+    1: "symmetric active", 2: "symmetric passive", 3: "client",
+    4: "server", 5: "broadcast", 6: "control", 7: "private",
+}
+
+
+def _dissect_ntp(payload: bytes, fields: dict) -> bool:
+    """NTP v1-v4 header (RFC 5905 §7.3; field names match tshark's epan
+    NTP dissector). Emits the flags byte split, stratum/poll, and the
+    transmit timestamp converted from the 1900-based 32.32 fixed-point
+    format to epoch microseconds (TimestampType)."""
+    b0 = payload[0]
+    li, vn, mode = b0 >> 6, (b0 >> 3) & 0x07, b0 & 0x07
+    if not 1 <= vn <= 4 or mode == 0:
+        return False
+    fields["ntp.flags.li"] = li
+    fields["ntp.flags.vn"] = vn
+    fields["ntp.flags.mode"] = mode
+    fields["ntp.stratum"] = payload[1]
+    # poll is signed (log2 seconds; negative for sub-second intervals)
+    fields["ntp.ppoll"] = struct.unpack(">b", payload[2:3])[0]
+    xmt_sec, xmt_frac = struct.unpack(">II", payload[40:48])
+    if xmt_sec:
+        fields["ntp.xmt"] = (
+            (xmt_sec - _NTP_UNIX_OFFSET) * 1_000_000
+            + ((xmt_frac * 1_000_000) >> 32)
+        )
+    kind = _NTP_MODE_NAMES.get(mode, f"mode {mode}")
+    fields["_ws.col.info"] = f"NTP Version {vn}, {kind}"
+    return True
+
+
+_DHCP_MSG_NAMES = {
+    1: "Discover", 2: "Offer", 3: "Request", 4: "Decline", 5: "ACK",
+    6: "NAK", 7: "Release", 8: "Inform",
+}
+_DHCP_COOKIE = b"\x63\x82\x53\x63"
+
+
+def _dissect_dhcp(payload: bytes, fields: dict) -> bool:
+    """DHCP over BOOTP framing (RFC 2131; field names match tshark's epan
+    DHCP dissector). Fixed header fields plus the option-53 message type
+    from the TLV area after the magic cookie."""
+    if len(payload) < 240 or payload[236:240] != _DHCP_COOKIE:
+        return False
+    fields["dhcp.type"] = payload[0]
+    fields["dhcp.id"] = struct.unpack(">I", payload[4:8])[0]
+    fields["dhcp.ip.client"] = _ipv4(payload[12:16])
+    fields["dhcp.ip.your"] = _ipv4(payload[16:20])
+    fields["dhcp.hw.mac_addr"] = _mac(payload[28:34])
+    msgtype = None
+    i = 240
+    while i + 1 < len(payload):
+        opt = payload[i]
+        if opt == 0:  # pad
+            i += 1
+            continue
+        if opt == 255:  # end
+            break
+        ln = payload[i + 1]
+        if opt == 53 and ln == 1 and i + 2 < len(payload):
+            msgtype = payload[i + 2]
+        i += 2 + ln
+    if msgtype is not None:
+        fields["dhcp.option.dhcp"] = msgtype
+        kind = f"DHCP {_DHCP_MSG_NAMES.get(msgtype, f'type {msgtype}')}"
+    else:
+        kind = "Boot Request" if payload[0] == 1 else "Boot Reply"
+    fields["_ws.col.info"] = (
+        f"{kind} - Transaction ID 0x{fields['dhcp.id']:x}"
+    )
+    return True
 
 
 def _dissect_dns(payload: bytes, fields: dict) -> bool:
