@@ -210,3 +210,117 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
             F.round("last_pvalue", 2).alias("last_purchase_value"),
         )
     )
+
+
+@query(
+    "event_funnel_ordered",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                 AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                 AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                 AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_view,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS users_view_click,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS users_full_funnel
+    FROM firsts
+    """,
+    tags=("timeseries", "analytics"),
+)
+def event_funnel_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: a user advances a stage only
+    if their first later-stage event happens AFTER their first
+    earlier-stage event (NULL comparisons fall out as false in both
+    engines).
+
+    The funnel is ONE map-combinable aggregate per user then one global
+    3-counter sum — no self-joins, no per-stage passes (the classic
+    anti-pattern is one join per funnel stage, O(stages) shuffles of the
+    event log). Timestamps compare as exact epoch micros. At 100 TB:
+    shuffle keyed on user_id, partial aggs collapse each user's events
+    map-side first.
+    """
+    ev = table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def first_of(kind):
+        return F.min(F.when(F.col("event_type") == kind, us))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.sum(F.col("t_view").isNotNull().cast("int")).cast("bigint")
+        .alias("users_view"),
+        F.sum((F.col("t_click") > F.col("t_view")).cast("int")).cast("bigint")
+        .alias("users_view_click"),
+        F.sum(
+            (
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view"))
+            ).cast("int")
+        ).cast("bigint")
+        .alias("users_full_funnel"),
+    )
+
+
+@query(
+    "event_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_week, a.week - c.cohort_week
+    ORDER BY cohort_week, week_offset
+    """,
+    tags=("timeseries", "analytics"),
+)
+def event_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-active week,
+    counted in each later week they return.
+
+    Weeks are integer epoch-week ordinals (epoch_us // 604800000000) —
+    pure integer arithmetic, no calendar/timezone semantics to diverge
+    cross-engine. Plan: one distinct (user,week) — the only shuffle that
+    touches the event log — then a per-user min and a join both keyed on
+    user_id, so they reuse the same hash partitioning; the final agg is
+    tiny (cohorts × offsets). The (user,week) distinct is the right
+    scale move: it collapses the log to at most users × weeks rows
+    before anything else runs.
+    """
+    ev = table(spark, sf, "events")
+    activity = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+        .alias("week"),
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -254,6 +254,8 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_histogram_equiwidth",
     "pipeline_training_mix",
     "embed_quantize_int8",
+    "event_funnel_ordered",
+    "event_retention_cohorts",
 )
 
 
