@@ -217,3 +217,10 @@ def test_quantize_has_no_shuffle_or_python(spark, sf_dir):
     import re
     kinds = set(re.findall(r"Exchange (\w+)", plan))
     assert kinds <= {"RoundRobinPartitioning", "rangepartitioning"}, kinds
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rk<=3 must push into the window as a running group limit, the
+    k>1 generalization of the latest_per_key assertion."""
+    plan = plan_of(spark, "window_topk_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan

@@ -548,3 +548,48 @@ def agg_mode_deterministic(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice_cents, rk
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 AS o_totalprice_cents,
+             CAST(row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk
+    """,
+    tags=("window",),
+)
+def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders by value per customer — the general k>1 sibling of
+    latest_per_key's rn=1.
+
+    Spark pushes rk<=3 into the Window operator as a running group limit
+    (WindowGroupLimit, asserted in test_plans), so each group's sort
+    stops after 3 rows instead of ranking every order: the post-shuffle
+    work is O(groups·k), not O(rows). Deterministic tie-break via
+    orderkey; prices compared as doubles but EMITTED as integer cents
+    (registry rule 1).
+    """
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            cents(F.col("o_totalprice")).alias("o_totalprice_cents"),
+            "rk",
+        )
+        .orderBy("o_custkey", "rk")
+    )

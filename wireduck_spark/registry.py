@@ -256,6 +256,7 @@ PENDING_GATE: tuple[str, ...] = (
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
+    "window_topk_per_group",
 )
 
 
