@@ -324,3 +324,67 @@ def event_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "incremental"),
+)
+def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance: merge a pre-aggregated BASE state
+    with a DELTA batch and prove the merged state equals the from-scratch
+    aggregate (the oracle IS the full aggregate — any merge bug
+    hash-mismatches).
+
+    The pattern behind every streaming/nightly rollup at scale: never
+    re-aggregate history, combine partial states instead. Works because
+    count/sum/max are commutative monoids over integer cents/micros;
+    the merge is a full outer join on the (tiny) group key space plus
+    coalesce-combine — the event log is only ever scanned once per
+    increment. The split point here is an arbitrary mid-corpus timestamp
+    so both sides are non-trivial.
+    """
+    ev = table(spark, sf, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    cut = "2024-01-16 00:00:00"
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents(F.col("value"))).cast("bigint").alias("sum_cents"),
+            F.max("us").cast("bigint").alias("last_us"),
+        )
+
+    base = partial(ev.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz")))
+    delta = partial(ev.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz")))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d, F.col("b.event_type") == F.col("d.event_type"), "full_outer"
+    ).select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type"))
+        .alias("event_type"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("b.sum_cents"), F.lit(0))
+            + F.coalesce(F.col("d.sum_cents"), F.lit(0))
+        ).alias("sum_cents"),
+        F.greatest(
+            F.coalesce(F.col("b.last_us"), F.lit(-1)),
+            F.coalesce(F.col("d.last_us"), F.lit(-1)),
+        ).alias("last_us"),
+    )
+    return merged.orderBy("event_type")

@@ -257,6 +257,7 @@ PENDING_GATE: tuple[str, ...] = (
     "event_funnel_ordered",
     "event_retention_cohorts",
     "window_topk_per_group",
+    "agg_incremental_merge",
 )
 
 
