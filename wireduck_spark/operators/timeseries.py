@@ -388,3 +388,66 @@ def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("last_us"),
     )
     return merged.orderBy("event_type")
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, max(value) AS pvalue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           ROUND(p.pvalue, 2) AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    tags=("timeseries", "join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join: for every click, the EARLIEST purchase at
+    ts >= click ts by the same user (DuckDB `ASOF ... ON c.ts <= p.ts`).
+
+    Mirror of join_asof's union-merge rewrite with the scan direction
+    reversed: order by (ts DESC, kind) so walking "forward in time"
+    becomes a running last() over the descending stream — still ONE
+    shuffle on user_id, still no candidate cross product. Purchases sort
+    before clicks at equal ts (kind 0 < 1 on the DESC stream) to keep
+    the bound inclusive.
+    """
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "user_id", "ts", F.lit(0).alias("kind"), "pvalue",
+        )
+    )
+    merged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn(
+            "next_pvalue", F.last("pvalue", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts")).alias("click_ts"),
+            F.round("next_pvalue", 2).alias("next_purchase_value"),
+        )
+    )

@@ -258,6 +258,7 @@ PENDING_GATE: tuple[str, ...] = (
     "event_retention_cohorts",
     "window_topk_per_group",
     "agg_incremental_merge",
+    "join_asof_forward",
 )
 
 
