@@ -224,3 +224,30 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     k>1 generalization of the latest_per_key assertion."""
     plan = plan_of(spark, "window_topk_per_group", sf_dir)
     assert "WindowGroupLimit" in plan
+
+
+def test_sorted_write_produces_disjoint_files(spark, sf_dir):
+    """io_sorted_clustered_write's repartitionByRange + sortWithinPartitions
+    must yield parquet files whose o_orderdate min/max ranges do not
+    overlap — the physical property row-group skipping depends on.
+    Verified from the parquet footers themselves (duckdb parquet_metadata),
+    not from the Spark plan."""
+    import glob as _glob
+
+    import duckdb
+
+    QUERIES["io_sorted_clustered_write"].fn(spark, sf_dir).collect()
+    from wireduck_spark.operators.io import _scratch
+    files = sorted(_glob.glob(f"{_scratch(sf_dir, 'orders_clustered')}/*.parquet"))
+    assert len(files) > 1, "expected a multi-file clustered layout"
+    con = duckdb.connect()
+    ranges = []
+    for f in files:
+        lo, hi = con.execute(
+            "SELECT MIN(o_orderdate), MAX(o_orderdate) "
+            f"FROM read_parquet('{f}')"
+        ).fetchone()
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"

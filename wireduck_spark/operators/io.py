@@ -163,3 +163,52 @@ def io_partitioned_pruning(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
     )
+
+
+@query(
+    "io_sorted_clustered_write",
+    oracle="""
+    SELECT COUNT(*) AS n_orders,
+           CAST(MIN(epoch_us(o_orderdate)) AS BIGINT) AS min_us,
+           CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_us
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("io", "sink", "clustering"),
+)
+def io_sorted_clustered_write(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-clustered rewrite + time-slice read: orders are
+    repartitionByRange(o_orderdate) + sortWithinPartitions before the
+    parquet write, so each output file owns a disjoint date range and a
+    date-sliced read can skip every other file on row-group min/max
+    stats.
+
+    Scale: clustering is the data-skipping primitive when the filter
+    column has too many values to partitionBy (a date-partitioned +
+    date-range-clustered layout turns "scan 100 TB" into "read the three
+    files covering Q1-1996"). The disjointness of per-file min/max is
+    asserted from the parquet footers in
+    tests/test_plans.py::test_sorted_write_produces_disjoint_files; this
+    query's oracle checks the sliced read returns exactly the right
+    rows after the rewrite.
+    """
+    path = _scratch(sf, "orders_clustered")
+    o = table(spark, sf, "orders")
+    (
+        o.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    rr = spark.read.parquet(path).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    return rr.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .cast("bigint").alias("min_us"),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .cast("bigint").alias("max_us"),
+    )

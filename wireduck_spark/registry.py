@@ -259,6 +259,7 @@ PENDING_GATE: tuple[str, ...] = (
     "window_topk_per_group",
     "agg_incremental_merge",
     "join_asof_forward",
+    "io_sorted_clustered_write",
 )
 
 
