@@ -101,6 +101,17 @@ def byte_range_partitions(
 
 _RESYNC_CHAIN = 3  # consecutive plausible records required to accept a sync
 _MAX_SANE_CAPLEN = 4 * 262144
+# orig (on-wire) length sanity: origlen may exceed snaplen on truncated
+# captures, but a >64 MiB "packet" is not a packet — it's payload bytes
+# masquerading as a record header at a split boundary (found by
+# tests/test_properties.py: a phantom record with orig=538 MB chained
+# cleanly into EOF).
+_MAX_SANE_ORIGLEN = 1 << 26
+# Timestamp proximity: every record accepted by resync must lie within
+# this many seconds of the file's FIRST record (a capture spanning >20
+# years is not a capture; payload garbage parsed as ts_sec rarely lands
+# next to the true capture epoch).
+_TS_PROXIMITY_SEC = 631_152_000  # 20 years
 
 
 def _caplen_cap(info: PcapInfo) -> int:
@@ -125,24 +136,36 @@ def splittable_snaplen(info: PcapInfo) -> bool:
 
 
 def _chain_validates(buf: bytes, rel: int, info: PcapInfo, abs_base: int,
-                     size: int) -> bool:
+                     size: int, first_ts: int | None = None) -> bool:
     """True if a chain of plausible records starts at buf[rel:].
 
     Plausibility per record: 0 < caplen <= snaplen (header-honored, sane
-    default when unset), caplen <= origlen, fractional timestamp < divisor,
-    record fits in the file. The chain accepts early when it runs cleanly
-    into EOF or off the window.
+    default when unset), caplen <= origlen <= 64 MiB, fractional
+    timestamp < divisor, ts within 20 years of the file's first record,
+    record fits in the file. The chain accepts early when it runs
+    cleanly into EOF or off the window.
+
+    This is necessarily heuristic — classic pcap has no record markers,
+    so payload bytes that EMBED a byte-exact valid record chain ending
+    at EOF are indistinguishable from real records by any content-based
+    resync (the reference sidesteps this by not splitting at all). The
+    bounds here make accidental garbage astronomically unlikely, which
+    is the documented contract; see tests/test_properties.py.
     """
     cap = _caplen_cap(info)
     off = rel
     for i in range(_RESYNC_CHAIN):
         if off + RECORD_HEADER_LEN > len(buf):
             return i > 0  # window exhausted after >=1 valid record
-        _, frac, incl, orig = struct.unpack(
+        ts_s, frac, incl, orig = struct.unpack(
             info.endian + "IIII", buf[off:off + RECORD_HEADER_LEN]
         )
-        if not (0 < incl <= cap and incl <= orig and frac < info.ts_divisor
+        if not (0 < incl <= cap and incl <= orig
+                and orig <= _MAX_SANE_ORIGLEN
+                and frac < info.ts_divisor
                 and abs_base + off + RECORD_HEADER_LEN + incl <= size):
+            return False
+        if first_ts is not None and abs(ts_s - first_ts) > _TS_PROXIMITY_SEC:
             return False
         off += RECORD_HEADER_LEN + incl
         if abs_base + off >= size:
@@ -167,6 +190,21 @@ def resync_offset(fh, info: PcapInfo, start: int, size: int) -> int:
     """
     if start <= GLOBAL_HEADER_LEN:
         return GLOBAL_HEADER_LEN
+    # The file's first record timestamp anchors the ts-proximity check
+    # (one 16-byte ranged read; same seam as the window reads below). The
+    # anchor is only trusted if that header is itself plausible — a
+    # corrupt file head must not poison resync for the valid tail.
+    fh.seek(GLOBAL_HEADER_LEN)
+    head = fh.read(RECORD_HEADER_LEN)
+    first_ts = None
+    if len(head) == RECORD_HEADER_LEN:
+        h_ts, h_frac, h_incl, h_orig = struct.unpack(
+            info.endian + "IIII", head
+        )
+        if (0 < h_incl <= _caplen_cap(info) and h_incl <= h_orig
+                and h_orig <= _MAX_SANE_ORIGLEN
+                and h_frac < info.ts_divisor):
+            first_ts = h_ts
     window = _caplen_cap(info) * (_RESYNC_CHAIN + 1)
     base = start
     while base < size:
@@ -175,7 +213,7 @@ def resync_offset(fh, info: PcapInfo, start: int, size: int) -> int:
         if not buf:
             break
         for rel in range(len(buf)):
-            if _chain_validates(buf, rel, info, base, size):
+            if _chain_validates(buf, rel, info, base, size, first_ts):
                 return base + rel
         # only candidates whose 16-byte header didn't fit the window can
         # have been wrongly rejected — re-examine them in the next window
