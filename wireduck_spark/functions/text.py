@@ -431,3 +431,55 @@ def text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+@query(
+    "text_commonness_score",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(v.freq) AS BIGINT) AS sum_freq,
+           ROUND(SUM(v.freq) * 1.0 / COUNT(*), 4) AS commonness
+    FROM words d JOIN vocab v ON d.w = v.w
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_commonness_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram commonness score per document — the self-corpus LM-quality
+    proxy: gibberish and boilerplate sit at the distribution's tails
+    (rare-word soup scores low, repeated-template text scores high), so
+    this is the cheap pre-filter before any model-based quality pass.
+
+    Two-pass self-join plan: vocabulary (word → corpus frequency) is an
+    explode + map-combinable count whose shuffle moves the vocabulary,
+    not the corpus; the score join is keyed on word and the per-doc
+    aggregate on doc_id. At 100 TB the vocabulary (~millions of rows
+    after the count) broadcasts or hash-joins cheaply — the corpus-sized
+    explode stays narrow on both passes. Exact integer numerators
+    (sum_freq, n_words) with ONE final rounded ratio (registry rule 2).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count("*").cast("bigint").alias("freq"))
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+            F.round(F.sum("freq") * 1.0 / F.count("*"), 4).alias("commonness"),
+        )
+        .orderBy("doc_id")
+    )

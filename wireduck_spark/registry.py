@@ -260,6 +260,7 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_incremental_merge",
     "join_asof_forward",
     "io_sorted_clustered_write",
+    "text_commonness_score",
 )
 
 
