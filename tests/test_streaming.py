@@ -409,3 +409,44 @@ def test_session_stream_matches_batch(spark, sf_dir, events_dir):
         for r in QUERIES["tw_session"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, events_dir):
+    """The applyInPandasWithState funnel's final per-user stages must
+    reproduce the batch event_funnel_ordered counts exactly (per-stage
+    MIN state is order-insensitive, so micro-batch boundaries can't
+    change the outcome)."""
+    from wireduck_spark.streaming.stateful import funnel_stage_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        funnel_stage_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, stage FROM t_funnel").collect()
+    # update-mode sink appends one row per (user, batch); this fixture is
+    # a single file => a single micro-batch => exactly one (converged)
+    # row per user. NB: a user's stage can legitimately move DOWN across
+    # batches (an earlier click arriving later can invalidate the strict
+    # view<click order), so the converged value is the last row, never a
+    # max over history.
+    final: dict[int, int] = {}
+    for r in rows:
+        assert r["user_id"] not in final, "expected one batch per user"
+        final[r["user_id"]] = r["stage"]
+    got = {
+        "users_view": sum(1 for s in final.values() if s >= 1),
+        "users_view_click": sum(1 for s in final.values() if s >= 2),
+        "users_full_funnel": sum(1 for s in final.values() if s >= 3),
+    }
+    batch = QUERIES["event_funnel_ordered"].fn(spark, sf_dir).collect()[0]
+    assert got == {
+        "users_view": batch["users_view"],
+        "users_view_click": batch["users_view_click"],
+        "users_full_funnel": batch["users_full_funnel"],
+    }

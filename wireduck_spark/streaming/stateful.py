@@ -101,3 +101,81 @@ def running_user_totals(
             timeoutConf=timeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel state machine (round 3)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_purchase", LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+
+_NONE = -1  # state sentinel: stage not yet seen
+
+
+def _funnel_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    tv, tc, tp = state.get if state.exists else (_NONE, _NONE, _NONE)
+
+    def merge(cur: int, seen) -> int:
+        if len(seen) == 0:
+            return cur
+        m = int(seen.min())
+        return m if cur == _NONE else min(cur, m)
+
+    for pdf in batches:
+        us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        et = pdf["event_type"].values
+        tv = merge(tv, us[et == "view"])
+        tc = merge(tc, us[et == "click"])
+        tp = merge(tp, us[et == "purchase"])
+    state.update((tv, tc, tp))
+    # strict ordering, identical to the batch event_funnel_ordered query
+    stage = 0
+    if tv != _NONE:
+        stage = 1
+        if tc != _NONE and tc > tv:
+            stage = 2
+            if tp != _NONE and tp > tc:
+                stage = 3
+    yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+
+def funnel_stage_tracker(events: DataFrame) -> DataFrame:
+    """Streaming view→click→purchase funnel: one state row per user
+    holding the first-seen timestamp of each stage, the per-batch output
+    is the user's current funnel stage (0-3, strict ordering — the exact
+    semantics of the batch `event_funnel_ordered` query, which is the
+    ground truth in tests).
+
+    Because the state is a per-stage MIN, the operator is insensitive to
+    event order across micro-batches — late or reordered events converge
+    to the same final stage as the batch computation, which is what makes
+    the stream/batch equivalence testable (and what makes min/max/count
+    the right state shapes for streaming feature extractors generally).
+    State is 3 ints per user — bounded by the user population, not the
+    event volume.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
