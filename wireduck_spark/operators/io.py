@@ -212,3 +212,65 @@ def io_sorted_clustered_write(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
         .cast("bigint").alias("max_us"),
     )
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderkey % 2 AS gen,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM unioned
+    GROUP BY o_orderkey % 2
+    ORDER BY gen
+    """,
+    tags=("io", "schema-evolution"),
+)
+def io_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution across parquet generations: generation 0 written
+    WITHOUT o_orderpriority, generation 1 with it; one mergeSchema read
+    reconciles both, old files surface the new column as NULL.
+
+    The lake reality at 100 TB: years of files, schemas that grew
+    columns along the way, and no rewrite budget. mergeSchema resolves
+    the superset schema from file footers only (no data read) and the
+    scan stays partition-parallel; the NULL-backfill is free at read
+    time. The aggregate proves the reconciliation: gen-0 rows count 0
+    non-null priorities, gen-1 rows count all, sums match the source
+    table exactly.
+    """
+    base = _scratch(sf, "orders_evolved")
+    o = table(spark, sf, "orders")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(f"{base}/gen=0")
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(f"{base}/gen=1")
+    )
+    rr = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=0", f"{base}/gen=1"
+    )
+    return (
+        rr.groupBy((F.col("o_orderkey") % 2).alias("gen"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count("o_orderpriority").cast("bigint")
+            .alias("n_with_priority"),
+            F.sum(cents(F.col("o_totalprice"))).cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("gen")
+    )

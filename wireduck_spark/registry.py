@@ -261,6 +261,7 @@ PENDING_GATE: tuple[str, ...] = (
     "join_asof_forward",
     "io_sorted_clustered_write",
     "text_commonness_score",
+    "io_schema_evolution",
 )
 
 
