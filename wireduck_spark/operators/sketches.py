@@ -149,3 +149,91 @@ def sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
         (F.abs(ap95 - exact_p95) <= 0.05 * exact_p95).alias("p95_within"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "sketch_countmin_heavy_hitters",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    counters AS (
+      SELECT i,
+             (('0x' || substr(md5('cm' || CAST(i AS VARCHAR) || ':' || w),
+                              1, 15))::BIGINT) % 1024 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM words CROSS JOIN rows_
+      GROUP BY 1, 2
+    ),
+    top_ AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM words GROUP BY w ORDER BY true_n DESC, word LIMIT 20
+    )
+    SELECT t.word, t.true_n,
+           CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+           (CAST(MIN(c.c) AS BIGINT) >= t.true_n) AS overestimates
+    FROM top_ t
+    JOIN counters c
+      ON c.bucket = (('0x' || substr(
+             md5('cm' || CAST(c.i AS VARCHAR) || ':' || t.word),
+             1, 15))::BIGINT) % 1024
+    GROUP BY t.word, t.true_n
+    ORDER BY t.true_n DESC, t.word
+    """,
+    tags=("sketch", "text"),
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch (d=4 rows x w=1024 buckets) estimating the exact
+    top-20 words' frequencies — estimate = min over rows of the hashed
+    bucket counter, never an underestimate (asserted per word, and
+    hash-checked exactly: the md5 bucket hashes are engine-portable, so
+    both engines build bit-identical counter tables).
+
+    Why it matters at 100 TB: the counter table is FIXED SIZE (4 x 1024
+    ints) however large the corpus — partial aggregation collapses each
+    task's tokens into <=4096 counters before the shuffle, and counter
+    tables merge by addition across any partitioning (the mergeability
+    HLL has for distinct counts, count-min has for frequencies). The
+    4x token explode stays narrow; the only shuffle carries counters.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+        ).alias("w")
+    )
+    def bucket_of(prefix_col, word_col):
+        return F.expr(
+            "CAST(conv(substring(md5(concat('cm', CAST({i} AS STRING), ':', {w})),"
+            " 1, 15), 16, 10) AS BIGINT) % 1024".format(i=prefix_col, w=word_col)
+        )
+
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    counters = (
+        words.select("w", rows_)
+        .select("i", bucket_of("i", "w").alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top = (
+        words.groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+        .orderBy(F.desc("true_n"), "word")
+        .limit(20)
+    )
+    # probe rows carry their own (i, bucket) so the lookup is a plain
+    # equi-join on both columns (a bucket==f(i,word) condition would mix
+    # sides and degrade to a nested loop)
+    probes = top.select(
+        "word", "true_n",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    ).withColumn("bucket", bucket_of("i", "word"))
+    joined = probes.join(counters, ["i", "bucket"])
+    return (
+        joined.groupBy("word", "true_n")
+        .agg(F.min("c").cast("bigint").alias("cm_estimate"))
+        .withColumn("overestimates", F.col("cm_estimate") >= F.col("true_n"))
+        .orderBy(F.desc("true_n"), "word")
+    )

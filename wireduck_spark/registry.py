@@ -262,6 +262,7 @@ PENDING_GATE: tuple[str, ...] = (
     "io_sorted_clustered_write",
     "text_commonness_score",
     "io_schema_evolution",
+    "sketch_countmin_heavy_hitters",
 )
 
 
