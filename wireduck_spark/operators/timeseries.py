@@ -451,3 +451,74 @@ def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
             F.round("next_pvalue", 2).alias("next_purchase_value"),
         )
     )
+
+
+@query(
+    "anomaly_zscore_trailing",
+    oracle="""
+    WITH framed AS (
+      SELECT event_id, user_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+             COUNT(*) OVER w AS n,
+             COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w, 0)
+                 AS s,
+             COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                          * CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w, 0)
+                 AS q
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts_s, x,
+           CAST(n AS BIGINT) AS n_history
+    FROM framed
+    WHERE n >= 5
+      AND (n * x - s) * (n * x - s) > 9 * n * (n * q - s * s)
+    ORDER BY event_id
+    """,
+    tags=("timeseries", "window", "anomaly"),
+)
+def anomaly_zscore_trailing(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing z-score anomaly detection, INTEGER-EXACT: flag events
+    whose value deviates >3 sigma from the user's previous <=20 events.
+
+    The float-free trick: with x, S=sum, Q=sum-of-squares all in exact
+    integer cents over the trailing frame, (x-mu)^2 > 9*sigma^2 multiplies
+    out to (n*x - S)^2 > 9*(n*Q - S^2)*... /n^2 on both sides -> compare
+    (n*x-S)^2 against 9*n*(n*Q-S^2) in pure int64 arithmetic. No float
+    mean/stddev, so Spark's partial aggregation order cannot perturb the
+    flag decision and the oracle is hash-exact (a stddev_samp-based
+    version would be float-order-dependent and only tolerance-checkable).
+
+    Scale: one shuffle on user_id; the frame is a bounded 20-row running
+    state per key — the same plan shape as window_frames, linear in
+    events. Magnitude check: |x| <= 1e7 cents, n <= 21 -> (n*x)^2 fits
+    comfortably in int64.
+    """
+    e = table(spark, sf, "events")
+    x = cents(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    framed = e.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("ts_s"),
+        x.alias("x"),
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.coalesce(F.sum(x).over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(x * x).over(w), F.lit(0)).alias("q"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_n2 = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        framed.filter((F.col("n") >= 5) & (dev * dev > 9 * var_n2))
+        .select(
+            "event_id", "user_id", "ts_s", "x",
+            F.col("n").alias("n_history"),
+        )
+        .orderBy("event_id")
+    )

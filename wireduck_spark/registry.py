@@ -263,6 +263,7 @@ PENDING_GATE: tuple[str, ...] = (
     "text_commonness_score",
     "io_schema_evolution",
     "sketch_countmin_heavy_hitters",
+    "anomaly_zscore_trailing",
 )
 
 
