@@ -450,3 +450,31 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, events_dir):
         "users_view_click": batch["users_view_click"],
         "users_full_funnel": batch["users_full_funnel"],
     }
+
+
+def test_stateful_anomaly_matches_batch(spark, sf_dir, events_dir):
+    """The deque-state streaming anomaly tracker must emit exactly the
+    same flagged event_ids as the batch anomaly_zscore_trailing query
+    (same integer-exact inequality, ts-ordered delivery)."""
+    from wireduck_spark.streaming.stateful import anomaly_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        anomaly_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_anomaly")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM t_anomaly").collect()
+    }
+    expected = {
+        r["event_id"]
+        for r in QUERIES["anomaly_zscore_trailing"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0, "fixture should contain at least one outlier"

@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    BooleanType, LongType, StructField, StructType,
+    BooleanType, LongType, StringType, StructField, StructType,
 )
 
 STATE_SCHEMA = StructType(
@@ -177,5 +177,85 @@ def funnel_stage_tracker(events: DataFrame) -> DataFrame:
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming trailing z-score anomaly tracker (round 3)
+# ---------------------------------------------------------------------------
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [StructField("hist", StringType())]  # comma-joined last-20 cents deque
+)
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("x", LongType()),
+        StructField("n_history", LongType()),
+    ]
+)
+
+
+def _anomaly_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user trailing-20 deque; flags events via the same integer-exact
+    inequality as the batch anomaly_zscore_trailing query:
+    (n*x - S)^2 > 9*n*(n*Q - S^2), all in int64 cents."""
+    (user_id,) = key
+    hist: list[int] = []
+    if state.exists:
+        (packed,) = state.get
+        if packed:
+            hist = [int(v) for v in packed.split(",")]
+    out_ids, out_x, out_n = [], [], []
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = (pdf["value"] * 100).round().astype("int64")
+        for eid, x in zip(pdf["event_id"].astype("int64"), xs):
+            n = len(hist)
+            if n >= 5:
+                s = sum(hist)
+                q = sum(v * v for v in hist)
+                dev = n * int(x) - s
+                if dev * dev > 9 * n * (n * q - s * s):
+                    out_ids.append(int(eid))
+                    out_x.append(int(x))
+                    out_n.append(n)
+            hist.append(int(x))
+            if len(hist) > 20:
+                hist.pop(0)
+    state.update((",".join(str(v) for v in hist),))
+    yield pd.DataFrame(
+        {
+            "event_id": out_ids,
+            "user_id": [user_id] * len(out_ids),
+            "x": out_x,
+            "n_history": out_n,
+        }
+    )
+
+
+def anomaly_tracker(events: DataFrame) -> DataFrame:
+    """Streaming twin of anomaly_zscore_trailing: one bounded deque (the
+    last <=20 event cents) per user carried across micro-batches — the
+    third state shape in this module (funnel: per-stage MIN; totals:
+    running sums; here: a sliding frame). Exactness contract: as long as
+    each user's events arrive in event-time order across batches (the
+    ts-ordered landing-file case; in-batch order is re-sorted locally),
+    the emitted flags are identical to the batch query — same integer
+    arithmetic, no floats, no approximation. State is ~20 ints per user
+    regardless of stream length.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _anomaly_update,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
