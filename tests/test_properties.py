@@ -153,3 +153,46 @@ def test_pcapng_split_union_equals_whole_file(payloads, n_slices, spb):
         f["frame.len"] for f in whole
     )
     os.unlink(path)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(st.none(), st.text(max_size=24)))
+def test_cast_cell_never_raises(cell):
+    """The tshark-path per-cell cast must return value-or-None for ANY
+    cell text and every FT-mapped Spark type — the reference's
+    null-on-error contract (wireduck_extension.cpp:201-237) with no
+    exception channel."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, TimestampType,
+    )
+
+    from wireduck_spark.sources.typemap import cast_cell
+
+    for dtype in (LongType(), DoubleType(), BooleanType(), StringType(),
+                  TimestampType()):
+        out = cast_cell(cell, dtype)
+        assert out is None or not isinstance(out, Exception)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.sampled_from(["tcp", "udp", "dns", "http", "tls", "ip", "ipv6",
+                     "arp", "icmp", "ntp", "dhcp", "eth"]),
+    min_size=0, max_size=8, unique=True,
+))
+def test_schema_ordering_invariants(protocols):
+    """For ANY protocols argument the reference's FetchSelectedFields
+    ordering must hold (cpp:63-69): frame.* fields first, _ws.col.info
+    last, requested-protocol fields in argument order between them."""
+    from wireduck_spark.sources.glossary import fetch_selected_fields
+
+    names = [f.filter_name for f in fetch_selected_fields(protocols)]
+    assert names[0].startswith("frame.")
+    assert names[-1] == "_ws.col.info"
+    # frame block is a contiguous prefix
+    in_frame = True
+    for n in names[:-1]:
+        if not n.startswith("frame."):
+            in_frame = False
+        elif not in_frame:
+            assert False, f"frame field {n} after non-frame fields"
