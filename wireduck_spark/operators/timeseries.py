@@ -522,3 +522,103 @@ def anomaly_zscore_trailing(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, max(value) AS pvalue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS b_ts, p.pvalue AS b_val
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    f AS (
+      SELECT c.event_id, p.ts AS f_ts, p.pvalue AS f_val
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT b.event_id, b.user_id,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CASE WHEN f.f_ts IS NULL THEN 'backward'
+                WHEN b.b_ts IS NULL THEN 'forward'
+                WHEN (b.ts - b.b_ts) <= (f.f_ts - b.ts) THEN 'backward'
+                ELSE 'forward' END AS direction,
+           ROUND(CASE WHEN f.f_ts IS NULL THEN b.b_val
+                      WHEN b.b_ts IS NULL THEN f.f_val
+                      WHEN (b.ts - b.b_ts) <= (f.f_ts - b.ts) THEN b.b_val
+                      ELSE f.f_val END, 2) AS nearest_purchase_value
+    FROM b JOIN f ON b.event_id = f.event_id
+    ORDER BY b.event_id
+    """,
+    tags=("timeseries", "join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-in-time as-of join (pandas merge_asof direction='nearest'
+    semantics, backward wins ties): for every click, the purchase with
+    the smallest |Δt| by the same user.
+
+    Completes the as-of family (backward / forward / nearest). ONE plan:
+    the union-merge stream gets BOTH running windows — ascending for the
+    latest-at-or-before purchase, descending for the earliest-at-or-
+    after — sharing the single user_id shuffle (two sorts inside one
+    exchange, still no candidate cross product); the pick is a pure
+    integer-micros comparison. DuckDB oracle composes its two native
+    ASOF directions and the same tie-break.
+    """
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "user_id", "ts", F.lit(0).alias("kind"), "pvalue",
+        )
+    )
+    merged = purchases.unionByName(clicks).withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    p_us = F.when(F.col("kind") == 0, F.col("us"))
+    p_val = F.when(F.col("kind") == 0, F.col("pvalue"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    both = (
+        merged.withColumn("b_us", F.last(p_us, ignorenulls=True).over(wb))
+        .withColumn("b_val", F.last(p_val, ignorenulls=True).over(wb))
+        .withColumn("f_us", F.last(p_us, ignorenulls=True).over(wf))
+        .withColumn("f_val", F.last(p_val, ignorenulls=True).over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    back_wins = F.when(F.col("f_us").isNull(), True).otherwise(
+        F.when(F.col("b_us").isNull(), False).otherwise(
+            (F.col("us") - F.col("b_us")) <= (F.col("f_us") - F.col("us"))
+        )
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("click_ts"),
+        F.when(back_wins, "backward").otherwise("forward").alias("direction"),
+        F.round(
+            F.when(back_wins, F.col("b_val")).otherwise(F.col("f_val")), 2
+        ).alias("nearest_purchase_value"),
+    ).orderBy("event_id")

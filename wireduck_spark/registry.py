@@ -264,6 +264,7 @@ PENDING_GATE: tuple[str, ...] = (
     "io_schema_evolution",
     "sketch_countmin_heavy_hitters",
     "anomaly_zscore_trailing",
+    "join_asof_nearest",
 )
 
 
