@@ -529,3 +529,25 @@ def test_ntp_fields_through_spark(spark, tmp_path):
     row = df.collect()[0]
     assert row["ntp.flags.mode"] == 4
     assert str(row["ntp.xmt"]).startswith("2024-01-01 00:00:00")
+
+
+def test_ipv6_extension_header_walk(tmp_path):
+    """An IPv6 packet with a hop-by-hop extension header before UDP must
+    still dissect the L4 layer (RFC 8200 chained next-headers); without
+    the walk the payload lands in 'data'."""
+    import struct as _s
+    src16, dst16 = bytes(15) + b"\x01", bytes(15) + b"\x02"
+    udp_payload = b"x" * 4
+    udp = _s.pack(">HHHH", 5000, 5001, 8 + len(udp_payload), 0) + udp_payload
+    # hop-by-hop: next=17 (UDP), len=0 -> 8 bytes total (6 pad bytes)
+    hbh = bytes([17, 0]) + bytes(6)
+    ip6 = _s.pack(">IHBB", 0x60000000, len(hbh) + len(udp), 0, 64) \
+        + src16 + dst16
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + _s.pack(">H", 0x86DD)
+    p = tmp_path / "v6ext.pcap"
+    p.write_bytes(build_pcap([(1.0, eth + ip6 + hbh + udp)]))
+    (pkt,) = list(iter_packets(str(p)))
+    assert pkt["frame.protocols"] == "eth:ethertype:ipv6:udp"
+    assert pkt["udp.srcport"] == 5000
+    assert pkt["udp.dstport"] == 5001
+    assert pkt["udp.length"] == 8 + len(udp_payload)

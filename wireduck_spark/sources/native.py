@@ -292,7 +292,22 @@ def dissect_packet(data: bytes, linktype: int, fields: dict) -> None:
         next_header = data[off + 6]
         fields["ipv6.src"] = _ipv6(data[off + 8:off + 24])
         fields["ipv6.dst"] = _ipv6(data[off + 24:off + 40])
-        _dissect_l4(data, off + 40, next_header, payload_len, protos, fields)
+        # walk extension headers (RFC 8200 §4): hop-by-hop(0), routing(43),
+        # destination-options(60) carry (next, len-in-8-octets-minus-1);
+        # fragment(44) is fixed 8 bytes. Without this walk an IPv6 packet
+        # with any extension header would mis-dissect its L4 as "data".
+        l4_off = off + 40
+        hdr_guard = 0
+        while next_header in (0, 43, 44, 60) and hdr_guard < 8:
+            if len(data) < l4_off + 8:
+                break
+            nh = data[l4_off]
+            ext_len = 8 if next_header == 44 else (data[l4_off + 1] + 1) * 8
+            payload_len -= ext_len
+            l4_off += ext_len
+            next_header = nh
+            hdr_guard += 1
+        _dissect_l4(data, l4_off, next_header, payload_len, protos, fields)
     elif ethertype == 0x0806 and len(data) >= off + 28:  # ARP (over IPv4)
         protos.append("arp")
         _dissect_arp(data, off, fields)
