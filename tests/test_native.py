@@ -551,3 +551,33 @@ def test_ipv6_extension_header_walk(tmp_path):
     assert pkt["udp.srcport"] == 5000
     assert pkt["udp.dstport"] == 5001
     assert pkt["udp.length"] == 8 + len(udp_payload)
+
+
+def test_tcp_options_dissection(tmp_path):
+    """A SYN carrying MSS + wscale + SACK-permitted options surfaces all
+    three tshark-named fields; option walk is bounded by data_off."""
+    import struct as _s
+    opts = (
+        _s.pack(">BBH", 2, 4, 1460)      # MSS 1460
+        + bytes([1])                      # NOP
+        + _s.pack(">BBB", 3, 3, 7)        # wscale shift 7
+        + _s.pack(">BB", 4, 2)            # SACK permitted
+        + bytes([0, 0])                   # EOL + pad to 12 = 3 words
+    )
+    assert len(opts) == 12
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + _s.pack(">H", 0x0800)
+    tcp_len = 20 + len(opts)
+    ip = _s.pack(
+        ">BBHHHBBH4s4s", 0x45, 0, 20 + tcp_len, 1, 0, 64, 6, 0,
+        bytes([10, 0, 0, 1]), bytes([10, 0, 0, 2]),
+    )
+    data_off_flags = ((tcp_len // 4) << 12) | 0x002  # SYN
+    tcp = _s.pack(">HHIIHHHH", 44000, 443, 1, 0, data_off_flags,
+                  65535, 0, 0) + opts
+    p = tmp_path / "tcpopt.pcap"
+    p.write_bytes(build_pcap([(1.0, eth + ip + tcp)]))
+    (pkt,) = list(iter_packets(str(p)))
+    assert pkt["tcp.flags.syn"] is True
+    assert pkt["tcp.options.mss_val"] == 1460
+    assert pkt["tcp.options.wscale.shift"] == 7
+    assert pkt["tcp.options.sack_perm"] is True

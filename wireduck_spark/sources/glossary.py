@@ -129,6 +129,9 @@ BUILTIN_FIELDS = [
     _F("Window", "tcp.window_size_value", "FT_UINT16", "tcp"),
     _F("Checksum", "tcp.checksum", "FT_UINT16", "tcp"),
     _F("TCP payload", "tcp.payload", "FT_BYTES", "tcp"),
+    _F("MSS Value", "tcp.options.mss_val", "FT_UINT16", "tcp"),
+    _F("Shift count", "tcp.options.wscale.shift", "FT_UINT8", "tcp"),
+    _F("SACK Permitted", "tcp.options.sack_perm", "FT_BOOLEAN", "tcp"),
     # udp
     _F("Source Port", "udp.srcport", "FT_UINT16", "udp"),
     _F("Destination Port", "udp.dstport", "FT_UINT16", "udp"),
@@ -265,7 +268,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 5  # v5: + ntp/dhcp builtin protocols+fields
+GLOSSARY_VERSION = 6  # v6: + tcp options fields
 
 
 def cache_dir() -> str:

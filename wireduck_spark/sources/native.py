@@ -370,6 +370,30 @@ def _dissect_l4(
         fields["tcp.checksum"] = struct.unpack(">H", data[off + 16:off + 18])[0]
         payload_len = max(l3_payload_len - data_off, 0)
         fields["tcp.len"] = payload_len
+        # TCP options (between the 20-byte header and data_off): MSS,
+        # window scale, SACK-permitted — the flow-fingerprinting trio
+        # (field names match tshark's epan TCP dissector).
+        opt_off, opt_end = off + 20, off + min(data_off, len(data) - off)
+        while opt_off < opt_end:
+            kind = data[opt_off]
+            if kind == 0:  # end of options
+                break
+            if kind == 1:  # NOP
+                opt_off += 1
+                continue
+            if opt_off + 1 >= opt_end:
+                break
+            olen = data[opt_off + 1]
+            if olen < 2 or opt_off + olen > opt_end:
+                break
+            if kind == 2 and olen == 4:
+                fields["tcp.options.mss_val"] = struct.unpack(
+                    ">H", data[opt_off + 2:opt_off + 4])[0]
+            elif kind == 3 and olen == 3:
+                fields["tcp.options.wscale.shift"] = data[opt_off + 2]
+            elif kind == 4 and olen == 2:
+                fields["tcp.options.sack_perm"] = True
+            opt_off += olen
         payload = data[off + data_off:off + data_off + payload_len]
         if payload:
             fields["tcp.payload"] = payload.hex()
