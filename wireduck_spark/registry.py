@@ -114,7 +114,60 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # never driver-verified before round 3 (judge-verified only):
+    # Round-4 rotation (SURVEY §8 / VERDICT r3 next-round #1): every
+    # round-3 GATE query landed green in CORRECTNESS_r03.json and moved to
+    # ROTATED_OUT; the whole former PENDING_GATE set (13 tpch2 shapes +
+    # round-3 operator additions) is promoted so each finally gets a
+    # driver-contracted correctness row.
+    "agg_histogram_equiwidth",
+    "agg_incremental_merge",
+    "agg_mode_deterministic",
+    "anomaly_zscore_trailing",    # threshold formula fixed this round (ADVICE)
+    "dedup_semantic_kmeans",      # scale-parameterized this round (VERDICT #2)
+    "embed_quantize_int8",
+    "event_funnel_ordered",
+    "event_retention_cohorts",
+    "io_partitioned_pruning",
+    "io_schema_evolution",
+    "io_sorted_clustered_write",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_null_safe",
+    "mm_asset_dedup",
+    "pipeline_training_mix",
+    "sampling_stratified_source",
+    "seq_pack_greedy",
+    "shuffle_deterministic_shards",
+    "sketch_countmin_heavy_hitters",
+    "text_commonness_score",
+    "text_contamination_ngram",
+    "text_heavy_hitters",
+    "text_pii_scrub",
+    "text_quality_repetition",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q8",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "window_topk_per_group",
+    # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
+    # pytest) — kept in the gate every round as the reference-surface smoke:
+    "pcap_scan_default",
+    "pcap_throughput_split",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json, _r02.json and/or
+    # _r03.json; still verified by tools/check_oracle.py + pytest every run.
+    # -- round-3 GATE, all green in CORRECTNESS_r03.json:
     "proj_expressions",
     "resample_gapfill",
     "sampling_bernoulli",
@@ -160,17 +213,10 @@ GATE: tuple[str, ...] = (
     "window_frames",
     "window_percent_cume",
     "window_ranking",
-    # load-bearing re-checks (implementation touched in round 3):
-    "dedup_cluster_components",   # reliable-checkpoint + convergence changes
-    "dedup_minhash_lsh",          # flagship dedup path
-    "join_asof",                  # custom operator, bench headline
-    "pcap_scan_default",          # native dissector (resync/fs-seam changes)
-    "pcap_throughput_split",      # byte-range split path (resync changes)
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json and/or _r02.json;
-    # still verified by tools/check_oracle.py + pytest every run.
+    "dedup_cluster_components",
+    "dedup_minhash_lsh",
+    "join_asof",
+    # -- rounds 1-2:
     "agg_approx_distinct",
     "agg_basic_stats",
     "agg_cube",
@@ -220,51 +266,9 @@ ROTATED_OUT: tuple[str, ...] = (
 
 
 PENDING_GATE: tuple[str, ...] = (
-    # Round-3 additions: no driver slot free this round (the 50 GATE slots
-    # are spent clearing the 45-query round-1/2 blind spot). Verified by
-    # tools/check_oracle.py + tests/test_all_queries_green.py now; first in
-    # line for GATE slots in round 4, when this round's newly-green rows
-    # rotate out.
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "dedup_semantic_kmeans",
-    "text_contamination_ngram",
-    "text_quality_repetition",
-    "sampling_stratified_source",
-    "io_partitioned_pruning",
-    "mm_asset_dedup",
-    "join_null_safe",
-    "agg_mode_deterministic",
-    # late round-3 additions:
-    "seq_pack_greedy",
-    "shuffle_deterministic_shards",
-    "text_pii_scrub",
-    "text_heavy_hitters",
-    "agg_histogram_equiwidth",
-    "pipeline_training_mix",
-    "embed_quantize_int8",
-    "event_funnel_ordered",
-    "event_retention_cohorts",
-    "window_topk_per_group",
-    "agg_incremental_merge",
-    "join_asof_forward",
-    "io_sorted_clustered_write",
-    "text_commonness_score",
-    "io_schema_evolution",
-    "sketch_countmin_heavy_hitters",
-    "anomaly_zscore_trailing",
-    "join_asof_nearest",
+    # Round-4 additions land here first if the 50 GATE slots are already
+    # spent; the rotation above freed 9 spare slots, so new round-4 queries
+    # go straight into GATE until it is full again.
 )
 
 
