@@ -11,6 +11,17 @@ attributed to the first query. Each query is timed twice and the MIN is
 reported (best-of-2): single-shot numbers on a shared box mix ambient
 load and first-touch JIT into whichever query runs first, and the
 steady-state time is the one that predicts cluster throughput.
+
+The emitted JSON records the methodology (runs / agg / warmup) so rounds
+are only compared like-for-like (round-3 ADVICE: the round-2→3 switch to
+best-of-2 silently improved numbers vs the earlier single-shot rows;
+BENCH_r01/r02 were runs=1).
+
+Regression guard: pass --baseline BENCH_rN.json (or set
+SPARK_GRAFT_BENCH_BASELINE) to diff per-query timings against a prior
+round; >1.5x slowdowns on shared queries are reported and exit non-zero,
+so new work can't silently slow the headline set. The guard only fires
+when the baseline used the same methodology.
 """
 
 from __future__ import annotations
@@ -69,17 +80,57 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s ({n_rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "methodology": {"runs": 2, "agg": "min", "warmup": True,
+                        "cache_cleared": True},
+    }
+    print(json.dumps(result))
+
+    baseline_path = None
+    if "--baseline" in sys.argv:
+        baseline_path = sys.argv[sys.argv.index("--baseline") + 1]
+    baseline_path = baseline_path or os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE")
+    if baseline_path:
+        sys.exit(check_regressions(result, baseline_path))
+
+
+def check_regressions(result: dict, baseline_path: str,
+                      threshold: float = 1.5) -> int:
+    """Diff per-query timings against a prior round's BENCH json; return 1
+    if any shared query regressed by more than `threshold`x. Skips (with a
+    note) when the baseline was measured under a different methodology —
+    cross-methodology ratios say nothing about the code."""
+    with open(baseline_path) as fh:
+        base = json.load(fh)
+    if base.get("methodology") not in (None, result["methodology"]):
+        print(f"# baseline methodology {base.get('methodology')} != "
+              f"current; guard skipped", file=sys.stderr)
+        return 0
+    if base.get("methodology") is None:
+        # r01/r02 were single-shot; r03+ best-of-2. Only r03+ comparable.
+        print(f"# baseline {baseline_path} lacks methodology "
+              f"(pre-r03 single-shot); guard skipped", file=sys.stderr)
+        return 0
+    regressed = []
+    for name, t in result["queries"].items():
+        b = base.get("queries", {}).get(name)
+        if b and b > 0.05 and t > b * threshold:
+            regressed.append((name, b, t))
+    for name, b, t in regressed:
+        print(f"# REGRESSION {name}: {b:.3f}s -> {t:.3f}s "
+              f"({t / b:.2f}x)", file=sys.stderr)
+    if regressed:
+        return 1
+    print(f"# regression guard vs {baseline_path}: "
+          f"{len(result['queries'])} queries, none >{threshold}x",
+          file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

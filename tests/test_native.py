@@ -95,6 +95,34 @@ def test_byte_range_splitting(pcap_file):
         assert flow_stats(pkts) == flow_stats(whole)
 
 
+def test_split_survives_glitched_first_timestamp(tmp_path):
+    """A first record with valid lengths but ts_sec=0 (a real-world capture
+    artifact) must NOT poison the resync timestamp anchor: every genuine
+    record in later byte-range slices is still recovered (round-3 ADVICE —
+    the old file-head anchor was validated on lengths only, so each
+    non-first slice silently dropped all its records)."""
+    from tests.pcap_fixtures import build_eth_ipv4_tcp, build_pcap
+
+    frames = [(0.0 if i == 0 else 1_700_000_000.0 + i,
+               build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1111, 80, i, 0,
+                                  0x18, b"x" * (40 + i)))
+              for i in range(12)]
+    p = tmp_path / "glitch.pcap"
+    p.write_bytes(build_pcap(frames))
+    whole = list(iter_packets(str(p)))
+    assert len(whole) == 12
+    size = os.path.getsize(str(p))
+    for n_slices in (2, 3, 5):
+        step = max((size - 24) // n_slices, 32)
+        bounds = [24] + list(range(24 + step, size, step)) + [size]
+        got = [pkt for s, e in zip(bounds, bounds[1:])
+               for pkt in iter_packets(str(p), s, e)]
+        assert len(got) == len(whole), (
+            f"{n_slices} slices dropped {len(whole) - len(got)} records"
+        )
+        assert [f["frame.len"] for f in got] == [f["frame.len"] for f in whole]
+
+
 def test_split_plan_reads_nothing(pcap_file, monkeypatch):
     """The partition plan must never read the capture on the driver
     (round-1 scale-killer: a full driver-side header walk). Only
@@ -551,6 +579,37 @@ def test_ipv6_extension_header_walk(tmp_path):
     assert pkt["udp.srcport"] == 5000
     assert pkt["udp.dstport"] == 5001
     assert pkt["udp.length"] == 8 + len(udp_payload)
+
+
+def test_ipv6_fragment_offset_stops_l4(tmp_path):
+    """IPv6 fragment header: the FIRST fragment (offset 0) still carries a
+    real L4 header and dissects as UDP; a NON-FIRST fragment's bytes are
+    mid-packet payload and must land in 'data' with no bogus port fields
+    (round-3 ADVICE; matches tshark's non-reassembled behavior)."""
+    import struct as _s
+    src16, dst16 = bytes(15) + b"\x01", bytes(15) + b"\x02"
+    udp_payload = b"y" * 4
+    udp = _s.pack(">HHHH", 6000, 6001, 8 + len(udp_payload), 0) + udp_payload
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + _s.pack(">H", 0x86DD)
+
+    def frag_pkt(offset_units: int, body: bytes) -> bytes:
+        # fragment header: next=17 (UDP), reserved, 13-bit offset<<3 | M
+        frag = bytes([17, 0]) + _s.pack(">H", (offset_units << 3) | 1) \
+            + _s.pack(">I", 0xDEADBEEF)
+        ip6 = _s.pack(">IHBB", 0x60000000, len(frag) + len(body), 44, 64) \
+            + src16 + dst16
+        return eth + ip6 + frag + body
+
+    p = tmp_path / "v6frag.pcap"
+    p.write_bytes(build_pcap([
+        (1.0, frag_pkt(0, udp)),              # first fragment: real UDP hdr
+        (1.1, frag_pkt(185, b"\x17\x70\x17\x71" + b"z" * 12)),  # mid-payload
+    ]))
+    first, rest = list(iter_packets(str(p)))
+    assert "udp" in first["frame.protocols"]
+    assert first["udp.srcport"] == 6000
+    assert rest["frame.protocols"].endswith(":data")
+    assert "udp.srcport" not in rest and "tcp.srcport" not in rest
 
 
 def test_tcp_options_dissection(tmp_path):

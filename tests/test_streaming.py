@@ -26,6 +26,31 @@ def events_dir(tmp_path, sf_dir):
     return str(d)
 
 
+def test_stream_starts_on_empty_landing_dir(spark, sf_dir, tmp_path):
+    """The landing-zone pattern starts with an EMPTY directory: the reader
+    must fall back to the known events schema and wait for files, not
+    raise 'Unable to infer schema' (round-3 ADVICE). Files dropped later
+    are then picked up with the same ts handling as the populated path."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    stream = read_events_stream(spark, str(d))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    q = (
+        stream.groupBy("event_type").count()
+        .writeStream.format("memory").queryName("t_empty_start")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM t_empty_start").count() == 0
+        shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM t_empty_start").count() > 0
+    finally:
+        q.stop()
+
+
 def test_tumbling_stream_matches_batch(spark, sf_dir, events_dir):
     """Streaming tumbling counts over the full (finite) stream == the
     oracle-checked batch query's result."""

@@ -474,7 +474,7 @@ def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
            CAST(n AS BIGINT) AS n_history
     FROM framed
     WHERE n >= 5
-      AND (n * x - s) * (n * x - s) > 9 * n * (n * q - s * s)
+      AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
     ORDER BY event_id
     """,
     tags=("timeseries", "window", "anomaly"),
@@ -484,12 +484,16 @@ def anomaly_zscore_trailing(spark: SparkSession, sf: str) -> DataFrame:
     whose value deviates >3 sigma from the user's previous <=20 events.
 
     The float-free trick: with x, S=sum, Q=sum-of-squares all in exact
-    integer cents over the trailing frame, (x-mu)^2 > 9*sigma^2 multiplies
-    out to (n*x - S)^2 > 9*(n*Q - S^2)*... /n^2 on both sides -> compare
-    (n*x-S)^2 against 9*n*(n*Q-S^2) in pure int64 arithmetic. No float
-    mean/stddev, so Spark's partial aggregation order cannot perturb the
-    flag decision and the oracle is hash-exact (a stddev_samp-based
-    version would be float-order-dependent and only tolerance-checkable).
+    integer cents over the trailing frame, mu = S/n and population
+    sigma^2 = (n*Q - S^2)/n^2, so (x-mu)^2 > 9*sigma^2 multiplied through
+    by n^2 becomes (n*x - S)^2 > 9*(n*Q - S^2) in pure int64 arithmetic.
+    (Round 3 shipped an extra factor of n on the right-hand side — an
+    effective 3*sqrt(n)-sigma threshold; fixed per ADVICE r3 in all three
+    twins: this filter, the oracle SQL above, and the streaming state
+    update in streaming/stateful.py.) No float mean/stddev, so Spark's
+    partial aggregation order cannot perturb the flag decision and the
+    oracle is hash-exact (a stddev_samp-based version would be
+    float-order-dependent and only tolerance-checkable).
 
     Scale: one shuffle on user_id; the frame is a bounded 20-row running
     state per key — the same plan shape as window_frames, linear in
@@ -513,7 +517,7 @@ def anomaly_zscore_trailing(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.sum(x * x).over(w), F.lit(0)).alias("q"),
     )
     dev = F.col("n") * F.col("x") - F.col("s")
-    var_n2 = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
     return (
         framed.filter((F.col("n") >= 5) & (dev * dev > 9 * var_n2))
         .select(

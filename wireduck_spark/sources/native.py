@@ -141,9 +141,13 @@ def _chain_validates(buf: bytes, rel: int, info: PcapInfo, abs_base: int,
 
     Plausibility per record: 0 < caplen <= snaplen (header-honored, sane
     default when unset), caplen <= origlen <= 64 MiB, fractional
-    timestamp < divisor, ts within 20 years of the file's first record,
-    record fits in the file. The chain accepts early when it runs
-    cleanly into EOF or off the window.
+    timestamp < divisor, ts within 20 years of its PREDECESSOR in the
+    chain (self-anchoring — the first chain record is compared to the
+    optional `first_ts` file anchor only if the caller validated that
+    anchor; round-3 ADVICE: an unvalidated file-head anchor with a
+    glitched ts_sec, a real capture artifact, silently dropped every
+    record of every non-first slice), record fits in the file. The chain
+    accepts early when it runs cleanly into EOF or off the window.
 
     This is necessarily heuristic — classic pcap has no record markers,
     so payload bytes that EMBED a byte-exact valid record chain ending
@@ -154,6 +158,7 @@ def _chain_validates(buf: bytes, rel: int, info: PcapInfo, abs_base: int,
     """
     cap = _caplen_cap(info)
     off = rel
+    prev_ts = first_ts
     for i in range(_RESYNC_CHAIN):
         if off + RECORD_HEADER_LEN > len(buf):
             return i > 0  # window exhausted after >=1 valid record
@@ -165,8 +170,9 @@ def _chain_validates(buf: bytes, rel: int, info: PcapInfo, abs_base: int,
                 and frac < info.ts_divisor
                 and abs_base + off + RECORD_HEADER_LEN + incl <= size):
             return False
-        if first_ts is not None and abs(ts_s - first_ts) > _TS_PROXIMITY_SEC:
+        if prev_ts is not None and abs(ts_s - prev_ts) > _TS_PROXIMITY_SEC:
             return False
+        prev_ts = ts_s
         off += RECORD_HEADER_LEN + incl
         if abs_base + off >= size:
             return True  # chained exactly into EOF
@@ -190,22 +196,21 @@ def resync_offset(fh, info: PcapInfo, start: int, size: int) -> int:
     """
     if start <= GLOBAL_HEADER_LEN:
         return GLOBAL_HEADER_LEN
-    # The file's first record timestamp anchors the ts-proximity check
-    # (one 16-byte ranged read; same seam as the window reads below). The
-    # anchor is only trusted if that header is itself plausible — a
-    # corrupt file head must not poison resync for the valid tail.
-    fh.seek(GLOBAL_HEADER_LEN)
-    head = fh.read(RECORD_HEADER_LEN)
-    first_ts = None
-    if len(head) == RECORD_HEADER_LEN:
-        h_ts, h_frac, h_incl, h_orig = struct.unpack(
-            info.endian + "IIII", head
-        )
-        if (0 < h_incl <= _caplen_cap(info) and h_incl <= h_orig
-                and h_orig <= _MAX_SANE_ORIGLEN
-                and h_frac < info.ts_divisor):
-            first_ts = h_ts
     window = _caplen_cap(info) * (_RESYNC_CHAIN + 1)
+    # The file's first record timestamp anchors the ts-proximity check for
+    # the first record of each candidate chain (chain-internal links are
+    # self-anchoring). The anchor is trusted ONLY when a full record chain
+    # validates at the file head (round-3 ADVICE: a first record with
+    # valid lengths but a glitched ts_sec — e.g. 0, a real capture
+    # artifact — previously poisoned the anchor and every non-first slice
+    # silently dropped all its records). One bounded window read; the
+    # chain check itself runs anchor-free.
+    fh.seek(GLOBAL_HEADER_LEN)
+    head = fh.read(min(window, size - GLOBAL_HEADER_LEN))
+    first_ts = None
+    if (len(head) >= RECORD_HEADER_LEN
+            and _chain_validates(head, 0, info, GLOBAL_HEADER_LEN, size)):
+        first_ts = struct.unpack(info.endian + "I", head[:4])[0]
     base = start
     while base < size:
         fh.seek(base)
@@ -296,18 +301,34 @@ def dissect_packet(data: bytes, linktype: int, fields: dict) -> None:
         # destination-options(60) carry (next, len-in-8-octets-minus-1);
         # fragment(44) is fixed 8 bytes. Without this walk an IPv6 packet
         # with any extension header would mis-dissect its L4 as "data".
+        # A NON-FIRST fragment (fragment-offset != 0) carries mid-packet
+        # payload after the fragment header, not an L4 header: stop L4
+        # dissection there, matching tshark's non-reassembled behavior
+        # (round-3 ADVICE — previously emitted bogus port/flag fields).
         l4_off = off + 40
         hdr_guard = 0
+        non_first_fragment = False
         while next_header in (0, 43, 44, 60) and hdr_guard < 8:
             if len(data) < l4_off + 8:
                 break
             nh = data[l4_off]
-            ext_len = 8 if next_header == 44 else (data[l4_off + 1] + 1) * 8
+            if next_header == 44:
+                ext_len = 8
+                frag_field = struct.unpack(
+                    ">H", data[l4_off + 2:l4_off + 4])[0]
+                if frag_field >> 3:  # 13-bit fragment offset, 8-octet units
+                    non_first_fragment = True
+            else:
+                ext_len = (data[l4_off + 1] + 1) * 8
             payload_len -= ext_len
             l4_off += ext_len
             next_header = nh
             hdr_guard += 1
-        _dissect_l4(data, l4_off, next_header, payload_len, protos, fields)
+        if non_first_fragment:
+            protos.append("data")
+        else:
+            _dissect_l4(data, l4_off, next_header, payload_len, protos,
+                        fields)
     elif ethertype == 0x0806 and len(data) >= off + 28:  # ARP (over IPv4)
         protos.append("arp")
         _dissect_arp(data, off, fields)

@@ -206,7 +206,7 @@ def _anomaly_update(
 ) -> Iterator[pd.DataFrame]:
     """Per-user trailing-20 deque; flags events via the same integer-exact
     inequality as the batch anomaly_zscore_trailing query:
-    (n*x - S)^2 > 9*n*(n*Q - S^2), all in int64 cents."""
+    (n*x - S)^2 > 9*(n*Q - S^2), all in int64 cents (population sigma)."""
     (user_id,) = key
     hist: list[int] = []
     if state.exists:
@@ -223,7 +223,7 @@ def _anomaly_update(
                 s = sum(hist)
                 q = sum(v * v for v in hist)
                 dev = n * int(x) - s
-                if dev * dev > 9 * n * (n * q - s * s):
+                if dev * dev > 9 * (n * q - s * s):
                     out_ids.append(int(eid))
                     out_x.append(int(x))
                     out_n.append(n)

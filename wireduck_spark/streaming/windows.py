@@ -26,10 +26,32 @@ def read_events_stream(spark: SparkSession, directory: str) -> DataFrame:
     decides whether the files store TIMESTAMP (read as-is) or legacy
     TIMESTAMP(NANOS) int64 (read as BIGINT via nanosAsLong, rebuilt to
     microsecond timestamps). readStream needs an explicit schema, so the
-    peek also supplies it — one driver-side footer read, no data scan."""
+    peek also supplies it — one driver-side footer read, no data scan.
+
+    An EMPTY landing directory (the normal start state for this pattern)
+    has no parquet footers to peek at; fall back to the known events
+    schema with bigint nanos `ts` — the driver-generated layout — so the
+    stream starts and waits for files instead of raising
+    'Unable to infer schema' (round-3 ADVICE)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(directory).schema
+    try:
+        batch_schema = spark.read.parquet(directory).schema
+    except AnalysisException:
+        # no footers yet: the driver's events layout — ts is
+        # TIMESTAMP(NANOS) on disk, which the nanosAsLong conf surfaces
+        # as bigint (the branch below rebuilds microsecond timestamps).
+        batch_schema = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ])
     stream = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
