@@ -26,9 +26,14 @@ def test_registry_shape():
     # must fit the budget so NOTHING exposed to the driver goes dark.
     assert len(qs) <= 50
     assert set(oracles) <= set(qs)
-    # the rows-only set is the documented one (pcap has no DuckDB oracle)
+    # the rows-only set is the documented one: pcap (no DuckDB oracle
+    # exists) plus the scaled SemDeDup config (hash/LSH routing is not
+    # reasonably SQL-expressible; invariants pinned in pytest instead)
     rows_only = set(qs) - set(oracles)
-    assert all(n.startswith("pcap_") for n in rows_only)
+    assert rows_only <= {
+        "pcap_scan_default", "pcap_throughput_split",
+        "dedup_semantic_kmeans_scaled",
+    }
 
 
 def test_gate_partition():

@@ -111,3 +111,74 @@ def test_cluster_components_reliable_checkpoint(spark, sf_dir, tmp_path):
     ).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, rel))
     assert any(ckdir.rglob("*")), "no reliable checkpoint files written"
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SemDeDup engine (functions/curation.py)
+# ---------------------------------------------------------------------------
+
+def _planted_qv(spark, sf_dir):
+    """Embeddings + exact copies of every 50th vector, quantized — the
+    planted-duplicate protocol shared with the oracle-checked gate row."""
+    from wireduck_spark.functions.curation import _quantize
+    from wireduck_spark.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    aug = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return aug.select("vec_id", _quantize(F.col("embedding")).alias("g"))
+
+
+def test_semantic_kmeans_scaled_drops_planted_duplicates(spark, sf_dir):
+    """The scale configuration (k=sqrt(n), k-means|| seeding, LSH-routed
+    assignment) must assign EVERY vector and flag EVERY planted exact
+    copy: identical vectors get identical distances, the deterministic
+    tie-break puts both in the same cluster, and cosine=1 >= 0.9."""
+    from wireduck_spark.functions.curation import semantic_kmeans_dedup
+
+    qv = _planted_qv(spark, sf_dir)
+    n_total = qv.count()
+    flags = semantic_kmeans_dedup(
+        qv, k=None, rounds=2, seeding="kmeanspar", assignment="lsh"
+    ).collect()
+    assert len(flags) == n_total  # every vector assigned exactly once
+    dropped = {r.vec_id for r in flags if r.dropped}
+    planted = {r.vec_id for r in flags if r.vec_id >= 1000000}
+    assert planted, "fixture should plant duplicates"
+    assert planted <= dropped, "every planted exact copy must be flagged"
+
+
+def test_semantic_kmeans_explicit_k_and_determinism(spark, sf_dir):
+    """k= is honored (cluster ids stay < k) and two runs of the same
+    configuration produce identical assignments/flags — no rand(), no
+    partition-order dependence."""
+    from wireduck_spark.functions.curation import semantic_kmeans_dedup
+
+    qv = _planted_qv(spark, sf_dir)
+    k = 7
+    run = lambda: sorted(
+        map(tuple, semantic_kmeans_dedup(
+            qv, k=k, rounds=2, seeding="spread", assignment="lsh"
+        ).collect())
+    )
+    first = run()
+    assert first == run()
+    assert {t[1] for t in first} <= set(range(k))
+
+
+def test_semantic_kmeans_lsh_matches_broadcast_assignment(spark, sf_dir):
+    """Sanity on the routed path: with candidate routing + brute-force
+    residual fallback, every vec_id appears exactly once (no dup rows
+    from multi-table collisions, no vector lost between the two arms)."""
+    from wireduck_spark.functions.curation import (
+        _assign_nearest, _seed_centroids, semantic_kmeans_dedup,
+    )
+
+    qv = _planted_qv(spark, sf_dir)
+    cents = _seed_centroids(qv, 10, "spread")
+    routed = _assign_nearest(qv, cents, "lsh")
+    ids = [r.vec_id for r in routed.select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == qv.count()

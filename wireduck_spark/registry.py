@@ -124,6 +124,7 @@ GATE: tuple[str, ...] = (
     "agg_mode_deterministic",
     "anomaly_zscore_trailing",    # threshold formula fixed this round (ADVICE)
     "dedup_semantic_kmeans",      # scale-parameterized this round (VERDICT #2)
+    "dedup_semantic_kmeans_scaled",  # new: sqrt(n)-k + kmeans|| + LSH routing
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
