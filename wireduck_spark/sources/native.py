@@ -764,10 +764,12 @@ def is_pcapng(path: str) -> bool:
         return fh.read(4) == PCAPNG_MAGIC
 
 
-def _iter_classic_records(fh, size: int, start_byte, end_byte):
-    """(record_offset, epoch_us, incl, orig, data, linktype) per record of
-    a classic-libpcap file, honoring byte-range slices with resync."""
-    info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
+def _iter_classic_raw(fh, info: PcapInfo, size: int, start_byte, end_byte):
+    """(record_offset, header_bytes, data_bytes) per record of a classic
+    file, honoring byte-range slices with resync — the raw layer shared
+    by the dissecting iterator and the tshark-slice extractor (the latter
+    must copy record bytes verbatim, so it cannot consume parsed
+    timestamps)."""
     if not splittable_snaplen(info):
         # snaplen beyond the sane resync cap: byte-range resync can't be
         # trusted, so fall back to one unsplit read — the FIRST slice owns
@@ -785,17 +787,64 @@ def _iter_classic_records(fh, size: int, start_byte, end_byte):
         hdr = fh.read(RECORD_HEADER_LEN)
         if len(hdr) < RECORD_HEADER_LEN:
             break
-        ts_s, ts_frac, incl, orig = struct.unpack(info.endian + "IIII", hdr)
+        _, _, incl, _ = struct.unpack(info.endian + "IIII", hdr)
         data = fh.read(incl)
         if len(data) < incl:
             break
+        yield off, hdr, data
+        off += RECORD_HEADER_LEN + incl
+
+
+def _iter_classic_records(fh, size: int, start_byte, end_byte):
+    """(record_offset, epoch_us, incl, orig, data, linktype) per record of
+    a classic-libpcap file, honoring byte-range slices with resync."""
+    info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
+    for off, hdr, data in _iter_classic_raw(fh, info, size, start_byte,
+                                            end_byte):
+        ts_s, ts_frac, incl, orig = struct.unpack(info.endian + "IIII", hdr)
         # integer microseconds (no float round-trip: ns captures keep
         # exact us truncation, and 2038+ second counts stay exact)
         epoch_us = ts_s * 1_000_000 + (
             ts_frac // 1000 if info.ts_divisor == 1_000_000_000 else ts_frac
         )
         yield off, epoch_us, incl, orig, data, info.linktype
-        off += RECORD_HEADER_LEN + incl
+
+
+def extract_classic_slice(path: str, start_byte, end_byte,
+                          out_path: str) -> list[int]:
+    """Materialize one byte-range slice of a classic capture as a
+    STANDALONE mini-capture: the original 24-byte global header (magic,
+    endianness, ts resolution, snaplen, linktype all preserved) plus the
+    slice's record bytes copied VERBATIM — so any record-stream consumer
+    (tshark above all) dissects the slice exactly as it would the whole
+    file. Ownership is the byte_range_partitions contract: a record
+    belongs to the slice iff its header starts in [resync(start), end).
+
+    Returns the original-file byte offset of each copied record, in
+    order: the split-read frame.number surrogate (same contract as
+    iter_packets on a slice), letting the caller rewrite the consumer's
+    slice-local ordinals into globally unique, partition-invariant ids.
+
+    This is the editcap-free way to lift the reference's one-file-one-
+    process tshark ceiling (wireduck_extension.cpp:126,180): the driver
+    plans fixed byte ranges from the file size alone, each executor
+    extracts its slice locally (through the fs seam — works on object
+    stores) and pipes a private tshark over it.
+    """
+    fs = filesystem_for(path)
+    size = fs.size(path)
+    offsets: list[int] = []
+    with fs.open(path) as fh:
+        head = fh.read(GLOBAL_HEADER_LEN)
+        info = read_global_header(head)
+        with open(out_path, "wb") as out:
+            out.write(head)
+            for off, hdr, data in _iter_classic_raw(fh, info, size,
+                                                    start_byte, end_byte):
+                out.write(hdr)
+                out.write(data)
+                offsets.append(off)
+    return offsets
 
 
 _SHB_TYPE = 0x0A0D0D0A

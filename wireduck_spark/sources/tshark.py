@@ -58,6 +58,58 @@ class TsharkRunner:
             self._proc.wait()
 
 
+class FakeTsharkRunner:
+    """Drop-in TsharkRunner that emulates `tshark -T fields` with the
+    native dissector: reads the argv's capture file, emits one TSV line
+    per packet with the `-e`-requested fields, honoring `-c N`.
+
+    Test seam for containers without a tshark binary (activated by the
+    `tshark_mock_engine=native` reader option): unlike canned-TSV mocks
+    it actually CONSUMES the file the argv names, which is what the
+    split-tshark path needs verified — that each per-slice temp capture
+    is a well-formed standalone file whose dissection matches the
+    whole-file read. Field coverage is the native dissector's 15
+    protocols; display filters (-Y) are not emulated (the translation
+    layer is unit-tested separately and Spark re-applies every filter).
+    """
+
+    def __init__(self, argv: list[str]):
+        self.argv = argv
+
+    def __enter__(self) -> Iterator[str]:
+        from wireduck_spark.sources.native import iter_packets
+
+        path = self.argv[self.argv.index("-r") + 1]
+        fields = [self.argv[i + 1] for i, a in enumerate(self.argv)
+                  if a == "-e"]
+        climit = (int(self.argv[self.argv.index("-c") + 1])
+                  if "-c" in self.argv else None)
+
+        def cell(pkt: dict, name: str) -> str:
+            if name == "frame.time_epoch":
+                # tshark prints epoch seconds with sub-second decimals
+                return f"{pkt['frame.time_epoch'] / 1_000_000:.6f}"
+            v = pkt.get(name)
+            if v is None:
+                return ""
+            if isinstance(v, bool):
+                return "1" if v else "0"  # FT_BOOLEAN parse rule (cpp:214)
+            return str(v)
+
+        def lines() -> Iterator[str]:
+            for i, pkt in enumerate(iter_packets(path, raw_ts=True)):
+                if climit is not None and i >= climit:
+                    break
+                # whole-file read: iter_packets emits ordinal frame.number,
+                # exactly like tshark on the same file
+                yield "\t".join(cell(pkt, f) for f in fields)
+
+        return lines()
+
+    def __exit__(self, *exc) -> None:
+        pass
+
+
 def parse_tsv_line(line: str, n_cols: int) -> list[str] | None:
     """Split one tshark fields line; rows with no cells are skipped
     (cpp:193); missing trailing columns become empty strings."""
