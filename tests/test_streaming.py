@@ -103,6 +103,62 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
     assert got == expected
 
 
+def test_tws_totals_match_legacy_state(spark, sf_dir, events_dir):
+    """Dual-path check (SURVEY §8 item 3): the transformWithStateInPandas
+    port of the running-totals operator produces exactly the per-user
+    totals of the applyInPandasWithState original and of the batch
+    groupBy — the migration story for when the legacy state API ages
+    out. Skips on PySpark builds without the new API."""
+    from wireduck_spark.streaming.stateful import (
+        has_transform_with_state, running_user_totals_tws,
+    )
+
+    if not has_transform_with_state():
+        pytest.skip("transformWithStateInPandas unavailable: needs the "
+                    "protobuf package (absent in this container, installs "
+                    "off-limits) — see has_transform_with_state docstring")
+    # transformWithState's multi-column-family state requires the RocksDB
+    # provider (the default HDFS-backed store has no column families)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_user_totals_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prior)
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_cents"])
+        for r in spark.sql("SELECT * FROM t_user_totals_tws").collect()
+    }
+    e = table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+
 def test_stateful_timeout_branch():
     """The eviction path (hasTimedOut -> remove + expired=true row) and the
     timeout arming, exercised with a fake GroupState — no streaming query

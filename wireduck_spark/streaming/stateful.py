@@ -259,3 +259,86 @@ def anomaly_tracker(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas port (SURVEY §8 / VERDICT r3 #8)
+# ---------------------------------------------------------------------------
+
+def has_transform_with_state() -> bool:
+    """True when this PySpark can actually RUN the new arbitrary-state
+    API: the GroupedData method exists (SPARK-49564, present in 4.1.2)
+    AND the `protobuf` package is importable — the state-server protocol
+    (pyspark.sql.streaming.proto.StateMessage_pb2) imports
+    google.protobuf at query start, and pyspark does not declare it as a
+    hard dependency; without it the TransformWithStateInPySpark driver
+    worker crashes at plan time. This container ships no protobuf (and
+    installs are off-limits), so the port below is exercised the moment
+    the dependency appears — same carry pattern as delta/tshark
+    (SURVEY §6)."""
+    import importlib.util
+
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        return False
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """`running_user_totals` ported to transformWithStateInPandas — the
+    successor API to applyInPandasWithState (typed state handles, timers,
+    composite ListState/MapState, initial-state bootstrap). Functionally
+    identical output for the NoTimeout path; tests assert equivalence
+    against both the applyInPandasWithState twin and the batch ground
+    truth (tests/test_streaming.py::test_tws_totals_match_legacy_state).
+
+    Port notes (why this is not a mechanical rename):
+    - state is a named handle (`getValueState`) fetched in init(), not a
+      positional tuple smuggled through GroupState;
+    - handleInputRows receives an ITERATOR of pandas frames per key per
+      batch and returns an iterator of frames;
+    - eviction is timer-driven (handleExpiredTimer) instead of
+      state.hasTimedOut, so the timeout live-lock footgun documented on
+      running_user_totals (availableNow never fires timeouts) has the
+      same shape under timeMode='processingTime' — keep timeMode='none'
+      for drain-style triggers.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events LONG, sum_cents LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, cents = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(pdf["value"].sum() * 100))
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n],
+                 "sum_cents": [cents], "expired": [False]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
