@@ -199,6 +199,80 @@ def test_extract_classic_slice_is_standalone(tmp_path):
     ]
 
 
+def test_tshark_split_pcapng_through_spark(spark, tmp_path):
+    """Split-tshark on the Wireshark-default pcapng format: byte-range
+    partitions plan under engine=tshark, each slice extracts as a
+    standalone mini-capture (SHB+IDB preamble + verbatim blocks) for its
+    private (mocked) pipe; packet multiset matches the whole-file read
+    and frame.number carries the block-offset surrogate."""
+    from tests.pcap_fixtures import build_eth_ipv4_tcp, build_pcapng
+
+    p = tmp_path / "big.pcapng"
+    frames = [
+        (1700000000.0 + i, build_eth_ipv4_tcp(
+            "10.0.0.1", "10.0.0.2", 1111, 80, 100 + i, 0, 0x18,
+            b"p" * (20 + i % 7)))
+        for i in range(60)
+    ]
+    p.write_bytes(build_pcapng(frames))
+    pcap_mod.register(spark)
+
+    def load(engine, split):
+        r = (spark.read.format("pcap").option("engine", engine)
+             .option("protocols", "tcp")
+             .option("tshark_mock_engine", "native"))
+        if split:
+            r = r.option("split_threshold", "200")
+        return r.load(str(p))
+
+    split_tshark = load("tshark", split=True)
+    assert split_tshark.rdd.getNumPartitions() > 1
+    whole_tshark = load("tshark", split=False)
+    key = lambda df: sorted(
+        (r["tcp.seq"], r["tcp.len"], r["frame.len"]) for r in df.collect()
+    )
+    assert split_tshark.count() == whole_tshark.count() == 60
+    assert key(split_tshark) == key(whole_tshark)
+    fn = lambda df: sorted(r["frame.number"] for r in df.collect())
+    assert fn(split_tshark) == fn(load("native", split=True))
+
+
+def test_extract_pcapng_slice_is_standalone(tmp_path):
+    """pcapng slice extraction: union of per-slice temp captures == whole
+    file; preamble (SHB+IDB) is copied verbatim so each slice stands
+    alone; packet-block offsets are returned in order. Also exercises
+    SPB-only captures and mid-file filler blocks (NRB runs)."""
+    from wireduck_spark.sources.native import (
+        byte_range_partitions, extract_pcapng_slice, iter_packets,
+    )
+    from tests.pcap_fixtures import build_eth_ipv4_tcp, build_pcapng
+
+    frames = [
+        (1700000000.0 + i, build_eth_ipv4_tcp(
+            "10.0.0.1", "10.0.0.2", 1, 80, i, 0, 0x18, b"z" * (10 + i)))
+        for i in range(20)
+    ]
+    for variant, kw in (("epb", {}), ("spb", {"spb": True}),
+                        ("filler", {"mid_filler_bytes": 4000})):
+        p = tmp_path / f"src_{variant}.pcapng"
+        p.write_bytes(build_pcapng(frames, **kw))
+        whole = list(iter_packets(str(p)))
+        assert len(whole) == 20
+        all_offsets, all_pkts = [], []
+        for j, (s, e) in enumerate(byte_range_partitions(str(p), 4)):
+            out = tmp_path / f"slice_{variant}{j}.pcapng"
+            offs = extract_pcapng_slice(str(p), s, e, str(out))
+            sliced = list(iter_packets(str(out)))
+            assert len(sliced) == len(offs)
+            all_offsets.extend(offs)
+            all_pkts.extend(sliced)
+        assert len(all_pkts) == len(whole) == 20, variant
+        assert all_offsets == sorted(all_offsets)
+        assert [f["frame.len"] for f in all_pkts] == [
+            f["frame.len"] for f in whole
+        ], variant
+
+
 def test_multiproto_dissect_through_spark(spark, tmp_path):
     """DNS/HTTP/ICMP/ARP columns flow through the glossary-driven schema
     and the Arrow batch path with real values (no tshark)."""

@@ -987,6 +987,58 @@ def _pcapng_preamble(fh, size: int):
     return endian, interfaces, size
 
 
+def extract_pcapng_slice(path: str, start_byte, end_byte,
+                         out_path: str) -> list[int]:
+    """pcapng twin of :func:`extract_classic_slice`: materialize one
+    byte-range slice as a standalone mini-capture — the head preamble
+    (SHB + IDBs + any other pre-packet blocks, copied verbatim so
+    endianness, interface link types, and ts resolutions are preserved)
+    followed by every block whose header starts in [resync(start), end),
+    also verbatim (EPB/SPB and any interleaved ISB/NRB/custom blocks;
+    a mid-slice SHB restarts its section in the temp file exactly as in
+    the source).
+
+    Returns the original-file byte offsets of the PACKET blocks only
+    (EPB/SPB — the blocks tshark numbers as frames), in order, for the
+    slice-local frame.number -> byte-offset rewrite.
+
+    Shares _pcapng_preamble's documented limitation: an IDB added
+    mid-file (hot-plugged interface) lands only in slices at-or-after
+    it while earlier-slice EPBs never reference it; captures like that
+    should disable splitting.
+    """
+    fs = filesystem_for(path)
+    size = fs.size(path)
+    offsets: list[int] = []
+    with fs.open(path) as fh:
+        endian, _, first_pkt = _pcapng_preamble(fh, size)
+        fh.seek(0)
+        preamble = fh.read(first_pkt)
+        off = first_pkt
+        if start_byte is not None and start_byte > first_pkt:
+            off = pcapng_resync_offset(fh, endian, start_byte, size)
+        end = end_byte if end_byte is not None else size
+        with open(out_path, "wb") as out:
+            out.write(preamble)
+            while off < end and off + 12 <= size:
+                fh.seek(off)
+                head = fh.read(8)
+                if len(head) < 8:
+                    break
+                if struct.unpack("<I", head[:4])[0] == _SHB_TYPE:
+                    bom = fh.read(4)
+                    endian = "<" if bom == b"\x4d\x3c\x2b\x1a" else ">"
+                btype, blen = struct.unpack(endian + "II", head)
+                if blen < 12 or off + blen > size:
+                    break
+                fh.seek(off)
+                out.write(fh.read(blen))
+                if btype in (_EPB_TYPE, _SPB_TYPE):
+                    offsets.append(off)
+                off += blen
+    return offsets
+
+
 def _iter_pcapng_records(fh, size: int, start_byte=None, end_byte=None):
     """(block_offset, epoch_us, incl, orig, data, linktype) per packet
     block of a pcapng file: SHB (endianness per section) + IDB (linktype,

@@ -323,15 +323,11 @@ class PcapReader(DataSourceReader):
             fs = filesystem_for(path)
             # tshark can split too (round-3 VERDICT #3): executors extract
             # their byte-range slice into a standalone temp capture (native
-            # resync machinery) and pipe a private tshark over it — lifting
-            # the reference's one-file-one-process ceiling (cpp:126,180) on
-            # the 3000-protocol path. Classic pcap only: deciding costs the
-            # driver one 4-byte magic read next to the getsize it already
-            # pays; pcapng stays whole-file under tshark for now.
-            splittable = self.engine == "native" or (
-                self.engine == "tshark"
-                and not native.is_pcapng(path)
-            )
+            # resync machinery; extract_classic_slice / extract_pcapng_slice
+            # by format) and pipe a private tshark over it — lifting the
+            # reference's one-file-one-process ceiling (cpp:126,180) on the
+            # 3000-protocol path.
+            splittable = self.engine in ("native", "tshark")
             if (
                 splittable
                 and self.climit is None
@@ -433,8 +429,13 @@ class PcapReader(DataSourceReader):
             fn_idx = names.index("frame.number")
         except ValueError:
             fn_idx = None
+        extract = (
+            native.extract_pcapng_slice
+            if native.is_pcapng(partition.path)
+            else native.extract_classic_slice
+        )
         with tempfile.NamedTemporaryFile(suffix=".pcap") as tmp:
-            offsets = native.extract_classic_slice(
+            offsets = extract(
                 partition.path, partition.start_byte, partition.end_byte,
                 tmp.name,
             )
