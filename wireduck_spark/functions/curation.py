@@ -752,3 +752,61 @@ def sampling_stratified_source(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-stable (leakage-safe) train/val/test split
+# ---------------------------------------------------------------------------
+
+@query(
+    "sampling_group_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, source, n_chars,
+             {_DUCK_H60.format(s="source")} % 100 AS bucket
+      FROM documents
+    ),
+    labeled AS (
+      SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM assigned
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY split
+    """,
+    tags=("sampling", "curation"),
+)
+def sampling_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP-stable train/val/test split: the 80/10/10 hash coin is
+    flipped on md5(source), not md5(doc_id) — every document of a source
+    (domain/site/provider) lands in the SAME split, by construction.
+
+    This is the leakage-safe split a training pipeline actually needs:
+    near-duplicate documents overwhelmingly share a source (mirrors,
+    templated pages, crawler revisits), so a per-document split
+    (sampling_stable_split) leaks near-copies of training docs into eval
+    — group-hashing is the standard fix (GroupShuffleSplit in sklearn
+    terms). Same portable 60-bit md5 prefix as every hash in the repo,
+    so the assignment is engine-exact and immortal across re-runs.
+
+    Scale: one narrow map (hash of an existing column) + one partial
+    agg; the split decision needs NO join against a membership table and
+    no shuffle of the documents themselves — at 100 TB the assignment
+    stays embarrassingly parallel and any executor can answer "which
+    split does this doc belong to" from the row alone.
+    """
+    d = table(spark, sf, "documents")
+    bucket = F.expr(_SPARK_H60.format(s="source")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

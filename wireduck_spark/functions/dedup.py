@@ -582,3 +582,105 @@ def dedup_cluster_components(
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("label").cast("bigint").alias("cluster_id"),
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, source, substr(text, 1, 200)
+      FROM documents WHERE doc_id % 40 = 0 AND len(text) >= 240
+    ),
+    shingles AS (
+        SELECT doc_id, source, sh
+        FROM (
+            SELECT doc_id, source,
+                   unnest(list_distinct(
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_transform(range(1, len(toks) - 1),
+                               i -> toks[CAST(i AS INTEGER)] || ' '
+                                 || toks[CAST(i + 1 AS INTEGER)] || ' '
+                                 || toks[CAST(i + 2 AS INTEGER)])
+                       ELSE [array_to_string(toks, ' ')] END)) AS sh
+            FROM (
+                SELECT doc_id, source,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM aug
+            )
+        )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+             COUNT(*) AS common
+      FROM shingles a JOIN shingles b
+        ON a.sh = b.sh AND a.source = b.source AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_sub, p.doc_super,
+           ROUND(p.common * 1.0 / ss.n_sh, 4) AS containment
+    FROM pairs p
+    JOIN sizes ss ON p.doc_sub = ss.doc_id
+    WHERE p.common * 10 >= ss.n_sh * 6
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: C(A in B) = |grams(A) ∩ grams(B)| /
+    |grams(A)| >= 0.6 — the near-dup class Jaccard structurally misses.
+    A 200-char snippet quoted inside a 10x longer page has Jaccard
+    ~|A|/|B| ≈ 0.1 (dedup_ngram_jaccard's 0.2 floor never fires) but
+    containment ~1.0; training corpora are full of exactly this
+    (quotations, syndicated excerpts, boilerplate inclusion). The
+    fixture corpus has no real sub-documents, so the query plants
+    200-char prefix snippets of every 40th long doc (doc_id+2000000) and
+    the pipeline must rediscover them as contained.
+
+    Plan shape = dedup_ngram_jaccard's verifier (gram equi-join blocked
+    by source, keyed shuffle of gram rows, never a pair cross product);
+    only the normalization differs — divide by |A| alone, emitted per
+    DIRECTED pair so 'sub' and 'super' roles are explicit. The threshold
+    compare runs integer-only (common*10 >= n_sh*6) and the reported
+    ratio divides two exact integers with one terminal round (registry
+    rules 1-2).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    aug = d.select("doc_id", "source", "text").unionAll(
+        d.filter((F.col("doc_id") % 40 == 0) & (F.length("text") >= 240))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "source",
+            F.substring("text", 1, 200).alias("text"),
+        )
+    )
+    sh = _spark_shingles(aug)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_sub"),
+            F.col("b.doc_id").alias("doc_super"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    ss = sizes.alias("ss")
+    return (
+        pairs.join(ss, F.col("doc_sub") == F.col("ss.doc_id"))
+        .filter(F.col("common") * 10 >= F.col("ss.n_sh") * 6)
+        .select(
+            "doc_sub",
+            "doc_super",
+            F.round(
+                F.col("common") * F.lit(1.0) / F.col("ss.n_sh"), 4
+            ).alias("containment"),
+        )
+    )

@@ -626,3 +626,84 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
             F.when(back_wins, F.col("b_val")).otherwise(F.col("f_val")), 2
         ).alias("nearest_purchase_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "event_sessionization_gap",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(new_sess) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000
+                AS BIGINT) AS duration_secs,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM sess GROUP BY user_id, session_no
+    """,
+    tags=("timeseries", "window", "session"),
+)
+def event_sessionization_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization with EXPLICIT session ids: a new session
+    starts after >30 min of per-user inactivity; each session reports
+    start, event count, duration, and value total.
+
+    Complements tw_session (F.session_window): the built-in gives
+    windowed AGGREGATES but no session id on the events themselves —
+    funnels, attribution, and per-session feature extraction all need
+    the id column. The classic lag-flag-cumsum rewrite delivers it:
+    LAG(ts) flags session starts, a running SUM of flags numbers the
+    sessions — both windows share ONE (user_id) partitioning, so the
+    whole operator costs a single shuffle regardless of corpus size, and
+    the frames are running (bounded state per key, no global window).
+
+    Engine-exactness: the gap compare and the duration are integer
+    MICROSECONDS (unix_micros/epoch_us) — no float epoch, no
+    second-truncation ambiguity between engines; value totals ride
+    integer cents (registry rule 1); (ts, event_id) ordering ties are
+    broken by the unique event_id (rule 5).
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # session tz is pinned UTC (registry.table), so NTZ->LTZ is
+    # instant-preserving and unix_micros stays integer-exact
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id", "event_id", "ts", cents(F.col("value")).alias("cents"),
+        F.when(
+            gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        ts_str(F.min("ts")).alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.floor(
+            (F.max(us(F.col("ts"))) - F.min(us(F.col("ts"))))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_secs"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -125,6 +125,10 @@ GATE: tuple[str, ...] = (
     "anomaly_zscore_trailing",    # threshold formula fixed this round (ADVICE)
     "dedup_semantic_kmeans",      # scale-parameterized this round (VERDICT #2)
     "dedup_semantic_kmeans_scaled",  # new: sqrt(n)-k + kmeans|| + LSH routing
+    # round-4 additions (oracle-checked from day one):
+    "dedup_ngram_containment",    # asymmetric sub-document dedup
+    "event_sessionization_gap",   # lag-flag-cumsum session ids
+    "sampling_group_split",       # leakage-safe group-hash split
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
