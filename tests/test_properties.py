@@ -155,6 +155,67 @@ def test_pcapng_split_union_equals_whole_file(payloads, n_slices, spb):
     os.unlink(path)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=60).map(
+            lambda b: bytes(x | 0x80 for x in b)  # same alphabet note as
+        ),                                         # the classic split test
+        min_size=1, max_size=20,
+    ),
+    st.integers(2, 6),
+    st.booleans(),
+)
+def test_slice_extraction_union_equals_whole_file(payloads, n_slices, png):
+    """The split-tshark extraction invariant, fuzzed: for any capture
+    content and slice count, the per-slice standalone mini-captures
+    (extract_classic_slice / extract_pcapng_slice) together contain
+    exactly the whole file's packets — each temp capture re-dissects
+    independently (that is what the per-slice tshark pipe consumes), and
+    the returned offsets are strictly increasing across slices."""
+    import os
+    import tempfile
+
+    from wireduck_spark.sources.native import (
+        extract_classic_slice, extract_pcapng_slice,
+    )
+    from tests.pcap_fixtures import (
+        build_eth_ipv4_tcp, build_pcap, build_pcapng,
+    )
+
+    frames = [
+        (1700000000.0 + i,
+         build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1111, 80, i, 0, 0x18, pl))
+        for i, pl in enumerate(payloads)
+    ]
+    suffix = ".pcapng" if png else ".pcap"
+    build = build_pcapng if png else build_pcap
+    extract = extract_pcapng_slice if png else extract_classic_slice
+    fd, path = tempfile.mkstemp(suffix=suffix)
+    with os.fdopen(fd, "wb") as fh:
+        fh.write(build(frames))
+    whole = list(iter_packets(path))
+    size = os.path.getsize(path)
+    first = 0 if png else 24
+    step = max((size - first) // n_slices, 32)
+    bounds = [first] + list(range(first + step, size, step)) + [size]
+    got, offsets = [], []
+    for j, (s, e) in enumerate(zip(bounds, bounds[1:])):
+        out = path + f".slice{j}"
+        offs = extract(path, s, e, out)
+        pkts = list(iter_packets(out))
+        assert len(pkts) == len(offs)
+        got.extend(pkts)
+        offsets.extend(offs)
+        os.unlink(out)
+    assert len(got) == len(whole)
+    assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+    assert sorted(f["frame.len"] for f in got) == sorted(
+        f["frame.len"] for f in whole
+    )
+    os.unlink(path)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.one_of(st.none(), st.text(max_size=24)))
 def test_cast_cell_never_raises(cell):

@@ -810,3 +810,91 @@ def sampling_group_split(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram novelty (mixing-decision signal)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_source_novelty",
+    oracle=f"""
+    WITH grams AS (
+      SELECT DISTINCT source,
+             {_DUCK_H60.format(s="g")} AS gh
+      FROM (
+        SELECT source, unnest(
+          CASE WHEN len(toks) >= 3 THEN
+            list_transform(range(1, len(toks) - 1),
+              i -> toks[CAST(i AS INTEGER)] || ' '
+                || toks[CAST(i + 1 AS INTEGER)] || ' '
+                || toks[CAST(i + 2 AS INTEGER)])
+          ELSE [array_to_string(toks, ' ')] END) AS g
+        FROM (SELECT source,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents)
+      )
+    ),
+    spread AS (
+      SELECT gh, CAST(COUNT(*) AS BIGINT) AS n_src FROM grams GROUP BY gh
+    )
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN s.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exclusive,
+           ROUND(SUM(CASE WHEN s.n_src = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM grams g JOIN spread s ON g.gh = s.gh
+    GROUP BY g.source
+    """,
+    tags=("text", "curation"),
+)
+def text_source_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source n-gram NOVELTY: the fraction of a source's distinct
+    word-3-grams that appear in NO other source — the mixing-decision
+    signal behind "does adding this source contribute new content or
+    re-weight what we already have". Low novelty + high volume = a
+    deduplication target; high novelty = irreplaceable in the mix.
+
+    Plan: distinct (source, gram-hash) pairs (one keyed shuffle),
+    per-gram source spread (groupBy the 60-bit gram int), join back on
+    the gram key (co-partitioned with the spread shuffle — Exchange
+    reuse), final per-source rollup. Every shuffle key is an 8-byte
+    hashed gram, never gram text and never the corpus — the same
+    narrow-key discipline as text_contamination_ngram, linear in total
+    gram volume at any corpus size.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    grams = (
+        d.withColumn(
+            "toks",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+            ),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1), ' ',"
+                    " element_at(toks, i + 2)))"
+                    " ELSE array(array_join(toks, ' ')) END"
+                )
+            ).alias("g"),
+        )
+        .select("source", F.expr(_SPARK_H60.format(s="g")).alias("gh"))
+        .distinct()
+    )
+    spread = grams.groupBy("gh").agg(F.count("*").alias("n_src"))
+    joined = grams.join(spread, "gh")
+    excl = F.when(F.col("n_src") == 1, 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(excl).cast("long").alias("n_exclusive"),
+        F.round(
+            F.sum(excl) * F.lit(1.0) / F.count("*"), 4
+        ).alias("novelty"),
+    )

@@ -129,6 +129,7 @@ GATE: tuple[str, ...] = (
     "dedup_ngram_containment",    # asymmetric sub-document dedup
     "event_sessionization_gap",   # lag-flag-cumsum session ids
     "sampling_group_split",       # leakage-safe group-hash split
+    "text_source_novelty",        # cross-source gram novelty (mix signal)
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
