@@ -559,3 +559,41 @@ def test_stateful_anomaly_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == expected
     assert len(expected) > 0, "fixture should contain at least one outlier"
+
+
+def test_streaming_sessions_match_batch(spark, sf_dir, events_dir):
+    """The open-session-carry tracker must emit exactly the batch
+    event_sessionization_gap rows MINUS each user's final session (which
+    never closes without a timeout) — sessions finalize on inactivity;
+    the open tail is not yet a fact."""
+    from wireduck_spark.streaming.stateful import session_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        session_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_no"], r["session_start"],
+         r["n_events"], r["duration_secs"], r["sum_cents"])
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    batch = QUERIES["event_sessionization_gap"].fn(spark, sf_dir).collect()
+    last_per_user = {}
+    for r in batch:
+        last_per_user[r["user_id"]] = max(
+            last_per_user.get(r["user_id"], 0), r["session_no"]
+        )
+    expected = {
+        (r["user_id"], r["session_no"], r["session_start"],
+         r["n_events"], r["duration_secs"], r["sum_cents"])
+        for r in batch
+        if r["session_no"] != last_per_user[r["user_id"]]
+    }
+    assert got == expected
+    assert len(got) > 0

@@ -707,3 +707,83 @@ def event_sessionization_gap(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("duration_secs"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@query(
+    "event_peak_concurrency",
+    oracle="""
+    WITH points AS (
+      SELECT user_id, event_id, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT user_id, event_id, ts + INTERVAL 30 MINUTE, -1 FROM events
+    ),
+    swept AS (
+      SELECT user_id, t,
+             CAST(SUM(delta) OVER (PARTITION BY user_id
+                                   ORDER BY t, delta, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS running
+      FROM points
+    ),
+    peaked AS (
+      SELECT user_id, t, running,
+             MAX(running) OVER (PARTITION BY user_id) AS peak
+      FROM swept
+    )
+    SELECT user_id,
+           CAST(MAX(peak) AS BIGINT) AS peak_concurrency,
+           strftime(MIN(CASE WHEN running = peak THEN t END),
+                    '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+    FROM peaked GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "interval"),
+)
+def event_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    """Peak interval concurrency per user via the classic +1/-1 sweep:
+    every event opens a 30-minute activity interval; the answer is the
+    maximum number of simultaneously open intervals and when it is first
+    reached — the load-profile question (peak parallel sessions, max
+    concurrent viewers, connection-pool sizing) that windowed COUNTs
+    cannot answer because overlap is not alignment.
+
+    Rewrite: explode each interval into a +1 start and a -1 end point,
+    running-sum the deltas in (t, delta, event_id) order — ends sort
+    before starts at the same instant (half-open intervals), and the
+    unique event_id pins full determinism — then take the partition max
+    and the earliest time it is attained.
+
+    Scale: ONE shuffle on user_id serves the running sum, the
+    full-partition max, and the final rollup (Exchange reuse); 2 rows
+    per event, bounded running state per key, no global window. The
+    sweep is the linear-time alternative to the quadratic
+    self-join-on-overlap a naive formulation implies.
+    """
+    e = table(spark, sf, "events")
+    starts = e.select(
+        "user_id", "event_id", F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = e.select(
+        "user_id", "event_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    points = starts.unionByName(ends)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = points.select(
+        "user_id", "t",
+        F.sum("delta").over(w_run).cast("long").alias("running"),
+    )
+    peaked = swept.withColumn(
+        "peak", F.max("running").over(Window.partitionBy("user_id"))
+    )
+    return peaked.groupBy("user_id").agg(
+        F.max("peak").cast("long").alias("peak_concurrency"),
+        ts_str(
+            F.min(F.when(F.col("running") == F.col("peak"), F.col("t")))
+        ).alias("first_peak_ts"),
+    )

@@ -130,6 +130,7 @@ GATE: tuple[str, ...] = (
     "event_sessionization_gap",   # lag-flag-cumsum session ids
     "sampling_group_split",       # leakage-safe group-hash split
     "text_source_novelty",        # cross-source gram novelty (mix signal)
+    "event_peak_concurrency",     # +1/-1 interval sweep, keyed running sum
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",

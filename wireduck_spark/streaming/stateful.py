@@ -342,3 +342,96 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming gap sessionization (twin of batch event_sessionization_gap)
+# ---------------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_no", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_no", LongType()),
+        StructField("session_start", StringType()),
+        StructField("n_events", LongType()),
+        StructField("duration_secs", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+_GAP_US = 1800 * 1_000_000  # 30 minutes, integer microseconds
+
+
+def _session_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user open-session carry: close + emit a session when a >30-min
+    gap arrives, keep the open one in state across micro-batches. Same
+    integer-microsecond gap rule as the batch twin."""
+    (user_id,) = key
+    sess_no, start_us, last_us, n, cents = (
+        state.get if state.exists else (0, 0, 0, 0, 0)
+    )
+    out: list[tuple] = []
+
+    def close():
+        out.append((
+            user_id, sess_no,
+            pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S"),
+            n, (last_us - start_us) // 1_000_000, cents,
+        ))
+
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        xs = (pdf["value"] * 100).round().astype("int64")
+        for t, x in zip(ts_us, xs):
+            if n > 0 and t - last_us > _GAP_US:
+                close()
+                n, cents = 0, 0
+            if n == 0:
+                sess_no += 1
+                start_us = int(t)
+                cents = 0
+            n += 1
+            cents += int(x)
+            last_us = int(t)
+    state.update((sess_no, start_us, last_us, n, cents))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+    )
+
+
+def session_tracker(events: DataFrame) -> DataFrame:
+    """Streaming twin of event_sessionization_gap: emits each user
+    session as it CLOSES (a >30-min gap arrives); the still-open session
+    rides in ~5 ints of state per user across micro-batches — the fourth
+    state shape in this module (funnel: per-stage MIN; totals: running
+    sums; anomaly: sliding deque; here: an open interval). Exactness
+    contract mirrors anomaly_tracker: with per-user event-time order
+    across batches, the closed sessions are identical to the batch
+    query's rows minus each user's final (never-closing) session — which
+    is exactly what a production pipeline wants: sessions finalize on
+    inactivity, the open tail is not yet a fact.
+    """
+    return events.select("user_id", "event_id", "ts", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _session_update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
