@@ -251,3 +251,34 @@ def test_sorted_write_produces_disjoint_files(spark, sf_dir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+
+def test_round4_keyed_windows_single_shuffle(spark, sf_dir):
+    """The round-4 window operators pay exactly ONE data shuffle: the
+    sessionization lag+cumsum windows, the peak-concurrency sweep's
+    running-sum/partition-max pair, and the tolerance as-of's dual
+    last_value all share a single user_id partitioning. More than one
+    Exchange of the events table means a window spec drifted apart
+    (e.g. a second orderBy forcing a re-sort-shuffle); no window may be
+    global."""
+    for name in ("event_sessionization_gap", "event_peak_concurrency",
+                 "join_asof_tolerance"):
+        plan = plan_of(spark, name, sf_dir)
+        # AQE renders Exchange once per reuse point; count distinct
+        # hashpartitioning exprs on the data path instead
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, f"{name}: {n_exchanges} keyed exchanges"
+        assert "CartesianProduct" not in plan, name
+
+
+def test_novelty_and_containment_shuffle_hashed_keys(spark, sf_dir):
+    """The gram-keyed curation queries must never shuffle raw gram text:
+    novelty shuffles 60-bit gram ints; containment's pair join carries
+    the shingle string only inside the source-blocked equi-join (the
+    jaccard verifier's documented shape), with no cartesian anywhere."""
+    plan = plan_of(spark, "text_source_novelty", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "conv(substring(md5" in plan  # hashed key feeds the exchange
+    plan2 = plan_of(spark, "dedup_ngram_containment", sf_dir)
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2

@@ -787,3 +787,80 @@ def event_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
             F.min(F.when(F.col("running") == F.col("peak"), F.col("t")))
         ).alias("first_peak_ts"),
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT user_id, ts, max(value) AS pvalue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CASE WHEN p.ts IS NOT NULL
+                     AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+                THEN ROUND(p.pvalue, 2) END AS recent_purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("timeseries", "join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof
+    tolerance= semantics): the latest purchase at-or-before each click
+    counts only if it is at most 1 hour old — older matches null out.
+    The attribution-window variant every last-touch pipeline needs (a
+    purchase from last month must not get credit for today's click).
+
+    Same ONE-shuffle union-merge rewrite as join_asof, carrying the
+    matched purchase's timestamp through the running window alongside
+    its value so the staleness test is a post-window narrow filter —
+    not a second join, not a range join. Staleness compares integer
+    microseconds (engine-exact; registry rule 3 keeps rendered
+    timestamps string-stable).
+    """
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("pvalue"),
+        F.lit(None).cast("long").alias("p_us"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select(
+            F.lit(None).cast("bigint").alias("event_id"),
+            "user_id", "ts", F.lit(0).alias("kind"), "pvalue",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"),
+        )
+    )
+    merged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fresh = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.col("last_p_us")
+    ) <= 3600 * 1_000_000
+    return (
+        merged
+        .withColumn("last_pvalue", F.last("pvalue", ignorenulls=True).over(w))
+        .withColumn("last_p_us", F.last("p_us", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts")).alias("click_ts"),
+            F.when(
+                F.col("last_p_us").isNotNull() & fresh,
+                F.round("last_pvalue", 2),
+            ).alias("recent_purchase_value"),
+        )
+    )

@@ -131,6 +131,7 @@ GATE: tuple[str, ...] = (
     "sampling_group_split",       # leakage-safe group-hash split
     "text_source_novelty",        # cross-source gram novelty (mix signal)
     "event_peak_concurrency",     # +1/-1 interval sweep, keyed running sum
+    "join_asof_tolerance",        # staleness-bounded as-of (merge_asof tol)
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
