@@ -898,3 +898,122 @@ def text_source_novelty(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(excl) * F.lit(1.0) / F.count("*"), 4
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontaminated eval-set construction (composition capstone)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_eval_holdout",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source, text, n_chars,
+             {_DUCK_H60.format(s="source")} % 100 AS bucket
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, bucket, unnest(list_distinct(
+        CASE WHEN len(toks) >= 8 THEN
+          list_transform(range(1, len(toks) - 6),
+            i -> ('0x' || substr(md5(array_to_string(
+                   list_slice(toks, CAST(i AS INTEGER),
+                              CAST(i + 7 AS INTEGER)), ' ')), 1, 15))::BIGINT)
+        ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
+        END)) AS g
+      FROM (SELECT doc_id, source, bucket,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM tagged)
+    ),
+    contaminated AS (
+      SELECT DISTINCT ev.doc_id
+      FROM (SELECT DISTINCT doc_id, g FROM grams WHERE bucket >= 90) ev
+      JOIN (SELECT DISTINCT g FROM grams WHERE bucket < 80) tr
+        ON ev.g = tr.g
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(*) - COUNT(c.doc_id) AS BIGINT) AS n_clean,
+           CAST(COALESCE(SUM(CASE WHEN c.doc_id IS NULL THEN t.n_chars
+                             ELSE 0 END), 0) AS BIGINT) AS clean_chars
+    FROM (SELECT doc_id, source, n_chars FROM tagged WHERE bucket >= 90) t
+    LEFT JOIN contaminated c ON c.doc_id = t.doc_id
+    GROUP BY t.source
+    """,
+    tags=("curation", "contamination", "pipeline"),
+)
+def pipeline_eval_holdout(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontaminated EVAL-SET construction — the composition capstone of
+    the curation surface: (1) assign whole sources to train/eval with
+    the leakage-safe group hash (sampling_group_split's coin), then
+    (2) knock out every eval doc sharing even one distinct 8-gram with
+    the train corpus (text_contamination_ngram's audit, here used as a
+    FILTER rather than a report). What remains is the eval inventory a
+    benchmark pipeline can actually use: per source, how many docs
+    survive and how many characters of clean eval text they carry.
+
+    The group-hash split already prevents same-source leakage by
+    construction, so the gram knockout specifically catches CROSS-source
+    duplication (syndication, mirrors, quotations) — the leak class a
+    per-doc split audit understates.
+
+    ONE Catalyst plan: hash-tag (narrow) -> gram explode -> hashed-gram
+    equi-join (the only corpus-sized shuffle, 60-bit int keys) ->
+    distinct knockout ids -> left join + per-source rollup. Linear in
+    gram volume; nothing quadratic anywhere.
+    """
+    d = (
+        table(spark, sf, "documents", spread=True)
+        .withColumn(
+            "bucket", F.expr(_SPARK_H60.format(s="source")) % 100
+        )
+        .withColumn(
+            "toks",
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+            ),
+        )
+        .withColumn(
+            "grams",
+            F.array_distinct(
+                F.when(
+                    F.size("toks") >= 8,
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 7),"
+                        " i -> array_join(slice(toks, i, 8), ' '))"
+                    ),
+                ).otherwise(F.array(F.array_join("toks", " ")))
+            ),
+        )
+    )
+    ghash = F.expr(_SPARK_H60.format(s="gs"))
+    ev_grams = (
+        d.filter(F.col("bucket") >= 90)
+        .select("doc_id", F.explode("grams").alias("gs"))
+        .select("doc_id", ghash.alias("g"))
+        .distinct()
+    )
+    tr_grams = (
+        d.filter(F.col("bucket") < 80)
+        .select(F.explode("grams").alias("gs"))
+        .select(ghash.alias("g"))
+        .distinct()
+    )
+    knocked = ev_grams.join(tr_grams, "g").select("doc_id").distinct()
+    ev_docs = d.filter(F.col("bucket") >= 90).select(
+        "doc_id", "source", "n_chars"
+    )
+    marked = ev_docs.join(
+        knocked.withColumn("hit", F.lit(1)), "doc_id", "left"
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_eval_docs"),
+        F.count("hit").alias("n_contaminated"),
+        (F.count("*") - F.count("hit")).cast("long").alias("n_clean"),
+        F.coalesce(
+            F.sum(F.when(F.col("hit").isNull(), F.col("n_chars"))
+                  .otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("clean_chars"),
+    )

@@ -132,6 +132,7 @@ GATE: tuple[str, ...] = (
     "text_source_novelty",        # cross-source gram novelty (mix signal)
     "event_peak_concurrency",     # +1/-1 interval sweep, keyed running sum
     "join_asof_tolerance",        # staleness-bounded as-of (merge_asof tol)
+    "pipeline_eval_holdout",      # group split x gram knockout, one plan
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
