@@ -478,3 +478,44 @@ def test_sql_temporary_view_over_pcap(spark, pcap_file):
     )
     assert spark.sql(
         "SELECT count(*) AS n FROM capture_sql_lim").collect()[0]["n"] == 2
+
+
+def test_split_frame_number_remap_survives_filtered_output(spark, tmp_path):
+    """The slice-local ordinal -> byte-offset rewrite keys on the EMITTED
+    frame.number, not the row index: a display filter that drops rows
+    from tshark's output must not desynchronize the mapping. Simulated
+    by a cfilter the (mocked) pipe doesn't apply but Spark re-applies —
+    plus a direct check that surviving rows carry exactly the offsets of
+    the packets they describe."""
+    from tests.pcap_fixtures import build_eth_ipv4_tcp, build_pcap
+
+    p = tmp_path / "f.pcap"
+    # alternate payload sizes so tcp.len identifies each packet uniquely
+    frames = [
+        (1700000000.0 + i, build_eth_ipv4_tcp(
+            "10.0.0.1", "10.0.0.2", 1111, 80, 100 + i, 0, 0x18,
+            b"q" * (10 + i)))
+        for i in range(40)
+    ]
+    p.write_bytes(build_pcap(frames))
+    pcap_mod.register(spark)
+    df = (
+        spark.read.format("pcap").option("engine", "tshark")
+        .option("protocols", "tcp")
+        .option("tshark_mock_engine", "native")
+        .option("split_threshold", "200")
+        .load(str(p))
+        .filter("`tcp.len` >= 30")  # drops the first 20 packets
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    native_rows = {
+        r["frame.number"]: r["tcp.len"]
+        for r in spark.read.format("pcap").option("engine", "native")
+        .option("protocols", "tcp").option("split_threshold", "200")
+        .load(str(p)).collect()
+    }
+    for r in rows:
+        # each surviving row's byte-offset id maps to the SAME packet in
+        # the native split read — the mapping never slipped
+        assert native_rows[r["frame.number"]] == r["tcp.len"]
