@@ -626,6 +626,7 @@ def dedup_cluster_components(
     WHERE p.common * 10 >= ss.n_sh * 6
     """,
     tags=("dedup", "text"),
+    bench=True,
 )
 def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     """ASYMMETRIC containment dedup: C(A in B) = |grams(A) ∩ grams(B)| /

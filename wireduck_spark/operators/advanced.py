@@ -593,3 +593,89 @@ def window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rk")
     )
+
+
+@query(
+    "merge_upsert_scd",
+    oracle="""
+    WITH changes AS (
+      -- updates: every 17th customer moves segment and gains 100.00
+      SELECT c_custkey, c_name, c_nationkey,
+             ROUND(c_acctbal + 100.00, 2) AS c_acctbal,
+             'UPDATED-SEG' AS c_mktsegment
+      FROM customer WHERE c_custkey % 17 = 0
+      UNION ALL
+      -- inserts: brand-new keys derived from every 53rd customer
+      SELECT c_custkey + 1000000, 'Customer#new' || c_custkey,
+             c_nationkey, 0.00, 'NEWSEG'
+      FROM customer WHERE c_custkey % 53 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+             COALESCE(c.c_name, b.c_name) AS c_name,
+             COALESCE(c.c_nationkey, b.c_nationkey) AS c_nationkey,
+             COALESCE(c.c_acctbal, b.c_acctbal) AS c_acctbal,
+             COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+             CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                  WHEN c.c_custkey IS NULL THEN 'keep'
+                  ELSE 'update' END AS action
+      FROM customer b FULL OUTER JOIN changes c
+        ON b.c_custkey = c.c_custkey
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM merged GROUP BY action
+    """,
+    tags=("merge", "join", "upsert"),
+)
+def merge_upsert_scd(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: apply a change
+    batch (updates + inserts) to a dimension snapshot via ONE full outer
+    join on the key, labeling every output row keep/update/insert — the
+    WHEN MATCHED / WHEN NOT MATCHED branches of SQL MERGE INTO (and of
+    Delta's MERGE, blocked in this container — SURVEY §6) expressed as
+    plain coalesce arithmetic. The summary row per action (count,
+    balance cents, segment spread) is the post-merge audit a pipeline
+    logs after every snapshot advance.
+
+    Scale: one keyed shuffle of each side (AQE broadcasts the change
+    batch when it is small, the common case); the merged snapshot never
+    routes through the driver. The same plan maintains an SCD-style
+    dimension at any size — writing the merged result with
+    io.partitioned/clustered writers completes the loop.
+    """
+    c = table(spark, sf, "customer")
+    updates = c.filter(F.col("c_custkey") % 17 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.round(F.col("c_acctbal") + 100.00, 2).alias("c_acctbal"),
+        F.lit("UPDATED-SEG").alias("c_mktsegment"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 53 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("Customer#new"), F.col("c_custkey").cast("string"))
+            .alias("c_name"),
+        "c_nationkey",
+        F.lit(0.00).alias("c_acctbal"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    ch = updates.unionByName(inserts).alias("ch")
+    b = c.alias("b")
+    merged = b.join(
+        ch, F.col("b.c_custkey") == F.col("ch.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce("ch.c_custkey", "b.c_custkey").alias("c_custkey"),
+        F.coalesce("ch.c_acctbal", "b.c_acctbal").alias("c_acctbal"),
+        F.coalesce("ch.c_mktsegment", "b.c_mktsegment")
+            .alias("c_mktsegment"),
+        F.when(F.col("b.c_custkey").isNull(), "insert")
+        .when(F.col("ch.c_custkey").isNull(), "keep")
+        .otherwise("update").alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(cents(F.col("c_acctbal"))).alias("bal_cents"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )

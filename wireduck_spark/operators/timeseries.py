@@ -659,6 +659,7 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
     FROM sess GROUP BY user_id, session_no
     """,
     tags=("timeseries", "window", "session"),
+    bench=True,
 )
 def event_sessionization_gap(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization with EXPLICIT session ids: a new session

@@ -133,6 +133,7 @@ GATE: tuple[str, ...] = (
     "event_peak_concurrency",     # +1/-1 interval sweep, keyed running sum
     "join_asof_tolerance",        # staleness-bounded as-of (merge_asof tol)
     "pipeline_eval_holdout",      # group split x gram knockout, one plan
+    "merge_upsert_scd",           # MERGE INTO semantics via full outer join
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
