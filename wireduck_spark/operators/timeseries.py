@@ -865,3 +865,67 @@ def join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("recent_purchase_value"),
         )
     )
+
+
+@query(
+    "event_time_to_convert",
+    oracle="""
+    WITH first_view AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN first_view v
+        ON e.user_id = v.user_id AND e.ts > v.v_ts
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS first_view_ts,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS first_purchase_ts,
+           CAST((epoch_us(p.p_ts) - epoch_us(v.v_ts)) // 1000000
+                AS BIGINT) AS latency_secs
+    FROM first_view v JOIN first_purchase p ON v.user_id = p.user_id
+    """,
+    tags=("timeseries", "funnel"),
+)
+def event_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Funnel latency: for every converting user, the time from their
+    FIRST view to their first purchase strictly after it — the question
+    every funnel owner asks right after event_funnel_ordered says who
+    converted. Latency lands in integer seconds from integer-microsecond
+    subtraction (engine-exact; no float epoch).
+
+    Plan: two aggregates on the SAME user_id key — first-view min, then
+    a purchase-after-view min whose join rides the identical
+    partitioning (Exchange reuse; no second corpus shuffle) — and a
+    final keyed join of two already-small per-user tables. Downstream
+    percentile reporting belongs to sketch_quantiles over this output;
+    kept separate so each stays oracle-exact.
+    """
+    e = table(spark, sf, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        first_view.join(first_purchase, "user_id")
+        .select(
+            "user_id",
+            ts_str(F.col("v_ts")).alias("first_view_ts"),
+            ts_str(F.col("p_ts")).alias("first_purchase_ts"),
+            F.floor(
+                (us(F.col("p_ts")) - us(F.col("v_ts"))) / F.lit(1_000_000)
+            ).cast("long").alias("latency_secs"),
+        )
+    )

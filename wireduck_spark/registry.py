@@ -276,9 +276,10 @@ ROTATED_OUT: tuple[str, ...] = (
 
 
 PENDING_GATE: tuple[str, ...] = (
-    # Round-4 additions land here first if the 50 GATE slots are already
-    # spent; the rotation above freed 9 spare slots, so new round-4 queries
-    # go straight into GATE until it is full again.
+    # GATE filled to exactly 50 during round 4; late additions queue here,
+    # first in line for round 5's rotation. Verified by
+    # tools/check_oracle.py + tests/test_all_queries_green.py now.
+    "event_time_to_convert",
 )
 
 
