@@ -1,0 +1,82 @@
+"""Golden tests for the pcap connection-quality analysis queries.
+
+The session_capture fixture (sources/synth.py) is built from hand-chosen
+timestamps, so every expected value below is derivable by inspection:
+50 ms / 120 ms handshake RTTs, exactly one retransmitted segment, and
+30 ms / 450 ms / unanswered DNS transactions. These queries are
+rows-only in the driver gate (DuckDB cannot read pcap); this module IS
+their correctness contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from wireduck_spark.registry import load_all_queries
+from wireduck_spark.sources.native import stream_id
+
+SF = "/root/testdata/sf0.001"
+
+STREAM_A = stream_id("10.0.1.1", 40001, "10.0.2.1", 80)
+STREAM_B = stream_id("10.0.1.2", 40002, "10.0.2.1", 443)
+STREAM_C = stream_id("10.0.1.3", 40003, "10.0.2.2", 9000)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return load_all_queries()
+
+
+def _rows(queries, spark, name):
+    return {r[0]: r for r in queries[name].fn(spark, SF).collect()}
+
+
+def test_handshake_rtt_golden(spark, queries):
+    by_stream = _rows(queries, spark, "pcap_tcp_handshake_rtt")
+    assert by_stream[STREAM_A]["rtt_us"] == 50_000
+    assert by_stream[STREAM_B]["rtt_us"] == 120_000
+    # stream C has no captured handshake -> no row, not a bogus RTT
+    assert STREAM_C not in by_stream
+    assert len(by_stream) == 2
+
+
+def test_retransmissions_golden(spark, queries):
+    by_stream = _rows(queries, spark, "pcap_tcp_retransmissions")
+    assert by_stream[STREAM_A]["data_segments"] == 3
+    assert by_stream[STREAM_A]["retransmissions"] == 1
+    assert by_stream[STREAM_B]["retransmissions"] == 0
+    assert by_stream[STREAM_C]["retransmissions"] == 0
+    assert len(by_stream) == 3
+
+
+def test_dns_latency_golden(spark, queries):
+    by_name = {
+        r["qry_name"]: r
+        for r in queries["pcap_dns_latency"].fn(spark, SF).collect()
+    }
+    fast = by_name["fast.example.com"]
+    assert fast["latency_us"] == 30_000 and fast["n_answers"] == 1
+    slow = by_name["slow.example.com"]  # NXDOMAIN: answered, zero answers
+    assert slow["latency_us"] == 450_000 and slow["n_answers"] == 0
+    lost = by_name["lost.example.com"]  # never answered -> NULL latency
+    assert lost["latency_us"] is None and lost["n_answers"] is None
+    assert len(by_name) == 3
+
+
+def test_protocol_hierarchy_golden(spark, queries):
+    rows = {
+        r["proto_path"]: r
+        for r in queries["pcap_protocol_hierarchy"].fn(spark, SF).collect()
+    }
+    # every frame counts once at every level of its protocols path
+    assert rows["eth"]["n_frames"] == 12
+    assert rows["eth"]["total_bytes"] == 773
+    assert rows["eth:ethertype:arp"]["n_frames"] == 2
+    assert rows["eth:ethertype:ip"]["n_frames"] == 10
+    assert rows["eth:ethertype:ip:udp:dns"]["n_frames"] == 3
+    assert rows["eth:ethertype:ip:tcp:http"]["n_frames"] == 4
+    # parent level >= child level at every edge (hierarchy invariant)
+    for path, r in rows.items():
+        parent = path.rsplit(":", 1)[0]
+        if parent != path:
+            assert rows[parent]["n_frames"] >= r["n_frames"]

@@ -280,6 +280,12 @@ PENDING_GATE: tuple[str, ...] = (
     # first in line for round 5's rotation. Verified by
     # tools/check_oracle.py + tests/test_all_queries_green.py now.
     "event_time_to_convert",
+    # pcap connection-quality suite (rows-only by design; goldens in
+    # tests/test_pcap_analysis.py over the deterministic session_capture):
+    "pcap_tcp_handshake_rtt",
+    "pcap_tcp_retransmissions",
+    "pcap_protocol_hierarchy",
+    "pcap_dns_latency",
 )
 
 

@@ -163,3 +163,139 @@ if _have_fixture():
                 .alias("syn_count"),
             )
         )
+
+    def _session_cap() -> str:
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import session_capture
+
+        return session_capture(
+            os.path.join(cache_dir(), "synth", "session.pcap")
+        )
+
+    @query("pcap_tcp_handshake_rtt", oracle=None,
+           tags=("pcap", "analysis"))
+    def pcap_tcp_handshake_rtt(spark: SparkSession, sf: str) -> DataFrame:
+        """Per-connection SYN -> SYN-ACK round-trip time (Wireshark's
+        tcp.analysis.initial_rtt, reachable in the reference only through
+        tshark's analysis columns). The handshake filter (`tcp.flags.syn`)
+        runs BEFORE the per-stream shuffle, so only the two handshake
+        packets of each connection move — at 100 TB that is ~2 rows per
+        flow, not the flow's payload. RTT is exact integer microseconds
+        (unix_micros on both conditional mins); connections whose
+        handshake was not captured simply have no row.
+        """
+        t = read_pcap(spark, _session_cap(), protocols=["tcp"],
+                      engine="native")
+        syn_pkts = t.filter(F.col("`tcp.flags.syn`"))
+        us = F.unix_micros(F.col("`frame.time_epoch`"))
+        is_synack = F.col("`tcp.flags.ack`")
+        agg = syn_pkts.groupBy(F.col("`tcp.stream`").alias("stream")).agg(
+            F.min(F.when(~is_synack, us)).alias("syn_us"),
+            F.min(F.when(is_synack, us)).alias("synack_us"),
+        )
+        return agg.filter(
+            F.col("syn_us").isNotNull() & F.col("synack_us").isNotNull()
+        ).select(
+            "stream",
+            (F.col("synack_us") - F.col("syn_us")).cast("bigint")
+            .alias("rtt_us"),
+        )
+
+    @query("pcap_tcp_retransmissions", oracle=None,
+           tags=("pcap", "analysis"))
+    def pcap_tcp_retransmissions(spark: SparkSession, sf: str) -> DataFrame:
+        """Per-stream retransmission counts (tcp.analysis.retransmission):
+        a data-bearing segment whose (direction, sequence number, length)
+        was already seen is a retransmit. Two-level aggregate — the first
+        groupBy collapses duplicate segments map-side (partial agg), so
+        the second per-stream pass sees one row per distinct segment, not
+        per packet; both shuffles are keyed on the stream prefix.
+        """
+        t = read_pcap(spark, _session_cap(), protocols=["tcp"],
+                      engine="native")
+        segs = (
+            t.filter(F.col("`tcp.len`") > 0)
+            .groupBy(
+                F.col("`tcp.stream`").alias("stream"),
+                # direction within a stream == the (sport, dport)
+                # orientation of its canonical endpoint pair
+                F.col("`tcp.srcport`").alias("sport"),
+                F.col("`tcp.dstport`").alias("dport"),
+                F.col("`tcp.seq`").alias("seq"),
+                F.col("`tcp.len`").alias("seg_len"),
+            )
+            .agg(F.count("*").alias("n_seen"))
+        )
+        return segs.groupBy("stream").agg(
+            F.sum("n_seen").cast("bigint").alias("data_segments"),
+            F.sum(F.col("n_seen") - 1).cast("bigint")
+            .alias("retransmissions"),
+        )
+
+    @query("pcap_protocol_hierarchy", oracle=None,
+           tags=("pcap", "analysis"))
+    def pcap_protocol_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+        """Wireshark's 'Protocol Hierarchy Statistics': every frame counts
+        once at each level of its frame.protocols path (eth, eth:ip,
+        eth:ip:udp:dns, ...). The prefix expansion is a narrow
+        posexplode (path depth <= ~6, so fan-out is bounded), followed by
+        one keyed aggregate — no joins, no windows.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import multiproto_capture
+
+        cap = multiproto_capture(
+            os.path.join(cache_dir(), "synth", "multiproto.pcap")
+        )
+        df = read_pcap(spark, cap, engine="native")
+        parts = F.split(F.col("`frame.protocols`"), ":")
+        exploded = df.select(
+            F.col("`frame.len`").alias("frame_len"),
+            parts.alias("parts"),
+            F.posexplode(parts).alias("depth", "proto"),
+        )
+        prefix = F.array_join(
+            F.slice(F.col("parts"), 1, F.col("depth") + 1), ":"
+        )
+        return (
+            exploded.select(prefix.alias("proto_path"), "frame_len")
+            .groupBy("proto_path")
+            .agg(
+                F.count("*").alias("n_frames"),
+                F.sum("frame_len").cast("bigint").alias("total_bytes"),
+            )
+        )
+
+    @query("pcap_dns_latency", oracle=None, tags=("pcap", "analysis"))
+    def pcap_dns_latency(spark: SparkSession, sf: str) -> DataFrame:
+        """DNS transaction latency: match each query to its response on
+        (udp.stream, dns.id) — udp.stream is direction-agnostic by
+        construction (sorted endpoint pair, native.py stream_id), so both
+        halves of a transaction share the key and the match is a single
+        keyed aggregate, not a self-join. Unanswered queries surface with
+        NULL latency (the monitoring signal); latency is exact integer
+        microseconds.
+        """
+        t = read_pcap(spark, _session_cap(), protocols=["udp", "dns"],
+                      engine="native")
+        us = F.unix_micros(F.col("`frame.time_epoch`"))
+        is_resp = F.col("`dns.flags.response`")
+        return (
+            t.filter(F.col("`dns.id`").isNotNull())
+            .groupBy(
+                F.col("`udp.stream`").alias("stream"),
+                F.col("`dns.id`").alias("dns_id"),
+                F.col("`dns.qry.name`").alias("qry_name"),
+            )
+            .agg(
+                F.min(F.when(~is_resp, us)).alias("query_us"),
+                F.min(F.when(is_resp, us)).alias("resp_us"),
+                F.max(F.when(is_resp, F.col("`dns.count.answers`")))
+                .alias("n_answers"),
+            )
+            .select(
+                "stream", "dns_id", "qry_name", "n_answers",
+                (F.col("resp_us") - F.col("query_us")).cast("bigint")
+                .alias("latency_us"),
+            )
+        )

@@ -174,3 +174,71 @@ def multiproto_capture(path: str) -> str:
 def dns_query_frame(qname: str, qtype: int, dns_id: int) -> bytes:
     return udp_frame("10.0.0.1", "1.1.1.1", 40000, 53,
                      dns_query(qname, qtype, dns_id))
+
+
+def dns_response(qname: str, dns_id: int, answer_ip: str | None = "93.184.216.34",
+                 ttl: int = 300, rcode: int = 0) -> bytes:
+    """DNS response payload: echoes the question, optionally one A answer
+    (name via 0xc00c compression pointer). rcode=3 + answer_ip=None gives
+    an NXDOMAIN shape."""
+    q = b"".join(
+        bytes([len(p)]) + p.encode() for p in qname.split(".")
+    ) + b"\x00" + struct.pack(">HH", 1, 1)
+    an = 1 if answer_ip else 0
+    hdr = struct.pack(">HHHHHH", dns_id, 0x8180 | rcode, 1, an, 0, 0)
+    ans = b""
+    if answer_ip:
+        ans = b"\xc0\x0c" + struct.pack(">HHIH", 1, 1, ttl, 4) + bytes(
+            int(x) for x in answer_ip.split(".")
+        )
+    return hdr + q + ans
+
+
+def session_capture(path: str) -> str:
+    """Deterministic capture for connection-quality analytics: two TCP
+    sessions with full handshakes (50 ms and 120 ms SYN->SYN-ACK RTT), one
+    retransmitted data segment on stream A, a handshake-less data flow,
+    and three DNS transactions (30 ms answered, 450 ms NXDOMAIN, one
+    never answered). Golden values in tests/test_pcap_source.py derive
+    from exactly these timestamps."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700001000.0
+    a = ("10.0.1.1", "10.0.2.1", 40001, 80)      # stream A endpoints
+    b = ("10.0.1.2", "10.0.2.1", 40002, 443)     # stream B endpoints
+    frames = [
+        # stream A: SYN / SYN-ACK (+50 ms) / ACK, data, retransmission, FIN
+        (t + 0.000000, tcp_frame(a[0], a[1], a[2], a[3], 100, 0x02, b"")),
+        (t + 0.050000, tcp_frame(a[1], a[0], a[3], a[2], 500, 0x12, b"")),
+        (t + 0.050500, tcp_frame(a[0], a[1], a[2], a[3], 101, 0x10, b"")),
+        (t + 0.060000, tcp_frame(a[0], a[1], a[2], a[3], 101, 0x18,
+                                 b"0123456789")),
+        (t + 0.200000, tcp_frame(a[0], a[1], a[2], a[3], 101, 0x18,
+                                 b"0123456789")),  # retransmission
+        (t + 0.250000, tcp_frame(a[1], a[0], a[3], a[2], 501, 0x18,
+                                 b"abcdefghijklmnopqrst")),
+        (t + 0.300000, tcp_frame(a[0], a[1], a[2], a[3], 111, 0x11, b"")),
+        # stream B: SYN / SYN-ACK (+120 ms) / ACK, one data segment
+        (t + 1.000000, tcp_frame(b[0], b[1], b[2], b[3], 7000, 0x02, b"")),
+        (t + 1.120000, tcp_frame(b[1], b[0], b[3], b[2], 9000, 0x12, b"")),
+        (t + 1.120600, tcp_frame(b[0], b[1], b[2], b[3], 7001, 0x10, b"")),
+        (t + 1.130000, tcp_frame(b[0], b[1], b[2], b[3], 7001, 0x18,
+                                 b"hello")),
+        # stream C: mid-connection data only (no handshake in capture)
+        (t + 2.000000, tcp_frame("10.0.1.3", "10.0.2.2", 40003, 9000, 42,
+                                 0x18, b"orphan")),
+        # DNS: answered in 30 ms / NXDOMAIN in 450 ms / never answered
+        (t + 3.000000, udp_frame("10.0.3.1", "1.1.1.1", 41000, 53,
+                                 dns_query("fast.example.com", 1, 0xAAAA))),
+        (t + 3.030000, udp_frame("1.1.1.1", "10.0.3.1", 53, 41000,
+                                 dns_response("fast.example.com", 0xAAAA))),
+        (t + 4.000000, udp_frame("10.0.3.1", "1.1.1.1", 41001, 53,
+                                 dns_query("slow.example.com", 1, 0xBBBB))),
+        (t + 4.450000, udp_frame("1.1.1.1", "10.0.3.1", 53, 41001,
+                                 dns_response("slow.example.com", 0xBBBB,
+                                              answer_ip=None, rcode=3))),
+        (t + 5.000000, udp_frame("10.0.3.1", "1.1.1.1", 41002, 53,
+                                 dns_query("lost.example.com", 1, 0xCCCC))),
+    ]
+    return write_pcap(path, frames)
