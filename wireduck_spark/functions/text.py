@@ -13,7 +13,7 @@ case-insensitive flags) behave identically in both.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wireduck_spark.registry import query, table
@@ -482,4 +482,73 @@ def text_commonness_score(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("freq") * 1.0 / F.count("*"), 4).alias("commonness"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+      FROM tf JOIN df USING (token)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "keywords"),
+)
+def text_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction, TF-IDF style: the top-3 tokens by
+    term frequency weighted by corpus rarity. The weight is the
+    integer-exact variant  score = tf * 1e6 div df  (rarity = inverse
+    document frequency without the log): float ln() differs in the last
+    ulp across engines and a last-ulp flip near a rank boundary would
+    break the top-k hash — integer scoring removes the whole class.
+
+    Scale: tf is one (doc_id, token) keyed aggregate; df aggregates the
+    ALREADY-COLLAPSED tf table (vocabulary-sized, zipf-bounded) and joins
+    back by token — Spark broadcasts it when small, hash-joins when not;
+    the final top-3 is a per-doc partitioned window (WindowGroupLimit
+    pushes the limit before the sort materializes).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    # tf feeds BOTH the df aggregate and the score join; cache it so the
+    # corpus is scanned + exploded once, not twice (a 100-TB pipeline
+    # persists this doc-term table — same idea, different medium).
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    ).cache()
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df_tbl, "token").select(
+        "doc_id", "token",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.expr("tf * 1000000 div df").cast("bigint").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
     )

@@ -929,3 +929,137 @@ def event_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("long").alias("latency_secs"),
         )
     )
+
+
+@query(
+    "event_interarrival_regularity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_type,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id)) // 1000000 AS gap_s
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap2
+      FROM gaps GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, n_gaps, sum_gap_s,
+           CAST(n_gaps * sum_gap2 - sum_gap_s * sum_gap_s AS BIGINT)
+               AS var_num,
+           (100 * (n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)
+              < 9 * sum_gap_s * sum_gap_s) AS is_regular
+    FROM stats WHERE n_gaps >= 3
+    """,
+    tags=("timeseries", "window", "security"),
+)
+def event_interarrival_regularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Beaconing detection: keys whose inter-arrival gaps are suspiciously
+    regular (low coefficient of variation) — the standard C2/heartbeat
+    hunting signal, same shape as Wireshark-era beacon analysis but keyed
+    on (user_id, event_type) here; over pcap it keys on (src, dst).
+
+    Scale: LAG and the aggregate share ONE (user_id, event_type)
+    partitioning — a single keyed shuffle end-to-end; state per key is a
+    constant (3 running sums).
+
+    Engine-exactness: gaps are integer SECONDS (micros div 1e6); the
+    CV < 0.3 test is algebraized to avoid sqrt/division entirely:
+    CV^2 = (n*Q - S^2)/S^2 < 0.09  <=>  100*(n*Q - S^2) < 9*S^2 — all
+    BIGINT on both engines (the same population-variance algebra as
+    anomaly_zscore_trailing). Magnitudes: second-granularity gaps keep
+    n*Q < ~1e18 for gaps up to weeks across millions of events per key.
+    """
+    e = table(spark, sf, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # integer floor-div: micros are non-negative deltas so / + floor == div
+    gap_s = F.floor(
+        (us(F.col("ts")) - us(F.lag("ts").over(w))) / F.lit(1_000_000)
+    ).cast("bigint")
+    stats = (
+        e.select("user_id", "event_type", gap_s.alias("gap_s"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_gap2"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+    var_num = (F.col("n_gaps") * F.col("sum_gap2")
+               - F.col("sum_gap_s") * F.col("sum_gap_s"))
+    return stats.select(
+        "user_id", "event_type",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.col("sum_gap_s").cast("bigint").alias("sum_gap_s"),
+        var_num.cast("bigint").alias("var_num"),
+        (F.lit(100) * var_num
+         < F.lit(9) * F.col("sum_gap_s") * F.col("sum_gap_s"))
+        .alias("is_regular"),
+    )
+
+
+@query(
+    "event_transition_bigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    bigrams AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+               AS p_transition
+    FROM bigrams
+    """,
+    tags=("timeseries", "window", "markov"),
+)
+def event_transition_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (previous event_type -> next event_type) pair, the transition count
+    and conditional probability. The funnel/anomaly primitives' model
+    twin — rare transitions (low p) are the behavioral outliers.
+
+    Scale: LAG shuffles once on user_id; the bigram aggregate reduces to
+    |event_types|^2 rows (tiny), so the per-prev_type normalizing window
+    runs on an already-collapsed table — the global window is over ~25
+    rows, not the corpus (no window_percent_cume-style two-pass needed).
+
+    Engine-exactness: counts are BIGINT; the probability is one
+    double division of two exact integers + ROUND(.., 6) — identical
+    IEEE expression tree both sides (registry rule 2).
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    bigrams = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    n_from = F.sum("n").over(wp)
+    return bigrams.select(
+        "prev_type", "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        n_from.cast("bigint").alias("n_from"),
+        F.round(
+            F.col("n").cast("double") / n_from.cast("double"), 6
+        ).alias("p_transition"),
+    )

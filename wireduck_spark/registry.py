@@ -286,6 +286,10 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_tcp_retransmissions",
     "pcap_protocol_hierarchy",
     "pcap_dns_latency",
+    # oracle-checked analytics additions:
+    "event_interarrival_regularity",  # beaconing / C2-heartbeat signal
+    "event_transition_bigrams",       # first-order Markov behavior model
+    "text_tfidf_keywords",            # integer-exact tf-idf top-3 per doc
 )
 
 
