@@ -679,3 +679,77 @@ def merge_upsert_scd(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(cents(F.col("c_acctbal"))).alias("bal_cents"),
         F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
     )
+
+
+@query(
+    "scd2_history_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR prev_state <> event_type
+    ),
+    versioned AS (
+      SELECT user_id, state,
+             ROW_NUMBER() OVER w AS version_no,
+             ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(version_no AS BIGINT) AS version_no,
+           state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versioned
+    """,
+    tags=("scd", "window", "cdc"),
+)
+def scd2_history_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Changelog -> slowly-changing-dimension type 2: turn an append-only
+    event stream into versioned [valid_from, valid_to) history rows, one
+    per state CHANGE (consecutive repeats of the same state collapse into
+    one version; the open version has NULL valid_to / is_current=true).
+    This is the warehouse-standard dimension build that MERGE-based
+    pipelines (merge_upsert_scd) maintain incrementally — here built from
+    scratch in one pass.
+
+    Scale: all three windows (change-detection LAG, version ROW_NUMBER,
+    interval-closing LEAD) share ONE (user_id) hash partitioning, so the
+    whole build is a single keyed shuffle with running frames — no global
+    window, no join, state per key bounded by one row. 100 TB of
+    changelog -> the same plan, partitioned by the dimension key.
+
+    Engine-exactness: version intervals are emitted as formatted-string
+    timestamps (registry rule 3); (ts, event_id) ordering is made total
+    by the unique event_id tiebreak (rule 5).
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = ordered.filter(
+        F.col("prev_state").isNull()
+        | (F.col("prev_state") != F.col("event_type"))
+    )
+    # same partitioning/ordering as w: Exchange is reused, zero extra
+    # shuffles for the second and third window functions
+    versioned = changes.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version_no"),
+        F.col("event_type").alias("state"),
+        ts_str(F.col("ts")).alias("valid_from"),
+        ts_str(F.lead("ts").over(w)).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    return versioned

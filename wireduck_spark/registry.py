@@ -290,6 +290,8 @@ PENDING_GATE: tuple[str, ...] = (
     "event_interarrival_regularity",  # beaconing / C2-heartbeat signal
     "event_transition_bigrams",       # first-order Markov behavior model
     "text_tfidf_keywords",            # integer-exact tf-idf top-3 per doc
+    "scd2_history_build",             # changelog -> type-2 dimension
+    "io_zorder_clustered_write",      # Morton-curve 2-D clustering
 )
 
 
