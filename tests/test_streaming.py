@@ -597,3 +597,35 @@ def test_streaming_sessions_match_batch(spark, sf_dir, events_dir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stateful_beacon_matches_batch(spark, sf_dir, events_dir):
+    """The running-sums beacon tracker's final emitted row per
+    (user_id, event_type) must equal the batch
+    event_interarrival_regularity row exactly — same integer-second gap
+    floor, same BIGINT CV inequality."""
+    from wireduck_spark.streaming.stateful import beacon_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        beacon_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_beacon")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"]):
+            (r["n_gaps"], r["sum_gap_s"], r["var_num"], r["is_regular"])
+        for r in spark.sql("SELECT * FROM t_beacon").collect()
+    }
+    expected = {
+        (r["user_id"], r["event_type"]):
+            (r["n_gaps"], r["sum_gap_s"], r["var_num"], r["is_regular"])
+        for r in QUERIES["event_interarrival_regularity"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) > 50

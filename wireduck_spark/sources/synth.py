@@ -199,7 +199,7 @@ def session_capture(path: str) -> str:
     sessions with full handshakes (50 ms and 120 ms SYN->SYN-ACK RTT), one
     retransmitted data segment on stream A, a handshake-less data flow,
     and three DNS transactions (30 ms answered, 450 ms NXDOMAIN, one
-    never answered). Golden values in tests/test_pcap_source.py derive
+    never answered). Golden values in tests/test_pcap_analysis.py derive
     from exactly these timestamps."""
     if os.path.exists(path):
         return path

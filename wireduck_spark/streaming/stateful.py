@@ -435,3 +435,77 @@ def session_tracker(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming inter-arrival regularity (beaconing) tracker (round 4)
+# ---------------------------------------------------------------------------
+
+BEACON_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("sum_gap_s", LongType()),
+        StructField("sum_gap2", LongType()),
+    ]
+)
+
+BEACON_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n_gaps", LongType()),
+        StructField("sum_gap_s", LongType()),
+        StructField("var_num", LongType()),
+        StructField("is_regular", BooleanType()),
+    ]
+)
+
+
+def _beacon_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Constant state per key: (last event ts, and the three running sums
+    n / S / Q of integer-second gaps). The regularity verdict re-derives
+    the batch query's all-BIGINT inequality 100*(n*Q - S^2) < 9*S^2
+    each micro-batch, so the final emitted row equals the batch answer."""
+    user_id, event_type = key
+    last_ts, n, s, q = (state.get if state.exists else (-1, 0, 0, 0))
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        for t in ts_us:
+            if last_ts >= 0:
+                g = (int(t) - last_ts) // 1_000_000
+                n, s, q = n + 1, s + g, q + g * g
+            last_ts = int(t)
+    state.update((last_ts, n, s, q))
+    out: list[tuple] = []
+    if n >= 3:
+        var_num = n * q - s * s
+        out.append((user_id, event_type, n, s, var_num,
+                    100 * var_num < 9 * s * s))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in BEACON_OUTPUT_SCHEMA.fields]
+    )
+
+
+def beacon_tracker(events: DataFrame) -> DataFrame:
+    """Streaming twin of event_interarrival_regularity: per
+    (user_id, event_type) running gap statistics, re-emitting the current
+    regularity verdict every micro-batch (update mode). Detection goes
+    LIVE this way — a C2-style heartbeat trips the CV inequality while
+    beaconing is still happening, instead of in tomorrow's batch scan.
+    Exactness contract matches the other trackers in this module: with
+    per-key event-time-ordered delivery across batches, the last emitted
+    row per key is bit-identical to the batch query's row.
+    """
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _beacon_update,
+        outputStructType=BEACON_OUTPUT_SCHEMA,
+        stateStructType=BEACON_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
