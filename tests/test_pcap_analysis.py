@@ -80,3 +80,18 @@ def test_protocol_hierarchy_golden(spark, queries):
         parent = path.rsplit(":", 1)[0]
         if parent != path:
             assert rows[parent]["n_frames"] >= r["n_frames"]
+
+
+def test_beacon_detection_golden(spark, queries):
+    """The 30 s ±0.2 s implant flow must flag as a beacon; the bursty
+    browsing flow (CV ~1.2) must not."""
+    implant = stream_id("10.0.5.5", 49152, "10.9.9.9", 443)
+    browsing = stream_id("10.0.5.6", 50000, "93.184.216.34", 443)
+    rows = _rows(queries, spark, "pcap_beacon_detection")
+    assert rows[implant]["is_beacon"] is True
+    assert rows[implant]["n_gaps"] == 20
+    # 20 gaps averaging exactly 30 s
+    assert rows[implant]["sum_gap_ms"] == 600_000
+    assert rows[browsing]["is_beacon"] is False
+    assert rows[browsing]["n_gaps"] == 10
+    assert len(rows) == 2

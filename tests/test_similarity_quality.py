@@ -46,3 +46,32 @@ def test_ann_results_are_subset_quality(spark, sf_dir):
         floor[q] = min(floor.get(q, 1.0), s)
     for r in QUERIES["sim_ann_hyperplane_lsh"].fn(spark, sf_dir).collect():
         assert r["cos_sim"] >= floor[r["query_id"]] - 0.25
+
+
+def test_pq_rerank_recall(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank: 4-bit/subspace codes on
+    near-random 64-dim vectors are PQ's worst case, yet the shortlist
+    must carry real neighbors — random PQ_CAND=20 candidates out of 500
+    would land recall@3 ~ 0.04."""
+    exact = _topk(spark, sf_dir, "sim_topk_bruteforce")
+    approx = _topk(spark, sf_dir, "sim_ann_pq_rerank")
+    hits = total = 0
+    for q, nbrs in exact.items():
+        total += len(nbrs)
+        hits += len(nbrs & approx.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.3, f"recall@3 = {recall:.2f}"
+
+
+def test_pq_rerank_scores_are_exact_cosines(spark, sf_dir):
+    """The re-rank step must output TRUE cosines (not approximate ADC
+    scores): every (query, neighbor) the PQ path shares with brute force
+    must carry the identical rounded similarity."""
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in QUERIES["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    for r in QUERIES["sim_ann_pq_rerank"].fn(spark, sf_dir).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cos_sim"] == exact[key], key

@@ -333,3 +333,160 @@ def sim_ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
         sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# -- product quantization + asymmetric-distance rerank ----------------------
+# The memory-bound scale path: 64-dim float32 vectors (256 B) compress to
+# M=8 4-bit codes (4 B packed; kept as 8 tinyints here for clarity) — a
+# 100-TB embedding corpus's code table fits in ~1.6 TB of executor memory,
+# scannable without touching the raw vectors. Training follows the
+# production shape (faiss): codebooks fit on a BOUNDED driver-side sample
+# (constant work regardless of corpus size), then encoding, the ADC scan,
+# and the exact re-rank are all distributed.
+
+PQ_M = 8       # subspaces (64 dims -> 8 dims each)
+PQ_K = 16      # centroids per subspace -> 4-bit codes
+PQ_TRAIN_N = 256   # driver-side training sample bound
+PQ_CAND = 20   # ADC candidates per query handed to the exact re-rank
+PQ_ROUNDS = 10
+
+
+def _train_pq_codebooks(sample):
+    """Deterministic per-subspace Lloyd's k-means on an (n, 64) float64
+    sample: seeded with the first PQ_K rows (sample is vec_id-ordered),
+    fixed PQ_ROUNDS iterations, empty clusters keep their previous
+    centroid. Vectors are L2-normalized first so ADC's squared-L2 is
+    rank-equivalent to cosine (d2 = 2 - 2*cos on unit vectors)."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d_sub = x.shape[1] // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sub = x[:, m * d_sub:(m + 1) * d_sub]
+        cents = sub[:PQ_K].copy()
+        for _ in range(PQ_ROUNDS):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                members = sub[assign == k]
+                if len(members):
+                    cents[k] = members.mean(axis=0)
+        books.append(cents)
+    return books  # list of (PQ_K, d_sub) arrays
+
+
+@query("sim_ann_pq_rerank", oracle=None, tags=("similarity", "pq"))
+def sim_ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank — the third ANN family
+    next to IVF (sim_ann_ivf_bucketed) and LSH (sim_ann_hyperplane_lsh),
+    and the one that changes the MEMORY story: the scan touches 4-bit
+    codes, not vectors.
+
+    Plan: (1) codebooks train on a bounded vec_id-ordered sample
+    (driver-side by design — constant cost, the faiss/SCANN shape);
+    (2) encoding is one Arrow-batched mapInPandas over the corpus — narrow,
+    no shuffle; (3) each probe's 8x16 LUT of subspace distances ships in
+    the task closure and the ADC scan emits (query, candidate,
+    approx_d2) — still narrow; (4) top-PQ_CAND per query via partitioned
+    window, then ONLY those candidates join back (keyed, tiny) to raw
+    vectors for the exact cosine re-rank and final top-3. Rows-only in
+    the gate: k-means training is not SQL-expressible; recall@3 vs the
+    brute-force baseline is asserted in tests/test_similarity_quality.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf, "embeddings", spread=True)
+    sample = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(PQ_TRAIN_N).collect()
+    ]
+    books = _train_pq_codebooks(sample)
+    probes_raw = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    }
+    d_sub = len(sample[0]) // PQ_M
+    # per-probe LUT[m][k] = ||probe_sub_m - centroid_mk||^2 (unit-normed)
+    luts = {}
+    for qid, v in probes_raw.items():
+        v = v / np.linalg.norm(v)
+        luts[qid] = np.stack([
+            ((v[m * d_sub:(m + 1) * d_sub][None, :] - books[m]) ** 2)
+            .sum(axis=1)
+            for m in range(PQ_M)
+        ])  # (M, K)
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].values).astype(np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            codes = np.empty((len(x), PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                sub = x[:, m * d_sub:(m + 1) * d_sub]
+                d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
+            )
+
+    coded = emb.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id bigint, codes array<int>"
+    )
+
+    def adc_scan(batches):
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].values)  # (n, M)
+            vids = pdf["vec_id"].values
+            out_q, out_v, out_d = [], [], []
+            for qid, lut in luts.items():
+                # gather: sum over m of LUT[m, code_m] — vectorized
+                d2 = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                keep = vids != qid
+                out_q.append(np.full(keep.sum(), qid, dtype=np.int64))
+                out_v.append(vids[keep])
+                out_d.append(d2[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_v),
+                    "approx_d2": np.concatenate(out_d),
+                }
+            )
+
+    cands = coded.mapInPandas(
+        adc_scan, "query_id bigint, neighbor_id bigint, approx_d2 double"
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        cands.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    reranked = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("c_emb")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(probes), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+    )

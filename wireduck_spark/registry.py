@@ -292,6 +292,8 @@ PENDING_GATE: tuple[str, ...] = (
     "text_tfidf_keywords",            # integer-exact tf-idf top-3 per doc
     "scd2_history_build",             # changelog -> type-2 dimension
     "io_zorder_clustered_write",      # Morton-curve 2-D clustering
+    "pcap_beacon_detection",          # rows-only; goldens in pytest
+    "sim_ann_pq_rerank",              # rows-only; recall tests in pytest
 )
 
 

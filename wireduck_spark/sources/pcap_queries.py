@@ -299,3 +299,53 @@ if _have_fixture():
                 .alias("latency_us"),
             )
         )
+
+    @query("pcap_beacon_detection", oracle=None, tags=("pcap", "analysis"))
+    def pcap_beacon_detection(spark: SparkSession, sf: str) -> DataFrame:
+        """Beacon hunting in the packet domain: flows whose inter-packet
+        gaps are suspiciously regular (an implant checking in on a timer)
+        — the pcap twin of event_interarrival_regularity, same all-BIGINT
+        CV < 0.3 algebra (100*(n*Q - S^2) < 9*S^2) over integer
+        MILLISECOND gaps (packet timing needs sub-second resolution;
+        magnitudes stay < 1e15 for hour-scale timers over 1e6 packets).
+
+        Scale: LAG and the aggregate share one udp.stream partitioning —
+        a single keyed shuffle over the capture, constant state per flow.
+        """
+        from pyspark.sql.window import Window
+
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import beacon_capture
+
+        cap = beacon_capture(os.path.join(cache_dir(), "synth", "beacon.pcap"))
+        t = read_pcap(spark, cap, protocols=["udp"], engine="native")
+        w = Window.partitionBy("`udp.stream`").orderBy(
+            "`frame.time_epoch`", "`frame.number`"
+        )
+        us = F.unix_micros(F.col("`frame.time_epoch`"))
+        gap_ms = F.floor((us - F.unix_micros(
+            F.lag("`frame.time_epoch`").over(w)
+        )) / F.lit(1000)).cast("bigint")
+        stats = (
+            t.filter(F.col("`udp.stream`").isNotNull())
+            .select(F.col("`udp.stream`").alias("stream"),
+                    gap_ms.alias("gap_ms"))
+            .groupBy("stream")
+            .agg(
+                F.count("gap_ms").alias("n_gaps"),
+                F.sum("gap_ms").alias("sum_gap_ms"),
+                F.sum(F.col("gap_ms") * F.col("gap_ms")).alias("sum_gap2"),
+            )
+            .filter(F.col("n_gaps") >= 3)
+        )
+        var_num = (F.col("n_gaps") * F.col("sum_gap2")
+                   - F.col("sum_gap_ms") * F.col("sum_gap_ms"))
+        return stats.select(
+            "stream",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.col("sum_gap_ms").cast("bigint").alias("sum_gap_ms"),
+            var_num.cast("bigint").alias("var_num"),
+            (F.lit(100) * var_num
+             < F.lit(9) * F.col("sum_gap_ms") * F.col("sum_gap_ms"))
+            .alias("is_beacon"),
+        )

@@ -176,6 +176,34 @@ def dns_query_frame(qname: str, qtype: int, dns_id: int) -> bytes:
                      dns_query(qname, qtype, dns_id))
 
 
+def beacon_capture(path: str) -> str:
+    """Two UDP flows for beacon hunting: an implant checking in every
+    30 s with ±0.2 s jitter (coefficient of variation ~0.007 — regular)
+    and a browsing-shaped flow with bursty gaps (CV >> 0.3 — irregular).
+    Timestamps are hand-chosen so tests/test_pcap_analysis.py can derive
+    the expected verdicts by inspection."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700002000.0
+    frames = []
+    # implant: 21 check-ins, gaps 29.8-30.2 s (deterministic jitter)
+    jitter = [0.0, 0.2, -0.2, 0.1, -0.1, 0.0, 0.2, -0.2, 0.1, -0.1,
+              0.0, 0.2, -0.2, 0.1, -0.1, 0.0, 0.2, -0.2, 0.1, -0.1, 0.0]
+    at = t
+    for i, j in enumerate(jitter):
+        at = t + 30.0 * i + j
+        frames.append((at, udp_frame("10.0.5.5", "10.9.9.9", 49152, 443,
+                                     b"\x17\x01" + bytes(30))))
+    # browsing: bursty gaps (seconds): 1, 7, 2, 40, 3, 90, 1, 25, 2, 60
+    gaps = [0, 1, 8, 10, 50, 53, 143, 144, 169, 171, 231]
+    for g in gaps:
+        frames.append((t + 0.5 + g, udp_frame("10.0.5.6", "93.184.216.34",
+                                              50000, 443, b"GET" + bytes(20))))
+    frames.sort(key=lambda f: f[0])
+    return write_pcap(path, frames)
+
+
 def dns_response(qname: str, dns_id: int, answer_ip: str | None = "93.184.216.34",
                  ttl: int = 300, rcode: int = 0) -> bytes:
     """DNS response payload: echoes the question, optionally one A answer
