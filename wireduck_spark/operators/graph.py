@@ -1,0 +1,208 @@
+"""Graph analytics over the order network (customer—supplier bipartite
+graph derived from orders ⨝ lineitem).
+
+The reference delegates all analytics to its host engine
+(`/root/reference/README.md:15`); graph workloads over packet or order
+data are the natural next step a wireduck user takes once conversations
+become node/edge tables (e.g. `ip.src -> ip.dst` talk graphs). The same
+iterative-join pattern used here powers the packet-graph variants.
+
+Cross-engine determinism: PageRank is normally float-valued, which can
+never hash-match across engines (summation order differs). Every rank
+here is therefore an int64 scaled by RANK_SCALE with *floor division* at
+each hop — integer sums are associative/commutative and exact, so Spark
+and the unrolled-CTE DuckDB oracle agree bit-for-bit.
+
+Scale (100 TB): each iteration is one keyed shuffle — ranks join edges
+on src (edge table is the big side; Spark hash-joins on the edge
+partitioning), then a partial-aggregated groupBy on dst. The rank table
+is O(nodes) ≪ O(edges) and stays hash-partitioned on node id across
+iterations, so AQE coalesces the small side. A fixed iteration count
+keeps the lineage shallow (no checkpoint needed at T=5; pass
+`checkpoint_dir` to `dedup.cluster_components`-style convergence loops
+for unbounded iteration instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import query, table
+
+RANK_SCALE = 1_000_000_000_000  # 10^12: rank 1.0 == 10^12
+DAMP_NUM, DAMP_DEN = 85, 100    # damping 0.85 as an exact rational
+PR_ITERS = 5
+
+# Node ids: customer c -> 2c, supplier s -> 2s+1 (key spaces overlap).
+_EDGE_SQL = """
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def _edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed edge list: both orientations of the distinct
+    customer—supplier fulfilment pairs (so no node is dangling: every
+    node that appears has in- and out-edges and PageRank needs no
+    dangling-mass redistribution term)."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cust_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("supp_node"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust_node").alias("src"),
+                       F.col("supp_node").alias("dst"))
+    rev = pairs.select(F.col("supp_node").alias("src"),
+                       F.col("cust_node").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE DuckDB oracle: same integer arithmetic, 5 hops."""
+    head = f"""
+    WITH pairs AS ({_EDGE_SQL}),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
+    r0 AS (
+        SELECT node, CAST({RANK_SCALE} // c AS BIGINT) AS rank
+        FROM nodes CROSS JOIN nn
+    )"""
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f""",
+    r{i} AS (
+        SELECT e.dst AS node,
+               CAST((15 * {RANK_SCALE}) // (100 * nn.c)
+                    + SUM(r.rank * {DAMP_NUM} // ({DAMP_DEN} * deg.d))
+                    AS BIGINT) AS rank
+        FROM r{i - 1} r
+        JOIN deg ON deg.src = r.node
+        JOIN edges e ON e.src = r.node
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.c
+    )""")
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(node // 2 AS BIGINT) AS node_key,
+           rank AS rank_scaled
+    FROM r{PR_ITERS}
+    ORDER BY rank_scaled DESC, node ASC
+    LIMIT 20
+    """
+    return head + "".join(steps) + tail
+
+
+@query(
+    "graph_pagerank_bipartite",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 PageRank nodes of the customer—supplier fulfilment graph.
+
+    Exact integer PageRank: rank is int64 scaled by 10^12; each hop
+    contributes ``rank * 85 div (100 * outdeg)`` (int64 floor div) plus
+    the teleport base ``15*SCALE div (100*N)``. No doubles anywhere, so
+    the unrolled DuckDB oracle hash-matches exactly.
+
+    Plan per iteration: broadcast-or-shuffle join ranks⨝deg (both
+    node-sized), one shuffle joining onto edges by src, one partial-agg
+    shuffle grouping by dst. Fixed 5 iterations — lineage stays shallow.
+    The final top-20 is a TakeOrderedAndProject, not a global sort.
+    """
+    edges = _edges(spark, sf)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("deg_node"), "d")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # driver scalar: sizes the teleport base
+    base = (15 * RANK_SCALE) // (100 * n_nodes)
+
+    # Fresh column names for the join sides: edges/deg/nodes share lineage
+    # (all derive from the same union), which otherwise trips Spark's
+    # ambiguous-self-join analysis inside the loop.
+    e = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    # Explicit long: F.lit of a < 2^31 seed would otherwise type the
+    # column int32 and overflow at `rank * 85` under ANSI mode.
+    ranks = nodes.withColumn(
+        "rank", F.lit(RANK_SCALE // n_nodes).cast("long"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(deg, ranks.node == deg.deg_node)
+            .join(e, ranks.node == e.e_src)
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr(f"`rank` * {DAMP_NUM} div ({DAMP_DEN} * d)")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank"))
+        )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier")).alias("node_type"),
+            F.expr("node div 2").cast("long").alias("node_key"),
+            F.col("rank").alias("rank_scaled"),
+            F.col("node"),
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("node"))
+        .limit(20)
+        .drop("node")
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH pairs AS ({_EDGE_SQL}),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(d AS BIGINT) AS degree,
+           COUNT(*) AS n_nodes
+    FROM deg
+    GROUP BY 1, 2
+    ORDER BY node_type, degree
+    """,
+    tags=("graph",),
+)
+def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree distribution of the fulfilment graph, split by node side.
+
+    One distinct (shuffle on the pair), one groupBy node (shuffle), one
+    partial-aggregated groupBy (type, degree). Degree histograms are the
+    standard first look at any talk graph (`ip.src`/`ip.dst` degree =
+    fan-out of a host — the packet-domain twin of this query).
+    """
+    edges = _edges(spark, sf)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d"))
+    return (
+        deg.groupBy(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier")).alias("node_type"),
+            F.col("d").cast("long").alias("degree"),
+        )
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("node_type", "degree")
+    )

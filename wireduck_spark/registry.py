@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "wireduck_spark.operators.scalars",
     "wireduck_spark.operators.timeseries",
     "wireduck_spark.operators.io",
+    "wireduck_spark.operators.graph",
     "wireduck_spark.functions.text",
     "wireduck_spark.functions.dedup",
     "wireduck_spark.functions.similarity",
@@ -294,6 +295,8 @@ PENDING_GATE: tuple[str, ...] = (
     "io_zorder_clustered_write",      # Morton-curve 2-D clustering
     "pcap_beacon_detection",          # rows-only; goldens in pytest
     "sim_ann_pq_rerank",              # rows-only; recall tests in pytest
+    "graph_pagerank_bipartite",       # exact int64-scaled PageRank
+    "graph_degree_stats",             # degree distribution of talk graph
 )
 
 
