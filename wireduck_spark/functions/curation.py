@@ -1017,3 +1017,117 @@ def pipeline_eval_holdout(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("clean_chars"),
     )
+
+
+@query(
+    "sampling_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           n_chars * ({_DUCK_H60.format(s="CAST(doc_id AS VARCHAR)")} >> 30)
+               AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 50
+    """,
+    tags=("sampling", "llm"),
+)
+def sampling_weighted_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted priority sampling: top-50 docs by
+    ``weight x hash-uniform`` where weight = n_chars — longer docs are
+    proportionally likelier to be drawn, yet the draw is a pure function
+    of doc_id (re-runs, retries and backfills pick identical rows; no
+    rand(), registry rule: determinism via md5). The Efraimidis–Spirakis
+    u^(1/w) key would need ln/pow whose last-ulp differs across libms;
+    the integer product w * (h60 >> 30) keeps the ranking exact in int64
+    (n_chars <= ~10^4 times a 30-bit uniform stays < 2^44).
+
+    Scale: narrow map to compute priorities + TakeOrderedAndProject
+    top-k — no global sort, no shuffle of the corpus.
+    """
+    d = table(spark, sf, "documents")
+    h = F.expr(_SPARK_H60.format(s="CAST(doc_id AS STRING)"))
+    return (
+        d.select(
+            "doc_id", "source", "n_chars",
+            (F.col("n_chars") * F.shiftright(h, 30)).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "sampling_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+    ),
+    weights AS (
+        SELECT source, n_s,
+               CAST(floor(sqrt(n_s)) AS BIGINT) AS w_s
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w_s) AS BIGINT) AS sum_w FROM weights),
+    targets AS (
+        SELECT source, n_s,
+               CAST(200 * w_s // sum_w AS BIGINT) AS k_target
+        FROM weights CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {_DUCK_H60.format(s="CAST(d.doc_id AS VARCHAR)")},
+                            d.doc_id
+               ) AS rk
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk
+    FROM ranked r JOIN targets t ON r.source = t.source
+    WHERE r.rk <= t.k_target
+    """,
+    tags=("sampling", "llm"),
+)
+def sampling_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing (the alpha=0.5 multilingual /
+    multi-domain re-balancing rule of mBERT/XLM-R and LLM data recipes):
+    per-source sampling mass proportional to n_s^0.5, so
+    over-represented sources are down-weighted and the tail is boosted,
+    with a total budget of 200 docs. Each source keeps the
+    hash-smallest k_target docs — a deterministic uniform subsample
+    within source (ordering by md5(doc_id) is independent of layout).
+
+    Engine-exactness: n^0.5 goes through floor(sqrt(n)) — IEEE sqrt is
+    correctly rounded, so the floored integer weights (and hence the
+    integer targets 200*w_s div sum_w) are bit-identical across engines;
+    no float ever reaches the output.
+
+    Scale: one groupBy(source) for counts (tiny result, broadcast back),
+    one per-source window for the hash ranking — a single keyed shuffle
+    over the corpus. The per-source window is the only per-doc state and
+    it is a running row_number, not a buffer.
+    """
+    d = table(spark, sf, "documents")
+    weights = (
+        d.groupBy("source").agg(F.count("*").alias("n_s"))
+        .select(
+            "source",
+            F.floor(F.sqrt(F.col("n_s"))).cast("long").alias("w_s"),
+        )
+    )
+    sum_w = weights.agg(F.sum("w_s").cast("long").alias("sum_w"))
+    targets = weights.crossJoin(F.broadcast(sum_w)).select(
+        "source",
+        F.expr("200 * w_s div sum_w").cast("long").alias("k_target"),
+    )
+    h = F.expr(_SPARK_H60.format(s="CAST(doc_id AS STRING)"))
+    w_rank = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    ranked = d.select(
+        "doc_id", "source",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .filter(F.col("rk") <= F.col("k_target"))
+        .select("doc_id", "source", "rk")
+    )

@@ -685,3 +685,81 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "dedup_paragraph_exact",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST((len(ws) + 9) // 10 AS BIGINT)),
+                   i -> md5(array_to_string(ws[i*10+1:i*10+10], ' '))
+               )) AS h
+        FROM words
+    ),
+    span_docs AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+        FROM blocks GROUP BY h
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(1000 * SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS dup_permille
+    FROM blocks b JOIN span_docs s ON b.h = s.h
+    GROUP BY b.doc_id
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def dedup_paragraph_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document span-level exact dedup (the paragraph/50-token-span
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): chunk each doc into non-overlapping 10-word spans,
+    hash each span, and report per doc how many of its spans also occur
+    verbatim in at least one OTHER document (or repeat within itself —
+    any hash with >1 distinct doc).
+
+    Scale: span hashes are built in ONE narrow map per doc (transform over
+    a sequence — no word-level explode; the only explode is per-span,
+    O(total_spans) = O(corpus/10)). Shuffle keys are 32-byte md5 hex
+    digests, never span text, so shuffle volume is ~3 bytes per input
+    word. The distinct-doc count per hash is a partial-aggregated groupBy
+    and the join back to spans is hash-keyed. At 100 TB this is exactly
+    the Lee et al. suffix-free variant production pipelines run.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    words = F.split(F.col("text"), " ")
+    n_spans = F.expr("(size(split(text, ' ')) + 9) div 10")
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(words, i * 10 + 1, 10), " ")),
+            )
+        ).alias("span_idx", "h"),
+    ).select("doc_id", "h")
+    span_docs = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        spans.join(span_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.expr("1000 * n_dup_spans div n_spans").cast("bigint")
+            .alias("dup_permille"),
+        )
+    )

@@ -328,3 +328,82 @@ def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         F.size("embedding").cast("bigint").alias("n_dims"),
         F.md5(F.array_join(q, ",").cast("binary")).alias("q_fp"),
     ).orderBy("vec_id")
+
+
+@query(
+    "embed_mean_pool",
+    oracle="""
+    WITH ex AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, dim,
+               CAST(SUM(q) AS BIGINT) AS s,
+               COUNT(*) AS n
+        FROM ex GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           list(s ORDER BY dim) AS sum_scaled,
+           list(CAST(s // n AS BIGINT) ORDER BY dim) AS mean_scaled
+    FROM dims
+    GROUP BY label
+    """,
+    tags=("embedding", "llm"),
+)
+def embed_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label mean-pooled embedding (class centroids / prototype
+    vectors — the pooling step behind SemDeDup centroids, k-NN class
+    prototypes, and dataset cartography): dim-wise mean of all vectors
+    sharing a label.
+
+    Engine-exactness: floats never sum. Each coordinate is quantized to
+    an int64 (ROUND(x*1e6)) in a narrow map; integer sums are
+    order-independent, and the mean uses int64 truncating division
+    (Spark `div` == DuckDB `//` toward zero — verified on negatives).
+
+    Scale: posexplode shuffles (label, dim) keyed rows — O(n x d) but
+    partially aggregated map-side, so the wire carries one partial sum
+    per (label, dim, task), not per vector. The final per-label array is
+    rebuilt with array_sort over a d-element struct list — bounded by
+    d=64, never by corpus size. No Python, no collect.
+    """
+    e = table(spark, sf, "embeddings")
+    ex = e.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+        .alias("q"),
+    )
+    dims = ex.groupBy("label", "dim").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "s"))
+            ).alias("pairs"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("dim", F.expr("s div n").cast("bigint")
+                             .alias("m"))
+                )
+            ).alias("mpairs"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform(F.col("pairs"), lambda p: p.s).alias("sum_scaled"),
+            F.transform(F.col("mpairs"), lambda p: p.m).alias("mean_scaled"),
+        )
+    )

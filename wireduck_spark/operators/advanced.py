@@ -753,3 +753,55 @@ def scd2_history_build(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
     return versioned
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_so_far
+    FROM events
+    """,
+    tags=("window", "distinct"),
+)
+def window_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Running count-distinct per key: how many distinct event types has
+    each user exhibited up to (and including) each event.
+
+    Spark has no DISTINCT window aggregate (DuckDB does — the oracle uses
+    it directly), and the naive `size(collect_set() over w)` rewrite keeps
+    an O(types) set per row in window state. The scale-safe rewrite is
+    exact and streaming-friendly: flag the FIRST occurrence of each
+    (user, type) with a row_number over (user, type), then running-SUM the
+    flags over the (user) window — both windows are plain keyed
+    partitions with bounded state.
+
+    Scale: two keyed shuffles, (user_id, event_type) then (user_id), with
+    running frames — no global window, no per-row collections. 100 TB of
+    events partitions by user exactly the same way.
+    """
+    e = table(spark, sf, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id", "event_id", "ts",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        ts_str(F.col("ts")).alias("ts"),
+        F.sum("is_first").over(w_run).cast("bigint")
+        .alias("distinct_types_so_far"),
+    )

@@ -371,3 +371,99 @@ def io_zorder_clustered_write(spark: SparkSession, sf: str) -> DataFrame:
         F.min("l_partkey").cast("bigint").alias("min_pk"),
         F.max("l_suppkey").cast("bigint").alias("max_sk"),
     )
+
+
+@query(
+    "io_column_profile",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey,
+               l_partkey,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+               l_returnflag
+        FROM lineitem
+    )
+    SELECT 'l_orderkey' AS col_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+    FROM src
+    UNION ALL
+    SELECT 'l_partkey', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_partkey) AS BIGINT),
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+           CAST(MIN(l_partkey) AS VARCHAR), CAST(MAX(l_partkey) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'price_cents', COUNT(*),
+           CAST(COUNT(*) - COUNT(price_cents) AS BIGINT),
+           CAST(COUNT(DISTINCT price_cents) AS BIGINT),
+           CAST(MIN(price_cents) AS VARCHAR),
+           CAST(MAX(price_cents) AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*),
+           CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM src
+    """,
+    tags=("io", "profiling"),
+)
+def io_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """ANALYZE-style column profile: one output row per profiled column
+    with rowcount, null count, exact NDV, and min/max rendered as
+    strings (so mixed column types stack into one relation — the shape
+    every data catalog / quality dashboard ingests).
+
+    All four profiles compute in ONE pass over lineitem: a single
+    aggregate node produces every (count, nulls, NDV, min, max) pair,
+    then a literal unpivot reshapes the 1-row aggregate into rows.
+    Doubles are profiled through integer cents (registry rule 1) so
+    min/max strings are canonical integers on both engines.
+
+    Scale: count_distinct on multiple columns in one agg triggers
+    Spark's Expand (one duplicated stream per distinct column) — the
+    accepted cost for exact NDV; swap to approx_count_distinct (HLL,
+    sketch_hll_distinct) when 2% error is acceptable at 100 TB.
+    """
+    l = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        .alias("price_cents"),
+        "l_returnflag",
+    )
+    agg = l.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            x
+            for c in ("l_orderkey", "l_partkey", "price_cents",
+                      "l_returnflag")
+            for x in (
+                (F.count("*") - F.count(c)).cast("bigint")
+                .alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).cast("bigint")
+                .alias(f"{c}__ndv"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            )
+        ],
+    )
+    profiles = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in ("l_orderkey", "l_partkey", "price_cents", "l_returnflag")
+    ])
+    return (
+        agg.select(F.explode(profiles).alias("p"))
+        .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
+                "p.min_val", "p.max_val")
+    )

@@ -297,6 +297,12 @@ PENDING_GATE: tuple[str, ...] = (
     "sim_ann_pq_rerank",              # rows-only; recall tests in pytest
     "graph_pagerank_bipartite",       # exact int64-scaled PageRank
     "graph_degree_stats",             # degree distribution of talk graph
+    "window_running_distinct",        # scale-safe DISTINCT window rewrite
+    "dedup_paragraph_exact",          # Lee-et-al span-level cross-doc dedup
+    "sampling_weighted_priority",     # deterministic weight-biased top-k
+    "sampling_temperature_mix",       # alpha=0.5 source re-balancing
+    "embed_mean_pool",                # exact per-label centroids
+    "io_column_profile",              # ANALYZE-style column stats
 )
 
 
