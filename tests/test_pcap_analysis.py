@@ -95,3 +95,23 @@ def test_beacon_detection_golden(spark, queries):
     assert rows[browsing]["is_beacon"] is False
     assert rows[browsing]["n_gaps"] == 10
     assert len(rows) == 2
+
+
+def test_port_scan_detect_golden(spark, queries):
+    """25 bare SYNs to 25 distinct ports flags the scanner; the client
+    doing 2 real handshakes stays clean. RST/SYN-ACK answers (ack bit
+    set) must not count as probes."""
+    rows = {
+        (r["src"], r["dst"]): r
+        for r in queries["pcap_port_scan_detect"].fn(spark, SF).collect()
+    }
+    scanner = rows[("10.0.9.9", "10.0.2.1")]
+    assert scanner["n_syns"] == 25
+    assert scanner["n_ports_probed"] == 25
+    assert scanner["is_scanner"] is True
+    benign = rows[("10.0.1.1", "10.0.2.1")]
+    assert benign["n_ports_probed"] == 2
+    assert benign["is_scanner"] is False
+    # responders never appear (their packets all carry ACK)
+    assert all(src != "10.0.2.1" for src, _ in rows)
+    assert len(rows) == 2

@@ -303,6 +303,7 @@ PENDING_GATE: tuple[str, ...] = (
     "sampling_temperature_mix",       # alpha=0.5 source re-balancing
     "embed_mean_pool",                # exact per-label centroids
     "io_column_profile",              # ANALYZE-style column stats
+    "pcap_port_scan_detect",          # rows-only; golden in pytest
 )
 
 

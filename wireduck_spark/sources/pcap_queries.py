@@ -349,3 +349,46 @@ if _have_fixture():
              < F.lit(9) * F.col("sum_gap_ms") * F.col("sum_gap_ms"))
             .alias("is_beacon"),
         )
+
+    @query("pcap_port_scan_detect", oracle=None, tags=("pcap", "analysis"))
+    def pcap_port_scan_detect(spark: SparkSession, sf: str) -> DataFrame:
+        """SYN-scan detection: per (src, dst) host pair inside a 10 s
+        tumbling window, count bare SYNs (syn & !ack) and the DISTINCT
+        destination ports they probe; >= 10 distinct probed ports in one
+        window flags a scanner. The reference can express this over
+        tshark columns too (README.md:15 delegation) — here it runs on
+        the native dissector with no subprocess.
+
+        Scale: one keyed aggregate on (src, dst, window) — partial
+        count-distinct via the Expand path is avoided by pre-projecting
+        the SYN rows first (scans are a tiny filtered slice of traffic,
+        so the distinct agg runs on the reduced stream).
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import portscan_capture
+
+        cap = portscan_capture(
+            os.path.join(cache_dir(), "synth", "portscan.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "tcp"], engine="native")
+        syns = t.filter(
+            F.col("`tcp.flags.syn`") & ~F.col("`tcp.flags.ack`")
+        ).select(
+            F.col("`ip.src`").alias("src"),
+            F.col("`ip.dst`").alias("dst"),
+            F.window("`frame.time_epoch`", "10 seconds").alias("w"),
+            F.col("`tcp.dstport`").alias("dport"),
+        )
+        return (
+            syns.groupBy("src", "dst", "w")
+            .agg(
+                F.count("*").cast("bigint").alias("n_syns"),
+                F.count_distinct("dport").cast("bigint")
+                .alias("n_ports_probed"),
+            )
+            .select(
+                "src", "dst",
+                ts_str(F.col("w.start")).alias("window_start"),
+                "n_syns", "n_ports_probed",
+                (F.col("n_ports_probed") >= 10).alias("is_scanner"),
+            )
+        )

@@ -270,3 +270,36 @@ def session_capture(path: str) -> str:
                                  dns_query("lost.example.com", 1, 0xCCCC))),
     ]
     return write_pcap(path, frames)
+
+
+def portscan_capture(path: str) -> str:
+    """SYN-scan fixture: scanner 10.0.9.9 probes 25 consecutive ports of
+    10.0.2.1 (bare SYNs 100 ms apart, RST answers), while legitimate
+    client 10.0.1.1 completes ordinary handshakes to just ports 80/443.
+    tests/test_pcap_analysis.py asserts the scanner/benign verdicts."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700003000.0
+    frames = []
+    for i in range(25):
+        at = t + 0.1 * i
+        frames.append((at, tcp_frame("10.0.9.9", "10.0.2.1", 54321,
+                                     2000 + i, 1, 0x02, b"")))
+        frames.append((at + 0.001, tcp_frame("10.0.2.1", "10.0.9.9",
+                                             2000 + i, 54321, 0, 0x14,
+                                             b"")))  # RST+ACK
+    for j, port in enumerate((80, 443)):
+        base = t + 1.0 + 0.5 * j
+        frames.append((base, tcp_frame("10.0.1.1", "10.0.2.1", 40100 + j,
+                                       port, 10, 0x02, b"")))
+        frames.append((base + 0.02, tcp_frame("10.0.2.1", "10.0.1.1", port,
+                                              40100 + j, 90, 0x12, b"")))
+        frames.append((base + 0.021, tcp_frame("10.0.1.1", "10.0.2.1",
+                                               40100 + j, port, 11, 0x10,
+                                               b"")))
+        frames.append((base + 0.03, tcp_frame("10.0.1.1", "10.0.2.1",
+                                              40100 + j, port, 11, 0x18,
+                                              b"GET / HTTP/1.1\r\n\r\n")))
+    frames.sort(key=lambda f: f[0])
+    return write_pcap(path, frames)
