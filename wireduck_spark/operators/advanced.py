@@ -805,3 +805,97 @@ def window_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("is_first").over(w_run).cast("bigint")
         .alias("distinct_types_so_far"),
     )
+
+
+@query(
+    "subquery_lateral",
+    oracle="""
+    SELECT n.n_name,
+           t.c_name,
+           t.bal_cents,
+           CAST(t.rk AS BIGINT) AS rk
+    FROM nation n,
+    LATERAL (
+        SELECT c_name,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) t
+    """,
+    tags=("subquery", "lateral"),
+)
+def subquery_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table —
+    DuckDB and Spark SQL >= 3.2 both support it): for every nation, the
+    top-2 customers by account balance, rank included.
+
+    Spark-first note: Catalyst rewrites the correlated LATERAL into a
+    DomainJoin and then a ranked window over the correlation key — the
+    same physical plan as the idiomatic window_topk_per_group
+    (WindowGroupLimit pushes the LIMIT into the shuffle), so the SQL
+    sugar costs nothing vs the hand-written rewrite at any scale.
+    """
+    for t in ("nation", "customer"):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT n.n_name,
+               t.c_name,
+               t.bal_cents,
+               CAST(t.rk AS BIGINT) AS rk
+        FROM nation n,
+        LATERAL (
+            SELECT c_name,
+                   CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+                   ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey)
+                       AS rk
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+    """)
+
+
+@query(
+    "agg_filtered_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05), 0) AS BIGINT)
+               AS discounted_cents,
+           CAST(COUNT(DISTINCT l_suppkey)
+                FILTER (WHERE l_quantity > 25) AS BIGINT) AS bulk_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "filter"),
+)
+def agg_filtered_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTER-clause aggregates (SQL:2003 T612, supported by Spark SQL
+    and DuckDB alike): several differently-filtered aggregates of one
+    scan without self-joins or CASE pyramids.
+
+    Scale: all four aggregates (incl. the filtered COUNT DISTINCT)
+    evaluate in ONE pass / one shuffle on l_returnflag; the alternative
+    per-filter subquery plan would scan lineitem three times.
+    """
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+                        AS BIGINT))
+                    FILTER (WHERE l_discount > 0.05), 0) AS BIGINT)
+                   AS discounted_cents,
+               CAST(COUNT(DISTINCT l_suppkey)
+                    FILTER (WHERE l_quantity > 25) AS BIGINT)
+                   AS bulk_suppliers
+        FROM lineitem
+        GROUP BY l_returnflag
+    """)

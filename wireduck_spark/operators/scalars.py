@@ -304,3 +304,44 @@ def scalar_map_struct(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(m, "nation").alias("m_nation"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("m_keys"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT) AS b_and,
+           CAST(l_orderkey | 4096 AS BIGINT) AS b_or,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS b_xor,
+           CAST(l_orderkey << 3 AS BIGINT) AS b_shl,
+           CAST(l_orderkey >> 2 AS BIGINT) AS b_shr,
+           CAST(bit_count(l_orderkey) AS BIGINT) AS b_popcount,
+           CAST(~l_orderkey AS BIGINT) AS b_not
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey < 1000
+    """,
+    tags=("scalar", "bitwise"),
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise scalar surface: AND / OR / XOR / shifts / popcount /
+    complement. One cross-engine trap is documented by construction:
+    DuckDB's `^` is exponentiation, its XOR is `xor(a,b)`, while Spark
+    SQL's `^` IS xor — the oracle and builder pin the semantics to the
+    same bits. Narrow map over a pruned scan; predicate pushed to
+    parquet.
+    """
+    l = table(spark, sf, "lineitem")
+    k = F.col("l_orderkey")
+    return (
+        l.filter((F.col("l_linenumber") == 1) & (k < 1000))
+        .select(
+            "l_orderkey",
+            k.bitwiseAND(F.lit(255)).cast("bigint").alias("b_and"),
+            k.bitwiseOR(F.lit(4096)).cast("bigint").alias("b_or"),
+            k.bitwiseXOR(F.col("l_partkey")).cast("bigint").alias("b_xor"),
+            F.shiftleft(k, 3).cast("bigint").alias("b_shl"),
+            F.shiftright(k, 2).cast("bigint").alias("b_shr"),
+            F.bit_count(k).cast("bigint").alias("b_popcount"),
+            F.expr("~l_orderkey").cast("bigint").alias("b_not"),
+        )
+    )

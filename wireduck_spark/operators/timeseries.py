@@ -1063,3 +1063,73 @@ def event_transition_bigrams(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n").cast("double") / n_from.cast("double"), 6
         ).alias("p_transition"),
     )
+
+
+@query(
+    "event_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN (('0x' || substr(md5('exp7:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS revenue_cents
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT arm,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(10000 * SUM(converted) // COUNT(*) AS BIGINT)
+               AS conv_bps,
+           CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+    FROM assigned
+    GROUP BY arm
+    """,
+    tags=("events", "experiment"),
+)
+def event_ab_test_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B experiment readout: users are deterministically hash-assigned
+    to control/treatment (salted md5 — the industry-standard stable
+    bucketing, same mechanism as sampling_stable_split), then per-arm
+    conversion (any 'purchase') and revenue aggregate up. Conversion
+    rate is exact integer basis points — no float division crosses the
+    engine boundary.
+
+    Scale: two keyed aggregations (user_id, then the 2-row arm rollup);
+    the per-user aggregate partial-aggregates map-side. Assignment is a
+    pure function of user_id, so re-running on late data moves no user
+    between arms.
+    """
+    e = table(spark, sf, "events")
+    arm = F.when(
+        F.expr("CAST(conv(substring(md5(concat('exp7:', "
+               "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1)
+                  .otherwise(0)).alias("converted"),
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         cents(F.col("value"))).otherwise(0))
+            .cast("bigint").alias("revenue_cents"),
+        )
+        .select(arm.alias("arm"), "converted", "revenue_cents")
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr("10000 * sum(converted) div count(*)").cast("bigint")
+            .alias("conv_bps"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

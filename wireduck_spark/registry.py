@@ -304,6 +304,10 @@ PENDING_GATE: tuple[str, ...] = (
     "embed_mean_pool",                # exact per-label centroids
     "io_column_profile",              # ANALYZE-style column stats
     "pcap_port_scan_detect",          # rows-only; golden in pytest
+    "subquery_lateral",               # correlated LATERAL derived table
+    "agg_filtered_clause",            # FILTER-clause aggregates, one pass
+    "scalar_bitwise_funcs",           # bit ops incl. the ^ vs xor() trap
+    "event_ab_test_lift",             # stable-bucket experiment readout
 )
 
 
