@@ -629,3 +629,44 @@ def test_stateful_beacon_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == expected
     assert len(expected) > 50
+
+
+def test_stateful_distinct_tracker(spark, sf_dir, events_dir):
+    """The streaming distinct-type tracker's final per-user count equals
+    the batch count_distinct — and the batch window_running_distinct's
+    final row per user agrees too (three-way equivalence)."""
+    from wireduck_spark.streaming.stateful import distinct_type_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        distinct_type_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_distinct_tracker")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit a user several times across micro-batches;
+    # the LAST emission carries the full set
+    got = {
+        r["user_id"]: r["n_distinct_types"]
+        for r in spark.sql("SELECT * FROM t_distinct_tracker").collect()
+    }
+    e = table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("n"))
+        .collect()
+    }
+    assert got == expected
+    final_batch = {
+        r["user_id"]: r["distinct_types_so_far"]
+        for r in QUERIES["window_running_distinct"]
+        .fn(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("distinct_types_so_far").alias("distinct_types_so_far"))
+        .collect()
+    }
+    assert final_batch == expected

@@ -899,3 +899,54 @@ def agg_filtered_clause(spark: SparkSession, sf: str) -> DataFrame:
         FROM lineitem
         GROUP BY l_returnflag
     """)
+
+
+_BFS_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM pairs
+    ),
+    reach(node, dist) AS (
+        SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        UNION ALL
+        SELECT DISTINCT e.dst AS node, r.dist + CAST(1 AS BIGINT) AS dist
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.dist < 3
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           CAST(node {IDIV} 2 AS BIGINT) AS node_key,
+           CAST(MIN(dist) AS BIGINT) AS hops
+    FROM reach
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "cte_recursive_bfs",
+    oracle=_BFS_SQL.format(IDIV="//"),
+    tags=("cte", "recursive", "graph"),
+)
+def cte_recursive_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (SQL:1999 WITH RECURSIVE — new in Spark 4.x): BFS
+    hop distance from supplier #1 over the customer—supplier fulfilment
+    graph, capped at 3 hops, min-distance per node via the outer
+    aggregate. The same edge table as graph_pagerank_bipartite, but the
+    iteration is expressed declaratively and driven by the engine's
+    recursion operator instead of a Python driver loop.
+
+    Scale/termination: the recursive step takes SELECT DISTINCT over the
+    previous level only, so each iteration materializes at most one row
+    per (node, dist) — O(V) per level, 4 levels — never one row per
+    path (the naive UNION ALL-without-DISTINCT variant explodes
+    combinatorially on dense bipartite graphs). Each level is one keyed
+    join + distinct shuffle, identical to the PageRank hop.
+    """
+    for t in ("orders", "lineitem"):
+        table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_BFS_SQL.format(IDIV="div"))

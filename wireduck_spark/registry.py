@@ -308,6 +308,7 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_filtered_clause",            # FILTER-clause aggregates, one pass
     "scalar_bitwise_funcs",           # bit ops incl. the ^ vs xor() trap
     "event_ab_test_lift",             # stable-bucket experiment readout
+    "cte_recursive_bfs",              # WITH RECURSIVE BFS (Spark 4.x)
 )
 
 

@@ -509,3 +509,60 @@ def beacon_tracker(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct-type tracker (streaming twin of window_running_distinct)
+# ---------------------------------------------------------------------------
+
+DISTINCT_STATE_SCHEMA = StructType(
+    [StructField("types_csv", StringType())]
+)
+
+DISTINCT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_distinct_types", LongType()),
+    ]
+)
+
+
+def _distinct_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Maintain the set of event types seen per user; emit the running
+    distinct count after each micro-batch. State is the sorted CSV of
+    seen types — bounded by the type vocabulary, not the stream length
+    (swap to an HLL register block for unbounded vocabularies; the batch
+    twin sketch_hll_distinct shows the estimator contract)."""
+    (user_id,) = key
+    seen: set[str] = set()
+    if state.exists:
+        (csv,) = state.get
+        if csv:
+            seen.update(csv.split(","))
+    for pdf in batches:
+        seen.update(pdf["event_type"].dropna().astype(str))
+    state.update((",".join(sorted(seen)),))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_distinct_types": [len(seen)]}
+    )
+
+
+def distinct_type_tracker(events: DataFrame) -> DataFrame:
+    """Streaming running count-distinct per user — the stateful twin of
+    the batch window_running_distinct query (which rewrites DISTINCT-
+    over-window as first-occurrence flags). Here the state API holds the
+    seen-set directly; output mode `update` re-emits a user's row only
+    when their set can have changed (their group received rows)."""
+    return events.select("user_id", "event_type").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _distinct_update,
+        outputStructType=DISTINCT_OUTPUT_SCHEMA,
+        stateStructType=DISTINCT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
