@@ -115,3 +115,27 @@ def test_port_scan_detect_golden(spark, queries):
     # responders never appear (their packets all carry ACK)
     assert all(src != "10.0.2.1" for src, _ in rows)
     assert len(rows) == 2
+
+
+def test_ja3_fingerprint_golden(spark, queries):
+    """JA3 strings/hashes computed from first principles must match the
+    dissector: default stack 771,4865-4866,0,, (shared by two clients);
+    the GREASE client's 0x0a0a cipher and 0x1a1a curve are stripped."""
+    import hashlib
+
+    plain = "771,4865-4866,0,,"
+    grease = "771,4865-49195,0-10-11,29-23,0"
+    rows = {
+        r["ja3"]: r
+        for r in queries["pcap_ja3_fingerprint"].fn(spark, SF).collect()
+    }
+    h_plain = hashlib.md5(plain.encode()).hexdigest()
+    h_grease = hashlib.md5(grease.encode()).hexdigest()
+    assert set(rows) == {h_plain, h_grease}
+    assert rows[h_plain]["ja3_string"] == plain
+    assert rows[h_plain]["n_hellos"] == 2
+    assert rows[h_plain]["n_clients"] == 2
+    assert rows[h_plain]["sni_hosts"] == ["a.example.com", "b.example.com"]
+    assert rows[h_grease]["ja3_string"] == grease
+    assert rows[h_grease]["n_clients"] == 1
+    assert rows[h_grease]["sni_hosts"] == ["c.example.com"]

@@ -77,14 +77,19 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/wireduck_scale_stress")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names (default: bench set)")
     args = ap.parse_args()
 
     queries = load_all_queries()
-    # pcap entries scan fixed capture files — excluded, they don't inflate
-    names = sorted(
-        n for n, s in queries.items()
-        if s.bench and not (s.tags and "pcap" in s.tags)
-    )
+    if args.only:
+        names = sorted(args.only.split(","))
+    else:
+        # pcap entries scan fixed capture files — excluded, don't inflate
+        names = sorted(
+            n for n, s in queries.items()
+            if s.bench and not (s.tags and "pcap" in s.tags)
+        )
 
     spark = get_spark("scale-stress")
     spark.read.parquet(f"{args.sf}/lineitem.parquet").count()  # warmup

@@ -309,6 +309,7 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_bitwise_funcs",           # bit ops incl. the ^ vs xor() trap
     "event_ab_test_lift",             # stable-bucket experiment readout
     "cte_recursive_bfs",              # WITH RECURSIVE BFS (Spark 4.x)
+    "pcap_ja3_fingerprint",           # rows-only; md5 goldens in pytest
 )
 
 

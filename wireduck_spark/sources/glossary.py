@@ -195,6 +195,8 @@ BUILTIN_FIELDS = [
     _F("Version", "tls.handshake.version", "FT_UINT16", "tls"),
     _F("Cipher Suites Length", "tls.handshake.cipher_suites_length",
        "FT_UINT16", "tls"),
+    _F("JA3 Fingerprint", "tls.handshake.ja3", "FT_STRING", "tls"),
+    _F("JA3 String", "tls.handshake.ja3_string", "FT_STRING", "tls"),
     _F("Server Name", "tls.handshake.extensions_server_name", "FT_STRING",
        "tls"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
@@ -268,7 +270,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 6  # v6: + tcp options fields
+GLOSSARY_VERSION = 7  # v7: + tls ja3 fields
 
 
 def cache_dir() -> str:

@@ -700,42 +700,87 @@ def _dissect_tls(payload: bytes, fields: dict) -> bool:
                 ">H", body[4:6]
             )[0]
         if hs_type == 1:
-            sni, cs_len = _client_hello_details(body[4:])
+            sni, cs_len, ja3_str = _client_hello_details(body[4:])
             if cs_len is not None:
                 fields["tls.handshake.cipher_suites_length"] = cs_len
             if sni:
                 fields["tls.handshake.extensions_server_name"] = sni
                 info = f"Client Hello (SNI={sni})"
+            if ja3_str is not None:
+                fields["tls.handshake.ja3_string"] = ja3_str
+                fields["tls.handshake.ja3"] = hashlib.md5(
+                    ja3_str.encode()).hexdigest()
     fields["_ws.col.info"] = info
     return True
 
 
-def _client_hello_details(b: bytes) -> tuple[str | None, int | None]:
-    """(SNI host name, cipher_suites byte length) from a ClientHello body
-    (post handshake-header); (None, None) on any truncation."""
+def _is_grease(v: int) -> bool:
+    """GREASE code points (RFC 8701: 0x?a?a) are excluded from JA3."""
+    return (v & 0x0F0F) == 0x0A0A
+
+
+def _client_hello_details(
+    b: bytes,
+) -> tuple[str | None, int | None, str | None]:
+    """(SNI host name, cipher_suites byte length, JA3 string) from a
+    ClientHello body (post handshake-header); Nones on truncation.
+
+    JA3 (Salesforce's TLS-client fingerprint, the de-facto standard
+    flow-analytics join key): `version,ciphers,extensions,curves,formats`
+    with each list dash-joined in wire order and GREASE values dropped.
+    The md5 of this string is what threat-intel feeds publish.
+    """
     try:
+        version = struct.unpack(">H", b[0:2])[0]
         off = 2 + 32  # client_version + random
         off += 1 + b[off]  # session_id
         cs_len = struct.unpack(">H", b[off:off + 2])[0]
-        off += 2 + cs_len  # cipher_suites
-        off += 1 + b[off]  # compression_methods
-        if off + 2 > len(b):
-            return None, cs_len
-        ext_total = struct.unpack(">H", b[off:off + 2])[0]
         off += 2
-        end = min(off + ext_total, len(b))
-        while off + 4 <= end:
-            etype, elen = struct.unpack(">HH", b[off:off + 4])
-            off += 4
-            if etype == 0 and elen >= 5:  # server_name
-                # list_len(2) + type(1) + name_len(2) + name
-                name_len = struct.unpack(">H", b[off + 3:off + 5])[0]
-                name = b[off + 5:off + 5 + name_len]
-                return name.decode("ascii", errors="replace"), cs_len
-            off += elen
-        return None, cs_len
+        ciphers = [
+            struct.unpack(">H", b[off + i:off + i + 2])[0]
+            for i in range(0, cs_len, 2)
+            if off + i + 2 <= len(b)
+        ]
+        off += cs_len
+        off += 1 + b[off]  # compression_methods
+        sni = None
+        exts: list[int] = []
+        curves: list[int] = []
+        ec_fmts: list[int] = []
+        if off + 2 <= len(b):
+            ext_total = struct.unpack(">H", b[off:off + 2])[0]
+            off += 2
+            end = min(off + ext_total, len(b))
+            while off + 4 <= end:
+                etype, elen = struct.unpack(">HH", b[off:off + 4])
+                off += 4
+                exts.append(etype)
+                if etype == 0 and elen >= 5:  # server_name
+                    # list_len(2) + type(1) + name_len(2) + name
+                    name_len = struct.unpack(">H", b[off + 3:off + 5])[0]
+                    name = b[off + 5:off + 5 + name_len]
+                    sni = name.decode("ascii", errors="replace")
+                elif etype == 10 and elen >= 2:  # supported_groups
+                    g_len = struct.unpack(">H", b[off:off + 2])[0]
+                    curves = [
+                        struct.unpack(">H", b[off + 2 + i:off + 4 + i])[0]
+                        for i in range(0, g_len, 2)
+                        if off + 4 + i <= len(b)
+                    ]
+                elif etype == 11 and elen >= 1:  # ec_point_formats
+                    f_len = b[off]
+                    ec_fmts = list(b[off + 1:off + 1 + f_len])
+                off += elen
+        ja3_str = ",".join((
+            str(version),
+            "-".join(str(c) for c in ciphers if not _is_grease(c)),
+            "-".join(str(e) for e in exts if not _is_grease(e)),
+            "-".join(str(g) for g in curves if not _is_grease(g)),
+            "-".join(str(f) for f in ec_fmts),
+        ))
+        return sni, cs_len, ja3_str
     except (IndexError, struct.error):
-        return None, None
+        return None, None, None
 
 
 @lru_cache(maxsize=65536)

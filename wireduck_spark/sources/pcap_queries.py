@@ -392,3 +392,36 @@ if _have_fixture():
                 (F.col("n_ports_probed") >= 10).alias("is_scanner"),
             )
         )
+
+    @query("pcap_ja3_fingerprint", oracle=None, tags=("pcap", "analysis"))
+    def pcap_ja3_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+        """JA3 TLS-client fingerprinting (Salesforce's md5 over
+        `version,ciphers,extensions,curves,formats`, GREASE-stripped —
+        the standard threat-intel join key): fingerprints are computed
+        packet-side in the native dissector, so this query is a plain
+        keyed aggregate — which hosts does each TLS stack talk to, and
+        how many distinct client IPs share one fingerprint.
+
+        Scale: fingerprinting is per-packet narrow work inside the scan;
+        the aggregate shuffles one short row per ClientHello (TLS data
+        records never leave the executor).
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import ja3_capture
+
+        cap = ja3_capture(os.path.join(cache_dir(), "synth", "ja3.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "tls"], engine="native")
+        hellos = t.filter(F.col("`tls.handshake.ja3`").isNotNull())
+        return (
+            hellos.groupBy(F.col("`tls.handshake.ja3`").alias("ja3"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_hellos"),
+                F.count_distinct("`ip.src`").cast("bigint")
+                .alias("n_clients"),
+                F.array_sort(
+                    F.collect_set(
+                        F.col("`tls.handshake.extensions_server_name`"))
+                ).alias("sni_hosts"),
+                F.min("`tls.handshake.ja3_string`").alias("ja3_string"),
+            )
+        )

@@ -80,16 +80,29 @@ def write_pcap(path: str, frames: list[tuple[float, bytes]]) -> str:
     return path
 
 
-def tls_client_hello(sni: str, version: int = 0x0303) -> bytes:
+def tls_client_hello(sni: str, version: int = 0x0303,
+                     ciphers: tuple[int, ...] = (0x1301, 0x1302),
+                     curves: tuple[int, ...] = (),
+                     ec_formats: tuple[int, ...] = ()) -> bytes:
     """Minimal-but-well-formed TLS ClientHello record with an SNI
-    extension (deterministic random bytes)."""
+    extension (deterministic random bytes); optional supported_groups /
+    ec_point_formats extensions so JA3 covers all five fields."""
     host = sni.encode()
     ext_sni = struct.pack(">HHHBH", 0, len(host) + 5, len(host) + 3, 0,
                           len(host)) + host
-    exts = struct.pack(">H", len(ext_sni)) + ext_sni
+    ext_blob = ext_sni
+    if curves:
+        groups = b"".join(struct.pack(">H", g) for g in curves)
+        ext_blob += struct.pack(">HHH", 10, len(groups) + 2,
+                                len(groups)) + groups
+    if ec_formats:
+        fmts = bytes(ec_formats)
+        ext_blob += struct.pack(">HHB", 11, len(fmts) + 1, len(fmts)) + fmts
+    exts = struct.pack(">H", len(ext_blob)) + ext_blob
     body = struct.pack(">H", version) + bytes(range(32))  # version + random
     body += b"\x00"  # empty session id
-    body += struct.pack(">H", 4) + b"\x13\x01\x13\x02"  # 2 cipher suites
+    cs = b"".join(struct.pack(">H", c) for c in ciphers)
+    body += struct.pack(">H", len(cs)) + cs
     body += b"\x01\x00"  # compression: null
     body += exts
     hs = b"\x01" + len(body).to_bytes(3, "big") + body
@@ -302,4 +315,28 @@ def portscan_capture(path: str) -> str:
                                               40100 + j, port, 11, 0x18,
                                               b"GET / HTTP/1.1\r\n\r\n")))
     frames.sort(key=lambda f: f[0])
+    return write_pcap(path, frames)
+
+
+def ja3_capture(path: str) -> str:
+    """JA3 fixture: two clients sharing one TLS stack (identical
+    fingerprint, different SNI), plus one GREASE-speaking client whose
+    GREASE cipher/curve values must be stripped from the JA3 string.
+    tests/test_pcap_analysis.py computes the expected md5s directly."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700004000.0
+    frames = [
+        (t + 0.0, tcp_frame("10.0.7.1", "142.250.1.1", 50001, 443, 1, 0x18,
+                            tls_client_hello("a.example.com"))),
+        (t + 0.1, tcp_frame("10.0.7.2", "142.250.1.1", 50002, 443, 1, 0x18,
+                            tls_client_hello("b.example.com"))),
+        (t + 0.2, tcp_frame("10.0.7.3", "142.250.1.1", 50003, 443, 1, 0x18,
+                            tls_client_hello(
+                                "c.example.com",
+                                ciphers=(0x0A0A, 0x1301, 0xC02B),
+                                curves=(0x1A1A, 29, 23),
+                                ec_formats=(0,)))),
+    ]
     return write_pcap(path, frames)
