@@ -139,3 +139,24 @@ def test_ja3_fingerprint_golden(spark, queries):
     assert rows[h_grease]["ja3_string"] == grease
     assert rows[h_grease]["n_clients"] == 1
     assert rows[h_grease]["sni_hosts"] == ["c.example.com"]
+
+
+def test_ja3s_server_fingerprint(spark, queries):
+    """The synthetic ServerHello (771, cipher 0x1301, no extensions)
+    must yield JA3S string '771,4865,' with its md5."""
+    import hashlib
+    import os
+
+    from wireduck_spark.registry import load_all_queries  # noqa: F401
+    from wireduck_spark.sources.glossary import cache_dir
+    from wireduck_spark.sources.pcap import read_pcap
+    from wireduck_spark.sources.synth import tls_capture
+
+    cap = tls_capture(os.path.join(cache_dir(), "synth", "tls.pcap"))
+    df = read_pcap(spark, cap, protocols=["tls"], engine="native")
+    rows = df.filter(df["`tls.handshake.ja3s`"].isNotNull()).collect()
+    assert len(rows) == 1
+    expected = "771,4865,"
+    assert rows[0]["tls.handshake.ja3s_string"] == expected
+    assert rows[0]["tls.handshake.ja3s"] == hashlib.md5(
+        expected.encode()).hexdigest()

@@ -206,3 +206,69 @@ def graph_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("node_type", "degree")
     )
+
+
+_COSUPPLY_SQL = """
+    SELECT DISTINCT p1.supp AS a, p2.supp AS b
+    FROM (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE l_suppkey <= 40) p1
+    JOIN (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE l_suppkey <= 40) p2
+      ON p1.cust = p2.cust AND p1.supp < p2.supp
+"""
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH cedges AS ({_COSUPPLY_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cedges) AS n_edges
+    FROM cedges e1
+    JOIN cedges e2 ON e2.a = e1.b
+    JOIN cedges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count of the supplier co-supply graph (suppliers
+    joined when they serve a common customer; restricted to a 40-supplier
+    subgraph so the projection stays comparable across scale factors).
+    Triangles are THE clustering primitive (clustering coefficient,
+    community seeds, spam-graph signatures).
+
+    Spark-first shape: the classic two-join ordered-edge algorithm
+    (a<b<c canonical orientation makes each triangle count exactly once
+    and cuts the join fan-out in half). Both joins are hash equi-joins
+    on node ids; with degree-ordered orientation this is the O(E^1.5)
+    bound — the projection (cust equi-join) is the only potentially
+    dense step and is capped by per-customer supplier counts.
+    """
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    ps = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .filter(F.col("l_suppkey") <= 40)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    p1 = ps.select(F.col("cust"), F.col("supp").alias("a"))
+    p2 = ps.select(F.col("cust").alias("cust2"), F.col("supp").alias("b"))
+    edges = (
+        p1.join(p2, (p1.cust == p2.cust2) & (F.col("a") < F.col("b")))
+        .select("a", "b")
+        .distinct()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))

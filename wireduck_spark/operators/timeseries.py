@@ -1133,3 +1133,89 @@ def event_ab_test_lift(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "event_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS t_max FROM events),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(ts), (SELECT t_max FROM anchor))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency,
+           monetary_cents,
+           CAST(CASE WHEN recency_days <= 2 THEN 5
+                     WHEN recency_days <= 7 THEN 4
+                     WHEN recency_days <= 14 THEN 3
+                     WHEN recency_days <= 30 THEN 2 ELSE 1 END
+                AS BIGINT) AS r_score,
+           CAST(CASE WHEN frequency >= 8 THEN 5
+                     WHEN frequency >= 5 THEN 4
+                     WHEN frequency >= 3 THEN 3
+                     WHEN frequency >= 2 THEN 2 ELSE 1 END
+                AS BIGINT) AS f_score,
+           CAST(CASE WHEN monetary_cents >= 40000 THEN 5
+                     WHEN monetary_cents >= 20000 THEN 4
+                     WHEN monetary_cents >= 10000 THEN 3
+                     WHEN monetary_cents >= 5000 THEN 2 ELSE 1 END
+                AS BIGINT) AS m_score
+    FROM per_user
+    """,
+    tags=("events", "segmentation"),
+)
+def event_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary — the
+    classic CRM scoring): per-user purchase aggregates scored 1-5 with
+    fixed business-rule bins.
+
+    Scale note (deliberate design): bins are FIXED thresholds, making
+    this a single keyed aggregate + narrow map — no global ordering
+    anywhere. The data-adaptive variant (exact quintiles) needs a global
+    rank; that pattern lives in window_percent_cume's two-pass
+    range-partitioned rewrite and composes with this query unchanged.
+    Recency anchors to MAX(ts) over the table (broadcast 1-row join), so
+    the query is deterministic over immutable snapshots rather than
+    wall-clock-dependent.
+    """
+    e = table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max("ts").alias("t_max"))
+    per_user = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(cents(F.col("value"))).cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.col("t_max"), F.col("last_ts")).cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.col("recency_days")
+    f = F.col("frequency")
+    m = F.col("monetary_cents")
+    return per_user.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        F.when(r <= 2, 5).when(r <= 7, 4).when(r <= 14, 3)
+        .when(r <= 30, 2).otherwise(1).cast("bigint").alias("r_score"),
+        F.when(f >= 8, 5).when(f >= 5, 4).when(f >= 3, 3)
+        .when(f >= 2, 2).otherwise(1).cast("bigint").alias("f_score"),
+        F.when(m >= 40000, 5).when(m >= 20000, 4).when(m >= 10000, 3)
+        .when(m >= 5000, 2).otherwise(1).cast("bigint").alias("m_score"),
+    )

@@ -310,6 +310,8 @@ PENDING_GATE: tuple[str, ...] = (
     "event_ab_test_lift",             # stable-bucket experiment readout
     "cte_recursive_bfs",              # WITH RECURSIVE BFS (Spark 4.x)
     "pcap_ja3_fingerprint",           # rows-only; md5 goldens in pytest
+    "graph_triangle_count",           # ordered-edge exact triangles
+    "event_rfm_segmentation",         # CRM recency/frequency/monetary
 )
 
 

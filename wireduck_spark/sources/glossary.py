@@ -197,6 +197,8 @@ BUILTIN_FIELDS = [
        "FT_UINT16", "tls"),
     _F("JA3 Fingerprint", "tls.handshake.ja3", "FT_STRING", "tls"),
     _F("JA3 String", "tls.handshake.ja3_string", "FT_STRING", "tls"),
+    _F("JA3S Fingerprint", "tls.handshake.ja3s", "FT_STRING", "tls"),
+    _F("JA3S String", "tls.handshake.ja3s_string", "FT_STRING", "tls"),
     _F("Server Name", "tls.handshake.extensions_server_name", "FT_STRING",
        "tls"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
@@ -270,7 +272,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 7  # v7: + tls ja3 fields
+GLOSSARY_VERSION = 8  # v8: + tls ja3/ja3s fields
 
 
 def cache_dir() -> str:

@@ -710,8 +710,45 @@ def _dissect_tls(payload: bytes, fields: dict) -> bool:
                 fields["tls.handshake.ja3_string"] = ja3_str
                 fields["tls.handshake.ja3"] = hashlib.md5(
                     ja3_str.encode()).hexdigest()
+        elif hs_type == 2:
+            ja3s_str = _server_hello_ja3s(body[4:])
+            if ja3s_str is not None:
+                fields["tls.handshake.ja3s_string"] = ja3s_str
+                fields["tls.handshake.ja3s"] = hashlib.md5(
+                    ja3s_str.encode()).hexdigest()
     fields["_ws.col.info"] = info
     return True
+
+
+def _server_hello_ja3s(b: bytes) -> str | None:
+    """JA3S string `version,cipher,extensions` from a ServerHello body
+    (post handshake-header) — the server half of the JA3 pair: a C2
+    server answers every implant with the same stack, so (ja3, ja3s)
+    pairs fingerprint both ends of a TLS conversation."""
+    try:
+        version = struct.unpack(">H", b[0:2])[0]
+        off = 2 + 32  # server_version + random
+        off += 1 + b[off]  # session_id
+        cipher = struct.unpack(">H", b[off:off + 2])[0]
+        off += 2
+        off += 1  # compression method
+        exts: list[int] = []
+        if off + 2 <= len(b):
+            ext_total = struct.unpack(">H", b[off:off + 2])[0]
+            off += 2
+            end = min(off + ext_total, len(b))
+            while off + 4 <= end:
+                etype, elen = struct.unpack(">HH", b[off:off + 4])
+                off += 4
+                exts.append(etype)
+                off += elen
+        return ",".join((
+            str(version),
+            str(cipher),
+            "-".join(str(e) for e in exts if not _is_grease(e)),
+        ))
+    except (IndexError, struct.error):
+        return None
 
 
 def _is_grease(v: int) -> bool:
