@@ -329,3 +329,48 @@ def mm_asset_dedup(spark: SparkSession, sf: str) -> DataFrame:
             - F.sum(F.when(F.col("rn") == 1, F.col("byte_len")).otherwise(0))
         ).alias("dedup_savings_bytes"),
     )
+
+
+@query(
+    "mm_phash_neardup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, substr(md5(text), 1, 3) AS phash,
+               CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS byte_len
+        FROM documents
+    )
+    SELECT a.phash,
+           a.doc_id AS asset_a,
+           b.doc_id AS asset_b
+    FROM hashed a JOIN hashed b
+      ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup"),
+)
+def mm_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for binary assets: a
+    12-bit pHash (stub: md5 prefix of the fake-decoded content — a real
+    pipeline swaps in DCT-based pHash inside the mapInPandas decode seam,
+    same shapes) buckets assets; equal hashes become candidate duplicate
+    pairs via a self equi-join.
+
+    Scale: the join key is the hash bucket — identical to
+    dedup_minhash_lsh's banding join, O(sum of bucket^2) never all-pairs.
+    A production 64-bit pHash with hamming tolerance uses multi-band
+    sub-hashes (split 64 bits into 4x16-bit bands, equi-join per band,
+    verify hamming distance on candidates) — the exact LSH machinery of
+    functions/similarity.py applied to image space.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    hashed = d.select(
+        "doc_id",
+        F.substring(F.md5("text"), 1, 3).alias("phash"),
+    )
+    a = hashed.select(F.col("phash"), F.col("doc_id").alias("asset_a"))
+    b = hashed.select(F.col("phash").alias("phash_b"),
+                      F.col("doc_id").alias("asset_b"))
+    return (
+        a.join(b, (F.col("phash") == F.col("phash_b"))
+               & (F.col("asset_a") < F.col("asset_b")))
+        .select("phash", "asset_a", "asset_b")
+    )

@@ -950,3 +950,60 @@ def cte_recursive_bfs(spark: SparkSession, sf: str) -> DataFrame:
     for t in ("orders", "lineitem"):
         table(spark, sf, t).createOrReplaceTempView(t)
     return spark.sql(_BFS_SQL.format(IDIV="div"))
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_t
+        FROM events WHERE user_id <= 50
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id
+    FROM ordered
+    GROUP BY user_id, event_type, rn - rn_t
+    """,
+    tags=("window", "sessionization"),
+)
+def window_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive identical event
+    types per user (the tabibitosan rn-difference trick — two
+    row_numbers whose difference is constant exactly within a run).
+    The SQL-interview classic behind uptime stretches, consecutive-day
+    streaks, and sensor-state episodes.
+
+    Scale: both row_numbers and the final aggregate share the (user_id)
+    hash partitioning — Catalyst plans ONE Exchange; the island grouping
+    key (rn - rn_t) never leaves the partition. Same single-shuffle
+    shape as scd2_history_build.
+    """
+    e = table(spark, sf, "events").filter(F.col("user_id") <= 50)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.row_number().over(w_u).alias("rn"),
+        F.row_number().over(w_ut).alias("rn_t"),
+    )
+    return (
+        ordered.groupBy(
+            "user_id", "event_type",
+            (F.col("rn") - F.col("rn_t")).alias("island"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("run_len"),
+            ts_str(F.min("ts")).alias("run_start"),
+            ts_str(F.max("ts")).alias("run_end"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+        .drop("island")
+    )

@@ -312,6 +312,8 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_ja3_fingerprint",           # rows-only; md5 goldens in pytest
     "graph_triangle_count",           # ordered-edge exact triangles
     "event_rfm_segmentation",         # CRM recency/frequency/monetary
+    "mm_phash_neardup",               # bucketed perceptual-hash pairs
+    "window_gaps_islands",            # tabibitosan run detection
 )
 
 
