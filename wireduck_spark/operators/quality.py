@@ -1,0 +1,209 @@
+"""Data-quality audit operators — the validation pass every production
+pipeline runs before promoting a snapshot (Great-Expectations-style
+checks and referential-integrity sweeps), expressed as ordinary
+Catalyst plans over the star schema.
+
+The reference delegates this whole class to host-engine SQL
+(`/root/reference/README.md:15` — "analytics, aggregation, joining and
+other data wrangling"); here each audit is a named oracle-checked query.
+
+Scale notes (100 TB): every check is either a single-pass conditional
+aggregate (map-side partial, one row out per table) or a keyed
+anti-join that first collapses the child table to DISTINCT foreign keys
+— the shuffle moves one row per distinct key, never the fact rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import query, table
+
+# (child table, fk column, parent table, pk column) — the complete FK
+# edge set of the TESTDATA.md star schema.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _orphans_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{child}.{fk}->{parent}.{pk}' AS relationship,
+               CAST(SUM(ck.n_rows) AS BIGINT) AS n_child_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_fk,
+               CAST(COUNT(*) FILTER (WHERE p.pk IS NULL) AS BIGINT)
+                   AS n_orphan_keys,
+               CAST(COALESCE(SUM(ck.n_rows) FILTER (WHERE p.pk IS NULL), 0)
+                    AS BIGINT) AS n_orphan_rows
+        FROM (SELECT {fk} AS fk, COUNT(*) AS n_rows
+              FROM {child} WHERE {fk} IS NOT NULL GROUP BY 1) ck
+        LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p
+          ON ck.fk = p.pk""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "dq_referential_orphans",
+    oracle=_orphans_oracle(),
+    tags=("quality", "join"),
+)
+def dq_referential_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity sweep: for every FK edge of the star schema,
+    how many child rows / distinct keys point at a missing parent.
+
+    Scale: the child side collapses to (fk, n_rows) FIRST — one keyed
+    aggregate with map-side partials — so the validation join moves one
+    short row per DISTINCT key, not per fact row; parent sides are
+    distinct key sets (dimension-sized, broadcastable — Catalyst/AQE
+    picks broadcast under the threshold, keyed join above it). Each edge
+    reduces to a single audit row, so the union is driver-trivial.
+    """
+    frames = []
+    for child, fk, parent, pk in _FK_EDGES:
+        ck = (
+            table(spark, sf, child)
+            .filter(F.col(fk).isNotNull())
+            .groupBy(F.col(fk).alias("fk"))
+            .agg(F.count("*").alias("n_rows"))
+        )
+        pkeys = table(spark, sf, parent).select(F.col(pk).alias("pk")).distinct()
+        joined = ck.join(pkeys, ck.fk == pkeys.pk, "left")
+        miss = F.col("pk").isNull()
+        frames.append(
+            joined.agg(
+                F.sum("n_rows").cast("bigint").alias("n_child_rows"),
+                F.count("*").cast("bigint").alias("n_distinct_fk"),
+                F.sum(F.when(miss, 1).otherwise(0)).cast("bigint")
+                .alias("n_orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(miss, F.col("n_rows"))), F.lit(0)
+                ).cast("bigint").alias("n_orphan_rows"),
+            ).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("relationship"),
+                "n_child_rows", "n_distinct_fk",
+                "n_orphan_keys", "n_orphan_rows",
+            )
+        )
+    return reduce(DataFrame.unionAll, frames)
+
+
+@query(
+    "dq_expectations_audit",
+    oracle="""
+    WITH li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL
+                                        OR l_quantity <= 0) AS BIGINT)
+                   AS v_qty,
+               CAST(COUNT(*) FILTER (WHERE l_discount IS NULL
+                                        OR l_discount < 0
+                                        OR l_discount > 1) AS BIGINT)
+                   AS v_disc,
+               CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+                   AS v_ship,
+               CAST(COUNT(*) FILTER (WHERE l_returnflag IS NULL
+                            OR l_returnflag NOT IN ('R','A','N')) AS BIGINT)
+                   AS v_flag
+        FROM lineitem
+    ), od AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                                        OR o_totalprice <= 0) AS BIGINT)
+                   AS v_price,
+               CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+                   AS v_date,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS v_dup
+        FROM orders
+    )
+    SELECT 'lineitem' AS table_name, 'l_quantity > 0' AS expectation,
+           n AS n_checked, v_qty AS n_violations, v_qty = 0 AS passed
+    FROM li
+    UNION ALL
+    SELECT 'lineitem', 'l_discount in [0, 1]', n, v_disc, v_disc = 0 FROM li
+    UNION ALL
+    SELECT 'lineitem', 'l_shipdate not null', n, v_ship, v_ship = 0 FROM li
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag in (R,A,N)', n, v_flag, v_flag = 0
+    FROM li
+    UNION ALL
+    SELECT 'orders', 'o_totalprice > 0', n, v_price, v_price = 0 FROM od
+    UNION ALL
+    SELECT 'orders', 'o_orderdate not null', n, v_date, v_date = 0 FROM od
+    UNION ALL
+    SELECT 'orders', 'o_orderkey unique', n, v_dup, v_dup = 0 FROM od
+    """,
+    tags=("quality", "agg"),
+)
+def dq_expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Expectation-suite audit: null/range/set/uniqueness checks, one
+    output row per expectation with checked/violation counts.
+
+    Scale: each table is scanned ONCE — all range/null/set checks ride a
+    single conditional aggregate (map-side partials, one row out); the
+    uniqueness check shares the orders pass as a distinct-count (the
+    only Expand in the plan, on the narrow key column). Unpivoting the
+    one-row aggregates into audit rows is free.
+    """
+    li = table(spark, sf, "lineitem").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_quantity").isNull()
+                     | (F.col("l_quantity") <= 0), 1).otherwise(0))
+        .cast("bigint").alias("v_qty"),
+        F.sum(F.when(F.col("l_discount").isNull()
+                     | (F.col("l_discount") < 0)
+                     | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("bigint").alias("v_disc"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("v_ship"),
+        F.sum(F.when(F.col("l_returnflag").isNull()
+                     | ~F.col("l_returnflag").isin("R", "A", "N"), 1)
+              .otherwise(0)).cast("bigint").alias("v_flag"),
+    )
+    od = table(spark, sf, "orders").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_totalprice").isNull()
+                     | (F.col("o_totalprice") <= 0), 1).otherwise(0))
+        .cast("bigint").alias("v_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("v_date"),
+        (F.count("*") - F.count_distinct("o_orderkey")).cast("bigint")
+        .alias("v_dup"),
+    )
+
+    def rows(src: DataFrame, tname: str, checks: list[tuple[str, str]]):
+        out = []
+        for expectation, vcol in checks:
+            out.append(
+                src.select(
+                    F.lit(tname).alias("table_name"),
+                    F.lit(expectation).alias("expectation"),
+                    F.col("n").alias("n_checked"),
+                    F.col(vcol).alias("n_violations"),
+                    (F.col(vcol) == 0).alias("passed"),
+                )
+            )
+        return out
+
+    frames = rows(li, "lineitem", [
+        ("l_quantity > 0", "v_qty"),
+        ("l_discount in [0, 1]", "v_disc"),
+        ("l_shipdate not null", "v_ship"),
+        ("l_returnflag in (R,A,N)", "v_flag"),
+    ]) + rows(od, "orders", [
+        ("o_totalprice > 0", "v_price"),
+        ("o_orderdate not null", "v_date"),
+        ("o_orderkey unique", "v_dup"),
+    ])
+    return reduce(DataFrame.unionAll, frames)

@@ -10,6 +10,8 @@ run under readStream with a watermark.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1218,4 +1220,157 @@ def event_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
         .when(f >= 2, 2).otherwise(1).cast("bigint").alias("f_score"),
         F.when(m >= 40000, 5).when(m >= 20000, 4).when(m >= 10000, 3)
         .when(m >= 5000, 2).otherwise(1).cast("bigint").alias("m_score"),
+    )
+
+
+@query(
+    "event_dau_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events
+    ), dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ), cover AS (
+        SELECT user_id, UNNEST(generate_series(day, day + 6)) AS cover_day
+        FROM ud
+    ), wau AS (
+        SELECT cover_day AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM cover GROUP BY cover_day
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(dau.day AS INTEGER), '%Y-%m-%d')
+               AS day,
+           dau.dau,
+           wau.wau,
+           CAST((10000 * dau.dau) // wau.wau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    tags=("timeseries", "distinct"),
+)
+def event_dau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per active day — the product
+    health metric that needs a DISTINCT count over a sliding window,
+    which no window frame can express directly.
+
+    Scale: the corpus collapses to DISTINCT (user, day) FIRST (one keyed
+    aggregate with map-side partials — output is bounded by users x
+    days, orders of magnitude below the event count). The sliding
+    distinct is then an explode of each user-day onto the <=7 future
+    grid days it covers, followed by an ordinary distinct count per
+    covered day: shuffle volume is 7x user-days, never 7x events, and
+    there is no per-day self-join or quadratic window. This is the
+    standard scale-safe rewrite for "distinct over sliding window".
+    """
+    e = table(spark, sf, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("day"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6)))
+        .alias("cover_day"),
+    )
+    wau = cover.groupBy(F.col("cover_day").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("day")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "dau",
+            "wau",
+            F.expr("(10000 * dau) div wau").cast("bigint")
+            .alias("stickiness_bp"),
+        )
+    )
+
+
+@query(
+    "window_ewma",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_id, user_id,
+            CAST(ROUND(value * 100, 0) AS BIGINT) AS c0,
+            lag(CAST(ROUND(value * 100, 0) AS BIGINT), 1) OVER w AS c1,
+            lag(CAST(ROUND(value * 100, 0) AS BIGINT), 2) OVER w AS c2,
+            lag(CAST(ROUND(value * 100, 0) AS BIGINT), 3) OVER w AS c3,
+            lag(CAST(ROUND(value * 100, 0) AS BIGINT), 4) OVER w AS c4,
+            lag(CAST(ROUND(value * 100, 0) AS BIGINT), 5) OVER w AS c5,
+            lag(CAST(ROUND(value * 100, 0) AS BIGINT), 6) OVER w AS c6,
+            lag(CAST(ROUND(value * 100, 0) AS BIGINT), 7) OVER w AS c7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), terms AS (
+        SELECT event_id, user_id,
+            CAST(COALESCE(c0 * 128, 0) + COALESCE(c1 * 64, 0)
+               + COALESCE(c2 * 32, 0) + COALESCE(c3 * 16, 0)
+               + COALESCE(c4 * 8, 0) + COALESCE(c5 * 4, 0)
+               + COALESCE(c6 * 2, 0) + COALESCE(c7, 0) AS BIGINT)
+                AS ewma_num,
+            CAST(CASE WHEN c0 IS NULL THEN 0 ELSE 128 END
+               + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+               + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+               + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+               + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+               + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+               + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+               + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                AS ewma_den
+        FROM lagged
+    )
+    SELECT event_id, user_id, ewma_num, ewma_den,
+           CASE WHEN ewma_den > 0
+                THEN ROUND(CAST(ewma_num AS DOUBLE) / ewma_den / 100.0, 4)
+           END AS ewma
+    FROM terms
+    """,
+    tags=("timeseries", "window"),
+)
+def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 1/2 over
+    the trailing <=8 events) — the smoothing pass behind rate limiting,
+    trend lines, and anomaly baselines.
+
+    Integer-exact core: with alpha = 1/2 the EWMA weights are powers of
+    two, so numerator and denominator are BIGINT sums of cents x
+    2^(7-lag) — aggregation-order-invariant and hash-identical across
+    engines; only the final display ratio touches doubles (same IEEE
+    expression tree both sides, rule 2). Missing leading lags renormalize
+    the denominator exactly (pandas ewm(adjust=True) semantics).
+
+    Scale: all 8 LAG expressions share ONE user-keyed window — a single
+    Exchange + sort, no self-joins; the frame is O(1) per row.
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = cents(F.col("value"))
+    lags = [c] + [F.lag(c, k).over(w) for k in range(1, 8)]
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    num = reduce(
+        lambda a, b: a + b,
+        [F.coalesce(lg * F.lit(wt), F.lit(0)) for lg, wt in zip(lags, weights)],
+    ).cast("bigint")
+    den = reduce(
+        lambda a, b: a + b,
+        [F.when(lg.isNull(), 0).otherwise(wt) for lg, wt in zip(lags, weights)],
+    ).cast("bigint")
+    return e.select(
+        "event_id", "user_id",
+        num.alias("ewma_num"), den.alias("ewma_den"),
+    ).select(
+        "event_id", "user_id", "ewma_num", "ewma_den",
+        F.when(
+            F.col("ewma_den") > 0,
+            F.round(
+                F.col("ewma_num").cast("double") / F.col("ewma_den") / 100.0, 4
+            ),
+        ).alias("ewma"),
     )

@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "wireduck_spark.operators.scalars",
     "wireduck_spark.operators.timeseries",
     "wireduck_spark.operators.io",
+    "wireduck_spark.operators.quality",
     "wireduck_spark.operators.graph",
     "wireduck_spark.functions.text",
     "wireduck_spark.functions.dedup",
@@ -314,6 +315,10 @@ PENDING_GATE: tuple[str, ...] = (
     "event_rfm_segmentation",         # CRM recency/frequency/monetary
     "mm_phash_neardup",               # bucketed perceptual-hash pairs
     "window_gaps_islands",            # tabibitosan run detection
+    "dq_referential_orphans",         # FK orphan sweep, keys-only shuffle
+    "dq_expectations_audit",          # expectation-suite audit, one pass
+    "event_dau_stickiness",           # sliding-distinct DAU/WAU rewrite
+    "window_ewma",                    # power-of-two integer-exact EWMA
 )
 
 
