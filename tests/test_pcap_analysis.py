@@ -160,3 +160,45 @@ def test_ja3s_server_fingerprint(spark, queries):
     assert rows[0]["tls.handshake.ja3s_string"] == expected
     assert rows[0]["tls.handshake.ja3s"] == hashlib.md5(
         expected.encode()).hexdigest()
+
+
+def test_arp_spoof_detect_golden(spark, queries):
+    rows = _rows(queries, spark, "pcap_arp_spoof_detect")
+    # gateway IP claimed by both its real MAC and the attacker's
+    gw = rows["10.0.0.1"]
+    assert gw["n_replies"] == 5
+    assert gw["n_macs"] == 2
+    assert gw["is_spoofed"] is True
+    assert list(gw["macs"]) == ["aa:00:00:00:00:01", "ee:00:00:00:00:66"]
+    benign = rows["10.0.0.5"]
+    assert benign["n_macs"] == 1 and benign["is_spoofed"] is False
+    # the who-has request must not count as a claim
+    assert len(rows) == 2
+
+
+def test_payload_entropy_golden(spark, queries):
+    import math
+
+    from wireduck_spark.sources.native import stream_id
+
+    rows = _rows(queries, spark, "pcap_payload_entropy")
+    const_s = stream_id("10.0.3.1", 41001, "10.0.4.1", 9100)
+    unif_s = stream_id("10.0.3.2", 41002, "10.0.4.1", 9200)
+    text_s = stream_id("10.0.3.3", 41003, "10.0.4.1", 80)
+    assert rows[const_s]["entropy_bits"] == 0.0
+    assert rows[const_s]["n_bytes"] == 200
+    assert rows[const_s]["is_high_entropy"] is False
+    # one packet carrying every byte value exactly once: exactly 8 bits
+    assert rows[unif_s]["entropy_bits"] == 8.0
+    assert rows[unif_s]["n_distinct_bytes"] == 256
+    assert rows[unif_s]["is_high_entropy"] is True
+    # ASCII text: recompute the expected value from the same bytes
+    text = (b"GET /index.html HTTP/1.1\r\nHost: example.com\r\n"
+            b"User-Agent: test\r\n\r\n")
+    hist: dict[int, int] = {}
+    for b in text:
+        hist[b] = hist.get(b, 0) + 1
+    t = len(text)
+    expected = math.log2(t) - sum(c * math.log2(c) for c in hist.values()) / t
+    assert rows[text_s]["entropy_bits"] == round(expected, 4)
+    assert rows[text_s]["is_high_entropy"] is False

@@ -319,6 +319,8 @@ PENDING_GATE: tuple[str, ...] = (
     "dq_expectations_audit",          # expectation-suite audit, one pass
     "event_dau_stickiness",           # sliding-distinct DAU/WAU rewrite
     "window_ewma",                    # power-of-two integer-exact EWMA
+    "pcap_arp_spoof_detect",          # rows-only; golden in pytest
+    "pcap_payload_entropy",           # rows-only; analytic goldens
 )
 
 

@@ -425,3 +425,88 @@ if _have_fixture():
                 F.min("`tls.handshake.ja3_string`").alias("ja3_string"),
             )
         )
+
+    @query("pcap_arp_spoof_detect", oracle=None, tags=("pcap", "analysis"))
+    def pcap_arp_spoof_detect(spark: SparkSession, sf: str) -> DataFrame:
+        """ARP-spoofing detection: an IP address claimed by more than one
+        MAC in ARP replies is the classic man-in-the-middle signal
+        (arpwatch / Wireshark's duplicate-address-detected expert info,
+        computed here over the native dissector's arp.* columns).
+
+        Scale: replies are a tiny filtered slice of traffic; one keyed
+        aggregate on the claimed IP with a bounded collect_set of MACs
+        (real networks have single-digit MACs per IP even under attack).
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import arp_spoof_capture
+
+        cap = arp_spoof_capture(
+            os.path.join(cache_dir(), "synth", "arpspoof.pcap"))
+        t = read_pcap(spark, cap, protocols=["arp"], engine="native")
+        replies = t.filter(F.col("`arp.opcode`") == 2)
+        return (
+            replies.groupBy(
+                F.col("`arp.src.proto_ipv4`").alias("claimed_ip"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_replies"),
+                F.count_distinct("`arp.src.hw_mac`").cast("bigint")
+                .alias("n_macs"),
+                F.array_sort(F.collect_set(F.col("`arp.src.hw_mac`")))
+                .alias("macs"),
+            )
+            .select(
+                "claimed_ip", "n_replies", "n_macs", "macs",
+                (F.col("n_macs") > 1).alias("is_spoofed"),
+            )
+        )
+
+    @query("pcap_payload_entropy", oracle=None, tags=("pcap", "analysis"))
+    def pcap_payload_entropy(spark: SparkSession, sf: str) -> DataFrame:
+        """Per-stream Shannon entropy of TCP payload bytes — the standard
+        encrypted/compressed-traffic detector (entropy >= 7 bits/byte ~
+        TLS/zip; plaintext protocols sit around 4-5).
+
+        Scale: the byte explode is NARROW (no shuffle); the per-(stream,
+        byte) count has map-side partial aggregation, so at most 256
+        short rows per stream per partition reach the exchange — payload
+        bytes themselves never shuffle. The entropy folds into one more
+        keyed aggregate via H = log2(T) - sum(c*log2(c))/T, which needs
+        no per-bin probability join.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import entropy_capture
+
+        cap = entropy_capture(
+            os.path.join(cache_dir(), "synth", "entropy.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "tcp"], engine="native")
+        pay = t.filter(
+            F.col("`tcp.payload`").isNotNull()
+            & (F.length("`tcp.payload`") > 0)
+        ).select(
+            F.col("`tcp.stream`").alias("stream"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("`tcp.payload`"), F.lit("[0-9a-f]{2}"), 0)
+            ).alias("b"),
+        )
+        hist = pay.groupBy("stream", "b").agg(F.count("*").alias("c"))
+        return (
+            hist.groupBy("stream")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_bytes"),
+                F.count("*").cast("bigint").alias("n_distinct_bytes"),
+                F.sum(F.col("c").cast("double") * F.log2("c")).alias("_clc"),
+            )
+            .select(
+                "stream", "n_bytes", "n_distinct_bytes",
+                F.round(
+                    F.log2("n_bytes")
+                    - F.col("_clc") / F.col("n_bytes").cast("double"),
+                    4,
+                ).alias("entropy_bits"),
+            )
+            .select(
+                "stream", "n_bytes", "n_distinct_bytes", "entropy_bits",
+                (F.col("entropy_bits") >= 7.0).alias("is_high_entropy"),
+            )
+        )

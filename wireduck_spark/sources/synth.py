@@ -340,3 +340,53 @@ def ja3_capture(path: str) -> str:
                                 ec_formats=(0,)))),
     ]
     return write_pcap(path, frames)
+
+
+def arp_spoof_capture(path: str) -> str:
+    """ARP-spoof fixture: gateway 10.0.0.1 answers legitimately from
+    aa:00:00:00:00:01 (3 replies), then an attacker claims the same IP
+    from ee:00:00:00:00:66 (2 gratuitous replies); benign host 10.0.0.5
+    answers once. tests/test_pcap_analysis.py asserts exactly the
+    gateway IP is flagged and the MAC sets match."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700005000.0
+    gw_mac = bytes.fromhex("aa0000000001")
+    atk_mac = bytes.fromhex("ee0000000066")
+    host_mac = bytes.fromhex("bb0000000002")
+    frames = [
+        (t + 0.0, arp_frame(1, bytes.fromhex("cc0000000003"),
+                            "10.0.0.7", "10.0.0.1")),  # who-has (ignored)
+        (t + 0.1, arp_frame(2, gw_mac, "10.0.0.1", "10.0.0.7")),
+        (t + 5.0, arp_frame(2, gw_mac, "10.0.0.1", "10.0.0.8")),
+        (t + 9.0, arp_frame(2, gw_mac, "10.0.0.1", "10.0.0.9")),
+        (t + 12.0, arp_frame(2, atk_mac, "10.0.0.1", "10.0.0.7")),
+        (t + 12.5, arp_frame(2, atk_mac, "10.0.0.1", "10.0.0.8")),
+        (t + 15.0, arp_frame(2, host_mac, "10.0.0.5", "10.0.0.7")),
+    ]
+    return write_pcap(path, frames)
+
+
+def entropy_capture(path: str) -> str:
+    """Payload-entropy fixture: three TCP streams with analytically known
+    Shannon entropy — constant bytes (exactly 0.0 bits), one packet
+    containing every byte value once (exactly 8.0 bits), and ASCII text
+    (computed in the test from the same bytes)."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700006000.0
+    text = (b"GET /index.html HTTP/1.1\r\nHost: example.com\r\n"
+            b"User-Agent: test\r\n\r\n")
+    frames = [
+        (t + 0.0, tcp_frame("10.0.3.1", "10.0.4.1", 41001, 9100, 1, 0x18,
+                            b"\x00" * 120)),
+        (t + 0.1, tcp_frame("10.0.3.1", "10.0.4.1", 41001, 9100, 121, 0x18,
+                            b"\x00" * 80)),
+        (t + 0.2, tcp_frame("10.0.3.2", "10.0.4.1", 41002, 9200, 1, 0x18,
+                            bytes(range(256)))),
+        (t + 0.3, tcp_frame("10.0.3.3", "10.0.4.1", 41003, 80, 1, 0x18,
+                            text)),
+    ]
+    return write_pcap(path, frames)
