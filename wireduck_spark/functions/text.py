@@ -552,3 +552,97 @@ def text_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# URL shape shared by both engines' extractors: scheme + host + optional
+# path/query. Only Java/RE2-common syntax (char classes, optional group).
+_URL_FULL_RE = r"https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_?&=-]*)?"
+
+
+@query(
+    "text_url_extract_normalize",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE
+                 WHEN doc_id % 5 = 0 THEN ' see https://WWW.Site-'
+                      || CAST(doc_id % 7 AS VARCHAR)
+                      || '.Example.COM/Path/a?utm_source=feed&x=1 ok'
+                 WHEN doc_id % 5 = 2 THEN ' ref https://site-'
+                      || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.com/path/b ok'
+                 WHEN doc_id % 5 = 3
+                      THEN ' link https://cdn.example.net/lib.js end'
+                 ELSE '' END AS t
+        FROM documents
+    ), urls AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(t, '{_URL_FULL_RE}')) AS url
+        FROM aug
+    ), norm AS (
+        SELECT doc_id,
+               regexp_replace(
+                   lower(regexp_extract(url, 'https?://([^/?]+)', 1)),
+                   '^www\\.', '') AS host,
+               CASE WHEN strpos(url, 'utm_') > 0 THEN 1 ELSE 0 END AS trk
+        FROM urls
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(trk) AS BIGINT) AS n_with_tracking
+    FROM norm GROUP BY host
+    """,
+    tags=("text", "curation"),
+)
+def text_url_extract_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL extraction + host normalization — the provenance rollup every
+    web-corpus pipeline needs (per-domain doc counts drive source
+    weighting, blocklists, and robots compliance audits).
+
+    The synthetic docs carry no URLs, so both engines inject the same
+    deterministic spans keyed on doc_id (mixed-case hosts, www prefixes,
+    utm_ tracking params) — the normalizer then has real work to do and
+    a broken regex can't silently pass. Normalization = lowercase host,
+    strip leading www., flag tracking params.
+
+    Scale: extract + normalize are narrow regexp maps; the only shuffle
+    is the host-keyed aggregate (vocabulary-sized: hosts, not docs).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.expr(
+                "CASE"
+                " WHEN doc_id % 5 = 0 THEN ' see https://WWW.Site-'"
+                " || CAST(doc_id % 7 AS STRING)"
+                " || '.Example.COM/Path/a?utm_source=feed&x=1 ok'"
+                " WHEN doc_id % 5 = 2 THEN ' ref https://site-'"
+                " || CAST(doc_id % 7 AS STRING) || '.example.com/path/b ok'"
+                " WHEN doc_id % 5 = 3"
+                " THEN ' link https://cdn.example.net/lib.js end'"
+                " ELSE '' END"
+            ),
+        ).alias("t"),
+    )
+    urls = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("t"), F.lit(_URL_FULL_RE), 0)
+        ).alias("url"),
+    )
+    norm = urls.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("url"), r"https?://([^/?]+)", 1)),
+            r"^www\.", "",
+        ).alias("host"),
+        F.when(F.instr(F.col("url"), "utm_") > 0, 1).otherwise(0)
+        .alias("trk"),
+    )
+    return norm.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("trk").cast("bigint").alias("n_with_tracking"),
+    )

@@ -321,6 +321,7 @@ PENDING_GATE: tuple[str, ...] = (
     "window_ewma",                    # power-of-two integer-exact EWMA
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
     "pcap_payload_entropy",           # rows-only; analytic goldens
+    "text_url_extract_normalize",     # per-domain provenance rollup
 )
 
 
