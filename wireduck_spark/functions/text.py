@@ -646,3 +646,98 @@ def text_url_extract_normalize(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
         F.sum("trk").cast("bigint").alias("n_with_tracking"),
     )
+
+
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens FROM uni
+    ), big AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> t[CAST(i AS INTEGER)] || ' '
+                       || t[CAST(i + 1 AS INTEGER)])) AS b
+              FROM toks WHERE len(t) >= 2)
+        GROUP BY b
+    ), scored AS (
+        SELECT big.b AS bigram, big.n_xy, u1.n_w AS n_x, u2.n_w AS n_y,
+               CAST((1000000 * big.n_xy * tot.n_tokens)
+                    // (u1.n_w * u2.n_w) AS BIGINT) AS pmi_ratio_ppm
+        FROM big, tot
+        JOIN uni u1 ON u1.w = split_part(big.b, ' ', 1)
+        JOIN uni u2 ON u2.w = split_part(big.b, ' ', 2)
+        WHERE big.n_xy >= 5
+    )
+    SELECT bigram, n_xy, n_x, n_y, pmi_ratio_ppm
+    FROM scored
+    ORDER BY pmi_ratio_ppm DESC, bigram ASC
+    LIMIT 20
+    """,
+    tags=("text", "nlp"),
+)
+def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise-mutual-information
+    ratio P(xy)/(P(x)P(y)) — the standard phrase detector (word2vec's
+    phrase pass, Gensim Phrases) that finds multiword units worth
+    treating as single tokens.
+
+    Integer-exact ranking: the PMI *ratio* n_xy*N/(n_x*n_y) is computed
+    as scaled BIGINT division (ppm), skipping the float log that would
+    shift ranks across engines at the last ulp.
+
+    Scale: bigrams are built with an array higher-order function inside
+    the narrow token map (no posexplode self-join); both count tables
+    shuffle vocabulary-sized keys; the unigram sides of the scoring
+    joins are vocabulary tables (broadcastable); final top-20 is a
+    TakeOrderedAndProject with a deterministic (score, bigram) tiebreak.
+    """
+    toks = table(spark, sf, "documents", spread=True).select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        .alias("t"),
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
+    )
+    tot = uni.agg(F.sum("n_w").cast("bigint").alias("n_tokens"))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat(
+                        F.element_at(F.col("t"), i),
+                        F.lit(" "),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            ).alias("b")
+        )
+        .groupBy("b").agg(F.count("*").cast("bigint").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_y"))
+    scored = (
+        big.withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("b").alias("bigram"), "n_xy", "n_x", "n_y",
+            F.expr("(1000000 * n_xy * n_tokens) div (n_x * n_y)")
+            .cast("bigint").alias("pmi_ratio_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio_ppm").desc(), F.col("bigram").asc()
+    ).limit(20)

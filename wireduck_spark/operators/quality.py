@@ -20,7 +20,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wireduck_spark.registry import query, table
+from wireduck_spark.registry import cents, query, table
 
 # (child table, fk column, parent table, pk column) — the complete FK
 # edge set of the TESTDATA.md star schema.
@@ -207,3 +207,69 @@ def dq_expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
         ("o_orderkey unique", "v_dup"),
     ])
     return reduce(DataFrame.unionAll, frames)
+
+
+_BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792,
+               6: 669, 7: 580, 8: 512, 9: 458}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items()) + " END"
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), cnt AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt
+    )
+    SELECT digit, n,
+           CAST((10000 * n) // tot.total AS BIGINT) AS share_bp,
+           CAST({_BENFORD_CASE} AS BIGINT) AS benford_bp,
+           CAST(abs((10000 * n) // tot.total - {_BENFORD_CASE}) AS BIGINT)
+               AS deviation_bp
+    FROM cnt, tot
+    """,
+    tags=("quality", "agg"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the standard
+    forensic screen for fabricated or truncated numeric columns
+    (synthetic uniform data deviates loudly; organic financial data
+    tracks log10(1+1/d)).
+
+    Integer-exact: the leading digit comes from the BIGINT cents string
+    (x100 never changes the leading digit), shares are basis-point
+    integer divisions, and the Benford expectations are integer
+    literals — no float log10 near a digit boundary.
+
+    Scale: one conditional-project + 9-bucket aggregate with map-side
+    partials; the total joins back via a broadcast of the 9-row table's
+    sum, not a global window.
+    """
+    o = table(spark, sf, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(cents(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("bigint").alias("digit")
+    )
+    cnt = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    tot = cnt.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = F.coalesce(
+        *[F.when(F.col("digit") == d, F.lit(bp))
+          for d, bp in _BENFORD_BP.items()]
+    ).cast("bigint")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            F.expr("(10000 * n) div total").cast("bigint").alias("share_bp"),
+            benford.alias("benford_bp"),
+            F.abs(
+                F.expr("(10000 * n) div total") - benford
+            ).cast("bigint").alias("deviation_bp"),
+        )
+    )

@@ -1374,3 +1374,88 @@ def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ).alias("ewma"),
     )
+
+
+@query(
+    "resample_m4_downsample",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) AS b,
+               ts, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+               row_number() OVER (PARTITION BY event_type,
+                                      time_bucket(INTERVAL '1 hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type,
+                                      time_bucket(INTERVAL '1 hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c) AS BIGINT) AS v_min_cents,
+           CAST(MAX(c) AS BIGINT) AS v_max_cents,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN c END) AS BIGINT)
+               AS v_first_cents,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN c END) AS BIGINT)
+               AS v_last_cents,
+           MAX(CASE WHEN rn_a = 1
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END) AS ts_first,
+           MAX(CASE WHEN rn_d = 1
+                    THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END) AS ts_last
+    FROM pts
+    GROUP BY event_type, b
+    """,
+    tags=("timeseries", "window"),
+)
+def resample_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 downsampling (first/last/min/max per series per time bucket) —
+    the error-free line-chart reduction from Jugel et al. (VLDB'14):
+    any pixel column renders identically from these 4 points as from
+    the raw series, so dashboards pull O(buckets) rows off a 100 TB
+    history instead of the raw points.
+
+    Scale: both row_number directions share ONE (series, bucket)-keyed
+    Exchange (two sorts, no self-join); the aggregate collapses each
+    bucket to a single row with map-side partials on the min/max part.
+    Determinism: first/last are keyed on (ts, event_id) — a UNIQUE
+    ordering — so ties in ts cannot flip values across engines.
+    """
+    e = table(spark, sf, "events")
+    pts = e.select(
+        "event_type",
+        F.window("ts", "1 hour").getField("start").alias("b"),
+        "ts", "event_id",
+        cents(F.col("value")).alias("c"),
+    )
+    w_asc = Window.partitionBy("event_type", "b").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "b").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    marked = pts.select(
+        "*",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    first_ = F.when(F.col("rn_a") == 1, F.col("c"))
+    last_ = F.when(F.col("rn_d") == 1, F.col("c"))
+    return (
+        marked.groupBy("event_type", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("c").cast("bigint").alias("v_min_cents"),
+            F.max("c").cast("bigint").alias("v_max_cents"),
+            F.max(first_).cast("bigint").alias("v_first_cents"),
+            F.max(last_).cast("bigint").alias("v_last_cents"),
+            F.max(F.when(F.col("rn_a") == 1, ts_str(F.col("ts"))))
+            .alias("ts_first"),
+            F.max(F.when(F.col("rn_d") == 1, ts_str(F.col("ts"))))
+            .alias("ts_last"),
+        )
+        .select(
+            "event_type", ts_str(F.col("b")).alias("bucket_start"),
+            "n", "v_min_cents", "v_max_cents", "v_first_cents",
+            "v_last_cents", "ts_first", "ts_last",
+        )
+    )

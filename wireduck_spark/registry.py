@@ -322,6 +322,9 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
     "pcap_payload_entropy",           # rows-only; analytic goldens
     "text_url_extract_normalize",     # per-domain provenance rollup
+    "resample_m4_downsample",         # error-free viz downsampling (M4)
+    "text_collocations_pmi",          # integer-exact PMI phrase mining
+    "dq_benford_first_digit",         # forensic first-digit audit
 )
 
 
