@@ -182,3 +182,33 @@ def test_semantic_kmeans_lsh_matches_broadcast_assignment(spark, sf_dir):
     routed = _assign_nearest(qv, cents, "lsh")
     ids = [r.vec_id for r in routed.select("vec_id").collect()]
     assert len(ids) == len(set(ids)) == qv.count()
+
+
+def test_audio_frame_energy_ragged_fallback(spark):
+    """Ragged / null / short content must take the per-row path and agree
+    with the vectorized path's semantics (truncate to whole frames)."""
+    import pandas as pd
+
+    from wireduck_spark.functions.multimodal import (
+        AUDIO_ENERGY_SCHEMA, AUDIO_FRAME_LEN, fake_audio_frame_energy,
+    )
+
+    long_b = bytes(range(AUDIO_FRAME_LEN)) + bytes([7] * 10)  # 1 frame + tail
+    pdf = pd.DataFrame(
+        {
+            "asset_id": [1, 2, 3],
+            "content": [long_b, None, b"\x02" * (AUDIO_FRAME_LEN - 1)],
+        }
+    )
+    out = pd.concat(list(fake_audio_frame_energy(iter([pdf]))))
+    by_id = {int(r.asset_id): r for r in out.itertuples()}
+    expect_e = sum(x * x for x in range(AUDIO_FRAME_LEN))
+    assert by_id[1].n_frames == 1
+    assert by_id[1].n_samples == AUDIO_FRAME_LEN  # tail truncated
+    assert by_id[1].total_energy == expect_e
+    assert by_id[1].max_frame_energy == expect_e
+    assert by_id[1].max_frame_idx == 0
+    assert by_id[2].n_frames == 0 and by_id[2].max_frame_idx == -1
+    assert by_id[3].n_frames == 0  # below one frame -> no frames
+    # schema contract: column names match the declared struct
+    assert list(out.columns) == [f.name for f in AUDIO_ENERGY_SCHEMA.fields]

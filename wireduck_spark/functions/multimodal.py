@@ -374,3 +374,142 @@ def mm_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
                & (F.col("asset_a") < F.col("asset_b")))
         .select("phash", "asset_a", "asset_b")
     )
+
+
+AUDIO_FRAME_LEN = 32  # samples per analysis frame (fake 8-bit PCM)
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("total_energy", LongType(), True),
+        StructField("max_frame_energy", LongType(), True),
+        StructField("max_frame_idx", LongType(), True),
+    ]
+)
+
+
+def fake_audio_frame_energy(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas transform standing in for audio decode + framing.
+
+    Deterministic fake: real deployments replace the ndarray view with
+    torchaudio/soundfile PCM decode. The real, tested part is the audio
+    pipeline SHAPE — fixed-length analysis frames over a sample stream,
+    per-frame energy reduction, one output row per asset — all
+    vectorized numpy over Arrow batches (no per-sample Python).
+    """
+    import numpy as np
+
+    for pdf in batches:
+        content = pdf["content"]
+        lens = content.map(lambda b: len(b) if b is not None else 0).to_numpy()
+        n = len(content)
+        if n and lens.min() == lens.max() and lens[0] >= AUDIO_FRAME_LEN:
+            width = int(lens[0])
+            n_frames = width // AUDIO_FRAME_LEN
+            mat = np.frombuffer(
+                b"".join(content.to_list()), dtype=np.uint8
+            ).reshape(n, width)[:, : n_frames * AUDIO_FRAME_LEN]
+            sq = mat.astype(np.int64) ** 2
+            frames = sq.reshape(n, n_frames, AUDIO_FRAME_LEN).sum(axis=2)
+            total = frames.sum(axis=1)
+            fmax = frames.max(axis=1)
+            fidx = frames.argmax(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_samples": np.full(n, n_frames * AUDIO_FRAME_LEN,
+                                         dtype=np.int64),
+                    "n_frames": np.full(n, n_frames, dtype=np.int64),
+                    "total_energy": total,
+                    "max_frame_energy": fmax,
+                    "max_frame_idx": fidx,
+                }
+            )
+        elif n:  # ragged/short content: per-row fallback
+            rows = []
+            for aid, b in zip(pdf["asset_id"], content):
+                if b is None or len(b) < AUDIO_FRAME_LEN:
+                    rows.append((aid, 0, 0, 0, 0, -1))
+                    continue
+                nf = len(b) // AUDIO_FRAME_LEN
+                en = [
+                    sum(x * x for x in b[i * AUDIO_FRAME_LEN:
+                                         (i + 1) * AUDIO_FRAME_LEN])
+                    for i in range(nf)
+                ]
+                rows.append((aid, nf * AUDIO_FRAME_LEN, nf, sum(en),
+                             max(en), en.index(max(en))))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_ENERGY_SCHEMA.fields])
+
+
+@query(
+    "mm_audio_frame_energy",
+    oracle="""
+    WITH pcm AS (
+        SELECT doc_id AS asset_id,
+               md5(text) || md5(text || '1') || md5(text || '2')
+                 || md5(text || '3') || md5(text || '4') || md5(text || '5')
+                 || md5(text || '6') || md5(text || '7') AS h
+        FROM documents
+    ), samples AS (
+        SELECT asset_id,
+               list_transform(range(0, 128), i ->
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * CAST(i AS INTEGER) + 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef',
+                          substr(h, 2 * CAST(i AS INTEGER) + 2, 1)) - 1
+               ) AS s
+        FROM pcm
+    ), frames AS (
+        SELECT asset_id,
+               list_transform(range(0, 4), f ->
+                   list_aggregate(
+                       list_transform(range(0, 32), j ->
+                           s[CAST(f * 32 + j + 1 AS INTEGER)]
+                         * s[CAST(f * 32 + j + 1 AS INTEGER)]),
+                       'sum')
+               ) AS e
+        FROM samples
+    )
+    SELECT asset_id,
+           CAST(128 AS BIGINT) AS n_samples,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(list_aggregate(e, 'sum') AS BIGINT) AS total_energy,
+           CAST(list_aggregate(e, 'max') AS BIGINT) AS max_frame_energy,
+           CAST(list_position(e, list_aggregate(e, 'max')) - 1 AS BIGINT)
+               AS max_frame_idx
+    FROM frames
+    """,
+    tags=("multimodal", "audio"),
+)
+def mm_audio_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio framing + per-frame energy — the front half of every audio
+    feature pipeline (VAD, loudness normalization, MFCC windowing):
+    fixed-length analysis frames over the PCM stream, an integer energy
+    per frame, and per-asset frame statistics.
+
+    The fake "decode" derives a deterministic 128-byte PCM8 stream from
+    chained md5 blocks (the container has no codecs — swap the ndarray
+    view for torchaudio on a real cluster; the docstring marks the
+    seam). The DuckDB oracle recomputes the identical stream hex-side,
+    proving the Arrow path end-to-end: binary column -> numpy view ->
+    frame reshape -> energy reduce.
+
+    Scale: pure narrow mapInPandas — zero shuffles, one output row per
+    asset; energies are int64 sums (order-free, no float drift).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    hexcol = F.concat(
+        F.md5("text"),
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(1, 8)],
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.to_binary(hexcol, F.lit("hex")).alias("content"),
+    )
+    return assets.mapInPandas(fake_audio_frame_energy, AUDIO_ENERGY_SCHEMA)

@@ -325,6 +325,7 @@ PENDING_GATE: tuple[str, ...] = (
     "resample_m4_downsample",         # error-free viz downsampling (M4)
     "text_collocations_pmi",          # integer-exact PMI phrase mining
     "dq_benford_first_digit",         # forensic first-digit audit
+    "mm_audio_frame_energy",          # audio framing + energy plumbing
 )
 
 
