@@ -741,3 +741,64 @@ def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_ratio_ppm").desc(), F.col("bigram").asc()
     ).limit(20)
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    WITH posting AS (
+        SELECT w, doc_id
+        FROM (SELECT doc_id,
+                     unnest(list_distinct(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+              FROM documents)
+    ), lists AS (
+        SELECT w,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS posting_fp
+        FROM posting GROUP BY w
+    )
+    SELECT * FROM lists WHERE df >= 50
+    """,
+    tags=("text", "search"),
+)
+def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction (term -> document-frequency + a
+    fingerprint of the ordered posting list) — the build step of every
+    full-text search system, restricted to terms with df >= 50 so the
+    result stays summary-sized while the md5 fingerprint still pins the
+    EXACT posting list contents and order cross-engine.
+
+    Scale: distinct terms per doc are computed inside the narrow token
+    map (array_distinct before explode — posting entries, not token
+    occurrences, hit the wire); the single shuffle is term-keyed. The
+    ordered string_agg is per-term; posting lists of common terms are
+    the classic skew point — at 100 TB shard hot terms by (term,
+    doc_id range) and concatenate fingerprints hierarchically.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    posting = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("w"),
+    )
+    return (
+        posting.groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(F.collect_list(F.col("doc_id"))), ",")
+            ).alias("posting_fp"),
+        )
+        .filter(F.col("df") >= 50)
+    )

@@ -1007,3 +1007,90 @@ def window_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
         )
         .drop("island")
     )
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        FROM orders
+    ), curr AS (
+        -- simulated next snapshot: deletes (%97), updates (+1.00 on %13),
+        -- inserts (shifted keys for %101)
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 + CASE WHEN o_orderkey % 13 = 0 THEN 100 ELSE 0 END
+                   AS price_cents
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 1000000000 AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), diff AS (
+        SELECT CASE WHEN b.k IS NULL THEN 'insert'
+                    WHEN c.k IS NULL THEN 'delete'
+                    WHEN b.price_cents <> c.price_cents THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               COALESCE(c.price_cents, 0) - COALESCE(b.price_cents, 0)
+                   AS delta_cents
+        FROM base b FULL OUTER JOIN curr c ON b.k = c.k
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(delta_cents) AS BIGINT) AS net_delta_cents
+    FROM diff GROUP BY change_type
+    """,
+    tags=("advanced", "cdc"),
+)
+def snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff / change-data-capture derivation: given two table
+    snapshots, classify every key as insert / delete / update /
+    unchanged and roll up the net value movement — what Delta's CDF or
+    an audit job computes between daily loads, built from one full
+    outer join on the key.
+
+    The "current" snapshot is simulated deterministically from orders
+    (key-pattern deletes, +1.00 updates, shifted-key inserts) so both
+    engines diff identical inputs.
+
+    Scale: ONE key-keyed full outer join (both sides shuffle once on
+    the same key — co-partitioned exchange, no broadcast needed at any
+    size) followed by a 4-row aggregate with map-side partials. Value
+    comparison is integer cents; no row-hash false positives.
+    """
+    o = table(spark, sf, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        cents(F.col("o_totalprice")).alias("price_cents"),
+    )
+    curr = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (cents(F.col("o_totalprice"))
+             + F.when(F.col("o_orderkey") % 13 == 0, 100).otherwise(0))
+            .alias("price_cents"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("k"),
+                cents(F.col("o_totalprice")).alias("price_cents"),
+            )
+        )
+    )
+    b = base.select(F.col("k").alias("bk"), F.col("price_cents").alias("bp"))
+    c = curr.select(F.col("k").alias("ck"), F.col("price_cents").alias("cp"))
+    diff = b.join(c, b.bk == c.ck, "full_outer").select(
+        F.when(F.col("bk").isNull(), "insert")
+        .when(F.col("ck").isNull(), "delete")
+        .when(F.col("bp") != F.col("cp"), "update")
+        .otherwise("unchanged").alias("change_type"),
+        (F.coalesce(F.col("cp"), F.lit(0)) - F.coalesce(F.col("bp"), F.lit(0)))
+        .alias("delta_cents"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("delta_cents").cast("bigint").alias("net_delta_cents"),
+    )

@@ -953,3 +953,62 @@ def agg_histogram_equiwidth(spark: SparkSession, sf: str) -> DataFrame:
         .select("bucket", "bucket_lo", "n_orders", "sum_cents")
         .orderBy("bucket")
     )
+
+
+@query(
+    "feature_quantile_bucketize",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events
+    ), bounds AS (
+        SELECT quantile_cont(c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS b
+        FROM c
+    ), assigned AS (
+        SELECT c.c,
+               CAST(len(list_filter(bounds.b, x -> c.c > x)) AS BIGINT)
+                   AS bucket
+        FROM c, bounds
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c) AS BIGINT) AS min_cents,
+           CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM assigned GROUP BY bucket
+    """,
+    tags=("relational", "feature"),
+)
+def feature_quantile_bucketize(spark: SparkSession, sf: str) -> DataFrame:
+    """Decile bucketing of a numeric feature — the equal-frequency
+    discretization behind feature crosses, monotonic binning, and
+    percentile features — WITHOUT the global sort that a naive
+    ntile()-over-everything window would cost.
+
+    Two passes: (1) exact decile boundaries as ONE aggregate (Spark
+    `percentile` == DuckDB `quantile_cont`, both the (n-1)p
+    definition on integer cents, so the boundaries match bit-for-bit);
+    (2) a broadcast of the 9-element boundary array and a narrow
+    array-filter count per row. No row ever shuffles for assignment.
+    At 100 TB, swap pass 1 for percentile_approx with a documented
+    error bound, or the value-histogram rewrite (distinct cents values
+    + running counts) when the domain is bounded — assignment is
+    unchanged either way.
+    """
+    e = table(spark, sf, "events").select(cents(F.col("value")).alias("c"))
+    bounds = e.agg(
+        F.expr(
+            "percentile(c, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,"
+            " 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("b")
+    )
+    assigned = e.crossJoin(F.broadcast(bounds)).select(
+        "c",
+        F.size(
+            F.filter(F.col("b"), lambda x: F.col("c").cast("double") > x)
+        ).cast("bigint").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("c").cast("bigint").alias("min_cents"),
+        F.max("c").cast("bigint").alias("max_cents"),
+    )

@@ -326,6 +326,9 @@ PENDING_GATE: tuple[str, ...] = (
     "text_collocations_pmi",          # integer-exact PMI phrase mining
     "dq_benford_first_digit",         # forensic first-digit audit
     "mm_audio_frame_energy",          # audio framing + energy plumbing
+    "feature_quantile_bucketize",     # two-pass global-ntile rewrite
+    "text_inverted_index",            # posting lists, term-keyed shuffle
+    "snapshot_diff_cdc",              # CDC classification, one key join
 )
 
 
