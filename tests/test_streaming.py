@@ -670,3 +670,32 @@ def test_stateful_distinct_tracker(spark, sf_dir, events_dir):
         .collect()
     }
     assert final_batch == expected
+
+
+def test_stateful_ewma_matches_batch(spark, sf_dir, events_dir):
+    """The deque-state streaming EWMA tracker must emit bit-identical
+    (num, den) pairs to the batch window_ewma query (power-of-two
+    integer weights, ts-ordered delivery)."""
+    from wireduck_spark.streaming.stateful import ewma_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        ewma_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["ewma_num"], r["ewma_den"])
+        for r in spark.sql(
+            "SELECT event_id, ewma_num, ewma_den FROM t_ewma").collect()
+    }
+    expected = {
+        r["event_id"]: (r["ewma_num"], r["ewma_den"])
+        for r in QUERIES["window_ewma"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0
