@@ -202,3 +202,28 @@ def test_payload_entropy_golden(spark, queries):
     expected = math.log2(t) - sum(c * math.log2(c) for c in hist.values()) / t
     assert rows[text_s]["entropy_bits"] == round(expected, 4)
     assert rows[text_s]["is_high_entropy"] is False
+
+
+def test_follow_tcp_stream_golden(spark, queries):
+    import hashlib
+
+    rows = {
+        (r["stream"], r["src"], r["sport"]): r
+        for r in queries["pcap_follow_tcp_stream"].fn(spark, SF).collect()
+    }
+    a_cli = rows[(STREAM_A, "10.0.1.1", 40001)]
+    # retransmitted "0123456789" collapses to one reassembled copy
+    assert a_cli["n_segments"] == 1
+    assert a_cli["n_bytes"] == 10
+    assert a_cli["contiguous"] is True
+    assert a_cli["content_md5"] == hashlib.md5(b"0123456789").hexdigest()
+    a_srv = rows[(STREAM_A, "10.0.2.1", 80)]
+    assert a_srv["n_bytes"] == 20
+    assert a_srv["content_md5"] == hashlib.md5(
+        b"abcdefghijklmnopqrst").hexdigest()
+    b_cli = rows[(STREAM_B, "10.0.1.2", 40002)]
+    assert b_cli["content_md5"] == hashlib.md5(b"hello").hexdigest()
+    c_cli = rows[(STREAM_C, "10.0.1.3", 40003)]
+    assert c_cli["content_md5"] == hashlib.md5(b"orphan").hexdigest()
+    # only data-bearing directions appear (no ACK-only rows)
+    assert len(rows) == 4

@@ -385,3 +385,56 @@ def test_zorder_write_localizes_both_dims(spark, sf_dir):
     avg_sk = sum(frac_sk) / len(frac_sk)
     assert avg_pk < 0.6, f"partkey not localized: avg span {avg_pk:.2f}"
     assert avg_sk < 0.6, f"suppkey not localized: avg span {avg_sk:.2f}"
+
+
+def test_ewma_and_m4_single_keyed_exchange(spark, sf_dir):
+    """window_ewma's 8 LAGs and M4's two row_number directions must each
+    share ONE keyed partitioning of the events table — a second
+    hashpartitioning exchange means the window specs drifted apart; no
+    window may be global."""
+    for name, key in (("window_ewma", "user_id"),
+                      ("resample_m4_downsample", "event_type")):
+        plan = plan_of(spark, name, sf_dir)
+        # formatted mode details exchanges as 'Arguments: hashpartitioning'
+        n = plan.count("Arguments: hashpartitioning")
+        assert n == 1, f"{name}: {n} keyed exchanges"
+        assert key in plan
+        assert "CartesianProduct" not in plan, name
+
+
+def test_audio_energy_is_pure_narrow_map(spark, sf_dir):
+    """mm_audio_frame_energy must be shuffle-free: binary synthesis and
+    the framing mapInPandas are narrow; any Exchange means the asset
+    payloads started moving."""
+    plan = plan_of(spark, "mm_audio_frame_energy", sf_dir)
+    assert "Arguments: hashpartitioning" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_quantile_bucketize_broadcasts_bounds(spark, sf_dir):
+    """The decile-boundary table is ONE row: assignment must ride a
+    broadcast (nested-loop on a 1-row build side), never shuffle the
+    events for it; the only keyed exchange is the final bucket rollup."""
+    plan = plan_of(spark, "feature_quantile_bucketize", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 1
+
+
+def test_dau_stickiness_no_cartesian_or_global_window(spark, sf_dir):
+    """The sliding-distinct rewrite is explode + keyed aggregates only —
+    no per-day self-join of the corpus, no global window."""
+    plan = plan_of(spark, "event_dau_stickiness", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_referential_orphans_collapses_before_join(spark, sf_dir):
+    """Every FK validation join must consume the PRE-AGGREGATED child
+    key table (HashAggregate below the join), so fact rows never reach
+    a join exchange."""
+    plan = plan_of(spark, "dq_referential_orphans", sf_dir)
+    assert "CartesianProduct" not in plan
+    # 7 edges -> 7 child-side aggregates feeding joins
+    assert plan.count("HashAggregate") >= 14  # partial+final per edge

@@ -329,6 +329,7 @@ PENDING_GATE: tuple[str, ...] = (
     "feature_quantile_bucketize",     # two-pass global-ntile rewrite
     "text_inverted_index",            # posting lists, term-keyed shuffle
     "snapshot_diff_cdc",              # CDC classification, one key join
+    "pcap_follow_tcp_stream",         # rows-only; reassembly md5 goldens
 )
 
 

@@ -510,3 +510,61 @@ if _have_fixture():
                 (F.col("entropy_bits") >= 7.0).alias("is_high_entropy"),
             )
         )
+
+    @query("pcap_follow_tcp_stream", oracle=None, tags=("pcap", "analysis"))
+    def pcap_follow_tcp_stream(spark: SparkSession, sf: str) -> DataFrame:
+        """Wireshark's "Follow TCP Stream" as a query: reassemble each
+        direction's payload bytes in sequence order, retransmissions
+        deduplicated, and emit length + md5 of the reconstructed byte
+        stream (the md5 is the joinable content identity — IDS rules,
+        malware hashes, transcript dedup all key on it).
+
+        Scale: retransmission dedup and reassembly both key on (stream,
+        direction) — ONE keyed shuffle; ordering happens inside each
+        group via array_sort of (seq, payload) structs, never a global
+        sort. Holes (lost captures) surface as n_bytes < expected rather
+        than silently concatenating across gaps: contiguity is reported
+        via the contiguous flag comparing span to byte count.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import session_capture
+
+        cap = session_capture(
+            os.path.join(cache_dir(), "synth", "session.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "tcp"], engine="native")
+        segs = (
+            t.filter(F.col("`tcp.len`") > 0)
+            .select(
+                F.col("`tcp.stream`").alias("stream"),
+                F.col("`ip.src`").alias("src"),
+                F.col("`tcp.srcport`").alias("sport"),
+                F.col("`tcp.seq`").alias("seq"),
+                F.col("`tcp.len`").alias("seg_len"),
+                F.col("`tcp.payload`").alias("payload"),
+            )
+            .dropDuplicates(["stream", "src", "sport", "seq", "payload"])
+        )
+        return (
+            segs.groupBy("stream", "src", "sport")
+            .agg(
+                F.count("*").cast("bigint").alias("n_segments"),
+                F.sum("seg_len").cast("bigint").alias("n_bytes"),
+                F.min("seq").alias("_seq_lo"),
+                F.max(F.col("seq") + F.col("seg_len")).alias("_seq_hi"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seq", "payload"))),
+                        lambda s: s.getField("payload"),
+                    ),
+                    "",
+                ).alias("_hex"),
+            )
+            .select(
+                "stream", "src", "sport", "n_segments", "n_bytes",
+                (F.col("_seq_hi") - F.col("_seq_lo") == F.col("n_bytes"))
+                .alias("contiguous"),
+                F.md5(F.to_binary(F.col("_hex"), F.lit("hex")))
+                .alias("content_md5"),
+            )
+        )
