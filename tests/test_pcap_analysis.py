@@ -227,3 +227,18 @@ def test_follow_tcp_stream_golden(spark, queries):
     assert c_cli["content_md5"] == hashlib.md5(b"orphan").hexdigest()
     # only data-bearing directions appear (no ACK-only rows)
     assert len(rows) == 4
+
+
+def test_dns_tunneling_detect_golden(spark, queries):
+    rows = {r["zone"]: r
+            for r in queries["pcap_dns_tunneling_detect"].fn(
+                spark, SF).collect()}
+    tun = rows["example.com"]
+    assert tun["n_queries"] == 30
+    assert tun["n_distinct_subdomains"] == 30
+    assert tun["avg_qname_len"] >= 40
+    assert tun["is_suspected"] is True
+    # each benign zone: one short query, never flagged
+    for zone in ("example.org", "google.com", "fastly.net", "github.com"):
+        assert rows[zone]["is_suspected"] is False
+    assert len(rows) == 5

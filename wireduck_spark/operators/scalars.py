@@ -345,3 +345,69 @@ def scalar_bitwise_funcs(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("~l_orderkey").cast("bigint").alias("b_not"),
         )
     )
+
+
+@query(
+    "scalar_inet_funcs",
+    oracle="""
+    WITH ips AS (
+        SELECT '10.' || CAST(user_id % 200 AS VARCHAR) || '.'
+                 || CAST(user_id % 250 AS VARCHAR) || '.'
+                 || CAST(event_id % 254 + 1 AS VARCHAR) AS ip
+        FROM events
+    ), parsed AS (
+        SELECT ip,
+               CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
+             + CAST(split_part(ip, '.', 2) AS BIGINT) * 65536
+             + CAST(split_part(ip, '.', 3) AS BIGINT) * 256
+             + CAST(split_part(ip, '.', 4) AS BIGINT) AS ip_num,
+               split_part(ip, '.', 1) || '.' || split_part(ip, '.', 2)
+                   AS subnet_16
+        FROM ips
+    )
+    SELECT subnet_16,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (
+               WHERE ip_num >= 167772160 AND ip_num < 176160768) AS BIGINT)
+               AS n_in_10_0_0_0_9,
+           CAST(MIN(ip_num) AS BIGINT) AS min_ip_num,
+           CAST(MAX(ip_num) AS BIGINT) AS max_ip_num
+    FROM parsed GROUP BY subnet_16
+    """,
+    tags=("scalar", "inet"),
+)
+def scalar_inet_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """IPv4 address arithmetic with stock scalars — dotted-quad parse to
+    a 32-bit integer, CIDR containment (10.0.0.0/9 as an integer range
+    compare), and /16 prefix rollup. Neither engine needs an inet
+    extension: the packet-domain operations wireduck users run on
+    ip.src/ip.dst columns are integer math after one split.
+
+    Scale: parse + containment are narrow string/int scalars; the only
+    shuffle is the /16-keyed rollup (bounded key space).
+    """
+    e = table(spark, sf, "events")
+    ips = e.select(
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 200).cast("string"),
+            F.lit("."), (F.col("user_id") % 250).cast("string"),
+            F.lit("."), (F.col("event_id") % 254 + 1).cast("string"),
+        ).alias("ip")
+    )
+    part = lambda i: F.split_part(F.col("ip"), F.lit("."), F.lit(i))  # noqa: E731
+    parsed = ips.select(
+        "ip",
+        (part(1).cast("bigint") * 16777216
+         + part(2).cast("bigint") * 65536
+         + part(3).cast("bigint") * 256
+         + part(4).cast("bigint")).alias("ip_num"),
+        F.concat(part(1), F.lit("."), part(2)).alias("subnet_16"),
+    )
+    in_cidr = (F.col("ip_num") >= 167772160) & (F.col("ip_num") < 176160768)
+    return parsed.groupBy("subnet_16").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(in_cidr, 1).otherwise(0)).cast("bigint")
+        .alias("n_in_10_0_0_0_9"),
+        F.min("ip_num").cast("bigint").alias("min_ip_num"),
+        F.max("ip_num").cast("bigint").alias("max_ip_num"),
+    )

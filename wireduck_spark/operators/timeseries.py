@@ -1459,3 +1459,74 @@ def resample_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
             "v_last_cents", "ts_first", "ts_last",
         )
     )
+
+
+@query(
+    "window_rolling_regression",
+    oracle="""
+    WITH idx AS (
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS y,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), sums AS (
+        SELECT event_id, user_id, rn,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(rn) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS BIGINT) AS sy,
+               CAST(SUM(rn * y) OVER w AS BIGINT) AS sxy,
+               CAST(SUM(rn * rn) OVER w AS BIGINT) AS sxx
+        FROM idx
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST((1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx) AS BIGINT)
+           END AS slope_ppm
+    FROM sums
+    """,
+    tags=("timeseries", "window"),
+)
+def window_rolling_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling OLS trend per user: the least-squares slope of value
+    against event index over the trailing <=8 events — the trend
+    detector behind 'spend is accelerating' alerts, computed without
+    floats: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) carried as exact
+    BIGINT numerator/denominator plus a ppm-scaled integer quotient.
+
+    Scale: row_number and all five frame sums share ONE user-keyed
+    window partitioning (a single Exchange; the second Window reuses
+    the sort). The frame is O(1) rows; nothing is quadratic.
+    """
+    e = table(spark, sf, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = e.select(
+        "event_id", "user_id", "ts",
+        cents(F.col("value")).alias("y"),
+    ).withColumn("rn", F.row_number().over(w1))
+    wf = (
+        Window.partitionBy("user_id").orderBy("rn").rowsBetween(-7, 0)
+    )
+    sums = idx.select(
+        "event_id", "user_id", "rn",
+        F.count("*").over(wf).cast("bigint").alias("n"),
+        F.sum("rn").over(wf).cast("bigint").alias("sx"),
+        F.sum("y").over(wf).cast("bigint").alias("sy"),
+        F.sum(F.col("rn") * F.col("y")).over(wf).cast("bigint").alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).over(wf).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_id", "user_id", "n",
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.when(den > 0, F.expr(
+            "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+        )).cast("bigint").alias("slope_ppm"),
+    )

@@ -330,6 +330,9 @@ PENDING_GATE: tuple[str, ...] = (
     "text_inverted_index",            # posting lists, term-keyed shuffle
     "snapshot_diff_cdc",              # CDC classification, one key join
     "pcap_follow_tcp_stream",         # rows-only; reassembly md5 goldens
+    "window_rolling_regression",      # integer-exact trailing OLS slope
+    "pcap_dns_tunneling_detect",      # rows-only; zone-level goldens
+    "scalar_inet_funcs",              # IPv4 int math + CIDR containment
 )
 
 

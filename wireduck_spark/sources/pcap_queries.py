@@ -568,3 +568,52 @@ if _have_fixture():
                 .alias("content_md5"),
             )
         )
+
+    @query("pcap_dns_tunneling_detect", oracle=None,
+           tags=("pcap", "analysis"))
+    def pcap_dns_tunneling_detect(spark: SparkSession, sf: str) -> DataFrame:
+        """DNS-tunneling detection per registered domain (last two
+        labels): exfil tunnels show many DISTINCT long subdomains under
+        one zone at sustained rate, where benign traffic re-asks a few
+        short names. Flags zones with >= 20 distinct subdomains AND
+        average qname length >= 40 — the iodine/dnscat2 signature.
+
+        Scale: one keyed aggregate on the registered domain (zone count
+        is tiny); qname parsing is a narrow regexp on the already-
+        dissected dns.qry.name column, no packet payload moves.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import dns_tunnel_capture
+
+        cap = dns_tunnel_capture(
+            os.path.join(cache_dir(), "synth", "dnstunnel.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "udp", "dns"],
+                      engine="native")
+        q = t.filter(
+            F.col("`dns.qry.name`").isNotNull()
+            & ~F.col("`dns.flags.response`")
+        ).select(
+            F.col("`dns.qry.name`").alias("qname"),
+            F.regexp_extract(
+                F.col("`dns.qry.name`"),
+                r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1,
+            ).alias("zone"),
+            F.col("`frame.time_epoch`").alias("ts"),
+        )
+        return (
+            q.groupBy("zone")
+            .agg(
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.count_distinct("qname").cast("bigint")
+                .alias("n_distinct_subdomains"),
+                F.expr("sum(length(qname)) div count(*)").cast("bigint")
+                .alias("avg_qname_len"),
+                F.max(F.length("qname")).cast("bigint")
+                .alias("max_qname_len"),
+            )
+            .select(
+                "*",
+                ((F.col("n_distinct_subdomains") >= 20)
+                 & (F.col("avg_qname_len") >= 40)).alias("is_suspected"),
+            )
+        )

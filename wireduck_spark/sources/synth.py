@@ -9,6 +9,7 @@ synthesized bit-for-bit reproducibly here.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import struct
 
@@ -389,4 +390,29 @@ def entropy_capture(path: str) -> str:
         (t + 0.3, tcp_frame("10.0.3.3", "10.0.4.1", 41003, 80, 1, 0x18,
                             text)),
     ]
+    return write_pcap(path, frames)
+
+
+def dns_tunnel_capture(path: str) -> str:
+    """DNS-tunneling fixture: 30 exfil queries with long unique base32-ish
+    subdomain labels under tun.example.com at 2 qps, against 4 benign
+    lookups of ordinary short names. tests/test_pcap_analysis.py asserts
+    exactly the tunnel domain is flagged."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700007000.0
+    frames = []
+    for i in range(30):
+        label = hashlib.md5(f"exfil-{i}".encode()).hexdigest()[:28]
+        qname = f"c{i:02d}{label}.tun.example.com"
+        frames.append((t + 0.5 * i,
+                       udp_frame("10.0.8.1", "1.1.1.1", 42000 + i, 53,
+                                 dns_query(qname, 16, 0x3000 + i))))
+    for j, name in enumerate(("www.example.org", "mail.google.com",
+                              "cdn.fastly.net", "api.github.com")):
+        frames.append((t + 20.0 + j,
+                       udp_frame("10.0.8.2", "1.1.1.1", 43000 + j, 53,
+                                 dns_query(name, 1, 0x4000 + j))))
+    frames.sort(key=lambda f: f[0])
     return write_pcap(path, frames)
