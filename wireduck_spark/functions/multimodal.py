@@ -513,3 +513,145 @@ def mm_audio_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
         F.to_binary(hexcol, F.lit("hex")).alias("content"),
     )
     return assets.mapInPandas(fake_audio_frame_energy, AUDIO_ENERGY_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_frames", LongType(), True),
+        StructField("n_cuts", LongType(), True),
+        StructField("first_cut_frame", LongType(), True),
+        StructField("max_diff", LongType(), True),
+    ]
+)
+
+SCENE_CUT_THRESHOLD = 1300  # sum of |Δbyte| over a 16-byte frame
+
+
+def fake_scene_cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas transform standing in for video decode + shot-boundary
+    detection. Real deployments replace the ndarray view with a PyAV
+    frame iterator + histogram distance; the tested part is the SHAPE:
+    consecutive-frame difference over a frame axis, thresholded cuts,
+    one summary row per asset — all vectorized numpy (no per-frame
+    Python loop).
+    """
+    import numpy as np
+
+    for pdf in batches:
+        content = pdf["content"]
+        lens = content.map(lambda b: len(b) if b is not None else 0).to_numpy()
+        n = len(content)
+        if n == 0:
+            continue
+        width = int(lens.max()) if len(lens) else 0
+        if lens.min() == lens.max() and width >= 32 and width % 16 == 0:
+            nf = width // 16
+            mat = np.frombuffer(
+                b"".join(content.to_list()), dtype=np.uint8
+            ).reshape(n, nf, 16).astype(np.int64)
+            diffs = np.abs(np.diff(mat, axis=1)).sum(axis=2)  # (n, nf-1)
+            cuts = diffs > SCENE_CUT_THRESHOLD
+            n_cuts = cuts.sum(axis=1)
+            first = np.where(
+                cuts.any(axis=1), cuts.argmax(axis=1) + 1, -1
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_frames": np.full(n, nf, dtype=np.int64),
+                    "n_cuts": n_cuts,
+                    "first_cut_frame": first,
+                    "max_diff": diffs.max(axis=1),
+                }
+            )
+        else:  # ragged/short: per-row fallback
+            rows = []
+            for aid, b in zip(pdf["asset_id"], content):
+                if b is None or len(b) < 32 or len(b) % 16:
+                    rows.append((aid, 0, 0, -1, 0))
+                    continue
+                nf = len(b) // 16
+                fr = [b[i * 16:(i + 1) * 16] for i in range(nf)]
+                diffs = [
+                    sum(abs(x - y) for x, y in zip(fr[i], fr[i + 1]))
+                    for i in range(nf - 1)
+                ]
+                cuts = [i + 1 for i, d in enumerate(diffs)
+                        if d > SCENE_CUT_THRESHOLD]
+                rows.append((aid, nf, len(cuts),
+                             cuts[0] if cuts else -1, max(diffs)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              SCENE_CUT_SCHEMA.fields])
+
+
+@query(
+    "mm_video_scene_cut",
+    oracle="""
+    WITH strm AS (
+        SELECT doc_id AS asset_id,
+               md5(text) || md5(text || '1') || md5(text || '2')
+                 || md5(text || '3') AS h
+        FROM documents
+    ), samples AS (
+        SELECT asset_id,
+               list_transform(range(0, 64), i ->
+                   (strpos('0123456789abcdef',
+                           substr(h, 2 * CAST(i AS INTEGER) + 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef',
+                          substr(h, 2 * CAST(i AS INTEGER) + 2, 1)) - 1
+               ) AS s
+        FROM strm
+    ), diffs AS (
+        SELECT asset_id,
+               list_transform(range(0, 3), f ->
+                   list_aggregate(
+                       list_transform(range(0, 16), j ->
+                           abs(s[CAST(f * 16 + j + 17 AS INTEGER)]
+                             - s[CAST(f * 16 + j + 1 AS INTEGER)])),
+                       'sum')
+               ) AS d
+        FROM samples
+    ), cuts AS (
+        SELECT asset_id,
+               list_transform(d, x -> CASE WHEN x > 1300 THEN 1 ELSE 0 END)
+                   AS c, d
+        FROM diffs
+    )
+    SELECT asset_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(list_aggregate(c, 'sum') AS BIGINT) AS n_cuts,
+           CAST(CASE WHEN list_aggregate(c, 'sum') > 0
+                     THEN list_position(c, 1) ELSE -1 END AS BIGINT)
+               AS first_cut_frame,
+           CAST(list_aggregate(d, 'max') AS BIGINT) AS max_diff
+    FROM cuts
+    """,
+    tags=("multimodal", "video"),
+)
+def mm_video_scene_cut(spark: SparkSession, sf: str) -> DataFrame:
+    """Video shot-boundary detection plumbing: consecutive-frame absolute
+    difference over a fake 4-frame x 16-byte stream (chained md5
+    blocks), thresholded into scene cuts — the sampling front-end of
+    video training-data pipelines (pick one keyframe per shot, drop
+    static spans).
+
+    The DuckDB oracle recomputes the identical frame stream hex-side;
+    the Spark side is the real Arrow path: binary column -> (asset,
+    frame, byte) ndarray -> vectorized np.diff -> per-asset summary.
+    diff semantics match tshark-free video heuristics: sum |Δ| per
+    frame pair, cut when above threshold, frames indexed from the new
+    shot's first frame.
+
+    Scale: pure narrow mapInPandas, zero shuffles, one row per asset.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    hexcol = F.concat(
+        F.md5("text"),
+        *[F.md5(F.concat(F.col("text"), F.lit(str(i)))) for i in range(1, 4)],
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.to_binary(hexcol, F.lit("hex")).alias("content"),
+    )
+    return assets.mapInPandas(fake_scene_cuts, SCENE_CUT_SCHEMA)

@@ -407,3 +407,94 @@ def embed_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(F.col("mpairs"), lambda p: p.m).alias("mean_scaled"),
         )
     )
+
+
+@query(
+    "pipeline_rag_chunk_index",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(text) / 200.0) AS BIGINT)),
+                   i -> substr(text, CAST(i * 200 + 1 AS INTEGER), 200)
+               )) AS chunk
+        FROM documents WHERE len(text) > 0
+    ), embedded AS (
+        SELECT doc_id, source, len(chunk) AS chunk_len,
+               ascii(substr(md5(chunk), 1, 1)) * 256
+                 + ascii(substr(md5(chunk), 2, 1)) AS d1,
+               ascii(substr(md5(chunk), 3, 1)) * 256
+                 + ascii(substr(md5(chunk), 4, 1)) AS d2,
+               ascii(substr(md5(chunk), 5, 1)) * 256
+                 + ascii(substr(md5(chunk), 6, 1)) AS d3,
+               ascii(substr(md5(chunk), 7, 1)) * 256
+                 + ascii(substr(md5(chunk), 8, 1)) AS d4
+        FROM chunks
+    ), bucketed AS (
+        SELECT source,
+               CAST(CASE WHEN d1 > d2 THEN 2 ELSE 0 END
+                  + CASE WHEN d3 > d4 THEN 1 ELSE 0 END AS BIGINT)
+                   AS bucket,
+               doc_id, chunk_len
+        FROM embedded
+    )
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(chunk_len) AS BIGINT) AS sum_chars
+    FROM bucketed GROUP BY source, bucket
+    """,
+    tags=("pipeline", "rag"),
+)
+def pipeline_rag_chunk_index(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG index-build pipeline as ONE Catalyst plan: fixed-width chunking
+    (array HOF, no UDTF needed for the simple case), a deterministic
+    fake chunk embedding (md5-derived integer dims — swap for a real
+    encoder's pandas_udf on a GPU cluster; the pipeline shape is
+    unchanged), sign-test LSH bucket routing, and the per-(source,
+    bucket) shard inventory a vector-index build job reports.
+
+    Scale: chunking + embedding + routing are all NARROW (chunks never
+    shuffle as rows until the final inventory aggregate, which moves
+    only (source, bucket, doc_id, len) short rows with map-side
+    partials). The real-encoder variant keeps the identical plan with
+    the md5 dims swapped for an Arrow-batched pandas_udf — routing and
+    inventory stages untouched.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    chunks = d.filter(F.length("text") > 0).select(
+        "doc_id", "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.length("text") / F.lit(200.0)).cast("bigint")
+                    - 1,
+                ),
+                lambda i: F.substring(
+                    F.col("text"), (i * 200 + 1).cast("int"), 200),
+            )
+        ).alias("chunk"),
+    )
+    m = F.md5("chunk")
+    dim = lambda k: (  # noqa: E731
+        F.ascii(F.substring(m, k, 1)) * 256
+        + F.ascii(F.substring(m, k + 1, 1))
+    )
+    embedded = chunks.select(
+        "doc_id", "source",
+        F.length("chunk").alias("chunk_len"),
+        dim(1).alias("d1"), dim(3).alias("d2"),
+        dim(5).alias("d3"), dim(7).alias("d4"),
+    )
+    bucketed = embedded.select(
+        "source", "doc_id", "chunk_len",
+        (F.when(F.col("d1") > F.col("d2"), 2).otherwise(0)
+         + F.when(F.col("d3") > F.col("d4"), 1).otherwise(0))
+        .cast("bigint").alias("bucket"),
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("chunk_len").cast("bigint").alias("sum_chars"),
+    )

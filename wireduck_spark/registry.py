@@ -333,6 +333,8 @@ PENDING_GATE: tuple[str, ...] = (
     "window_rolling_regression",      # integer-exact trailing OLS slope
     "pcap_dns_tunneling_detect",      # rows-only; zone-level goldens
     "scalar_inet_funcs",              # IPv4 int math + CIDR containment
+    "mm_video_scene_cut",             # video shot-boundary plumbing
+    "pipeline_rag_chunk_index",       # chunk->embed->route->inventory
 )
 
 
