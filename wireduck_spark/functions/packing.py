@@ -411,6 +411,7 @@ def embed_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "pipeline_rag_chunk_index",
+    bench=True,
     oracle="""
     WITH chunks AS (
         SELECT doc_id, source,

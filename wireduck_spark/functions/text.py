@@ -745,6 +745,7 @@ def text_collocations_pmi(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "text_inverted_index",
+    bench=True,
     oracle="""
     WITH posting AS (
         SELECT w, doc_id, doc_id // 4096 AS sid

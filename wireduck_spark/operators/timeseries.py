@@ -1225,6 +1225,7 @@ def event_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "event_dau_stickiness",
+    bench=True,
     oracle="""
     WITH ud AS (
         SELECT DISTINCT user_id,
