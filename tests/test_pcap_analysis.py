@@ -242,3 +242,22 @@ def test_dns_tunneling_detect_golden(spark, queries):
     for zone in ("example.org", "google.com", "fastly.net", "github.com"):
         assert rows[zone]["is_suspected"] is False
     assert len(rows) == 5
+
+
+def test_vxlan_decap_golden(spark, queries):
+    rows = {(r["vni"], r["sport"]): r
+            for r in queries["pcap_vxlan_decap"].fn(spark, SF).collect()}
+    # tenant A: inner flow visible with its VNI, outer VTEP preserved
+    a = rows[(100, 33001)]
+    assert a["n_packets"] == 3 and a["payload_bytes"] == 30
+    assert a["src"] == "10.0.0.1" and a["dst"] == "10.0.0.2"
+    assert a["dport"] == 80
+    assert a["outer_src"] == "192.0.2.1"
+    # tenant B: SAME inner IPs, different VNI -> separate row
+    b = rows[(200, 33002)]
+    assert b["n_packets"] == 2 and b["payload_bytes"] == 40
+    assert b["dport"] == 443
+    # underlay flow: no VNI
+    u = rows[(None, 22022)]
+    assert u["n_packets"] == 1 and u["outer_src"] is None
+    assert len(rows) == 3

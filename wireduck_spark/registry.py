@@ -335,6 +335,7 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_inet_funcs",              # IPv4 int math + CIDR containment
     "mm_video_scene_cut",             # video shot-boundary plumbing
     "pipeline_rag_chunk_index",       # chunk->embed->route->inventory
+    "pcap_vxlan_decap",               # rows-only; overlay decap goldens
 )
 
 

@@ -80,6 +80,8 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Network Time Protocol", "NTP", "ntp"),
     GlossaryProtocol("Dynamic Host Configuration Protocol", "DHCP/BOOTP",
                      "dhcp"),
+    GlossaryProtocol("Virtual eXtensible Local Area Network", "VXLAN",
+                     "vxlan"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -137,6 +139,12 @@ BUILTIN_FIELDS = [
     _F("Destination Port", "udp.dstport", "FT_UINT16", "udp"),
     _F("Length", "udp.length", "FT_UINT16", "udp"),
     _F("Checksum", "udp.checksum", "FT_UINT16", "udp"),
+    # vxlan (vxlan.vni is tshark's field; the outer_* pair is this
+    # engine's decap deviation — see sources/native.py VXLAN branch)
+    _F("VXLAN Network Identifier (VNI)", "vxlan.vni", "FT_UINT24", "vxlan"),
+    _F("Outer IP source (decap)", "vxlan.outer_ip_src", "FT_IPv4", "vxlan"),
+    _F("Outer IP destination (decap)", "vxlan.outer_ip_dst", "FT_IPv4",
+       "vxlan"),
     # arp
     _F("Opcode", "arp.opcode", "FT_UINT16", "arp"),
     _F("Sender MAC address", "arp.src.hw_mac", "FT_ETHER", "arp"),
@@ -272,7 +280,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 8  # v8: + tls ja3/ja3s fields
+GLOSSARY_VERSION = 9  # v9: + vxlan decap fields
 
 
 def cache_dir() -> str:

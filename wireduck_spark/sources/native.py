@@ -447,6 +447,37 @@ def _dissect_l4(
         elif (sport in (67, 68) or dport in (67, 68)) and len(payload) >= 240:
             if _dissect_dhcp(payload, fields):
                 protos.append("dhcp")
+        elif (
+            dport == 4789
+            and len(payload) >= 8 + 14
+            and payload[0] & 0x08  # VNI-valid flag (RFC 7348 §5)
+            and "vxlan.vni" not in fields  # one decap level, no loops
+        ):
+            # VXLAN decapsulation: 8-byte header, then a complete inner
+            # Ethernet frame. Deviation from tshark documented at the
+            # module level: tshark's `-T fields` joins outer+inner
+            # occurrences with commas (which the reference's stoll cast
+            # would NULL for numeric columns); here the INNER values win
+            # for the standard columns — the inner flow is the analytic
+            # identity in an overlay network — and the outer endpoints
+            # stay queryable as vxlan.outer_ip_src/dst. tcp.stream /
+            # udp.stream are computed from the merged (inner) tuple, so
+            # flow analytics see the tenant flow, not the tunnel.
+            protos.append("vxlan")
+            fields["vxlan.vni"] = int.from_bytes(payload[4:7], "big")
+            fields["vxlan.outer_ip_src"] = fields.get("ip.src")
+            fields["vxlan.outer_ip_dst"] = fields.get("ip.dst")
+            inner_fields: dict = {"vxlan.vni": fields["vxlan.vni"]}
+            dissect_packet(payload[8:], 1, inner_fields)
+            inner_protos = inner_fields.pop("frame.protocols", "")
+            inner_fields.pop("_ws.col.info", None)
+            fields.update(inner_fields)
+            if inner_protos:
+                protos.extend(inner_protos.split(":"))
+            fields["_ws.col.info"] = (
+                f"VXLAN VNI {fields['vxlan.vni']}: "
+                + ":".join(inner_protos.split(":")[2:] or ["data"])
+            )
     elif proto == 1 and len(data) >= off + 4:  # ICMP
         protos.append("icmp")
         fields["icmp.type"] = data[off]

@@ -617,3 +617,37 @@ if _have_fixture():
                  & (F.col("avg_qname_len") >= 40)).alias("is_suspected"),
             )
         )
+
+    @query("pcap_vxlan_decap", oracle=None, tags=("pcap", "dissect"))
+    def pcap_vxlan_decap(spark: SparkSession, sf: str) -> DataFrame:
+        """Overlay-network traffic accounting AFTER VXLAN decapsulation:
+        per (VNI, inner 5-tuple) packet/byte rollup. The decap walk in
+        the native dissector makes the inner flow the analytic identity
+        (tenants reuse RFC1918 space, so outer headers alone cannot
+        attribute traffic); un-tunneled underlay rows keep a NULL VNI.
+
+        Scale: decapsulation is per-packet narrow work inside the scan;
+        this rollup is one keyed aggregate on (vni, stream).
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import vxlan_capture
+
+        cap = vxlan_capture(
+            os.path.join(cache_dir(), "synth", "vxlan.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "tcp", "vxlan"],
+                      engine="native")
+        return (
+            t.filter(F.col("`tcp.srcport`").isNotNull())
+            .groupBy(
+                F.col("`vxlan.vni`").alias("vni"),
+                F.col("`ip.src`").alias("src"),
+                F.col("`ip.dst`").alias("dst"),
+                F.col("`tcp.srcport`").alias("sport"),
+                F.col("`tcp.dstport`").alias("dport"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.sum("`tcp.len`").cast("bigint").alias("payload_bytes"),
+                F.min("`vxlan.outer_ip_src`").alias("outer_src"),
+            )
+        )

@@ -416,3 +416,39 @@ def dns_tunnel_capture(path: str) -> str:
                                  dns_query(name, 1, 0x4000 + j))))
     frames.sort(key=lambda f: f[0])
     return write_pcap(path, frames)
+
+
+def vxlan_encap(outer_src: str, outer_dst: str, vni: int,
+                inner_frame: bytes) -> bytes:
+    """Wrap a complete inner Ethernet frame in UDP/4789 + VXLAN header
+    (RFC 7348: flags 0x08 = VNI valid, 3-byte VNI)."""
+    vxlan_hdr = bytes([0x08, 0, 0, 0]) + vni.to_bytes(3, "big") + b"\x00"
+    return udp_frame(outer_src, outer_dst, 49152, 4789,
+                     vxlan_hdr + inner_frame)
+
+
+def vxlan_capture(path: str) -> str:
+    """Overlay-network fixture: two tenants (VNI 100 / VNI 200) tunneled
+    between the same two VTEPs, plus one un-tunneled underlay flow.
+    Tenant flows reuse overlapping RFC1918 inner addresses — the case
+    where outer-header analytics are useless and decap is mandatory."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700008000.0
+    vtep = ("192.0.2.1", "192.0.2.2")
+    frames = []
+    # tenant A (VNI 100): web flow, 3 data packets
+    for i in range(3):
+        inner = tcp_frame("10.0.0.1", "10.0.0.2", 33001, 80,
+                          1 + i * 10, 0x18, b"A" * 10)
+        frames.append((t + 0.1 * i, vxlan_encap(*vtep, 100, inner)))
+    # tenant B (VNI 200): SAME inner IPs, different app, 2 packets
+    for i in range(2):
+        inner = tcp_frame("10.0.0.1", "10.0.0.2", 33002, 443,
+                          1 + i * 20, 0x18, b"B" * 20)
+        frames.append((t + 1.0 + 0.1 * i, vxlan_encap(*vtep, 200, inner)))
+    # underlay management flow (no tunnel)
+    frames.append((t + 2.0, tcp_frame("192.0.2.1", "192.0.2.9", 22022, 22,
+                                      5, 0x18, b"ssh-ish")))
+    return write_pcap(path, frames)
