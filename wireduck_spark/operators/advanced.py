@@ -1094,3 +1094,84 @@ def snapshot_diff_cdc(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("delta_cents").cast("bigint").alias("net_delta_cents"),
     )
+
+
+@query(
+    "scd2_point_in_time_lookup",
+    oracle="""
+    WITH w_ord AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type AS state, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM w_ord
+        WHERE prev_state IS NULL OR prev_state <> event_type
+    ), purchases AS (
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT d.state AS state_at_purchase,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+    FROM purchases p
+    JOIN changes d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY d.state
+    """,
+    tags=("advanced", "scd"),
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup: join each fact row to the SCD2
+    version that was valid AT ITS TIMESTAMP (the correctness property
+    type-2 history exists for — joining today's attribute onto last
+    year's facts silently rewrites history). The dimension is the
+    scd2_history_build versioning, rebuilt inline; facts are the
+    purchase events; output attributes each purchase to the state in
+    force when it happened.
+
+    Scale: the version ranges and the facts join on the SAME user_id
+    equi-key (one co-partitioned exchange pair); the validity range is
+    a post-join filter over the handful of versions per user — never a
+    time-range cross product. At 100 TB this is the standard
+    fact-to-SCD2 join shape; versions per key stay bounded.
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    versions = (
+        ordered.filter(
+            F.col("prev_state").isNull()
+            | (F.col("prev_state") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        cents(F.col("value")).alias("cents"),
+    )
+    joined = purchases.join(
+        versions,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy(F.col("state").alias("state_at_purchase")).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

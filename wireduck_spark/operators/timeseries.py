@@ -1531,3 +1531,63 @@ def window_rolling_regression(spark: SparkSession, sf: str) -> DataFrame:
             "(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
         )).cast("bigint").alias("slope_ppm"),
     )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ), med AS (
+        SELECT user_id,
+               CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+        FROM c GROUP BY user_id
+    ), dev AS (
+        SELECT c.event_id, c.user_id, c.cents, med.med2,
+               abs(2 * c.cents - med.med2) AS dev2
+        FROM c JOIN med USING (user_id)
+    ), mad AS (
+        SELECT user_id,
+               CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+        FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id, d.cents, d.med2, m.mad4
+    FROM dev d JOIN mad m USING (user_id)
+    WHERE 20000 * d.dev2 > 44478 * m.mad4 AND m.mad4 > 0
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def anomaly_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    z-score twin (anomaly_zscore_trailing) that a single extreme value
+    cannot poison: flag |x − median| > 3·1.4826·MAD.
+
+    Integer-exact despite the half-integer medians: 2·median and
+    4·MAD are integers (a median of ints is k or k+0.5), so the flag
+    is the pure BIGINT inequality 20000·(2|dev|) > 44478·(4·MAD) —
+    no float comparison anywhere near the decision boundary.
+
+    Scale: two grouped exact medians + two user-keyed joins (all four
+    shuffles on the same key, Exchange-reusable). At 100 TB swap exact
+    medians for percentile_approx with a documented tolerance — the
+    inequality and joins are unchanged.
+    """
+    e = table(spark, sf, "events")
+    c = e.select(
+        "event_id", "user_id", cents(F.col("value")).alias("cents"))
+    med = c.groupBy("user_id").agg(
+        (F.median("cents") * 2).cast("bigint").alias("med2"))
+    dev = c.join(med, "user_id").select(
+        "event_id", "user_id", "cents", "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("user_id").agg(
+        (F.median("dev2") * 2).cast("bigint").alias("mad4"))
+    return (
+        dev.join(mad, "user_id")
+        .filter((20000 * F.col("dev2") > 44478 * F.col("mad4"))
+                & (F.col("mad4") > 0))
+        .select("event_id", "user_id", "cents", "med2", "mad4")
+    )

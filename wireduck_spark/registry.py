@@ -336,6 +336,8 @@ PENDING_GATE: tuple[str, ...] = (
     "mm_video_scene_cut",             # video shot-boundary plumbing
     "pipeline_rag_chunk_index",       # chunk->embed->route->inventory
     "pcap_vxlan_decap",               # rows-only; overlay decap goldens
+    "anomaly_mad_robust",             # integer-exact MAD outliers
+    "scd2_point_in_time_lookup",      # fact-to-SCD2 validity join
 )
 
 
