@@ -640,3 +640,36 @@ def test_tcp_options_dissection(tmp_path):
     assert pkt["tcp.options.mss_val"] == 1460
     assert pkt["tcp.options.wscale.shift"] == 7
     assert pkt["tcp.options.sack_perm"] is True
+
+
+def test_gre_decap_inner_wins():
+    """GRE (proto 47, RFC 2784/2890): inner IPv4 is dissected in place
+    with key extraction; outer endpoints preserved under gre.outer_*."""
+    import struct
+
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import _eth, _ipv4, tcp_frame
+
+    inner_full = tcp_frame("172.16.0.1", "172.16.0.2", 55000, 8080,
+                           99, 0x18, b"tunneled!")
+    inner_ip = inner_full[14:]  # strip inner eth: GRE carries raw IP
+    gre = struct.pack(">HH", 0x2000, 0x0800)  # key-present flag
+    gre += struct.pack(">I", 0xDEADBEEF)      # key
+    gre += inner_ip
+    outer = _eth(b"\x02\0\0\0\0\x01", 0x0800) + _ipv4(
+        "198.51.100.1", "198.51.100.2", 47, len(gre)) + gre
+
+    fields: dict = {}
+    dissect_packet(outer, 1, fields)
+    assert fields["gre.proto"] == 0x0800
+    assert fields["gre.key"] == 0xDEADBEEF
+    assert fields["gre.outer_ip_src"] == "198.51.100.1"
+    assert fields["gre.outer_ip_dst"] == "198.51.100.2"
+    # inner wins for the standard columns
+    assert fields["ip.src"] == "172.16.0.1"
+    assert fields["ip.dst"] == "172.16.0.2"
+    assert fields["tcp.srcport"] == 55000
+    assert fields["tcp.dstport"] == 8080
+    assert fields["tcp.len"] == 9
+    assert "gre" in fields["frame.protocols"]
+    assert fields["frame.protocols"].count("ip") >= 2

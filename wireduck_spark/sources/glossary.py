@@ -82,6 +82,7 @@ BUILTIN_PROTOCOLS = [
                      "dhcp"),
     GlossaryProtocol("Virtual eXtensible Local Area Network", "VXLAN",
                      "vxlan"),
+    GlossaryProtocol("Generic Routing Encapsulation", "GRE", "gre"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -145,6 +146,12 @@ BUILTIN_FIELDS = [
     _F("Outer IP source (decap)", "vxlan.outer_ip_src", "FT_IPv4", "vxlan"),
     _F("Outer IP destination (decap)", "vxlan.outer_ip_dst", "FT_IPv4",
        "vxlan"),
+    # gre (gre.proto/gre.key are tshark's fields; outer_* is the decap
+    # deviation shared with vxlan)
+    _F("Protocol Type", "gre.proto", "FT_UINT16", "gre"),
+    _F("Key", "gre.key", "FT_UINT32", "gre"),
+    _F("Outer IP source (decap)", "gre.outer_ip_src", "FT_IPv4", "gre"),
+    _F("Outer IP destination (decap)", "gre.outer_ip_dst", "FT_IPv4", "gre"),
     # arp
     _F("Opcode", "arp.opcode", "FT_UINT16", "arp"),
     _F("Sender MAC address", "arp.src.hw_mac", "FT_ETHER", "arp"),
@@ -280,7 +287,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 9  # v9: + vxlan decap fields
+GLOSSARY_VERSION = 10  # v10: + gre decap fields
 
 
 def cache_dir() -> str:

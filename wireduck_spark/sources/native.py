@@ -278,19 +278,7 @@ def dissect_packet(data: bytes, linktype: int, fields: dict) -> None:
     protos.append("ethertype")
 
     if ethertype == 0x0800 and len(data) >= off + 20:  # IPv4
-        protos.append("ip")
-        ver_ihl = data[off]
-        ihl = (ver_ihl & 0x0F) * 4
-        fields["ip.version"] = ver_ihl >> 4
-        fields["ip.hdr_len"] = ihl
-        total_len = struct.unpack(">H", data[off + 2:off + 4])[0]
-        fields["ip.len"] = total_len
-        fields["ip.ttl"] = data[off + 8]
-        proto = data[off + 9]
-        fields["ip.proto"] = proto
-        fields["ip.src"] = _ipv4(data[off + 12:off + 16])
-        fields["ip.dst"] = _ipv4(data[off + 16:off + 20])
-        _dissect_l4(data, off + ihl, proto, total_len - ihl, protos, fields)
+        _dissect_ipv4(data, off, protos, fields)
     elif ethertype == 0x86DD and len(data) >= off + 40:  # IPv6
         protos.append("ipv6")
         payload_len = struct.unpack(">H", data[off + 4:off + 6])[0]
@@ -337,6 +325,24 @@ def dissect_packet(data: bytes, linktype: int, fields: dict) -> None:
     else:
         protos.append("data")
     fields["frame.protocols"] = ":".join(protos)
+
+
+def _dissect_ipv4(data: bytes, off: int, protos: list,
+                  fields: dict) -> None:
+    """IPv4 header + L4 dissection (also the GRE inner-packet entry)."""
+    protos.append("ip")
+    ver_ihl = data[off]
+    ihl = (ver_ihl & 0x0F) * 4
+    fields["ip.version"] = ver_ihl >> 4
+    fields["ip.hdr_len"] = ihl
+    total_len = struct.unpack(">H", data[off + 2:off + 4])[0]
+    fields["ip.len"] = total_len
+    fields["ip.ttl"] = data[off + 8]
+    proto = data[off + 9]
+    fields["ip.proto"] = proto
+    fields["ip.src"] = _ipv4(data[off + 12:off + 16])
+    fields["ip.dst"] = _ipv4(data[off + 16:off + 20])
+    _dissect_l4(data, off + ihl, proto, total_len - ihl, protos, fields)
 
 
 def _dissect_arp(data: bytes, off: int, fields: dict) -> None:
@@ -496,6 +502,32 @@ def _dissect_l4(
         fields["icmpv6.type"] = data[off]
         fields["icmpv6.code"] = data[off + 1]
         fields["icmpv6.checksum"] = struct.unpack(">H", data[off + 2:off + 4])[0]
+    elif proto == 47 and len(data) >= off + 4:  # GRE (RFC 2784/2890)
+        flags_ver = struct.unpack(">H", data[off:off + 2])[0]
+        ptype = struct.unpack(">H", data[off + 2:off + 4])[0]
+        protos.append("gre")
+        fields["gre.proto"] = ptype
+        hdr = 4
+        if flags_ver & 0x8000:  # checksum present -> +checksum/reserved
+            hdr += 4
+        if flags_ver & 0x2000:  # key present
+            fields["gre.key"] = struct.unpack(
+                ">I", data[off + hdr:off + hdr + 4])[0] \
+                if len(data) >= off + hdr + 4 else None
+            hdr += 4
+        if flags_ver & 0x1000:  # sequence present
+            hdr += 4
+        # Inner IPv4 decap, one level (same inner-wins deviation as the
+        # VXLAN branch; outer endpoints preserved under gre.outer_*).
+        if (
+            ptype == 0x0800
+            and len(data) >= off + hdr + 20
+            and "gre.proto" in fields
+            and "gre.outer_ip_src" not in fields
+        ):
+            fields["gre.outer_ip_src"] = fields.get("ip.src")
+            fields["gre.outer_ip_dst"] = fields.get("ip.dst")
+            _dissect_ipv4(data, off + hdr, protos, fields)
     else:
         protos.append("data")
 
