@@ -490,3 +490,83 @@ def sim_ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
         reranked.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+RANGE_THRESHOLD = 0.3  # report candidate pairs with cosine >= this
+
+
+def _duck_pair_candidates() -> str:
+    joins = "\n        UNION ALL\n".join(
+        f"""        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               a.embedding AS e_a, c.embedding AS e_b
+        FROM bucketed a JOIN bucketed c ON a.b{t} = c.b{t}
+            AND a.vec_id < c.vec_id"""
+        for t in range(N_LSH_TABLES)
+    )
+    return f"SELECT DISTINCT id_a, id_b, e_a, e_b FROM (\n{joins}\n    )"
+
+
+@query(
+    "sim_range_search_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {", ".join(f'{_table_bucket_duck("embedding", t)} AS b{t}'
+                          for t in range(N_LSH_TABLES))}
+        FROM embeddings
+    ), cand AS (
+        {_duck_pair_candidates()}
+    ), sims AS (
+        SELECT id_a, id_b,
+               ROUND({duck_cosine("e_a", "e_b")}, 6) AS cos_sim
+        FROM cand
+    )
+    SELECT id_a, id_b, cos_sim FROM sims WHERE cos_sim >= {RANGE_THRESHOLD}
+    """,
+    tags=("similarity",),
+)
+def sim_range_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Radius (range) similarity search: ALL pairs with cosine >= 0.3,
+    the query shape behind near-duplicate sweeps and "related items"
+    backfills where top-k is the wrong contract (a vector may have 0 or
+    50 true neighbors inside the radius).
+
+    Scale: identical bucketed-candidate machinery as the top-k ANN —
+    pairs are generated ONLY inside shared hyperplane buckets (shuffle
+    moves 8 signature rows per vector, never the n^2 pair space), exact
+    cosine runs on candidates alone, and the radius test is a narrow
+    filter. The oracle replicates the same deterministic hyperplanes,
+    so the result is hash-exact, not approximately compared.
+    """
+    emb = (
+        table(spark, sf, "embeddings", spread=True)
+        .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
+        .cache()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        F.posexplode("buckets").alias("b_tbl", "b_bucket"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("b_tbl"))
+            & (F.col("bucket") == F.col("b_bucket"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "e_a", "e_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_THRESHOLD)
+    )

@@ -338,6 +338,7 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_vxlan_decap",               # rows-only; overlay decap goldens
     "anomaly_mad_robust",             # integer-exact MAD outliers
     "scd2_point_in_time_lookup",      # fact-to-SCD2 validity join
+    "sim_range_search_lsh",           # radius search, bucketed candidates
 )
 
 
