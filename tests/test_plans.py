@@ -438,3 +438,48 @@ def test_referential_orphans_collapses_before_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # 7 edges -> 7 child-side aggregates feeding joins
     assert plan.count("HashAggregate") >= 14  # partial+final per edge
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """io_small_files_compaction must actually collapse the fragmented
+    64-file write into the coalesce target (2 files) with identical row
+    counts — the whole point of OPTIMIZE."""
+    import os
+
+    from wireduck_spark.operators.io import _scratch
+
+    QUERIES["io_small_files_compaction"].fn(spark, sf_dir).collect()
+    base = _scratch(sf_dir, "compaction")
+    count = lambda d: len([f for f in os.listdir(d)  # noqa: E731
+                           if f.endswith(".parquet")])
+    assert count(f"{base}/frag") == 64
+    assert count(f"{base}/compact") == 2
+    frag_n = spark.read.parquet(f"{base}/frag").count()
+    compact_n = spark.read.parquet(f"{base}/compact").count()
+    assert frag_n == compact_n
+
+
+def test_snapshot_manifests_are_immutable(spark, sf_dir):
+    """Time travel contract: after the v2 commit, re-reading v1 through
+    its manifest returns the ORIGINAL row set (no file listed by v1 was
+    rewritten in place)."""
+    import json
+
+    from wireduck_spark.operators.io import _scratch
+
+    QUERIES["io_snapshot_time_travel"].fn(spark, sf_dir).collect()
+    base = _scratch(sf_dir, "snapshots")
+    with open(f"{base}/_manifest_v1.json") as fh:
+        v1 = json.load(fh)
+    with open(f"{base}/_manifest_v2.json") as fh:
+        v2 = json.load(fh)
+    # copy-on-write: v2 dropped g0 and added g2; shared g1 files intact
+    assert any("/g0/" in f for f in v1["files"])
+    assert not any("/g0/" in f for f in v2["files"])
+    assert any("/g2/" in f for f in v2["files"])
+    shared = set(v1["files"]) & set(v2["files"])
+    assert shared and all("/g1/" in f for f in shared)
+    v1_rows = spark.read.parquet(*v1["files"]).count()
+    evens = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderkey % 2 = 0").count()
+    assert v1_rows == evens

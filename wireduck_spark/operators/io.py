@@ -467,3 +467,143 @@ def io_column_profile(spark: SparkSession, sf: str) -> DataFrame:
         .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
                 "p.min_val", "p.max_val")
     )
+
+
+@query(
+    "io_snapshot_time_travel",
+    oracle="""
+    -- v1 = even orderkeys; v2 = v1 minus %10 rows plus all odd keys.
+    -- Reading 'as of v1' after v2 was committed must reproduce v1.
+    WITH v1 AS (
+        SELECT * FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+        SELECT * FROM v1 WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT 'v1' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM v1
+    UNION ALL
+    SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+    FROM v2
+    """,
+    tags=("io", "versioning"),
+)
+def io_snapshot_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot isolation + time travel over plain parquet, Delta-style
+    but container-installable: each commit writes NEW data files plus a
+    tiny JSON manifest listing every file visible in that snapshot;
+    readers resolve a version by reading ONE manifest (never listing
+    the directory), so an old snapshot stays readable after later
+    commits add/remove files — the mechanism behind Delta/Iceberg time
+    travel, reduced to its data-layout essentials.
+
+    v1 commits the even orderkeys; v2 logically deletes every %10 row
+    (by rewriting just the file that held them — copy-on-write) and
+    appends the odd keys. The query reads BOTH snapshots after the v2
+    commit and aggregates each; matching the oracle proves v1 is
+    untouched by v2's delete+append.
+
+    Scale: manifests are O(files) JSON on the driver — the same shape
+    Delta's _delta_log holds; data reads stay partition-parallel
+    because the manifest hands Spark an explicit file list.
+    """
+    import json
+
+    base = _scratch(sf, "snapshots")
+    o = table(spark, sf, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+
+    def commit(version: int, files: list) -> None:
+        manifest = {"version": version, "files": sorted(files)}
+        tmp = f"{base}/_manifest_v{version}.json.tmp"
+        os.makedirs(base, exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, f"{base}/_manifest_v{version}.json")
+
+    def data_files(path: str) -> list:
+        return [
+            f"{path}/{f}" for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+
+    marker = f"{base}/_manifest_v2.json"
+    if not os.path.exists(marker):
+        # v1: two file groups so the delete can rewrite just one
+        even.filter(F.col("o_orderkey") % 10 == 0).write.mode(
+            "overwrite").parquet(f"{base}/g0")
+        even.filter(F.col("o_orderkey") % 10 != 0).write.mode(
+            "overwrite").parquet(f"{base}/g1")
+        v1_files = data_files(f"{base}/g0") + data_files(f"{base}/g1")
+        commit(1, v1_files)
+        # v2: copy-on-write delete of g0's %10 rows (g0 drops out
+        # entirely here) + append of the odd keys as a new file group
+        o.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+            "overwrite").parquet(f"{base}/g2")
+        v2_files = data_files(f"{base}/g1") + data_files(f"{base}/g2")
+        commit(2, v2_files)
+
+    def read_snapshot(version: int):
+        with open(f"{base}/_manifest_v{version}.json") as fh:
+            manifest = json.load(fh)
+        return spark.read.parquet(*manifest["files"])
+
+    def summarize(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).cast("bigint")
+            .alias("sum_cents"),
+        ).select(F.lit(tag).alias("snapshot"), "n", "sum_cents")
+
+    return summarize("v1", read_snapshot(1)).unionByName(
+        summarize("v2", read_snapshot(2)))
+
+
+@query(
+    "io_small_files_compaction",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("io", "layout"),
+)
+def io_small_files_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-files compaction — the OPTIMIZE every lake table needs:
+    a fragmented write (64 shuffle-partition files from a low-volume
+    stream) is rewritten into size-targeted files via coalesce, and the
+    query proves content identity by aggregating the COMPACTED copy
+    against the source-table oracle. The file-count collapse itself is
+    pinned by tests/test_plans.py::test_compaction_reduces_file_count.
+
+    Scale: compaction is a read+write with NO shuffle (coalesce merges
+    input splits without an exchange); at 100 TB you compact per
+    partition-directory with per-partition target counts, never a
+    global repartition of the table.
+    """
+    base = _scratch(sf, "compaction")
+    frag_dir, compact_dir = f"{base}/frag", f"{base}/compact"
+    o = table(spark, sf, "orders")
+    if not os.path.exists(f"{compact_dir}/_SUCCESS"):
+        o.repartition(64).write.mode("overwrite").parquet(frag_dir)
+        (
+            spark.read.parquet(frag_dir)
+            .coalesce(2)
+            .write.mode("overwrite").parquet(compact_dir)
+        )
+    return (
+        spark.read.parquet(compact_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).cast("bigint")
+            .alias("sum_cents"),
+        )
+    )

@@ -1012,3 +1012,86 @@ def feature_quantile_bucketize(spark: SparkSession, sf: str) -> DataFrame:
         F.min("c").cast("bigint").alias("min_cents"),
         F.max("c").cast("bigint").alias("max_cents"),
     )
+
+
+@query(
+    "setop_bag_semantics",
+    oracle="""
+    SELECT 'common' AS tag, v FROM (
+        SELECT l_partkey % 50 AS v FROM lineitem WHERE l_quantity < 3
+        INTERSECT ALL
+        SELECT l_partkey % 50 AS v FROM lineitem WHERE l_quantity > 48
+    )
+    UNION ALL
+    SELECT 'low_only' AS tag, v FROM (
+        SELECT l_partkey % 50 AS v FROM lineitem WHERE l_quantity < 3
+        EXCEPT ALL
+        SELECT l_partkey % 50 AS v FROM lineitem WHERE l_quantity > 48
+    )
+    """,
+    tags=("setop",),
+)
+def setop_bag_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics where
+    MULTIPLICITY matters: INTERSECT ALL keeps min(m_left, m_right)
+    copies of each value, EXCEPT ALL keeps m_left − m_right. The
+    distinct-set variants (setop_intersect_except) can't detect an
+    engine that silently dedups; this query's result hash counts every
+    copy.
+
+    Scale: both ops plan as a single hash aggregation on the value with
+    per-side counts (no sort, no pairwise join) — Spark's
+    INTERSECT_ALL/EXCEPT_ALL rewrite — so the shuffle is value-keyed
+    and linear.
+    """
+    li = table(spark, sf, "lineitem")
+    low = li.filter(F.col("l_quantity") < 3).select(
+        (F.col("l_partkey") % 50).alias("v"))
+    high = li.filter(F.col("l_quantity") > 48).select(
+        (F.col("l_partkey") % 50).alias("v"))
+    common = low.intersectAll(high).select(
+        F.lit("common").alias("tag"), "v")
+    low_only = low.exceptAll(high).select(
+        F.lit("low_only").alias("tag"), "v")
+    return common.unionByName(low_only)
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(nth_value(CAST(ROUND(value * 100, 0) AS BIGINT), 3)
+                    OVER w AS BIGINT) AS third_cents,
+           CAST(last_value(CASE WHEN value >= 1
+                                THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           END IGNORE NULLS)
+                    OVER w AS BIGINT) AS last_big_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
+    """nth_value + IGNORE NULLS analytic completion: each event sees the
+    user's 3rd-ever amount (NULL until it exists) and the most recent
+    amount >= 1.00 (carrying past smaller ones) — the 'last known good
+    reading' pattern sensor pipelines rely on.
+
+    Scale: both analytics share one user-keyed running frame — a single
+    Exchange and sort, O(1) state per row.
+    """
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = cents(F.col("value"))
+    big = F.when(F.col("value") >= 1, c)
+    return e.select(
+        "event_id", "user_id",
+        F.nth_value(c, 3).over(w).cast("bigint").alias("third_cents"),
+        F.last(big, ignorenulls=True).over(w).cast("bigint")
+        .alias("last_big_cents"),
+    )

@@ -339,6 +339,10 @@ PENDING_GATE: tuple[str, ...] = (
     "anomaly_mad_robust",             # integer-exact MAD outliers
     "scd2_point_in_time_lookup",      # fact-to-SCD2 validity join
     "sim_range_search_lsh",           # radius search, bucketed candidates
+    "setop_bag_semantics",            # INTERSECT ALL / EXCEPT ALL bags
+    "window_nth_value",               # nth_value + IGNORE NULLS carry
+    "io_snapshot_time_travel",        # manifest snapshots + time travel
+    "io_small_files_compaction",      # OPTIMIZE-style coalesce rewrite
 )
 
 
