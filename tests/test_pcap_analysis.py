@@ -261,3 +261,17 @@ def test_vxlan_decap_golden(spark, queries):
     u = rows[(None, 22022)]
     assert u["n_packets"] == 1 and u["outer_src"] is None
     assert len(rows) == 3
+
+
+def test_traceroute_path_golden(spark, queries):
+    rows = sorted(
+        queries["pcap_traceroute_path"].fn(spark, SF).collect(),
+        key=lambda r: r["hop"],
+    )
+    assert len(rows) == 4  # noise ping (type 0) excluded
+    assert [r["hop"] for r in rows] == [1, 2, 3, 4]
+    assert [r["router"] for r in rows] == [
+        "10.1.0.1", "10.2.0.1", "10.3.0.1", "198.51.100.50"]
+    assert [r["rtt_us"] for r in rows] == [2000, 4000, 6000, 8000]
+    assert [r["is_destination"] for r in rows] == [False, False, False, True]
+    assert all(r["client"] == "10.0.5.1" for r in rows)

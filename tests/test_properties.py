@@ -257,3 +257,55 @@ def test_schema_ordering_invariants(protocols):
             in_frame = False
         elif not in_frame:
             assert False, f"frame field {n} after non-frame fields"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(0, 2**24 - 1),                      # VNI
+    st.integers(1024, 65535), st.integers(1, 65535),  # inner ports
+    st.binary(min_size=0, max_size=64),             # inner payload
+    st.booleans(),                                  # inner proto tcp/udp
+)
+def test_vxlan_decap_roundtrip_property(vni, sport, dport, payload, use_tcp):
+    """For ANY inner packet, dissecting the VXLAN-encapsulated frame must
+    yield the same inner flow fields as dissecting the inner frame
+    directly, plus the VNI and preserved outer endpoints."""
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import tcp_frame, udp_frame, vxlan_encap
+
+    if use_tcp:
+        inner = tcp_frame("172.16.1.1", "172.16.1.2", sport, dport,
+                          7, 0x18, payload)
+    else:
+        inner = udp_frame("172.16.1.1", "172.16.1.2", sport, dport, payload)
+    direct: dict = {}
+    dissect_packet(inner, 1, direct)
+    outer: dict = {}
+    dissect_packet(vxlan_encap("192.0.2.10", "192.0.2.20", vni, inner),
+                   1, outer)
+    assert outer["vxlan.vni"] == vni
+    assert outer["vxlan.outer_ip_src"] == "192.0.2.10"
+    assert outer["vxlan.outer_ip_dst"] == "192.0.2.20"
+    # inner flow fields survive decap identically
+    for k, v in direct.items():
+        if k.startswith(("tcp.", "udp.", "ip.")) and not k.endswith("stream"):
+            assert outer.get(k) == v, k
+    assert outer["frame.protocols"].startswith("eth:ethertype:ip:udp:vxlan")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=80))
+def test_vxlan_without_vni_flag_not_decapped(payload):
+    """UDP/4789 traffic WITHOUT the VNI-valid flag must stay an ordinary
+    UDP packet (no bogus inner dissection of payload bytes)."""
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import udp_frame
+
+    # first byte != 0x08 pattern: force flags byte to 0
+    raw = bytes([0x00]) + payload
+    fields: dict = {}
+    dissect_packet(
+        udp_frame("192.0.2.10", "192.0.2.20", 49152, 4789, raw), 1, fields)
+    assert "vxlan.vni" not in fields
+    assert fields["ip.src"] == "192.0.2.10"  # outer untouched
+    assert "vxlan" not in fields["frame.protocols"]

@@ -343,6 +343,7 @@ PENDING_GATE: tuple[str, ...] = (
     "window_nth_value",               # nth_value + IGNORE NULLS carry
     "io_snapshot_time_travel",        # manifest snapshots + time travel
     "io_small_files_compaction",      # OPTIMIZE-style coalesce rewrite
+    "pcap_traceroute_path",           # rows-only; hop/RTT goldens
 )
 
 

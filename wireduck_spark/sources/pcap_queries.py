@@ -651,3 +651,68 @@ if _have_fixture():
                 F.min("`vxlan.outer_ip_src`").alias("outer_src"),
             )
         )
+
+    @query("pcap_traceroute_path", oracle=None, tags=("pcap", "analysis"))
+    def pcap_traceroute_path(spark: SparkSession, sf: str) -> DataFrame:
+        """Traceroute path reconstruction from a passive capture: UDP
+        probes (classic 33434+ destination ports) carry increasing TTLs;
+        each ICMP time-exceeded / port-unreachable is attributed to the
+        most recent preceding probe from the same client — yielding
+        (hop number, router, RTT) without running traceroute again.
+
+        Scale: probes and ICMP replies key on the CLIENT address (probe
+        ip.src == reply ip.dst), so the as-of matching is last_value
+        windows over one client-keyed union — the join_asof rewrite, one
+        shuffle, no time-range cross product.
+        """
+        from pyspark.sql.window import Window
+
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import traceroute_capture
+
+        cap = traceroute_capture(
+            os.path.join(cache_dir(), "synth", "traceroute.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "udp", "icmp"],
+                      engine="native")
+        probes = t.filter(
+            (F.col("`udp.dstport`") >= 33434)
+            & (F.col("`udp.dstport`") <= 33600)
+        ).select(
+            F.col("`ip.src`").alias("client"),
+            F.col("`frame.time_epoch`").alias("ts"),
+            F.lit("probe").alias("kind"),
+            F.col("`ip.ttl`").alias("probe_ttl"),
+            F.lit(None).cast("string").alias("router"),
+            F.lit(None).cast("bigint").alias("icmp_type"),
+        )
+        resps = t.filter(F.col("`icmp.type`").isin(11, 3)).select(
+            F.col("`ip.dst`").alias("client"),
+            F.col("`frame.time_epoch`").alias("ts"),
+            F.lit("resp").alias("kind"),
+            F.lit(None).cast("bigint").alias("probe_ttl"),
+            F.col("`ip.src`").alias("router"),
+            F.col("`icmp.type`").cast("bigint").alias("icmp_type"),
+        )
+        merged = probes.unionByName(resps)
+        w = (
+            Window.partitionBy("client")
+            .orderBy("ts", "kind")  # 'probe' < 'resp' breaks ts ties
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        attributed = merged.select(
+            "*",
+            F.last("probe_ttl", ignorenulls=True).over(w).alias("hop"),
+            F.last(
+                F.when(F.col("kind") == "probe", F.col("ts")),
+                ignorenulls=True,
+            ).over(w).alias("probe_ts"),
+        ).filter(F.col("kind") == "resp")
+        return attributed.select(
+            "client",
+            F.col("hop").cast("bigint"),
+            "router",
+            (
+                (F.unix_micros("ts") - F.unix_micros("probe_ts"))
+            ).cast("bigint").alias("rtt_us"),
+            (F.col("icmp_type") == 3).alias("is_destination"),
+        )

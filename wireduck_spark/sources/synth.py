@@ -18,10 +18,11 @@ def _eth(src_mac: bytes, ethertype: int) -> bytes:
     return bytes(6) + src_mac + struct.pack(">H", ethertype)
 
 
-def _ipv4(src: str, dst: str, proto: int, payload_len: int) -> bytes:
+def _ipv4(src: str, dst: str, proto: int, payload_len: int,
+          ttl: int = 64) -> bytes:
     return struct.pack(
         ">BBHHHBBH4s4s",
-        0x45, 0, 20 + payload_len, 1, 0, 64, proto, 0,
+        0x45, 0, 20 + payload_len, 1, 0, ttl, proto, 0,
         bytes(int(x) for x in src.split(".")),
         bytes(int(x) for x in dst.split(".")),
     )
@@ -37,10 +38,10 @@ def tcp_frame(src: str, dst: str, sport: int, dport: int, seq: int,
 
 
 def udp_frame(src: str, dst: str, sport: int, dport: int,
-              payload: bytes) -> bytes:
+              payload: bytes, ttl: int = 64) -> bytes:
     udp = struct.pack(">HHHH", sport, dport, 8 + len(payload), 0) + payload
     return _eth(b"\x02\0\0\0\0\x01", 0x0800) + _ipv4(
-        src, dst, 17, len(udp)
+        src, dst, 17, len(udp), ttl=ttl
     ) + udp
 
 
@@ -451,4 +452,31 @@ def vxlan_capture(path: str) -> str:
     # underlay management flow (no tunnel)
     frames.append((t + 2.0, tcp_frame("192.0.2.1", "192.0.2.9", 22022, 22,
                                       5, 0x18, b"ssh-ish")))
+    return write_pcap(path, frames)
+
+
+def traceroute_capture(path: str) -> str:
+    """Traceroute fixture: UDP probes from 10.0.5.1 to 198.51.100.50 with
+    TTL 1..4 (classic 33434+ ports); hops 1-3 answer ICMP time-exceeded
+    from router IPs at +2/ +4/ +6 ms, the destination answers ICMP
+    port-unreachable at +8 ms. One unrelated ping is noise."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700009000.0
+    client, dst = "10.0.5.1", "198.51.100.50"
+    routers = ("10.1.0.1", "10.2.0.1", "10.3.0.1")
+    frames = []
+    for hop in range(1, 5):
+        base = t + hop  # one probe per second, like real traceroute
+        frames.append((base, udp_frame(client, dst, 40000 + hop,
+                                       33433 + hop, b"probe", ttl=hop)))
+        if hop <= 3:
+            frames.append((base + 0.002 * hop,
+                           icmp_frame(routers[hop - 1], client, 11, 0, 0)))
+        else:
+            frames.append((base + 0.008,
+                           icmp_frame(dst, client, 3, 0, 0)))
+    frames.append((t + 10.0, icmp_frame("8.8.8.8", "10.0.9.9", 0, 1, 1)))
+    frames.sort(key=lambda f: f[0])
     return write_pcap(path, frames)
