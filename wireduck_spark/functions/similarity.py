@@ -194,23 +194,29 @@ def _hyperplane(h: int) -> list[float]:
 HYPERPLANES = [_hyperplane(h) for h in range(N_LSH_TABLES * N_LSH_BITS)]
 
 
-def _spark_table_buckets(col: str) -> str:
+def _spark_table_buckets(col: str, n_tables: int = N_LSH_TABLES,
+                         n_bits: int = N_LSH_BITS) -> str:
     """All L table buckets in ONE nested-lambda expression over a single
     hyperplane-matrix literal. Unrolling 32 separate dot-product
     expressions (x2 for the q/c branches) ballooned whole-stage codegen to
     ~20 s of compile time; one matrix literal referenced once inside one
-    lambda tree compiles in normal time and loops at runtime instead."""
+    lambda tree compiles in normal time and loops at runtime instead.
+
+    (n_tables, n_bits) is the recall/cost dial; n_bits is also the SCALE
+    dial for radius search — buckets must shrink as the corpus grows
+    (n_bits ~ log2(n)) to keep per-bucket occupancy, and therefore the
+    candidate-pair count, linear in n."""
     mat = "array(" + ",".join(
-        "array(" + ",".join(f"{c:.1f}D" for c in hp) + ")"
-        for hp in HYPERPLANES
+        "array(" + ",".join(f"{c:.1f}D" for c in _hyperplane(h)) + ")"
+        for h in range(n_tables * n_bits)
     ) + ")"
     weights = "array(" + ",".join(
-        str(1 << b) for b in range(N_LSH_BITS)
+        str(1 << b) for b in range(n_bits)
     ) + ")"
     return (
-        f"transform(sequence(0, {N_LSH_TABLES - 1}), t ->"
+        f"transform(sequence(0, {n_tables - 1}), t ->"
         f" CAST(aggregate("
-        f"  zip_with(slice({mat}, t * {N_LSH_BITS} + 1, {N_LSH_BITS}),"
+        f"  zip_with(slice({mat}, t * {n_bits} + 1, {n_bits}),"
         f"   {weights}, (hp, w) ->"
         f"   w * (CASE WHEN aggregate(zip_with({col}, hp,"
         f"     (p, q) -> CAST(p AS DOUBLE) * q),"
@@ -537,10 +543,29 @@ def sim_range_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
     cosine runs on candidates alone, and the radius test is a narrow
     filter. The oracle replicates the same deterministic hyperplanes,
     so the result is hash-exact, not approximately compared.
+
+    The gate row pins (8 tables x 4 bits). At FIXED bits the candidate
+    count grows ~n^2/2^bits (20x wall at an 8x inflation, SCALE.md);
+    the scale rule is n_bits ~ log2(n) — growing the K-fold probe's
+    bits by log2(K) restores ~linear candidates/wall. Use
+    :func:`range_search_lsh` with an explicit (n_tables, n_bits) for a
+    corpus-sized configuration.
     """
+    return range_search_lsh(spark, sf)
+
+
+def range_search_lsh(spark: SparkSession, sf: str,
+                     threshold: float = RANGE_THRESHOLD,
+                     n_tables: int = N_LSH_TABLES,
+                     n_bits: int = N_LSH_BITS) -> DataFrame:
+    """Parameterized radius-search engine behind sim_range_search_lsh;
+    (n_tables, n_bits) is the recall/scale dial (bits ~ log2(corpus))."""
     emb = (
         table(spark, sf, "embeddings", spread=True)
-        .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
+        .withColumn(
+            "buckets",
+            F.expr(_spark_table_buckets("embedding", n_tables, n_bits)),
+        )
         .cache()
     )
     a = emb.select(
@@ -568,5 +593,5 @@ def sim_range_search_lsh(spark: SparkSession, sf: str) -> DataFrame:
             "id_a", "id_b",
             F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= RANGE_THRESHOLD)
+        .filter(F.col("cos_sim") >= threshold)
     )
