@@ -15,6 +15,7 @@ anti-join that first collapses the child table to DISTINCT foreign keys
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -273,3 +274,60 @@ def dq_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("bigint").alias("deviation_bp"),
         )
     )
+
+
+@query(
+    "dq_schema_drift_audit",
+    oracle="""
+    SELECT 'o_clerk' AS column_name, 'added' AS status,
+           'string' AS new_type, CAST(NULL AS VARCHAR) AS old_type
+    UNION ALL
+    SELECT 'o_orderpriority', 'removed', NULL, 'string'
+    UNION ALL
+    SELECT 'o_totalprice', 'type_changed', 'bigint', 'double'
+    """,
+    tags=("quality", "schema"),
+)
+def dq_schema_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-drift audit between two table generations: detect added /
+    removed / type-changed columns from the parquet FOOTERS alone (no
+    data read) — the pre-merge check a lake pipeline runs before
+    mergeSchema silently papers over an incompatible write.
+
+    Two generations are written with a deliberate drift (a column
+    added, one dropped, one re-typed); the audit diffs the StructTypes
+    and emits one row per drifted column. The oracle pins the exact
+    expected drift set, so a detection that misses or invents a column
+    hash-fails.
+
+    Scale: footer-only — the audit cost is O(files) metadata reads on
+    the driver regardless of table size; unchanged columns emit
+    nothing.
+    """
+    from wireduck_spark.operators.io import _scratch
+
+    base = _scratch(sf, "schema_drift")
+    o = table(spark, sf, "orders")
+    if not os.path.exists(f"{base}/gen1/_SUCCESS"):
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority").write.mode(
+            "overwrite").parquet(f"{base}/gen0")
+        o.select(
+            "o_orderkey",
+            cents(F.col("o_totalprice")).alias("o_totalprice"),
+            F.lit("Clerk#0001").alias("o_clerk"),
+        ).write.mode("overwrite").parquet(f"{base}/gen1")
+    old = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(f"{base}/gen0").schema.fields}
+    new = {f.name: f.dataType.simpleString()
+           for f in spark.read.parquet(f"{base}/gen1").schema.fields}
+    rows = []
+    for name in sorted(set(old) | set(new)):
+        if name not in old:
+            rows.append((name, "added", new[name], None))
+        elif name not in new:
+            rows.append((name, "removed", None, old[name]))
+        elif old[name] != new[name]:
+            rows.append((name, "type_changed", new[name], old[name]))
+    return spark.createDataFrame(
+        rows, "column_name string, status string, new_type string,"
+              " old_type string")

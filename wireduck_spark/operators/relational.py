@@ -1095,3 +1095,70 @@ def window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
         F.last(big, ignorenulls=True).over(w).cast("bigint")
         .alias("last_big_cents"),
     )
+
+
+@query(
+    "agg_pareto_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), cuts AS (
+        SELECT quantile_cont(cents, [0.80, 0.95, 0.99]) AS q,
+               CAST(SUM(cents) AS BIGINT) AS total
+        FROM rev
+    )
+    SELECT tier,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r.cents) AS BIGINT) AS revenue_cents,
+           CAST((10000 * SUM(r.cents)) // MAX(c.total) AS BIGINT) AS share_bp
+    FROM rev r, cuts c,
+         LATERAL (SELECT unnest(['top1', 'top5', 'top20']) AS tier) t
+    WHERE (tier = 'top1' AND r.cents > c.q[3])
+       OR (tier = 'top5' AND r.cents > c.q[2])
+       OR (tier = 'top20' AND r.cents > c.q[1])
+    GROUP BY tier
+    """,
+    tags=("agg", "analytics"),
+)
+def agg_pareto_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue concentration (Pareto) tiers: how much of total revenue
+    the top 1% / 5% / 20% of customers produce — the whale-curve metric
+    behind account prioritization — WITHOUT any global sort or window:
+    percentile thresholds come from ONE aggregate over the per-customer
+    rollup, tier membership is a narrow compare against the broadcast
+    cutoffs, and each tier is a conditional sum.
+
+    Scale: per-customer rollup is the only corpus shuffle (customer-
+    keyed, map-side partials); everything after runs on the
+    customers-sized table. Exact percentiles swap for percentile_approx
+    at extreme cardinality, thresholds semantics unchanged.
+    """
+    o = table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("cents"))
+    cuts = rev.agg(
+        F.expr("percentile(cents, array(0.80D, 0.95D, 0.99D))").alias("q"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    j = rev.crossJoin(F.broadcast(cuts))
+    frames = []
+    for tier, idx in (("top1", 3), ("top5", 2), ("top20", 1)):
+        frames.append(
+            j.filter(F.col("cents") > F.element_at(F.col("q"), idx))
+            .groupBy()
+            .agg(
+                F.count("*").cast("bigint").alias("n_customers"),
+                F.sum("cents").cast("bigint").alias("revenue_cents"),
+                F.expr("(10000 * sum(cents)) div max(total)").cast("bigint")
+                .alias("share_bp"),
+            )
+            .select(F.lit(tier).alias("tier"), "n_customers",
+                    "revenue_cents", "share_bp")
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

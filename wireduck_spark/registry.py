@@ -344,6 +344,8 @@ PENDING_GATE: tuple[str, ...] = (
     "io_snapshot_time_travel",        # manifest snapshots + time travel
     "io_small_files_compaction",      # OPTIMIZE-style coalesce rewrite
     "pcap_traceroute_path",           # rows-only; hop/RTT goldens
+    "agg_pareto_concentration",       # whale-curve tiers, no global sort
+    "dq_schema_drift_audit",          # footer-only drift detection
 )
 
 
