@@ -519,3 +519,54 @@ def test_split_frame_number_remap_survives_filtered_output(spark, tmp_path):
         # each surviving row's byte-offset id maps to the SAME packet in
         # the native split read — the mapping never slipped
         assert native_rows[r["frame.number"]] == r["tcp.len"]
+
+
+def test_pcap_writer_filter_and_save_roundtrip(spark, tmp_path):
+    """Filter-and-save: read a capture with raw bytes, keep one flow,
+    write a NEW capture via df.write.format('pcap'), re-read it and get
+    exactly that flow back — the sink workflow the reference cannot do."""
+    from wireduck_spark.sources.native import stream_id
+    from wireduck_spark.sources.pcap import read_pcap
+    from wireduck_spark.sources.synth import session_capture
+
+    cap = session_capture(str(tmp_path / "session.pcap"))
+    full = read_pcap(spark, cap, protocols=["frame", "ip", "tcp"],
+                     engine="native")
+    target = stream_id("10.0.1.1", 40001, "10.0.2.1", 80)
+    flow = full.filter(F.col("`tcp.stream`") == target)
+    n_flow = flow.count()
+    assert n_flow == 7  # handshake + data + retrans + resp + fin
+
+    out_dir = str(tmp_path / "filtered_out")
+    flow.select("`frame.time_epoch`", "`frame.raw`").write.format(
+        "pcap").mode("overwrite").save(out_dir)
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".pcap")]
+    assert files, "expected at least one part file"
+    reread = read_pcap(spark, f"{out_dir}/*.pcap",
+                       protocols=["ip", "tcp"], engine="native")
+    rows = reread.collect()
+    assert len(rows) == n_flow
+    assert {r["tcp.stream"] for r in rows} == {target}
+    # payload content survives byte-for-byte
+    payloads = sorted(
+        r["tcp.payload"] for r in rows if r["tcp.payload"] is not None)
+    assert payloads == sorted(
+        [b"0123456789".hex(), b"0123456789".hex(),
+         b"abcdefghijklmnopqrst".hex()])
+    # timestamps survive to the microsecond
+    ts = sorted(r["frame.time_epoch"] for r in rows)
+    orig_ts = sorted(r["frame.time_epoch"]
+                     for r in flow.select("`frame.time_epoch`").collect())
+    assert ts == orig_ts
+
+
+def test_pcap_writer_requires_raw_column(spark, tmp_path):
+    from wireduck_spark.sources.pcap import read_pcap
+    from wireduck_spark.sources.synth import session_capture
+
+    cap = session_capture(str(tmp_path / "session2.pcap"))
+    no_raw = read_pcap(spark, cap, protocols=["ip", "tcp"], engine="native")
+    with pytest.raises(Exception, match="frame.raw"):
+        no_raw.select("`frame.time_epoch`", "`ip.src`").write.format(
+            "pcap").mode("append").save(str(tmp_path / "nope"))

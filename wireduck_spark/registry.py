@@ -346,6 +346,7 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_traceroute_path",           # rows-only; hop/RTT goldens
     "agg_pareto_concentration",       # whale-curve tiers, no global sort
     "dq_schema_drift_audit",          # footer-only drift detection
+    "pcap_filter_and_save",           # rows-only; pcap SINK round-trip
 )
 
 

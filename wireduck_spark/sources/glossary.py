@@ -100,6 +100,9 @@ BUILTIN_FIELDS = [
     _F("Frame Length", "frame.len", "FT_UINT32", "frame"),
     _F("Capture Length", "frame.cap_len", "FT_UINT32", "frame"),
     _F("Protocols in frame", "frame.protocols", "FT_STRING", "frame"),
+    # Raw record bytes as hex (opt-in via protocols:=['frame', ...]) —
+    # the column the pcap WRITER consumes for filter-and-save workflows.
+    _F("Raw frame data", "frame.raw", "FT_BYTES", "frame"),
     # eth
     _F("Destination", "eth.dst", "FT_ETHER", "eth"),
     _F("Source", "eth.src", "FT_ETHER", "eth"),
@@ -287,7 +290,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 10  # v10: + gre decap fields
+GLOSSARY_VERSION = 11  # v11: + frame.raw
 
 
 def cache_dir() -> str:

@@ -1245,6 +1245,7 @@ def iter_packets(
     start_byte: int | None = None,
     end_byte: int | None = None,
     raw_ts: bool = False,
+    include_raw: bool = False,
 ):
     """Yield one {filter_name: value} dict per packet (classic pcap or
     pcapng — format sniffed from the first 4 bytes).
@@ -1297,6 +1298,8 @@ def iter_packets(
                 "frame.len": orig,
                 "frame.cap_len": incl,
             }
+            if include_raw:
+                fields["frame.raw"] = data.hex()
             dissect_packet(data, linktype, fields)
             if "tcp.srcport" in fields:
                 src = fields.get("ip.src") or fields.get("ipv6.src")

@@ -42,10 +42,12 @@ import os
 import tempfile
 import zipfile
 from dataclasses import dataclass
+from datetime import datetime, timedelta
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -55,6 +57,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructField, StructType
 
@@ -123,7 +126,10 @@ def native_arrow_batches(
     name_cols = list(zip(names, cols))
     n_in_batch = 0
     n_total = 0
-    for fields in native.iter_packets(path, start_byte, end_byte, raw_ts=True):
+    for fields in native.iter_packets(
+        path, start_byte, end_byte, raw_ts=True,
+        include_raw="frame.raw" in names,
+    ):
         if limit is not None and n_total >= limit:
             break
         get = fields.get
@@ -171,6 +177,86 @@ class PcapDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "PcapReader":
         return PcapReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> "PcapWriter":
+        """`df.write.format("pcap").save(dir)` — the sink the reference
+        lacks entirely: filter a capture with the full relational surface,
+        then save the surviving packets as a VALID capture other tools
+        (tshark, Wireshark, this reader) open directly.
+
+        Requires `frame.time_epoch` + `frame.raw` columns (read with
+        protocols including 'frame' to get raw bytes). Each task writes
+        its own part-NNNNN.pcap under the target directory — the standard
+        Spark sink layout, and exactly what the glob-reading scan
+        consumes back.
+        """
+        names = {f.name for f in schema.fields}
+        missing = {"frame.time_epoch", "frame.raw"} - names
+        if missing:
+            raise ValueError(
+                f"pcap writer needs columns {sorted(missing)} — read with "
+                "protocols including 'frame' to carry raw frame bytes")
+        path = str(self.options.get("path", ""))
+        if not path:
+            raise ValueError("pcap writer requires a path")
+        if overwrite and os.path.isdir(path):
+            for f in os.listdir(path):
+                if f.endswith(".pcap"):
+                    os.remove(os.path.join(path, f))
+        os.makedirs(path, exist_ok=True)
+        return PcapWriter(path, int(self.options.get("linktype", 1)))
+
+
+class PcapWriter(DataSourceWriter):
+    def __init__(self, path: str, linktype: int):
+        self.path = path
+        self.linktype = linktype
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import struct as _struct
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"part-{pid:05d}.pcap")
+        tmp = out + ".tmp"
+        n = 0
+        with open(tmp, "wb") as fh:
+            fh.write(_struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0,
+                                  262144, self.linktype))
+            for row in iterator:
+                raw = row["frame.raw"]
+                if raw is None:
+                    continue
+                data = bytes.fromhex(raw)
+                ts = row["frame.time_epoch"]
+                if isinstance(ts, datetime):
+                    if ts.tzinfo is not None:
+                        us = int(round(ts.timestamp() * 1_000_000))
+                    else:
+                        # naive datetimes are session-UTC by contract; a
+                        # .timestamp() here would re-interpret them in the
+                        # worker's local zone
+                        us = (ts - datetime(1970, 1, 1)) \
+                            // timedelta(microseconds=1)
+                else:
+                    us = int(ts)
+                fh.write(_struct.pack("<IIII", us // 1_000_000,
+                                      us % 1_000_000, len(data), len(data)))
+                fh.write(data)
+                n += 1
+        # atomic publish per task; empty parts are dropped
+        if n:
+            os.replace(tmp, out)
+        else:
+            os.remove(tmp)
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        pass  # parts are atomically published per task
+
+    def abort(self, messages) -> None:
+        pass  # unpublished .tmp files are the only residue
 
 
 # FT_* types whose display-filter comparison semantics provably agree with

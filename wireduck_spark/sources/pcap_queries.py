@@ -716,3 +716,43 @@ if _have_fixture():
             ).cast("bigint").alias("rtt_us"),
             (F.col("icmp_type") == 3).alias("is_destination"),
         )
+
+    @query("pcap_filter_and_save", oracle=None, tags=("pcap", "sink"))
+    def pcap_filter_and_save(spark: SparkSession, sf: str) -> DataFrame:
+        """Filter-and-save: keep one flow of a capture with a DataFrame
+        filter, WRITE it back as a valid pcap via the pcap sink
+        (df.write.format('pcap')), then re-read the written capture and
+        roll it up — the replay/evidence-extraction workflow the
+        reference cannot express (it has no writer at all).
+
+        Scale: the write is embarrassingly parallel (one part-file per
+        task, atomic rename publish); the re-read is the ordinary
+        multi-file scan, one partition per part.
+        """
+        import tempfile
+
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.native import stream_id
+        from wireduck_spark.sources.synth import session_capture
+
+        cap = session_capture(
+            os.path.join(cache_dir(), "synth", "session.pcap"))
+        full = read_pcap(spark, cap, protocols=["frame", "ip", "tcp"],
+                         engine="native")
+        target = stream_id("10.0.1.1", 40001, "10.0.2.1", 80)
+        out_dir = os.path.join(tempfile.gettempdir(),
+                               "wireduck_filter_save_q")
+        (
+            full.filter(F.col("`tcp.stream`") == target)
+            .select("`frame.time_epoch`", "`frame.raw`")
+            .write.format("pcap").mode("overwrite").save(out_dir)
+        )
+        reread = read_pcap(spark, f"{out_dir}/*.pcap",
+                           protocols=["ip", "tcp"], engine="native")
+        return reread.groupBy(
+            F.col("`ip.src`").alias("src"),
+            F.col("`tcp.srcport`").alias("sport"),
+        ).agg(
+            F.count("*").cast("bigint").alias("n_packets"),
+            F.sum("`tcp.len`").cast("bigint").alias("payload_bytes"),
+        )
