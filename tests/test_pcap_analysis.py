@@ -275,3 +275,15 @@ def test_traceroute_path_golden(spark, queries):
     assert [r["rtt_us"] for r in rows] == [2000, 4000, 6000, 8000]
     assert [r["is_destination"] for r in rows] == [False, False, False, True]
     assert all(r["client"] == "10.0.5.1" for r in rows)
+
+
+def test_capture_summary_golden(spark, queries):
+    """capinfos parity on the reference fixture: 485 packets, 44.7 s span
+    starting 2015-11-28 17:59:35 UTC (SURVEY.md 5.1 characterization)."""
+    row = queries["pcap_capture_summary"].fn(
+        spark, SF).collect()[0]
+    assert row["n_packets"] == 485
+    assert row["first_packet"].startswith("2015-11-28 17:59:35")
+    assert 44.0 < row["duration_s"] < 45.5
+    assert row["avg_pkt_bytes"] == row["total_bytes"] // 485
+    assert row["avg_bits_per_s"] > 0

@@ -483,3 +483,59 @@ def test_snapshot_manifests_are_immutable(spark, sf_dir):
     evens = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
         "o_orderkey % 2 = 0").count()
     assert v1_rows == evens
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling, demonstrated: a join where one key owns
+    ~90% of the fact side must be split at runtime (OptimizeSkewedJoin
+    marks the SMJ 'skew=true' and inserts AQEShuffleRead) once the skew
+    thresholds are lowered to this data scale. This is the mechanism
+    that saves a 100 TB join from one straggler task.
+
+    Two non-obvious requirements this test pins (each silently disables
+    the optimization when violated):
+    - the join children must be bare Sort(ShuffleStage) — a final
+      HashAggregate (e.g. from .distinct()) between them breaks the
+      rule's pattern match;
+    - the skewed partition is subdivided by MAPPER ranges, so the stage
+      producing the shuffle needs MULTIPLE map tasks (a one-file scan
+      is one mapper, and a one-mapper partition cannot be split) —
+      hence the explicit repartition below.
+    """
+    from pyspark.sql import functions as F
+
+    from wireduck_spark.registry import table
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        part = table(spark, sf_dir, "part")
+        skewed = li.select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+            .otherwise(F.col("l_partkey")).alias("k"),
+            "l_extendedprice",
+        ).repartition(16)  # multi-mapper shuffle input (see docstring)
+        joined = skewed.join(
+            part.repartition(8), skewed.k == part.p_partkey)
+        joined.collect()  # materialize so AQE finalizes the plan
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "AQEShuffleRead" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

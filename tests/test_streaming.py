@@ -699,3 +699,49 @@ def test_stateful_ewma_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_streaming_capture_archival_foreachbatch(spark, tmp_path):
+    """Continuous capture archival: the streaming pcap source tails a
+    directory, a filter keeps only TCP data packets, and foreachBatch
+    hands each micro-batch to the pcap WRITER — landing a rolling,
+    filtered, re-readable capture archive. Composes three pieces the
+    reference has zero of: streaming source, relational filter, pcap
+    sink."""
+    from tests.pcap_fixtures import build_pcap
+    from wireduck_spark.sources.pcap import read_pcap
+    from wireduck_spark.sources.synth import session_capture
+    from wireduck_spark.streaming.pcap_stream import read_pcap_stream
+
+    capture_dir = tmp_path / "landing"
+    capture_dir.mkdir()
+    session_capture(str(capture_dir / "cap-001.pcap"))
+    archive = str(tmp_path / "archive")
+
+    stream = read_pcap_stream(
+        spark, f"{capture_dir}/*.pcap", protocols="frame,ip,tcp")
+
+    def archive_batch(df, epoch_id):
+        from wireduck_spark.sources.pcap import register
+
+        register(df.sparkSession)
+        (
+            df.filter(F.col("`tcp.len`") > 0)
+            .select("`frame.time_epoch`", "`frame.raw`")
+            .write.format("pcap").mode("append")
+            .save(archive)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(archive_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    reread = read_pcap(spark, f"{archive}/*.pcap",
+                       protocols=["ip", "tcp"], engine="native")
+    rows = reread.collect()
+    # session_capture has exactly 5 TCP data segments (incl. 1 retrans)
+    assert len(rows) == 5
+    assert all(r["tcp.len"] > 0 for r in rows)

@@ -347,6 +347,7 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_pareto_concentration",       # whale-curve tiers, no global sort
     "dq_schema_drift_audit",          # footer-only drift detection
     "pcap_filter_and_save",           # rows-only; pcap SINK round-trip
+    "pcap_capture_summary",           # rows-only; capinfos parity golden
 )
 
 

@@ -756,3 +756,37 @@ if _have_fixture():
             F.count("*").cast("bigint").alias("n_packets"),
             F.sum("`tcp.len`").cast("bigint").alias("payload_bytes"),
         )
+
+    @query("pcap_capture_summary", oracle=None, tags=("pcap", "scan"))
+    def pcap_capture_summary(spark: SparkSession, sf: str) -> DataFrame:
+        """capinfos-style capture summary (packet count, byte volume,
+        time span, average packet size / data rate) — the first command
+        every analyst runs on a new capture, as one aggregate over the
+        default 5-column scan.
+
+        Scale: single map-combinable aggregate; on a split capture each
+        byte-range slice contributes partial min/max/sum.
+        """
+        df = read_pcap(spark, FIXTURE, engine="native")
+        return (
+            df.agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.sum("`frame.len`").cast("bigint").alias("total_bytes"),
+                ts_str(F.min("`frame.time_epoch`")).alias("first_packet"),
+                ts_str(F.max("`frame.time_epoch`")).alias("last_packet"),
+                F.round(
+                    F.max("`frame.time_epoch`").cast("double")
+                    - F.min("`frame.time_epoch`").cast("double"), 3,
+                ).alias("duration_s"),
+            )
+            .select(
+                "*",
+                F.expr("total_bytes div n_packets").cast("bigint")
+                .alias("avg_pkt_bytes"),
+                F.when(
+                    F.col("duration_s") > 0,
+                    (F.col("total_bytes") * 8 / F.col("duration_s"))
+                    .cast("bigint"),
+                ).alias("avg_bits_per_s"),
+            )
+        )
