@@ -539,3 +539,22 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_write_adds_filter_bytes(spark, sf_dir):
+    """The bloom-enabled rewrite must physically contain the filter:
+    identical data, bloom-on files strictly larger than bloom-off."""
+    import os
+
+    from wireduck_spark.operators.io import _scratch
+
+    QUERIES["io_bloom_filter_pointlookup"].fn(spark, sf_dir).collect()
+    base = _scratch(sf_dir, "bloom_lookup")
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    on, off = size(f"{base}/on"), size(f"{base}/off")
+    assert on > off, (on, off)
+    n_on = spark.read.parquet(f"{base}/on").count()
+    n_off = spark.read.parquet(f"{base}/off").count()
+    assert n_on == n_off

@@ -607,3 +607,43 @@ def io_small_files_compaction(spark: SparkSession, sf: str) -> DataFrame:
             .alias("sum_cents"),
         )
     )
+
+
+@query(
+    "io_bloom_filter_pointlookup",
+    oracle="""
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+               AS price_cents
+    FROM orders
+    WHERE o_orderkey IN (7, 4998, 29767)
+    """,
+    tags=("io", "layout"),
+)
+def io_bloom_filter_pointlookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet bloom-filter layout: orders rewritten with a bloom filter
+    on the key column, then point-lookup re-read. Row-group min/max
+    stats can't prune point lookups on an UNSORTED key (every group
+    spans most of the key range); the bloom filter is the layout that
+    answers "is key K possibly here" per group without reading data
+    pages — the needle-in-100-TB primitive.
+
+    Bloom presence is asserted physically by
+    tests/test_plans.py::test_bloom_write_adds_filter_bytes (neither
+    DuckDB's parquet_metadata nor this pyarrow expose the bloom offset,
+    so the check compares bloom-on/off file sizes of identical data);
+    this query's oracle pins the lookup results.
+    """
+    base = _scratch(sf, "bloom_lookup")
+    o = table(spark, sf, "orders")
+    if not os.path.exists(f"{base}/on/_SUCCESS"):
+        w = o.select("o_orderkey", "o_totalprice").coalesce(1)
+        (
+            w.write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#o_orderkey", "200000")
+            .parquet(f"{base}/on")
+        )
+        w.write.mode("overwrite").parquet(f"{base}/off")
+    rr = spark.read.parquet(f"{base}/on")
+    return rr.filter(F.col("o_orderkey").isin(7, 4998, 29767)).select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents"))

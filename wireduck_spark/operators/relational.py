@@ -1162,3 +1162,43 @@ def agg_pareto_concentration(spark: SparkSession, sf: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+@query(
+    "agg_grouping_id_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+               AS grouping_id,
+           GROUPING(l_returnflag) = 1 AS is_flag_total,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING_ID / GROUPING() over a rollup — the disambiguator that
+    tells a real NULL key apart from a subtotal row (without it, a NULL
+    group value and the rollup total are indistinguishable downstream).
+    Spark's grouping_id() bitmask matches DuckDB's GROUPING(a, b)
+    bit-for-bit (leftmost column = most significant bit).
+
+    Scale: ordinary rollup Expand + keyed aggregate; grouping_id is a
+    zero-cost virtual column of the Expand.
+    """
+    li = table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("grouping_id"),
+            (F.grouping("l_returnflag") == 1).alias("is_flag_total"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents(F.col("l_extendedprice"))).cast("bigint")
+            .alias("price_cents"),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping_id",
+                "is_flag_total", "n", "price_cents")
+    )

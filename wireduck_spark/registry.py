@@ -348,6 +348,8 @@ PENDING_GATE: tuple[str, ...] = (
     "dq_schema_drift_audit",          # footer-only drift detection
     "pcap_filter_and_save",           # rows-only; pcap SINK round-trip
     "pcap_capture_summary",           # rows-only; capinfos parity golden
+    "io_bloom_filter_pointlookup",    # parquet bloom layout, oracle lookup
+    "agg_grouping_id_rollup",         # GROUPING() subtotal disambiguator
 )
 
 
