@@ -287,3 +287,20 @@ def test_capture_summary_golden(spark, queries):
     assert 44.0 < row["duration_s"] < 45.5
     assert row["avg_pkt_bytes"] == row["total_bytes"] // 485
     assert row["avg_bits_per_s"] > 0
+
+
+def test_http_transactions_golden(spark, queries):
+    """multiproto_capture: GET /index.html -> 200 in 100 ms, then
+    GET /missing -> 404 in 100 ms on the same stream."""
+    rows = sorted(
+        queries["pcap_http_transactions"].fn(spark, SF).collect(),
+        key=lambda r: r["ordinal"],
+    )
+    assert len(rows) == 2
+    assert rows[0]["method"] == "GET"
+    assert rows[0]["uri"] == "/index.html"
+    assert rows[0]["status"] == 200
+    assert rows[0]["latency_us"] == 100_000
+    assert rows[1]["uri"] == "/missing"
+    assert rows[1]["status"] == 404
+    assert rows[1]["latency_us"] == 100_000

