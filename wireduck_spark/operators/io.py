@@ -647,3 +647,52 @@ def io_bloom_filter_pointlookup(spark: SparkSession, sf: str) -> DataFrame:
     rr = spark.read.parquet(f"{base}/on")
     return rr.filter(F.col("o_orderkey").isin(7, 4998, 29767)).select(
         "o_orderkey", cents(F.col("o_totalprice")).alias("price_cents"))
+
+
+@query(
+    "io_multi_format_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name
+    """,
+    tags=("io", "federation"),
+)
+def io_multi_format_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Federated-format join: the SAME logical query over a customer
+    copy stored as CSV joined to a nation copy stored as JSON — the
+    lake reality where history lives in whatever format the era's
+    pipeline wrote, and Catalyst plans across them transparently
+    (per-format scans feed one join; pushdown capability differs by
+    format, correctness doesn't).
+
+    Scale: format choice affects scan speed only; the join itself is
+    the ordinary broadcast of the 25-row nation side.
+    """
+    base = _scratch(sf, "federation")
+    if not os.path.exists(f"{base}/nation_json/_SUCCESS"):
+        table(spark, sf, "customer").write.mode("overwrite").option(
+            "header", True).csv(f"{base}/customer_csv")
+        table(spark, sf, "nation").write.mode("overwrite").json(
+            f"{base}/nation_json")
+    c = spark.read.option("header", True).schema(
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT,"
+        " c_acctbal DOUBLE, c_mktsegment STRING"
+    ).csv(f"{base}/customer_csv")
+    n = spark.read.schema(
+        "n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).json(f"{base}/nation_json")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).cast("bigint")
+            .alias("acctbal_cents"),
+        )
+    )

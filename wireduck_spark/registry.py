@@ -351,6 +351,7 @@ PENDING_GATE: tuple[str, ...] = (
     "io_bloom_filter_pointlookup",    # parquet bloom layout, oracle lookup
     "agg_grouping_id_rollup",         # GROUPING() subtotal disambiguator
     "pcap_http_transactions",         # rows-only; request/response pairing
+    "io_multi_format_join",           # CSV x JSON federated join
 )
 
 
