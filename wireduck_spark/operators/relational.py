@@ -1143,25 +1143,34 @@ def agg_pareto_concentration(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("percentile(cents, array(0.80D, 0.95D, 0.99D))").alias("q"),
         F.sum("cents").cast("bigint").alias("total"),
     )
+    # ONE pass over the customer rollup: every tier is a conditional
+    # aggregate of the same broadcast-joined frame (a per-tier filter
+    # branch would recompute the rollup once per tier — 12 shuffles and
+    # 3 nested loops for the same answer, caught by tools/plan_audit.py).
     j = rev.crossJoin(F.broadcast(cuts))
-    frames = []
+    aggs = []
     for tier, idx in (("top1", 3), ("top5", 2), ("top20", 1)):
-        frames.append(
-            j.filter(F.col("cents") > F.element_at(F.col("q"), idx))
-            .groupBy()
-            .agg(
-                F.count("*").cast("bigint").alias("n_customers"),
-                F.sum("cents").cast("bigint").alias("revenue_cents"),
-                F.expr("(10000 * sum(cents)) div max(total)").cast("bigint")
-                .alias("share_bp"),
-            )
-            .select(F.lit(tier).alias("tier"), "n_customers",
-                    "revenue_cents", "share_bp")
+        above = F.col("cents") > F.element_at(F.col("q"), idx)
+        aggs += [
+            F.sum(F.when(above, 1).otherwise(0)).cast("bigint")
+            .alias(f"n_{tier}"),
+            F.sum(F.when(above, F.col("cents")).otherwise(0)).cast("bigint")
+            .alias(f"s_{tier}"),
+        ]
+    one = j.agg(*aggs, F.max("total").cast("bigint").alias("total"))
+    # unpivot the single row via explode — a union of per-tier selects
+    # would re-plan the whole lineage once per tier
+    tiers = F.array(*[
+        F.struct(
+            F.lit(tier).alias("tier"),
+            F.col(f"n_{tier}").alias("n_customers"),
+            F.col(f"s_{tier}").alias("revenue_cents"),
+            F.expr(f"(10000 * s_{tier}) div total").cast("bigint")
+            .alias("share_bp"),
         )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+        for tier in ("top1", "top5", "top20")
+    ])
+    return one.select(F.explode(tiers).alias("r")).select("r.*")
 
 
 @query(
