@@ -745,3 +745,49 @@ def test_streaming_capture_archival_foreachbatch(spark, tmp_path):
     # session_capture has exactly 5 TCP data segments (incl. 1 retrans)
     assert len(rows) == 5
     assert all(r["tcp.len"] > 0 for r in rows)
+
+
+def test_pcap_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restart semantics: a checkpointed stream processes each capture
+    file EXACTLY once across restarts — after stopping, landing a new
+    file, and restarting from the same checkpoint, the sink holds every
+    packet of both files with no duplicates from the first."""
+    from tests.pcap_fixtures import build_pcap
+    from wireduck_spark.sources.synth import (
+        session_capture, write_pcap, tcp_frame,
+    )
+    from wireduck_spark.streaming.pcap_stream import read_pcap_stream
+
+    landing = tmp_path / "landing_ck"
+    landing.mkdir()
+    session_capture(str(landing / "cap-001.pcap"))
+    ck = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once():
+        stream = read_pcap_stream(spark, f"{landing}/*.pcap")
+        q = (
+            stream.select("`frame.number`", "`frame.len`",
+                          "`frame.protocols`")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    first = run_once()
+    n_first = len(first)
+    assert n_first > 0
+    # new capture lands between runs
+    write_pcap(str(landing / "cap-002.pcap"), [
+        (1700010000.0 + i,
+         tcp_frame("10.9.0.1", "10.9.0.2", 40000, 80, i, 0x18, b"xx"))
+        for i in range(5)
+    ])
+    second = run_once()
+    # exactly-once: cap-001 is NOT reprocessed; only the new file lands
+    assert len(second) == n_first + 5

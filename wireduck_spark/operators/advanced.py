@@ -1175,3 +1175,78 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_purchases"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey % 200 AS item
+        FROM lineitem
+    ), n_orders AS (
+        SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n FROM baskets
+    ), item_counts AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY item
+    ), pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.okey = b.okey AND a.item < b.item
+        GROUP BY a.item, b.item
+        HAVING COUNT(*) >= 20
+    )
+    SELECT p.item_a, p.item_b, p.n_both,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST((1000000 * p.n_both * o.n) // (ia.n_item * ib.n_item)
+                AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN item_counts ia ON ia.item = p.item_a
+    JOIN item_counts ib ON ib.item = p.item_b
+    CROSS JOIN n_orders o
+    """,
+    tags=("advanced", "mining"),
+)
+def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association mining: item pairs co-purchased in the
+    same order with support count and integer-exact lift
+    (P(ab)/(P(a)P(b)) as ppm division — the classic 'frequently bought
+    together' signal, float-log-free so ranks hash cross-engine).
+
+    Scale: the pair join keys on the ORDER (baskets are small — pair
+    fan-out is bounded by per-order item count squared, ~7^2, never
+    corpus^2); item counts are a vocabulary-sized table broadcast into
+    the scoring joins; the HAVING floor keeps the output to genuinely
+    frequent pairs.
+    """
+    li = table(spark, sf, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_partkey") % 200).alias("item"),
+    ).distinct()
+    n_orders = baskets.agg(
+        F.count_distinct("okey").cast("bigint").alias("n"))
+    item_counts = baskets.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("n_item"))
+    a = baskets.select("okey", F.col("item").alias("item_a"))
+    b = baskets.select(F.col("okey").alias("okey_b"),
+                       F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, (a.okey == b.okey_b) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    ia = item_counts.select(F.col("item").alias("item_a"),
+                            F.col("n_item").alias("n_a"))
+    ib = item_counts.select(F.col("item").alias("item_b"),
+                            F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(ia, "item_a").join(ib, "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a", "item_b", "n_both", "n_a", "n_b",
+            F.expr("(1000000 * n_both * n) div (n_a * n_b)").cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )

@@ -1591,3 +1591,59 @@ def anomaly_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
                 & (F.col("mad4") > 0))
         .select("event_id", "user_id", "cents", "med2", "mad4")
     )
+
+
+@query(
+    "event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS prev1,
+               lag(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tri AS (
+        SELECT prev2, prev1, event_type AS curr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev2 IS NOT NULL
+        GROUP BY prev2, prev1, event_type
+    ), tot AS (
+        SELECT prev2, prev1, CAST(SUM(n) AS BIGINT) AS n_ctx
+        FROM tri GROUP BY prev2, prev1
+    )
+    SELECT t.prev2, t.prev1, t.curr, t.n,
+           CAST((1000000 * t.n) // c.n_ctx AS BIGINT) AS p_ppm
+    FROM tri t JOIN tot c ON t.prev2 = c.prev2 AND t.prev1 = c.prev1
+    """,
+    tags=("timeseries", "sequence"),
+)
+def event_trigram_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-order behavior model: (prev2, prev1) -> next transition
+    counts with integer-ppm conditional probabilities — the step up
+    from the first-order `event_transition_bigrams` that captures
+    context-dependent paths (view->click->purchase vs
+    click->view->click), the input to next-action prediction baselines.
+
+    Scale: both LAGs share ONE user-keyed window; the trigram and
+    context tables are type-vocabulary-sized (|types|^3 at most), so
+    the normalizing join touches ~hundreds of rows, never the corpus.
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    ).filter(F.col("prev2").isNotNull())
+    tri = seq.groupBy("prev2", "prev1", "curr").agg(
+        F.count("*").cast("bigint").alias("n"))
+    tot = tri.groupBy(
+        F.col("prev2").alias("c2"), F.col("prev1").alias("c1")
+    ).agg(F.sum("n").cast("bigint").alias("n_ctx"))
+    return (
+        tri.join(tot, (tri.prev2 == tot.c2) & (tri.prev1 == tot.c1))
+        .select(
+            "prev2", "prev1", "curr", "n",
+            F.expr("(1000000 * n) div n_ctx").cast("bigint").alias("p_ppm"),
+        )
+    )

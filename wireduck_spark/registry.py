@@ -352,6 +352,8 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_grouping_id_rollup",         # GROUPING() subtotal disambiguator
     "pcap_http_transactions",         # rows-only; request/response pairing
     "io_multi_format_join",           # CSV x JSON federated join
+    "market_basket_pairs",            # co-purchase lift, order-keyed join
+    "event_trigram_paths",            # 2nd-order path model, ppm probs
 )
 
 
