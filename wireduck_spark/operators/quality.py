@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wireduck_spark.registry import cents, query, table
+from wireduck_spark.registry import cents, query, table, ts_str
 
 # (child table, fk column, parent table, pk column) — the complete FK
 # edge set of the TESTDATA.md star schema.
@@ -331,3 +331,55 @@ def dq_schema_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, status string, new_type string,"
               " old_type string")
+
+
+@query(
+    "dq_freshness_sla",
+    oracle="""
+    WITH anchor AS (
+        SELECT MAX(ts) AS t_max FROM events
+    ), per_type AS (
+        SELECT event_type,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    )
+    SELECT p.event_type,
+           strftime(p.last_ts, '%Y-%m-%d %H:%M:%S') AS last_event,
+           p.n_events,
+           CAST(datediff('minute', p.last_ts, a.t_max) AS BIGINT)
+               AS staleness_min,
+           datediff('minute', p.last_ts, a.t_max) <= 60 AS within_sla
+    FROM per_type p CROSS JOIN anchor a
+    """,
+    tags=("quality", "freshness"),
+)
+def dq_freshness_sla(spark: SparkSession, sf: str) -> DataFrame:
+    """Freshness SLA audit: per-source staleness (minutes since each
+    source's last event, measured against the dataset high-water mark
+    so both engines see the same 'now') with a 60-minute SLA verdict —
+    the landing-zone monitor every ingestion pipeline pages on.
+
+    Scale: one keyed max/count aggregate (map-side partials) + a 1-row
+    broadcast anchor; output is source-cardinality-sized.
+    """
+    e = table(spark, sf, "events")
+    anchor = e.agg(F.max("ts").alias("t_max"))
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    # minute-BOUNDARY semantics to match DuckDB's datediff('minute'):
+    # truncate both ends to the minute, then diff (an elapsed-time floor
+    # would disagree whenever sub-minute components straddle a boundary)
+    staleness = (
+        F.expr("unix_micros(cast(t_max AS TIMESTAMP)) div 60000000")
+        - F.expr("unix_micros(cast(last_ts AS TIMESTAMP)) div 60000000")
+    ).cast("bigint")  # events ts is NTZ; session tz UTC makes the cast exact
+    return per_type.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        ts_str(F.col("last_ts")).alias("last_event"),
+        "n_events",
+        staleness.alias("staleness_min"),
+        (staleness <= 60).alias("within_sla"),
+    )

@@ -411,3 +411,48 @@ def scalar_inet_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.min("ip_num").cast("bigint").alias("min_ip_num"),
         F.max("ip_num").cast("bigint").alias("max_ip_num"),
     )
+
+
+@query(
+    "scalar_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d')
+               AS plus_1m,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 3 MONTH, '%Y-%m-%d')
+               AS minus_3m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS days_in_month,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS months_since_epoch,
+           strftime(CAST(o_orderdate AS DATE)
+                    + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=("scalar", "datetime"),
+)
+def scalar_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar interval arithmetic with the month-end clamping rules
+    where engines classically diverge: Jan 31 + 1 month must clamp to
+    Feb 28/29 identically (Spark add_months == DuckDB + INTERVAL n
+    MONTH), last_day, days-in-month, and exact day offsets. Date-level
+    outputs (Spark's add_months returns DATE; DuckDB's interval add
+    keeps the timestamp) — the cross-engine contract is the calendar
+    DAY, rendered as strings.
+
+    Scale: pure narrow scalar map; the filter keeps output summary-sized.
+    """
+    o = table(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1m"),
+        F.date_format(F.add_months(d, -3), "yyyy-MM-dd").alias("minus_3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofmonth(F.last_day(d)).cast("bigint").alias("days_in_month"),
+        (F.year(d) * 12 + F.month(d)).cast("bigint")
+        .alias("months_since_epoch"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("plus_90d"),
+    )

@@ -1647,3 +1647,45 @@ def event_trigram_paths(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("(1000000 * n) div n_ctx").cast("bigint").alias("p_ppm"),
         )
     )
+
+
+@query(
+    "window_median_sliding",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+           CAST(median(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w * 2
+                AS BIGINT) AS median2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window"),
+)
+def window_median_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding exact median over the trailing <=8 events per user — the
+    robust running baseline (median filters shrug off the spikes that
+    wreck a moving average). Spark has NO median-over-window; the
+    rewrite collects the O(1) frame into an array, sorts it, and picks
+    the middle pair — exactly DuckDB's windowed median, carried as
+    2x-median so the half-integer midpoint stays a BIGINT.
+
+    Scale: one user-keyed window exchange; the per-row array is bounded
+    by the frame (8), so memory is O(frame), not O(partition).
+    """
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    c = cents(F.col("value"))
+    frame = F.array_sort(F.collect_list(c).over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2 + 1).cast("int"))
+    return e.select(
+        "event_id", "user_id",
+        c.alias("cents"),
+        (lo + hi).cast("bigint").alias("median2"),
+    )

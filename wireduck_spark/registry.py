@@ -354,6 +354,9 @@ PENDING_GATE: tuple[str, ...] = (
     "io_multi_format_join",           # CSV x JSON federated join
     "market_basket_pairs",            # co-purchase lift, order-keyed join
     "event_trigram_paths",            # 2nd-order path model, ppm probs
+    "scalar_interval_arith",          # month-end clamping parity
+    "dq_freshness_sla",               # staleness vs high-water mark
+    "window_median_sliding",          # exact frame median rewrite
 )
 
 
