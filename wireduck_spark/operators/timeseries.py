@@ -1689,3 +1689,74 @@ def window_median_sliding(spark: SparkSession, sf: str) -> DataFrame:
         c.alias("cents"),
         (lo + hi).cast("bigint").alias("median2"),
     )
+
+
+@query(
+    "event_longest_streak",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events
+    ), islands AS (
+        SELECT user_id, day,
+               day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS grp
+        FROM ud
+    ), streaks AS (
+        SELECT user_id, grp,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               MIN(day) AS start_day
+        FROM islands GROUP BY user_id, grp
+    ), best AS (
+        SELECT user_id, len, start_day,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY len DESC, start_day) AS rk
+        FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days,
+           strftime(DATE '1970-01-01' + CAST(start_day AS INTEGER),
+                    '%Y-%m-%d') AS streak_start
+    FROM best WHERE rk = 1
+    """,
+    tags=("timeseries", "streak"),
+)
+def event_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (the habit
+    metric consumer products headline) — gaps-and-islands on DISTINCT
+    activity days: day − row_number is constant within a consecutive
+    run, so one keyed window + one aggregate finds every streak; ties
+    resolve to the earliest streak.
+
+    Scale: the corpus collapses to distinct user-days first; all three
+    steps (island id, streak agg, best-of rank) share the user_id
+    partitioning — one shuffle after the distinct.
+    """
+    e = table(spark, sf, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.withColumn(
+        "grp", F.col("day") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day"))
+    return (
+        streaks.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"),
+                           F.col("start_day").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("streak_start"),
+        )
+    )

@@ -357,6 +357,7 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_interval_arith",          # month-end clamping parity
     "dq_freshness_sla",               # staleness vs high-water mark
     "window_median_sliding",          # exact frame median rewrite
+    "event_longest_streak",           # gaps-and-islands day streaks
 )
 
 
