@@ -304,3 +304,16 @@ def test_http_transactions_golden(spark, queries):
     assert rows[1]["uri"] == "/missing"
     assert rows[1]["status"] == 404
     assert rows[1]["latency_us"] == 100_000
+
+
+def test_ipv6_traffic_golden(spark, queries):
+    rows = {(r["family"], r["src"]): r
+            for r in queries["pcap_ipv6_traffic"].fn(spark, SF).collect()}
+    a = rows[("ipv6", "2001:db8:0:0:0:0:0:1")]
+    assert a["n_packets"] == 2
+    assert a["dst"] == "2001:db8:0:0:0:0:0:2"
+    b = rows[("ipv6", "2001:db8:0:0:0:0:0:3")]
+    assert b["n_packets"] == 1
+    v4 = rows[("ipv4", "10.0.0.1")]
+    assert v4["n_packets"] == 1
+    assert len(rows) == 3

@@ -358,6 +358,7 @@ PENDING_GATE: tuple[str, ...] = (
     "dq_freshness_sla",               # staleness vs high-water mark
     "window_median_sliding",          # exact frame median rewrite
     "event_longest_streak",           # gaps-and-islands day streaks
+    "pcap_ipv6_traffic",              # rows-only; dual-stack rollup
 )
 
 

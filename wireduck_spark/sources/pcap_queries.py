@@ -850,3 +850,36 @@ if _have_fixture():
                 .cast("bigint").alias("latency_us"),
             )
         )
+
+    @query("pcap_ipv6_traffic", oracle=None, tags=("pcap", "dissect"))
+    def pcap_ipv6_traffic(spark: SparkSession, sf: str) -> DataFrame:
+        """Dual-stack traffic rollup: per address-family packet/byte
+        counts plus per-IPv6-endpoint-pair totals — exercises the v6
+        dissection path (40-byte fixed header, ext-header walk) through
+        a registered gate query rather than unit tests alone.
+
+        Scale: one keyed aggregate; family derives narrowly from which
+        address column is non-null.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import ipv6_capture
+
+        cap = ipv6_capture(
+            os.path.join(cache_dir(), "synth", "ipv6.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "ipv6", "udp", "tcp"],
+                      engine="native")
+        fam = F.when(F.col("`ipv6.src`").isNotNull(), "ipv6").otherwise(
+            F.when(F.col("`ip.src`").isNotNull(), "ipv4").otherwise("other"))
+        return (
+            t.groupBy(
+                fam.alias("family"),
+                F.coalesce(F.col("`ipv6.src`"), F.col("`ip.src`"))
+                .alias("src"),
+                F.coalesce(F.col("`ipv6.dst`"), F.col("`ip.dst`"))
+                .alias("dst"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.sum("`frame.len`").cast("bigint").alias("total_bytes"),
+            )
+        )

@@ -480,3 +480,37 @@ def traceroute_capture(path: str) -> str:
     frames.append((t + 10.0, icmp_frame("8.8.8.8", "10.0.9.9", 0, 1, 1)))
     frames.sort(key=lambda f: f[0])
     return write_pcap(path, frames)
+
+
+def _ipv6_addr(suffix: int) -> bytes:
+    return bytes.fromhex("20010db8") + bytes(10) + struct.pack(">H", suffix)
+
+
+def ipv6_frame(src_sfx: int, dst_sfx: int, sport: int, dport: int,
+               payload: bytes, proto: int = 17) -> bytes:
+    """Minimal Ethernet/IPv6/UDP-or-TCP frame (2001:db8::/32 doc prefix)."""
+    if proto == 17:
+        l4 = struct.pack(">HHHH", sport, dport, 8 + len(payload), 0) + payload
+    else:  # TCP
+        l4 = struct.pack(">HHIIBBHHH", sport, dport, 1, 0, 5 << 4, 0x18,
+                         8192, 0, 0) + payload
+    ip6 = struct.pack(">IHBB", 0x60000000, len(l4), proto, 64)
+    ip6 += _ipv6_addr(src_sfx) + _ipv6_addr(dst_sfx)
+    return _eth(b"\x02\0\0\0\0\x01", 0x86DD) + ip6 + l4
+
+
+def ipv6_capture(path: str) -> str:
+    """Dual-stack fixture: two IPv6 flows (UDP + TCP) and one IPv4 flow,
+    for the v6 traffic rollup query."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700011000.0
+    frames = [
+        (t + 0.0, ipv6_frame(1, 2, 40001, 53, b"q6-dns", proto=17)),
+        (t + 0.1, ipv6_frame(1, 2, 40001, 53, b"q6-dns2", proto=17)),
+        (t + 0.2, ipv6_frame(3, 2, 40002, 443, b"tls6-bytes", proto=6)),
+        (t + 0.3, tcp_frame("10.0.0.1", "10.0.0.2", 40003, 80, 1, 0x18,
+                            b"v4")),
+    ]
+    return write_pcap(path, frames)
