@@ -673,3 +673,22 @@ def test_gre_decap_inner_wins():
     assert fields["tcp.len"] == 9
     assert "gre" in fields["frame.protocols"]
     assert fields["frame.protocols"].count("ip") >= 2
+
+
+def test_vlan_tag_fields():
+    """802.1Q: vlan.id (12-bit) and priority (3-bit PCP) from the TCI,
+    with the inner ethertype still dissected normally."""
+    import struct
+
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import tcp_frame
+
+    plain = tcp_frame("10.0.0.1", "10.0.0.2", 40001, 80, 1, 0x18, b"x")
+    tci = (5 << 13) | 0x123  # priority 5, vlan 0x123
+    tagged = plain[:12] + struct.pack(">HH", 0x8100, tci) + plain[12:]
+    fields: dict = {}
+    dissect_packet(tagged, 1, fields)
+    assert fields["vlan.id"] == 0x123
+    assert fields["vlan.priority"] == 5
+    assert fields["tcp.dstport"] == 80
+    assert "vlan" in fields["frame.protocols"]

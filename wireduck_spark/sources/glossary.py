@@ -83,6 +83,7 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Virtual eXtensible Local Area Network", "VXLAN",
                      "vxlan"),
     GlossaryProtocol("Generic Routing Encapsulation", "GRE", "gre"),
+    GlossaryProtocol("802.1Q Virtual LAN", "VLAN", "vlan"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -149,6 +150,9 @@ BUILTIN_FIELDS = [
     _F("Outer IP source (decap)", "vxlan.outer_ip_src", "FT_IPv4", "vxlan"),
     _F("Outer IP destination (decap)", "vxlan.outer_ip_dst", "FT_IPv4",
        "vxlan"),
+    # vlan (802.1Q tag control: 12-bit id + 3-bit PCP)
+    _F("ID", "vlan.id", "FT_UINT16", "vlan"),
+    _F("Priority", "vlan.priority", "FT_UINT8", "vlan"),
     # gre (gre.proto/gre.key are tshark's fields; outer_* is the decap
     # deviation shared with vxlan)
     _F("Protocol Type", "gre.proto", "FT_UINT16", "gre"),
@@ -290,7 +294,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 11  # v11: + frame.raw
+GLOSSARY_VERSION = 12  # v12: + vlan id/priority
 
 
 def cache_dir() -> str:

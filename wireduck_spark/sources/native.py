@@ -272,6 +272,9 @@ def dissect_packet(data: bytes, linktype: int, fields: dict) -> None:
     off = 14
     if ethertype == 0x8100 and len(data) >= 18:  # 802.1Q VLAN
         protos.append("vlan")
+        tci = struct.unpack(">H", data[14:16])[0]
+        fields["vlan.id"] = tci & 0x0FFF
+        fields["vlan.priority"] = tci >> 13
         ethertype = struct.unpack(">H", data[16:18])[0]
         off = 18
     fields["eth.type"] = ethertype
