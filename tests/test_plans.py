@@ -558,3 +558,33 @@ def test_bloom_write_adds_filter_bytes(spark, sf_dir):
     n_on = spark.read.parquet(f"{base}/on").count()
     n_off = spark.read.parquet(f"{base}/off").count()
     assert n_on == n_off
+
+
+def test_dynamic_partition_pruning_plan(spark, sf_dir):
+    """io_dynamic_partition_pruning must inject a dynamicpruning subquery
+    into the fact scan's PartitionFilters — the filter comes off the
+    broadcast calendar dim at runtime, so a plan without it is a full
+    fact scan at 100 TB."""
+    plan = plan_of(spark, "io_dynamic_partition_pruning", sf_dir)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf, "expected a partitioned fact scan"
+    assert any("dynamicpruning" in ln for ln in pf), pf
+
+
+def test_partition_overwrite_dynamic_preserves_siblings(spark, sf_dir):
+    """The dynamic-mode second write must replace ONLY the
+    event_type=click directory: sibling partitions keep their original
+    files, clicks get restated values (total row count unchanged)."""
+    import os
+
+    from wireduck_spark.operators.io import _scratch
+    from wireduck_spark.registry import table
+
+    QUERIES["io_partition_overwrite_dynamic"].fn(spark, sf_dir).collect()
+    base = _scratch(sf_dir, "events_by_type")
+    dirs = sorted(d for d in os.listdir(base)
+                  if d.startswith("event_type="))
+    assert "event_type=click" in dirs and len(dirs) > 1, dirs
+    n_src = table(spark, sf_dir, "events").count()
+    n_out = spark.read.parquet(base).count()
+    assert n_out == n_src

@@ -696,3 +696,128 @@ def io_multi_format_join(spark: SparkSession, sf: str) -> DataFrame:
             .alias("acctbal_cents"),
         )
     )
+
+
+@query(
+    "io_dynamic_partition_pruning",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+    GROUP BY strftime(o_orderdate, '%Y-%m')
+    ORDER BY o_month
+    """,
+    tags=("io", "partitioning", "join"),
+)
+def io_dynamic_partition_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition pruning: orders are laid out month-partitioned,
+    then joined to a calendar dimension filtered on an attribute the fact
+    table doesn't carry (fiscal quarter). The partition filter is only
+    knowable at RUNTIME — it comes out of the dim-side filter, not a
+    literal predicate on the fact — so Catalyst injects a dynamicpruning
+    subquery that reuses the broadcast dim to prune the fact scan to the
+    three 1995-Q1 month directories before any fact bytes are read
+    (pinned by tests/test_plans.py::test_dynamic_partition_pruning_plan).
+
+    This is THE star-join saver at 100 TB: static pruning
+    (io_partitioned_pruning) only helps when the user filters the
+    partition column directly; real dashboards filter dim attributes
+    (quarter, region name, campaign) and without DPP every such join is
+    a full fact scan. With a date-partitioned decade of facts, DPP turns
+    "scan 120 month directories" into "scan 3".
+
+    Scale: the calendar dim is O(#months) — always broadcastable — and
+    DPP rides the broadcast it already pays for
+    (reuseBroadcastOnly, the default), so the pruning itself is free.
+    """
+    path = _scratch(sf, "orders_by_month")
+    o = table(spark, sf, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        o.write.mode("overwrite").partitionBy("o_month").parquet(path)
+    # calendar dim: every month 1992-01..1998-12 with its fiscal quarter
+    cal = spark.sql(
+        """
+        SELECT date_format(m, 'yyyy-MM') AS cal_month,
+               concat(year(m), '-Q', quarter(m)) AS cal_quarter
+        FROM (SELECT explode(sequence(to_date('1992-01-01'),
+                                      to_date('1998-12-01'),
+                                      interval 1 month)) AS m)
+        """
+    ).filter(F.col("cal_quarter") == "1995-Q1")
+    fact = spark.read.parquet(path)
+    return (
+        fact.join(F.broadcast(cal), fact.o_month == cal.cal_month)
+        .groupBy("o_month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_month")
+    )
+
+
+@query(
+    "io_partition_overwrite_dynamic",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(ROUND(value * 2 * 100, 0) AS BIGINT)
+                         ELSE CAST(ROUND(value * 100, 0) AS BIGINT)
+                    END) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("io", "sink", "partitioning", "upsert"),
+)
+def io_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic partition overwrite — the partition-level correction
+    workflow: events land type-partitioned; a backfill recomputes ONLY
+    the 'click' partition (here: a value restatement to 2x cents) and
+    writes it with partitionOverwriteMode=dynamic, which atomically
+    replaces just the event_type=click directory and leaves every other
+    partition's files untouched. A static overwrite would have dropped
+    the sibling partitions; the oracle catches exactly that (all event
+    types must survive with original values, clicks with restated ones).
+
+    This is how a 100-TB date-partitioned lake takes late data and
+    restatements without Delta/Iceberg: rewrite the affected partitions
+    only — IO proportional to the correction, not the table — while
+    readers keep listing the same directories. The mode is set as a
+    per-write option, not session conf, so concurrent writers with
+    different semantics don't interfere.
+
+    Scale: write #2 shuffles only the corrected partition's rows; the
+    re-read plans one split per surviving file across all partitions.
+    """
+    path = _scratch(sf, "events_by_type")
+    e = table(spark, sf, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    corrected = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(path)
+    )
+    rr = spark.read.parquet(path)
+    return (
+        rr.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents(F.col("value"))).cast("bigint").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -359,6 +359,9 @@ PENDING_GATE: tuple[str, ...] = (
     "window_median_sliding",          # exact frame median rewrite
     "event_longest_streak",           # gaps-and-islands day streaks
     "pcap_ipv6_traffic",              # rows-only; dual-stack rollup
+    # round-5 additions:
+    "io_dynamic_partition_pruning",   # runtime dim-driven partition pruning
+    "io_partition_overwrite_dynamic", # partition-level restatement write
 )
 
 
