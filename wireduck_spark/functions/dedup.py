@@ -235,30 +235,18 @@ _LSH_PAIRS_SQL = f"""
 """
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=_LSH_PAIRS_SQL,
-    tags=("dedup",),
-    bench=True,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash (8 permutations) + LSH (4 bands x 2 rows) near-dup candidate
-    pairs with the signature-estimated Jaccard.
+def _spark_minhash_sig(d: DataFrame) -> DataFrame:
+    """8-permutation minhash signature per doc, zero-shuffle.
 
-    Scale (the 100-TB dedup path): signatures are 8 ints per doc computed
-    in one pass (shingle -> hash -> 8 mins, map-side combinable); LSH
-    banding turns all-pairs into equality joins on band signatures, so the
-    shuffle volume is O(docs), never O(docs^2). The estimate join touches
-    only candidate pairs.
+    Shingle -> hash -> 8 mins entirely with array higher-order functions
+    inside one narrow map stage. The explode + groupBy("doc_id")
+    formulation computes the same mins but blows each doc into ~70
+    shingle rows and shuffles them back together — pure waste, since a
+    doc's signature needs only that doc's rows. (a*h+b) stays < 1e18,
+    inside int64. Shared by dedup_minhash_lsh (all-pairs candidates) and
+    dedup_minhash_decontaminate (directional val-vs-train probe).
     """
-    d = table(spark, sf, "documents", spread=True)
-    # Zero-shuffle signatures: shingle -> hash -> 8 mins entirely with
-    # array higher-order functions inside one narrow map stage. The
-    # explode + groupBy("doc_id") formulation computes the same mins but
-    # blows each doc into ~70 shingle rows and shuffles them back together
-    # — pure waste, since a doc's signature needs only that doc's rows.
-    # (a*h+b) stays < 1e18, inside int64.
-    sig = (
+    return (
         d.withColumn(
             "toks",
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
@@ -285,6 +273,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             ],
         )
     )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_LSH_PAIRS_SQL,
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash (8 permutations) + LSH (4 bands x 2 rows) near-dup candidate
+    pairs with the signature-estimated Jaccard.
+
+    Scale (the 100-TB dedup path): signatures are 8 ints per doc computed
+    in one pass (shingle -> hash -> 8 mins, map-side combinable); LSH
+    banding turns all-pairs into equality joins on band signatures, so the
+    shuffle volume is O(docs), never O(docs^2). The estimate join touches
+    only candidate pairs.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    sig = _spark_minhash_sig(d)
     # Signatures are the materialization point of minhash dedup (8 ints
     # per doc regardless of corpus size): cache so the bands/sa/sb
     # branches read the computed rows instead of re-running the pipeline.
@@ -762,4 +770,140 @@ def dedup_paragraph_exact(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("1000 * n_dup_spans div n_spans").cast("bigint")
             .alias("dup_permille"),
         )
+    )
+
+
+# Deterministic doc_id -> split assignment shared by the Spark query and
+# its oracle: 60-bit md5 of the decimal doc_id, bucket 0 of 10 is 'val'.
+_SPLIT_BUCKET_SPARK = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 10"
+)
+_SPLIT_BUCKET_DUCK = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10"
+)
+
+
+@query(
+    "dedup_minhash_decontaminate",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    split AS (
+        SELECT doc_id,
+               CASE WHEN {_SPLIT_BUCKET_DUCK} = 0
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    ),
+    ssig AS (
+        SELECT s.doc_id, sp.split,
+               mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7
+        FROM sig s JOIN split sp ON s.doc_id = sp.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, split, 0 AS band,
+               CAST(mh0 AS VARCHAR) || '_' || mh1 AS bsig FROM ssig
+        UNION ALL
+        SELECT doc_id, split, 1, CAST(mh2 AS VARCHAR) || '_' || mh3 FROM ssig
+        UNION ALL
+        SELECT doc_id, split, 2, CAST(mh4 AS VARCHAR) || '_' || mh5 FROM ssig
+        UNION ALL
+        SELECT doc_id, split, 3, CAST(mh6 AS VARCHAR) || '_' || mh7 FROM ssig
+    ),
+    candidates AS (
+        SELECT DISTINCT v.doc_id AS val_doc, t.doc_id AS train_doc
+        FROM bands v JOIN bands t
+          ON v.band = t.band AND v.bsig = t.bsig
+        WHERE v.split = 'val' AND t.split = 'train'
+    ),
+    scored AS (
+        SELECT c.val_doc, c.train_doc,
+               (CASE WHEN sv.mh0 = st.mh0 THEN 1 ELSE 0 END
+              + CASE WHEN sv.mh1 = st.mh1 THEN 1 ELSE 0 END
+              + CASE WHEN sv.mh2 = st.mh2 THEN 1 ELSE 0 END
+              + CASE WHEN sv.mh3 = st.mh3 THEN 1 ELSE 0 END
+              + CASE WHEN sv.mh4 = st.mh4 THEN 1 ELSE 0 END
+              + CASE WHEN sv.mh5 = st.mh5 THEN 1 ELSE 0 END
+              + CASE WHEN sv.mh6 = st.mh6 THEN 1 ELSE 0 END
+              + CASE WHEN sv.mh7 = st.mh7 THEN 1 ELSE 0 END) AS matches
+        FROM candidates c
+        JOIN sig sv ON c.val_doc = sv.doc_id
+        JOIN sig st ON c.train_doc = st.doc_id
+    )
+    SELECT val_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_train_matches,
+           ROUND(MAX(matches) / 8.0, 4) AS best_est_jaccard
+    FROM scored WHERE matches >= 4
+    GROUP BY val_doc ORDER BY val_doc
+    """,
+    tags=("dedup", "llm-pipeline", "contamination"),
+)
+def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate eval decontamination: which held-out (val) documents
+    have a near-duplicate in the training split? Stable md5 split (bucket
+    0/10 = val), shared minhash signatures, then a DIRECTIONAL band
+    probe: val bands join train bands, never train x train — the
+    dominant cost of symmetric LSH disappears because the probe side is
+    ~10% of the corpus. Flags val docs with >= 4/8 matching signature
+    components (est Jaccard >= 0.5) — the GPT-3-style "remove eval
+    overlaps from train" step, run in the cheaper direction (drop from
+    val, train untouched).
+
+    Complements text_contamination_ngram (exact 8-gram overlap): minhash
+    catches paraphrase-level contamination exact grams miss.
+
+    Scale: signatures are computed once in a narrow map
+    (_spark_minhash_sig); the band join shuffles O(docs) band rows keyed
+    by (band, sig); the match filter is on integer match counts — no
+    float threshold ambiguity cross-engine. At 100 TB the train-side
+    signature table persists once and every new eval set probes it.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    sig = _spark_minhash_sig(d).withColumn(
+        "split",
+        F.when(F.expr(_SPLIT_BUCKET_SPARK) == 0, "val").otherwise("train"),
+    ).cache()
+    bands = sig.select(
+        "doc_id",
+        "split",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bsig"),
+    )
+    v = bands.filter(F.col("split") == "val").alias("v")
+    t = bands.filter(F.col("split") == "train").alias("t")
+    candidates = (
+        v.join(
+            t,
+            (F.col("v.band") == F.col("t.band"))
+            & (F.col("v.bsig") == F.col("t.bsig")),
+        )
+        .select(
+            F.col("v.doc_id").alias("val_doc"),
+            F.col("t.doc_id").alias("train_doc"),
+        )
+        .distinct()
+    )
+    sv = sig.alias("sv")
+    st = sig.alias("st")
+    matches = sum(
+        F.when(F.col(f"sv.mh{j}") == F.col(f"st.mh{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    return (
+        candidates.join(sv, F.col("val_doc") == F.col("sv.doc_id"))
+        .join(st, F.col("train_doc") == F.col("st.doc_id"))
+        .select("val_doc", "train_doc", matches.alias("matches"))
+        .filter(F.col("matches") >= 4)
+        .groupBy("val_doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train_matches"),
+            F.round(F.max("matches") / F.lit(8.0), 4)
+            .alias("best_est_jaccard"),
+        )
+        .orderBy("val_doc")
     )

@@ -830,3 +830,61 @@ def text_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("df") >= 50)
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT lower(w) AS word
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+      WHERE length(w) >= 2
+    ), wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY word
+    ), pairs AS (
+      SELECT substring(word, CAST(i AS INT), 2) AS pair, n
+      FROM wc, unnest(generate_series(1, length(word) - 1)) AS g(i)
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-trainer merge step: the top-20 adjacent character pairs by
+    corpus frequency — the statistic a byte-pair-encoding tokenizer
+    trainer computes once per merge round (Sennrich et al. 2016).
+
+    The scale trick is the same one every real BPE trainer uses: pair
+    counting runs over the DISTINCT-word frequency table, not the raw
+    corpus. The word-count aggregate collapses 100 TB of text to
+    O(|vocab|) rows first (Heaps' law: ~millions, not billions), and
+    only then does the narrow pair-expansion run — transform(sequence)
+    over ≤ word-length positions, a JVM higher-order function with no
+    Python and no extra shuffle. Final count is a pair-keyed aggregate
+    on ~1e3 distinct bigrams with map-side combine; top-20 is
+    TakeOrderedAndProject, not a global sort.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1),"
+                   " i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

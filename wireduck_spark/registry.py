@@ -362,6 +362,8 @@ PENDING_GATE: tuple[str, ...] = (
     # round-5 additions:
     "io_dynamic_partition_pruning",   # runtime dim-driven partition pruning
     "io_partition_overwrite_dynamic", # partition-level restatement write
+    "text_bpe_pair_counts",           # BPE merge-step pair statistics
+    "dedup_minhash_decontaminate",    # directional val-vs-train LSH probe
 )
 
 
