@@ -108,6 +108,9 @@ def check_regressions(result: dict, baseline_path: str,
     cross-methodology ratios say nothing about the code."""
     with open(baseline_path) as fh:
         base = json.load(fh)
+    # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
+    if "parsed" in base and isinstance(base["parsed"], dict):
+        base = base["parsed"]
     if base.get("methodology") not in (None, result["methodology"]):
         print(f"# baseline methodology {base.get('methodology')} != "
               f"current; guard skipped", file=sys.stderr)

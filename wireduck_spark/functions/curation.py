@@ -1131,3 +1131,60 @@ def sampling_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("k_target"))
         .select("doc_id", "source", "rk")
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    SELECT COALESCE(source, '(all)') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+               AS BIGINT) AS total_word_tokens,
+           ROUND(median(n_chars), 4) AS median_chars
+    FROM documents
+    GROUP BY ROLLUP(source)
+    ORDER BY source
+    """,
+    tags=("curation", "llm-pipeline", "rollup"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset-card statistics in ONE pass: per-source and grand-total
+    rows (ROLLUP) of document count, language breadth, exact-duplicate
+    headroom (distinct md5 vs rows), size totals in chars and word
+    tokens, and median document length — the numbers every dataset
+    release note / datasheet publishes (Gebru et al., "Datasheets for
+    Datasets").
+
+    Scale: one scan of documents feeds a rollup aggregate; the two
+    DISTINCT aggregates ride Spark's Expand (3x row multiplication of
+    grouped INTERMEDIATES, not of the corpus — the md5 is 16 bytes per
+    row either way, the raw text never shuffles). Median is the only
+    sort-based piece and runs per (source) group. For a 100-TB corpus
+    this is the query you run once per release snapshot; everything is
+    a shrink-then-aggregate, no joins, no Python.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    return (
+        d.rollup("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct(F.md5("text")).cast("bigint")
+            .alias("n_unique_texts"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(
+                F.size(F.regexp_extract_all(
+                    F.col("text"), F.lit("[A-Za-z0-9]+"), 0))
+            ).cast("bigint").alias("total_word_tokens"),
+            F.round(F.median("n_chars"), 4).alias("median_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            "n_docs", "n_langs", "n_unique_texts", "total_chars",
+            "total_word_tokens", "median_chars",
+        )
+        .orderBy("source")
+    )

@@ -364,6 +364,7 @@ PENDING_GATE: tuple[str, ...] = (
     "io_partition_overwrite_dynamic", # partition-level restatement write
     "text_bpe_pair_counts",           # BPE merge-step pair statistics
     "dedup_minhash_decontaminate",    # directional val-vs-train LSH probe
+    "pipeline_dataset_card",          # one-pass datasheet rollup
 )
 
 
