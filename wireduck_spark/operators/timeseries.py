@@ -1760,3 +1760,83 @@ def event_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("streak_start"),
         )
     )
+
+
+@query(
+    "event_watermark_lateness_audit",
+    oracle="""
+    WITH arrival AS (
+      SELECT event_type,
+             epoch_us(ts) AS ts_us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS hw_us
+      FROM events
+    ),
+    late AS (
+      SELECT event_type, hw_us - ts_us AS late_us FROM arrival
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_secs,
+           CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dropped_at_10min,
+           ROUND(quantile_cont(late_us, 0.95) / 1000000.0, 4)
+               AS p95_late_secs
+    FROM late
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "streaming", "quality"),
+)
+def event_watermark_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-orderness audit — the batch query that picks a streaming
+    watermark: treating event_id as ingest order, each event's lateness
+    is how far the per-user event-time high-water mark had already
+    advanced past it when it arrived. Reports, per event type, how many
+    events arrive out of order, the worst and p95 lateness, and exactly
+    how many a 10-minute watermark would drop — the
+    completeness-vs-latency trade made measurable before committing a
+    `withWatermark` threshold (the streaming twins in
+    streaming/windows.py take that threshold as input; this query is
+    where its value comes from).
+
+    Scale: the running max is a keyed window over user_id (one shuffle,
+    bounded running state — same shape as event_sessionization_gap);
+    the rollup to event types is a map-side-combinable aggregate over
+    integers; the one sort-based piece (p95) runs over per-group
+    microsecond BIGINTs, never raw rows.
+    """
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    arrival = e.select(
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.max(ts_us).over(w).alias("hw_us"),
+    )
+    late = arrival.select(
+        "event_type", (F.col("hw_us") - F.col("ts_us")).alias("late_us")
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+            .cast("bigint").alias("n_out_of_order"),
+            (F.max("late_us") / F.lit(1000000)).cast("bigint")
+            .alias("max_late_secs"),
+            F.sum(F.when(F.col("late_us") > 600000000, 1).otherwise(0))
+            .cast("bigint").alias("dropped_at_10min"),
+            F.round(
+                F.expr("percentile(late_us, 0.95)") / F.lit(1000000.0), 4
+            ).alias("p95_late_secs"),
+        )
+        .orderBy("event_type")
+    )

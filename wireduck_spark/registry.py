@@ -365,6 +365,7 @@ PENDING_GATE: tuple[str, ...] = (
     "text_bpe_pair_counts",           # BPE merge-step pair statistics
     "dedup_minhash_decontaminate",    # directional val-vs-train LSH probe
     "pipeline_dataset_card",          # one-pass datasheet rollup
+    "event_watermark_lateness_audit", # out-of-orderness vs watermark drop
 )
 
 
