@@ -1149,6 +1149,7 @@ def sampling_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("curation", "llm-pipeline", "rollup"),
+    bench=True,
 )
 def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
     """Dataset-card statistics in ONE pass: per-source and grand-total

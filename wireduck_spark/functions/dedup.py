@@ -836,6 +836,7 @@ _SPLIT_BUCKET_DUCK = (
     GROUP BY val_doc ORDER BY val_doc
     """,
     tags=("dedup", "llm-pipeline", "contamination"),
+    bench=True,
 )
 def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate eval decontamination: which held-out (val) documents

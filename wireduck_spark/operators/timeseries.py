@@ -1840,3 +1840,120 @@ def event_watermark_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "event_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substr(md5('exp7:' ||
+                      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x_cents,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y_cents
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x_cents) AS BIGINT) AS sx,
+             CAST(SUM(y_cents) AS BIGINT) AS sy,
+             CAST(SUM(x_cents * y_cents) AS BIGINT) AS sxy,
+             CAST(SUM(x_cents * x_cents) AS BIGINT) AS sxx
+      FROM per_user
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x_cents) AS BIGINT) AS sx_a,
+             CAST(SUM(y_cents) AS BIGINT) AS sy_a
+      FROM per_user GROUP BY arm
+    )
+    SELECT a.arm, a.n_users,
+           ROUND(CAST(a.sy_a AS DOUBLE) / a.n_users, 4) AS raw_mean_cents,
+           ROUND(CAST(a.sy_a AS DOUBLE) / a.n_users
+                 - ((CAST(p.n AS DOUBLE) * p.sxy
+                     - CAST(p.sx AS DOUBLE) * p.sy)
+                    / (CAST(p.n AS DOUBLE) * p.sxx
+                       - CAST(p.sx AS DOUBLE) * p.sx))
+                   * (CAST(a.sx_a AS DOUBLE) / a.n_users
+                      - CAST(p.sx AS DOUBLE) / p.n), 4)
+               AS cuped_mean_cents,
+           ROUND((CAST(p.n AS DOUBLE) * p.sxy
+                  - CAST(p.sx AS DOUBLE) * p.sy)
+                 / (CAST(p.n AS DOUBLE) * p.sxx
+                    - CAST(p.sx AS DOUBLE) * p.sx), 6) AS theta
+    FROM arms a, pooled p
+    ORDER BY a.arm
+    """,
+    tags=("timeseries", "experiment", "stats"),
+)
+def event_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): the A/B
+    readout's treatment means adjusted by each user's PRE-experiment
+    spend — adjusted_y = mean(y) - theta * (mean(x) - pooled mean(x)),
+    theta = cov(x, y)/var(x) — the standard trick that cuts experiment
+    runtimes ~50% by removing between-user variance the experiment
+    didn't cause.
+
+    Cross-engine determinism: all moments (n, Sx, Sy, Sxy, Sxx) are
+    EXACT int64 sums of per-user cents; theta and the adjusted means
+    are a handful of scalar IEEE ops on those exact integers with the
+    same expression tree in both engines — no float aggregation order
+    anywhere (per-user x*y peaks ~1e12, pooled sums ~1e17: inside
+    int64 with 8x headroom; DuckDB's HUGEINT sums are cast back).
+
+    Scale: one user-keyed aggregate (map-side combinable), a 1-row
+    pooled-moment aggregate broadcast to the 2-row arm rollup — the
+    covariate adjustment costs ONE extra pass of integer products over
+    what event_ab_test_lift already pays. Assignment is the same salted
+    md5 bucket, so both queries describe the same experiment.
+    """
+    e = table(spark, sf, "events")
+    arm = F.when(
+        F.expr("CAST(conv(substring(md5(concat('exp7:', "
+               "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    boundary = F.lit("2024-01-16").cast("timestamp_ntz").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < boundary, cents(F.col("value")))
+              .otherwise(0)).cast("bigint").alias("x_cents"),
+        F.sum(F.when(F.col("ts") >= boundary, cents(F.col("value")))
+              .otherwise(0)).cast("bigint").alias("y_cents"),
+    ).select(arm.alias("arm"), "x_cents", "y_cents")
+    pooled = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_cents").cast("bigint").alias("sx"),
+        F.sum("y_cents").cast("bigint").alias("sy"),
+        F.sum(F.col("x_cents") * F.col("y_cents")).cast("bigint")
+        .alias("sxy"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).cast("bigint")
+        .alias("sxx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x_cents").cast("bigint").alias("sx_a"),
+        F.sum("y_cents").cast("bigint").alias("sy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    theta = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    raw_mean = F.col("sy_a").cast("double") / F.col("n_users")
+    mean_x_arm = F.col("sx_a").cast("double") / F.col("n_users")
+    mean_x_pool = F.col("sx").cast("double") / F.col("n")
+    return j.select(
+        "arm",
+        "n_users",
+        F.round(raw_mean, 4).alias("raw_mean_cents"),
+        F.round(raw_mean - theta * (mean_x_arm - mean_x_pool), 4)
+        .alias("cuped_mean_cents"),
+        F.round(theta, 6).alias("theta"),
+    ).orderBy("arm")

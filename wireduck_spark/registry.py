@@ -121,6 +121,12 @@ GATE: tuple[str, ...] = (
     # ROTATED_OUT; the whole former PENDING_GATE set (13 tpch2 shapes +
     # round-3 operator additions) is promoted so each finally gets a
     # driver-contracted correctness row.
+    #
+    # Round-5 decision: CORRECTNESS_r04.json was never delivered, so the
+    # names below still have NO driver-contracted row. The gate is HELD
+    # unchanged this round (CORRECTNESS_r05.json will contract them);
+    # the planned rotation executes in round 6 instead — see SURVEY §8.
+    # Round-5 additions queue in PENDING_GATE.
     "agg_histogram_equiwidth",
     "agg_incremental_merge",
     "agg_mode_deterministic",
@@ -366,6 +372,7 @@ PENDING_GATE: tuple[str, ...] = (
     "dedup_minhash_decontaminate",    # directional val-vs-train LSH probe
     "pipeline_dataset_card",          # one-pass datasheet rollup
     "event_watermark_lateness_audit", # out-of-orderness vs watermark drop
+    "event_cuped_adjustment",         # CUPED variance-reduced A/B readout
 )
 
 
