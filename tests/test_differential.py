@@ -1,0 +1,190 @@
+"""Differential SQL fuzzing: hypothesis-generated predicates executed as
+the SAME SQL text on Spark and DuckDB over the same parquet, integer
+aggregates compared exactly.
+
+The oracle corpus (tools/check_oracle.py) verifies 200+ hand-written
+queries; this fuzzer covers the space BETWEEN them — arbitrary
+boolean-algebra combinations of comparisons, IN-lists, modular
+arithmetic, string prefixes, and date bounds that no hand-written query
+happens to exercise. Both engines parse one shared ANSI dialect, so any
+count/sum divergence is a real semantics bug in our Spark surface (or a
+cross-engine trap worth documenting), not a test-harness artifact.
+
+Determinism rules are the registry's: integer-only outputs (COUNT +
+SUM of an int key), no float expressions, no engine-specific functions.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wireduck_spark.registry import table
+
+# -- predicate AST ----------------------------------------------------------
+
+# Literal pools chosen to straddle the actual sf0.001 data ranges so
+# predicates are neither vacuous nor empty most of the time.
+_NUM_COLS = {
+    "o_orderkey": st.integers(min_value=0, max_value=7000),
+    "o_custkey": st.integers(min_value=0, max_value=1600),
+    "o_totalprice": st.sampled_from(
+        [0.0, 1000.0, 25000.5, 120000.25, 300000.0]),
+}
+_STATUS = st.sampled_from(["F", "O", "P"])
+_PRIORITY = st.sampled_from(
+    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+_DATES = st.sampled_from(
+    ["1993-01-01", "1995-06-15", "1996-12-31", "1998-08-02"])
+_CMP = st.sampled_from(["<", "<=", "=", ">=", ">", "<>"])
+
+
+def _leaf() -> st.SearchStrategy[str]:
+    num = st.one_of(
+        *[
+            st.tuples(st.just(c), _CMP, lit).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})")
+            for c, lit in _NUM_COLS.items()
+        ]
+    )
+    mod = st.tuples(
+        st.sampled_from(["o_orderkey", "o_custkey"]),
+        st.integers(min_value=2, max_value=13),
+        st.integers(min_value=0, max_value=12),
+    ).map(lambda t: f"(({t[0]} % {t[1]}) = {t[2] % t[1]})")
+    status = st.tuples(_CMP, _STATUS).map(
+        lambda t: f"(o_orderstatus {t[0]} '{t[1]}')")
+    inlist = st.lists(_PRIORITY, min_size=1, max_size=3).map(
+        lambda v: "(o_orderpriority IN ({}))".format(
+            ", ".join(f"'{x}'" for x in sorted(set(v)))))
+    date = st.tuples(_CMP, _DATES).map(
+        lambda t: f"(o_orderdate {t[0]} TIMESTAMP '{t[1]} 00:00:00')")
+    prefix = st.sampled_from(["1", "2", "3", "4", "5"]).map(
+        lambda d: f"(o_orderpriority LIKE '{d}%')")
+    return st.one_of(num, mod, status, inlist, date, prefix)
+
+
+def _predicates() -> st.SearchStrategy[str]:
+    return st.recursive(
+        _leaf(),
+        lambda sub: st.one_of(
+            st.tuples(sub, sub).map(lambda t: f"({t[0]} AND {t[1]})"),
+            st.tuples(sub, sub).map(lambda t: f"({t[0]} OR {t[1]})"),
+            sub.map(lambda p: f"(NOT {p})"),
+        ),
+        max_leaves=5,
+    )
+
+
+# -- engines ----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    yield spark, con
+    con.close()
+    spark.catalog.dropTempView("orders")
+
+
+def _both(engines, sql: str):
+    spark, con = engines
+    s_rows = [tuple(r) for r in spark.sql(sql).collect()]
+    d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+    return sorted(s_rows), sorted(d_rows)
+
+
+# -- properties -------------------------------------------------------------
+
+
+@given(pred=_predicates())
+@settings(max_examples=60, deadline=None)
+def test_filter_agg_differential(engines, pred):
+    """COUNT + exact integer SUM under an arbitrary predicate must match
+    DuckDB bit-for-bit."""
+    sql = (
+        "SELECT COUNT(*) AS n, "
+        "CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for predicate: {pred}"
+
+
+@given(pred=_predicates())
+@settings(max_examples=40, deadline=None)
+def test_groupby_differential(engines, pred):
+    """Grouped counts under an arbitrary predicate must match, including
+    WHICH groups survive the filter."""
+    sql = (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders WHERE {pred} "
+        "GROUP BY o_orderstatus, o_orderpriority"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for predicate: {pred}"
+
+
+@given(pred=_predicates(), k=st.integers(min_value=1, max_value=20))
+@settings(max_examples=30, deadline=None)
+def test_topk_differential(engines, pred, k):
+    """ORDER BY a unique key + LIMIT under an arbitrary predicate: the
+    selected row SET must match (unique tiebreak makes top-k total)."""
+    sql = (
+        "SELECT o_orderkey "
+        f"FROM orders WHERE {pred} ORDER BY o_orderkey LIMIT {k}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for predicate: {pred} (k={k})"
+
+
+@pytest.fixture(scope="module")
+def engines2(engines, spark, sf_dir):
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _, con = engines
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+    yield engines
+    spark.catalog.dropTempView("customer")
+
+
+@given(pred=_predicates())
+@settings(max_examples=30, deadline=None)
+def test_join_differential(engines2, pred):
+    """orders x customer equi-join under an arbitrary orders-side
+    predicate: per-segment counts and key sums must match."""
+    sql = (
+        "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(o.o_orderkey), 0) AS BIGINT) AS s "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        f"WHERE {pred} GROUP BY c.c_mktsegment"
+    )
+    s, d = _both(engines2, sql)
+    assert s == d, f"divergence for predicate: {pred}"
+
+
+@given(pred=_predicates(), rn=st.integers(min_value=1, max_value=3))
+@settings(max_examples=30, deadline=None)
+def test_window_differential(engines, pred, rn):
+    """row_number over a unique-tiebreak window under an arbitrary
+    predicate: the n-th row per status group must be the same row."""
+    sql = (
+        "SELECT o_orderstatus, o_orderkey FROM ("
+        "  SELECT o_orderstatus, o_orderkey, "
+        "         ROW_NUMBER() OVER (PARTITION BY o_orderstatus "
+        "                            ORDER BY o_orderkey) AS rn "
+        f"  FROM orders WHERE {pred}"
+        f") t WHERE rn = {rn}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for predicate: {pred} (rn={rn})"
