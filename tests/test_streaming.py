@@ -791,3 +791,62 @@ def test_pcap_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     second = run_once()
     # exactly-once: cap-001 is NOT reprocessed; only the new file lands
     assert len(second) == n_first + 5
+
+
+def test_stateful_lateness_matches_batch(spark, sf_dir, tmp_path):
+    """The high-water-mark lateness tracker must reproduce the batch
+    event_watermark_lateness_audit rollup exactly: same out-of-order
+    counts, max lateness, and watermark drop counts per event type (one
+    int64 of state per user). The landing files carry the SAME simulated
+    arrival log as the batch audit (arrival_ord column, precomputed in
+    batch — a stream can't run the row_number window)."""
+    from wireduck_spark.operators.timeseries import simulated_arrival
+    from wireduck_spark.registry import table
+    from wireduck_spark.streaming.stateful import lateness_tracker
+
+    d = tmp_path / "events_arrival"
+    simulated_arrival(table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "event_type", "ts", "arrival_ord"
+    ).coalesce(1).write.parquet(str(d))
+    stream = read_events_stream(spark, str(d))
+    q = (
+        lateness_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_lateness")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_out_of_order"],
+            r["max_late_secs"], r["dropped_at_10min"], r["dropped_at_1day"],
+        )
+        for r in spark.sql(
+            """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                       AS n_out_of_order,
+                   CAST(MAX(late_us) / 1000000 AS BIGINT)
+                       AS max_late_secs,
+                   SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+                       AS dropped_at_10min,
+                   SUM(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END)
+                       AS dropped_at_1day
+            FROM t_lateness GROUP BY event_type
+            """
+        ).collect()
+    }
+    expected = {
+        r["event_type"]: (
+            r["n_events"], r["n_out_of_order"],
+            r["max_late_secs"], r["dropped_at_10min"], r["dropped_at_1day"],
+        )
+        for r in QUERIES["event_watermark_lateness_audit"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in expected.values()), (
+        "simulated arrival log should contain out-of-order events")

@@ -1762,16 +1762,51 @@ def event_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def simulated_arrival(e: DataFrame) -> DataFrame:
+    """Add a deterministic `arrival_ord` column: the per-user event
+    sequence reordered by a hash jitter of up to 4 positions.
+
+    The driver's synthetic events carry NO ingest timestamp, and their
+    event_ids are perfectly event-time-ordered (verified: 0 inversions
+    at every sf) — a lateness audit over the raw sequence is vacuous.
+    Production tables have a real arrival column (ingest ts, Kafka
+    offset); this helper stands in for it with a reproducible arrival
+    log: arrival_ord = row_number (per user, by event_id) + md5-jitter
+    in [0, 4], so ~30% of events arrive behind a later-timestamped
+    sibling. Shared by the batch audit and the streaming-twin test so
+    both see the SAME arrival log.
+    """
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("event_id")
+    )
+    jit = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('arr:', "
+            "CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            " % 1000000007"
+        )
+        % 5
+    )
+    return e.withColumn("arrival_ord", (rn + jit).cast("bigint"))
+
+
 @query(
     "event_watermark_lateness_audit",
     oracle="""
-    WITH arrival AS (
-      SELECT event_type,
-             epoch_us(ts) AS ts_us,
-             MAX(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY event_id
-               ROWS UNBOUNDED PRECEDING) AS hw_us
+    WITH j AS (
+      SELECT event_type, event_id, epoch_us(ts) AS ts_us, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+               + ((('0x' || substr(md5('arr:' ||
+                    CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000007) % 5) AS arrival_ord
       FROM events
+    ),
+    arrival AS (
+      SELECT event_type, ts_us,
+             MAX(ts_us) OVER (
+               PARTITION BY user_id ORDER BY arrival_ord, event_id
+               ROWS UNBOUNDED PRECEDING) AS hw_us
+      FROM j
     ),
     late AS (
       SELECT event_type, hw_us - ts_us AS late_us FROM arrival
@@ -1783,6 +1818,8 @@ def event_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
            CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_secs,
            CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
                AS BIGINT) AS dropped_at_10min,
+           CAST(SUM(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dropped_at_1day,
            ROUND(quantile_cont(late_us, 0.95) / 1000000.0, 4)
                AS p95_late_secs
     FROM late
@@ -1793,30 +1830,34 @@ def event_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
 )
 def event_watermark_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Out-of-orderness audit — the batch query that picks a streaming
-    watermark: treating event_id as ingest order, each event's lateness
-    is how far the per-user event-time high-water mark had already
-    advanced past it when it arrived. Reports, per event type, how many
-    events arrive out of order, the worst and p95 lateness, and exactly
-    how many a 10-minute watermark would drop — the
+    watermark: each event's lateness is how far the per-user event-time
+    high-water mark had already advanced past it when it arrived
+    (arrival order from :func:`simulated_arrival` — the synthetic table
+    has no ingest column; see its docstring). Reports, per event type,
+    how many events arrive out of order, the worst and p95 lateness,
+    and exactly how many a 10-minute / 1-day watermark would drop — the
     completeness-vs-latency trade made measurable before committing a
     `withWatermark` threshold (the streaming twins in
     streaming/windows.py take that threshold as input; this query is
-    where its value comes from).
+    where its value comes from; streaming/stateful.lateness_tracker is
+    its live twin).
 
-    Scale: the running max is a keyed window over user_id (one shuffle,
-    bounded running state — same shape as event_sessionization_gap);
-    the rollup to event types is a map-side-combinable aggregate over
-    integers; the one sort-based piece (p95) runs over per-group
-    microsecond BIGINTs, never raw rows.
+    Scale: row_number and the running max are BOTH windows over the
+    same user_id partition key — one shuffle, bounded running state
+    (the event_sessionization_gap shape); the rollup to event types is
+    a map-side-combinable aggregate over integers; the one sort-based
+    piece (p95) runs over per-group microsecond BIGINTs, never raw
+    rows.
     """
     e = table(spark, sf, "events")
+    j = simulated_arrival(e)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("arrival_ord", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    arrival = e.select(
+    arrival = j.select(
         "event_type",
         ts_us.alias("ts_us"),
         F.max(ts_us).over(w).alias("hw_us"),
@@ -1834,6 +1875,8 @@ def event_watermark_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
             .alias("max_late_secs"),
             F.sum(F.when(F.col("late_us") > 600000000, 1).otherwise(0))
             .cast("bigint").alias("dropped_at_10min"),
+            F.sum(F.when(F.col("late_us") > 86400000000, 1).otherwise(0))
+            .cast("bigint").alias("dropped_at_1day"),
             F.round(
                 F.expr("percentile(late_us, 0.95)") / F.lit(1000000.0), 4
             ).alias("p95_late_secs"),

@@ -638,3 +638,86 @@ def distinct_type_tracker(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LATENESS_STATE_SCHEMA = StructType([StructField("hw_us", LongType())])
+
+LATENESS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("late_us", LongType()),
+    ]
+)
+
+
+def _lateness_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user event-time high-water mark (ONE int64 of state); emits
+    each event's lateness against it — the same arrival-order semantics
+    as the batch event_watermark_lateness_audit (event_id = ingest
+    order, in-batch order re-sorted locally)."""
+    (user_id,) = key
+    hw = -1
+    if state.exists:
+        (hw,) = state.get
+        hw = int(hw)
+    ids, types, lates = [], [], []
+    for pdf in batches:
+        order = (["arrival_ord", "event_id"]
+                 if "arrival_ord" in pdf.columns else ["event_id"])
+        pdf = pdf.sort_values(order)
+        ts_us = pdf["ts"].astype("int64")  # tracker pre-normalizes to us
+        for eid, et, t in zip(
+            pdf["event_id"].astype("int64"), pdf["event_type"], ts_us
+        ):
+            t = int(t)
+            hw = t if t > hw else hw
+            ids.append(int(eid))
+            types.append(et)
+            lates.append(hw - t)
+    state.update((hw,))
+    yield pd.DataFrame(
+        {
+            "event_id": ids,
+            "user_id": [user_id] * len(ids),
+            "event_type": types,
+            "late_us": lates,
+        }
+    )
+
+
+def lateness_tracker(events: DataFrame) -> DataFrame:
+    """Streaming twin of event_watermark_lateness_audit: the live
+    lateness readout a pipeline watches to know when its configured
+    watermark has started dropping data. State is ONE int64 per user
+    (the event-time high-water mark) — the cheapest state shape in this
+    module; the per-event lateness stream feeds any downstream windowed
+    rollup (p95 by type, drop counters).
+
+    The ts column arrives as TimestampType (micros) or raw nanos bigint
+    depending on the landing schema; both are normalized HERE to a
+    microsecond bigint (matching the batch audit's unix_micros) so the
+    state function never has to guess the unit.
+    """
+    from pyspark.sql import functions as F
+
+    cols = dict(events.dtypes)
+    keep = ["event_id", "user_id", "event_type", "ts"] + (
+        ["arrival_ord"] if "arrival_ord" in cols else [])
+    src = events.select(*keep)
+    if cols.get("ts", "").startswith("timestamp"):
+        src = src.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
+    else:  # raw TIMESTAMP(NANOS) landed as bigint
+        src = src.withColumn("ts", F.expr("ts div 1000"))
+    return src.groupBy("user_id").applyInPandasWithState(
+        _lateness_update,
+        outputStructType=LATENESS_OUTPUT_SCHEMA,
+        stateStructType=LATENESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
