@@ -237,3 +237,55 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("overestimates", F.col("cm_estimate") >= F.col("true_n"))
         .orderBy(F.desc("true_n"), "word")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') < '2024-01-08'
+    GROUP BY event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+    ORDER BY event_type, day
+    """,
+    tags=("agg", "distinct", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct counting via Spark 4 bitmap aggregates — the
+    COUNT(DISTINCT) rewrite for integer keys at warehouse scale: bucket
+    each user_id (32768 ids per bucket), build a per-bucket bitmap with
+    bitmap_construct_agg (map-side combinable — each partition
+    contributes a partial bitmap, merged by OR), then sum bitmap_count
+    per group. The oracle is plain COUNT(DISTINCT user_id): bitmaps are
+    exact, so the counts must match to the row.
+
+    Why this beats countDistinct at 100 TB: COUNT(DISTINCT) shuffles
+    every (group, user_id) pair (or Expands for multi-distinct), volume
+    ~ the event count; the bitmap path shuffles at most
+    #groups x #buckets fixed-size 4 KB bitmaps regardless of how many
+    BILLIONS of events hit each bucket — and unlike
+    approx_count_distinct / HLL (sketch_hll_distinct), it is exact.
+    The trade: keys must be integers with bounded range per bucket
+    count; ids are exactly that.
+    """
+    e = table(spark, sf, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    per_bucket = (
+        e.select(
+            "event_type",
+            day.alias("day"),
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .filter(F.col("day") < "2024-01-08")
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type", "day")
+        .agg(F.sum(F.bitmap_count(F.col("bm"))).cast("bigint")
+             .alias("n_users"))
+        .orderBy("event_type", "day")
+    )

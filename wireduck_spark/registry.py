@@ -373,6 +373,7 @@ PENDING_GATE: tuple[str, ...] = (
     "pipeline_dataset_card",          # one-pass datasheet rollup
     "event_watermark_lateness_audit", # out-of-orderness vs watermark drop
     "event_cuped_adjustment",         # CUPED variance-reduced A/B readout
+    "agg_bitmap_distinct",            # exact bitmap COUNT(DISTINCT) rewrite
 )
 
 
