@@ -374,6 +374,7 @@ PENDING_GATE: tuple[str, ...] = (
     "event_watermark_lateness_audit", # out-of-orderness vs watermark drop
     "event_cuped_adjustment",         # CUPED variance-reduced A/B readout
     "agg_bitmap_distinct",            # exact bitmap COUNT(DISTINCT) rewrite
+    "scalar_variant_shred",           # Spark 4 VARIANT parse-once shredding
 )
 
 
