@@ -507,3 +507,61 @@ def scalar_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "scalar_collation_caseless",
+    oracle="""
+    WITH mangled AS (
+      SELECT c_mktsegment,
+             CASE WHEN (('0x' || substr(md5(c_name), 1, 15))::BIGINT) % 2 = 0
+                  THEN upper(c_name) ELSE lower(c_name) END AS name_mixed
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT name_mixed) AS BIGINT) AS distinct_sensitive,
+           CAST(COUNT(DISTINCT lower(name_mixed)) AS BIGINT)
+               AS distinct_caseless
+    FROM mangled
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("scalar", "string", "collation"),
+)
+def scalar_collation_caseless(spark: SparkSession, sf: str) -> DataFrame:
+    """Collation-aware comparison via Spark 4 collations: customer names
+    are deterministically case-mangled (md5-hash coin flip between
+    upper/lower), then counted distinct under the default binary
+    collation AND under UTF8_LCASE — the engine-level case-insensitive
+    equality that makes dedup/joins on user-entered strings correct
+    without wrapping every column in lower() (the collation rides the
+    type, so every comparison, join, and GROUP BY downstream inherits
+    it). The DuckDB oracle expresses the same semantics with
+    lower()-normalized distinct; both engines must agree per segment.
+
+    Scale: countDistinct under a collation shuffles collation keys just
+    like binary strings — no plan-shape change; what changes at 100 TB
+    is correctness of every string join against mixed-case sources
+    without a normalize-and-copy pass over the corpus.
+    """
+    c = table(spark, sf, "customer")
+    h = F.expr(
+        "CAST(conv(substring(md5(c_name), 1, 15), 16, 10) AS BIGINT) % 2"
+    )
+    mangled = c.select(
+        "c_mktsegment",
+        F.when(h == 0, F.upper("c_name"))
+        .otherwise(F.lower("c_name")).alias("name_mixed"),
+    )
+    return (
+        mangled.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("name_mixed").cast("bigint")
+            .alias("distinct_sensitive"),
+            F.countDistinct(F.collate(F.col("name_mixed"), "UTF8_LCASE"))
+            .cast("bigint").alias("distinct_caseless"),
+        )
+        .orderBy("c_mktsegment")
+    )

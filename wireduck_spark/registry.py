@@ -375,6 +375,7 @@ PENDING_GATE: tuple[str, ...] = (
     "event_cuped_adjustment",         # CUPED variance-reduced A/B readout
     "agg_bitmap_distinct",            # exact bitmap COUNT(DISTINCT) rewrite
     "scalar_variant_shred",           # Spark 4 VARIANT parse-once shredding
+    "scalar_collation_caseless",      # UTF8_LCASE collation-aware distinct
 )
 
 
