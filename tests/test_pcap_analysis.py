@@ -317,3 +317,18 @@ def test_ipv6_traffic_golden(spark, queries):
     v4 = rows[("ipv4", "10.0.0.1")]
     assert v4["n_packets"] == 1
     assert len(rows) == 3
+
+
+def test_pcap_lake_federation_goldens(spark, sf_dir):
+    """Capture x parquet-dim federation: the per-service rollup must
+    reproduce the flagship port-pair goldens through the broadcast join
+    (429/259678 toward the fix-feed port, 56/19702 back)."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = {
+        r["service"]: (r["n_packets"], r["payload_bytes"])
+        for r in load_all_queries()["pcap_lake_federation"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows["fix-feed"] == (429, 259678)
+    assert rows["fix-client"] == (56, 19702)

@@ -376,6 +376,7 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_bitmap_distinct",            # exact bitmap COUNT(DISTINCT) rewrite
     "scalar_variant_shred",           # Spark 4 VARIANT parse-once shredding
     "scalar_collation_caseless",      # UTF8_LCASE collation-aware distinct
+    "pcap_lake_federation",           # rows-only; capture x parquet dim join
 )
 
 

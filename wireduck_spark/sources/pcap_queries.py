@@ -883,3 +883,49 @@ if _have_fixture():
                 F.sum("`frame.len`").cast("bigint").alias("total_bytes"),
             )
         )
+
+    @query("pcap_lake_federation", oracle=None,
+           tags=("pcap", "join", "federation"))
+    def pcap_lake_federation(spark: SparkSession, sf: str) -> DataFrame:
+        """Capture x lake-table federation — the reference's core pitch
+        (README.md: query pcap "alongside other data sources" in one
+        SQL engine): dissected TCP traffic joined to a parquet service
+        catalog dimension, per-service packet/byte rollup in ONE
+        Catalyst plan. The catalog is written as a real parquet file
+        first (the lake side), then broadcast onto the capture scan —
+        at 100 TB of captures the dim side stays a broadcast and the
+        pcap side keeps its byte-range split parallelism; neither side
+        is materialized through the other's format.
+
+        Goldens on fix.pcap ride the flagship pair (429 pkts -> port
+        53867, 56 -> 11001): asserted in tests/test_pcap_analysis.py.
+        """
+        import os
+
+        from wireduck_spark.sources.glossary import cache_dir
+
+        catalog_path = os.path.join(cache_dir(), "service_catalog.parquet")
+        catalog = spark.createDataFrame(
+            [(53, "dns"), (80, "http"), (443, "https"),
+             (53867, "fix-feed"), (11001, "fix-client")],
+            "port INT, service STRING",
+        )
+        catalog.coalesce(1).write.mode("overwrite").parquet(catalog_path)
+        dim = spark.read.parquet(catalog_path)
+        t = read_pcap(spark, FIXTURE, protocols=["tcp"], engine="native")
+        return (
+            t.join(
+                F.broadcast(dim),
+                t["`tcp.dstport`"].cast("int") == dim["port"],
+                "left",
+            )
+            .groupBy(
+                F.coalesce(F.col("service"), F.lit("unknown"))
+                .alias("service")
+            )
+            .agg(
+                F.count("*").alias("n_packets"),
+                F.sum("`tcp.len`").cast("bigint").alias("payload_bytes"),
+            )
+            .orderBy("service")
+        )
