@@ -499,3 +499,90 @@ def pipeline_rag_chunk_index(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
         F.sum("chunk_len").cast("bigint").alias("sum_chars"),
     )
+
+
+@query(
+    "embed_drift_audit",
+    oracle="""
+    WITH ex AS (
+        SELECT CASE WHEN (('0x' || substr(md5('snap:' ||
+                        CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                    THEN 'base' ELSE 'cand' END AS snap,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT snap, dim,
+               CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
+        FROM ex GROUP BY snap, dim
+    ),
+    wide AS (
+        SELECT b.dim,
+               b.mean_q AS mean_base_q,
+               c.mean_q AS mean_cand_q,
+               abs(b.mean_q - c.mean_q) AS abs_drift_q
+        FROM dims b JOIN dims c ON b.dim = c.dim
+        WHERE b.snap = 'base' AND c.snap = 'cand'
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, mean_base_q, mean_cand_q,
+           CAST(abs_drift_q AS BIGINT) AS abs_drift_q
+    FROM wide
+    ORDER BY abs_drift_q DESC, dim LIMIT 10
+    """,
+    tags=("embedding", "llm-pipeline", "quality"),
+)
+def embed_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding drift audit — the ML-ops check run when an embedding
+    model is upgraded or a corpus snapshot refreshes: per-dimension mean
+    shift between two snapshots (here: a stable hash split standing in
+    for yesterday/today), reporting the 10 most-drifted dimensions. A
+    sudden per-dim mean jump is the cheapest tripwire for silent
+    encoder regressions before they poison ANN indexes and dedup
+    thresholds downstream.
+
+    Engine-exactness: the embed_mean_pool recipe — coordinates quantized
+    to int64 (ROUND(x*1e6)) in a narrow map, integer sums (order-free),
+    truncating int division for means; the drift metric is an |int64 -
+    int64|. No float ever aggregates.
+
+    Scale: one posexplode keyed on (snapshot, dim) with map-side partial
+    sums — wire volume is 2 x d partials per task, not per vector; the
+    dim-level self-join is 2d rows (d=64); top-10 is
+    TakeOrderedAndProject. Linear in vectors, constant in everything
+    else.
+    """
+    e = table(spark, sf, "embeddings")
+    snap = F.when(
+        F.expr("CAST(conv(substring(md5(concat('snap:', "
+               "CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("base"),
+    ).otherwise(F.lit("cand"))
+    ex = e.select(
+        snap.alias("snap"),
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "snap",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+        .alias("q"),
+    )
+    dims = ex.groupBy("snap", "dim").agg(
+        F.expr("sum(q) div count(*)").cast("bigint").alias("mean_q")
+    )
+    b = dims.filter(F.col("snap") == "base").alias("b")
+    c = dims.filter(F.col("snap") == "cand").alias("c")
+    return (
+        b.join(c, F.col("b.dim") == F.col("c.dim"))
+        .select(
+            F.col("b.dim").cast("bigint").alias("dim"),
+            F.col("b.mean_q").alias("mean_base_q"),
+            F.col("c.mean_q").alias("mean_cand_q"),
+            F.abs(F.col("b.mean_q") - F.col("c.mean_q")).cast("bigint")
+            .alias("abs_drift_q"),
+        )
+        .orderBy(F.col("abs_drift_q").desc(), "dim")
+        .limit(10)
+    )

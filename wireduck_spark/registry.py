@@ -377,6 +377,7 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_variant_shred",           # Spark 4 VARIANT parse-once shredding
     "scalar_collation_caseless",      # UTF8_LCASE collation-aware distinct
     "pcap_lake_federation",           # rows-only; capture x parquet dim join
+    "embed_drift_audit",              # per-dim quantized mean-shift tripwire
 )
 
 
