@@ -2000,3 +2000,92 @@ def event_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
         .alias("cuped_mean_cents"),
         F.round(theta, 6).alias("theta"),
     ).orderBy("arm")
+
+
+@query(
+    "event_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS rev_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    joined AS (
+      SELECT p.p_id, p.rev_cents, t.t_id, t.t_type
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 1 DAY
+    ),
+    weighted AS (
+      SELECT p_id, t_type, rev_cents,
+             COUNT(*) OVER (PARTITION BY p_id) AS n_touches
+      FROM joined
+    )
+    SELECT t_type AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases_touched,
+           CAST(SUM(1000000 // n_touches) AS BIGINT) AS share_ppm_sum,
+           CAST(SUM(rev_cents // n_touches) AS BIGINT)
+               AS attributed_cents
+    FROM weighted
+    GROUP BY t_type
+    ORDER BY t_type
+    """,
+    tags=("timeseries", "events", "join", "analysis"),
+)
+def event_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase's revenue is split
+    equally across the user's view/click touches in the preceding 24 h
+    (the marketing-analytics sibling of the as-of join family, which
+    models LAST-touch). Shares are exact integers — 1e6 ppm and cents
+    divided by touch count with truncating division, identical in both
+    engines — so the cross-engine hash needs no float tolerance.
+
+    Scale: the purchase x touch join carries the user_id equi-conjunct,
+    so it plans as a hash join keyed on users with the 24 h bound as a
+    post-join filter — pair fan-out is bounded by touches-per-user-day,
+    never corpus^2 (the join_range_interval lesson). The per-purchase
+    touch count is a purchase-keyed window over already-joined rows;
+    final rollup is 2 groups.
+    """
+    e = table(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        cents(F.col("value")).alias("rev_cents"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
+    )
+    w = Window.partitionBy("p_id")
+    weighted = joined.select(
+        "p_id", "t_type", "rev_cents", F.count("*").over(w).alias("n_touches")
+    )
+    return (
+        weighted.groupBy(F.col("t_type").alias("touch_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.countDistinct("p_id").cast("bigint")
+            .alias("n_purchases_touched"),
+            F.sum(F.expr("1000000 div n_touches")).cast("bigint")
+            .alias("share_ppm_sum"),
+            F.sum(F.expr("rev_cents div n_touches")).cast("bigint")
+            .alias("attributed_cents"),
+        )
+        .orderBy("touch_type")
+    )

@@ -378,6 +378,7 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_collation_caseless",      # UTF8_LCASE collation-aware distinct
     "pcap_lake_federation",           # rows-only; capture x parquet dim join
     "embed_drift_audit",              # per-dim quantized mean-shift tripwire
+    "event_attribution_linear",       # multi-touch revenue attribution
 )
 
 
