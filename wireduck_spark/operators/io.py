@@ -821,3 +821,61 @@ def io_partition_overwrite_dynamic(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "io_csv_corrupt_tolerant",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 0
+                    ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END)
+               AS BIGINT) AS good_cents
+    FROM orders
+    """,
+    tags=("io", "quality", "schema-enforcement"),
+)
+def io_csv_corrupt_tolerant(spark: SparkSession, sf: str) -> DataFrame:
+    """Malformed-input tolerance on the CSV ingest path: a CSV copy of
+    orders with every 97th order's price vandalized to 'N/A' is read
+    back under an ENFORCED schema in PERMISSIVE mode with a
+    _corrupt_record capture column — bad cells surface as NULLs + the
+    raw line lands in the capture column (quarantine-able), instead of
+    either failing the job (FAILFAST) or silently importing garbage.
+    The oracle recomputes the intended semantics from the clean source:
+    row count preserved, exactly the vandalized rows flagged, the good
+    rows' sum untouched.
+
+    The lake reality at 100 TB: CSV feeds ALWAYS contain garbage rows,
+    and the three-way choice (fail / drop / quarantine-and-continue) is
+    a per-pipeline decision — this query pins the quarantine path,
+    Spark's production default.
+
+    Scale: the scan is split-parallel like any CSV read; the corrupt
+    capture adds one string column only on rows that fail the cast.
+    """
+    path = _scratch(sf, "orders_vandalized_csv")
+    o = table(spark, sf, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("N/A"))
+        .otherwise(F.col("o_totalprice").cast("string"))
+        .alias("o_totalprice"),
+    )
+    o.write.mode("overwrite").option("header", True).csv(path)
+    rr = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("o_orderkey BIGINT, o_totalprice DOUBLE, _bad STRING")
+        .csv(path)
+    )
+    return rr.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNotNull(), 0)
+            .otherwise(cents(F.col("o_totalprice")))
+        ).cast("bigint").alias("good_cents"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wireduck_spark.registry import query, table, ts_str
+from wireduck_spark.registry import cents, query, table, ts_str
 
 
 @query(
@@ -565,3 +565,51 @@ def scalar_collation_caseless(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "scalar_try_arith",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 / NULLIF(o_orderkey % 5, 0), 4) AS div_r4,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_orderkey % (o_orderkey % 5) END AS mod_safe,
+           CASE WHEN o_orderkey > 1 THEN NULL
+                ELSE o_orderkey * 9223372036854775807 END AS mul_edge,
+           CASE WHEN o_orderkey >= 1 THEN NULL
+                ELSE CAST(9223372036854775807 + o_orderkey AS BIGINT)
+           END AS add_overflow
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "math", "ansi"),
+)
+def scalar_try_arith(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-safe arithmetic: try_divide / try_mod return NULL on
+    divide-by-zero, try_multiply / try_add return NULL on int64
+    overflow — per row, instead of either failing the job (ANSI strict)
+    or silently wrapping (legacy). The DuckDB twin expresses the same
+    semantics with NULLIF / CASE guards (DuckDB promotes to HUGEINT
+    rather than overflowing, so the guard IS the portable meaning).
+
+    The 100-TB relevance: a single bad denominator in row
+    3,000,000,000 must not kill a 6-hour job, and a silent wraparound
+    is worse — try_* is the per-cell quarantine the engine-level
+    null-on-error cast (§1.2, typemap.py) gives the pcap path, applied
+    to arithmetic. All expressions are codegen'd JVM ops; the only
+    float crossing the engine boundary is one ROUND(4dp) division per
+    row, deterministic per input.
+    """
+    o = table(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(cents(F.col("o_totalprice")), k % 5), 4)
+        .alias("div_r4"),
+        F.try_mod(k, k % 5).cast("bigint").alias("mod_safe"),
+        F.try_multiply(k, F.lit(9223372036854775807).cast("bigint"))
+        .cast("bigint").alias("mul_edge"),
+        F.try_add(F.lit(9223372036854775807).cast("bigint"), k)
+        .cast("bigint").alias("add_overflow"),
+    ).orderBy("o_orderkey")

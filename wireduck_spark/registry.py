@@ -379,6 +379,8 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_lake_federation",           # rows-only; capture x parquet dim join
     "embed_drift_audit",              # per-dim quantized mean-shift tripwire
     "event_attribution_linear",       # multi-touch revenue attribution
+    "io_csv_corrupt_tolerant",        # PERMISSIVE quarantine ingest path
+    "scalar_try_arith",               # ANSI-safe NULL-on-error arithmetic
 )
 
 
