@@ -332,3 +332,19 @@ def test_pcap_lake_federation_goldens(spark, sf_dir):
     }
     assert rows["fix-feed"] == (429, 259678)
     assert rows["fix-client"] == (56, 19702)
+
+
+def test_pcap_capture_compare_goldens(spark, sf_dir):
+    """Capture diff through the pcap sink: the data-only rewrite must
+    drop exactly the zero-length segments of each direction of the
+    flagship flow (429 -> 425 requests, 56 -> 5 responses)."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = {
+        (r["srcport"], r["dstport"]):
+            (r["n_before"], r["n_after"], r["status"])
+        for r in load_all_queries()["pcap_capture_compare"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows[(11001, 53867)] == (429, 425, "changed")
+    assert rows[(53867, 11001)] == (56, 5, "changed")

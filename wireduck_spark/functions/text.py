@@ -888,3 +888,44 @@ def text_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS ({_langid_scores_sql()})
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN labeled_lang = predicted_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-label audit as a confusion matrix: the declared `lang`
+    column crossed with the stopword-heuristic detector's prediction
+    (text_langid re-used verbatim — one detector, two consumers). The
+    off-diagonal cells are the mislabeled-language candidates a corpus
+    curator quarantines before language-stratified sampling
+    (sampling_temperature_mix) trusts the labels.
+
+    Scale: the detector is 4 regexp counts in a narrow map; the matrix
+    is a <=16-group aggregate — the audit costs one scan regardless of
+    corpus size.
+    """
+    scored = text_langid(spark, sf)
+    return (
+        scored.groupBy("labeled_lang", "predicted_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("labeled_lang") == F.col("predicted_lang"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

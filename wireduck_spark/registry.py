@@ -381,6 +381,8 @@ PENDING_GATE: tuple[str, ...] = (
     "event_attribution_linear",       # multi-touch revenue attribution
     "io_csv_corrupt_tolerant",        # PERMISSIVE quarantine ingest path
     "scalar_try_arith",               # ANSI-safe NULL-on-error arithmetic
+    "text_lang_confusion",            # declared-vs-detected lang audit
+    "pcap_capture_compare",           # rows-only; before/after capture diff
 )
 
 

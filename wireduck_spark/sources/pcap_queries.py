@@ -929,3 +929,53 @@ if _have_fixture():
             )
             .orderBy("service")
         )
+
+    @query("pcap_capture_compare", oracle=None,
+           tags=("pcap", "analysis", "cdc"))
+    def pcap_capture_compare(spark: SparkSession, sf: str) -> DataFrame:
+        """Capture diff — the netops before/after workflow (firewall
+        change, QoS rollout: what traffic disappeared?): the baseline
+        capture vs a rewritten copy holding only data-bearing TCP
+        segments (the 'after' produced through the pcap SINK, so the
+        diff also end-to-ends the writer), compared per directed port
+        pair with per-side packet counts and a CDC-style status.
+
+        Scale: both sides are ordinary parallel capture scans collapsed
+        to port-pair aggregates BEFORE the full outer join — the join
+        touches O(flows) rows, never O(packets).
+        """
+        import tempfile
+
+        base = read_pcap(spark, FIXTURE, protocols=["frame", "tcp"],
+                         engine="native")
+        out_dir = os.path.join(tempfile.gettempdir(),
+                               "wireduck_capture_compare")
+        (
+            base.filter(F.col("`tcp.len`") > 0)
+            .select("`frame.time_epoch`", "`frame.raw`")
+            .write.format("pcap").mode("overwrite").save(out_dir)
+        )
+        after = read_pcap(spark, f"{out_dir}/*.pcap", protocols=["tcp"],
+                          engine="native")
+
+        def rollup(df, n_name):
+            return df.groupBy(
+                F.col("`tcp.srcport`").alias("srcport"),
+                F.col("`tcp.dstport`").alias("dstport"),
+            ).agg(F.count("*").cast("bigint").alias(n_name))
+
+        b = rollup(base, "n_before")
+        a = rollup(after, "n_after")
+        return (
+            b.join(a, ["srcport", "dstport"], "full_outer")
+            .select(
+                "srcport",
+                "dstport",
+                F.coalesce("n_before", F.lit(0)).alias("n_before"),
+                F.coalesce("n_after", F.lit(0)).alias("n_after"),
+                F.when(F.coalesce("n_after", F.lit(0)) == 0, "removed")
+                .when(F.col("n_before") == F.col("n_after"), "unchanged")
+                .otherwise("changed").alias("status"),
+            )
+            .orderBy("srcport", "dstport")
+        )
