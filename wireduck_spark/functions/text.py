@@ -929,3 +929,123 @@ def text_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+_BM25_TERMS = ("scan", "join", "filter")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    contrib = " + ".join(
+        f"(ln(1 + (CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * 2.2)"
+        f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM tok
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               {df_cols}
+        FROM tf
+    )
+    SELECT doc_id, ROUND({contrib}, 4) AS bm25
+    FROM tf, corpus
+    WHERE tf_scan + tf_join + tf_filter > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """
+
+
+@query(
+    "text_bm25_score",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "llm-pipeline"),
+)
+def text_bm25_score(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson/Sparck Jones, k1=1.2 b=0.75)
+    for the fixed query {scan, join, filter} — the ranking function
+    behind every lexical retriever, and the lexical half of the hybrid
+    RAG stack next to the embedding ANN queries. Complements
+    text_tfidf_keywords (per-doc keyword extraction) with query-time
+    document RANKING.
+
+    Engine-exactness: tf/dl/df/N are exact integers; idf and the length
+    normalization are a fixed-shape scalar IEEE tree over those
+    integers, summed over the three terms in literal order — no float
+    ever aggregates across rows — and the score is rounded to 4 dp on
+    output (the scalar_math_funcs ln contract). Ordering is by the
+    ROUNDED score with doc_id tiebreak, so near-ties cannot flap
+    cross-engine.
+
+    Scale: one narrow tokenize pass computes (dl, tf_t) per doc; the
+    corpus stats (N, avgdl, df_t) are ONE 1-row aggregate broadcast
+    back (the scalar-subquery pattern); scoring is a narrow map and
+    top-20 is TakeOrderedAndProject. At 100 TB the tf table is the
+    thing a search system materializes as its forward index — this
+    query is that pipeline end-to-end.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    tok = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")),
+                             F.lit("[a-z0-9]+"), 0).alias("toks"),
+    )
+    tf = tok.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))")
+            .cast("bigint").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    corpus = tf.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("bigint") / F.count("*").cast("double"))
+        .alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("bigint").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(corpus))
+    contrib = None
+    for t in _BM25_TERMS:
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs").cast("double") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+        )
+        part = idf * (F.col(f"tf_{t}") * 2.2) / (
+            F.col(f"tf_{t}")
+            + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+        contrib = part if contrib is None else contrib + part
+    return (
+        scored.filter(
+            (F.col("tf_scan") + F.col("tf_join") + F.col("tf_filter")) > 0
+        )
+        .select("doc_id", F.round(contrib, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -383,6 +383,7 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_try_arith",               # ANSI-safe NULL-on-error arithmetic
     "text_lang_confusion",            # declared-vs-detected lang audit
     "pcap_capture_compare",           # rows-only; before/after capture diff
+    "text_bm25_score",                # lexical retrieval ranking (BM25)
 )
 
 
