@@ -595,3 +595,170 @@ def range_search_lsh(spark: SparkSession, sf: str,
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _hybrid_rrf_oracle() -> str:
+    terms = ("scan", "join", "filter")
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+    contrib = " + ".join(
+        f"(ln(1 + (CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * 2.2)"
+        f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        for t in terms
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM tok
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+               {df_cols}
+        FROM tf
+    ),
+    lex_scores AS (
+        SELECT doc_id, ROUND({contrib}, 4) AS bm25
+        FROM tf, corpus
+        WHERE tf_scan + tf_join + tf_filter > 0
+    ),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+        FROM lex_scores
+        ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    ex AS (
+        SELECT vec_id, label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT dim, CAST(SUM(q) // COUNT(*) AS BIGINT) AS v
+        FROM ex WHERE label = 0 GROUP BY dim
+    ),
+    dots AS (
+        SELECT e.vec_id, CAST(SUM(e.q * qv.v) AS BIGINT) AS dot
+        FROM ex e JOIN qv ON e.dim = qv.dim
+        GROUP BY e.vec_id
+    ),
+    sem AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS rs
+        FROM dots
+        ORDER BY dot DESC, vec_id LIMIT 50
+    )
+    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+           CAST(COALESCE(l.rl, 0) AS BIGINT) AS rank_lex,
+           CAST(COALESCE(s.rs, 0) AS BIGINT) AS rank_sem,
+           ROUND(COALESCE(1.0 / (60 + l.rl), 0)
+                 + COALESCE(1.0 / (60 + s.rs), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+    ORDER BY rrf DESC, doc_id LIMIT 15
+    """
+
+
+@query(
+    "pipeline_hybrid_rrf",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("similarity", "search", "llm-pipeline", "pipeline"),
+)
+def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 lexical top-50 (bm25_scored, reused verbatim) fused
+    with an embedding-similarity top-50 (quantized integer dot products
+    against the label-0 centroid as the query vector), score
+    1/(60+rank_lex) + 1/(60+rank_sem) — the stock hybrid-search
+    combiner behind every production RAG stack, composed entirely from
+    operators this engine already verifies separately.
+
+    Scale shape: each retriever reduces to its top-50 via
+    TakeOrderedAndProject BEFORE fusion — at 100 TB you fuse candidate
+    lists, never corpora. Ranks inside the 50-row lists come from a
+    broadcast count-of-better self-join (50x50 on each side), NOT a
+    global window, so the corpus-wide plan stays partition-parallel and
+    the plan audit's no-global-window rule holds. Determinism: dot
+    products are exact int64 (1e6-quantized coords — order-free sums),
+    BM25 is the 4 dp-rounded shared scorer, fusion arithmetic is a
+    fixed two-term scalar tree rounded to 6 dp.
+    """
+    from wireduck_spark.functions.text import bm25_scored
+
+    lex50 = (
+        bm25_scored(spark, sf)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+    )
+
+    def rank_better(df, score, key, rank_name):
+        a = df.alias("a")
+        b = df.alias("b")
+        better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
+            (F.col(f"b.{score}") == F.col(f"a.{score}"))
+            & (F.col(f"b.{key}") < F.col(f"a.{key}"))
+        )
+        counts = (
+            a.join(F.broadcast(b), better, "left")
+            .groupBy(F.col(f"a.{key}").alias(key))
+            .agg(
+                F.count(F.col(f"b.{key}")).cast("bigint").alias("n_better")
+            )
+        )
+        return counts.select(
+            key, (F.col("n_better") + 1).cast("bigint").alias(rank_name)
+        )
+
+    lexr = rank_better(lex50, "bm25", "doc_id", "rl")
+    e = table(spark, sf, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+        .alias("q"),
+    )
+    qv = (
+        ex.filter(F.col("label") == 0)
+        .groupBy("dim")
+        .agg(F.expr("sum(q) div count(*)").cast("bigint").alias("v"))
+    )
+    dots = (
+        ex.join(F.broadcast(qv), "dim")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("v")).cast("bigint").alias("dot"))
+    )
+    sem50 = dots.orderBy(F.col("dot").desc(), "vec_id").limit(50)
+    semr = rank_better(sem50, "dot", "vec_id", "rs")
+    fused = lexr.join(
+        semr, lexr["doc_id"] == semr["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(lexr["doc_id"], semr["vec_id"]).alias("doc_id"),
+        F.coalesce(F.col("rl"), F.lit(0)).cast("bigint").alias("rank_lex"),
+        F.coalesce(F.col("rs"), F.lit(0)).cast("bigint").alias("rank_sem"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rs")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)

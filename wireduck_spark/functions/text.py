@@ -975,34 +975,12 @@ def _bm25_oracle() -> str:
     """
 
 
-@query(
-    "text_bm25_score",
-    oracle=_bm25_oracle(),
-    tags=("text", "search", "llm-pipeline"),
-)
-def text_bm25_score(spark: SparkSession, sf: str) -> DataFrame:
-    """BM25 relevance scoring (Robertson/Sparck Jones, k1=1.2 b=0.75)
-    for the fixed query {scan, join, filter} — the ranking function
-    behind every lexical retriever, and the lexical half of the hybrid
-    RAG stack next to the embedding ANN queries. Complements
-    text_tfidf_keywords (per-doc keyword extraction) with query-time
-    document RANKING.
-
-    Engine-exactness: tf/dl/df/N are exact integers; idf and the length
-    normalization are a fixed-shape scalar IEEE tree over those
-    integers, summed over the three terms in literal order — no float
-    ever aggregates across rows — and the score is rounded to 4 dp on
-    output (the scalar_math_funcs ln contract). Ordering is by the
-    ROUNDED score with doc_id tiebreak, so near-ties cannot flap
-    cross-engine.
-
-    Scale: one narrow tokenize pass computes (dl, tf_t) per doc; the
-    corpus stats (N, avgdl, df_t) are ONE 1-row aggregate broadcast
-    back (the scalar-subquery pattern); scoring is a narrow map and
-    top-20 is TakeOrderedAndProject. At 100 TB the tf table is the
-    thing a search system materializes as its forward index — this
-    query is that pipeline end-to-end.
-    """
+def bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, bm25) for every document matching >=1 query term —
+    the shared scorer behind text_bm25_score (top-20 readout) and
+    pipeline_hybrid_rrf (lexical half of hybrid retrieval). bm25 is
+    already rounded to 4 dp so every consumer orders by the same
+    cross-engine-stable value."""
     d = table(spark, sf, "documents", spread=True)
     tok = d.select(
         "doc_id",
@@ -1041,11 +1019,45 @@ def text_bm25_score(spark: SparkSession, sf: str) -> DataFrame:
             + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
         )
         contrib = part if contrib is None else contrib + part
+    match_any = None
+    for t in _BM25_TERMS:
+        cond = F.col(f"tf_{t}") > 0
+        match_any = cond if match_any is None else (match_any | cond)
+    return scored.filter(match_any).select(
+        "doc_id", F.round(contrib, 4).alias("bm25")
+    )
+
+
+@query(
+    "text_bm25_score",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "llm-pipeline"),
+)
+def text_bm25_score(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 relevance scoring (Robertson/Sparck Jones, k1=1.2 b=0.75)
+    for the fixed query {scan, join, filter} — the ranking function
+    behind every lexical retriever, and the lexical half of the hybrid
+    RAG stack next to the embedding ANN queries. Complements
+    text_tfidf_keywords (per-doc keyword extraction) with query-time
+    document RANKING.
+
+    Engine-exactness: tf/dl/df/N are exact integers; idf and the length
+    normalization are a fixed-shape scalar IEEE tree over those
+    integers, summed over the three terms in literal order — no float
+    ever aggregates across rows — and the score is rounded to 4 dp on
+    output (the scalar_math_funcs ln contract). Ordering is by the
+    ROUNDED score with doc_id tiebreak, so near-ties cannot flap
+    cross-engine.
+
+    Scale: one narrow tokenize pass computes (dl, tf_t) per doc; the
+    corpus stats (N, avgdl, df_t) are ONE 1-row aggregate broadcast
+    back (the scalar-subquery pattern); scoring is a narrow map and
+    top-20 is TakeOrderedAndProject. At 100 TB the tf table is the
+    thing a search system materializes as its forward index — this
+    query is that pipeline end-to-end.
+    """
     return (
-        scored.filter(
-            (F.col("tf_scan") + F.col("tf_join") + F.col("tf_filter")) > 0
-        )
-        .select("doc_id", F.round(contrib, 4).alias("bm25"))
+        bm25_scored(spark, sf)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )

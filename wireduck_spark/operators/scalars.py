@@ -581,7 +581,7 @@ def scalar_collation_caseless(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE CAST(9223372036854775807 + o_orderkey AS BIGINT)
            END AS add_overflow
     FROM orders
-    ORDER BY o_orderkey
+    WHERE o_orderkey % 10 = 0
     """,
     tags=("scalar", "math", "ansi"),
 )
@@ -599,9 +599,11 @@ def scalar_try_arith(spark: SparkSession, sf: str) -> DataFrame:
     null-on-error cast (§1.2, typemap.py) gives the pcap path, applied
     to arithmetic. All expressions are codegen'd JVM ops; the only
     float crossing the engine boundary is one ROUND(4dp) division per
-    row, deterministic per input.
+    row, deterministic per input. Key-mod filter bounds the gate's
+    collect+hash size (the scalar_math_funcs convention); the
+    function surface is unchanged.
     """
-    o = table(spark, sf, "orders")
+    o = table(spark, sf, "orders").filter(F.col("o_orderkey") % 10 == 0)
     k = F.col("o_orderkey")
     return o.select(
         "o_orderkey",
@@ -612,4 +614,4 @@ def scalar_try_arith(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint").alias("mul_edge"),
         F.try_add(F.lit(9223372036854775807).cast("bigint"), k)
         .cast("bigint").alias("add_overflow"),
-    ).orderBy("o_orderkey")
+    )

@@ -384,6 +384,7 @@ PENDING_GATE: tuple[str, ...] = (
     "text_lang_confusion",            # declared-vs-detected lang audit
     "pcap_capture_compare",           # rows-only; before/after capture diff
     "text_bm25_score",                # lexical retrieval ranking (BM25)
+    "pipeline_hybrid_rrf",            # BM25 x embedding reciprocal-rank fusion
 )
 
 
