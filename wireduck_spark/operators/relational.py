@@ -1211,3 +1211,168 @@ def agg_grouping_id_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "grouping_id",
                 "is_flag_total", "n", "price_cents")
     )
+
+
+@query(
+    "agg_bool_predicates",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_whale,
+           bool_and(o_orderdate >= TIMESTAMP '1992-01-01') AS all_in_range
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "predicate"),
+)
+def agg_bool_predicates(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate aggregates: count_if / bool_and (EVERY) / bool_or (ANY)
+    — the assertion-style aggregations data-quality suites are built
+    from (dq_expectations_audit composes them; this row pins the
+    primitives themselves against DuckDB's identical functions).
+
+    Scale: all four are map-side-combinable single-bit/int partials —
+    the cheapest aggregate family there is.
+    """
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").cast("bigint")
+            .alias("n_finished"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_whale"),
+            F.bool_and(
+                F.col("o_orderdate")
+                >= F.lit("1992-01-01").cast("timestamp_ntz")
+            ).alias("all_in_range"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant as an expression STRING — generated once and fed
+    verbatim to BOTH engines so the IEEE evaluation trees are identical."""
+    return (f"({a} * ({e} * {i} - {f} * {h}) "
+            f"- {b} * ({d} * {i} - {f} * {g}) "
+            f"+ {c} * ({d} * {h} - {e} * {g}))")
+
+
+def _ols2_exprs():
+    """Cramer's-rule solutions of the 2-feature + intercept normal
+    equations, over double-cast exact integer moments nD/s1/s2/s11/s12/
+    s22/sy/s1y/s2y."""
+    m = ("nD", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+    det_m = _det3(*m)
+    det_b0 = _det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+    det_b1 = _det3("nD", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+    det_b2 = _det3("nD", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+    return det_m, det_b0, det_b1, det_b2
+
+
+_OLS2_DET_M, _OLS2_DET_B0, _OLS2_DET_B1, _OLS2_DET_B2 = _ols2_exprs()
+
+_OLS2_MOMENTS_SQL = """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x1) AS BIGINT) AS i1,
+               CAST(SUM(x2) AS BIGINT) AS i2,
+               CAST(SUM(x1 * x1) AS BIGINT) AS i11,
+               CAST(SUM(x1 * x2) AS BIGINT) AS i12,
+               CAST(SUM(x2 * x2) AS BIGINT) AS i22,
+               CAST(SUM(y) AS BIGINT) AS iy,
+               CAST(SUM(x1 * y) AS BIGINT) AS i1y,
+               CAST(SUM(x2 * y) AS BIGINT) AS i2y
+        FROM obs GROUP BY event_type
+"""
+
+
+@query(
+    "stats_ols_two_feature",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x1,
+               CAST(day(ts) AS BIGINT) AS x2,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ),
+    moments AS ({_OLS2_MOMENTS_SQL}),
+    cast_m AS (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) AS nD,
+               CAST(i1 AS DOUBLE) AS s1, CAST(i2 AS DOUBLE) AS s2,
+               CAST(i11 AS DOUBLE) AS s11, CAST(i12 AS DOUBLE) AS s12,
+               CAST(i22 AS DOUBLE) AS s22,
+               CAST(iy AS DOUBLE) AS sy,
+               CAST(i1y AS DOUBLE) AS s1y, CAST(i2y AS DOUBLE) AS s2y
+        FROM moments
+    )
+    SELECT event_type, n,
+           ROUND({_OLS2_DET_B0} / {_OLS2_DET_M}, 6) AS b0_cents,
+           ROUND({_OLS2_DET_B1} / {_OLS2_DET_M}, 6) AS b1_per_hour,
+           ROUND({_OLS2_DET_B2} / {_OLS2_DET_M}, 6) AS b2_per_dom
+    FROM cast_m
+    ORDER BY event_type
+    """,
+    tags=("agg", "stats"),
+)
+def stats_ols_two_feature(spark: SparkSession, sf: str) -> DataFrame:
+    """Multiple linear regression by normal equations: value-cents on
+    (hour-of-day, day-of-month) with intercept, one model per event
+    type, solved with Cramer's rule — the distributed-OLS recipe (exact
+    integer moment matrix from one map-side-combinable aggregate, tiny
+    closed-form solve) that scales to any row count because only the
+    9 moments cross the wire. Extends window_rolling_regression
+    (single-feature, trailing frame) to the multi-feature whole-corpus
+    fit.
+
+    Engine-exactness: every moment is an exact int64 sum (x1<=23,
+    x2<=31, y<=1e7 cents: i1y peaks ~2e13 at sf0.1x8 — 400x inside
+    int64); the determinants are ONE generated expression string
+    (_det3) evaluated by both engines over double-cast moments, so the
+    IEEE trees match operation-for-operation; coefficients round to
+    6 dp on output.
+    """
+    e = table(spark, sf, "events")
+    obs = e.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.dayofmonth("ts").cast("bigint").alias("x2"),
+        cents(F.col("value")).alias("y"),
+    )
+    m = obs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("i1"),
+        F.sum("x2").cast("bigint").alias("i2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("i11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("i12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("i22"),
+        F.sum("y").cast("bigint").alias("iy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("i1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("i2y"),
+    )
+    c = m.select(
+        "event_type", "n",
+        F.col("n").cast("double").alias("nD"),
+        F.col("i1").cast("double").alias("s1"),
+        F.col("i2").cast("double").alias("s2"),
+        F.col("i11").cast("double").alias("s11"),
+        F.col("i12").cast("double").alias("s12"),
+        F.col("i22").cast("double").alias("s22"),
+        F.col("iy").cast("double").alias("sy"),
+        F.col("i1y").cast("double").alias("s1y"),
+        F.col("i2y").cast("double").alias("s2y"),
+    )
+    return c.select(
+        "event_type", "n",
+        F.round(F.expr(f"{_OLS2_DET_B0} / {_OLS2_DET_M}"), 6)
+        .alias("b0_cents"),
+        F.round(F.expr(f"{_OLS2_DET_B1} / {_OLS2_DET_M}"), 6)
+        .alias("b1_per_hour"),
+        F.round(F.expr(f"{_OLS2_DET_B2} / {_OLS2_DET_M}"), 6)
+        .alias("b2_per_dom"),
+    ).orderBy("event_type")

@@ -385,6 +385,8 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_capture_compare",           # rows-only; before/after capture diff
     "text_bm25_score",                # lexical retrieval ranking (BM25)
     "pipeline_hybrid_rrf",            # BM25 x embedding reciprocal-rank fusion
+    "agg_bool_predicates",            # count_if / EVERY / ANY primitives
+    "stats_ols_two_feature",          # normal-equations OLS, exact moments
 )
 
 
