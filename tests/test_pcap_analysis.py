@@ -348,3 +348,19 @@ def test_pcap_capture_compare_goldens(spark, sf_dir):
     }
     assert rows[(11001, 53867)] == (429, 425, "changed")
     assert rows[(53867, 11001)] == (56, 5, "changed")
+
+
+def test_pcap_flowlet_split_goldens(spark, sf_dir):
+    """fix.pcap's one TCP stream must split into exactly 5 flowlets at
+    the 5 s inactivity timeout, packets summing to the capture's 485,
+    with the big data burst (450 pkts / 273199 B) as flowlet 2."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = [
+        (r["flowlet_id"], r["n_packets"], r["payload_bytes"])
+        for r in load_all_queries()["pcap_flowlet_split"]
+        .fn(spark, sf_dir).collect()
+    ]
+    assert len(rows) == 5
+    assert sum(n for _, n, _ in rows) == 485
+    assert rows[1] == (2, 450, 273199)

@@ -2089,3 +2089,101 @@ def event_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "event_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_block
+      FROM iv
+    ),
+    blocks AS (
+      SELECT user_id, s, e,
+             CAST(SUM(new_block) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS block_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, block_id,
+             MIN(s) AS block_start_us, MAX(e) AS block_end_us
+      FROM blocks GROUP BY user_id, block_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged_intervals,
+           CAST(SUM(block_end_us - block_start_us) // 1000000 AS BIGINT)
+               AS covered_secs
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("timeseries", "window", "interval"),
+)
+def event_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping-interval merge (the scheduling/uptime primitive:
+    coalesce [start, end) spans into maximal disjoint blocks): each
+    event opens a 30-minute activity interval; per user, overlapping
+    intervals merge and the query reports merged-block counts and the
+    EXACT covered seconds — union time, which naive SUM(duration)
+    overstates wherever intervals overlap.
+
+    The rewrite is gaps-and-islands on the running max of interval
+    ends: an interval starts a new block iff its start exceeds every
+    previous end (keyed running MAX window), block ids are the running
+    sum of those flags, and each block reduces to (min start, max end).
+    Same plan family as event_sessionization_gap but over INTERVALS —
+    sessionization merges points by gap; this merges spans by overlap.
+
+    Scale: two windows + one aggregate, all partitioned by user_id —
+    ONE shuffle; integer microseconds end to end.
+    """
+    e = table(spark, sf, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 1800000000)
+        .alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0).alias("new_block"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blocks = flagged.select(
+        "user_id", "s", "e",
+        F.sum("new_block").over(w_run).cast("bigint").alias("block_id"),
+    )
+    merged = blocks.groupBy("user_id", "block_id").agg(
+        F.min("s").alias("block_start_us"),
+        F.max("e").alias("block_end_us"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_merged_intervals"),
+            F.expr("sum(block_end_us - block_start_us) div 1000000")
+            .cast("bigint").alias("covered_secs"),
+        )
+        .orderBy("user_id")
+    )

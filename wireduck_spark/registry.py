@@ -387,6 +387,8 @@ PENDING_GATE: tuple[str, ...] = (
     "pipeline_hybrid_rrf",            # BM25 x embedding reciprocal-rank fusion
     "agg_bool_predicates",            # count_if / EVERY / ANY primitives
     "stats_ols_two_feature",          # normal-equations OLS, exact moments
+    "event_interval_merge",           # overlap-merge of activity spans
+    "pcap_flowlet_split",             # rows-only; NetFlow inactive timeout
 )
 
 

@@ -979,3 +979,58 @@ if _have_fixture():
             )
             .orderBy("srcport", "dstport")
         )
+
+    @query("pcap_flowlet_split", oracle=None,
+           tags=("pcap", "analysis", "window"))
+    def pcap_flowlet_split(spark: SparkSession, sf: str) -> DataFrame:
+        """NetFlow-style flowlet accounting: long TCP streams split at
+        5-second inactivity gaps into flowlets (the inactive-timeout
+        semantics every flow exporter applies before records leave the
+        router), per-flowlet packet/byte/duration rollup. Same
+        gaps-and-islands rewrite as event_sessionization_gap, keyed on
+        the content-derived tcp.stream instead of a user id — the
+        point: the capture surface and the relational surface share
+        plans, not just storage.
+
+        Scale: one shuffle on stream id; lag + running-sum windows over
+        each stream's packets; bounded state per key.
+        """
+        from pyspark.sql import Window
+
+        t = read_pcap(spark, FIXTURE, protocols=["tcp"], engine="native")
+        w = Window.partitionBy("`tcp.stream`").orderBy("`frame.time_epoch`",
+                                                       "`frame.number`")
+        ts_us = F.unix_micros(F.col("`frame.time_epoch`").cast("timestamp"))
+        lagged = t.select(
+            F.col("`tcp.stream`").alias("stream"),
+            ts_us.alias("ts"),
+            F.col("`frame.number`").alias("fno"),
+            F.col("`tcp.len`").alias("plen"),
+            F.lag(ts_us).over(w).alias("prev_ts"),
+        )
+        flagged = lagged.withColumn(
+            "new_flowlet",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") - F.col("prev_ts") > 5000000),
+                1,
+            ).otherwise(0),
+        )
+        w_run = (
+            Window.partitionBy("stream")
+            .orderBy("ts", "fno")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        flowlets = flagged.withColumn(
+            "flowlet_id", F.sum("new_flowlet").over(w_run).cast("bigint")
+        )
+        return (
+            flowlets.groupBy("stream", "flowlet_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.sum("plen").cast("bigint").alias("payload_bytes"),
+                F.round((F.max("ts") - F.min("ts")) / F.lit(1000000.0), 3)
+                .alias("duration_s"),
+            )
+            .orderBy("stream", "flowlet_id")
+        )
