@@ -383,3 +383,113 @@ def dq_freshness_sla(spark: SparkSession, sf: str) -> DataFrame:
         staleness.alias("staleness_min"),
         (staleness <= 60).alias("within_sla"),
     )
+
+
+@query(
+    "dq_distribution_drift_psi",
+    oracle="""
+    WITH snap AS (
+      SELECT CASE WHEN (('0x' || substr(md5('psi:' ||
+                   CAST(event_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                  THEN 'base' ELSE 'cand' END AS snap,
+             event_type,
+             CAST(hour(ts) AS BIGINT) // 6 AS hour_bucket
+      FROM events
+    ),
+    counts AS (
+      SELECT 'event_type' AS dim, event_type AS bucket,
+             CAST(SUM(CASE WHEN snap = 'base' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_base,
+             CAST(SUM(CASE WHEN snap = 'cand' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_cand
+      FROM snap GROUP BY event_type
+      UNION ALL
+      SELECT 'hour_q' AS dim, CAST(hour_bucket AS VARCHAR),
+             CAST(SUM(CASE WHEN snap = 'base' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN snap = 'cand' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM snap GROUP BY hour_bucket
+    ),
+    tot AS (
+      SELECT dim, CAST(SUM(n_base) AS BIGINT) AS t_base,
+             CAST(SUM(n_cand) AS BIGINT) AS t_cand
+      FROM counts GROUP BY dim
+    )
+    SELECT c.dim,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(SUM(
+             (CAST(c.n_base AS DOUBLE) / t.t_base
+              - CAST(c.n_cand AS DOUBLE) / t.t_cand)
+             * ln((CAST(c.n_base AS DOUBLE) / t.t_base)
+                  / (CAST(c.n_cand AS DOUBLE) / t.t_cand))
+           ), 6) AS psi
+    FROM counts c JOIN tot t ON c.dim = t.dim
+    GROUP BY c.dim
+    ORDER BY c.dim
+    """,
+    tags=("quality", "stats", "drift"),
+)
+def dq_distribution_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index between two snapshots (stable hash
+    split standing in for last-week/this-week), per monitored
+    dimension — THE model-monitoring drift metric (PSI < 0.1 stable,
+    > 0.25 retrain): categorical event-type mix and 6-hour time-of-day
+    buckets. Complements embed_drift_audit (feature-space drift) with
+    input-distribution drift.
+
+    Exactness note: bucket counts are exact int64; the per-bucket PSI
+    term is a fixed IEEE tree over two exact ratios, and the SUM over
+    buckets runs over <=5 values whose ADDITION ORDER could differ
+    cross-engine — so buckets are few (the monitoring regime) and the
+    result rounds to 6 dp, which absorbs the worst-case reassociation
+    error (~1e-13 here) with nine digits to spare. Every bucket is
+    non-empty in both snapshots by construction (hash-half split of
+    the same corpus), so no epsilon-smoothing is needed; a production
+    caller adds Laplace counts before the ratio.
+
+    Scale: one scan -> two small grouped counts -> a per-dim rollup;
+    nothing grows with the corpus but the first aggregate's input.
+    """
+    e = table(spark, sf, "events")
+    snap = F.when(
+        F.expr("CAST(conv(substring(md5(concat('psi:', "
+               "CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("base"),
+    ).otherwise(F.lit("cand"))
+    s = e.select(
+        snap.alias("snap"),
+        "event_type",
+        F.expr("CAST(hour(ts) AS BIGINT) div 6").alias("hour_bucket"),
+    )
+
+    def bucket_counts(col, dim_name):
+        return (
+            s.groupBy(F.col(col).cast("string").alias("bucket"))
+            .agg(
+                F.sum(F.when(F.col("snap") == "base", 1).otherwise(0))
+                .cast("bigint").alias("n_base"),
+                F.sum(F.when(F.col("snap") == "cand", 1).otherwise(0))
+                .cast("bigint").alias("n_cand"),
+            )
+            .select(F.lit(dim_name).alias("dim"), "bucket",
+                    "n_base", "n_cand")
+        )
+
+    counts = bucket_counts("event_type", "event_type").unionAll(
+        bucket_counts("hour_bucket", "hour_q")
+    )
+    tot = counts.groupBy("dim").agg(
+        F.sum("n_base").cast("bigint").alias("t_base"),
+        F.sum("n_cand").cast("bigint").alias("t_cand"),
+    )
+    j = counts.join(F.broadcast(tot), "dim")
+    p = F.col("n_base").cast("double") / F.col("t_base")
+    q = F.col("n_cand").cast("double") / F.col("t_cand")
+    return (
+        j.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        )
+        .orderBy("dim")
+    )

@@ -389,6 +389,7 @@ PENDING_GATE: tuple[str, ...] = (
     "stats_ols_two_feature",          # normal-equations OLS, exact moments
     "event_interval_merge",           # overlap-merge of activity spans
     "pcap_flowlet_split",             # rows-only; NetFlow inactive timeout
+    "dq_distribution_drift_psi",      # PSI input-distribution monitoring
 )
 
 
