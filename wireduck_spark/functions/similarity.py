@@ -691,9 +691,12 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: each retriever reduces to its top-50 via
     TakeOrderedAndProject BEFORE fusion — at 100 TB you fuse candidate
     lists, never corpora. Ranks inside the 50-row lists come from a
-    broadcast count-of-better self-join (50x50 on each side), NOT a
-    global window, so the corpus-wide plan stays partition-parallel and
-    the plan audit's no-global-window rule holds. Determinism: dot
+    constant-partition row_number over the LIMITed candidates — a
+    single task over <=50 rows by construction, so the corpus-wide
+    plan stays partition-parallel (no unbounded global window, no
+    nested-loop join; the first draft's count-of-better inequality
+    join planned as 4 BroadcastNestedLoopJoins and was caught by the
+    plan audit). Determinism: dot
     products are exact int64 (1e6-quantized coords — order-free sums),
     BM25 is the 4 dp-rounded shared scorer, fusion arithmetic is a
     fixed two-term scalar tree rounded to 6 dp.
@@ -706,25 +709,21 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .limit(50)
     )
 
-    def rank_better(df, score, key, rank_name):
-        a = df.alias("a")
-        b = df.alias("b")
-        better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
-            (F.col(f"b.{score}") == F.col(f"a.{score}"))
-            & (F.col(f"b.{key}") < F.col(f"a.{key}"))
+    def rank_limited(df, score, key, rank_name):
+        # The input is bounded to <=50 rows by the preceding
+        # TakeOrderedAndProject, so a single-task window is the intended
+        # plan at ANY corpus size — the constant partition key states
+        # that boundedness explicitly and keeps the corpus-scale
+        # no-global-window audit invariant meaningful (an unbounded
+        # global window would still flag).
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            F.col(score).desc(), F.col(key)
         )
-        counts = (
-            a.join(F.broadcast(b), better, "left")
-            .groupBy(F.col(f"a.{key}").alias(key))
-            .agg(
-                F.count(F.col(f"b.{key}")).cast("bigint").alias("n_better")
-            )
-        )
-        return counts.select(
-            key, (F.col("n_better") + 1).cast("bigint").alias(rank_name)
+        return df.select(
+            key, F.row_number().over(w).cast("bigint").alias(rank_name)
         )
 
-    lexr = rank_better(lex50, "bm25", "doc_id", "rl")
+    lexr = rank_limited(lex50, "bm25", "doc_id", "rl")
     e = table(spark, sf, "embeddings")
     ex = e.select(
         "vec_id",
@@ -748,7 +747,7 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(F.col("q") * F.col("v")).cast("bigint").alias("dot"))
     )
     sem50 = dots.orderBy(F.col("dot").desc(), "vec_id").limit(50)
-    semr = rank_better(sem50, "dot", "vec_id", "rs")
+    semr = rank_limited(sem50, "dot", "vec_id", "rs")
     fused = lexr.join(
         semr, lexr["doc_id"] == semr["vec_id"], "full_outer"
     ).select(
