@@ -188,3 +188,37 @@ def test_window_differential(engines, pred, rn):
     )
     s, d = _both(engines, sql)
     assert s == d, f"divergence for predicate: {pred} (rn={rn})"
+
+
+@given(pred=_predicates(), n=st.integers(min_value=1, max_value=400))
+@settings(max_examples=30, deadline=None)
+def test_having_differential(engines, pred, n):
+    """GROUP BY + HAVING over an arbitrary predicate: the surviving
+    group set AND their aggregates must match."""
+    sql = (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)"
+        " AS cents "
+        f"FROM orders WHERE {pred} "
+        f"GROUP BY o_orderpriority HAVING COUNT(*) >= {n}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for predicate: {pred} (having n>={n})"
+
+
+@given(pred=_predicates())
+@settings(max_examples=30, deadline=None)
+def test_case_aggregate_differential(engines, pred):
+    """Conditional aggregation (CASE inside SUM) under an arbitrary
+    predicate — the pivot-ish shape — must match exactly."""
+    sql = (
+        "SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_f, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN o_orderkey ELSE 0 END)"
+        " AS BIGINT) AS keys_o, "
+        "CAST(MIN(CASE WHEN o_custkey % 3 = 0 THEN o_orderkey END)"
+        " AS BIGINT) AS min_div3 "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for predicate: {pred}"
