@@ -1376,3 +1376,48 @@ def stats_ols_two_feature(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.expr(f"{_OLS2_DET_B2} / {_OLS2_DET_M}"), 6)
         .alias("b2_per_dom"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS total_dec,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                * CAST('0.0825' AS DECIMAL(6,4)) AS VARCHAR) AS tax_dec,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+               AS max_dec
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "decimal"),
+)
+def agg_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact DECIMAL arithmetic end-to-end: prices cast to DECIMAL(18,2),
+    summed exactly (no float summation order anywhere), multiplied by a
+    DECIMAL tax rate with the engines' scale-propagation rules, emitted
+    as canonical strings — both engines must render the identical
+    digits including trailing zeros. The corpus's integer-cents
+    convention (registry rule 1) is the portable workaround; this row
+    pins the engine-native alternative a finance warehouse would use
+    directly.
+
+    Scale: decimal sums partial-aggregate exactly like longs (128-bit
+    accumulators); no behavioral cliff at any size until DECIMAL(38)
+    overflow, which ~1e16 cents of revenue does not approach.
+    """
+    o = table(spark, sf, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    total = F.sum(dec)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            total.cast("string").alias("total_dec"),
+            (total * F.lit("0.0825").cast("decimal(6,4)"))
+            .cast("string").alias("tax_dec"),
+            F.max(dec).cast("string").alias("max_dec"),
+        )
+        .orderBy("o_orderpriority")
+    )

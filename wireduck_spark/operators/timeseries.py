@@ -2187,3 +2187,79 @@ def event_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                  CAST(MIN(ts) AS DATE)) // 7 AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', DATE '2024-01-01',
+                  CAST(e.ts AS DATE)) // 7 AS BIGINT)
+               - f.cohort_week AS age_weeks,
+             CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    weekly AS (
+      SELECT cohort_week, age_weeks,
+             CAST(SUM(cents) AS BIGINT) AS week_cents
+      FROM rev GROUP BY cohort_week, age_weeks
+    )
+    SELECT cohort_week, age_weeks, week_cents,
+           CAST(SUM(week_cents) OVER (
+             PARTITION BY cohort_week ORDER BY age_weeks
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ltv_cents
+    FROM weekly
+    ORDER BY cohort_week, age_weeks
+    """,
+    tags=("timeseries", "analysis", "events"),
+)
+def event_cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort LTV curves — the growth-analytics companion of
+    event_retention_cohorts: users cohorted by first-seen week,
+    purchase revenue accumulated by cohort age, the running total being
+    the lifetime-value curve whose plateau finance teams read payback
+    periods from. All integer cents; week arithmetic is integer day
+    division against a fixed epoch so both engines bucket identically.
+
+    Scale: first-seen is one user-keyed aggregate; revenue rows join to
+    it user-keyed (broadcast-able once cohorts are materialized); the
+    curve itself is a running sum over (cohort, age) AGGREGATES —
+    cohorts x ages rows, thousands at most, regardless of corpus size.
+    """
+    e = table(spark, sf, "events")
+    week = lambda c: F.expr(  # noqa: E731
+        f"CAST(datediff({c}, DATE '2024-01-01') div 7 AS BIGINT)"
+    )
+    firsts = e.groupBy("user_id").agg(
+        week("CAST(MIN(ts) AS DATE)").alias("cohort_week")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (week("CAST(ts AS DATE)") - F.col("cohort_week"))
+            .alias("age_weeks"),
+            cents(F.col("value")).alias("cents"),
+        )
+    )
+    weekly = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").cast("bigint").alias("week_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        "cohort_week", "age_weeks", "week_cents",
+        F.sum("week_cents").over(w).cast("bigint").alias("cum_ltv_cents"),
+    ).orderBy("cohort_week", "age_weeks")

@@ -390,6 +390,8 @@ PENDING_GATE: tuple[str, ...] = (
     "event_interval_merge",           # overlap-merge of activity spans
     "pcap_flowlet_split",             # rows-only; NetFlow inactive timeout
     "dq_distribution_drift_psi",      # PSI input-distribution monitoring
+    "agg_decimal_exact",              # engine-native DECIMAL money path
+    "event_cohort_ltv_curve",         # cumulative cohort lifetime value
 )
 
 
