@@ -1061,3 +1061,65 @@ def text_bm25_score(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_readability_fk",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+                 + 11.8 * (CAST(n_syll AS DOUBLE) / greatest(n_words, 1))
+                 - 15.59, 4) AS fk_grade
+    FROM counts
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_readability_fk(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document — the readability filter
+    corpus curators use next to the length/punctuation signals
+    (text_quality_score): 0.39·(words/sentences) +
+    11.8·(syllables/words) − 15.59, with syllables approximated by
+    vowel-group runs (the standard regex proxy) and sentences by
+    terminal-punctuation runs.
+
+    Exactness: the three counts are exact integers from shared-regex
+    extraction; the grade is one fixed scalar IEEE tree per row,
+    rounded 4 dp. Scale: pure narrow map, no shuffle at all.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    n_words = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+    ).cast("bigint")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    n_syll = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    c = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    return c.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        F.round(
+            0.39 * (F.col("n_words").cast("double") / F.col("n_sents"))
+            + 11.8 * (F.col("n_syll").cast("double")
+                      / F.greatest(F.col("n_words"), F.lit(1)))
+            - 15.59,
+            4,
+        ).alias("fk_grade"),
+    )

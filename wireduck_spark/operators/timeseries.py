@@ -2263,3 +2263,55 @@ def event_cohort_ltv_curve(spark: SparkSession, sf: str) -> DataFrame:
         "cohort_week", "age_weeks", "week_cents",
         F.sum("week_cents").over(w).cast("bigint").alias("cum_ltv_cents"),
     ).orderBy("cohort_week", "age_weeks")
+
+
+@query(
+    "event_power_user_curve",
+    oracle="""
+    WITH active AS (
+      SELECT user_id,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 AS active_days
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'
+      GROUP BY user_id
+    )
+    SELECT active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active
+    GROUP BY active_days
+    ORDER BY active_days
+    """,
+    tags=("timeseries", "events", "analysis"),
+)
+def event_power_user_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """The L28 power-user curve (Facebook's engagement-depth fingerprint):
+    how many users were active exactly k of the 28 days of January —
+    the histogram whose right-hand mass distinguishes habit products
+    from drive-by traffic, and the distribution DAU/MAU collapses to a
+    single ratio.
+
+    Scale: active-days is one user-keyed distinct-date aggregate
+    (map-side combinable after the (user, date) dedup); the curve is a
+    28-bucket rollup of user-level rows. Linear in events, constant
+    output.
+    """
+    e = table(spark, sf, "events")
+    active = (
+        e.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz")
+             .cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-29").cast("timestamp_ntz")
+               .cast("timestamp"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.col("ts").cast("date")).cast("bigint")
+            .alias("active_days")
+        )
+    )
+    return (
+        active.groupBy("active_days")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("active_days")
+    )

@@ -392,6 +392,8 @@ PENDING_GATE: tuple[str, ...] = (
     "dq_distribution_drift_psi",      # PSI input-distribution monitoring
     "agg_decimal_exact",              # engine-native DECIMAL money path
     "event_cohort_ltv_curve",         # cumulative cohort lifetime value
+    "text_readability_fk",            # Flesch-Kincaid corpus filter
+    "event_power_user_curve",         # L28 engagement-depth histogram
 )
 
 
