@@ -364,3 +364,16 @@ def test_pcap_flowlet_split_goldens(spark, sf_dir):
     assert len(rows) == 5
     assert sum(n for _, n, _ in rows) == 485
     assert rows[1] == (2, 450, 273199)
+
+
+def test_pcap_syn_options_goldens(spark, sf_dir):
+    """fix.pcap's two loopback SYNs must surface MSS 65495 with window
+    scales 7 (client) and 2 (server), both SACK-permitted."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = {
+        (r["mss"], r["wscale"]): (r["sack_permitted"], r["n_syn"])
+        for r in load_all_queries()["pcap_syn_options_audit"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows == {(65495, 7): (True, 1), (65495, 2): (True, 1)}

@@ -2315,3 +2315,78 @@ def event_power_user_curve(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("active_days")
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH cum AS (
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      FROM events
+    ),
+    peaks AS (
+      SELECT user_id, event_id, cum_cents,
+             CAST(MAX(cum_cents) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents
+      FROM cum
+    )
+    SELECT user_id,
+           CAST(MAX(peak_cents - cum_cents) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak_cents) AS BIGINT) AS peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM peaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("timeseries", "window", "analysis"),
+)
+def window_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximum drawdown per user — the finance risk analytic (largest
+    peak-to-trough fall of the cumulative value series), computed as
+    nested running windows: cumulative sum, then its running maximum,
+    then MAX(peak − current). The three-layer composition is the test:
+    engines disagree on window-over-window semantics far more often
+    than on single windows.
+
+    Exactness: everything is int64 cents; the event-time running sum
+    orders by (ts, event_id) and the peak runs over the same sequence
+    keyed by the unique event_id — total orders, no tie ambiguity.
+
+    Scale: both windows and the final aggregate share the user_id
+    partition key — ONE shuffle, bounded running state, the
+    event_sessionization_gap plan family.
+    """
+    e = table(spark, sf, "events")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = e.select(
+        "user_id", "event_id",
+        F.sum(cents(F.col("value"))).over(w_cum).cast("bigint")
+        .alias("cum_cents"),
+    )
+    w_peak = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peaks = cum.select(
+        "user_id", "event_id", "cum_cents",
+        F.max("cum_cents").over(w_peak).cast("bigint").alias("peak_cents"),
+    )
+    return (
+        peaks.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak_cents") - F.col("cum_cents")).cast("bigint")
+            .alias("max_drawdown_cents"),
+            F.max("peak_cents").cast("bigint").alias("peak_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

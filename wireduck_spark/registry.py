@@ -394,6 +394,8 @@ PENDING_GATE: tuple[str, ...] = (
     "event_cohort_ltv_curve",         # cumulative cohort lifetime value
     "text_readability_fk",            # Flesch-Kincaid corpus filter
     "event_power_user_curve",         # L28 engagement-depth histogram
+    "window_max_drawdown",            # nested-window peak-to-trough risk
+    "pcap_syn_options_audit",         # rows-only; p0f-style SYN options
 )
 
 

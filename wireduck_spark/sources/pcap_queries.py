@@ -1034,3 +1034,29 @@ if _have_fixture():
             )
             .orderBy("stream", "flowlet_id")
         )
+
+    @query("pcap_syn_options_audit", oracle=None,
+           tags=("pcap", "dissect", "analysis"))
+    def pcap_syn_options_audit(spark: SparkSession, sf: str) -> DataFrame:
+        """SYN-segment TCP options audit: per (direction, mss, wscale,
+        sack_permitted) counts over connection-opening segments — the
+        fingerprint passive OS-identification (p0f) and PMTU debugging
+        read from a capture. Uses the native dissector's TCP options
+        walk (MSS / window-scale / SACK-permitted), no tshark.
+
+        Scale: a SYN-flag filter prunes to handshake packets before any
+        shuffle; the rollup is a tiny keyed aggregate.
+        """
+        t = read_pcap(spark, FIXTURE, protocols=["ip", "tcp"],
+                      engine="native")
+        syns = t.filter(F.col("`tcp.flags.syn`"))
+        return (
+            syns.groupBy(
+                F.col("`ip.src`").alias("src"),
+                F.col("`tcp.options.mss_val`").alias("mss"),
+                F.col("`tcp.options.wscale.shift`").alias("wscale"),
+                F.col("`tcp.options.sack_perm`").alias("sack_permitted"),
+            )
+            .agg(F.count("*").cast("bigint").alias("n_syn"))
+            .orderBy("src", "mss")
+        )
