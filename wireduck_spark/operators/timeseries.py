@@ -2390,3 +2390,59 @@ def window_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "event_error_budget_burn",
+    oracle="""
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_errors
+      FROM events
+      GROUP BY date_trunc('hour', ts)
+    )
+    SELECT window_start, n_total, n_errors,
+           CAST(1000000 * n_errors // n_total AS BIGINT) AS error_ppm,
+           CAST(1000000 * n_errors // n_total AS BIGINT)
+               > 10 * 50000 AS burn_10x
+    FROM hourly
+    WHERE CAST(1000000 * n_errors // n_total AS BIGINT) > 2 * 50000
+    ORDER BY window_start
+    """,
+    tags=("timeseries", "quality", "analysis"),
+)
+def event_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
+    """SLO error-budget burn-rate alerting (the Google SRE multiwindow
+    recipe): hourly error fractions in integer ppm against a 5% SLO
+    budget (50000 ppm); hours burning >2x budget surface as alerts,
+    with the >10x fast-burn flag that pages instead of tickets.
+
+    Exactness: burn thresholds compare integer ppm (1e6·errors div
+    total) — no float ratio crosses the engine boundary or the alert
+    threshold. Scale: one tumbling-window aggregate, map-side
+    combinable; alerting at 100 TB of events is the same plan with a
+    streaming twin (tw_tumbling's shape + this WHERE)."""
+    e = table(spark, sf, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint").alias("n_errors"),
+        )
+    )
+    ppm = F.expr("1000000 * n_errors div n_total").cast("bigint")
+    return (
+        hourly.select(
+            ts_str(F.col("w")).alias("window_start"),
+            "n_total",
+            "n_errors",
+            ppm.alias("error_ppm"),
+            (ppm > 10 * 50000).alias("burn_10x"),
+        )
+        .filter(F.col("error_ppm") > 2 * 50000)
+        .orderBy("window_start")
+    )

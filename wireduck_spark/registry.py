@@ -396,6 +396,7 @@ PENDING_GATE: tuple[str, ...] = (
     "event_power_user_curve",         # L28 engagement-depth histogram
     "window_max_drawdown",            # nested-window peak-to-trough risk
     "pcap_syn_options_audit",         # rows-only; p0f-style SYN options
+    "event_error_budget_burn",        # SRE multiwindow burn-rate alerts
 )
 
 
