@@ -1421,3 +1421,52 @@ def agg_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_arg_extrema",
+    oracle="""
+    WITH keyed AS (
+      SELECT c_mktsegment, c_name, c_custkey,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * 10000000000
+               + c_custkey AS ord_key
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           arg_max(c_name, ord_key) AS richest_name,
+           arg_min(c_name, ord_key) AS poorest_name,
+           CAST(arg_max(c_custkey, ord_key) AS BIGINT) AS richest_key
+    FROM keyed
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "argmax"),
+)
+def agg_arg_extrema(spark: SparkSession, sf: str) -> DataFrame:
+    """Argument extrema: the value of ONE column at another column's
+    max/min (Spark max_by/min_by ↔ DuckDB arg_max/arg_min) — the
+    single-pass replacement for the self-join or rank-filter people
+    write to get 'the name of the richest customer per segment'.
+    The ordering key is the scalar composite cents(balance)·1e10 +
+    custkey — a TOTAL order (custkey unique), so ties on balance
+    resolve identically in both engines; bare max_by on a tied column
+    is nondeterministic and would flap the oracle hash (DuckDB's
+    arg_max does not take struct keys, hence the scalar composite).
+
+    Scale: one combinable aggregate carrying a (key, value) pair per
+    group — strictly cheaper than latest_per_key's window when only
+    the extremum row's single column is wanted.
+    """
+    c = table(spark, sf, "customer")
+    ord_key = (cents(F.col("c_acctbal")) * F.lit(10000000000)
+               + F.col("c_custkey"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max_by(F.col("c_name"), ord_key).alias("richest_name"),
+            F.min_by(F.col("c_name"), ord_key).alias("poorest_name"),
+            F.max_by(F.col("c_custkey"), ord_key).cast("bigint")
+            .alias("richest_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -397,6 +397,7 @@ PENDING_GATE: tuple[str, ...] = (
     "window_max_drawdown",            # nested-window peak-to-trough risk
     "pcap_syn_options_audit",         # rows-only; p0f-style SYN options
     "event_error_budget_burn",        # SRE multiwindow burn-rate alerts
+    "agg_arg_extrema",                # max_by/min_by <-> arg_max parity
 )
 
 
