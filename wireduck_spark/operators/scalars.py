@@ -615,3 +615,92 @@ def scalar_try_arith(spark: SparkSession, sf: str) -> DataFrame:
         F.try_add(F.lit(9223372036854775807).cast("bigint"), k)
         .cast("bigint").alias("add_overflow"),
     )
+
+
+@query(
+    "scalar_parse_url",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/assets/' || source || '/'
+               || CAST(doc_id AS VARCHAR) || '.html?lang=' || lang
+               || '&v=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query_string,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM urls
+    """,
+    tags=("scalar", "string", "url"),
+)
+def scalar_parse_url(spark: SparkSession, sf: str) -> DataFrame:
+    """URL decomposition with Spark's NATIVE parse_url (protocol, host,
+    path, query, and single-parameter extraction) against a regexp
+    oracle — DuckDB has no parse_url, so the oracle states the
+    expected fields independently, which is exactly what makes this a
+    real parity check of the built-in rather than regexp-vs-regexp.
+    Complements text_url_extract_normalize (regexp-based provenance
+    rollup) by pinning the engine-native path a warehouse would use.
+
+    Scale: pure narrow map; parse_url is a codegen'd JVM expression.
+    """
+    d = table(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://cdn"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/assets/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"), F.lit(".html?lang="),
+        F.col("lang"), F.lit("&v="), (F.col("doc_id") % 5).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL"))).alias("proto"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY")).alias("query_string"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("lang"))
+        .alias("lang_param"),
+    )
+
+
+@query(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+               AS n_capitalized,
+           NULLIF(regexp_extract(text, '([A-Z][a-z]+)', 1), '')
+               AS first_capitalized,
+           CASE WHEN regexp_matches(text, '[0-9]{2,}') THEN 1 ELSE 0 END
+               AS has_long_number,
+           regexp_replace(text, '[0-9]+', '#', 'g') LIKE '%#%'
+               AS digits_masked
+    FROM documents
+    """,
+    tags=("scalar", "string", "regexp"),
+)
+def scalar_regexp_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """The regexp function family in one row: regexp_count /
+    regexp_substr / rlike / regexp_replace — java.util.regex vs RE2 on
+    the shared-subset patterns the corpus restricts itself to (classes,
+    quantifiers, no lookaround).
+
+    Scale: narrow map; all four compile once per task and stream.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[A-Z][a-z]+"))
+        .cast("bigint").alias("n_capitalized"),
+        F.regexp_substr(F.col("text"), F.lit("[A-Z][a-z]+"))
+        .alias("first_capitalized"),
+        F.when(F.col("text").rlike("[0-9]{2,}"), 1).otherwise(0)
+        .alias("has_long_number"),
+        F.regexp_replace(F.col("text"), "[0-9]+", "#").like("%#%")
+        .alias("digits_masked"),
+    )

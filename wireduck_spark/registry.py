@@ -398,6 +398,8 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_syn_options_audit",         # rows-only; p0f-style SYN options
     "event_error_budget_burn",        # SRE multiwindow burn-rate alerts
     "agg_arg_extrema",                # max_by/min_by <-> arg_max parity
+    "scalar_parse_url",               # native URL decomposition parity
+    "scalar_regexp_funcs",            # regexp_count/substr/rlike family
 )
 
 
