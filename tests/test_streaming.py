@@ -850,3 +850,26 @@ def test_stateful_lateness_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
     assert any(v[1] > 0 for v in expected.values()), (
         "simulated arrival log should contain out-of-order events")
+
+
+def test_burn_rate_stream_matches_batch(spark, sf_dir, events_dir):
+    """Finalized streaming burn-rate alert windows == the batch
+    event_error_budget_burn rows (same integer-ppm thresholds)."""
+    from wireduck_spark.streaming.windows import burn_rate_alerts
+
+    stream = read_events_stream(spark, events_dir)
+    got = {
+        r["window_start"]: (r["n_total"], r["n_errors"],
+                            r["error_ppm"], r["burn_10x"])
+        for r in run_to_completion(
+            burn_rate_alerts(stream), "t_burn_stream"
+        ).collect()
+    }
+    expected = {
+        r["window_start"]: (r["n_total"], r["n_errors"],
+                            r["error_ppm"], r["burn_10x"])
+        for r in QUERIES["event_error_budget_burn"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0, "fixture should contain burning hours"

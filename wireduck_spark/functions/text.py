@@ -1123,3 +1123,103 @@ def text_readability_fk(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("fk_grade"),
     )
+
+
+@query(
+    "text_url_canonical_dedup",
+    oracle="""
+    WITH variants AS (
+      SELECT doc_id,
+             'https://CDN' || CAST(doc_id % 7 AS VARCHAR)
+               || '.Example.COM/page/' || CAST(doc_id AS VARCHAR)
+               || '/?utm_source=feed&utm_campaign=x&id='
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             'https://cdn' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), 'utm_[a-z]+=[^&]*&?', '', 'g'),
+                   '[?&]$', ''),
+                 '/[?]', '?'),
+               '/$', '') AS canonical_url
+      FROM variants
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(*) >= 2
+    ORDER BY canonical_url
+    """,
+    tags=("text", "dedup", "url", "llm-pipeline"),
+)
+def text_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup — the crawl-frontier step that runs BEFORE
+    any content dedup: tracking parameters stripped (utm_*), host
+    lowercased, trailing slash dropped (lookahead-free rules — RE2 has
+    no lookahead, the one regex-dialect trap this corpus hit), so the same page fetched
+    through different campaign links collapses to one canonical key.
+    The fixture generates two deterministic variants per document
+    (tracking-tagged + mixed-case vs clean) and every pair must
+    re-collapse (HAVING >= 2 catches a canonicalizer that misses any
+    rule — a missed rule yields singleton groups and an empty diff
+    against the oracle's full set).
+
+    Scale: narrow canonicalization map + hash aggregate on the
+    canonical key — exact dedup's plan (dedup_exact) with the key
+    computed, not stored. At crawl scale the canonical key is THE
+    dedup key for the frontier (content hashes come later, after
+    fetch).
+    """
+    d = table(spark, sf, "documents")
+    v1 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://CDN"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM/page/"), F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&utm_campaign=x&id="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    v2 = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://cdn"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/page/"), F.col("doc_id").cast("string"),
+            F.lit("?id="), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    canon = v1.unionAll(v2).select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("url")), r"utm_[a-z]+=[^&]*&?", ""
+                    ),
+                    r"[?&]$", "",
+                ),
+                r"/[?]", "?",
+            ),
+            r"/$", "",
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .orderBy("canonical_url")
+    )

@@ -400,6 +400,7 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_arg_extrema",                # max_by/min_by <-> arg_max parity
     "scalar_parse_url",               # native URL decomposition parity
     "scalar_regexp_funcs",            # regexp_count/substr/rlike family
+    "text_url_canonical_dedup",       # crawl-frontier canonical-URL dedup
 )
 
 

@@ -119,3 +119,39 @@ def run_to_completion(stream_df: DataFrame, table_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {table_name}")
+
+
+def burn_rate_alerts(events: DataFrame, budget_ppm: int = 50000,
+                     watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of the batch event_error_budget_burn query: hourly
+    error fractions in integer ppm against the SLO budget, emitting only
+    windows burning >2x budget, with the >10x page flag. The ppm
+    arithmetic is the same integer `div`, so a finalized streaming
+    window carries exactly the batch row — pinned by
+    tests/test_streaming.py::test_burn_rate_stream_matches_batch.
+
+    Scale: a watermarked tumbling aggregate (bounded state: open
+    windows only); the alert filter runs post-aggregation, so state
+    size is unaffected by the alert rate.
+    """
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint").alias("n_errors"),
+        )
+    )
+    ppm = F.expr("1000000 * n_errors div n_total").cast("bigint")
+    return (
+        hourly.select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "n_total",
+            "n_errors",
+            ppm.alias("error_ppm"),
+            (ppm > 10 * budget_ppm).alias("burn_10x"),
+        )
+        .filter(F.col("error_ppm") > 2 * budget_ppm)
+    )
