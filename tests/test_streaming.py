@@ -873,3 +873,48 @@ def test_burn_rate_stream_matches_batch(spark, sf_dir, events_dir):
     }
     assert got == expected
     assert len(expected) > 0, "fixture should contain burning hours"
+
+
+def test_streaming_flowlets_match_batch(spark, sf_dir, tmp_path):
+    """CLOSED streaming flowlets == the batch pcap_flowlet_split rows
+    minus each stream's final (still-open) flowlet — the flow-reassembly
+    roadmap case: same gap rule, same ids, same byte accounting."""
+    import shutil as sh
+
+    from wireduck_spark.sources.pcap_queries import FIXTURE
+    from wireduck_spark.streaming.pcap_stream import (
+        flowlet_tracker, read_pcap_stream, register_stream,
+    )
+
+    d = tmp_path / "captures"
+    d.mkdir()
+    sh.copy(FIXTURE, d / "fix.pcap")
+    register_stream(spark)
+    stream = read_pcap_stream(spark, f"{d}/*.pcap", protocols="frame,tcp")
+    q = (
+        flowlet_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_flowlets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["stream"], r["flowlet_id"]):
+            (r["n_packets"], r["payload_bytes"], r["duration_s"])
+        for r in spark.sql("SELECT * FROM t_flowlets").collect()
+    }
+    batch = QUERIES["pcap_flowlet_split"].fn(spark, sf_dir).collect()
+    last_per_stream = {}
+    for r in batch:
+        last_per_stream[r["stream"]] = max(
+            last_per_stream.get(r["stream"], 0), r["flowlet_id"])
+    expected = {
+        (r["stream"], r["flowlet_id"]):
+            (r["n_packets"], r["payload_bytes"], r["duration_s"])
+        for r in batch
+        if r["flowlet_id"] != last_per_stream[r["stream"]]
+    }
+    assert got == expected
+    assert len(expected) >= 4, "fix.pcap should close >=4 flowlets"

@@ -39,7 +39,9 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType,
+)
 
 from wireduck_spark.sources.glossary import fetch_selected_fields
 from wireduck_spark.sources.native import byte_range_partitions
@@ -185,4 +187,97 @@ def traffic_per_window(packets, window: str = "10 seconds",
             "n_packets",
             "total_bytes",
         )
+    )
+
+
+FLOWLET_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("payload", LongType()),
+    ]
+)
+
+FLOWLET_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("stream", LongType()),
+        StructField("flowlet_id", LongType()),
+        StructField("n_packets", LongType()),
+        StructField("payload_bytes", LongType()),
+        StructField("duration_s", DoubleType()),
+    ]
+)
+
+_FLOWLET_GAP_US = 5_000_000
+
+
+def _flowlet_update(key, batches, state):
+    """Per-stream flowlet accumulator: packets extend the open flowlet
+    until a >5 s inactivity gap CLOSES it (emitted) and opens the next —
+    the reference roadmap's flow-reassembly case as Spark-native state.
+    State is 5 ints per live stream; closed flowlets leave state
+    entirely. Emission happens only at gaps: the final open flowlet per
+    stream stays in state (a timeout would finalize it in a live
+    deployment — the session_tracker availableNow caveat applies)."""
+    (stream,) = key
+    seq, start_us, last_us, n, payload = (
+        state.get if state.exists else (1, None, None, 0, 0)
+    )
+    out = {k: [] for k in
+           ("stream", "flowlet_id", "n_packets", "payload_bytes",
+            "duration_s")}
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts_us", "fno"])
+        for t, plen in zip(pdf["ts_us"].astype("int64"),
+                           pdf["plen"].astype("int64")):
+            t = int(t)
+            if last_us is not None and t - last_us > _FLOWLET_GAP_US:
+                out["stream"].append(stream)
+                out["flowlet_id"].append(int(seq))
+                out["n_packets"].append(int(n))
+                out["payload_bytes"].append(int(payload))
+                out["duration_s"].append(
+                    round((last_us - start_us) / 1e6, 3))
+                seq, start_us, n, payload = seq + 1, t, 0, 0
+            if start_us is None:
+                start_us = t
+            last_us = t
+            n += 1
+            payload += int(plen)
+    state.update((int(seq), int(start_us), int(last_us), int(n),
+                  int(payload)))
+    import pandas as pd
+
+    yield pd.DataFrame(out)
+
+
+def flowlet_tracker(packets) -> "DataFrame":
+    """Streaming twin of the batch pcap_flowlet_split query: NetFlow
+    inactive-timeout flow accounting over the LIVE capture stream,
+    keyed on the content-derived tcp.stream. Composes the partitioned
+    pcap DataSourceStreamReader with applyInPandasWithState — the
+    reference's roadmap item ('flow reassembly') expressed with stock
+    Spark streaming state.
+
+    Scale: state is 5 ints per ACTIVE stream (closed flowlets exit
+    state at emission); the shuffle key is the 64-bit stream id.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = packets.select(
+        F.col("`tcp.stream`").alias("stream"),
+        F.unix_micros(F.col("`frame.time_epoch`").cast("timestamp"))
+        .alias("ts_us"),
+        F.col("`frame.number`").alias("fno"),
+        F.col("`tcp.len`").alias("plen"),
+    )
+    return src.groupBy("stream").applyInPandasWithState(
+        _flowlet_update,
+        outputStructType=FLOWLET_OUTPUT_SCHEMA,
+        stateStructType=FLOWLET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
