@@ -678,6 +678,7 @@ def _hybrid_rrf_oracle() -> str:
     "pipeline_hybrid_rrf",
     oracle=_hybrid_rrf_oracle(),
     tags=("similarity", "search", "llm-pipeline", "pipeline"),
+    bench=True,
 )
 def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
