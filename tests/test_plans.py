@@ -574,14 +574,51 @@ def test_dynamic_partition_pruning_plan(spark, sf_dir):
 def test_partition_overwrite_dynamic_preserves_siblings(spark, sf_dir):
     """The dynamic-mode second write must replace ONLY the
     event_type=click directory: sibling partitions keep their original
-    files, clicks get restated values (total row count unchanged)."""
+    files, clicks get restated values (total row count unchanged).
+
+    "Untouched" is asserted physically, not just logically: sibling
+    partitions' exact file inventory (name, size, mtime) is snapshotted
+    between the base write and the dynamic overwrite — a mode that
+    regenerated siblings with identical rows would fail here."""
     import os
+
+    from pyspark.sql import functions as F
 
     from wireduck_spark.operators.io import _scratch
     from wireduck_spark.registry import table
 
-    QUERIES["io_partition_overwrite_dynamic"].fn(spark, sf_dir).collect()
-    base = _scratch(sf_dir, "events_by_type")
+    base = _scratch(sf_dir, "events_by_type_sibling_proof")
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(base)
+
+    def inventory():
+        snap = {}
+        for d in os.listdir(base):
+            if not d.startswith("event_type=") or d == "event_type=click":
+                continue
+            p = os.path.join(base, d)
+            snap[d] = sorted(
+                (f, os.stat(os.path.join(p, f)).st_size,
+                 os.stat(os.path.join(p, f)).st_mtime_ns)
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+        return snap
+
+    before = inventory()
+    assert before, "expected sibling partitions besides click"
+
+    (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(base)
+    )
+
+    assert inventory() == before  # byte-identical sibling files
     dirs = sorted(d for d in os.listdir(base)
                   if d.startswith("event_type="))
     assert "event_type=click" in dirs and len(dirs) > 1, dirs

@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [--sf DIR] [--only name1,name2] [-v]
 from __future__ import annotations
 
 import argparse
+import decimal
 import math
 import os
 import sys
@@ -27,11 +28,19 @@ from wireduck_spark.session import get_spark
 
 
 def canon(v):
-    """Canonical hashable form of one cell value."""
+    """Canonical hashable form of one cell value.
+
+    Decimal is deliberately NOT collapsed into int/float: the driver
+    fetches oracle results through Arrow, where DuckDB HUGEINT (e.g. any
+    un-cast `SUM(BIGINT)` arithmetic) surfaces as decimal128 and hashes
+    differently from Spark's BIGINT (round-5 `seq_pack_greedy` lesson).
+    Keeping the skew visible here forces the oracle SQL to CAST."""
     if v is None:
         return "\x00NULL"
     if isinstance(v, bool):
         return f"b:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v.normalize()}"
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
@@ -112,9 +121,15 @@ def main():
                 print(f"  ~ {name}: rows-only ({n} rows, {time.time()-t0:.1f}s)")
                 skipped += 1
                 continue
-            rel = con.execute(spec.oracle)
-            duck_cols = [d[0] for d in rel.description]
-            duck_rows = rel.fetchall()
+            # Fetch through Arrow to mirror the driver's path: DuckDB
+            # HUGEINT becomes decimal128 here (it would be a plain
+            # Python int via fetchall), so oracle type skew that breaks
+            # the driver hash also fails this local gate.
+            tbl = con.execute(spec.oracle).fetch_arrow_table()
+            duck_cols = list(tbl.column_names)
+            duck_rows = [
+                tuple(rec[c] for c in duck_cols) for rec in tbl.to_pylist()
+            ]
             problems = compare(name, df, duck_rows, duck_cols, args.verbose)
         except Exception:
             print(f"  ✗ {name}: EXCEPTION")

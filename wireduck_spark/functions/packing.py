@@ -51,7 +51,7 @@ _N_SHARDS = 16
       FROM toks
     )
     SELECT source,
-           start_offset // {_PACK_BUDGET} AS seq_id,
+           CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            MIN(doc_id) AS first_doc,

@@ -2321,7 +2321,7 @@ def event_power_user_curve(spark: SparkSession, sf: str) -> DataFrame:
     "window_max_drawdown",
     oracle="""
     WITH cum AS (
-      SELECT user_id, event_id,
+      SELECT user_id, ts, event_id,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
@@ -2330,7 +2330,7 @@ def event_power_user_curve(spark: SparkSession, sf: str) -> DataFrame:
     peaks AS (
       SELECT user_id, event_id, cum_cents,
              CAST(MAX(cum_cents) OVER (
-               PARTITION BY user_id ORDER BY event_id
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents
       FROM cum
     )
@@ -2352,9 +2352,10 @@ def window_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
     engines disagree on window-over-window semantics far more often
     than on single windows.
 
-    Exactness: everything is int64 cents; the event-time running sum
-    orders by (ts, event_id) and the peak runs over the same sequence
-    keyed by the unique event_id — total orders, no tie ambiguity.
+    Exactness: everything is int64 cents; BOTH running windows order by
+    (ts, event_id) — the same total order, no tie ambiguity, and the
+    peak provably walks the sequence the cumulative sum produced even
+    if event ids are not time-ordered.
 
     Scale: both windows and the final aggregate share the user_id
     partition key — ONE shuffle, bounded running state, the
@@ -2367,13 +2368,17 @@ def window_max_drawdown(spark: SparkSession, sf: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = e.select(
-        "user_id", "event_id",
+        "user_id", "ts", "event_id",
         F.sum(cents(F.col("value"))).over(w_cum).cast("bigint")
         .alias("cum_cents"),
     )
+    # The peak window MUST walk the same (ts, event_id) sequence as the
+    # cumulative sum: ordering by event_id alone is only equivalent
+    # while event ids happen to be time-ordered, and the oracle mirrors
+    # whatever we write, so the hash check could not catch the drift.
     w_peak = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     peaks = cum.select(

@@ -944,12 +944,15 @@ if _have_fixture():
         to port-pair aggregates BEFORE the full outer join — the join
         touches O(flows) rows, never O(packets).
         """
-        import tempfile
+        from wireduck_spark.sources.glossary import cache_dir
 
         base = read_pcap(spark, FIXTURE, protocols=["frame", "tcp"],
                          engine="native")
-        out_dir = os.path.join(tempfile.gettempdir(),
-                               "wireduck_capture_compare")
+        # Per-user cache_dir scratch (io.py _scratch convention), not a
+        # world-shared /tmp path: concurrent sessions must not clash and
+        # another user's leftover directory must not break the write.
+        out_dir = os.path.join(cache_dir(), "io_scratch",
+                               "capture_compare")
         (
             base.filter(F.col("`tcp.len`") > 0)
             .select("`frame.time_epoch`", "`frame.raw`")

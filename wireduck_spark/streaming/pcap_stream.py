@@ -228,8 +228,18 @@ def _flowlet_update(key, batches, state):
     out = {k: [] for k in
            ("stream", "flowlet_id", "n_packets", "payload_bytes",
             "duration_s")}
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts_us", "fno"])
+    import pandas as pd
+
+    # A group larger than the Arrow batch size arrives as SEVERAL chunks
+    # in arbitrary shuffle order; per-chunk sorting cannot restore global
+    # time order for long streams (>10k packets per micro-batch), so
+    # materialize the whole group and sort ONCE. Group size per
+    # micro-batch is bounded by the trigger, not the capture.
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts_us", "fno"]
+        )
         for t, plen in zip(pdf["ts_us"].astype("int64"),
                            pdf["plen"].astype("int64")):
             t = int(t)
@@ -248,8 +258,6 @@ def _flowlet_update(key, batches, state):
             payload += int(plen)
     state.update((int(seq), int(start_us), int(last_us), int(n),
                   int(payload)))
-    import pandas as pd
-
     yield pd.DataFrame(out)
 
 

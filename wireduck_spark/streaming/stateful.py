@@ -667,7 +667,14 @@ def _lateness_update(
         (hw,) = state.get
         hw = int(hw)
     ids, types, lates = [], [], []
-    for pdf in batches:
+    # Concatenate ALL the group's chunks before sorting: a user whose
+    # micro-batch rows exceed the Arrow batch size arrives as multiple
+    # chunks in arbitrary order, and a per-chunk sort would compute the
+    # running high-water mark over a chunk-local arrival order — the
+    # batch audit this mirrors sorts globally per user.
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         order = (["arrival_ord", "event_id"]
                  if "arrival_ord" in pdf.columns else ["event_id"])
         pdf = pdf.sort_values(order)
