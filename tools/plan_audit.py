@@ -29,9 +29,46 @@ _OP = re.compile(r"^\(\d+\) (\w+)", re.MULTILINE)
 _GLOBAL_WIN = re.compile(r"windowspecdefinition.*")
 
 
+def _count_global_windows(jplan) -> int:
+    """Walk the JVM physical-plan tree and count Window/WindowGroupLimit
+    nodes whose partitionSpec is EMPTY (a true global window: all rows
+    to one task). Tree-walking replaces the round-5 text parse of the
+    formatted explain, which could not distinguish an empty partition
+    spec from an empty order spec (both render as two bracket groups) —
+    that parse never matched anything, silently zeroing this metric."""
+    n = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            # AQE's wrapper is a LEAF node — the real tree hangs off
+            # initialPlan (pre-execution, what this audit inspects).
+            stack.append(node.initialPlan())
+            continue
+        if "Window" in name:
+            try:
+                if node.partitionSpec().isEmpty():
+                    n += 1
+            except Exception:
+                pass  # node without a partitionSpec accessor
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        # scalar/EXISTS subqueries hang off the node, not children()
+        try:
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                stack.append(subs.apply(i))
+        except Exception:
+            pass
+    return n
+
+
 def audit_one(spark, spec, sf_dir: str) -> dict:
     df = spec.fn(spark, sf_dir)
-    plan = df._jdf.queryExecution().explainString(
+    qe = df._jdf.queryExecution()
+    plan = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
@@ -40,11 +77,7 @@ def audit_one(spark, spec, sf_dir: str) -> dict:
     counts = {}
     for op in ops:
         counts[op] = counts.get(op, 0) + 1
-    global_windows = 0
-    for ln in plan.splitlines():
-        if "Arguments:" in ln and "windowspecdefinition" in ln:
-            if "], [], [" in ln.replace(" ", ""):
-                global_windows += 1
+    global_windows = _count_global_windows(qe.executedPlan())
     return {
         "name": spec.name,
         "shuffles": counts.get("Exchange", 0),

