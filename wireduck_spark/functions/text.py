@@ -1223,3 +1223,212 @@ def text_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_variants") >= 2)
         .orderBy("canonical_url")
     )
+
+
+@query(
+    "text_perplexity_unigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, w
+    ),
+    vocab AS (
+      SELECT w, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY w
+    ),
+    corpus AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab
+    ),
+    q AS (
+      SELECT w,
+             CAST(ROUND(1000000 * ln(CAST(n_total AS DOUBLE) / c), 0)
+                  AS BIGINT) AS q_micro
+      FROM vocab, corpus
+    )
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(t.tf * q.q_micro) AS DOUBLE)
+                 / 1000000 / SUM(t.tf), 4) AS mean_surprisal
+    FROM tf t JOIN q ON t.w = q.w
+    GROUP BY t.doc_id
+    ORDER BY mean_surprisal DESC, t.doc_id
+    LIMIT 20
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM perplexity proxy: each document's mean per-token
+    surprisal ln(N/c(w)) under the corpus's own unigram distribution —
+    the CCNet/Gopher-style quality signal (high = rare-token gibberish
+    or boilerplate-free novelty; low = stopword soup), here self-scored
+    so no external LM ships with the engine. Top-20 most-surprising
+    docs surface for review.
+
+    Cross-engine determinism: per-token surprisal is quantized to an
+    int64 of MICRO-nats per distinct word (one ln per vocab entry, then
+    ROUND*1e6 — the BM25/ln precedent), so the per-doc accumulation is
+    an exact integer dot product tf·q; only the final mean divides in
+    IEEE doubles, rounded to 4 dp.
+
+    Scale: tf is one (doc_id, word)-keyed aggregate of the exploded
+    corpus (map-side combinable; shuffle moves the doc-vocabulary, not
+    the token stream); vocab + the 1-row total are word-keyed rollups
+    OF tf (vocab << corpus); surprisal joins back on the word key —
+    every shuffle key is a word or doc id, and the result is a
+    TakeOrderedAndProject. The unigram table is reusable: at 100 TB
+    you'd materialize q once per corpus snapshot and score incoming
+    shards against it with just the tf pass + broadcast-or-bucketed
+    join.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").cast("bigint").alias("c"))
+    corpus = vocab.agg(F.sum("c").cast("bigint").alias("n_total"))
+    q = vocab.crossJoin(F.broadcast(corpus)).select(
+        "w",
+        F.round(
+            F.lit(1000000)
+            * F.log(F.col("n_total").cast("double") / F.col("c")),
+            0,
+        ).cast("bigint").alias("q_micro"),
+    )
+    return (
+        tf.join(q, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("q_micro")).cast("double")
+                / 1000000 / F.sum("tf"),
+                4,
+            ).alias("mean_surprisal"),
+        )
+        .orderBy(F.desc("mean_surprisal"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    top AS (
+      SELECT w, n FROM counts ORDER BY n DESC, w LIMIT 100
+    ),
+    ranked AS (
+      SELECT n,
+             CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT)
+                 AS rnk
+      FROM top
+    ),
+    pts AS (
+      SELECT CAST(ROUND(1000000 * ln(CAST(rnk AS DOUBLE)), 0) AS BIGINT)
+                 AS x,
+             CAST(ROUND(1000000 * ln(CAST(n AS DOUBLE)), 0) AS BIGINT)
+                 AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT k AS n_terms,
+           ROUND((CAST(k AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(k AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * sx), 4) AS zipf_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(k AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / k / 1000000, 4) AS ln_c_intercept
+    FROM m
+    """,
+    tags=("text", "stats", "quality"),
+)
+def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: OLS slope of
+    ln(freq) on ln(rank) over the top-100 terms — natural text sits
+    near slope -1; a corpus drifting toward 0 (flat: template spam) or
+    below -1.5 (head-heavy: boilerplate dedup failure) fails the
+    health check before tokenizer training.
+
+    Determinism: ln(rank) and ln(freq) are quantized to int64
+    micro-nats per term (ROUND*1e6, the corpus-wide ln precedent), the
+    OLS moments are exact integer sums over 100 points (|x|,|y| <=
+    2e7 -> sxy <= 4e16, inside int64), and the slope/intercept are one
+    fixed IEEE expression over those integers, rounded to 4 dp.
+
+    Scale: the only corpus-sized work is the word count (explode +
+    map-side-combinable agg, vocabulary-sized shuffle); top-100 is
+    TakeOrderedAndProject; the rank window runs on 100 rows partitioned
+    by a column-derived constant (pmod(n,1) — survives constant
+    folding, so the no-global-window invariant holds); the moment
+    aggregate is 1 row.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    counts = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")),
+                                     F.lit(r"[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "w").limit(100)
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.desc("n"), "w"
+    )
+    ranked = top.select(
+        "n", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+    pts = ranked.select(
+        F.round(F.lit(1000000) * F.log(F.col("rnk").cast("double")), 0)
+        .cast("bigint").alias("x"),
+        F.round(F.lit(1000000) * F.log(F.col("n").cast("double")), 0)
+        .cast("bigint").alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    slope = (kd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        kd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        F.col("k").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("k") / 1000000,
+            4,
+        ).alias("ln_c_intercept"),
+    )

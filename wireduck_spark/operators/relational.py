@@ -1470,3 +1470,136 @@ def agg_arg_extrema(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substr(md5('exp7:' ||
+                      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(y * y) AS BIGINT) AS s2
+      FROM per_user GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'control' THEN n END) AS n0,
+             MAX(CASE WHEN arm = 'control' THEN s END) AS s0,
+             MAX(CASE WHEN arm = 'control' THEN s2 END) AS q0,
+             MAX(CASE WHEN arm = 'treatment' THEN n END) AS n1,
+             MAX(CASE WHEN arm = 'treatment' THEN s END) AS s1,
+             MAX(CASE WHEN arm = 'treatment' THEN s2 END) AS q1
+      FROM m
+    ),
+    v AS (
+      SELECT n0, n1,
+             CAST(s0 AS DOUBLE) / n0 AS m0,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                 / (n0 - 1) / n0 AS se0,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                 / (n1 - 1) / n1 AS se1
+      FROM wide
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           ROUND(m0, 4) AS mean_control_cents,
+           ROUND(m1, 4) AS mean_treatment_cents,
+           ROUND(m1 - m0, 4) AS lift_cents,
+           ROUND((m1 - m0) / sqrt(se0 + se1), 4) AS t_stat,
+           ROUND((se0 + se1) * (se0 + se1)
+                 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 2)
+               AS welch_dof
+    FROM v
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the exp7 A/B assignment (the
+    same salted-md5 buckets as event_ab_test_lift / CUPED, so all three
+    describe one experiment): per-arm user-level spend means compared
+    with the t statistic and Welch-Satterthwaite degrees of freedom —
+    the readout a growth team actually ships, not just the point lift.
+
+    Determinism: the sufficient statistics (n, S=sum y, Q=sum y^2) are
+    exact int64 sums of per-user cents (y <= ~1e6 cents, y^2 <= 1e12,
+    Q <= ~1e16 at sf0.1x8 — inside int64); means, standard errors, t,
+    and dof are ONE shared IEEE expression tree over those integers,
+    rounded on output. No float aggregation anywhere.
+
+    Scale: one user-keyed aggregate (map-side combinable) then a 2-row
+    arm rollup pivoted to a single row — the whole test costs one
+    shuffle of per-user rows and moves 6 integers afterward. At 100 TB
+    the same plan holds for thousands of simultaneous experiments by
+    adding experiment_id to both grouping keys.
+    """
+    e = table(spark, sf, "events")
+    arm = F.when(
+        F.expr("CAST(conv(substring(md5(concat('exp7:', "
+               "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("y"))
+        .select(arm.alias("arm"), "y")
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == "control", F.col("s"))).alias("s0"),
+        F.max(F.when(F.col("arm") == "control", F.col("s2"))).alias("q0"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("s2"))).alias("q1"),
+    )
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    se0 = (
+        (F.col("q0").cast("double")
+         - F.col("s0").cast("double") * F.col("s0") / F.col("n0"))
+        / (F.col("n0") - 1) / F.col("n0")
+    )
+    se1 = (
+        (F.col("q1").cast("double")
+         - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1) / F.col("n1")
+    )
+    v = wide.select(
+        "n0", "n1",
+        m0.alias("m0"), m1.alias("m1"),
+        se0.alias("se0"), se1.alias("se1"),
+    )
+    return v.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(F.col("m0"), 4).alias("mean_control_cents"),
+        F.round(F.col("m1"), 4).alias("mean_treatment_cents"),
+        F.round(F.col("m1") - F.col("m0"), 4).alias("lift_cents"),
+        F.round(
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("se0") + F.col("se1")),
+            4,
+        ).alias("t_stat"),
+        F.round(
+            (F.col("se0") + F.col("se1")) * (F.col("se0") + F.col("se1"))
+            / (
+                F.col("se0") * F.col("se0") / (F.col("n0") - 1)
+                + F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+            ),
+            2,
+        ).alias("welch_dof"),
+    )

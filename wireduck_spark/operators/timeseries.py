@@ -2451,3 +2451,161 @@ def event_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("error_ppm") > 2 * 50000)
         .orderBy("window_start")
     )
+
+
+@query(
+    "event_survival_kaplan_meier",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(ts) AS h FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT)
+                 AS dur_days,
+             CASE WHEN MAX(ts) < (SELECT h FROM horizon)
+                                  - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    days AS (
+      SELECT dur_days,
+             CAST(SUM(churned) AS BIGINT) AS deaths,
+             CAST(COUNT(*) AS BIGINT) AS leavers
+      FROM per_user GROUP BY dur_days
+    ),
+    risk AS (
+      SELECT dur_days, deaths, leavers,
+             CAST((SELECT COUNT(*) FROM per_user) AS BIGINT)
+             - CAST(COALESCE(SUM(leavers) OVER (
+                   ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS at_risk
+      FROM days
+    ),
+    q AS (
+      SELECT dur_days, deaths, leavers, at_risk,
+             CASE WHEN deaths = 0 THEN 0
+                  WHEN deaths < at_risk
+                  THEN CAST(ROUND(1000000 * ln(
+                       CAST(at_risk - deaths AS DOUBLE) / at_risk), 0)
+                       AS BIGINT)
+                  ELSE 0 END AS q_micro,
+             CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END AS hit_zero
+      FROM risk
+    ),
+    cum AS (
+      SELECT dur_days, deaths, leavers, at_risk,
+             CAST(SUM(q_micro) OVER (
+                 ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cq,
+             CAST(SUM(hit_zero) OVER (
+                 ORDER BY dur_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS zeros
+      FROM q
+    )
+    SELECT dur_days, at_risk, deaths,
+           CAST(leavers - deaths AS BIGINT) AS censored,
+           CASE WHEN zeros > 0 THEN 0.0
+                ELSE ROUND(exp(CAST(cq AS DOUBLE) / 1000000), 4)
+           END AS survival
+    FROM cum
+    ORDER BY dur_days
+    """,
+    tags=("timeseries", "stats", "analysis"),
+)
+def event_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between first
+    and last activity), right-censoring users still active in the final
+    7 days before the capture horizon — the churn-analysis staple that
+    naive retention ratios get wrong because they count the
+    still-active as churned. Emits the full life table: at-risk set,
+    deaths (churn events), censored exits, and S(t).
+
+    Determinism: the product estimator is computed as
+    exp(sum of per-day ln factors), with each factor ln((r-d)/r)
+    quantized to int64 MICRO-nats at its (exact-integer) day row — the
+    running accumulation is an integer sum, so no float aggregation
+    order exists; if any day's deaths exhaust the at-risk set the
+    survival is pinned to exact 0 from that day on (cumulative
+    hit-zero flag) rather than exp(-inf).
+
+    Scale: one user-keyed aggregate builds lifetimes; the life table
+    is day-keyed (bounded domain: distinct lifetime days, <= the
+    capture span), so its running windows are bounded-input by
+    construction — partitioned on a column-derived constant
+    (pmod(dur_days,1)) to keep the no-global-window plan invariant
+    checkable. The 1-row horizon and user-count scalars broadcast.
+    """
+    e = table(spark, sf, "events")
+    horizon = e.agg(
+        F.max("ts").alias("h"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.col("last_ts"), F.col("first_ts"))
+            .cast("bigint").alias("dur_days"),
+            F.when(
+                F.col("last_ts") < F.col("h") - F.expr("INTERVAL 7 DAYS"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("churned"),
+            "n_users",
+        )
+    )
+    days = per_user.groupBy("dur_days", "n_users").agg(
+        F.sum("churned").cast("bigint").alias("deaths"),
+        F.count("*").cast("bigint").alias("leavers"),
+    )
+    w_prev = (
+        Window.partitionBy(F.pmod(F.col("dur_days"), F.lit(1)))
+        .orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(F.pmod(F.col("dur_days"), F.lit(1)))
+        .orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = days.withColumn(
+        "at_risk",
+        (F.col("n_users")
+         - F.coalesce(F.sum("leavers").over(w_prev), F.lit(0)))
+        .cast("bigint"),
+    )
+    q = risk.select(
+        "dur_days", "deaths", "leavers", "at_risk",
+        F.when(F.col("deaths") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("deaths") < F.col("at_risk"),
+            F.round(
+                F.lit(1000000)
+                * F.log(
+                    (F.col("at_risk") - F.col("deaths")).cast("double")
+                    / F.col("at_risk")
+                ),
+                0,
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint")).alias("q_micro"),
+        F.when(F.col("deaths") >= F.col("at_risk"), F.lit(1))
+        .otherwise(F.lit(0)).alias("hit_zero"),
+    )
+    cum = q.select(
+        "dur_days", "deaths", "leavers", "at_risk",
+        F.sum("q_micro").over(w_cum).cast("bigint").alias("cq"),
+        F.sum("hit_zero").over(w_cum).cast("bigint").alias("zeros"),
+    )
+    return cum.select(
+        "dur_days", "at_risk", "deaths",
+        (F.col("leavers") - F.col("deaths")).cast("bigint")
+        .alias("censored"),
+        F.when(F.col("zeros") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cq").cast("double") / 1000000), 4))
+        .alias("survival"),
+    ).orderBy("dur_days")

@@ -402,6 +402,11 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_parse_url",               # native URL decomposition parity
     "scalar_regexp_funcs",            # regexp_count/substr/rlike family
     "text_url_canonical_dedup",       # crawl-frontier canonical-URL dedup
+    # round-6 additions:
+    "text_perplexity_unigram",        # unigram-LM surprisal quality filter
+    "text_zipf_fit",                  # rank-frequency corpus health check
+    "stats_welch_ttest",              # unequal-variance A/B t statistic
+    "event_survival_kaplan_meier",    # right-censored churn life table
 )
 
 
