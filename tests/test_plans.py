@@ -25,6 +25,18 @@ def plan_of(spark, name, sf_dir):
     )
 
 
+def global_windows_of(spark, name, sf_dir) -> int:
+    """Count Window operators with an EMPTY partition spec by walking
+    the JVM plan tree (tools/plan_audit._count_global_windows). The old
+    text check on the formatted explain could not work: an empty
+    partition spec renders as TWO bracket groups, not an empty "[]",
+    so the needle never matched and the assert was vacuous."""
+    import tools.plan_audit as pa
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    return pa._count_global_windows(df._jdf.queryExecution().executedPlan())
+
+
 def test_q6_filters_reach_parquet_scan(spark, sf_dir):
     plan = plan_of(spark, "tpch_q6", sf_dir)
     assert "PushedFilters:" in plan
@@ -88,17 +100,8 @@ def test_percent_cume_has_no_global_window(spark, sf_dir):
     two-pass rewrite leaves exactly the range-partitioned local Window
     (partitioned by pid), never an un-partitioned Window over the scan."""
     plan = plan_of(spark, "window_percent_cume", sf_dir)
-    # every Window operator in the plan must carry a partition spec: the
-    # formatted-plan detail line reads "Arguments: [...], [part cols], [...]"
-    # for partitioned windows; an un-partitioned global window renders an
-    # empty partition list "Arguments: [...], [], [sort...]".
-    win_args = [
-        ln for ln in plan.splitlines()
-        if "Arguments:" in ln and "windowspecdefinition" in ln
-    ]
-    assert win_args, "expected at least one Window operator"
-    for ln in win_args:
-        assert "], [], [" not in ln.replace(" ", ""), f"global window: {ln}"
+    assert "windowspecdefinition" in plan, "expected Window operators"
+    assert global_windows_of(spark, "window_percent_cume", sf_dir) == 0
     # and no single-partition exchange feeding a sort of the full table
     assert "Exchange SinglePartition" not in plan
 
@@ -170,13 +173,8 @@ def test_semantic_kmeans_windows_are_partitioned(spark, sf_dir):
     """dedup_semantic_kmeans' argmin windows partition by vec_id; no
     global (un-partitioned) Window may appear anywhere in the plan."""
     plan = plan_of(spark, "dedup_semantic_kmeans", sf_dir)
-    win_args = [
-        ln for ln in plan.splitlines()
-        if "Arguments:" in ln and "windowspecdefinition" in ln
-    ]
-    assert win_args, "expected argmin Window operators"
-    for ln in win_args:
-        assert "], [], [" not in ln.replace(" ", ""), f"global window: {ln}"
+    assert "windowspecdefinition" in plan, "expected argmin Window operators"
+    assert global_windows_of(spark, "dedup_semantic_kmeans", sf_dir) == 0
 
 
 def test_partitioned_write_prunes_directories(spark, sf_dir):
@@ -197,14 +195,9 @@ def test_packing_windows_are_partitioned(spark, sf_dir):
     for name in ("seq_pack_greedy", "shuffle_deterministic_shards",
                  "pipeline_training_mix"):
         plan = plan_of(spark, name, sf_dir)
-        win_args = [
-            ln for ln in plan.splitlines()
-            if "Arguments:" in ln and "windowspecdefinition" in ln
-        ]
-        assert win_args, f"{name}: expected at least one Window operator"
-        for ln in win_args:
-            assert "], [], [" not in ln.replace(" ", ""), \
-                f"{name}: global window: {ln}"
+        assert "windowspecdefinition" in plan, \
+            f"{name}: expected at least one Window operator"
+        assert global_windows_of(spark, name, sf_dir) == 0, name
 
 
 def test_quantize_has_no_shuffle_or_python(spark, sf_dir):
@@ -625,3 +618,17 @@ def test_partition_overwrite_dynamic_preserves_siblings(spark, sf_dir):
     n_src = table(spark, sf_dir, "events").count()
     n_out = spark.read.parquet(base).count()
     assert n_out == n_src
+
+
+def test_bloom_prefilter_join_shape(spark, sf_dir):
+    """join_semi_bloom_prefilter must (a) broadcast the <=1024-row bloom
+    bitmap to the fact side (BroadcastHashJoin), (b) keep the exact
+    LEFT SEMI join for correctness, and (c) push the bitmask test into
+    the fact side BEFORE the semi join's exchange — the whole point is
+    that at 100 TB the discarded rows never reach the shuffle."""
+    plan = plan_of(spark, "join_semi_bloom_prefilter", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    # the bitmask filter appears as a post-broadcast-join Filter on the
+    # probe side, i.e. before the SortMergeJoin/shuffle of the semi join
+    assert "bitmask" in plan and "& mask" in plan.replace("  ", " ")

@@ -1250,3 +1250,92 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "join_semi_bloom_prefilter",
+    oracle="""
+    SELECT CAST(strftime(l.l_shipdate, '%Y-%m') AS VARCHAR) AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS price_cents
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_orderdate >= DATE '1994-01-01'
+        AND o.o_orderdate < DATE '1994-04-01'
+    )
+    GROUP BY strftime(l.l_shipdate, '%Y-%m')
+    ORDER BY ship_month
+    """,
+    tags=("join", "semi", "bloom", "optimization"),
+)
+def join_semi_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi join with a DECLARATIVE bloom pre-filter: the selective dim
+    side (urgent Q1-1994 orders) is folded into a 65536-bit bloom
+    bitmap — <=1024 (slot, mask) rows built by one bit_or aggregate —
+    which broadcasts to the fact side and discards most non-matching
+    lineitems BEFORE the exact semi join's shuffle. The final LEFT SEMI
+    join keeps semantics exact (bloom false positives are re-checked),
+    so the oracle is the plain EXISTS.
+
+    This is the runtime-filter pattern (Spark's
+    spark.sql.optimizer.runtime.bloomFilter injects the same shape)
+    built from stock operators, so it works at any threshold and its
+    plan is assertable: at 100 TB the semi join's fact-side Exchange is
+    the dominant cost, and the broadcast bitmap cuts the shuffled
+    volume to ~selectivity x fact (false-positive rate at 65536 bits
+    for the few thousand urgent keys is <1%). The bitmap rows never
+    exceed 1024 regardless of corpus size; precision scales by raising
+    the bit width, not by shuffling more.
+
+    Determinism: the bloom stage only REMOVES rows the exact join
+    would remove; output values are integer cents and counts.
+    """
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("date"))
+    ).select("o_orderkey")
+
+    bloom = (
+        dim.select(
+            F.expr("pmod(xxhash64(o_orderkey), 65536L) div 64")
+            .alias("slot"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(pmod(xxhash64(o_orderkey), 64) AS INT))")
+            .alias("bitmask"),
+        )
+        .groupBy("slot")
+        .agg(F.expr("bit_or(bitmask)").alias("mask"))
+    )
+    probe = li.select(
+        "l_orderkey", "l_shipdate", "l_extendedprice",
+        F.expr("pmod(xxhash64(l_orderkey), 65536L) div 64").alias("slot"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), "
+               "CAST(pmod(xxhash64(l_orderkey), 64) AS INT))")
+        .alias("bitmask"),
+    )
+    prefiltered = (
+        probe.join(F.broadcast(bloom), "slot")
+        .filter(F.expr("(bitmask & mask) != 0"))
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    )
+    survivors = prefiltered.join(
+        dim, prefiltered["l_orderkey"] == dim["o_orderkey"], "left_semi"
+    )
+    return (
+        survivors.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(cents(F.col("l_extendedprice"))).cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("ship_month")
+    )

@@ -407,6 +407,7 @@ PENDING_GATE: tuple[str, ...] = (
     "text_zipf_fit",                  # rank-frequency corpus health check
     "stats_welch_ttest",              # unequal-variance A/B t statistic
     "event_survival_kaplan_meier",    # right-censored churn life table
+    "join_semi_bloom_prefilter",      # broadcast-bitmap runtime filter
 )
 
 
