@@ -212,3 +212,63 @@ def test_audio_frame_energy_ragged_fallback(spark):
     assert by_id[3].n_frames == 0  # below one frame -> no frames
     # schema contract: column names match the declared struct
     assert list(out.columns) == [f.name for f in AUDIO_ENERGY_SCHEMA.fields]
+
+
+def test_pca_power_iteration_matches_numpy_replay(spark, sf_dir):
+    """embed_pca_top_component's distributed iteration is integer-exact
+    between driver-side normalizations, so a numpy replay of the SAME
+    quantized algorithm must agree EXACTLY (no tolerance): same grid
+    quantization (Spark ROUND = half-up), same truncating `div`, same
+    serial-order float normalization on the driver."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wireduck_spark.functions.curation import pca_power_iteration
+    from wireduck_spark.registry import table
+
+    def half_up(y):
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+    def tdiv(a, b):  # Spark's `div`: truncation toward zero
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in
+         t.column("embedding").to_pylist()]
+    )
+    g = half_up(emb * 1000.0).astype(np.int64)
+    n, d = g.shape
+    mu = np.array([tdiv(int(g[:, j].sum()), n) for j in range(d)],
+                  dtype=np.int64)
+    gc = g - mu
+    v = [1_000_000] * d
+    for _ in range(8):
+        s = np.array(
+            [tdiv(int((gc[i] * np.array(v, dtype=np.int64)).sum()),
+                  100000) for i in range(n)],
+            dtype=np.int64,
+        )
+        w = [int((gc[:, j] * s).sum()) for j in range(d)]
+        norm = math.sqrt(sum(float(x) * float(x) for x in w))
+        if norm == 0:
+            break
+        v = [int(round(1_000_000 * float(x) / norm)) for x in w]
+
+    e = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    qv = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("x").cast("double") * 1000, 0).cast("bigint")
+        .alias("g"),
+    )
+    v_spark, lam, trace = pca_power_iteration(qv)
+    assert v_spark == v  # exact integer equality, all 64 loadings
+    assert trace == int((gc.astype(object) ** 2).sum())
+    assert 0 < lam < trace

@@ -1189,3 +1189,149 @@ def pipeline_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def pca_power_iteration(qv: DataFrame, iters: int = 8,
+                        quant: int = 1000) -> tuple[list[int], int, int]:
+    """Distributed top-principal-component via power iteration over an
+    integer-quantized embedding table.
+
+    qv: (vec_id, dim, g) — one row per vector component, g an int64
+    grid value (the semantic_kmeans_dedup quantization). Returns
+    (v_micro, lambda_scaled, trace_scaled): the dominant eigenvector of
+    the (uncentered-after-centering) scatter matrix quantized to
+    MICRO-units, its Rayleigh-quotient eigenvalue, and the scatter
+    trace — both in grid^2 units — so explained variance is
+    lambda/trace.
+
+    Determinism: every per-row operation is integer arithmetic (g and
+    v_micro are int64; dots and outer sums are exact integer aggs —
+    no float addition order exists). The ONLY float math is the
+    per-iteration normalization of one 64-long vector, done in a FIXED
+    serial order on the driver and immediately re-quantized to the
+    micro grid — the connected-components-style bounded driver loop
+    (D values per round, never O(rows)).
+
+    Scale: each iteration is one narrow dot-product map (v broadcast
+    as a literal array) + one (dim)-keyed aggregate whose map-side
+    partial combine reduces every task to D rows, so the shuffle
+    carries tasks x D rows. D is the embedding width (bounded, here
+    64); iterations are a fixed constant. No row-level Python.
+    """
+    import math
+
+    dims = [r["dim"] for r in qv.select("dim").distinct().collect()]
+    d_width = len(dims)
+    # centered component table: g_c = g - mean_dim (integer mean, floor)
+    means = qv.groupBy("dim").agg(
+        F.expr("sum(g) div count(*)").cast("bigint").alias("mu")
+    )
+    centered = (
+        qv.join(F.broadcast(means), "dim")
+        .select("vec_id", "dim", (F.col("g") - F.col("mu")).alias("gc"))
+    )
+    centered = centered.persist()
+    try:
+        trace = centered.agg(
+            F.sum(F.col("gc") * F.col("gc")).cast("bigint")
+        ).collect()[0][0]
+        v = [1_000_000] * d_width  # deterministic all-ones start
+        lam = 0
+        for _ in range(iters):
+            vmap = F.create_map(
+                *[x for d_i, vv in zip(sorted(dims), v)
+                  for x in (F.lit(int(d_i)), F.lit(int(vv)))]
+            )
+            # s = gc.v peaks at ~|gc|max * 1e6 * D ~ 3e11; reduce by
+            # 1e5 BEFORE the outer products so gc*s_red (iteration) and
+            # s_red^2 (Rayleigh) stay far inside int64 at any corpus
+            # size the dim-width allows (power iteration only needs the
+            # direction, and the numpy golden replays the identical
+            # truncation).
+            dots = (
+                centered.withColumn("vm", vmap[F.col("dim")])
+                .groupBy("vec_id")
+                .agg(F.expr("sum(gc * vm) div 100000").cast("bigint")
+                     .alias("s"))
+            )
+            nxt = (
+                centered.join(dots, "vec_id")
+                .groupBy("dim")
+                .agg(F.sum(F.col("gc") * F.col("s")).cast("bigint")
+                     .alias("w"))
+                .orderBy("dim")
+                .collect()
+            )
+            w = [r["w"] for r in nxt]  # D values, fixed dim order
+            norm = math.sqrt(sum(float(x) * float(x) for x in w))
+            if norm == 0:
+                break
+            v = [int(round(1_000_000 * float(x) / norm)) for x in w]
+        # Rayleigh quotient lambda = (v'Sv)/(v'v) in grid^2 units:
+        # reuse the last dots pass against the final v.
+        vmap = F.create_map(
+            *[x for d_i, vv in zip(sorted(dims), v)
+              for x in (F.lit(int(d_i)), F.lit(int(vv)))]
+        )
+        dots = (
+            centered.withColumn("vm", vmap[F.col("dim")])
+            .groupBy("vec_id")
+            .agg(F.expr("sum(gc * vm) div 100000").cast("bigint")
+                 .alias("s"))
+        )
+        s2 = dots.agg(F.sum(F.col("s") * F.col("s")).cast("bigint")) \
+            .collect()[0][0]
+        vv = sum(float(x) * float(x) for x in v)
+        # undo the 1e5 reduction (squared) — scalar float on 3 numbers
+        lam = int(round(1e10 * float(s2) / vv)) if vv else 0
+    finally:
+        centered.unpersist()
+    return v, lam, int(trace)
+
+
+@query(
+    "embed_pca_top_component",
+    oracle=None,  # iterative normalization is not SQL-expressible; the
+    #               pytest golden replays the identical quantized
+    #               iteration in numpy and asserts EXACT equality
+    tags=("embedding", "stats", "llm-pipeline", "iterative"),
+)
+def embed_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
+    """Dominant principal component of the embedding table by
+    distributed power iteration — the first step of embedding
+    whitening / anisotropy diagnosis (a healthy encoder spreads
+    variance; one direction hoarding most of the trace signals
+    collapsed or un-normalized embeddings that break cosine dedup and
+    ANN routing upstream).
+
+    Emits the top-8 |loading| dimensions plus the explained-variance
+    ratio — small, stable output for the rows-only gate; the full
+    verification is the numpy-replay golden in
+    tests/test_curation.py (exact integer equality, since the
+    distributed iteration is integer-exact between normalizations).
+    """
+    e = table(spark, sf, "embeddings")
+    qv = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000, 0).cast("bigint")
+        .alias("g"),
+    )
+    v, lam, trace = pca_power_iteration(qv)
+    rows = [
+        (int(d), int(loading)) for d, loading in enumerate(v)
+    ]
+    comp = spark.createDataFrame(rows, "dim INT, loading_micro BIGINT")
+    evr = F.lit(round(lam / trace, 4) if trace else 0.0)
+    return (
+        comp.withColumn("abs_loading", F.abs(F.col("loading_micro")))
+        .orderBy(F.desc("abs_loading"), "dim")
+        .limit(8)
+        .select(
+            "dim", "loading_micro",
+            evr.alias("explained_var_ratio"),
+        )
+    )

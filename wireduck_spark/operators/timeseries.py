@@ -2609,3 +2609,60 @@ def event_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("cq").cast("double") / 1000000), 4))
         .alias("survival"),
     ).orderBy("dur_days")
+
+
+@query(
+    "window_trailing_interval",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w
+               AS BIGINT) AS cents_1h
+    FROM events
+    WHERE user_id % 97 = 0
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+    tags=("timeseries", "window", "frames"),
+)
+def window_trailing_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-TIME range frame: each event's trailing 1-hour activity
+    (count + spend) per user — RANGE BETWEEN INTERVAL, the frame type
+    ROWS BETWEEN cannot express when events are irregularly spaced
+    (row counts measure events, not elapsed time). The rate-limiting /
+    velocity-check primitive for fraud and abuse scoring.
+
+    Spark has no INTERVAL range frames on timestamps directly; the
+    rewrite orders the window by unix_micros(ts) with a numeric
+    rangeBetween of [-3.6e9, 0] microseconds — semantically identical,
+    including the RANGE peer rule (equal-ts rows share one frame, which
+    is why the oracle's INTERVAL frame matches exactly).
+
+    Scale: one user_id-keyed shuffle; frame state per task is the
+    running deque of the trailing hour. The user_id % 97 filter keeps
+    the verified output focused; at 100 TB the same plan serves all
+    users (the filter is pushed to the scan either way).
+    """
+    e = table(spark, sf, "events").filter(F.col("user_id") % 97 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id", "event_id", "ts",
+            ts_str(F.col("ts")).alias("ts_s"),
+            cents(F.col("value")).alias("v"),
+        )
+        .select(
+            "user_id", "event_id", "ts", "ts_s",
+            F.count("*").over(w).cast("bigint").alias("n_1h"),
+            F.sum("v").over(w).cast("bigint").alias("cents_1h"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )

@@ -408,6 +408,8 @@ PENDING_GATE: tuple[str, ...] = (
     "stats_welch_ttest",              # unequal-variance A/B t statistic
     "event_survival_kaplan_meier",    # right-censored churn life table
     "join_semi_bloom_prefilter",      # broadcast-bitmap runtime filter
+    "window_trailing_interval",       # event-time RANGE INTERVAL frame
+    "embed_pca_top_component",        # rows-only; numpy-replay golden
 )
 
 
