@@ -918,3 +918,59 @@ def test_streaming_flowlets_match_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(expected) >= 4, "fix.pcap should close >=4 flowlets"
+
+
+def test_stateful_lateness_correct_across_arrow_chunks(spark, sf_dir,
+                                                       tmp_path):
+    """A user whose micro-batch rows exceed the Arrow batch size reaches
+    _lateness_update as SEVERAL chunks in arbitrary order; the tracker
+    must concatenate them and sort ONCE before the running high-water
+    mark (a per-chunk sort silently computes chunk-local lateness — the
+    round-5 advisory). Forcing maxRecordsPerBatch=7 makes every user a
+    multi-chunk group even on the small fixture."""
+    from wireduck_spark.operators.timeseries import simulated_arrival
+    from wireduck_spark.registry import table
+    from wireduck_spark.streaming.stateful import lateness_tracker
+
+    d = tmp_path / "events_arrival_chunked"
+    simulated_arrival(table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "event_type", "ts", "arrival_ord"
+    ).coalesce(1).write.parquet(str(d))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        stream = read_events_stream(spark, str(d))
+        q = (
+            lateness_tracker(stream)
+            .writeStream.format("memory")
+            .queryName("t_lateness_chunked")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r["event_id"]): r["late_us"]
+        for r in spark.sql("SELECT * FROM t_lateness_chunked").collect()
+    }
+    # batch truth: running high-water mark per user over arrival order
+    expected = {
+        r["event_id"]: r["late_us"]
+        for r in spark.sql(
+            """
+            SELECT event_id,
+                   MAX(unix_micros(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY user_id ORDER BY arrival_ord, event_id
+                     ROWS UNBOUNDED PRECEDING)
+                   - unix_micros(CAST(ts AS TIMESTAMP)) AS late_us
+            FROM parquet.`{d}`
+            """.replace("{d}", str(d))
+        ).collect()
+    }
+    assert len(got) == len(expected) and got == expected
