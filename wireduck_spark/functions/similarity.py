@@ -764,3 +764,191 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)
+
+
+_EVAL_DOT_SQL = """
+    ex AS (
+        SELECT vec_id, label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ),
+    queries AS (
+        SELECT vec_id AS q_id, label AS q_label, dim, q AS qq
+        FROM ex WHERE vec_id % 50 = 0
+    ),
+    dots AS (
+        SELECT qr.q_id, qr.q_label, e.vec_id, e.label,
+               CAST(SUM(qr.qq * e.q) AS BIGINT) AS dot
+        FROM queries qr JOIN ex e ON qr.dim = e.dim
+        WHERE e.vec_id != qr.q_id
+        GROUP BY qr.q_id, qr.q_label, e.vec_id, e.label
+    )
+"""
+
+
+@query(
+    "pipeline_rag_eval_mrr",
+    oracle=f"""
+    WITH {_EVAL_DOT_SQL},
+    ranked AS (
+        SELECT q_id, q_label, label,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY dot DESC, vec_id)
+                 AS BIGINT) AS rnk
+        FROM dots
+    ),
+    firsts AS (
+        SELECT q_id, q_label,
+               CAST(MIN(CASE WHEN label = q_label THEN rnk END)
+                   AS BIGINT) AS first_hit
+        FROM ranked GROUP BY q_id, q_label
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(1000000 // first_hit) AS BIGINT) AS rr_ppm_sum,
+           ROUND(CAST(SUM(1000000 // first_hit) AS DOUBLE)
+                 / COUNT(*) / 1000000, 4) AS mrr
+    FROM firsts
+    GROUP BY q_label
+    ORDER BY q_label
+    """,
+    tags=("similarity", "eval", "llm-pipeline", "pipeline"),
+)
+def pipeline_rag_eval_mrr(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality evaluation: mean reciprocal rank of the first
+    SAME-label neighbor for a deterministic query subset (vec_id%50),
+    labels standing in for relevance judgments — the metric a RAG stack
+    tracks across embedding-model upgrades, computed inside the engine
+    so eval rides the same scan as indexing.
+
+    Determinism: dots are exact int64 (1e6-quantized coords, order-free
+    integer sums); ranks are total-ordered by (dot DESC, vec_id); each
+    reciprocal rank is the exact integer 1000000 div rank, so the MRR
+    numerator is an exact ppm sum and only the final mean divides in
+    IEEE (rounded 4 dp).
+
+    Scale: query-side rows are exploded once and joined on the DIM key
+    (the hybrid_rrf centroid pattern) — an equi-join shuffle, never a
+    nested loop; per-query ranking windows partition on q_id. The %50
+    subset is the eval set: at 100 TB the candidate side stays the full
+    corpus but queries are O(eval set), so dots is O(|eval| x corpus /
+    bucketing) — swap in the IVF/LSH candidate generators from this
+    module when exact exhaustive eval is too wide.
+    """
+    e = table(spark, sf, "embeddings")
+    ex = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "vec_id", "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+        .alias("q"),
+    )
+    queries = ex.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        "dim",
+        F.col("q").alias("qq"),
+    )
+    dots = (
+        queries.join(ex, "dim")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "q_label", "vec_id", "label")
+        .agg(F.sum(F.col("qq") * F.col("q")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "vec_id")
+    ranked = dots.select(
+        "q_id", "q_label", "label",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    firsts = ranked.groupBy("q_id", "q_label").agg(
+        F.min(F.when(F.col("label") == F.col("q_label"), F.col("rnk")))
+        .cast("bigint").alias("first_hit")
+    )
+    return (
+        firsts.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(F.expr("1000000 div first_hit")).cast("bigint")
+            .alias("rr_ppm_sum"),
+        )
+        .select(
+            "label", "n_queries", "rr_ppm_sum",
+            F.round(
+                F.col("rr_ppm_sum").cast("double")
+                / F.col("n_queries") / 1000000,
+                4,
+            ).alias("mrr"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "embed_hard_negatives",
+    oracle=f"""
+    WITH {_EVAL_DOT_SQL},
+    ranked AS (
+        SELECT q_id, vec_id, dot,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY dot DESC, vec_id)
+                 AS BIGINT) AS rnk
+        FROM dots
+        WHERE label != q_label
+    )
+    SELECT q_id, vec_id AS negative_id, dot, rnk
+    FROM ranked WHERE rnk <= 2
+    ORDER BY q_id, rnk
+    """,
+    tags=("similarity", "llm-pipeline", "training"),
+)
+def embed_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the two highest-similarity candidates with a DIFFERENT label — the
+    near-misses that make an embedding model actually learn boundaries
+    (random negatives are trivially separable; mining is the step every
+    dual-encoder recipe schedules between epochs).
+
+    Same exact-integer dot machinery and dim-keyed equi-join as
+    pipeline_rag_eval_mrr (one shared scan shape, no nested loops); the
+    per-query top-2 is a q_id-partitioned rank that Spark executes as
+    WindowGroupLimit (each task keeps 2 rows per query before the
+    final shuffle). At 100 TB, swap the exhaustive candidate set for
+    the IVF/LSH bucket generators in this module; the mining contract
+    (wrong-label, top-k by dot) is unchanged.
+    """
+    e = table(spark, sf, "embeddings")
+    ex = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "vec_id", "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+        .alias("q"),
+    )
+    queries = ex.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        "dim",
+        F.col("q").alias("qq"),
+    )
+    dots = (
+        queries.join(ex, "dim")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "q_label", "vec_id", "label")
+        .agg(F.sum(F.col("qq") * F.col("q")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "negative_id")
+    return (
+        dots.filter(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id", F.col("vec_id").alias("negative_id"), "dot",
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .orderBy("q_id", "rnk")
+    )

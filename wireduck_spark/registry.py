@@ -410,6 +410,8 @@ PENDING_GATE: tuple[str, ...] = (
     "join_semi_bloom_prefilter",      # broadcast-bitmap runtime filter
     "window_trailing_interval",       # event-time RANGE INTERVAL frame
     "embed_pca_top_component",        # rows-only; numpy-replay golden
+    "pipeline_rag_eval_mrr",          # retrieval MRR against labels
+    "embed_hard_negatives",           # contrastive-training negative mining
 )
 
 
