@@ -377,3 +377,46 @@ def test_pcap_syn_options_goldens(spark, sf_dir):
         .fn(spark, sf_dir).collect()
     }
     assert rows == {(65495, 7): (True, 1), (65495, 2): (True, 1)}
+
+
+def test_pcap_quic_handshakes_goldens(spark, sf_dir):
+    """QUIC long-header parse over the deterministic synth capture: 7
+    packets -> 6 (version, dcid) rows; v1 client a1..a8 sends 1 Initial
+    and receives/acks 2 Handshakes under the server's DCID, the v2
+    (0x6b3343cf) pair parses with its draft version number, the unknown
+    version 0x1a2a3a4a is answered by a version==0 Version Negotiation."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = {
+        (r["version"], r["dcid"]): (
+            r["n_packets"], r["n_initial"], r["n_handshake"],
+            r["version_negotiation"],
+        )
+        for r in load_all_queries()["pcap_quic_handshakes"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        (0, "a1a2a3a4a5a6a7a8"): (1, 0, 0, 1),
+        (1, "0f0e0d0c"): (2, 0, 2, 0),
+        (1, "a1a2a3a4a5a6a7a8"): (1, 1, 0, 0),
+        (0x1A2A3A4A, "a1a2a3a4a5a6a7a8"): (1, 1, 0, 0),
+        (0x6B3343CF, "1f1e1d1c1b1a"): (1, 0, 1, 0),
+        (0x6B3343CF, "b1b2b3b4"): (1, 1, 0, 0),
+    }
+
+
+def test_quic_short_header_and_garbage_not_claimed(spark, sf_dir):
+    """Opaque UDP/443 payloads must NOT gain quic.* fields: a short
+    header (0b01......) is indistinguishable from random bytes without
+    connection state, and a long-header lookalike with an oversized
+    DCID length must fail validation leaving no partial fields."""
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import udp_frame
+
+    for payload in (b"\x4a" + b"x" * 30,          # short-header form
+                    b"\xc0\x00\x00\x00\x01\xff" + b"y" * 30):  # dcid>20
+        f: dict = {}
+        dissect_packet(udp_frame("10.0.0.1", "10.0.0.2", 51000, 443,
+                                 payload), 1, f)
+        assert not any(k.startswith("quic.") for k in f), f
+        assert "quic" not in f["frame.protocols"]

@@ -412,6 +412,7 @@ PENDING_GATE: tuple[str, ...] = (
     "embed_pca_top_component",        # rows-only; numpy-replay golden
     "pipeline_rag_eval_mrr",          # retrieval MRR against labels
     "embed_hard_negatives",           # contrastive-training negative mining
+    "pcap_quic_handshakes",           # rows-only; QUIC long-header goldens
 )
 
 

@@ -84,6 +84,7 @@ BUILTIN_PROTOCOLS = [
                      "vxlan"),
     GlossaryProtocol("Generic Routing Encapsulation", "GRE", "gre"),
     GlossaryProtocol("802.1Q Virtual LAN", "VLAN", "vlan"),
+    GlossaryProtocol("QUIC IETF", "QUIC", "quic"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -171,6 +172,15 @@ BUILTIN_FIELDS = [
     _F("Checksum", "icmp.checksum", "FT_UINT16", "icmp"),
     _F("Identifier (BE)", "icmp.ident", "FT_UINT16", "icmp"),
     _F("Sequence Number (BE)", "icmp.seq", "FT_UINT16", "icmp"),
+    # quic (long-header parse; field names match tshark's QUIC dissector.
+    # Short-header packets carry no self-describing DCID length, so only
+    # header_form is emitted for them — tshark needs connection tracking
+    # for more, documented deviation)
+    _F("Header Form", "quic.header_form", "FT_BOOLEAN", "quic"),
+    _F("Version", "quic.version", "FT_UINT32", "quic"),
+    _F("Destination Connection ID", "quic.dcid", "FT_BYTES", "quic"),
+    _F("Source Connection ID", "quic.scid", "FT_BYTES", "quic"),
+    _F("Packet Type", "quic.long.packet_type", "FT_UINT8", "quic"),
     # icmpv6
     _F("Type", "icmpv6.type", "FT_UINT8", "icmpv6"),
     _F("Code", "icmpv6.code", "FT_UINT8", "icmpv6"),
@@ -294,7 +304,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 12  # v12: + vlan id/priority
+GLOSSARY_VERSION = 13  # v13: + quic long-header fields
 
 
 def cache_dir() -> str:

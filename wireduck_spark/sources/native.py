@@ -457,6 +457,17 @@ def _dissect_l4(
             if _dissect_dhcp(payload, fields):
                 protos.append("dhcp")
         elif (
+            443 in (sport, dport)
+            and len(payload) >= 7
+            # long header + fixed bit (RFC 9000 §17.2): 0b11xxxxxx.
+            # Short (1-RTT) headers are NOT claimed: without connection
+            # tracking their DCID length is unknowable and any opaque
+            # UDP payload would false-positive on a one-bit check.
+            and (payload[0] & 0xC0) == 0xC0
+        ):
+            if _dissect_quic(payload, fields):
+                protos.append("quic")
+        elif (
             dport == 4789
             and len(payload) >= 8 + 14
             and payload[0] & 0x08  # VNI-valid flag (RFC 7348 §5)
@@ -567,6 +578,45 @@ _NTP_MODE_NAMES = {
     1: "symmetric active", 2: "symmetric passive", 3: "client",
     4: "server", 5: "broadcast", 6: "control", 7: "private",
 }
+
+
+def _dissect_quic(payload: bytes, fields: dict) -> bool:
+    """QUIC v1/v2 header parse (RFC 9000 §17) on UDP/443 traffic.
+
+    Long headers are self-describing: version, DCID, SCID, and the
+    packet type (v1 mapping: 0 Initial, 1 0-RTT, 2 Handshake, 3 Retry;
+    version 0 is Version Negotiation). Short (1-RTT) headers are NOT
+    claimed at all — their DCID length is not on the wire (tshark
+    recovers it via connection tracking), and a one-bit heuristic would
+    false-positive on arbitrary UDP payloads (documented deviation,
+    same spirit as the VXLAN inner-wins rule). Field names match
+    tshark's QUIC dissector (quic.version, quic.dcid, quic.scid,
+    quic.long.packet_type)."""
+    b0 = payload[0]
+    # Parse into a scratch dict and commit only on full validation, so a
+    # failed parse never leaves partial quic.* fields on an opaque UDP
+    # packet that happened to start with 0b11.
+    out: dict = {"quic.header_form": True}
+    version = int.from_bytes(payload[1:5], "big")
+    out["quic.version"] = version
+    dcid_len = payload[5]
+    if dcid_len > 20 or len(payload) < 6 + dcid_len + 1:
+        return False
+    out["quic.dcid"] = payload[6:6 + dcid_len].hex()
+    scid_off = 6 + dcid_len
+    scid_len = payload[scid_off]
+    if scid_len > 20 or len(payload) < scid_off + 1 + scid_len:
+        return False
+    out["quic.scid"] = payload[scid_off + 1:scid_off + 1 + scid_len].hex()
+    if version == 0:
+        out["_ws.col.info"] = "QUIC Version Negotiation"
+    else:
+        ptype = (b0 >> 4) & 0x03
+        out["quic.long.packet_type"] = ptype
+        kind = {0: "Initial", 1: "0-RTT", 2: "Handshake", 3: "Retry"}[ptype]
+        out["_ws.col.info"] = f"QUIC {kind}, DCID={out['quic.dcid']}"
+    fields.update(out)
+    return True
 
 
 def _dissect_ntp(payload: bytes, fields: dict) -> bool:

@@ -652,6 +652,51 @@ if _have_fixture():
             )
         )
 
+    @query("pcap_quic_handshakes", oracle=None, tags=("pcap", "dissect"))
+    def pcap_quic_handshakes(spark: SparkSession, sf: str) -> DataFrame:
+        """QUIC connection inventory from long-header packets: per
+        (version, client DCID) the packet-type mix (Initial/Handshake)
+        and whether the server answered with Version Negotiation — the
+        modern-web visibility check a TLS/SNI-only dissector misses
+        entirely once traffic moves to HTTP/3.
+
+        Long headers are parsed natively (quic.version/dcid/scid/
+        long.packet_type, tshark field names); short-header 1-RTT
+        packets are deliberately unclaimed (no wire-visible DCID
+        length — sources/native.py deviation note). Scale: header
+        parse is narrow per-packet work in the scan; this rollup is
+        one keyed aggregate on (version, dcid).
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import quic_capture
+
+        cap = quic_capture(
+            os.path.join(cache_dir(), "synth", "quic.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "udp", "quic"],
+                      engine="native")
+        return (
+            t.filter(F.col("`quic.version`").isNotNull())
+            .groupBy(
+                F.col("`quic.version`").alias("version"),
+                F.col("`quic.dcid`").alias("dcid"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.sum(
+                    F.when(F.col("`quic.long.packet_type`") == 0, 1)
+                    .otherwise(0)
+                ).cast("bigint").alias("n_initial"),
+                F.sum(
+                    F.when(F.col("`quic.long.packet_type`") == 2, 1)
+                    .otherwise(0)
+                ).cast("bigint").alias("n_handshake"),
+                F.max(
+                    (F.col("`quic.version`") == 0).cast("int")
+                ).cast("bigint").alias("version_negotiation"),
+            )
+            .orderBy("version", "dcid")
+        )
+
     @query("pcap_traceroute_path", oracle=None, tags=("pcap", "analysis"))
     def pcap_traceroute_path(spark: SparkSession, sf: str) -> DataFrame:
         """Traceroute path reconstruction from a passive capture: UDP

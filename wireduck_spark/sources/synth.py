@@ -514,3 +514,49 @@ def ipv6_capture(path: str) -> str:
                             b"v4")),
     ]
     return write_pcap(path, frames)
+
+
+def quic_long_header(ptype: int, version: int, dcid: bytes, scid: bytes,
+                     payload: bytes = b"\x00" * 40) -> bytes:
+    """QUIC long-header packet bytes (RFC 9000 §17.2): first byte
+    0b11TTxxxx, 4-byte version, length-prefixed DCID/SCID, opaque rest
+    (token/length/PN are protected payload as far as header parsing
+    goes)."""
+    b0 = 0xC0 | ((ptype & 0x03) << 4)
+    return (bytes([b0]) + version.to_bytes(4, "big")
+            + bytes([len(dcid)]) + dcid
+            + bytes([len(scid)]) + scid
+            + payload)
+
+
+def quic_capture(path: str) -> str:
+    """Deterministic QUIC handshake capture: two clients dial
+    cloud.example (UDP/443) with v1 Initial + Handshake exchanges, one
+    speaks draft v2 (0x6b3343cf), and the server answers one unknown
+    version with Version Negotiation (version 0)."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700000600.0
+    c1, s1 = bytes.fromhex("a1a2a3a4a5a6a7a8"), bytes.fromhex("0f0e0d0c")
+    c2, s2 = bytes.fromhex("b1b2b3b4"), bytes.fromhex("1f1e1d1c1b1a")
+    frames = [
+        # client 1: v1 Initial -> server Handshake back
+        (t + 0.000, udp_frame("10.0.7.1", "203.0.113.80", 51111, 443,
+                              quic_long_header(0, 1, c1, b""))),
+        (t + 0.030, udp_frame("203.0.113.80", "10.0.7.1", 443, 51111,
+                              quic_long_header(2, 1, s1, c1))),
+        (t + 0.031, udp_frame("10.0.7.1", "203.0.113.80", 51111, 443,
+                              quic_long_header(2, 1, s1, c1))),
+        # client 2: QUIC v2 Initial (version 0x6b3343cf)
+        (t + 0.500, udp_frame("10.0.7.2", "203.0.113.80", 52222, 443,
+                              quic_long_header(0, 0x6B3343CF, c2, b""))),
+        (t + 0.530, udp_frame("203.0.113.80", "10.0.7.2", 443, 52222,
+                              quic_long_header(2, 0x6B3343CF, s2, c2))),
+        # client 3: unknown version -> Version Negotiation reply
+        (t + 1.000, udp_frame("10.0.7.3", "203.0.113.80", 53333, 443,
+                              quic_long_header(0, 0x1A2A3A4A, c1, b""))),
+        (t + 1.020, udp_frame("203.0.113.80", "10.0.7.3", 443, 53333,
+                              quic_long_header(0, 0, c1, s1))),
+    ]
+    return write_pcap(path, frames)
