@@ -2666,3 +2666,114 @@ def window_trailing_interval(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+@query(
+    "forecast_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (
+                 PARTITION BY event_type ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ),
+    -- the Holt recurrence as a recursive CTE, one row per (type, step).
+    -- NOT list_reduce: DuckDB 1.0 mis-evaluates struct accumulators
+    -- whose lambda repeats a subexpression (the l-halving appears in
+    -- both fields), silently producing a wrong fold.
+    hw AS (
+      SELECT event_type, i, cents AS l, CAST(0 AS BIGINT) AS t
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i,
+             (d.cents + h.l + h.t) // 2 AS l,
+             (h.t + ((d.cents + h.l + h.t) // 2) - h.l) // 2 AS t
+      FROM hw h JOIN idx d
+        ON d.event_type = h.event_type AND d.i = h.i + 1
+    ),
+    final AS (
+      SELECT event_type, i AS n_days, l, t,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY i DESC) AS rl
+      FROM hw
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(t AS BIGINT) AS trend_cents,
+           CAST(l + t AS BIGINT) AS forecast_1d,
+           CAST(l + 2 * t AS BIGINT) AS forecast_2d,
+           CAST(l + 3 * t AS BIGINT) AS forecast_3d
+    FROM final WHERE rl = 1
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "forecast", "stats"),
+)
+def forecast_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear-trend forecast (double exponential smoothing,
+    alpha=beta=1/2) of daily revenue per event type, with 1/2/3-day-ahead
+    projections — the capacity-planning staple one step past EWMA
+    (window_ewma smooths level only; Holt also tracks trend, so a
+    steadily growing series is not forecast flat).
+
+    The recurrence folds ONCE over each type's day-ordered totals via
+    the aggregate() HOF — no self-join per step, no window per lag.
+    Integer-exactness: alpha=1/2 makes every smoothing step an integer
+    halving; Spark's `div` and DuckDB's `//` BOTH truncate toward zero
+    (measured: (-3)//2 = -1 in DuckDB 1.0 — it does NOT floor), so the
+    engines walk identical int64 states even through negative trends.
+    The oracle replays the fold as a recursive CTE because DuckDB 1.0's
+    list_reduce mis-evaluates struct accumulators whose lambda repeats
+    a subexpression.
+
+    Scale: one (type, day)-keyed aggregate, then one type-keyed fold
+    whose state is 2 ints; series length is bounded by the calendar,
+    not the corpus. Day gaps count as consecutive steps (documented —
+    resample_gapfill is the upstream fix when calendar spacing
+    matters).
+    """
+    e = table(spark, sf, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("d", "cents"))).alias("pts"),
+    )
+    fitted = series.withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              pts,
+              named_struct('l', CAST(0 AS BIGINT), 't', CAST(0 AS BIGINT),
+                           'n', CAST(0 AS BIGINT)),
+              (acc, x) -> CASE WHEN acc.n = 0
+                THEN named_struct('l', x.cents, 't', CAST(0 AS BIGINT),
+                                  'n', CAST(1 AS BIGINT))
+                ELSE named_struct(
+                  'l', (x.cents + acc.l + acc.t) div 2,
+                  't', (acc.t
+                         + ((x.cents + acc.l + acc.t) div 2)
+                         - acc.l) div 2,
+                  'n', acc.n + 1) END
+            )
+            """
+        ),
+    )
+    return fitted.select(
+        "event_type", "n_days",
+        F.col("st.l").cast("bigint").alias("level_cents"),
+        F.col("st.t").cast("bigint").alias("trend_cents"),
+        (F.col("st.l") + F.col("st.t")).cast("bigint").alias("forecast_1d"),
+        (F.col("st.l") + 2 * F.col("st.t")).cast("bigint")
+        .alias("forecast_2d"),
+        (F.col("st.l") + 3 * F.col("st.t")).cast("bigint")
+        .alias("forecast_3d"),
+    ).orderBy("event_type")

@@ -413,6 +413,7 @@ PENDING_GATE: tuple[str, ...] = (
     "pipeline_rag_eval_mrr",          # retrieval MRR against labels
     "embed_hard_negatives",           # contrastive-training negative mining
     "pcap_quic_handshakes",           # rows-only; QUIC long-header goldens
+    "forecast_holt_linear",           # double-exponential trend forecast
 )
 
 
