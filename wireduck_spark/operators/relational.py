@@ -1603,3 +1603,173 @@ def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
             2,
         ).alias("welch_dof"),
     )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, cents, wt,
+             CAST(SUM(wt) OVER (
+                 PARTITION BY flag
+                 ORDER BY cents, l_orderkey, l_linenumber
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM w
+    )
+    SELECT flag,
+           CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+               AS weighted_median_cents,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN cents END) AS BIGINT)
+               AS weighted_p90_cents
+    FROM cum
+    GROUP BY flag
+    ORDER BY flag
+    """,
+    tags=("agg", "stats", "window"),
+)
+def agg_weighted_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED percentiles: the price below which half (p50) / 90%
+    (p90) of shipped QUANTITY falls, per return flag — the
+    revenue-weighted view plain percentile_approx cannot give (an
+    unweighted median over line items answers a different question
+    when quantities vary 1-50x).
+
+    Exact by construction: integer cents ordered with a unique
+    tie-break, integer running weight, and the percentile is the first
+    value whose cumulative weight crosses the threshold (classic
+    weighted-quantile definition, integer inequality 2*cw >= tw so no
+    float thresholds exist to disagree on).
+
+    Scale: ONE flag-keyed shuffle serves the running sum, the per-flag
+    total, and the final rollup (the window_max_drawdown plan family).
+    The running sum is a streaming pass per flag; at extreme skew the
+    two-pass distributed-quantile rewrite (feature_quantile_bucketize)
+    is the alternative.
+    """
+    li = table(spark, sf, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents(F.col("l_extendedprice")).alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey", "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("flag")
+    cum = w.select(
+        "flag", "cents",
+        F.sum("wt").over(w_run).cast("bigint").alias("cw"),
+        F.sum("wt").over(w_all).cast("bigint").alias("tw"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.min("tw").cast("bigint").alias("total_weight"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            .cast("bigint").alias("weighted_median_cents"),
+            F.min(
+                F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("cents"))
+            ).cast("bigint").alias("weighted_p90_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type AS r,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS c,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events
+      GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 4
+    ),
+    margins AS (
+      SELECT r, c, o,
+             CAST(SUM(o) OVER (PARTITION BY r) AS BIGINT) AS row_n,
+             CAST(SUM(o) OVER (PARTITION BY c) AS BIGINT) AS col_n,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM obs
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n,
+           CAST((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1)
+               AS BIGINT) AS dof,
+           ROUND(SUM(
+             (CAST(o AS DOUBLE)
+              - CAST(row_n AS DOUBLE) * col_n / n)
+             * (CAST(o AS DOUBLE)
+                - CAST(row_n AS DOUBLE) * col_n / n)
+             / (CAST(row_n AS DOUBLE) * col_n / n)), 4) AS chi2
+    FROM margins
+    """,
+    tags=("agg", "stats"),
+)
+def stats_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    the payload bucket (props.k mod 4) — the contingency-table check
+    behind every segmentation claim ('do signups really skew to
+    bucket 3?'); emits the statistic and degrees of freedom, leaving
+    the p-value to the caller's preferred tail function.
+
+    Determinism: the contingency table is exact integer counts from
+    one aggregate; margins ride three windows over the TINY table
+    (rows x cols cells, here 5x4 — bounded by category cardinality,
+    not corpus size); chi-square is one shared IEEE expression over
+    those integers, rounded to 4 dp. The chi2 SUM aggregates floats
+    over <=20 cells — order-independence is guaranteed by summing in
+    the single-partition cell table (both engines aggregate the same
+    20 values; DuckDB single-threaded and Spark's 1-task partial agg
+    add in the same sorted-cell order after the exchange)... rounded
+    defensively at 4 dp against last-ulp drift.
+
+    Scale: the corpus-sized work is ONE map-side-combinable count to
+    rows*cols cells; everything after is constant-size. The cell-table
+    windows are bounded-domain by construction (category cardinality),
+    partitioned on r / c / a constant respectively.
+    """
+    e = table(spark, sf, "events")
+    obs = (
+        e.select(
+            F.col("event_type").alias("r"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 4)
+            .alias("c"),
+        )
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    w_r = Window.partitionBy("r")
+    w_c = Window.partitionBy("c")
+    w_n = Window.partitionBy(F.pmod(F.col("c"), F.lit(1)))
+    m = obs.select(
+        "r", "c", "o",
+        F.sum("o").over(w_r).cast("bigint").alias("row_n"),
+        F.sum("o").over(w_c).cast("bigint").alias("col_n"),
+        F.sum("o").over(w_n).cast("bigint").alias("n"),
+    )
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return m.agg(
+        F.min("n").cast("bigint").alias("n"),
+        ((F.countDistinct("r") - 1) * (F.countDistinct("c") - 1))
+        .cast("bigint").alias("dof"),
+        F.round(
+            F.sum(
+                (F.col("o").cast("double") - expected)
+                * (F.col("o").cast("double") - expected)
+                / expected
+            ),
+            4,
+        ).alias("chi2"),
+    )

@@ -414,6 +414,8 @@ PENDING_GATE: tuple[str, ...] = (
     "embed_hard_negatives",           # contrastive-training negative mining
     "pcap_quic_handshakes",           # rows-only; QUIC long-header goldens
     "forecast_holt_linear",           # double-exponential trend forecast
+    "agg_weighted_percentile",        # quantity-weighted exact p50/p90
+    "stats_chi_square_independence",  # contingency-table chi-square
 )
 
 
