@@ -222,3 +222,76 @@ def test_case_aggregate_differential(engines, pred):
     )
     s, d = _both(engines, sql)
     assert s == d, f"divergence for predicate: {pred}"
+
+
+_STR_EXPRS = st.sampled_from([
+    # shared-dialect string expressions over o_orderpriority/o_comment;
+    # every output is an exact integer (length / position / count) so no
+    # collation or encoding renderer can smuggle in a diff
+    "length(o_orderpriority)",
+    "length(upper(o_orderpriority))",
+    "length(trim(o_orderpriority))",
+    "length(replace(o_orderpriority, '-', '_'))",
+    "position('URGENT' IN o_orderpriority)",
+    "length(substr(o_orderpriority, 3, 4))",
+    "length(concat(o_orderstatus, o_orderpriority))",
+])
+
+
+@given(pred=_predicates(), expr=_STR_EXPRS)
+@settings(max_examples=40, deadline=None)
+def test_string_function_differential(engines, pred, expr):
+    """Shared-dialect string functions summed as exact integers must
+    agree under arbitrary predicates — catches substr indexing-base,
+    trim character-set, and position semantics drift between engines."""
+    sql = (
+        f"SELECT COUNT(*) AS n, "
+        f"CAST(COALESCE(SUM({expr}), 0) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for {expr} under: {pred}"
+
+
+_DATE_EXPRS = st.sampled_from([
+    "CAST(year(o_orderdate) AS BIGINT)",
+    "CAST(month(o_orderdate) AS BIGINT)",
+    "CAST(day(o_orderdate) AS BIGINT)",
+    "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)",
+])
+
+
+@given(pred=_predicates(), expr=_DATE_EXPRS)
+@settings(max_examples=40, deadline=None)
+def test_date_extraction_differential(engines, pred, expr):
+    """Date-part extraction summed exactly must agree — catches epoch
+    convention and month/day one-off drift between the engines."""
+    sql = (
+        f"SELECT COUNT(*) AS n, "
+        f"CAST(COALESCE(SUM({expr}), 0) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for {expr} under: {pred}"
+
+
+@given(pred=_predicates())
+@settings(max_examples=30, deadline=None)
+def test_setop_differential(engines, pred):
+    """INTERSECT / EXCEPT between a predicate slice and a fixed slice
+    must produce identical key sets — bag-vs-set and null-equality
+    drift in set operators is a classic cross-engine trap."""
+    sql = (
+        f"SELECT o_orderkey FROM orders WHERE {pred} "
+        "INTERSECT "
+        "SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"INTERSECT divergence under: {pred}"
+    sql2 = (
+        f"SELECT o_orderkey FROM orders WHERE {pred} "
+        "EXCEPT "
+        "SELECT o_orderkey FROM orders WHERE o_custkey % 2 = 0"
+    )
+    s2, d2 = _both(engines, sql2)
+    assert s2 == d2, f"EXCEPT divergence under: {pred}"
