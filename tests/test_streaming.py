@@ -974,3 +974,61 @@ def test_stateful_lateness_correct_across_arrow_chunks(spark, sf_dir,
         ).collect()
     }
     assert len(got) == len(expected) and got == expected
+
+
+def test_streaming_flowlets_correct_across_arrow_chunks(spark, sf_dir,
+                                                        tmp_path):
+    """Flowlet gap detection must survive a stream whose per-group rows
+    arrive as many Arrow chunks (maxRecordsPerBatch=9): the tracker
+    concatenates and sorts ONCE per group, so results equal the batch
+    flowlet split exactly as in the unchunked test — this is the
+    configuration the round-5 advisory flagged (long TCP streams
+    exceeding the Arrow batch size got chunk-local time order)."""
+    import shutil as sh
+
+    from wireduck_spark.sources.pcap_queries import FIXTURE
+    from wireduck_spark.streaming.pcap_stream import (
+        flowlet_tracker, read_pcap_stream, register_stream,
+    )
+
+    d = tmp_path / "captures_chunked"
+    d.mkdir()
+    sh.copy(FIXTURE, d / "fix.pcap")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "9")
+    try:
+        register_stream(spark)
+        stream = read_pcap_stream(spark, f"{d}/*.pcap",
+                                  protocols="frame,tcp")
+        q = (
+            flowlet_tracker(stream)
+            .writeStream.format("memory")
+            .queryName("t_flowlets_chunked")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = {
+        (r["stream"], r["flowlet_id"]):
+            (r["n_packets"], r["payload_bytes"], r["duration_s"])
+        for r in spark.sql("SELECT * FROM t_flowlets_chunked").collect()
+    }
+    batch = QUERIES["pcap_flowlet_split"].fn(spark, sf_dir).collect()
+    last_per_stream = {}
+    for r in batch:
+        last_per_stream[r["stream"]] = max(
+            last_per_stream.get(r["stream"], 0), r["flowlet_id"])
+    expected = {
+        (r["stream"], r["flowlet_id"]):
+            (r["n_packets"], r["payload_bytes"], r["duration_s"])
+        for r in batch
+        if r["flowlet_id"] != last_per_stream[r["stream"]]
+    }
+    assert got == expected and len(expected) >= 4

@@ -1773,3 +1773,82 @@ def stats_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("chi2"),
     )
+
+
+@query(
+    "event_ab_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CASE WHEN (('0x' || substr(md5('exp7:' ||
+                      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             user_id
+      FROM events GROUP BY 1, 2
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1
+      FROM arms
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           ROUND((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+                 * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0)
+                 + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+                 * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0), 4) AS chi2,
+           ((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+            * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+            / ((n0 + n1) / 2.0)
+            + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+            * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+            / ((n0 + n1) / 2.0)) > 3.841 AS srm_flag
+    FROM counts
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def event_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample Ratio Mismatch guard for the exp7 experiment: a 1-dof
+    chi-square of per-arm USER counts against the designed 50/50 split,
+    flagged at the 0.05 critical value (3.841). SRM is the first gate
+    every experimentation platform runs — a biased assignment silently
+    invalidates the lift readout (stats_welch_ttest / CUPED) no matter
+    how significant it looks.
+
+    Determinism: user->arm is the same salted-md5 bucket as the other
+    exp7 queries; counts are exact integers from one distinct-user
+    aggregate; the statistic is one shared IEEE tree rounded 4 dp, and
+    the flag compares against an exact literal.
+
+    Scale: one user-keyed distinct + a 2-value rollup. Generalizes to
+    thousands of concurrent experiments by keying on experiment_id.
+    """
+    e = table(spark, sf, "events")
+    arm = F.when(
+        F.expr("CAST(conv(substring(md5(concat('exp7:', "
+               "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    arms = e.select(arm.alias("arm"), "user_id").distinct()
+    counts = arms.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+    )
+    half = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = (
+        (F.col("n0").cast("double") - half)
+        * (F.col("n0").cast("double") - half) / half
+        + (F.col("n1").cast("double") - half)
+        * (F.col("n1").cast("double") - half) / half
+    )
+    return counts.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    )

@@ -416,6 +416,7 @@ PENDING_GATE: tuple[str, ...] = (
     "forecast_holt_linear",           # double-exponential trend forecast
     "agg_weighted_percentile",        # quantity-weighted exact p50/p90
     "stats_chi_square_independence",  # contingency-table chi-square
+    "event_ab_srm_check",             # sample-ratio-mismatch guard
 )
 
 
