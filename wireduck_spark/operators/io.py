@@ -879,3 +879,90 @@ def io_csv_corrupt_tolerant(spark: SparkSession, sf: str) -> DataFrame:
             .otherwise(cents(F.col("o_totalprice")))
         ).cast("bigint").alias("good_cents"),
     )
+
+
+@query(
+    "io_incremental_file_ledger",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_total,
+           CAST(2 AS BIGINT) AS n_batches,
+           CAST(SUM(CASE WHEN o_orderkey % 10 = 7 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS total_cents
+    FROM orders
+    """,
+    tags=("io", "incremental", "ingest"),
+)
+def io_incremental_file_ledger(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingestion with a processed-file LEDGER (the batch
+    version of Auto Loader / streaming file-source tracking): a landing
+    directory receives an initial drop and then a late file; each
+    ingest pass anti-joins the directory listing against the ledger,
+    processes ONLY unseen files, and appends their names to the ledger.
+    The result proves exactly-once-per-file: rows processed once across
+    both passes reproduce the full source with no duplicates.
+
+    The ledger is data (a parquet table keyed by file path), not
+    driver memory — so a 100-TB lake's nightly increment is one
+    metadata anti-join (paths, not rows) plus a scan of only the new
+    files; re-running a crashed pass is idempotent because the ledger
+    only advances after the batch's output commits.
+
+    Scale: the listing-vs-ledger anti-join touches O(files) rows; row
+    work is proportional to NEW data only. The oracle recomputes the
+    invariant from the clean source (total rows/cents once each,
+    late-file rows flagged by the split rule).
+    """
+    base = _scratch(sf, "incremental_landing")
+    ledger_p = os.path.join(base, "_ledger")
+    landing = os.path.join(base, "landing")
+    out = os.path.join(base, "ingested")
+    # reset scratch (idempotent re-runs of the QUERY itself)
+    for p in (ledger_p, landing, out):
+        if os.path.exists(p):
+            import shutil
+
+            shutil.rmtree(p)
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    first = o.filter(F.col("o_orderkey") % 10 != 7)
+    late = o.filter(F.col("o_orderkey") % 10 == 7)
+    first.repartition(2).write.parquet(os.path.join(landing, "drop1"))
+    spark.createDataFrame([], "path STRING").write.mode("overwrite") \
+        .parquet(ledger_p)
+
+    def ingest_pass():
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(landing)
+            for f in fs if f.endswith(".parquet")
+        ]
+        listing = spark.createDataFrame(
+            [(p,) for p in sorted(files)], "path STRING")
+        seen = spark.read.parquet(ledger_p)
+        new = [r["path"] for r in
+               listing.join(seen, "path", "left_anti").collect()]
+        if new:
+            spark.read.parquet(*new).withColumn(
+                "src", F.lit(len(new))
+            ).write.mode("append").parquet(out)
+            spark.createDataFrame([(p,) for p in new], "path STRING") \
+                .write.mode("append").parquet(ledger_p)
+        return len(new)
+
+    ingest_pass()                       # processes drop1 only
+    late.coalesce(1).write.parquet(os.path.join(landing, "drop2"))
+    ingest_pass()                       # processes ONLY drop2
+    ingest_pass()                       # no-op: everything ledgered
+    got = spark.read.parquet(out)
+    late_keys = F.col("o_orderkey") % 10 == 7
+    return got.agg(
+        F.count("*").cast("bigint").alias("n_rows_total"),
+        F.countDistinct("src").cast("bigint").alias("n_batches"),
+        F.sum(F.when(late_keys, 1).otherwise(0)).cast("bigint")
+        .alias("n_late_rows"),
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint")
+        .alias("total_cents"),
+    )

@@ -417,6 +417,7 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_weighted_percentile",        # quantity-weighted exact p50/p90
     "stats_chi_square_independence",  # contingency-table chi-square
     "event_ab_srm_check",             # sample-ratio-mismatch guard
+    "io_incremental_file_ledger",     # exactly-once-per-file ingest
 )
 
 
