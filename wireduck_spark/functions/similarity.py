@@ -776,7 +776,7 @@ _EVAL_DOT_SQL = """
     ),
     queries AS (
         SELECT vec_id AS q_id, label AS q_label, dim, q AS qq
-        FROM ex WHERE vec_id % 50 = 0
+        FROM ex WHERE vec_id < 50
     ),
     dots AS (
         SELECT qr.q_id, qr.q_label, e.vec_id, e.label,
@@ -818,7 +818,7 @@ _EVAL_DOT_SQL = """
 )
 def pipeline_rag_eval_mrr(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval-quality evaluation: mean reciprocal rank of the first
-    SAME-label neighbor for a deterministic query subset (vec_id%50),
+    SAME-label neighbor for a FIXED-size eval set (vec_id < 50),
     labels standing in for relevance judgments — the metric a RAG stack
     tracks across embedding-model upgrades, computed inside the engine
     so eval rides the same scan as indexing.
@@ -847,7 +847,7 @@ def pipeline_rag_eval_mrr(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
         .alias("q"),
     )
-    queries = ex.filter(F.col("vec_id") % 50 == 0).select(
+    queries = ex.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         "dim",
@@ -930,7 +930,7 @@ def embed_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
         .alias("q"),
     )
-    queries = ex.filter(F.col("vec_id") % 50 == 0).select(
+    queries = ex.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         "dim",
