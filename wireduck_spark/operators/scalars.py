@@ -704,3 +704,88 @@ def scalar_regexp_funcs(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_replace(F.col("text"), "[0-9]+", "#").like("%#%")
         .alias("digits_masked"),
     )
+
+
+@query(
+    "scalar_lambda_hofs",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS pri,
+             range(1, o_orderkey % 7 + 4) AS xs
+      FROM orders
+    ),
+    per_row AS (
+      SELECT pri,
+             CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT)
+                 AS sq_sum,
+             CAST(len(list_filter(xs, x -> x % 2 = 0)) AS BIGINT)
+                 AS n_even,
+             CASE WHEN len(list_filter(xs, x -> x > 5)) > 0
+                  THEN 1 ELSE 0 END AS has_gt5,
+             CASE WHEN len(list_filter(xs, x -> x <= 0)) = 0
+                  THEN 1 ELSE 0 END AS all_pos,
+             CAST(list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              list_transform(xs, x -> CAST(2 * x AS BIGINT))),
+                 (acc, x) -> acc + x) AS BIGINT) AS dbl_fold
+      FROM a
+    )
+    SELECT pri,
+           CAST(SUM(sq_sum) AS BIGINT) AS sq_sum,
+           CAST(SUM(n_even) AS BIGINT) AS n_even,
+           CAST(SUM(has_gt5) AS BIGINT) AS n_has_gt5,
+           CAST(SUM(all_pos) AS BIGINT) AS n_all_pos,
+           CAST(SUM(dbl_fold) AS BIGINT) AS dbl_fold
+    FROM per_row
+    GROUP BY pri
+    ORDER BY pri
+    """,
+    tags=("scalar", "array", "hof"),
+)
+def scalar_lambda_hofs(spark: SparkSession, sf: str) -> DataFrame:
+    """Lambda higher-order functions over arrays — transform / filter /
+    exists / forall / aggregate — the Catalyst feature that keeps
+    per-element logic OUT of Python UDFs (each lambda compiles into
+    whole-stage codegen; the engine's own packing/minhash/forecast
+    operators are built on exactly these).
+
+    Parity mapping documented per function: Spark exists/forall have no
+    direct DuckDB twin, so the oracle expresses them as
+    len(list_filter(...)) predicates; Spark aggregate's explicit zero
+    becomes DuckDB list_reduce over a prepended seed (int accumulators
+    only — struct accumulators hit the DuckDB 1.0 fold bug documented
+    on forecast_holt_linear). sequence(1, k % 7 + 3) gives every row a
+    3-9 element array, all arithmetic exact int64.
+
+    Scale: pure narrow map + one keyed aggregate; no explode, no
+    shuffle beyond the group-by.
+    """
+    o = table(spark, sf, "orders")
+    a = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("sequence(1L, o_orderkey % 7 + 3)").alias("xs"),
+    )
+    per_row = a.select(
+        "pri",
+        F.expr("aggregate(transform(xs, x -> x * x), CAST(0 AS BIGINT), "
+               "(acc, x) -> acc + x)").alias("sq_sum"),
+        F.expr("CAST(size(filter(xs, x -> x % 2 = 0)) AS BIGINT)")
+        .alias("n_even"),
+        F.expr("CASE WHEN exists(xs, x -> x > 5) THEN 1 ELSE 0 END")
+        .alias("has_gt5"),
+        F.expr("CASE WHEN forall(xs, x -> x > 0) THEN 1 ELSE 0 END")
+        .alias("all_pos"),
+        F.expr("aggregate(transform(xs, x -> CAST(2 * x AS BIGINT)), "
+               "CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("dbl_fold"),
+    )
+    return (
+        per_row.groupBy("pri")
+        .agg(
+            F.sum("sq_sum").cast("bigint").alias("sq_sum"),
+            F.sum("n_even").cast("bigint").alias("n_even"),
+            F.sum("has_gt5").cast("bigint").alias("n_has_gt5"),
+            F.sum("all_pos").cast("bigint").alias("n_all_pos"),
+            F.sum("dbl_fold").cast("bigint").alias("dbl_fold"),
+        )
+        .orderBy("pri")
+    )

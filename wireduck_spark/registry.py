@@ -418,6 +418,7 @@ PENDING_GATE: tuple[str, ...] = (
     "stats_chi_square_independence",  # contingency-table chi-square
     "event_ab_srm_check",             # sample-ratio-mismatch guard
     "io_incremental_file_ledger",     # exactly-once-per-file ingest
+    "scalar_lambda_hofs",             # transform/filter/exists/forall/aggregate
 )
 
 
