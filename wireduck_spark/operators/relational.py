@@ -1852,3 +1852,117 @@ def event_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 3.841).alias("srm_flag"),
     )
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY user_id
+    ),
+    reps AS (
+      SELECT r.i AS rep, u.user_id, u.y,
+             CAST(
+               (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':0:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':1:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':2:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':3:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':4:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':5:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':6:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN (('0x' || substr(md5('bs:' || CAST(r.i AS VARCHAR)
+                    || ':7:' || CAST(u.user_id AS VARCHAR)), 1, 15))::BIGINT)
+                    % 8 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS w
+      FROM per_user u, (SELECT unnest(range(0, 200)) AS i) r
+    ),
+    means AS (
+      SELECT rep,
+             ROUND(CAST(SUM(w * y) AS DOUBLE)
+                   / greatest(SUM(w), 1), 4) AS m
+      FROM reps GROUP BY rep
+    ),
+    ranked AS (
+      SELECT m, CAST(row_number() OVER (ORDER BY m, rep) AS BIGINT) AS rk
+      FROM means
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           MIN(CASE WHEN rk = 5 THEN m END) AS ci_lo,
+           MIN(CASE WHEN rk = 196 THEN m END) AS ci_hi,
+           ROUND(AVG(m), 4) AS boot_mean
+    FROM ranked
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass Poisson bootstrap (the large-scale bootstrap): a 95% CI
+    for mean user spend from 200 deterministic resample replicas —
+    closed-form intervals need variance assumptions; the bootstrap
+    needs none and this formulation needs no resample SHUFFLE of the
+    data either.
+
+    Each (replica, user) weight is a sum of 8 independent md5-bucket
+    indicators at p=1/8 — an integer Binomial(8, 1/8) ~ Poisson(1)
+    resample count that both engines derive bit-identically (no rand()
+    anywhere, so retries/stragglers can't change the answer). The map
+    side emits 200 weighted contributions per row and PARTIAL
+    AGGREGATION collapses every task to <=200 rows before the
+    exchange: the shuffle carries tasks x 200 integers, the 200 replica
+    means are one tiny table, and the CI is an order statistic of it.
+    At 100 TB the same plan computes CIs for thousands of metrics by
+    widening the replica key with a metric id.
+
+    Determinism: weights and weighted sums are exact int64; each
+    replica mean is one IEEE division rounded 4 dp; the CI bounds are
+    SELECTED values (rank 5 / 196 of 200), not interpolations.
+    """
+    e = table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).cast("bigint").alias("y")
+    )
+    ind = " + ".join(
+        "(CASE WHEN CAST(conv(substring(md5(concat('bs:', "
+        f"CAST(rep AS STRING), ':{j}:', CAST(user_id AS STRING))), 1, 15), "
+        "16, 10) AS BIGINT) % 8 = 0 THEN 1 ELSE 0 END)"
+        for j in range(8)
+    )
+    reps = per_user.select(
+        "user_id", "y",
+        F.explode(F.expr("sequence(0L, 199L)")).alias("rep"),
+    ).withColumn("w", F.expr(f"CAST({ind} AS BIGINT)"))
+    means = reps.groupBy("rep").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("y")).cast("double")
+            / F.greatest(F.sum("w"), F.lit(1)),
+            4,
+        ).alias("m")
+    )
+    w_rank = Window.partitionBy(F.pmod(F.col("rep"), F.lit(1))).orderBy(
+        "m", "rep"
+    )
+    ranked = means.select(
+        "m", F.row_number().over(w_rank).cast("bigint").alias("rk")
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_replicas"),
+        F.min(F.when(F.col("rk") == 5, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == 196, F.col("m"))).alias("ci_hi"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+    )

@@ -419,6 +419,7 @@ PENDING_GATE: tuple[str, ...] = (
     "event_ab_srm_check",             # sample-ratio-mismatch guard
     "io_incremental_file_ledger",     # exactly-once-per-file ingest
     "scalar_lambda_hofs",             # transform/filter/exists/forall/aggregate
+    "stats_bootstrap_ci",             # one-pass Poisson bootstrap 95% CI
 )
 
 
