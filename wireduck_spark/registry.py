@@ -20,8 +20,18 @@ driver's order-insensitive value-hash matches bit-for-bit):
 3. Timestamps are emitted as formatted strings
    (``date_format`` / ``strftime``) to remove timezone/precision ambiguity.
 4. DuckDB ``SUM(BIGINT)`` returns HUGEINT -> always ``CAST(... AS BIGINT)``
-   in oracles; computed integers are BIGINT on both sides.
+   in oracles; computed integers are BIGINT on both sides. This applies to
+   ANY arithmetic riding a SUM (round-6: an un-cast ``sum_expr // k``
+   surfaced as decimal128 through the driver's Arrow fetch and
+   hash-mismatched Spark's BIGINT).
 5. Window/rank queries always order by a unique tiebreak column.
+6. Integer division: DuckDB ``//`` TRUNCATES toward zero on BIGINT
+   (measured on 1.0: (-3)//2 = -1) — pair it with Spark ``div`` (also
+   truncating), never with shiftright (which floors).
+7. DuckDB 1.0 ``list_reduce`` mis-evaluates STRUCT accumulators whose
+   lambda repeats a subexpression — express stateful folds in oracles as
+   recursive CTEs (see forecast_holt_linear); integer-accumulator reduces
+   are fine.
 """
 
 from __future__ import annotations
