@@ -1032,3 +1032,41 @@ def test_streaming_flowlets_correct_across_arrow_chunks(spark, sf_dir,
         if r["flowlet_id"] != last_per_stream[r["stream"]]
     }
     assert got == expected and len(expected) >= 4
+
+
+def test_holt_tracker_matches_batch(spark, sf_dir, events_dir):
+    """The streaming Holt forecaster's final row per event type must
+    equal the batch forecast_holt_linear fold exactly — same truncating
+    integer recurrence, complete-days-per-micro-batch contract
+    (availableNow delivers the whole landing dir as complete days)."""
+    from wireduck_spark.streaming.stateful import holt_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        holt_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_holt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: keep the LAST row per type (highest n_days)
+    got = {
+        r["event_type"]: (r["n_days"], r["level_cents"],
+                          r["trend_cents"], r["forecast_1d"])
+        for r in spark.sql(
+            """
+            SELECT * FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n_days DESC) AS rn
+              FROM t_holt) WHERE rn = 1
+            """
+        ).collect()
+    }
+    expected = {
+        r["event_type"]: (r["n_days"], r["level_cents"],
+                          r["trend_cents"], r["forecast_1d"])
+        for r in QUERIES["forecast_holt_linear"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected and len(expected) >= 3

@@ -214,7 +214,13 @@ def _anomaly_update(
         if packed:
             hist = [int(v) for v in packed.split(",")]
     out_ids, out_x, out_n = [], [], []
-    for pdf in batches:
+    # Concatenate ALL chunks before the single sort: a >Arrow-batch-size
+    # group arrives as several chunks in arbitrary order, and the
+    # trailing deque walks event-time order (same multi-chunk rule as
+    # the flowlet/lateness trackers, round-5 advisory).
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
         xs = (pdf["value"] * 100).round().astype("int64")
         for eid, x in zip(pdf["event_id"].astype("int64"), xs):
@@ -289,7 +295,11 @@ def _ewma_update(
         if packed:
             hist = [int(v) for v in packed.split(",")]
     out_ids, out_num, out_den = [], [], []
-    for pdf in batches:
+    # concat-then-sort-once: multi-chunk groups arrive in arbitrary
+    # chunk order and the deque walks event time (round-5 advisory)
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
         xs = (pdf["value"] * 100).round().astype("int64")
         for eid, x in zip(pdf["event_id"].astype("int64"), xs):
@@ -465,7 +475,11 @@ def _session_update(
             n, (last_us - start_us) // 1_000_000, cents,
         ))
 
-    for pdf in batches:
+    # concat-then-sort-once: the gap rule walks event time, so chunk
+    # order must not leak into session boundaries (round-5 advisory)
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
         xs = (pdf["value"] * 100).round().astype("int64")
@@ -545,7 +559,11 @@ def _beacon_update(
     each micro-batch, so the final emitted row equals the batch answer."""
     user_id, event_type = key
     last_ts, n, s, q = (state.get if state.exists else (-1, 0, 0, 0))
-    for pdf in batches:
+    # concat-then-sort-once: gap statistics walk event time, so chunk
+    # order must not perturb the gaps (round-5 advisory)
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
         for t in ts_us:
@@ -726,5 +744,103 @@ def lateness_tracker(events: DataFrame) -> DataFrame:
         outputStructType=LATENESS_OUTPUT_SCHEMA,
         stateStructType=LATENESS_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("level", LongType()),
+        StructField("trend", LongType()),
+        StructField("n_days", LongType()),
+    ]
+)
+
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("level_cents", LongType()),
+        StructField("trend_cents", LongType()),
+        StructField("forecast_1d", LongType()),
+    ]
+)
+
+
+def _holt_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-type Holt linear smoothing state: (level, trend, n_days) —
+    three int64s. Each micro-batch's rows are concatenated (the
+    multi-chunk rule), aggregated to day totals, day-sorted, and folded
+    with the SAME truncating-halving recurrence as the batch
+    forecast_holt_linear; the updated state emits one forecast row.
+    Contract: a day must arrive complete within one micro-batch (the
+    availableNow / daily-trigger deployment — partial days would smooth
+    a partial total; same caveat family as session_tracker)."""
+    (event_type,) = key
+    level, trend, n_days = (
+        state.get if state.exists else (0, 0, 0)
+    )
+    level, trend, n_days = int(level), int(trend), int(n_days)
+
+    def tdiv2(a: int) -> int:  # truncate-toward-zero halving (Spark div)
+        q = abs(a) // 2
+        return -q if a < 0 else q
+
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        daily = (
+            pdf.groupby("d", sort=True)["cents"].sum().astype("int64")
+        )
+        for y in daily.to_list():
+            y = int(y)
+            if n_days == 0:
+                level, trend = y, 0
+            else:
+                nl = tdiv2(y + level + trend)
+                trend = tdiv2(trend + nl - level)
+                level = nl
+            n_days += 1
+    state.update((int(level), int(trend), int(n_days)))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_days": [n_days],
+            "level_cents": [level],
+            "trend_cents": [trend],
+            "forecast_1d": [level + trend],
+        }
+    )
+
+
+def holt_tracker(events: DataFrame) -> DataFrame:
+    """Streaming twin of forecast_holt_linear: the live capacity
+    forecast a pipeline reads after each day's data lands. State is
+    THREE int64s per event type; every arithmetic step is the batch
+    query's integer recurrence, so with complete days per micro-batch
+    the final emitted row per type equals the batch fold exactly
+    (pinned by tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    cols = dict(events.dtypes)
+    src = events.select("event_type", "ts", "value")
+    if cols.get("ts", "").startswith("timestamp"):
+        day = F.col("ts").cast("date")
+    else:  # raw TIMESTAMP(NANOS) landed as bigint
+        day = F.expr("CAST(timestamp_micros(ts div 1000) AS DATE)")
+    src = src.select(
+        "event_type",
+        day.cast("string").alias("d"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return src.groupBy("event_type").applyInPandasWithState(
+        _holt_update,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
