@@ -952,3 +952,158 @@ def embed_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .orderBy("q_id", "rnk")
     )
+
+
+def _int_dot_spark(a: str, b: str) -> str:
+    """Exact int64 dot product of two float arrays quantized per
+    coordinate to a 1e3 grid — integer products summed by a fold, so
+    no float addition order exists."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (p, q) ->"
+        f" CAST(ROUND(CAST(p AS DOUBLE) * 1000, 0) AS BIGINT)"
+        f" * CAST(ROUND(CAST(q AS DOUBLE) * 1000, 0) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _int_dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST(ROUND(CAST({a}[CAST(i AS INTEGER)] AS DOUBLE)"
+        f"   * 1000, 0) AS BIGINT)"
+        f" * CAST(ROUND(CAST({b}[CAST(i AS INTEGER)] AS DOUBLE)"
+        f"   * 1000, 0) AS BIGINT))), (x, y) -> x + y)"
+    )
+
+
+def _duck_eval_candidates() -> str:
+    joins = "\n        UNION ALL\n".join(
+        f"""        SELECT q.vec_id AS q_id, c.vec_id AS cand_id
+        FROM bucketed q JOIN bucketed c ON q.b{t} = c.b{t}
+            AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 50"""
+        for t in range(N_LSH_TABLES)
+    )
+    return f"SELECT DISTINCT q_id, cand_id FROM (\n{joins}\n    )"
+
+
+@query(
+    "pipeline_rag_eval_mrr_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               {", ".join(f'{_table_bucket_duck("embedding", t)} AS b{t}'
+                          for t in range(N_LSH_TABLES))}
+        FROM embeddings
+    ),
+    candidates AS (
+        {_duck_eval_candidates()}
+    ),
+    dots AS (
+        SELECT cand.q_id, q.label AS q_label, cand.cand_id,
+               c.label AS c_label,
+               {_int_dot_duck("q.embedding", "c.embedding")} AS dot
+        FROM candidates cand
+        JOIN embeddings q ON q.vec_id = cand.q_id
+        JOIN embeddings c ON c.vec_id = cand.cand_id
+    ),
+    ranked AS (
+        SELECT q_id, q_label, c_label,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY dot DESC, cand_id)
+                 AS BIGINT) AS rnk
+        FROM dots
+    ),
+    firsts AS (
+        SELECT q_id, q_label,
+               MIN(CASE WHEN c_label = q_label THEN rnk END) AS first_hit
+        FROM ranked GROUP BY q_id, q_label
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+           CAST(SUM(COALESCE(1000000 // first_hit, 0)) AS BIGINT)
+               AS rr_ppm_sum,
+           ROUND(CAST(SUM(COALESCE(1000000 // first_hit, 0)) AS DOUBLE)
+                 / COUNT(*) / 1000000, 4) AS mrr
+    FROM firsts
+    GROUP BY q_label
+    ORDER BY q_label
+    """,
+    tags=("similarity", "eval", "llm-pipeline", "ann"),
+)
+def pipeline_rag_eval_mrr_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The SUBLINEAR twin of pipeline_rag_eval_mrr: MRR where each
+    query's candidates come from the shared hyperplane-LSH buckets
+    (any collision across the 8 tables) instead of the whole corpus —
+    the eval you actually run at 100 TB, measuring the metric the
+    production retriever can achieve INCLUDING its recall loss
+    (queries whose buckets hold no same-label vector score 0, reported
+    via n_hit).
+
+    Candidate generation is the sim_ann_hyperplane_lsh plan (signature
+    explode + per-table equi-join, shuffle moves 8 rows per vector);
+    ranking uses the exact integer-grid dot product so ties and hashes
+    are engine-identical. Candidates per query are bounded by bucket
+    occupancy (the (tables, bits) dial), so eval cost is O(|eval| x
+    bucket), not O(|eval| x corpus).
+    """
+    emb = (
+        table(spark, sf, "embeddings", spread=True)
+        .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
+        .cache()
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.posexplode("buckets").alias("c_tbl", "c_bucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("tbl") == F.col("c_tbl"))
+            & (F.col("bucket") == F.col("c_bucket"))
+            & (F.col("q_id") != F.col("cand_id")),
+        )
+        .select("q_id", "q_label", "cand_id", "c_label",
+                F.expr(_int_dot_spark("q_emb", "c_emb")).alias("dot"))
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "cand_id")
+    ranked = pairs.select(
+        "q_id", "q_label", "c_label",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    firsts = ranked.groupBy("q_id", "q_label").agg(
+        F.min(F.when(F.col("c_label") == F.col("q_label"), F.col("rnk")))
+        .alias("first_hit")
+    )
+    return (
+        firsts.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(F.when(F.col("first_hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_hit"),
+            F.sum(F.coalesce(F.expr("1000000 div first_hit"), F.lit(0)))
+            .cast("bigint").alias("rr_ppm_sum"),
+        )
+        .select(
+            "label", "n_queries", "n_hit", "rr_ppm_sum",
+            F.round(
+                F.col("rr_ppm_sum").cast("double")
+                / F.col("n_queries") / 1000000,
+                4,
+            ).alias("mrr"),
+        )
+        .orderBy("label")
+    )

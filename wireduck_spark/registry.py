@@ -430,6 +430,7 @@ PENDING_GATE: tuple[str, ...] = (
     "io_incremental_file_ledger",     # exactly-once-per-file ingest
     "scalar_lambda_hofs",             # transform/filter/exists/forall/aggregate
     "stats_bootstrap_ci",             # one-pass Poisson bootstrap 95% CI
+    "pipeline_rag_eval_mrr_lsh",      # sublinear LSH-candidate MRR eval
 )
 
 
