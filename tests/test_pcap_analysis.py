@@ -420,3 +420,24 @@ def test_quic_short_header_and_garbage_not_claimed(spark, sf_dir):
                                  payload), 1, f)
         assert not any(k.startswith("quic.") for k in f), f
         assert "quic" not in f["frame.protocols"]
+
+
+def test_pcap_quic_federation_goldens(spark, sf_dir):
+    """QUIC x edge-catalog federation goldens over the deterministic
+    quic capture: all 7 long-header packets attribute to cloud-edge-1;
+    v1 carries 3 packets across 2 DCIDs (client a1..a8 + server
+    0f0e0d0c), the v2 pair splits into 2 DCIDs, Version Negotiation
+    keeps its own version-0 row."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = {
+        (r["tenant"], r["version"]): (r["n_packets"], r["n_dcids"])
+        for r in load_all_queries()["pcap_quic_federation"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        ("cloud-edge-1", 0): (1, 1),
+        ("cloud-edge-1", 1): (3, 2),
+        ("cloud-edge-1", 0x1A2A3A4A): (1, 1),
+        ("cloud-edge-1", 0x6B3343CF): (2, 2),
+    }

@@ -975,6 +975,54 @@ if _have_fixture():
             .orderBy("service")
         )
 
+    @query("pcap_quic_federation", oracle=None,
+           tags=("pcap", "join", "federation", "dissect"))
+    def pcap_quic_federation(spark: SparkSession, sf: str) -> DataFrame:
+        """HTTP/3 federation: QUIC long-header traffic joined to a
+        parquet edge-catalog dimension (server IP -> tenant) — the
+        pcap_lake_federation pitch extended to the protocol where
+        TLS/SNI dissection goes dark (QUIC encrypts the ClientHello
+        into the Initial packet). Per (tenant, version): packets and
+        DISTINCT connection attempts (DCIDs), the rollup an edge
+        operator reads during a version rollout.
+
+        Scale: same shape as the TCP federation — broadcast dim onto
+        the split-parallel capture scan, one keyed aggregate; the
+        distinct-DCID count rides the same shuffle.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import quic_capture
+
+        catalog_path = os.path.join(cache_dir(), "edge_catalog.parquet")
+        spark.createDataFrame(
+            [("203.0.113.80", "cloud-edge-1")],
+            "server_ip STRING, tenant STRING",
+        ).coalesce(1).write.mode("overwrite").parquet(catalog_path)
+        dim = spark.read.parquet(catalog_path)
+        cap = quic_capture(
+            os.path.join(cache_dir(), "synth", "quic.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "udp", "quic"],
+                      engine="native").filter(
+            F.col("`quic.version`").isNotNull())
+        server_ip = F.when(
+            F.col("`udp.dstport`") == 443, F.col("`ip.dst`")
+        ).otherwise(F.col("`ip.src`"))
+        return (
+            t.withColumn("server_ip", server_ip)
+            .join(F.broadcast(dim), "server_ip", "left")
+            .groupBy(
+                F.coalesce(F.col("tenant"), F.lit("unknown"))
+                .alias("tenant"),
+                F.col("`quic.version`").alias("version"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.countDistinct("`quic.dcid`").cast("bigint")
+                .alias("n_dcids"),
+            )
+            .orderBy("tenant", "version")
+        )
+
     @query("pcap_capture_compare", oracle=None,
            tags=("pcap", "analysis", "cdc"))
     def pcap_capture_compare(spark: SparkSession, sf: str) -> DataFrame:
