@@ -75,3 +75,32 @@ def test_pq_rerank_scores_are_exact_cosines(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert r["cos_sim"] == exact[key], key
+
+
+def test_lsh_mrr_eval_consistency(spark, sf_dir):
+    """Invariants tying the LSH-candidate MRR to the exhaustive one:
+    same labels and query counts (same eval set), hits can't exceed
+    queries, and the 8x4 tables must find a same-label mate for a
+    reasonable share of queries (recall floor). NOTE deliberately NOT
+    asserted: mrr_lsh <= mrr_exact — restricting candidates also
+    removes higher-ranked WRONG-label competitors, so rank-within-
+    retrieved MRR can legitimately exceed the exhaustive value (it
+    measured 0.298 vs 0.273 on one label here); the two metrics answer
+    different questions and the query docstrings say which."""
+    from wireduck_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    exact = {r["label"]: r for r in
+             qs["pipeline_rag_eval_mrr"].fn(spark, sf_dir).collect()}
+    lsh = {r["label"]: r for r in
+           qs["pipeline_rag_eval_mrr_lsh"].fn(spark, sf_dir).collect()}
+    assert set(lsh) == set(exact)
+    total_hit = total_q = 0
+    for lab, e in exact.items():
+        l = lsh[lab]
+        assert l["n_queries"] == e["n_queries"], lab
+        assert 0 <= l["n_hit"] <= l["n_queries"], lab
+        assert 0.0 <= l["mrr"] <= 1.0, lab
+        total_hit += l["n_hit"]
+        total_q += l["n_queries"]
+    assert total_hit / total_q >= 0.5, (total_hit, total_q)
