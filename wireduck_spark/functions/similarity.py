@@ -1049,6 +1049,12 @@ def pipeline_rag_eval_mrr_lsh(spark: SparkSession, sf: str) -> DataFrame:
     are engine-identical. Candidates per query are bounded by bucket
     occupancy (the (tables, bits) dial), so eval cost is O(|eval| x
     bucket), not O(|eval| x corpus).
+
+    Metric caveat (tested): this is rank-within-RETRIEVED MRR — the
+    restricted candidate list also drops higher-ranked wrong-label
+    competitors, so the value can exceed the exhaustive
+    pipeline_rag_eval_mrr; the recall loss shows up in n_hit, not
+    necessarily in the rank statistic.
     """
     emb = (
         table(spark, sf, "embeddings", spread=True)
