@@ -272,3 +272,82 @@ def test_pca_power_iteration_matches_numpy_replay(spark, sf_dir):
     assert v_spark == v  # exact integer equality, all 64 loadings
     assert trace == int((gc.astype(object) ** 2).sum())
     assert 0 < lam < trace
+
+
+def test_pca_two_components_match_numpy_replay(spark, sf_dir):
+    """pca_components with Hotelling deflation must equal the numpy
+    replay EXACTLY for both components: the deflation is pure int64
+    ((s*v) div VV with truncating div), so the second iteration's
+    input grid — and therefore its loadings — admit no tolerance."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from wireduck_spark.functions.curation import pca_components
+    from wireduck_spark.registry import table
+
+    def half_up(y):
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in
+         t.column("embedding").to_pylist()]
+    )
+    g = half_up(emb * 1000.0).astype(np.int64)
+    n, d = g.shape
+    mu = np.array([tdiv(int(g[:, j].sum()), n) for j in range(d)],
+                  dtype=np.int64)
+    gc = g - mu
+
+    def power(mat):
+        v = [1_000_000] * d
+        for _ in range(8):
+            s = np.array(
+                [tdiv(int((mat[i] * np.array(v, dtype=np.int64)).sum()),
+                      100000) for i in range(n)], dtype=np.int64)
+            w = [int((mat[:, j] * s).sum()) for j in range(d)]
+            norm = math.sqrt(sum(float(x) * float(x) for x in w))
+            if norm == 0:
+                break
+            v = [int(round(1_000_000 * float(x) / norm)) for x in w]
+        return v
+
+    v1 = power(gc)
+    va = np.array(v1, dtype=np.int64)
+    vv = int((va.astype(object) ** 2).sum())
+    defl = gc.copy()
+    for i in range(n):
+        s_full = int((gc[i].astype(object) * va.astype(object)).sum())
+        defl[i] = gc[i] - np.array(
+            [tdiv(s_full * int(va[j]), vv) for j in range(d)],
+            dtype=np.int64)
+    v2 = power(defl)
+
+    e = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    qv = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("x").cast("double") * 1000, 0).cast("bigint")
+        .alias("g"),
+    )
+    comps, trace = pca_components(qv, n_components=2)
+    assert comps[0][0] == v1
+    assert comps[1][0] == v2
+    # Eigenvalue sanity: both positive, far below trace. NOT asserted:
+    # lambda_2 < lambda_1 — on these near-isotropic synthetic embeddings
+    # the eigengap is tiny, so 8 fixed iterations leave v1 slightly
+    # unconverged and the post-deflation Rayleigh quotient can edge past
+    # it (measured 13.53M vs 13.06M); the loadings above are still
+    # EXACTLY reproducible, which is the determinism contract.
+    assert 0 < comps[0][1] < trace
+    assert 0 < comps[1][1] < trace
+    assert comps[1][1] < comps[0][1] * 1.2

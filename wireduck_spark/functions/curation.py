@@ -1218,11 +1218,6 @@ def pca_power_iteration(qv: DataFrame, iters: int = 8,
     carries tasks x D rows. D is the embedding width (bounded, here
     64); iterations are a fixed constant. No row-level Python.
     """
-    import math
-
-    dims = [r["dim"] for r in qv.select("dim").distinct().collect()]
-    d_width = len(dims)
-    # centered component table: g_c = g - mean_dim (integer mean, floor)
     means = qv.groupBy("dim").agg(
         F.expr("sum(g) div count(*)").cast("bigint").alias("mu")
     )
@@ -1230,6 +1225,19 @@ def pca_power_iteration(qv: DataFrame, iters: int = 8,
         qv.join(F.broadcast(means), "dim")
         .select("vec_id", "dim", (F.col("g") - F.col("mu")).alias("gc"))
     )
+    dims = [r["dim"] for r in qv.select("dim").distinct().collect()]
+    return _power_iterate_centered(centered, dims, iters)
+
+
+def _power_iterate_centered(
+    centered: DataFrame, dims: list, iters: int
+) -> tuple[list[int], int, int]:
+    """One dominant-direction power iteration over a centered integer
+    grid table (vec_id, dim, gc) - the shared engine behind
+    pca_power_iteration and the deflation-based pca_components."""
+    import math
+
+    d_width = len(dims)
     centered = centered.persist()
     try:
         trace = centered.agg(
@@ -1335,3 +1343,107 @@ def embed_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
             evr.alias("explained_var_ratio"),
         )
     )
+
+
+def _pca_deflate(centered: DataFrame, dims: list, v: list[int]) -> DataFrame:
+    """Integer-exact deflation: subtract each vector's projection onto
+    the (micro-quantized) component v from the centered grid table.
+
+    r_ij = gc_ij - (s_i * v_j) div VV with s_i = sum_j gc_ij * v_j and
+    VV = sum_j v_j^2 — all int64 (|s*v| <= ~4e17, VV <= 6.4e13), the
+    truncating div re-quantizes the residual onto the same grid scale,
+    and the numpy golden replays the identical arithmetic. The second
+    power iteration then finds the dominant direction of the residual
+    scatter = the second principal component (Hotelling deflation)."""
+    vmap = F.create_map(
+        *[x for d_i, vv_ in zip(sorted(dims), v)
+          for x in (F.lit(int(d_i)), F.lit(int(vv_)))]
+    )
+    vv_int = sum(int(x) * int(x) for x in v)
+    dots = (
+        centered.withColumn("vm", vmap[F.col("dim")])
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("gc") * F.col("vm")).cast("bigint").alias("sf_"))
+    )
+    return (
+        centered.join(dots, "vec_id")
+        .withColumn("vm", vmap[F.col("dim")])
+        .select(
+            "vec_id", "dim",
+            (F.col("gc")
+             - F.expr(f"(sf_ * vm) div CAST({vv_int} AS BIGINT)"))
+            .cast("bigint").alias("gc"),
+        )
+    )
+
+
+def pca_components(qv: DataFrame, n_components: int = 2,
+                   iters: int = 8) -> tuple[list[tuple[list[int], int]], int]:
+    """Top-k principal components by power iteration + Hotelling
+    deflation. Returns ([(v_micro, lambda_scaled), ...], trace). Each
+    component reuses the single-component engine on the (integer-exact)
+    deflated table; orthogonality holds up to the grid truncation,
+    which the numpy-replay golden reproduces bit-for-bit."""
+    means = qv.groupBy("dim").agg(
+        F.expr("sum(g) div count(*)").cast("bigint").alias("mu")
+    )
+    centered = (
+        qv.join(F.broadcast(means), "dim")
+        .select("vec_id", "dim", (F.col("g") - F.col("mu")).alias("gc"))
+    )
+    dims = [r["dim"] for r in qv.select("dim").distinct().collect()]
+    out: list[tuple[list[int], int]] = []
+    trace = None
+    cur = centered
+    for _ in range(n_components):
+        v, lam, tr = _power_iterate_centered(cur, dims, iters)
+        if trace is None:
+            trace = tr
+        out.append((v, lam))
+        cur = _pca_deflate(cur, dims, v)
+    return out, int(trace or 0)
+
+
+@query(
+    "embed_pca_two_components",
+    oracle=None,  # iterative; numpy-replay golden incl. the deflation
+    tags=("embedding", "stats", "llm-pipeline", "iterative"),
+)
+def embed_pca_two_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-2 principal components via power iteration + Hotelling
+    deflation — enough to draw the anisotropy picture (is variance
+    hoarded by ONE direction, or two?) and the input for 2-D embedding
+    map projections. Emits per component: the explained-variance ratio
+    and the top-3 |loading| dims.
+
+    The deflation subtracts each vector's projection on component 1
+    with pure int64 arithmetic ((s*v) div VV), so the second iteration
+    runs on the same exact grid machinery as the first; the numpy
+    golden replays both components including the truncating deflation.
+    """
+    e = table(spark, sf, "embeddings")
+    qv = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("x").cast("double") * 1000, 0).cast("bigint")
+        .alias("g"),
+    )
+    comps, trace = pca_components(qv, n_components=2)
+    rows = []
+    for ci, (v, lam) in enumerate(comps):
+        top3 = sorted(
+            range(len(v)), key=lambda d: (-abs(v[d]), d)
+        )[:3]
+        rows.append((
+            ci + 1,
+            round(lam / trace, 4) if trace else 0.0,
+            [int(d) for d in top3],
+            [int(v[d]) for d in top3],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "component INT, explained_var_ratio DOUBLE, "
+        "top_dims ARRAY<INT>, top_loadings_micro ARRAY<BIGINT>",
+    ).orderBy("component")

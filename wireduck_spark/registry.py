@@ -432,6 +432,7 @@ PENDING_GATE: tuple[str, ...] = (
     "stats_bootstrap_ci",             # one-pass Poisson bootstrap 95% CI
     "pipeline_rag_eval_mrr_lsh",      # sublinear LSH-candidate MRR eval
     "pcap_quic_federation",           # rows-only; HTTP/3 x edge catalog
+    "embed_pca_two_components",       # rows-only; deflation numpy golden
 )
 
 
