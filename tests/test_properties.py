@@ -309,3 +309,37 @@ def test_vxlan_without_vni_flag_not_decapped(payload):
     assert "vxlan.vni" not in fields
     assert fields["ip.src"] == "192.0.2.10"  # outer untouched
     assert "vxlan" not in fields["frame.protocols"]
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=120),
+    sport=st.integers(min_value=1024, max_value=65535),
+)
+@settings(max_examples=200, deadline=None)
+def test_quic_parse_never_raises_and_claims_only_valid(payload, sport):
+    """QUIC property: arbitrary UDP/443 payloads never crash the
+    dissector, and 'quic' is claimed ONLY when the long-header
+    invariants hold (0b11 first-byte prefix, both CID lengths <= 20 and
+    in-bounds) — with version/DCID/SCID then present and consistent;
+    otherwise NO quic.* field leaks (the scratch-dict commit rule)."""
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import udp_frame
+
+    fields: dict = {}
+    dissect_packet(
+        udp_frame("10.0.0.1", "10.0.0.2", sport, 443, payload), 1, fields)
+    claimed = "quic" in fields.get("frame.protocols", "")
+    if claimed:
+        assert fields.get("quic.header_form") is True
+        dcid_len = payload[5]
+        assert (payload[0] & 0xC0) == 0xC0
+        assert dcid_len <= 20
+        assert fields["quic.dcid"] == payload[6:6 + dcid_len].hex()
+        scid_len = payload[6 + dcid_len]
+        assert scid_len <= 20
+        assert fields["quic.scid"] == (
+            payload[7 + dcid_len:7 + dcid_len + scid_len].hex())
+        assert fields["quic.version"] == int.from_bytes(
+            payload[1:5], "big")
+    else:
+        assert not any(k.startswith("quic.") for k in fields)
