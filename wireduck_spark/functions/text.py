@@ -1259,6 +1259,7 @@ def text_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
     LIMIT 20
     """,
     tags=("text", "quality", "llm-pipeline"),
+    bench=True,
 )
 def text_perplexity_unigram(spark: SparkSession, sf: str) -> DataFrame:
     """Unigram-LM perplexity proxy: each document's mean per-token

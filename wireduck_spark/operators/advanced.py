@@ -1271,6 +1271,7 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ORDER BY ship_month
     """,
     tags=("join", "semi", "bloom", "optimization"),
+    bench=True,
 )
 def join_semi_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     """Semi join with a DECLARATIVE bloom pre-filter: the selective dim

@@ -1910,6 +1910,7 @@ def event_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
     FROM ranked
     """,
     tags=("agg", "stats", "experiment"),
+    bench=True,
 )
 def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass Poisson bootstrap (the large-scale bootstrap): a 95% CI
