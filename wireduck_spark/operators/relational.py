@@ -1967,3 +1967,217 @@ def stats_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.when(F.col("rk") == 196, F.col("m"))).alias("ci_hi"),
         F.round(F.avg("m"), 4).alias("boot_mean"),
     )
+
+
+@query(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                 AS BIGINT) AS rk
+      FROM rev
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(rk * cents) AS BIGINT) AS s1
+      FROM ranked
+    )
+    SELECT n,
+           ROUND((2.0 * s1 - (CAST(n AS DOUBLE) + 1) * s)
+                 / (CAST(n AS DOUBLE) * s), 4) AS gini
+    FROM m
+    """,
+    tags=("agg", "stats", "analysis"),
+)
+def agg_gini_coefficient(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer revenue inequality — the one-number
+    concentration summary next to the Pareto tiers (0 = equal, ->1 =
+    one whale) — via the rank formula G = (2*sum(i*y_i) - (n+1)*sum(y))
+    / (n*sum(y)) over ascending-sorted revenue.
+
+    The global rank that formula needs is computed SCALE-SAFE with the
+    window_percent_cume two-pass rewrite: repartitionByRange on
+    (cents, custkey), per-partition row_number plus the driver-side
+    prefix-summed partition offsets (#partitions values collected,
+    never rows) — no un-partitioned window anywhere. rk*cents peaks at
+    n * max_cents (~1e5 * 1e8 = 1e13 at sf0.1x8) and its sum at
+    ~n^2*mu — inside int64 through ~1e9 customers; beyond that, scale
+    cents down or use the histogram rewrite. One IEEE expression on
+    the three exact moments, rounded 4 dp.
+    """
+    o = table(spark, sf, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("cents")
+    )
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        rev.repartitionByRange(nparts, F.col("cents"), F.col("o_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in ranged.groupBy("pid").agg(
+                F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("pid"),
+        )
+        w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+        ranked = ranged.select(
+            "cents",
+            (F.row_number().over(w_local) + off_expr).cast("bigint")
+            .alias("rk"),
+        )
+        m = ranked.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("s1"),
+        )
+        out = m.select(
+            "n",
+            F.round(
+                (2.0 * F.col("s1")
+                 - (F.col("n").cast("double") + 1) * F.col("s"))
+                / (F.col("n").cast("double") * F.col("s")),
+                4,
+            ).alias("gini"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out
+
+
+@query(
+    "event_ab_lift_by_decile",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substr(md5('exp7:' ||
+                      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x_cents,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y_cents
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (
+      SELECT quantile_cont(x_cents, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                     0.6, 0.7, 0.8, 0.9]) AS b
+      FROM per_user
+    ),
+    assigned AS (
+      SELECT u.arm, u.y_cents,
+             CAST(len(list_filter(b.b,
+                  v -> CAST(u.x_cents AS DOUBLE) > v)) AS BIGINT)
+                 AS decile
+      FROM per_user u, bounds b
+    ),
+    cells AS (
+      SELECT decile,
+             CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_control,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_treatment,
+             CAST(SUM(CASE WHEN arm = 'control' THEN y_cents ELSE 0 END)
+                 AS BIGINT) AS s_control,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN y_cents ELSE 0 END)
+                 AS BIGINT) AS s_treatment
+      FROM assigned GROUP BY decile
+    )
+    SELECT decile, n_control, n_treatment,
+           ROUND(CAST(s_control AS DOUBLE) / greatest(n_control, 1), 4)
+               AS mean_control,
+           ROUND(CAST(s_treatment AS DOUBLE) / greatest(n_treatment, 1), 4)
+               AS mean_treatment,
+           ROUND(CAST(s_treatment AS DOUBLE) / greatest(n_treatment, 1)
+                 - CAST(s_control AS DOUBLE) / greatest(n_control, 1), 4)
+               AS lift_cents
+    FROM cells
+    ORDER BY decile
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def event_ab_lift_by_decile(spark: SparkSession, sf: str) -> DataFrame:
+    """Heterogeneous treatment effect readout: the exp7 lift broken out
+    by PRE-period spend decile — the segmentation every growth review
+    asks for after the topline (does the feature move light users, or
+    only whales?). Deciles come from percentile BOUNDARIES (the
+    feature_quantile_bucketize pattern: one aggregate, broadcast
+    9-element array, narrow assignment) — never an ntile window over
+    all users.
+
+    Determinism: per-user sums are exact cents; decile boundaries use
+    the shared (n-1)p percentile definition (Spark `percentile` ==
+    DuckDB `quantile_cont` on integers); cell sums are exact and the
+    means/lift round once. Assignment compares through the same DOUBLE
+    cast in both engines.
+
+    Scale: one user-keyed shuffle + a 20-cell rollup; the decile
+    boundaries swap for percentile_approx at extreme cardinality.
+    """
+    e = table(spark, sf, "events")
+    arm = F.when(
+        F.expr("CAST(conv(substring(md5(concat('exp7:', "
+               "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    boundary = F.lit("2024-01-16").cast("timestamp_ntz").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < boundary, cents(F.col("value")))
+              .otherwise(0)).cast("bigint").alias("x_cents"),
+        F.sum(F.when(F.col("ts") >= boundary, cents(F.col("value")))
+              .otherwise(0)).cast("bigint").alias("y_cents"),
+    ).select(arm.alias("arm"), "x_cents", "y_cents")
+    bounds = per_user.agg(
+        F.expr(
+            "percentile(x_cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D,"
+            " 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("b")
+    )
+    assigned = per_user.crossJoin(F.broadcast(bounds)).select(
+        "arm", "y_cents",
+        F.size(
+            F.filter(F.col("b"),
+                     lambda v: F.col("x_cents").cast("double") > v)
+        ).cast("bigint").alias("decile"),
+    )
+    cells = assigned.groupBy("decile").agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint").alias("n_treatment"),
+        F.sum(F.when(F.col("arm") == "control", F.col("y_cents"))
+              .otherwise(0)).cast("bigint").alias("s_control"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("y_cents"))
+              .otherwise(0)).cast("bigint").alias("s_treatment"),
+    )
+    mc = F.col("s_control").cast("double") / F.greatest(
+        F.col("n_control"), F.lit(1))
+    mt = F.col("s_treatment").cast("double") / F.greatest(
+        F.col("n_treatment"), F.lit(1))
+    return cells.select(
+        "decile", "n_control", "n_treatment",
+        F.round(mc, 4).alias("mean_control"),
+        F.round(mt, 4).alias("mean_treatment"),
+        F.round(mt - mc, 4).alias("lift_cents"),
+    ).orderBy("decile")

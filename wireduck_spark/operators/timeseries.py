@@ -2777,3 +2777,86 @@ def forecast_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("st.l") + 3 * F.col("st.t")).cast("bigint")
         .alias("forecast_3d"),
     ).orderBy("event_type")
+
+
+@query(
+    "event_pattern_three_rises",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             LAG(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS prev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NOT NULL AND cents > prev
+                  THEN 0 ELSE 1 END AS brk
+      FROM seq
+    ),
+    runs AS (
+      SELECT user_id,
+             CAST(SUM(brk) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM flagged
+    ),
+    run_lens AS (
+      SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_rows
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE run_rows >= 4) AS BIGINT)
+               AS n_patterns,
+           CAST(COUNT(DISTINCT CASE WHEN run_rows >= 4 THEN user_id END)
+               AS BIGINT) AS n_users,
+           CAST(MAX(run_rows) AS BIGINT) AS longest_run_rows
+    FROM run_lens
+    """,
+    tags=("timeseries", "pattern", "window"),
+)
+def event_pattern_three_rises(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-pattern detection (the MATCH_RECOGNIZE A B+ case Spark has
+    no native operator for, re-expressed as windows): maximal runs of
+    STRICTLY RISING spend per user in event-time order; a 'pattern' is
+    3+ consecutive rises (4+ rows) — the escalation signature fraud and
+    engagement teams both scan for.
+
+    Rewrite: lag -> break flag -> running-sum run ids -> per-run length
+    (the gaps-and-islands family, same plan as
+    event_sessionization_gap); every window shares ONE user_id shuffle
+    and the run rollup rides it too. Exact integer cents comparisons,
+    unique (ts, event_id) tiebreak.
+    """
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq = e.select(
+        "user_id", "ts", "event_id",
+        cents(F.col("value")).alias("cents"),
+    ).withColumn("prev", F.lag("cents").over(w))
+    flagged = seq.withColumn(
+        "brk",
+        F.when(
+            F.col("prev").isNotNull() & (F.col("cents") > F.col("prev")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("brk").over(w_run).cast("bigint")
+    )
+    run_lens = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").cast("bigint").alias("run_rows")
+    )
+    return run_lens.agg(
+        F.sum(F.when(F.col("run_rows") >= 4, 1).otherwise(0))
+        .cast("bigint").alias("n_patterns"),
+        F.countDistinct(
+            F.when(F.col("run_rows") >= 4, F.col("user_id"))
+        ).cast("bigint").alias("n_users"),
+        F.max("run_rows").cast("bigint").alias("longest_run_rows"),
+    )

@@ -433,6 +433,9 @@ PENDING_GATE: tuple[str, ...] = (
     "pipeline_rag_eval_mrr_lsh",      # sublinear LSH-candidate MRR eval
     "pcap_quic_federation",           # rows-only; HTTP/3 x edge catalog
     "embed_pca_two_components",       # rows-only; deflation numpy golden
+    "event_pattern_three_rises",      # MATCH_RECOGNIZE-style run detection
+    "agg_gini_coefficient",           # two-pass-rank inequality summary
+    "event_ab_lift_by_decile",        # heterogeneous treatment effects
 )
 
 
