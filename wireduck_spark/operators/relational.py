@@ -2181,3 +2181,136 @@ def event_ab_lift_by_decile(spark: SparkSession, sf: str) -> DataFrame:
         F.round(mt, 4).alias("mean_treatment"),
         F.round(mt - mc, 4).alias("lift_cents"),
     ).orderBy("decile")
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (('0x' || substr(md5('exp7:' ||
+                      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT arm, y,
+             CAST(row_number() OVER (ORDER BY y, user_id) AS BIGINT) AS rk
+      FROM per_user
+    ),
+    mid AS (
+      SELECT arm, y, rk,
+             CAST(2 * MIN(rk) OVER (PARTITION BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT)
+                 AS midrank2
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN arm = 'treatment' THEN midrank2
+                      ELSE 0 END) AS BIGINT) AS r1_2
+      FROM mid
+    )
+    SELECT n0, n1,
+           ROUND((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+                 / 2, 1) AS u_stat,
+           ROUND(((CAST(r1_2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1))
+                  / 2 - CAST(n0 AS DOUBLE) * n1 / 2)
+                 / sqrt(CAST(n0 AS DOUBLE) * n1 * (n0 + n1 + 1) / 12),
+                 4) AS z_approx
+    FROM m
+    """,
+    tags=("agg", "stats", "experiment"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) on the exp7 arms — the
+    NONPARAMETRIC companion to stats_welch_ttest: spend distributions
+    are heavy-tailed, and a whale in one arm can carry a t-test while
+    the typical user saw nothing; the rank test asks about the median
+    shift instead.
+
+    Ranks come from the two-pass range-partitioned rewrite (no global
+    window); TIES get exact integer midranks computed per equal-value
+    group (midrank2 = 2*min_rank + count - 1, i.e. twice the midrank,
+    kept integral so rank sums stay exact int64). The normal z uses
+    the untied variance (tie correction omitted — documented; cents
+    granularity keeps tie groups tiny). One IEEE expression over three
+    exact integers, rounded on output.
+
+    Scale: per-user rollup is the corpus shuffle; the rank rewrite
+    collects one count per partition; midranks are a y-keyed window
+    over the users-sized table.
+    """
+    e = table(spark, sf, "events")
+    arm = F.when(
+        F.expr("CAST(conv(substring(md5(concat('exp7:', "
+               "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("y"))
+        .select("user_id", arm.alias("arm"), "y")
+    )
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        per_user.repartitionByRange(nparts, F.col("y"), F.col("user_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in ranged.groupBy("pid").agg(
+                F.count("*").alias("cnt")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+            F.col("pid"),
+        )
+        w_local = Window.partitionBy("pid").orderBy("y", "user_id")
+        ranked = ranged.select(
+            "arm", "y",
+            (F.row_number().over(w_local) + off_expr).cast("bigint")
+            .alias("rk"),
+        )
+        w_y = Window.partitionBy("y")
+        mid = ranked.select(
+            "arm",
+            (2 * F.min("rk").over(w_y) + F.count("*").over(w_y) - 1)
+            .cast("bigint").alias("midrank2"),
+        )
+        m = mid.agg(
+            F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+            .cast("bigint").alias("n0"),
+            F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("arm") == "treatment", F.col("midrank2"))
+                  .otherwise(0)).cast("bigint").alias("r1_2"),
+        )
+        u = (F.col("r1_2").cast("double")
+             - F.col("n1").cast("double") * (F.col("n1") + 1)) / 2
+        n0d = F.col("n0").cast("double")
+        n1d = F.col("n1").cast("double")
+        out = m.select(
+            "n0", "n1",
+            F.round(u, 1).alias("u_stat"),
+            F.round(
+                (u - n0d * n1d / 2)
+                / F.sqrt(n0d * n1d * (F.col("n0") + F.col("n1") + 1) / 12),
+                4,
+            ).alias("z_approx"),
+        ).localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out

@@ -436,6 +436,7 @@ PENDING_GATE: tuple[str, ...] = (
     "event_pattern_three_rises",      # MATCH_RECOGNIZE-style run detection
     "agg_gini_coefficient",           # two-pass-rank inequality summary
     "event_ab_lift_by_decile",        # heterogeneous treatment effects
+    "stats_mann_whitney_u",           # nonparametric rank-sum A/B test
 )
 
 
