@@ -437,6 +437,7 @@ PENDING_GATE: tuple[str, ...] = (
     "agg_gini_coefficient",           # two-pass-rank inequality summary
     "event_ab_lift_by_decile",        # heterogeneous treatment effects
     "stats_mann_whitney_u",           # nonparametric rank-sum A/B test
+    "graph_assortativity",            # endpoint-degree Pearson over edges
 )
 
 
