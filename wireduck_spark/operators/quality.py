@@ -493,3 +493,69 @@ def dq_distribution_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH quasi AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS kb,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cells_below_k,
+           CAST(SUM(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END)
+               AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(n_users) AS BIGINT) AS min_cell_users,
+           CAST((10000 * SUM(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END))
+                // SUM(n_rows) AS BIGINT) AS risk_bp
+    FROM quasi
+    """,
+    tags=("quality", "privacy", "agg"),
+)
+def dq_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (event_type, hour-of-day, payload bucket): cells whose DISTINCT
+    user population is below k re-identify their members when the
+    table is shared — the release-gate check privacy engineering runs
+    before any external data handoff, here as one aggregate pass with
+    the at-risk row count and basis-point exposure.
+
+    Determinism: the cell table is exact integer counts; risk share is
+    truncating integer basis points. Scale: one combinable group-by on
+    the quasi-identifier (cells << rows); generalization loops (widen
+    buckets until risk_bp hits the budget) re-run only this rollup.
+    """
+    e = table(spark, sf, "events")
+    quasi = (
+        e.select(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("hr"),
+            (F.get_json_object("props", "$.k").cast("bigint") % 10)
+            .alias("kb"),
+            "user_id",
+        )
+        .groupBy("event_type", "hr", "kb")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    below = F.when(F.col("n_users") < 5, F.col("n_rows")).otherwise(0)
+    return quasi.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(F.when(F.col("n_users") < 5, 1).otherwise(0)).cast("bigint")
+        .alias("n_cells_below_k"),
+        F.sum(below).cast("bigint").alias("n_rows_at_risk"),
+        F.min("n_users").cast("bigint").alias("min_cell_users"),
+        F.expr(
+            "CAST((10000 * SUM(CASE WHEN n_users < 5 THEN n_rows ELSE 0 "
+            "END)) div SUM(n_rows) AS BIGINT)"
+        ).alias("risk_bp"),
+    )

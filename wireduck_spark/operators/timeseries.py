@@ -2860,3 +2860,92 @@ def event_pattern_three_rises(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("bigint").alias("n_users"),
         F.max("run_rows").cast("bigint").alias("longest_run_rows"),
     )
+
+
+@query(
+    "forecast_backtest_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    joined AS (
+      SELECT a.event_type, a.d, a.cents,
+             b.cents AS pred_weekly,
+             c.cents AS pred_daily
+      FROM daily a
+      LEFT JOIN daily b ON b.event_type = a.event_type
+                        AND b.d = a.d - INTERVAL 7 DAY
+      LEFT JOIN daily c ON c.event_type = a.event_type
+                        AND c.d = a.d - INTERVAL 1 DAY
+      WHERE b.cents IS NOT NULL AND c.cents IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(ABS(cents - pred_weekly)) AS BIGINT)
+               AS mae_weekly_cents_sum,
+           CAST(SUM(ABS(cents - pred_daily)) AS BIGINT)
+               AS mae_daily_cents_sum,
+           SUM(ABS(cents - pred_weekly)) < SUM(ABS(cents - pred_daily))
+               AS weekly_wins
+    FROM joined
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "forecast", "stats"),
+)
+def forecast_backtest_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast BACKTEST: score the two classic naive baselines against
+    each other on held-out history — predict each day's revenue by the
+    value 7 days earlier (seasonal naive) vs 1 day earlier (naive) and
+    compare total absolute error per event type. Every forecasting
+    effort starts here: a model that can't beat the seasonal-naive MAE
+    doesn't ship, so the baseline table IS the evaluation harness
+    (forecast_holt_linear's fold plugs into the same scoring join).
+
+    Exactness: daily totals are integer cents; the predictions are
+    prior rows joined by calendar arithmetic (no smoothing, no
+    floats); MAE is kept as an exact integer SUM of absolute errors
+    (days-scored count published so callers can divide).
+
+    Scale: the scoring joins are self-equi-joins of the (type, day)
+    rollup — a calendar-sized table, shuffled once on event_type; the
+    corpus-sized work is the single daily aggregate.
+    """
+    e = table(spark, sf, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("d")
+        )
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
+    )
+    a = daily.alias("a")
+    b = daily.select(
+        "event_type", F.date_add("d", 7).alias("d"),
+        F.col("cents").alias("pred_weekly"),
+    ).alias("b")
+    c = daily.select(
+        "event_type", F.date_add("d", 1).alias("d"),
+        F.col("cents").alias("pred_daily"),
+    ).alias("c")
+    joined = (
+        a.join(b, ["event_type", "d"])
+        .join(c, ["event_type", "d"])
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days_scored"),
+            F.sum(F.abs(F.col("cents") - F.col("pred_weekly")))
+            .cast("bigint").alias("mae_weekly_cents_sum"),
+            F.sum(F.abs(F.col("cents") - F.col("pred_daily")))
+            .cast("bigint").alias("mae_daily_cents_sum"),
+            (
+                F.sum(F.abs(F.col("cents") - F.col("pred_weekly")))
+                < F.sum(F.abs(F.col("cents") - F.col("pred_daily")))
+            ).alias("weekly_wins"),
+        )
+        .orderBy("event_type")
+    )

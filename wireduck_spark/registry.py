@@ -438,6 +438,8 @@ PENDING_GATE: tuple[str, ...] = (
     "event_ab_lift_by_decile",        # heterogeneous treatment effects
     "stats_mann_whitney_u",           # nonparametric rank-sum A/B test
     "graph_assortativity",            # endpoint-degree Pearson over edges
+    "forecast_backtest_seasonal_naive",  # naive-baseline MAE harness
+    "dq_k_anonymity",                 # privacy release-gate audit
 )
 
 
