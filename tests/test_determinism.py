@@ -1,0 +1,39 @@
+"""Double-run determinism guard: the driver may retry or re-run any
+query; a result that differs between two executions in one session
+(rand(), unpinned ties, partition-order leakage, scratch-path reuse)
+would pass a single-shot oracle check and still flake the gate. Run a
+representative slice — every mechanism family that COULD be
+order-sensitive — twice and require identical multisets."""
+
+from __future__ import annotations
+
+import pytest
+
+from wireduck_spark.registry import load_all_queries
+
+QUERIES = load_all_queries()
+
+# One per risk family: hash sampling, two-pass global rank, range
+# window, LSH bucketing, driver-loop iteration, scratch-dir writers,
+# pattern windows, bootstrap weights.
+NAMES = [
+    "sampling_bernoulli",
+    "window_percent_cume",
+    "agg_gini_coefficient",
+    "stats_mann_whitney_u",
+    "window_trailing_interval",
+    "pipeline_rag_eval_mrr_lsh",
+    "stats_bootstrap_ci",
+    "event_pattern_three_rises",
+    "io_incremental_file_ledger",
+    "shuffle_deterministic_shards",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_double_run_identical(spark, sf_dir, name):
+    fn = QUERIES[name].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b, f"{name} is nondeterministic across runs"
+    assert a, f"{name} returned no rows"
