@@ -789,3 +789,78 @@ def scalar_lambda_hofs(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "scalar_array_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS pri,
+             range(1, o_orderkey % 5 + 3) AS xs,
+             range(CAST(o_orderkey % 3 AS BIGINT),
+                   CAST(o_orderkey % 3 + 4 AS BIGINT)) AS ys
+      FROM orders
+    ),
+    per_row AS (
+      SELECT pri,
+             CAST(len(list_intersect(xs, ys)) AS BIGINT) AS n_common,
+             CAST(len(list_distinct(list_concat(xs, ys))) AS BIGINT)
+                 AS n_union,
+             CAST(len(list_filter(xs, x -> NOT list_contains(ys, x)))
+                 AS BIGINT) AS n_only_xs,
+             CAST(list_sum(list_distinct(list_concat(xs, ys)))
+                 AS BIGINT) AS union_sum
+      FROM a
+    )
+    SELECT pri,
+           CAST(SUM(n_common) AS BIGINT) AS n_common,
+           CAST(SUM(n_union) AS BIGINT) AS n_union,
+           CAST(SUM(n_only_xs) AS BIGINT) AS n_only_xs,
+           CAST(SUM(union_sum) AS BIGINT) AS union_sum
+    FROM per_row
+    GROUP BY pri
+    ORDER BY pri
+    """,
+    tags=("scalar", "array"),
+)
+def scalar_array_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array SET operations — array_intersect / array_union /
+    array_except — the per-row set algebra behind tag matching,
+    permission diffs, and feature overlap, kept in codegen instead of
+    exploding to row-level joins.
+
+    Parity mapping: Spark's array_union dedups (DuckDB:
+    list_distinct(list_concat)); array_except has no DuckDB twin, so
+    the oracle spells it as a NOT-contains filter. Counts and an
+    element sum per row make the check order-insensitive (both engines
+    may order set results differently — only SIZES and SUMS are
+    asserted, exact int64).
+
+    Scale: pure narrow map + one keyed aggregate.
+    """
+    o = table(spark, sf, "orders")
+    a = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.expr("sequence(1L, o_orderkey % 5 + 2)").alias("xs"),
+        F.expr("sequence(o_orderkey % 3, o_orderkey % 3 + 3)").alias("ys"),
+    )
+    per_row = a.select(
+        "pri",
+        F.size(F.array_intersect("xs", "ys")).cast("bigint")
+        .alias("n_common"),
+        F.size(F.array_union("xs", "ys")).cast("bigint").alias("n_union"),
+        F.size(F.array_except("xs", "ys")).cast("bigint")
+        .alias("n_only_xs"),
+        F.expr("aggregate(array_union(xs, ys), CAST(0 AS BIGINT), "
+               "(acc, x) -> acc + x)").alias("union_sum"),
+    )
+    return (
+        per_row.groupBy("pri")
+        .agg(
+            F.sum("n_common").cast("bigint").alias("n_common"),
+            F.sum("n_union").cast("bigint").alias("n_union"),
+            F.sum("n_only_xs").cast("bigint").alias("n_only_xs"),
+            F.sum("union_sum").cast("bigint").alias("union_sum"),
+        )
+        .orderBy("pri")
+    )

@@ -2949,3 +2949,81 @@ def forecast_backtest_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "window_candlestick_ohlc",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS bar_start,
+             ts, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ordered AS (
+      SELECT event_type, bar_start, cents,
+             row_number() OVER w AS rn_open,
+             row_number() OVER (PARTITION BY event_type, bar_start
+                                ORDER BY ts DESC, event_id DESC)
+                 AS rn_close
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type, bar_start
+                   ORDER BY ts, event_id)
+    )
+    SELECT bar_start,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           CAST(MIN(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MIN(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT)
+               AS close_cents
+    FROM ordered
+    GROUP BY bar_start
+    ORDER BY bar_start
+    LIMIT 50
+    """,
+    tags=("timeseries", "window", "analysis"),
+)
+def window_candlestick_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC candlestick bars: hourly open/high/low/close of purchase
+    value — the market-data downsampling shape (resample_m4_downsample
+    keeps error-free extremes for PLOTTING; OHLC keeps the
+    open/close semantics finance tooling expects).
+
+    Open and close are first/last BY EVENT TIME with the unique
+    (ts, event_id) tiebreak — computed as rank-1 rows of two
+    per-bar windows sharing ONE (type, hour)-keyed shuffle with the
+    high/low/count aggregate. All values exact integer cents.
+    """
+    e = table(spark, sf, "events").filter(
+        F.col("event_type") == "purchase")
+    pts = e.select(
+        ts_str(F.date_trunc("hour", F.col("ts"))).alias("bar_start"),
+        "ts", "event_id",
+        cents(F.col("value")).alias("cents"),
+    )
+    w_open = Window.partitionBy("bar_start").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("bar_start").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    ordered = pts.select(
+        "bar_start", "cents",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return (
+        ordered.groupBy("bar_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trades"),
+            F.min(F.when(F.col("rn_open") == 1, F.col("cents")))
+            .cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.min(F.when(F.col("rn_close") == 1, F.col("cents")))
+            .cast("bigint").alias("close_cents"),
+        )
+        .orderBy("bar_start")
+        .limit(50)
+    )

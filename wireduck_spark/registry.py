@@ -440,6 +440,8 @@ PENDING_GATE: tuple[str, ...] = (
     "graph_assortativity",            # endpoint-degree Pearson over edges
     "forecast_backtest_seasonal_naive",  # naive-baseline MAE harness
     "dq_k_anonymity",                 # privacy release-gate audit
+    "window_candlestick_ohlc",        # hourly OHLC bars, one shuffle
+    "scalar_array_set_ops",           # intersect/union/except parity
 )
 
 
