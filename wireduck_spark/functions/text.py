@@ -1433,3 +1433,79 @@ def text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("ln_c_intercept"),
     )
+
+
+@query(
+    "text_entropy_source_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    src_h AS (
+      SELECT 'source' AS dimension,
+             ROUND(-SUM((CAST(sn AS DOUBLE) / total)
+                        * ln(CAST(sn AS DOUBLE) / total)), 4) AS entropy,
+             CAST(COUNT(*) AS BIGINT) AS n_categories
+      FROM (SELECT source, CAST(SUM(n) AS BIGINT) AS sn
+            FROM counts GROUP BY source), tot
+    ),
+    lang_h AS (
+      SELECT 'lang' AS dimension,
+             ROUND(-SUM((CAST(ln_ AS DOUBLE) / total)
+                        * ln(CAST(ln_ AS DOUBLE) / total)), 4) AS entropy,
+             CAST(COUNT(*) AS BIGINT) AS n_categories
+      FROM (SELECT lang, CAST(SUM(n) AS BIGINT) AS ln_
+            FROM counts GROUP BY lang), tot
+    )
+    SELECT * FROM src_h UNION ALL SELECT * FROM lang_h
+    ORDER BY dimension
+    """,
+    tags=("text", "stats", "quality", "llm-pipeline"),
+)
+def text_entropy_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of the training-mix composition along source and
+    language — the one-number diversity dial a curation team tracks
+    across snapshots (entropy collapsing toward 0 = one domain is
+    eating the mix; rising toward ln(k) = uniform). Pairs with
+    dq_distribution_drift_psi: PSI alarms on CHANGE, entropy states the
+    absolute concentration.
+
+    Determinism: category counts are exact integers; each term divides
+    two exact integers in IEEE doubles and the per-category ln rides
+    the shared expression tree (few categories, summed after rounding
+    guards at 4 dp — the BM25/ln convention).
+
+    Scale: one combinable (source, lang) rollup, then category-sized
+    work.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    counts = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n"))
+    counts = counts.persist()
+    try:
+        tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+
+        def h(dim):
+            per = counts.groupBy(dim).agg(
+                F.sum("n").cast("bigint").alias("cn"))
+            p = F.col("cn").cast("double") / F.col("total")
+            return (
+                per.crossJoin(F.broadcast(tot))
+                .agg(
+                    F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+                    F.count("*").cast("bigint").alias("n_categories"),
+                )
+                .select(
+                    F.lit(dim).alias("dimension"),
+                    "entropy", "n_categories",
+                )
+            )
+
+        out = h("source").unionAll(h("lang")).orderBy("dimension")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        counts.unpersist()
+    return out

@@ -2319,3 +2319,71 @@ def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         ranged.unpersist()
     return out
+
+
+@query(
+    "stats_wilson_interval",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM per_user
+    )
+    SELECT n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 4) AS rate,
+           ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 4) AS wilson_lo,
+           ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1 - CAST(k AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1 + 1.96 * 1.96 / n), 4) AS wilson_hi
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def stats_wilson_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson score interval (95%) for the user conversion rate — the
+    binomial CI that behaves at small n and extreme rates where the
+    naive Wald interval escapes [0, 1]; the per-metric closed form next
+    to the distribution-free stats_bootstrap_ci.
+
+    Determinism: (n, k) are exact integers from one distinct-user
+    rollup; the interval is a single shared IEEE tree over them with
+    the z=1.96 literal, rounded 4 dp.
+
+    Scale: one user-keyed aggregate, then constant work.
+    """
+    e = table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z2 = 1.96 * 1.96
+    nd = F.col("n").cast("double")
+    center = p + F.lit(z2) / (2 * F.col("n"))
+    half = 1.96 * F.sqrt(
+        p * (1 - p) / F.col("n") + F.lit(z2) / (4.0 * nd * nd)
+    )
+    denom = 1 + F.lit(z2) / F.col("n")
+    return m.select(
+        "n", "k",
+        F.round(p, 4).alias("rate"),
+        F.round((center - half) / denom, 4).alias("wilson_lo"),
+        F.round((center + half) / denom, 4).alias("wilson_hi"),
+    )

@@ -442,6 +442,8 @@ PENDING_GATE: tuple[str, ...] = (
     "dq_k_anonymity",                 # privacy release-gate audit
     "window_candlestick_ohlc",        # hourly OHLC bars, one shuffle
     "scalar_array_set_ops",           # intersect/union/except parity
+    "stats_wilson_interval",          # binomial rate CI, closed form
+    "text_entropy_source_mix",        # training-mix diversity entropy
 )
 
 
