@@ -441,3 +441,44 @@ def test_pcap_quic_federation_goldens(spark, sf_dir):
         ("cloud-edge-1", 0x1A2A3A4A): (1, 1),
         ("cloud-edge-1", 0x6B3343CF): (2, 2),
     }
+
+
+def test_pcap_service_inventory_goldens(spark, sf_dir):
+    """Banner-protocol inventory over the deterministic services
+    capture: SSH (2 banner packets, min banner = the OpenSSH client
+    string), SMTP (7 control packets, 4 distinct commands: EHLO, MAIL,
+    RCPT, QUIT), FTP (5 packets, 2 commands: USER, PASS) — all on
+    server 10.0.9.2."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = {
+        (r["server"], r["service"]): (
+            r["n_packets"], r["ssh_banner"], r["n_distinct_commands"])
+        for r in load_all_queries()["pcap_service_inventory"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        ("10.0.9.2", "ssh"): (2, "SSH-2.0-OpenSSH_8.9p1", 0),
+        ("10.0.9.2", "smtp"): (7, None, 4),
+        ("10.0.9.2", "ftp"): (5, None, 2),
+    }
+
+
+def test_banner_dissectors_not_claimed_off_port_or_garbage():
+    """A payload that LOOKS like a banner on a non-service port stays
+    opaque TCP; garbage on port 22/25/21 claims nothing."""
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import tcp_frame
+
+    f: dict = {}
+    dissect_packet(tcp_frame("10.0.0.1", "10.0.0.2", 40000, 40001, 1,
+                             0x18, b"SSH-2.0-OpenSSH_8.9\r\n"), 1, f)
+    assert "ssh.protocol" not in f
+    for port, payload in ((22, b"\x00\x01\x02binary"),
+                          (25, b"NOTACMD something\r\n"),
+                          (21, b"\xff\xfe garbage")):
+        f2: dict = {}
+        dissect_packet(tcp_frame("10.0.0.1", "10.0.0.2", 40000, port, 1,
+                                 0x18, payload), 1, f2)
+        assert not any(k.startswith(("ssh.", "smtp.", "ftp."))
+                       for k in f2), (port, f2)

@@ -444,6 +444,7 @@ PENDING_GATE: tuple[str, ...] = (
     "scalar_array_set_ops",           # intersect/union/except parity
     "stats_wilson_interval",          # binomial rate CI, closed form
     "text_entropy_source_mix",        # training-mix diversity entropy
+    "pcap_service_inventory",         # rows-only; ssh/smtp/ftp banners
 )
 
 

@@ -85,6 +85,9 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Generic Routing Encapsulation", "GRE", "gre"),
     GlossaryProtocol("802.1Q Virtual LAN", "VLAN", "vlan"),
     GlossaryProtocol("QUIC IETF", "QUIC", "quic"),
+    GlossaryProtocol("SSH Protocol", "SSH", "ssh"),
+    GlossaryProtocol("Simple Mail Transfer Protocol", "SMTP", "smtp"),
+    GlossaryProtocol("File Transfer Protocol (FTP)", "FTP", "ftp"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -181,6 +184,12 @@ BUILTIN_FIELDS = [
     _F("Destination Connection ID", "quic.dcid", "FT_BYTES", "quic"),
     _F("Source Connection ID", "quic.scid", "FT_BYTES", "quic"),
     _F("Packet Type", "quic.long.packet_type", "FT_UINT8", "quic"),
+    # ssh / smtp / ftp (cleartext control-channel surface)
+    _F("Protocol", "ssh.protocol", "FT_STRING", "ssh"),
+    _F("Response code", "smtp.response.code", "FT_UINT16", "smtp"),
+    _F("Command", "smtp.req.command", "FT_STRING", "smtp"),
+    _F("Response code", "ftp.response.code", "FT_UINT16", "ftp"),
+    _F("Request command", "ftp.request.command", "FT_STRING", "ftp"),
     # icmpv6
     _F("Type", "icmpv6.type", "FT_UINT8", "icmpv6"),
     _F("Code", "icmpv6.code", "FT_UINT8", "icmpv6"),
@@ -304,7 +313,7 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 13  # v13: + quic long-header fields
+GLOSSARY_VERSION = 14  # v14: + ssh/smtp/ftp banner fields
 
 
 def cache_dir() -> str:

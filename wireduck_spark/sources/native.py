@@ -437,6 +437,12 @@ def _dissect_l4(
                 protos.append("http")
             elif _dissect_tls(payload, fields):
                 protos.append("tls")
+            elif 22 in (sport, dport) and _dissect_ssh(payload, fields):
+                protos.append("ssh")
+            elif 25 in (sport, dport) and _dissect_smtp(payload, fields):
+                protos.append("smtp")
+            elif 21 in (sport, dport) and _dissect_ftp(payload, fields):
+                protos.append("ftp")
     elif proto == 17 and len(data) >= off + 8:  # UDP
         protos.append("udp")
         sport, dport, length, checksum = struct.unpack(">HHHH", data[off:off + 8])
@@ -578,6 +584,86 @@ _NTP_MODE_NAMES = {
     1: "symmetric active", 2: "symmetric passive", 3: "client",
     4: "server", 5: "broadcast", 6: "control", 7: "private",
 }
+
+
+def _dissect_ssh(payload: bytes, fields: dict) -> bool:
+    """SSH version-exchange banner (RFC 4253 §4.2): the one cleartext
+    line before key exchange — 'SSH-2.0-OpenSSH_8.9...'. tshark field
+    name ssh.protocol; the banner is the software-inventory signal
+    (version scanning / policy audit) and all later packets are
+    opaque, so only the banner packet claims the protocol."""
+    if not payload.startswith(b"SSH-"):
+        return False
+    line = payload.split(b"\n", 1)[0].rstrip(b"\r")
+    if len(line) > 255:
+        return False
+    try:
+        banner = line.decode("ascii")
+    except UnicodeDecodeError:
+        return False
+    fields["ssh.protocol"] = banner
+    fields["_ws.col.info"] = f"Protocol: {banner}"
+    return True
+
+
+def _line_protocol(payload: bytes):
+    """First CRLF line of a text control channel, ASCII or None."""
+    line = payload.split(b"\n", 1)[0].rstrip(b"\r")
+    if not line or len(line) > 512:
+        return None
+    try:
+        return line.decode("ascii")
+    except UnicodeDecodeError:
+        return None
+
+
+_SMTP_COMMANDS = ("HELO", "EHLO", "MAIL", "RCPT", "DATA", "QUIT",
+                  "RSET", "NOOP", "VRFY", "STARTTLS", "AUTH")
+
+
+def _dissect_smtp(payload: bytes, fields: dict) -> bool:
+    """SMTP control channel: 3-digit response codes and command verbs
+    (tshark fields smtp.response.code / smtp.req.command). Mail-flow
+    visibility at the protocol level — who greets, who submits."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    if len(line) >= 3 and line[:3].isdigit() and (
+            len(line) == 3 or line[3] in " -"):
+        fields["smtp.response.code"] = int(line[:3])
+        fields["_ws.col.info"] = f"S: {line}"
+        return True
+    verb = line.split(" ", 1)[0].upper()
+    if verb in _SMTP_COMMANDS:
+        fields["smtp.req.command"] = verb
+        fields["_ws.col.info"] = f"C: {line}"
+        return True
+    return False
+
+
+_FTP_COMMANDS = ("USER", "PASS", "QUIT", "RETR", "STOR", "LIST", "CWD",
+                 "PWD", "TYPE", "PASV", "PORT", "DELE", "MKD", "RMD")
+
+
+def _dissect_ftp(payload: bytes, fields: dict) -> bool:
+    """FTP control channel (tshark fields ftp.response.code /
+    ftp.request.command) — same line grammar as SMTP with its own verb
+    set; cleartext credentials on port 21 are exactly what a capture
+    audit is hunting."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    if len(line) >= 3 and line[:3].isdigit() and (
+            len(line) == 3 or line[3] in " -"):
+        fields["ftp.response.code"] = int(line[:3])
+        fields["_ws.col.info"] = f"Response: {line}"
+        return True
+    verb = line.split(" ", 1)[0].upper()
+    if verb in _FTP_COMMANDS:
+        fields["ftp.request.command"] = verb
+        fields["_ws.col.info"] = f"Request: {line}"
+        return True
+    return False
 
 
 def _dissect_quic(payload: bytes, fields: dict) -> bool:

@@ -1023,6 +1023,51 @@ if _have_fixture():
             .orderBy("tenant", "version")
         )
 
+    @query("pcap_service_inventory", oracle=None,
+           tags=("pcap", "dissect", "security"))
+    def pcap_service_inventory(spark: SparkSession, sf: str) -> DataFrame:
+        """Cleartext-service inventory: SSH software banners, SMTP and
+        FTP command/response traffic rolled up per (server, service) —
+        the audit that finds the dropbear box and the anonymous-FTP
+        login nobody remembers deploying. Banner protocols are the
+        long tail TLS never hides; one narrow dissection pass feeds one
+        keyed aggregate.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import services_capture
+
+        cap = services_capture(
+            os.path.join(cache_dir(), "synth", "services.pcap"))
+        t = read_pcap(spark, cap,
+                      protocols=["ip", "tcp", "ssh", "smtp", "ftp"],
+                      engine="native")
+        service = (
+            F.when(F.col("`ssh.protocol`").isNotNull(), "ssh")
+            .when(F.col("`smtp.response.code`").isNotNull()
+                  | F.col("`smtp.req.command`").isNotNull(), "smtp")
+            .when(F.col("`ftp.response.code`").isNotNull()
+                  | F.col("`ftp.request.command`").isNotNull(), "ftp")
+        )
+        server = F.when(
+            F.col("`tcp.srcport`").isin(21, 22, 25), F.col("`ip.src`")
+        ).otherwise(F.col("`ip.dst`"))
+        return (
+            t.withColumn("service", service)
+            .filter(F.col("service").isNotNull())
+            .groupBy(server.alias("server"), "service")
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.min("`ssh.protocol`").alias("ssh_banner"),
+                F.countDistinct(
+                    F.coalesce(
+                        F.col("`smtp.req.command`"),
+                        F.col("`ftp.request.command`"),
+                    )
+                ).cast("bigint").alias("n_distinct_commands"),
+            )
+            .orderBy("server", "service")
+        )
+
     @query("pcap_capture_compare", oracle=None,
            tags=("pcap", "analysis", "cdc"))
     def pcap_capture_compare(spark: SparkSession, sf: str) -> DataFrame:

@@ -560,3 +560,43 @@ def quic_capture(path: str) -> str:
                               quic_long_header(0, 0, c1, s1))),
     ]
     return write_pcap(path, frames)
+
+
+def services_capture(path: str) -> str:
+    """Deterministic cleartext-services capture: SSH version exchange,
+    an SMTP submission dialogue, and an FTP login — the banner/control
+    traffic a service-inventory audit reads."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700000700.0
+    c, s = "10.0.9.1", "10.0.9.2"
+
+    def tcpp(src, dst, sport, dport, seq, payload):
+        return tcp_frame(src, dst, sport, dport, seq, 0x18, payload)  # PSH|ACK
+
+    frames = [
+        # SSH version exchange (both directions banner)
+        (t + 0.00, tcpp(c, s, 50022, 22, 1, b"SSH-2.0-OpenSSH_8.9p1\r\n")),
+        (t + 0.01, tcpp(s, c, 22, 50022, 1,
+                        b"SSH-2.0-dropbear_2022.83\r\n")),
+        # SMTP dialogue
+        (t + 1.00, tcpp(s, c, 25, 50025, 1,
+                        b"220 mail.example.com ESMTP ready\r\n")),
+        (t + 1.01, tcpp(c, s, 50025, 25, 1, b"EHLO client.example\r\n")),
+        (t + 1.02, tcpp(s, c, 25, 50025, 34, b"250-mail.example.com\r\n")),
+        (t + 1.03, tcpp(c, s, 50025, 25, 21,
+                        b"MAIL FROM:<a@example.com>\r\n")),
+        (t + 1.04, tcpp(s, c, 25, 50025, 56, b"250 2.1.0 Ok\r\n")),
+        (t + 1.05, tcpp(c, s, 50025, 25, 48,
+                        b"RCPT TO:<b@example.com>\r\n")),
+        (t + 1.06, tcpp(c, s, 50025, 25, 73, b"QUIT\r\n")),
+        # FTP login
+        (t + 2.00, tcpp(s, c, 21, 50021, 1,
+                        b"220 ProFTPD Server ready\r\n")),
+        (t + 2.01, tcpp(c, s, 50021, 21, 1, b"USER anonymous\r\n")),
+        (t + 2.02, tcpp(s, c, 21, 50021, 27, b"331 Password required\r\n")),
+        (t + 2.03, tcpp(c, s, 50021, 21, 17, b"PASS guest\r\n")),
+        (t + 2.04, tcpp(s, c, 21, 50021, 51, b"230 User logged in\r\n")),
+    ]
+    return write_pcap(path, frames)
