@@ -343,3 +343,28 @@ def test_quic_parse_never_raises_and_claims_only_valid(payload, sport):
             payload[1:5], "big")
     else:
         assert not any(k.startswith("quic.") for k in fields)
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=80),
+    port=st.sampled_from([21, 22, 25]),
+)
+@settings(max_examples=200, deadline=None)
+def test_banner_dissectors_never_raise(payload, port):
+    """SSH/SMTP/FTP banner parsing must survive arbitrary bytes on the
+    service ports, and any claimed field must be printable ASCII or a
+    3-digit integer code."""
+    from wireduck_spark.sources.native import dissect_packet
+    from wireduck_spark.sources.synth import tcp_frame
+
+    f: dict = {}
+    dissect_packet(tcp_frame("10.0.0.1", "10.0.0.2", 40000, port, 1,
+                             0x18, payload), 1, f)
+    if "ssh.protocol" in f:
+        assert f["ssh.protocol"].startswith("SSH-")
+    for k in ("smtp.response.code", "ftp.response.code"):
+        if k in f:
+            assert 0 <= f[k] <= 999
+    for k in ("smtp.req.command", "ftp.request.command"):
+        if k in f:
+            assert f[k].isupper() and f[k].isalpha()
