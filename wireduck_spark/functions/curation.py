@@ -1447,3 +1447,104 @@ def embed_pca_two_components(spark: SparkSession, sf: str) -> DataFrame:
         "component INT, explained_var_ratio DOUBLE, "
         "top_dims ARRAY<INT>, top_loadings_micro ARRAY<BIGINT>",
     ).orderBy("component")
+
+
+@query(
+    "sampling_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(length(text)) AS BIGINT) AS s_h,
+             CAST(SUM(CAST(length(text) AS BIGINT)
+                      * CAST(length(text) AS BIGINT)) AS BIGINT) AS q_h
+      FROM documents GROUP BY source
+    ),
+    spread AS (
+      -- integer 'N_h * sigma_h' proxy kept exact: floor of
+      -- sqrt(N_h * (N_h*Q_h - S_h^2)), all inside int64 via doubles
+      -- only at the final sqrt (identical IEEE tree both engines)
+      SELECT source, n_h,
+             CAST(floor(sqrt(CAST(n_h AS DOUBLE) * q_h
+                             - CAST(s_h AS DOUBLE) * s_h)) AS BIGINT)
+                 AS w_h
+      FROM strata
+    ),
+    tot AS (SELECT CAST(SUM(w_h) AS BIGINT) AS w FROM spread),
+    alloc AS (
+      SELECT source, n_h, w_h,
+             CAST((1000 * w_h) // w AS BIGINT) AS base_n,
+             CAST((1000 * w_h) % w AS BIGINT) AS rem
+      FROM spread, tot
+    ),
+    ranked AS (
+      SELECT source, n_h, w_h, base_n,
+             CAST(row_number() OVER (ORDER BY rem DESC, source)
+                 AS BIGINT) AS rr,
+             CAST(1000 - SUM(base_n) OVER () AS BIGINT) AS leftover
+      FROM alloc
+    )
+    SELECT source, n_h, w_h,
+           CAST(base_n + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS allocated_n
+    FROM ranked
+    ORDER BY source
+    """,
+    tags=("sampling", "stats", "llm-pipeline"),
+)
+def sampling_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Neyman-optimal stratified sampling DESIGN: allocate a 1000-doc
+    labeling/eval budget across sources proportionally to N_h * sigma_h
+    (big AND internally-diverse strata get more) — the
+    variance-minimizing allocation for a fixed budget, vs the
+    proportional-only split sampling_stratified_source applies.
+
+    Exactness: per-stratum moments are exact int64 (doc length as the
+    measured variable); the spread weight is floor(sqrt(N*Q - S^2))
+    computed through one shared IEEE tree; seats are assigned by the
+    LARGEST-REMAINDER method on exact integer remainders with a
+    deterministic (remainder, source) tie-break — allocations sum to
+    exactly 1000 by construction.
+
+    Scale: one combinable rollup over the corpus; everything after is
+    strata-sized (the seat-assignment windows run over #sources rows,
+    partitioned by a constant on a bounded domain).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    ln = F.length("text").cast("bigint")
+    strata = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        F.sum(ln).cast("bigint").alias("s_h"),
+        F.sum(ln * ln).cast("bigint").alias("q_h"),
+    )
+    spread = strata.select(
+        "source", "n_h",
+        F.floor(
+            F.sqrt(
+                F.col("n_h").cast("double") * F.col("q_h")
+                - F.col("s_h").cast("double") * F.col("s_h")
+            )
+        ).cast("bigint").alias("w_h"),
+    )
+    tot = spread.agg(F.sum("w_h").cast("bigint").alias("w"))
+    alloc = spread.crossJoin(F.broadcast(tot)).select(
+        "source", "n_h", "w_h",
+        F.expr("(1000 * w_h) div w").cast("bigint").alias("base_n"),
+        F.expr("(1000 * w_h) % w").cast("bigint").alias("rem"),
+    )
+    w_rank = Window.partitionBy(F.pmod(F.col("n_h"), F.lit(1))).orderBy(
+        F.desc("rem"), "source"
+    )
+    w_all = Window.partitionBy(F.pmod(F.col("n_h"), F.lit(1)))
+    ranked = alloc.select(
+        "source", "n_h", "w_h", "base_n",
+        F.row_number().over(w_rank).cast("bigint").alias("rr"),
+        (F.lit(1000) - F.sum("base_n").over(w_all)).cast("bigint")
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "source", "n_h", "w_h",
+        (F.col("base_n")
+         + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0))
+        .cast("bigint").alias("allocated_n"),
+    ).orderBy("source")

@@ -908,3 +908,186 @@ def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("val_doc")
     )
+
+
+@query(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+        SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || mh1 AS bsig
+            FROM sig
+        UNION ALL
+        SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || mh3 FROM sig
+        UNION ALL
+        SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || mh5 FROM sig
+        UNION ALL
+        SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || mh7 FROM sig
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    matches AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END
+                   + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m
+        FROM candidates c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+        FROM hashed GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+        FROM candidates c
+        JOIN hashed ha ON ha.doc_id = c.doc_a
+        JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT m.m,
+               CAST((10000 * COALESCE(i.i, 0))
+                    // (na.nsh + nb.nsh - COALESCE(i.i, 0)) AS BIGINT)
+                   AS exact_bp
+        FROM matches m
+        LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+        JOIN sizes na ON na.doc_id = m.doc_a
+        JOIN sizes nb ON nb.doc_id = m.doc_b
+    )
+    SELECT m AS sig_matches,
+           CAST(1250 * m AS BIGINT) AS est_bp,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(exact_bp) // COUNT(*) AS BIGINT) AS mean_exact_bp
+    FROM pairs
+    GROUP BY m
+    ORDER BY m
+    """,
+    tags=("dedup", "eval", "llm-pipeline"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash CALIBRATION table: for every LSH candidate pair, the
+    signature-estimated Jaccard (matches/8, in basis points) against
+    the EXACT shingle Jaccard, grouped by match count — the measurement
+    that justifies (or indicts) the 8-permutation/4x2-band config
+    before anyone trusts dedup_minhash_lsh's candidate set. A sketch
+    you haven't calibrated against ground truth is a rumor.
+
+    Exactness: per-pair exact Jaccard is the truncating integer
+    (10000*|A∩B|) div |A∪B| over distinct-shingle hash sets; the
+    per-bucket mean is a truncating integer division of exact sums.
+
+    Scale: candidates come from the banding equi-join (never
+    all-pairs); the exact-Jaccard verify joins hashed shingles ONLY for
+    candidate pairs — the same candidate-bounded verify pattern as
+    dedup_ngram_jaccard, keyed on 60-bit shingle ints.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    sig = _spark_minhash_sig(d).cache()
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.concat_ws("_", "mh0", "mh1"),
+                F.concat_ws("_", "mh2", "mh3"),
+                F.concat_ws("_", "mh4", "mh5"),
+                F.concat_ws("_", "mh6", "mh7"),
+            )
+        ).alias("band", "bsig"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bsig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bsig")
+    candidates = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)],
+    )
+    matches = (
+        candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            sum(
+                [F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+                 for j in range(8)],
+                F.lit(0),
+            ).cast("bigint").alias("m"),
+        )
+    )
+    hashed = (
+        d.withColumn(
+            "toks",
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit("[a-z0-9]+"), 0),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(array_distinct("
+                    " CASE WHEN size(toks) >= 3 THEN"
+                    "  transform(sequence(1, size(toks) - 2),"
+                    "   i -> concat(element_at(toks, i), ' ',"
+                    "    element_at(toks, i + 1), ' ',"
+                    "    element_at(toks, i + 2)))"
+                    " ELSE array(array_join(toks, ' ')) END),"
+                    f" s -> {SPARK_H60.format(s='s')})"
+                )
+            ).alias("h"),
+        )
+    ).cache()
+    sizes = hashed.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("nsh"))
+    hb = hashed.select(
+        F.col("doc_id").alias("doc_b2"), F.col("h").alias("hb"))
+    inter = (
+        candidates
+        .join(hashed.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(hb, (F.col("doc_b") == F.col("doc_b2"))
+              & (F.col("h") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("i"))
+    )
+    pairs = (
+        matches
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("nsh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("nsh", "nb"), "doc_b")
+        .select(
+            "m",
+            F.expr("CAST((10000 * COALESCE(i, 0)) div "
+                   "(na + nb - COALESCE(i, 0)) AS BIGINT)")
+            .alias("exact_bp"),
+        )
+    )
+    return (
+        pairs.groupBy(F.col("m").alias("sig_matches"))
+        .agg(
+            (F.lit(1250) * F.col("sig_matches")).cast("bigint")
+            .alias("est_bp"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("CAST(SUM(exact_bp) div COUNT(*) AS BIGINT)")
+            .alias("mean_exact_bp"),
+        )
+        .orderBy("sig_matches")
+    )

@@ -445,6 +445,8 @@ PENDING_GATE: tuple[str, ...] = (
     "stats_wilson_interval",          # binomial rate CI, closed form
     "text_entropy_source_mix",        # training-mix diversity entropy
     "pcap_service_inventory",         # rows-only; ssh/smtp/ftp banners
+    "sampling_neyman_allocation",     # variance-optimal budget design
+    "dedup_minhash_calibration",      # sketch-vs-exact Jaccard table
 )
 
 
