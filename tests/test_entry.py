@@ -51,6 +51,29 @@ def test_gate_partition():
     assert not stale, f"gate lists unknown queries: {sorted(stale)}"
 
 
+def test_no_complex_top_level_columns_in_oracle_outputs(spark, sf_dir):
+    """Contract rule (round-6 lesson, `embed_mean_pool` driver-red row):
+    the driver's pandas canonicalizer sorts result rows to hash them, and
+    list/dict cells are unhashable — a query returning a top-level
+    ARRAY/MAP/STRUCT column passes every local check and then dies in the
+    driver. Ban the class for every oracle-checkable query (any of which a
+    rotation can promote into the gate): emit md5(array_join(...))
+    fingerprints instead (the embed_quantize_int8 convention)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        for f in spec.fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, (
+        "top-level complex columns in oracle-checkable outputs "
+        f"(driver canonicalizer cannot hash them): {offenders}"
+    )
+
+
 def test_each_query_runs_at_sf0001(spark, sf_dir):
     """Every REGISTERED query (not just the gate) executes: plans resolve
     and run at tiny scale; value checks are test_all_queries_green's job."""

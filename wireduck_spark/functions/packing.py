@@ -348,8 +348,9 @@ def embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT label,
            CAST(MAX(n) AS BIGINT) AS n_vecs,
-           list(s ORDER BY dim) AS sum_scaled,
-           list(CAST(s // n AS BIGINT) ORDER BY dim) AS mean_scaled
+           md5(array_to_string(list(s ORDER BY dim), ',')) AS sum_fp,
+           md5(array_to_string(list(CAST(s // n AS BIGINT) ORDER BY dim),
+               ',')) AS mean_fp
     FROM dims
     GROUP BY label
     """,
@@ -365,6 +366,11 @@ def embed_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
     an int64 (ROUND(x*1e6)) in a narrow map; integer sums are
     order-independent, and the mean uses int64 truncating division
     (Spark `div` == DuckDB `//` toward zero — verified on negatives).
+    The pooled arrays are emitted as md5 fingerprints of their canonical
+    comma-joined form (the embed_quantize_int8 convention): top-level
+    ARRAY columns are banned in gate outputs because the driver's pandas
+    canonicalizer cannot sort/hash list cells (round-6 red row), and
+    strings hash identically across engines while arrays don't.
 
     Scale: posexplode shuffles (label, dim) keyed rows — O(n x d) but
     partially aggregated map-side, so the wire carries one partial sum
@@ -403,8 +409,14 @@ def embed_mean_pool(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "label",
             "n_vecs",
-            F.transform(F.col("pairs"), lambda p: p.s).alias("sum_scaled"),
-            F.transform(F.col("mpairs"), lambda p: p.m).alias("mean_scaled"),
+            F.md5(
+                F.array_join(F.transform(F.col("pairs"), lambda p: p.s), ",")
+                .cast("binary")
+            ).alias("sum_fp"),
+            F.md5(
+                F.array_join(F.transform(F.col("mpairs"), lambda p: p.m), ",")
+                .cast("binary")
+            ).alias("mean_fp"),
         )
     )
 

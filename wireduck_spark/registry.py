@@ -32,6 +32,12 @@ driver's order-insensitive value-hash matches bit-for-bit):
    lambda repeats a subexpression — express stateful folds in oracles as
    recursive CTEs (see forecast_holt_linear); integer-accumulator reduces
    are fine.
+8. No top-level ARRAY/MAP/STRUCT output columns in oracle-checkable
+   queries: the driver's pandas canonicalizer sorts rows to hash them and
+   list cells are unhashable (round-6 ``embed_mean_pool`` red row). Emit
+   ``md5(array_join(arr, ','))`` fingerprints instead (both engines hash
+   the canonical comma-joined string identically). Enforced by
+   tests/test_entry.py::test_no_complex_top_level_columns_in_oracle_outputs.
 """
 
 from __future__ import annotations
