@@ -26,15 +26,21 @@ def plan_of(spark, name, sf_dir):
 
 
 def global_windows_of(spark, name, sf_dir) -> int:
-    """Count Window operators with an EMPTY partition spec by walking
-    the JVM plan tree (tools/plan_audit._count_global_windows). The old
-    text check on the formatted explain could not work: an empty
-    partition spec renders as TWO bracket groups, not an empty "[]",
-    so the needle never matched and the assert was vacuous."""
+    """Count physically-single-task Window operators by walking the JVM
+    plan trees (tools/plan_audit.audit_windows). The old text check on
+    the formatted explain could not work: an empty partition spec renders
+    as TWO bracket groups, not an empty "[]", so the needle never matched
+    and the assert was vacuous. Counts empty partition specs AND
+    constant-partition disguises (pmod(x,1)) outside the bounded-domain
+    allowlist AND Window nodes whose spec could not be inspected — any of
+    the three means the no-global-window invariant is unproven."""
     import tools.plan_audit as pa
 
     df = QUERIES[name].fn(spark, sf_dir)
-    return pa._count_global_windows(df._jdf.queryExecution().executedPlan())
+    g, const, skipped = pa.audit_windows(df._jdf.queryExecution())
+    if name in pa.BOUNDED_CONSTANT_WINDOWS:
+        const = 0
+    return g + const + skipped
 
 
 def test_q6_filters_reach_parquet_scan(spark, sf_dir):

@@ -25,18 +25,106 @@ from wireduck_spark.session import get_spark
 # Operator detail headers in formatted explain: "(12) Exchange ..." —
 # counting these counts each operator exactly once.
 _OP = re.compile(r"^\(\d+\) (\w+)", re.MULTILINE)
-# A Window detail line with an empty partition spec renders "..., [], [..."
-_GLOBAL_WIN = re.compile(r"windowspecdefinition.*")
+# A partition expression that is value-constant without being foldable:
+# pmod(x, 1) is always 0 (or NULL), so the window is physically global
+# even though its partition spec is syntactically non-empty. Greedy .*
+# so nested expressions (pmod(coalesce(c, 0), 1)) match too; a false
+# positive (", 1)" inside a deeper nest) merely flags a query for
+# review/allowlisting — the audit errs toward visibility.
+_CONST_PARTITION = re.compile(r"pmod\(.*, 1\)")
+
+# Queries allowed to run a single-task window because its input is
+# bounded-domain BY CONSTRUCTION (an already-aggregated table whose row
+# count is a category/vocabulary cardinality, never corpus size). Each
+# uses pmod(col, 1) deliberately — a new constant-partition window in
+# any OTHER query still flags.
+BOUNDED_CONSTANT_WINDOWS = {
+    "pipeline_hybrid_rrf",            # fused per-doc score table (<= docs
+    #                                   in top-k union, bounded by 2k)
+    "sampling_neyman_allocation",     # per-stratum moment table
+    "text_zipf_fit",                  # top-50 vocabulary ranks
+    "stats_bootstrap_ci",             # 200 bootstrap replicate sums
+    "event_survival_kaplan_meier",    # per-day life table (<= 120 rows)
+    "stats_chi_square_independence",  # r x c contingency cells (<= 20)
+}
 
 
-def _count_global_windows(jplan) -> int:
-    """Walk the JVM physical-plan tree and count Window/WindowGroupLimit
-    nodes whose partitionSpec is EMPTY (a true global window: all rows
-    to one task). Tree-walking replaces the round-5 text parse of the
-    formatted explain, which could not distinguish an empty partition
-    spec from an empty order spec (both render as two bracket groups) —
-    that parse never matched anything, silently zeroing this metric."""
-    n = 0
+def _collect_aliases(jplan) -> dict:
+    """Map exprId -> defining child expression for every Alias in the
+    logical plan (Project/Aggregate/Window output lists). Needed because
+    the analyzer's ExtractWindowExpressions rewrites partitionBy(expr)
+    into a `_w0` pre-projection, so Window partition specs reference a
+    bare attribute whose real expression lives one Project below."""
+    from py4j.protocol import Py4JError
+
+    amap = {}
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        for accessor in ("projectList", "aggregateExpressions",
+                         "windowExpressions"):
+            try:
+                seq = getattr(node, accessor)()
+            except Py4JError:
+                continue
+            for i in range(seq.size()):
+                ne = seq.apply(i)
+                if ne.nodeName() == "Alias":
+                    amap[ne.exprId().id()] = ne.child()
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        try:
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                stack.append(subs.apply(i))
+        except Py4JError:
+            pass
+    return amap
+
+
+def _resolve_expr(e, amap, max_hops: int = 10):
+    """Chase an AttributeReference through alias definitions (bounded)."""
+    from py4j.protocol import Py4JError
+
+    for _ in range(max_hops):
+        if e.nodeName() != "AttributeReference":
+            return e
+        try:
+            nxt = amap.get(e.exprId().id())
+        except Py4JError:
+            return e
+        if nxt is None:
+            return e
+        e = nxt
+    return e
+
+
+def _walk_windows(jplan, amap=None) -> tuple[int, int, int]:
+    """Walk ONE JVM plan tree (physical or logical — both expose
+    nodeName/children/subqueries/partitionSpec through the same QueryPlan
+    API) and count Window/WindowGroupLimit nodes that send all rows to
+    one task. Returns (n_global, n_constant, n_skipped):
+
+    - n_global: partitionSpec is EMPTY (a true global window).
+      Tree-walking replaces the round-5 text parse of the formatted
+      explain, which could not distinguish an empty partition spec from
+      an empty order spec (both render as two bracket groups) — that
+      parse never matched anything, silently zeroing this metric.
+    - n_constant: partitionSpec is non-empty but every expression is
+      value-constant (Catalyst-foldable, or the pmod(x, 1) idiom) — a
+      disguised global window that satisfies the invariant only
+      syntactically. Only meaningful on the OPTIMIZED LOGICAL plan:
+      physical planning extracts partition expressions into a `_w0`
+      pre-projection, so the physical spec shows bare attributes.
+    - n_skipped: Window-ish nodes whose partitionSpec could not be read
+      (accessor missing on this Spark version). Surfaced, not swallowed:
+      a rename would otherwise zero the metric again — the exact
+      vacuous-check failure mode the tree walk was built to fix.
+    """
+    from py4j.protocol import Py4JError
+
+    n_global = n_constant = n_skipped = 0
     stack = [jplan]
     while stack:
         node = stack.pop()
@@ -48,10 +136,20 @@ def _count_global_windows(jplan) -> int:
             continue
         if "Window" in name:
             try:
-                if node.partitionSpec().isEmpty():
-                    n += 1
-            except Exception:
-                pass  # node without a partitionSpec accessor
+                spec = node.partitionSpec()
+                if spec.isEmpty():
+                    n_global += 1
+                else:
+                    exprs = [spec.apply(i) for i in range(spec.size())]
+                    if amap is not None:
+                        exprs = [_resolve_expr(e, amap) for e in exprs]
+                    if all(
+                        e.foldable() or _CONST_PARTITION.search(e.toString())
+                        for e in exprs
+                    ):
+                        n_constant += 1
+            except Py4JError:
+                n_skipped += 1  # accessor missing: count, don't hide
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))
@@ -60,9 +158,24 @@ def _count_global_windows(jplan) -> int:
             subs = node.subqueries()
             for i in range(subs.size()):
                 stack.append(subs.apply(i))
-        except Exception:
-            pass
-    return n
+        except Py4JError:
+            n_skipped += 1
+    return n_global, n_constant, n_skipped
+
+
+def audit_windows(qe) -> tuple[int, int, int]:
+    """(n_global, n_constant, n_skipped) for one query execution.
+
+    Empty partition specs are counted on the EXECUTED (physical) plan —
+    what actually runs; constant-partition disguises on the OPTIMIZED
+    LOGICAL plan, where the raw pmod(x, 1) expressions are still visible
+    (physical plans hide them behind `_w0` projections). Skip counts
+    from both walks are summed so an accessor rename on either tree
+    surfaces instead of zeroing the metric."""
+    g_phys, _, skip_phys = _walk_windows(qe.executedPlan())
+    logical = qe.optimizedPlan()
+    _, const_log, skip_log = _walk_windows(logical, _collect_aliases(logical))
+    return g_phys, const_log, skip_phys + skip_log
 
 
 def audit_one(spark, spec, sf_dir: str) -> dict:
@@ -77,9 +190,11 @@ def audit_one(spark, spec, sf_dir: str) -> dict:
     counts = {}
     for op in ops:
         counts[op] = counts.get(op, 0) + 1
-    global_windows = _count_global_windows(qe.executedPlan())
+    global_windows, const_windows, skipped = audit_windows(qe)
     return {
         "name": spec.name,
+        "const_windows": const_windows,
+        "win_nodes_skipped": skipped,
         "shuffles": counts.get("Exchange", 0),
         "bhj": counts.get("BroadcastHashJoin", 0),
         "smj": counts.get("SortMergeJoin", 0),
@@ -134,6 +249,12 @@ def main() -> None:
         r for r in rows
         if r["global_windows"]
         or r["cartesian"]
+        # any Window node whose partitionSpec could not be inspected means
+        # the no-global-window metric is blind for this query — flag it
+        or r["win_nodes_skipped"]
+        # constant-partition windows (pmod(x,1) idiom) are physically
+        # global; only bounded-domain allowlisted queries may use them
+        or (r["const_windows"] and r["name"] not in BOUNDED_CONSTANT_WINDOWS)
         # >1 nested-loop join means something beyond the 1-row scalar
         # broadcast pattern slipped in
         or (r["bnlj"] > 1 and r["name"] not in allowed_bnlj)
@@ -154,7 +275,11 @@ def main() -> None:
         f.write(
             f"**{len(rows)} queries audited; "
             f"{len(flagged)} flagged** (cartesian products, global "
-            "windows, or multi-row nested-loop joins).\n\n"
+            "windows, non-allowlisted constant-partition windows, "
+            "uninspectable Window nodes, or multi-row nested-loop "
+            "joins). Constant-partition windows (the pmod(x,1) idiom) "
+            "are physically single-task; the allowlisted queries run "
+            "them over bounded-domain aggregate tables only.\n\n"
         )
         if flagged:
             f.write("## FLAGGED\n\n")
@@ -163,14 +288,15 @@ def main() -> None:
             f.write("\n")
         f.write(
             "| query | shuffles | broadcast joins | sort-merge joins |"
-            " nested-loop | windows (global) | explodes | python stages |"
-            " top-k |\n|---|---|---|---|---|---|---|---|---|\n"
+            " nested-loop | windows (global/const) | explodes |"
+            " python stages | top-k |\n|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write(
                 f"| {r['name']} | {r['shuffles']} | {r['bhj']} |"
                 f" {r['smj']} | {r['bnlj'] + r['cartesian']} |"
-                f" {r['windows']} ({r['global_windows']}) |"
+                f" {r['windows']} ({r['global_windows']}/"
+                f"{r['const_windows']}) |"
                 f" {r['generates']} | {r['python']} |"
                 f" {r['takeordered']} |\n"
             )

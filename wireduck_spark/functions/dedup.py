@@ -243,9 +243,22 @@ def _spark_minhash_sig(d: DataFrame) -> DataFrame:
     formulation computes the same mins but blows each doc into ~70
     shingle rows and shuffles them back together — pure waste, since a
     doc's signature needs only that doc's rows. (a*h+b) stays < 1e18,
-    inside int64. Shared by dedup_minhash_lsh (all-pairs candidates) and
-    dedup_minhash_decontaminate (directional val-vs-train probe).
+    inside int64. Shared by dedup_minhash_lsh (all-pairs candidates),
+    dedup_minhash_decontaminate (directional val-vs-train probe) and
+    dedup_minhash_calibration.
+
+    All 8 permutation mins come from ONE reduce over the shingle hashes
+    (8-element integer accumulator) instead of 8 array_min(transform(..))
+    expressions: one pass, one lambda for whole-stage codegen to compile
+    rather than 16 — measured equal-or-faster warm and a smaller cold
+    codegen bill (the round-6 driver bench showed this query's wall is
+    codegen-dominated, not data-dominated, at sf0.1).
     """
+    init = "array(" + ",".join(f"{P}L" for _ in MINHASH_SEEDS) + ")"
+    upd = "array(" + ",".join(
+        f"least(element_at(acc, {j + 1}), ({a}L * h + {b}L) % {P}L)"
+        for j, (a, b) in enumerate(MINHASH_SEEDS)
+    ) + ")"
     return (
         d.withColumn(
             "toks",
@@ -263,13 +276,12 @@ def _spark_minhash_sig(d: DataFrame) -> DataFrame:
                 f" s -> {SPARK_H60.format(s='s')})"
             ),
         )
+        .withColumn("mins", F.expr(f"reduce(hs, {init}, (acc, h) -> {upd})"))
         .select(
             "doc_id",
             *[
-                F.expr(f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {P}L))")
-                .cast("bigint")
-                .alias(f"mh{j}")
-                for j, (a, b) in enumerate(MINHASH_SEEDS)
+                F.element_at("mins", j + 1).cast("bigint").alias(f"mh{j}")
+                for j in range(len(MINHASH_SEEDS))
             ],
         )
     )
@@ -993,7 +1005,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     dedup_ngram_jaccard, keyed on 60-bit shingle ints.
     """
     d = table(spark, sf, "documents", spread=True)
-    sig = _spark_minhash_sig(d).cache()
+    # persist (not bare cache): the 9-row calibration table is
+    # localCheckpoint'ed at the end so both caches can be unpersisted
+    # before returning instead of pinning executor storage all session.
+    sig = _spark_minhash_sig(d).persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -1053,7 +1068,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("h"),
         )
-    ).cache()
+    ).persist()
     sizes = hashed.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("nsh"))
     hb = hashed.select(
@@ -1080,14 +1095,20 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
             .alias("exact_bp"),
         )
     )
-    return (
-        pairs.groupBy(F.col("m").alias("sig_matches"))
-        .agg(
-            (F.lit(1250) * F.col("sig_matches")).cast("bigint")
-            .alias("est_bp"),
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.expr("CAST(SUM(exact_bp) div COUNT(*) AS BIGINT)")
-            .alias("mean_exact_bp"),
+    try:
+        out = (
+            pairs.groupBy(F.col("m").alias("sig_matches"))
+            .agg(
+                (F.lit(1250) * F.col("sig_matches")).cast("bigint")
+                .alias("est_bp"),
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.expr("CAST(SUM(exact_bp) div COUNT(*) AS BIGINT)")
+                .alias("mean_exact_bp"),
+            )
+            .orderBy("sig_matches")
+            .localCheckpoint(eager=True)
         )
-        .orderBy("sig_matches")
-    )
+    finally:
+        sig.unpersist()
+        hashed.unpersist()
+    return out

@@ -1056,10 +1056,15 @@ def pipeline_rag_eval_mrr_lsh(spark: SparkSession, sf: str) -> DataFrame:
     pipeline_rag_eval_mrr; the recall loss shows up in n_hit, not
     necessarily in the rank statistic.
     """
+    # persist (not bare cache): the q and c branches both consume the
+    # bucketed table; the small per-label result is localCheckpoint'ed
+    # below so the cache can be unpersisted before returning — a bare
+    # cache() would pin executor storage for the whole ~300-query
+    # gate/bench session.
     emb = (
         table(spark, sf, "embeddings", spread=True)
         .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
-        .cache()
+        .persist()
     )
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"),
@@ -1094,22 +1099,27 @@ def pipeline_rag_eval_mrr_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.when(F.col("c_label") == F.col("q_label"), F.col("rnk")))
         .alias("first_hit")
     )
-    return (
-        firsts.groupBy(F.col("q_label").alias("label"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_queries"),
-            F.sum(F.when(F.col("first_hit").isNotNull(), 1).otherwise(0))
-            .cast("bigint").alias("n_hit"),
-            F.sum(F.coalesce(F.expr("1000000 div first_hit"), F.lit(0)))
-            .cast("bigint").alias("rr_ppm_sum"),
+    try:
+        out = (
+            firsts.groupBy(F.col("q_label").alias("label"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.sum(F.when(F.col("first_hit").isNotNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_hit"),
+                F.sum(F.coalesce(F.expr("1000000 div first_hit"), F.lit(0)))
+                .cast("bigint").alias("rr_ppm_sum"),
+            )
+            .select(
+                "label", "n_queries", "n_hit", "rr_ppm_sum",
+                F.round(
+                    F.col("rr_ppm_sum").cast("double")
+                    / F.col("n_queries") / 1000000,
+                    4,
+                ).alias("mrr"),
+            )
+            .orderBy("label")
+            .localCheckpoint(eager=True)
         )
-        .select(
-            "label", "n_queries", "n_hit", "rr_ppm_sum",
-            F.round(
-                F.col("rr_ppm_sum").cast("double")
-                / F.col("n_queries") / 1000000,
-                4,
-            ).alias("mrr"),
-        )
-        .orderBy("label")
-    )
+    finally:
+        emb.unpersist()
+    return out

@@ -945,8 +945,13 @@ def io_incremental_file_ledger(spark: SparkSession, sf: str) -> DataFrame:
         new = [r["path"] for r in
                listing.join(seen, "path", "left_anti").collect()]
         if new:
+            # batch tag = ledger size at pass start: a monotone sequence
+            # number, distinct per file-processing pass. Tagging with
+            # len(new) would collapse n_batches if two passes ever happen
+            # to ingest the same number of files.
+            batch_seq = seen.count()
             spark.read.parquet(*new).withColumn(
-                "src", F.lit(len(new))
+                "src", F.lit(batch_seq)
             ).write.mode("append").parquet(out)
             spark.createDataFrame([(p,) for p in new], "path STRING") \
                 .write.mode("append").parquet(ledger_p)

@@ -1752,7 +1752,12 @@ def stats_chi_square_independence(spark: SparkSession, sf: str) -> DataFrame:
     )
     w_r = Window.partitionBy("r")
     w_c = Window.partitionBy("c")
-    w_n = Window.partitionBy(F.pmod(F.col("c"), F.lit(1)))
+    # coalesce before pmod: a NULL bucket (props.k missing/non-numeric)
+    # would make pmod NULL and split the grand-total window into a
+    # separate NULL partition, silently diverging n from SUM(o) OVER ().
+    w_n = Window.partitionBy(
+        F.pmod(F.coalesce(F.col("c"), F.lit(0)), F.lit(1))
+    )
     m = obs.select(
         "r", "c", "o",
         F.sum("o").over(w_r).cast("bigint").alias("row_n"),
