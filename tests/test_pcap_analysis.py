@@ -405,6 +405,28 @@ def test_pcap_quic_handshakes_goldens(spark, sf_dir):
     }
 
 
+def test_pcap_quic_vn_downgrade_goldens(spark, sf_dir):
+    """VN downgrade detection over the deterministic downgrade capture:
+    client .1 offered v2, got Version Negotiation, retried v1 -> flagged
+    (RFC 9000 §6.3: VN must never move a client off a version it
+    supports); client .2 is a clean v1 handshake; client .3 offered an
+    unknown version and negotiated down to v1 legitimately -> NOT
+    flagged."""
+    from wireduck_spark.registry import load_all_queries
+
+    rows = {
+        r["client"]: (r["first_version"], r["vn_received"],
+                      r["retry_version"], r["downgrade"])
+        for r in load_all_queries()["pcap_quic_vn_downgrade"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        "10.0.8.1": (0x6B3343CF, 1, 1, 1),
+        "10.0.8.2": (1, 0, None, 0),
+        "10.0.8.3": (0x5A5A5A5A, 1, 1, 0),
+    }
+
+
 def test_quic_short_header_and_garbage_not_claimed(spark, sf_dir):
     """Opaque UDP/443 payloads must NOT gain quic.* fields: a short
     header (0b01......) is indistinguishable from random bytes without

@@ -1070,3 +1070,29 @@ def test_holt_tracker_matches_batch(spark, sf_dir, events_dir):
         for r in QUERIES["forecast_holt_linear"].fn(spark, sf_dir).collect()
     }
     assert got == expected and len(expected) >= 3
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir, events_dir):
+    """Finalized streaming OHLC bars == the batch window_candlestick_ohlc
+    rows: min_by/max_by over the unique (ts, event_id) key is the same
+    open/close selection the batch query expresses with rank-1 window
+    rows, so every batch bar must appear verbatim in the streamed bars
+    (the batch query LIMITs to the first 50 bars; streaming emits all)."""
+    from wireduck_spark.streaming.windows import ohlc_bars
+
+    stream = read_events_stream(spark, events_dir)
+    got = {
+        r["bar_start"]: (r["n_trades"], r["open_cents"], r["high_cents"],
+                         r["low_cents"], r["close_cents"])
+        for r in run_to_completion(ohlc_bars(stream), "t_ohlc").collect()
+    }
+    expected = {
+        r["bar_start"]: (r["n_trades"], r["open_cents"], r["high_cents"],
+                         r["low_cents"], r["close_cents"])
+        for r in QUERIES["window_candlestick_ohlc"].fn(spark, sf_dir)
+        .collect()
+    }
+    assert len(expected) > 0
+    for bar, vals in expected.items():
+        assert got.get(bar) == vals, bar
+    assert len(got) >= len(expected)

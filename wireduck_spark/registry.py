@@ -429,6 +429,7 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_syn_options_audit",         # rows-only; p0f-style SYN options
     "pcap_quic_handshakes",           # rows-only; QUIC long-header goldens
     "pcap_quic_federation",           # rows-only; HTTP/3 x edge catalog
+    "pcap_quic_vn_downgrade",         # rows-only; VN downgrade-attack flag
     "pcap_service_inventory",         # rows-only; ssh/smtp/ftp banners
     "embed_pca_top_component",        # rows-only; numpy-replay golden
     "embed_pca_two_components",       # rows-only; deflation numpy golden

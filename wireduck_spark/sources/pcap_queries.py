@@ -697,6 +697,91 @@ if _have_fixture():
             .orderBy("version", "dcid")
         )
 
+    @query("pcap_quic_vn_downgrade", oracle=None,
+           tags=("pcap", "dissect", "security"))
+    def pcap_quic_vn_downgrade(spark: SparkSession, sf: str) -> DataFrame:
+        """QUIC Version-Negotiation downgrade detection: per client,
+        the version first offered, whether a VN packet came back, the
+        version of the first post-VN retry Initial, and a downgrade
+        flag — set when a client that offered a KNOWN version was
+        moved to a LOWER one by VN (RFC 9000 §6.3 forbids exactly
+        this: VN exists for unknown versions, so v2->VN->v1 is the
+        on-path downgrade-attack signature, while unknown->VN->v1 is
+        the legitimate negotiation).
+
+        Scale: Initials and VN packets reduce to two client-keyed
+        aggregates plus one client-keyed join — no windows over the
+        packet stream, no driver logic; at capture scale the heavy
+        lifting stays in the per-packet header parse inside the scan.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import quic_vn_capture
+
+        cap = quic_vn_capture(
+            os.path.join(cache_dir(), "synth", "quic_vn.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "udp", "quic"],
+                      engine="native")
+        q = t.filter(F.col("`quic.version`").isNotNull()).select(
+            F.col("`frame.time_epoch`").alias("ft"),
+            F.col("`ip.src`").alias("src"),
+            F.col("`ip.dst`").alias("dst"),
+            F.col("`quic.version`").cast("bigint").alias("version"),
+            F.col("`quic.long.packet_type`").alias("ptype"),
+        )
+        # client-sent Initials carry the offered version; VN packets
+        # (version 0) travel server->client, so the client is ip.dst
+        initials = q.filter(
+            (F.col("version") != 0) & (F.col("ptype") == 0)
+        ).select(F.col("src").alias("client"), "version", "ft")
+        vn = (
+            q.filter(F.col("version") == 0)
+            .groupBy(F.col("dst").alias("client"))
+            .agg(F.min("ft").alias("vn_ft"))
+        )
+
+        def vrank(col):
+            # semantic version order (numeric compare is meaningless:
+            # v2's wire value 0x6b3343cf dwarfs v1's 1); unknown -> 0
+            return (
+                F.when(col == 1, 1)
+                .when(col == 0x6B3343CF, 2)
+                .otherwise(0)
+            )
+
+        # ONE left join (vn consumed exactly once — reusing the same
+        # aggregate on two join branches shares attribute ids across the
+        # tree and Spark's dedup then mis-resolves later column refs) and
+        # ONE aggregate: first/retry versions come from min(struct(ft,
+        # version)) with retry gated on post-VN arrival; min ignores the
+        # NULLed-out rows, so no-VN clients keep a NULL retry.
+        agg = (
+            initials.join(vn, "client", "left")
+            .groupBy("client")
+            .agg(
+                F.min(F.struct("ft", "version")).alias("first_pkt"),
+                F.min("vn_ft").alias("vn_ft"),
+                F.min(
+                    F.when(F.col("ft") > F.col("vn_ft"),
+                           F.struct("ft", "version"))
+                ).alias("retry_pkt"),
+            )
+        )
+        first_v = F.col("first_pkt").getField("version")
+        retry_v = F.col("retry_pkt").getField("version")
+        return agg.select(
+            "client",
+            first_v.alias("first_version"),
+            F.col("vn_ft").isNotNull().cast("int").cast("bigint")
+            .alias("vn_received"),
+            retry_v.alias("retry_version"),
+            (
+                F.col("vn_ft").isNotNull()
+                & retry_v.isNotNull()
+                & (vrank(first_v) > 0)
+                & (vrank(retry_v) < vrank(first_v))
+            ).cast("int").cast("bigint").alias("downgrade"),
+        ).orderBy("client")
+
     @query("pcap_traceroute_path", oracle=None, tags=("pcap", "analysis"))
     def pcap_traceroute_path(spark: SparkSession, sf: str) -> DataFrame:
         """Traceroute path reconstruction from a passive capture: UDP

@@ -562,6 +562,53 @@ def quic_capture(path: str) -> str:
     return write_pcap(path, frames)
 
 
+def quic_vn_capture(path: str) -> str:
+    """Deterministic QUIC Version-Negotiation downgrade scenario:
+
+    - client A offers v2, the path answers Version Negotiation, and A
+      retries with v1 — the classic VN downgrade-attack signature
+      (RFC 9000 §6.3: a client MUST ignore VN that would move it off a
+      version it already supports end-to-end);
+    - client B completes a clean v1 handshake (no VN);
+    - client C offers an UNKNOWN version, gets VN, retries v1 — the
+      legitimate negotiation VN exists for.
+    """
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700000900.0
+    srv = "203.0.113.90"
+    a, b, c = "10.0.8.1", "10.0.8.2", "10.0.8.3"
+    da, sa = bytes.fromhex("d1d2d3d4d5d6d7d8"), bytes.fromhex("0a0b0c0d")
+    db, sb = bytes.fromhex("e1e2e3e4"), bytes.fromhex("1a1b1c1d1e1f")
+    dc = bytes.fromhex("f1f2f3f4f5f6")
+    v2 = 0x6B3343CF
+    frames = [
+        # client A: v2 Initial -> VN -> downgraded v1 retry -> v1 done
+        (t + 0.000, udp_frame(a, srv, 54001, 443,
+                              quic_long_header(0, v2, da, b""))),
+        (t + 0.020, udp_frame(srv, a, 443, 54001,
+                              quic_long_header(0, 0, da, sa))),
+        (t + 0.050, udp_frame(a, srv, 54001, 443,
+                              quic_long_header(0, 1, da, b""))),
+        (t + 0.080, udp_frame(srv, a, 443, 54001,
+                              quic_long_header(2, 1, sa, da))),
+        # client B: clean v1, no VN
+        (t + 0.500, udp_frame(b, srv, 54002, 443,
+                              quic_long_header(0, 1, db, b""))),
+        (t + 0.530, udp_frame(srv, b, 443, 54002,
+                              quic_long_header(2, 1, sb, db))),
+        # client C: unknown version -> VN -> legitimate v1 retry
+        (t + 1.000, udp_frame(c, srv, 54003, 443,
+                              quic_long_header(0, 0x5A5A5A5A, dc, b""))),
+        (t + 1.020, udp_frame(srv, c, 443, 54003,
+                              quic_long_header(0, 0, dc, sb))),
+        (t + 1.050, udp_frame(c, srv, 54003, 443,
+                              quic_long_header(0, 1, dc, b""))),
+    ]
+    return write_pcap(path, frames)
+
+
 def services_capture(path: str) -> str:
     """Deterministic cleartext-services capture: SSH version exchange,
     an SMTP submission dialogue, and an FTP login — the banner/control

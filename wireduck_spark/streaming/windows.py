@@ -155,3 +155,41 @@ def burn_rate_alerts(events: DataFrame, budget_ppm: int = 50000,
         )
         .filter(F.col("error_ppm") > 2 * budget_ppm)
     )
+
+
+def ohlc_bars(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of the batch window_candlestick_ohlc query: hourly
+    open/high/low/close candlesticks of purchase value in exact integer
+    cents, computed incrementally under a watermark.
+
+    The batch query finds open/close as rank-1 rows of two (ts, event_id)
+    windows; a streaming aggregate can't rank, but min_by/max_by over the
+    unique (ts, event_id) struct key is the same selection expressed as a
+    declarative aggregate — it merges associatively across micro-batches,
+    so a finalized streaming bar carries exactly the batch row (pinned by
+    tests/test_streaming.py::test_ohlc_stream_matches_batch).
+
+    Scale: one watermarked tumbling aggregate — state is open bars only
+    (5 ints + the two extreme keys per bar), merge is O(1) per event, and
+    the filter on event_type prunes before any state is touched.
+    """
+    pts = events.filter(F.col("event_type") == "purchase").select(
+        "ts", "event_id", cents(F.col("value")).alias("cents"))
+    key = F.struct("ts", "event_id")
+    return (
+        pts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_trades"),
+            F.min_by("cents", key).cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max_by("cents", key).cast("bigint").alias("close_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("bar_start"),
+            "n_trades", "open_cents", "high_cents", "low_cents",
+            "close_cents",
+        )
+    )
