@@ -1123,3 +1123,100 @@ def pipeline_rag_eval_mrr_lsh(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out
+
+
+@query(
+    "embed_hard_negatives_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               {", ".join(f'{_table_bucket_duck("embedding", t)} AS b{t}'
+                          for t in range(N_LSH_TABLES))}
+        FROM embeddings
+    ),
+    candidates AS (
+        {_duck_eval_candidates()}
+    ),
+    dots AS (
+        SELECT cand.q_id, q.label AS q_label, cand.cand_id,
+               c.label AS c_label,
+               {_int_dot_duck("q.embedding", "c.embedding")} AS dot
+        FROM candidates cand
+        JOIN embeddings q ON q.vec_id = cand.q_id
+        JOIN embeddings c ON c.vec_id = cand.cand_id
+    ),
+    ranked AS (
+        SELECT q_id, cand_id, dot,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY dot DESC, cand_id)
+                 AS BIGINT) AS rnk
+        FROM dots
+        WHERE c_label != q_label
+    )
+    SELECT q_id, cand_id AS negative_id, dot, rnk
+    FROM ranked WHERE rnk <= 2
+    ORDER BY q_id, rnk
+    """,
+    tags=("similarity", "llm-pipeline", "training", "ann"),
+)
+def embed_hard_negatives_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """The SUBLINEAR twin of embed_hard_negatives: per query vector,
+    the two highest-dot WRONG-label candidates drawn from the shared
+    hyperplane-LSH buckets (any collision across the 8 tables) instead
+    of the whole corpus — the mining pass a 100-TB dual-encoder
+    pipeline actually schedules between epochs, where exhaustive
+    all-pairs scoring is off the table. LSH is a natural fit here:
+    hard negatives are BY DEFINITION the near-misses, which is exactly
+    the neighborhood bucketing preserves (the lost far candidates were
+    never hard).
+
+    Candidate generation is the shared sim_ann_hyperplane_lsh plan
+    (signature explode + per-table equi-join, shuffle moves 8 rows per
+    vector); scoring is the exact 1e3-grid integer dot product
+    (`_int_dot_spark`), so ranks and ties are engine-identical; the
+    per-query top-2 runs as WindowGroupLimit. Same persist ->
+    localCheckpoint -> unpersist hygiene as the MRR twin.
+    """
+    emb = (
+        table(spark, sf, "embeddings", spread=True)
+        .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
+        .persist()
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.posexplode("buckets").alias("c_tbl", "c_bucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("tbl") == F.col("c_tbl"))
+            & (F.col("bucket") == F.col("c_bucket"))
+            & (F.col("q_id") != F.col("cand_id")),
+        )
+        .select("q_id", "q_label", "cand_id", "c_label",
+                F.expr(_int_dot_spark("q_emb", "c_emb")).alias("dot"))
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "cand_id")
+    try:
+        out = (
+            pairs.filter(F.col("c_label") != F.col("q_label"))
+            .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 2)
+            .select("q_id", F.col("cand_id").alias("negative_id"),
+                    "dot", "rnk")
+            .orderBy("q_id", "rnk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        emb.unpersist()
+    return out

@@ -457,6 +457,8 @@ PENDING_GATE: tuple[str, ...] = (
     "text_entropy_source_mix",        # training-mix diversity entropy
     "sampling_neyman_allocation",     # variance-optimal budget design
     "dedup_minhash_calibration",      # sketch-vs-exact Jaccard table
+    # round-7 additions:
+    "embed_hard_negatives_lsh",       # sublinear LSH-candidate mining twin
 )
 
 
