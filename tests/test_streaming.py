@@ -1096,3 +1096,101 @@ def test_ohlc_stream_matches_batch(spark, sf_dir, events_dir):
     for bar, vals in expected.items():
         assert got.get(bar) == vals, bar
     assert len(got) >= len(expected)
+
+
+def test_vn_downgrade_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming VN downgrade tracker's final row per client equals
+    the batch pcap_quic_vn_downgrade row exactly — same first/retry
+    version selection (event-time order), same semantic version ranks."""
+    import os
+    import shutil
+
+    from wireduck_spark.sources.glossary import cache_dir
+    from wireduck_spark.sources.synth import quic_vn_capture
+    from wireduck_spark.streaming.pcap_stream import (
+        read_pcap_stream, vn_downgrade_tracker,
+    )
+
+    cap = quic_vn_capture(os.path.join(cache_dir(), "synth", "quic_vn.pcap"))
+    capture_dir = tmp_path / "captures_vn"
+    capture_dir.mkdir()
+    shutil.copy(cap, capture_dir / "cap-001.pcap")
+
+    stream = vn_downgrade_tracker(
+        read_pcap_stream(spark, f"{capture_dir}/*.pcap",
+                         protocols="ip,udp,quic")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_vn_downgrade")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["client"]: (r["first_version"], r["vn_received"],
+                      r["retry_version"], r["downgrade"])
+        for r in spark.sql("SELECT * FROM t_vn_downgrade").collect()
+    }
+    expected = {
+        r["client"]: (r["first_version"], r["vn_received"],
+                      r["retry_version"], r["downgrade"])
+        for r in QUERIES["pcap_quic_vn_downgrade"].fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    assert got["10.0.8.1"][3] == 1  # the downgraded client is flagged
+
+
+def test_vn_downgrade_correct_across_arrow_chunks(spark, sf_dir, tmp_path):
+    """Forcing maxRecordsPerBatch=2 splits every client's packets into
+    multiple Arrow chunks; the tracker must concat-and-sort ONCE so the
+    first-Initial / post-VN-retry selections still walk capture time
+    (a per-chunk walk could see the retry before the VN)."""
+    import os
+    import shutil
+
+    from wireduck_spark.sources.glossary import cache_dir
+    from wireduck_spark.sources.synth import quic_vn_capture
+    from wireduck_spark.streaming.pcap_stream import (
+        read_pcap_stream, vn_downgrade_tracker,
+    )
+
+    cap = quic_vn_capture(os.path.join(cache_dir(), "synth", "quic_vn.pcap"))
+    capture_dir = tmp_path / "captures_vn_chunked"
+    capture_dir.mkdir()
+    shutil.copy(cap, capture_dir / "cap-001.pcap")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        stream = vn_downgrade_tracker(
+            read_pcap_stream(spark, f"{capture_dir}/*.pcap",
+                             protocols="ip,udp,quic")
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_vn_chunked")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["client"]: (r["first_version"], r["vn_received"],
+                          r["retry_version"], r["downgrade"])
+            for r in spark.sql("SELECT * FROM t_vn_chunked").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expected = {
+        r["client"]: (r["first_version"], r["vn_received"],
+                      r["retry_version"], r["downgrade"])
+        for r in QUERIES["pcap_quic_vn_downgrade"].fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected

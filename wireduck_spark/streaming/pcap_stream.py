@@ -40,7 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql.types import (
-    DoubleType, LongType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType,
 )
 
 from wireduck_spark.sources.glossary import fetch_selected_fields
@@ -287,5 +287,115 @@ def flowlet_tracker(packets) -> "DataFrame":
         outputStructType=FLOWLET_OUTPUT_SCHEMA,
         stateStructType=FLOWLET_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming QUIC Version-Negotiation downgrade tracker
+# ---------------------------------------------------------------------------
+
+VN_STATE_SCHEMA = StructType(
+    [
+        StructField("first_ft_us", LongType()),
+        StructField("first_version", LongType()),
+        StructField("vn_ft_us", LongType()),
+        StructField("retry_version", LongType()),
+    ]
+)
+
+VN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("client", StringType()),
+        StructField("first_version", LongType()),
+        StructField("vn_received", LongType()),
+        StructField("retry_version", LongType()),
+        StructField("downgrade", LongType()),
+    ]
+)
+
+_QUIC_V2 = 0x6B3343CF
+
+
+def _vrank(v: int) -> int:
+    # semantic version order (wire values are not ordered); unknown -> 0
+    return 1 if v == 1 else 2 if v == _QUIC_V2 else 0
+
+
+def _vn_update(key, batches, state):
+    """4 ints of state per client: first-Initial (time, version), first
+    VN arrival time, first post-VN retry version (-1 sentinels). The
+    downgrade verdict re-derives the batch query's rank comparison each
+    micro-batch, so the final emitted row equals the batch answer.
+    Chunk-safe: concat all Arrow chunks, sort ONCE by capture time."""
+    import pandas as pd
+
+    (client,) = key
+    first_ft, first_v, vn_ft, retry_v = (
+        state.get if state.exists else (-1, -1, -1, -1))
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ft_us")
+        for ft, ver, isvn in zip(
+            pdf["ft_us"].astype("int64"),
+            pdf["version"].astype("int64"),
+            pdf["is_vn"],
+        ):
+            ft, ver = int(ft), int(ver)
+            if isvn:
+                if vn_ft < 0:
+                    vn_ft = ft
+            else:
+                if first_ft < 0:
+                    first_ft, first_v = ft, ver
+                if vn_ft >= 0 and ft > vn_ft and retry_v < 0:
+                    retry_v = ver
+    state.update((first_ft, first_v, vn_ft, retry_v))
+    out = []
+    if first_ft >= 0:
+        downgrade = int(
+            vn_ft >= 0 and retry_v >= 0
+            and _vrank(first_v) > 0
+            and _vrank(retry_v) < _vrank(first_v)
+        )
+        out.append((client, first_v, int(vn_ft >= 0),
+                    retry_v if retry_v >= 0 else None, downgrade))
+    yield pd.DataFrame(out, columns=[f.name for f in VN_OUTPUT_SCHEMA.fields])
+
+
+def vn_downgrade_tracker(packets) -> "DataFrame":
+    """Streaming twin of the batch pcap_quic_vn_downgrade query over a
+    live capture stream (`read_pcap_stream(..., protocols='ip,udp,quic')`):
+    the VN downgrade-attack flag trips while the handshake is still in
+    flight, not in tomorrow's batch scan — the always-on posture a
+    security query actually wants.
+
+    State is 4 ints per client (bounded by client cardinality, never by
+    packet volume); per-packet work is one comparison chain. The final
+    emitted row per client is bit-identical to the batch query's row
+    (pinned by tests/test_streaming.py::test_vn_downgrade_stream_matches_batch).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    q = (
+        packets.filter(
+            F.col("`quic.version`").isNotNull()
+            & ((F.col("`quic.version`") == 0)
+               | (F.col("`quic.long.packet_type`") == 0))
+        )
+        .select(
+            F.when(F.col("`quic.version`") == 0, F.col("`ip.dst`"))
+            .otherwise(F.col("`ip.src`")).alias("client"),
+            F.unix_micros(F.col("`frame.time_epoch`")).alias("ft_us"),
+            F.col("`quic.version`").cast("long").alias("version"),
+            (F.col("`quic.version`") == 0).alias("is_vn"),
+        )
+    )
+    return q.groupBy("client").applyInPandasWithState(
+        _vn_update,
+        outputStructType=VN_OUTPUT_SCHEMA,
+        stateStructType=VN_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
