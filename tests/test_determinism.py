@@ -23,6 +23,8 @@ NAMES = [
     "stats_mann_whitney_u",
     "window_trailing_interval",
     "pipeline_rag_eval_mrr_lsh",
+    "embed_hard_negatives_lsh",
+    "pcap_quic_vn_downgrade",
     "stats_bootstrap_ci",
     "event_pattern_three_rises",
     "io_incremental_file_ledger",

@@ -295,3 +295,40 @@ def test_setop_differential(engines, pred):
     )
     s2, d2 = _both(engines, sql2)
     assert s2 == d2, f"EXCEPT divergence under: {pred}"
+
+
+@given(pred=_predicates(),
+       k=st.integers(min_value=0, max_value=7000),
+       m=st.integers(min_value=2, max_value=97))
+@settings(max_examples=40, deadline=None)
+def test_signed_modulo_differential(engines, pred, k, m):
+    """Modular arithmetic on SIGNED values — (o_orderkey - k) goes
+    negative for most k — must agree exactly: both engines define % with
+    the dividend's sign, and the corpus leans on that (hash sampling,
+    bucketing, salting). A divergence here would silently skew every
+    mod-keyed query on plausible data."""
+    sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COALESCE(SUM((o_orderkey - {k}) % {m}), 0) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"signed %% divergence for k={k} m={m} pred: {pred}"
+
+
+@given(pred=_predicates(), n=st.integers(min_value=0, max_value=5))
+@settings(max_examples=30, deadline=None)
+def test_rows_frame_window_differential(engines, pred, n):
+    """ROWS BETWEEN n PRECEDING AND CURRENT ROW running sums over a
+    unique ordering must match row-for-row — frame semantics (inclusive
+    bounds, partition resets) are exactly what the corpus's trailing
+    windows assume to be ANSI-identical across engines."""
+    sql = (
+        "SELECT o_orderkey, "
+        "CAST(SUM(o_custkey) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey "
+        f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW) AS BIGINT) AS rs "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"ROWS frame divergence for n={n} pred: {pred}"
