@@ -971,3 +971,134 @@ def io_incremental_file_ledger(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(cents(F.col("o_totalprice"))).cast("bigint")
         .alias("total_cents"),
     )
+
+
+@query(
+    "io_text_log_parse",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    tags=("io", "text", "ingest"),
+)
+def io_text_log_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw text-line ingestion (`spark.read.text`) + regexp parsing —
+    the unstructured-log half of every lakehouse: app/web logs land as
+    line files, and the first pipeline stage is a regexp shred into
+    columns. The round-trip writes deterministic log lines rendered
+    from orders, reads them back as ONE `value` column, parses key /
+    status / cents with regexp_extract, and aggregates; the oracle
+    recomputes the same rollup from the clean source (the
+    io_csv_corrupt_tolerant pattern), proving parse-exactness without
+    DuckDB needing to read line files.
+
+    Scale: the text source splits by line ranges exactly like csv —
+    thousands of log files become byte-range splits; the regexp shred
+    is a narrow codegen map (no Python), and the rollup is one
+    map-side-combinable aggregate. Lines that fail the pattern would
+    surface as NULL status groups rather than vanishing.
+    """
+    path = _scratch(sf, "text_log_lines")
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    o = table(spark, sf, "orders")
+    lines = o.select(
+        F.concat(
+            F.lit("evt order="), F.col("o_orderkey").cast("string"),
+            F.lit(" status="), F.col("o_orderstatus"),
+            F.lit(" cents="), cents(F.col("o_totalprice")).cast("string"),
+        ).alias("value")
+    )
+    lines.write.text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", r"order=(\d+)", 1).cast("bigint")
+        .alias("key"),
+        F.regexp_extract("value", r"status=(\S+)", 1).alias("status"),
+        F.regexp_extract("value", r"cents=(-?\d+)", 1).cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        parsed.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.max("key").cast("bigint").alias("max_key"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "io_binaryfile_ingest",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text, md5(text) AS h,
+               CAST(strlen(text) AS BIGINT) AS nb
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_files,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_assets,
+           CAST(COUNT(*) * 2 - COUNT(DISTINCT h) AS BIGINT) AS dup_files,
+           CAST(SUM(nb) * 2 AS BIGINT) AS total_bytes
+    FROM src
+    """,
+    tags=("io", "binary", "multimodal", "ingest"),
+)
+def io_binaryfile_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-asset ingestion via the `binaryFile` source — the step
+    that actually FEEDS the multimodal battery (mm_* queries operate on
+    binary columns; this is where those columns come from at 100 TB: a
+    bucket of image/audio files read as (path, length, content) rows).
+    The scratch landing zone holds every asset TWICE (the crawler-
+    duplicate regime); ingestion fingerprints content (md5) and reports
+    the content-addressed dedup arithmetic. The oracle recomputes the
+    same counts from the documents the assets were rendered from —
+    byte-level parity because Spark's md5(binary) over utf8 bytes
+    equals DuckDB's md5(text).
+
+    Scale: binaryFile lists then reads whole files per task (assets
+    are indivisible); content never shuffles — only (hash, length)
+    pairs reach the aggregate, the same payloads-stay-put rule as
+    mm_asset_dedup. Spark's 2 GiB column limit caps single assets, the
+    documented seam where a real lake switches to pointer+range reads.
+    """
+    base = _scratch(sf, "binary_assets")
+    if os.path.exists(base):
+        import shutil
+
+        shutil.rmtree(base)
+    os.makedirs(base)
+    docs = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()  # 20 rows — the asset GENERATOR is test scaffolding;
+        #             the measured path is the binaryFile scan below
+    )
+    for r in docs:
+        payload = r["text"].encode("utf-8")
+        for tag in ("a", "b"):  # every asset lands twice
+            with open(os.path.join(
+                    base, f"asset_{r['doc_id']:04d}_{tag}.bin"), "wb") as fh:
+                fh.write(payload)
+    assets = spark.read.format("binaryFile").load(base)
+    fp = assets.select(
+        F.md5("content").alias("h"),
+        F.col("length").cast("bigint").alias("nb"),
+    )
+    return fp.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.countDistinct("h").cast("bigint").alias("n_unique_assets"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint")
+        .alias("dup_files"),
+        F.sum("nb").cast("bigint").alias("total_bytes"),
+    )

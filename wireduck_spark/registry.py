@@ -459,6 +459,8 @@ PENDING_GATE: tuple[str, ...] = (
     "dedup_minhash_calibration",      # sketch-vs-exact Jaccard table
     # round-7 additions:
     "embed_hard_negatives_lsh",       # sublinear LSH-candidate mining twin
+    "io_text_log_parse",              # raw line ingest + regexp shred
+    "io_binaryfile_ingest",           # binaryFile asset landing + dedup
 )
 
 
