@@ -298,14 +298,16 @@ def sim_ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     recall/cost dial is (tables, bits): more bits = smaller buckets =
     cheaper; more tables = higher recall.
     """
-    # cache: the q and c branches below both consume the bucketed table;
+    # persist: the q and c branches below both consume the bucketed table;
     # without it the bucket expression is planned (and codegen-compiled)
     # once per branch. The signature table is the natural materialization
-    # point, same as minhash signatures in functions/dedup.py.
+    # point, same as minhash signatures in functions/dedup.py. The bounded
+    # top-k result is localCheckpoint'ed below so the cache unpersists
+    # before returning (session cache hygiene — round-7 ADVICE pattern).
     emb = (
         table(spark, sf, "embeddings", spread=True)
         .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
-        .cache()
+        .persist()
     )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
@@ -335,10 +337,15 @@ def sim_ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    return (
-        sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= TOP_K)
-    )
+    try:
+        out = (
+            sims.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= TOP_K)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        emb.unpersist()
+    return out
 
 
 # -- product quantization + asymmetric-distance rerank ----------------------
@@ -566,7 +573,7 @@ def range_search_lsh(spark: SparkSession, sf: str,
             "buckets",
             F.expr(_spark_table_buckets("embedding", n_tables, n_bits)),
         )
-        .cache()
+        .persist()
     )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
@@ -588,13 +595,19 @@ def range_search_lsh(spark: SparkSession, sf: str,
         .select("id_a", "id_b", "e_a", "e_b")
         .distinct()
     )
-    return (
-        pairs.select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cos_sim"),
+    try:
+        out = (
+            pairs.select(
+                "id_a", "id_b",
+                F.round(cosine(F.col("e_a"), F.col("e_b")), 6)
+                .alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    finally:
+        emb.unpersist()
+    return out
 
 
 def _hybrid_rrf_oracle() -> str:
