@@ -561,9 +561,12 @@ def dedup_cluster_components(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
+    # cached for the per-iteration joins; unpersisted in the finally —
+    # every labels generation is checkpointed, so nothing returned
+    # depends on this cache's lineage (round-7 ADVICE hygiene pattern)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    ).persist()
     labels = ckpt(
         und.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -591,8 +594,10 @@ def dedup_cluster_components(
         )
         labels = new_labels
         if changed == 0:
+            und.unpersist()
             break
     else:
+        und.unpersist()
         raise RuntimeError(
             f"connected components did not converge in {max_iters} rounds "
             f"({changed} labels still changing) — raise max_iters; refusing "
