@@ -46,6 +46,8 @@ BOUNDED_CONSTANT_WINDOWS = {
     "stats_bootstrap_ci",             # 200 bootstrap replicate sums
     "event_survival_kaplan_meier",    # per-day life table (<= 120 rows)
     "stats_chi_square_independence",  # r x c contingency cells (<= 20)
+    "stats_ks_two_sample",            # unit-value bins (<= value range)
+    "text_js_divergence_sources",     # per-source count table (<= sources)
 }
 
 

@@ -385,42 +385,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     hash votes +-1 per bit position; the fingerprint packs the positive
     votes. Near-dup candidates are then hamming-close fingerprints
     (bit_count(xor) — see tests), compared via O(docs) bucketing on the
-    fingerprint at scale.
+    fingerprint at scale. Construction shared with dedup_keep_best via
+    _simhash16_spark / _SIMHASH16_DUCK.
     """
-    d = table(spark, sf, "documents", spread=True)
-    tokens = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-            )
-        ).alias("tok"),
-    )
-    hashed = tokens.select(
-        "doc_id", (F.expr(SPARK_H60.format(s="tok")) % 65536).alias("h")
-    )
-    votes = (
-        hashed.join(F.broadcast(spark.range(0, 16).select(F.col("id").alias("b"))))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN shiftright(h, CAST(b AS INT)) % 2 = 1"
-                    " THEN 1 ELSE -1 END"
-                )
-            ).alias("vote")
-        )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN vote > 0"
-                " THEN CAST(shiftleft(1L, CAST(b AS INT)) AS BIGINT) ELSE 0 END"
-            )
-        )
-        .cast("bigint")
-        .alias("simhash16")
-    )
+    return _simhash16_spark(table(spark, sf, "documents", spread=True))
 
 
 @query(
@@ -1117,3 +1085,134 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
         sig.unpersist()
         hashed.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Canonical-document selection per near-dup cluster (keep-best)
+# --------------------------------------------------------------------------
+
+# The SimHash fingerprint construction of dedup_simhash, shared verbatim
+# so cluster keys here and fingerprints there reconcile by definition.
+_SIMHASH16_DUCK = f"""
+    tokens AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                   AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {DUCK_H60.format(s="tok")} % 65536 AS h FROM tokens
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM hashed, unnest(range(0, 16)) AS t(b)
+        GROUP BY doc_id, b
+    ),
+    fingerprints AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                             THEN CAST(1 << CAST(b AS INTEGER) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS simhash16
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
+def _simhash16_spark(d: DataFrame) -> DataFrame:
+    """doc_id -> 16-bit SimHash fingerprint (the dedup_simhash pipeline,
+    factored for reuse by the keep-best canonical selection)."""
+    tokens = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("tok"),
+    )
+    hashed = tokens.select(
+        "doc_id", (F.expr(SPARK_H60.format(s="tok")) % 65536).alias("h")
+    )
+    spark = d.sparkSession
+    votes = (
+        hashed.join(F.broadcast(spark.range(0, 16).select(F.col("id").alias("b"))))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN shiftright(h, CAST(b AS INT)) % 2 = 1"
+                    " THEN 1 ELSE -1 END"
+                )
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN vote > 0"
+                " THEN CAST(shiftleft(1L, CAST(b AS INT)) AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("simhash16")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH {_SIMHASH16_DUCK}
+    SELECT f.simhash16 AS cluster_key,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MIN(struct_pack(a := -d.n_chars, b := d.doc_id)).b AS keep_id,
+           CAST(-MIN(struct_pack(a := -d.n_chars, b := d.doc_id)).a
+               AS BIGINT) AS keep_chars,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(SUM(d.n_chars)
+                + MIN(struct_pack(a := -d.n_chars, b := d.doc_id)).a
+               AS BIGINT) AS chars_dropped
+    FROM fingerprints f JOIN documents d USING (doc_id)
+    GROUP BY f.simhash16
+    """,
+    tags=("dedup", "llm-pipeline", "curation"),
+)
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-document selection: cluster by the 16-bit SimHash
+    fingerprint (dedup_simhash's near-dup blocking key — colliding
+    fingerprints are the hamming-0 cluster cores) and KEEP THE BEST
+    document per cluster — longest n_chars, doc_id as the rule-5
+    tiebreak — reporting what the dedup pass would drop. This is the
+    decision step every dedup family here feeds (exact/minhash/simhash
+    find the clusters; something must pick the survivor): production
+    pipelines keep the highest-quality copy, not an arbitrary one.
+
+    The arg-max is the portable MIN(STRUCT(-quality, id)) fold — a
+    single combinable aggregate, no rank window — and the quality score
+    is pluggable (n_chars here; swap in text_quality_score's output at
+    no plan cost). Singleton clusters (the common case) trivially keep
+    themselves; collisions get the real keep/drop split.
+
+    Determinism: fingerprints are exact integers (portable 60-bit md5
+    hash), struct min is a total order, all outputs are exact BIGINTs.
+
+    Scale: token explode + two fingerprint aggregates (the simhash
+    cost, O(tokens)), then ONE fingerprint-keyed combinable aggregate —
+    the same shuffle profile as exact hash dedup; payload text never
+    moves, only (doc_id, fingerprint, n_chars).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    fp = _simhash16_spark(d)
+    best = F.min(F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b")))
+    return (
+        fp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy(F.col("simhash16").alias("cluster_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            best.getField("b").alias("keep_id"),
+            (-best.getField("a")).cast("bigint").alias("keep_chars"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+            (F.sum("n_chars") + best.getField("a")).cast("bigint")
+            .alias("chars_dropped"),
+        )
+    )

@@ -1509,3 +1509,224 @@ def text_entropy_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         counts.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between the two dominant sources' language
+# mixes (the symmetric, bounded drift measure)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH sc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    picked AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY n DESC, source) AS BIGINT)
+                 AS rn
+      FROM sc
+    ),
+    sl AS (
+      SELECT d.lang,
+             CAST(SUM(CASE WHEN p.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cp,
+             CAST(SUM(CASE WHEN p.rn = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cq
+      FROM documents d JOIN picked p ON d.source = p.source
+      WHERE p.rn <= 2
+      GROUP BY d.lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS na,
+             CAST(SUM(cq) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM sl
+    ),
+    jsd AS (
+      SELECT ROUND(SUM(
+          CASE WHEN cp > 0 THEN
+            0.5 * (CAST(cp AS DOUBLE) / na)
+                * ln((CAST(cp AS DOUBLE) / na)
+                     / (0.5 * (CAST(cp AS DOUBLE) / na)
+                        + 0.5 * (CAST(cq AS DOUBLE) / nb)))
+          ELSE 0 END
+          + CASE WHEN cq > 0 THEN
+            0.5 * (CAST(cq AS DOUBLE) / nb)
+                * ln((CAST(cq AS DOUBLE) / nb)
+                     / (0.5 * (CAST(cp AS DOUBLE) / na)
+                        + 0.5 * (CAST(cq AS DOUBLE) / nb)))
+          ELSE 0 END), 4) AS jsd_nats
+      FROM sl, tot
+    )
+    SELECT (SELECT source FROM picked WHERE rn = 1) AS src_a,
+           (SELECT source FROM picked WHERE rn = 2) AS src_b,
+           na, nb, n_langs, jsd_nats
+    FROM jsd, tot
+    """,
+    tags=("text", "stats", "quality", "llm-pipeline"),
+)
+def text_js_divergence_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between the language mixes of
+    the two largest sources — the SYMMETRIC, always-finite drift
+    measure (KL blows up on a zero cell; JSD is bounded by ln 2), the
+    pairwise companion to text_entropy_source_mix's global
+    concentration dial. In a training pipeline this is the
+    "are these two feeds interchangeable?" number.
+
+    Source selection is data-driven and total-ordered (count DESC,
+    name ASC — rule 5), so the query is deterministic even when the
+    mix is uniform. Zero-cell terms contribute exactly 0 (the p·ln(p/m)
+    limit), handled by the explicit guard, never by NULL propagation.
+
+    Determinism: category counts are exact integers; every ratio and
+    ln rides one shared IEEE tree; the ≤|langs| term sum rounds at
+    4 dp (the entropy convention). The rank window runs over the
+    per-source aggregate (bounded by source cardinality — allowlisted
+    constant-partition window).
+
+    Scale: one (source) rollup + one (lang) rollup over the two picked
+    sources are the only corpus shuffles; everything after is
+    category-sized.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    sc_counts = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    wp = Window.partitionBy(
+        F.pmod(F.coalesce(F.col("n"), F.lit(0)), F.lit(1))
+    ).orderBy(F.desc("n"), "source")
+    picked = sc_counts.select(
+        "source", F.row_number().over(wp).cast("bigint").alias("rn")
+    ).filter(F.col("rn") <= 2)
+    sl = (
+        d.join(F.broadcast(picked), "source")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint")
+            .alias("cp"),
+            F.sum(F.when(F.col("rn") == 2, 1).otherwise(0)).cast("bigint")
+            .alias("cq"),
+        )
+    )
+    sl = sl.persist()
+    try:
+        tot = sl.agg(
+            F.sum("cp").cast("bigint").alias("na"),
+            F.sum("cq").cast("bigint").alias("nb"),
+            F.count("*").cast("bigint").alias("n_langs"),
+        )
+        p = F.col("cp").cast("double") / F.col("na")
+        q = F.col("cq").cast("double") / F.col("nb")
+        m = 0.5 * p + 0.5 * q
+        jsd = (
+            sl.crossJoin(F.broadcast(tot))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.when(F.col("cp") > 0, 0.5 * p * F.log(p / m))
+                        .otherwise(F.lit(0.0))
+                        + F.when(F.col("cq") > 0, 0.5 * q * F.log(q / m))
+                        .otherwise(F.lit(0.0))
+                    ),
+                    4,
+                ).alias("jsd_nats")
+            )
+        )
+        names = picked.groupBy().agg(
+            F.min(F.when(F.col("rn") == 1, F.col("source"))).alias("src_a"),
+            F.min(F.when(F.col("rn") == 2, F.col("source"))).alias("src_b"),
+        )
+        out = (
+            jsd.crossJoin(F.broadcast(names))
+            .crossJoin(F.broadcast(tot))
+            .select("src_a", "src_b", "na", "nb", "n_langs", "jsd_nats")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sl.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language (subtokens-per-word — the tokenizer
+# cost dial for a multilingual mix)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+               AS BIGINT)) AS BIGINT) AS words_total,
+           CAST(SUM(CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT)) AS BIGINT)
+               AS subtoks_total,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           ROUND(CAST(SUM(CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT))
+                     AS DOUBLE)
+                 / SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                       AS BIGINT)), 4) AS fertility,
+           ROUND(CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                     AS BIGINT)) AS DOUBLE) * 100
+                 / SUM(n_chars), 4) AS words_per_100_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "llm-pipeline", "quality"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: subtokens-per-word under the
+    BPE-ish fallback segmentation (letter runs survive whole; digits
+    and punctuation shatter) vs the whitespace word count — the
+    standard multilingual-tokenizer cost metric (fertility ≈ 1 means
+    the vocabulary covers the language; high fertility means the mix
+    pays more sequence length for the same text). words_per_100_chars
+    is the same dial denominated in raw bytes-ish units for
+    cross-language compute budgeting.
+
+    Uses the exact token regexes of text_token_count (the per-doc
+    sibling), so per-doc and per-lang views reconcile by construction.
+
+    Determinism: token counts and char sums are exact integers; the
+    two ratios ride one shared IEEE tree each, rounded 4 dp.
+
+    Scale: pure map + one lang-keyed combinable rollup — no joins, no
+    windows; regexp counting is whole-stage-codegen JVM work.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    words = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9]+"), 0)
+    ).cast("bigint")
+    subtoks = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
+        )
+    ).cast("bigint")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(words).cast("bigint").alias("words_total"),
+            F.sum(subtoks).cast("bigint").alias("subtoks_total"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .select(
+            "lang", "n_docs", "words_total", "subtoks_total", "chars_total",
+            F.round(
+                F.col("subtoks_total").cast("double") / F.col("words_total"),
+                4,
+            ).alias("fertility"),
+            F.round(
+                F.col("words_total").cast("double") * 100
+                / F.col("chars_total"),
+                4,
+            ).alias("words_per_100_chars"),
+        )
+        .orderBy("lang")
+    )

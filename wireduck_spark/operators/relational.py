@@ -2392,3 +2392,329 @@ def stats_wilson_interval(spark: SparkSession, sf: str) -> DataFrame:
         F.round((center - half) / denom, 4).alias("wilson_lo"),
         F.round((center + half) / denom, 4).alias("wilson_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (binned ECDF — the drift detector)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS bin,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c2
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY CAST(FLOOR(value) AS BIGINT)
+    ),
+    cum AS (
+      SELECT bin,
+             CAST(SUM(c1) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS f1,
+             CAST(SUM(c2) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS f2
+      FROM binned
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2
+      FROM binned
+    ),
+    d AS (
+      SELECT CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num
+      FROM cum, tot
+    )
+    SELECT n1, n2, d_num,
+           ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+               AS ks_d,
+           ROUND(1.358 * sqrt((CAST(n1 AS DOUBLE) + n2)
+                              / (CAST(n1 AS DOUBLE) * n2)), 6)
+               AS ks_crit_05,
+           CAST(CASE WHEN CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                    > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2)
+                                   / (CAST(n1 AS DOUBLE) * n2))
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM d, tot
+    """,
+    tags=("agg", "stats", "experiment", "llm-pipeline"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the click and
+    purchase `value` distributions — the distribution-shape companion to
+    dq_distribution_drift_psi (PSI needs chosen bins and misses shape;
+    KS is the sup-norm over the whole ECDF). Run source-vs-source on a
+    training corpus, it answers "did this feed's length/score
+    distribution shift since the last snapshot?".
+
+    The ECDF is computed over unit-width bins (FLOOR(value) — the same
+    scale-safe quantization PSI uses): the statistic is exactly the KS
+    D of the binned distributions, and the bin domain (~500 here) is
+    bounded by the value range, not the corpus, so the cumulative
+    window is a bounded single-task pass over the per-bin rollup (the
+    Kaplan-Meier life-table shape; allowlisted constant-partition
+    window).
+
+    Determinism: bin counts and cumulative sums are exact integers; the
+    sup statistic is maximized in cross-multiplied integer units
+    (|f1*n2 - f2*n1|, exact int64 — no float comparison picks the
+    winner), and only the final D and the 5% critical value divide in
+    IEEE (same tree both engines, rounded 6 dp). The reject flag
+    compares the two UNROUNDED doubles — identical trees, identical
+    flag.
+
+    Scale: one corpus shuffle (the bin rollup, combinable), then
+    bin-domain-sized work. 100 TB story: bins stay ~500 rows no matter
+    the corpus; the window input is an aggregated bounded table.
+    """
+    e = table(spark, sf, "events")
+    binned = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.floor("value").cast("bigint").alias("bin"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint").alias("c1"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint").alias("c2"),
+        )
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.coalesce(F.col("bin"), F.lit(0)), F.lit(1)))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        "bin",
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    tot = binned.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+            .cast("bigint").alias("d_num")
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    ks_d = F.col("d_num").cast("double") / (n1d * n2d)
+    crit = 1.358 * F.sqrt((n1d + n2d) / (n1d * n2d))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "n1", "n2", "d_num",
+            F.round(ks_d, 6).alias("ks_d"),
+            F.round(crit, 6).alias("ks_crit_05"),
+            F.when(ks_d > crit, 1).otherwise(0).cast("bigint")
+            .alias("reject_05"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramér's V effect size (source x lang association strength)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY source, lang
+    ),
+    rs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r_tot
+           FROM cells GROUP BY source),
+    cs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c_tot
+           FROM cells GROUP BY lang),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS c
+            FROM cells),
+    chi AS (
+      SELECT CAST(SUM(
+                 (CAST(o AS DOUBLE)
+                  - CAST(r_tot AS DOUBLE) * c_tot / n)
+                 * (CAST(o AS DOUBLE)
+                    - CAST(r_tot AS DOUBLE) * c_tot / n)
+                 / (CAST(r_tot AS DOUBLE) * c_tot / n)
+                 - CAST(r_tot AS DOUBLE) * c_tot / n) AS DOUBLE)
+                 AS chi2_part
+      FROM cells
+      JOIN rs USING (source)
+      JOIN cs USING (lang), tot
+    )
+    SELECT n, r AS n_sources, c AS n_langs,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(chi2_part + n, 4) AS chi2,
+           ROUND(sqrt((chi2_part + n)
+                      / (CAST(n AS DOUBLE)
+                         * CASE WHEN r - 1 < c - 1 THEN r - 1
+                                ELSE c - 1 END)), 4) AS cramers_v
+    FROM chi, tot
+    """,
+    tags=("agg", "stats", "quality", "llm-pipeline"),
+)
+def stats_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V over the source x lang contingency of the corpus —
+    the bounded [0,1] effect size a curation dashboard shows next to
+    stats_chi_square_independence's p-value: at 100 TB every
+    association is "significant"; V states whether language mix
+    actually DEPENDS on the feed (V→1 = each source is monolingual,
+    V→0 = every source has the global mix).
+
+    Zero-cell handling without generating the full r x c grid: a
+    missing cell (o=0) contributes exactly its expectation e to chi2,
+    and sum(e) over ALL cells is n, so chi2 = n + sum_present((o-e)²/e
+    - e) — only observed cells are touched, the algebra supplies the
+    zeros.
+
+    Determinism: observed counts and margins are exact integers;
+    expectations ride one shared IEEE tree (CAST(r_tot)*c_tot/n —
+    margins multiplied in DOUBLE to survive 100-TB-scale products);
+    the ~100-term double sum is order-insensitive at the 4 dp output
+    rounding (the entropy/BM25 convention).
+
+    Scale: one (source, lang) rollup is the only corpus shuffle;
+    margins and totals are category-sized broadcasts.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    cells = d.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("o"))
+    cells = cells.persist()
+    try:
+        rs = cells.groupBy("source").agg(
+            F.sum("o").cast("bigint").alias("r_tot"))
+        cs = cells.groupBy("lang").agg(
+            F.sum("o").cast("bigint").alias("c_tot"))
+        tot = cells.agg(
+            F.sum("o").cast("bigint").alias("n"),
+            F.countDistinct("source").cast("bigint").alias("r"),
+            F.countDistinct("lang").cast("bigint").alias("c"),
+        )
+        e_exp = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+        od = F.col("o").cast("double")
+        chi = (
+            cells.join(F.broadcast(rs), "source")
+            .join(F.broadcast(cs), "lang")
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum((od - e_exp) * (od - e_exp) / e_exp - e_exp)
+                .cast("double").alias("chi2_part")
+            )
+        )
+        mindof = F.when(
+            F.col("r") - 1 < F.col("c") - 1, F.col("r") - 1
+        ).otherwise(F.col("c") - 1)
+        out = (
+            chi.crossJoin(F.broadcast(tot))
+            .select(
+                "n",
+                F.col("r").alias("n_sources"),
+                F.col("c").alias("n_langs"),
+                ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint")
+                .alias("dof"),
+                F.round(F.col("chi2_part") + F.col("n"), 4).alias("chi2"),
+                F.round(
+                    F.sqrt(
+                        (F.col("chi2_part") + F.col("n"))
+                        / (F.col("n").cast("double") * mindof)
+                    ),
+                    4,
+                ).alias("cramers_v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cells.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# Trimmed mean (rank-based 10% trim per group — robust location)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(row_number() OVER (
+                 PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                 AS n_total
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           n_total,
+           CAST(n_total // 10 AS BIGINT) AS n_cut_each_side,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+           ROUND(CAST(SUM(price_cents) AS DOUBLE) / COUNT(*) / 100, 4)
+               AS trimmed_mean
+    FROM ranked
+    WHERE rn > n_total // 10 AND rn <= n_total - n_total // 10
+    GROUP BY o_orderpriority, n_total
+    ORDER BY o_orderpriority
+    """,
+    tags=("agg", "stats", "window"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """10% trimmed mean of order value per priority class — the robust
+    location estimate a metrics pipeline reports when whales and
+    pennies shouldn't move the number (the window/rank sibling of
+    anomaly_mad_robust's median-based center).
+
+    The trim is RANK-based and exact: row_number over (price, orderkey)
+    — rule-5 unique tiebreak — drops exactly floor(n/10) rows from each
+    tail, so both engines keep the identical row set; DuckDB `//` and
+    the implied floor of integer division agree on positive n (rule 6).
+    Kept sums ride integer cents; only the final mean divides (rounded
+    4 dp).
+
+    Scale: windows partition on the group key, so tasks parallelize
+    across groups; for a few-giant-groups shape, swap the rank for the
+    two-pass range-partitioned rewrite used by stats_mann_whitney_u
+    (rank offsets from per-partition counts) — semantics unchanged.
+    """
+    o = table(spark, sf, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        cents(F.col("o_totalprice")).alias("price_cents"),
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count("*").over(wn).cast("bigint").alias("n_total"),
+    )
+    lo = F.expr("n_total div 10")
+    return (
+        ranked.filter((F.col("rn") > lo) & (F.col("rn") <= F.col("n_total") - lo))
+        .groupBy("o_orderpriority", "n_total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("price_cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "o_orderpriority", "n_total",
+            F.expr("n_total div 10").cast("bigint").alias("n_cut_each_side"),
+            "n_kept", "sum_cents",
+            F.round(
+                F.col("sum_cents").cast("double") / F.col("n_kept") / 100, 4
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("o_orderpriority")
+    )

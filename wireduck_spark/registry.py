@@ -461,6 +461,12 @@ PENDING_GATE: tuple[str, ...] = (
     "embed_hard_negatives_lsh",       # sublinear LSH-candidate mining twin
     "io_text_log_parse",              # raw line ingest + regexp shred
     "io_binaryfile_ingest",           # binaryFile asset landing + dedup
+    "stats_ks_two_sample",            # binned-ECDF KS drift test
+    "stats_cramers_v",                # source x lang association strength
+    "agg_trimmed_mean",               # rank-based 10% trim, robust mean
+    "text_js_divergence_sources",     # symmetric source-mix drift (JSD)
+    "text_tokenizer_fertility",       # subtokens-per-word by language
+    "dedup_keep_best",                # canonical doc selection per cluster
 )
 
 
