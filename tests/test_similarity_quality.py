@@ -129,3 +129,32 @@ def test_lsh_hard_negatives_quality(spark, sf_dir):
         assert r["q_id"] < 50
     agree = sum(1 for q, n in lsh_top1.items() if exact_top1.get(q) == n)
     assert agree / len(lsh_top1) >= 0.5, (agree, len(lsh_top1))
+
+
+def test_ivf_mrr_eval_consistency(spark, sf_dir):
+    """Same invariant set as the LSH twin, for the centroid-IVF
+    candidate generator: identical eval set (labels and query counts),
+    hits bounded by queries, and nprobe=2 over K=16 cells must find a
+    same-label mate for a reasonable share of queries. As with LSH,
+    mrr_ivf vs mrr_exact ordering is deliberately NOT asserted
+    (rank-within-retrieved vs exhaustive answer different questions).
+    Additionally: every vector lands in exactly one of the K cells, so
+    per-label candidate recall is bounded by cell occupancy — sanity-
+    checked here via n_hit > 0 overall."""
+    from wireduck_spark.registry import load_all_queries
+
+    qs = load_all_queries()
+    exact = {r["label"]: r for r in
+             qs["pipeline_rag_eval_mrr"].fn(spark, sf_dir).collect()}
+    ivf = {r["label"]: r for r in
+           qs["pipeline_rag_eval_mrr_ivf"].fn(spark, sf_dir).collect()}
+    assert set(ivf) == set(exact)
+    total_hit = total_q = 0
+    for lab, e in exact.items():
+        r = ivf[lab]
+        assert r["n_queries"] == e["n_queries"], lab
+        assert 0 <= r["n_hit"] <= r["n_queries"], lab
+        assert 0.0 <= r["mrr"] <= 1.0, lab
+        total_hit += r["n_hit"]
+        total_q += r["n_queries"]
+    assert total_hit / total_q >= 0.3, (total_hit, total_q)

@@ -1233,3 +1233,214 @@ def embed_hard_negatives_lsh(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out
+
+
+# -- centroid-IVF retrieval-eval twin --------------------------------------
+# A true inverted-file layout next to the hyperplane twin: K fixed coarse
+# centroids (+-1 component vectors from the portable md5 derivation, so
+# both engines embed identical literals), every vector assigned to its
+# argmax-dot cell, queries probing their IVF_NPROBE best cells. The dial
+# here is (K, nprobe) — cells shrink as K grows — where the hyperplane
+# twin's dial is (tables, bits); production ANN stacks expose exactly
+# these two shapes.
+K_IVF = 16
+IVF_NPROBE = 2
+
+
+def _ivf_centroid(k: int) -> list[float]:
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"ivfc_{k}_{i}".encode()).hexdigest()[:15], 16) % 2
+        == 0
+        else -1.0
+        for i in range(64)
+    ]
+
+
+IVF_CENTROIDS = [_ivf_centroid(k) for k in range(K_IVF)]
+
+
+def _spark_ivf_sorted_cells(col: str) -> str:
+    """All K centroid dots in ONE matrix-literal lambda tree (the
+    _spark_table_buckets codegen lesson: never unroll K separate dot
+    expressions), sorted ascending as (dot, -k) structs so the last
+    element is the best cell (max dot, min k on ties) and the
+    second-to-last the runner-up."""
+    mat = "array(" + ",".join(
+        "array(" + ",".join(f"{c:.1f}D" for c in _ivf_centroid(k)) + ")"
+        for k in range(K_IVF)
+    ) + ")"
+    return (
+        f"array_sort(transform(sequence(0, {K_IVF - 1}), k ->"
+        f" named_struct("
+        f"  'd', aggregate(zip_with({col}, element_at({mat}, k + 1),"
+        f"   (p, c) -> CAST(ROUND(CAST(p AS DOUBLE) * 1000, 0) AS BIGINT)"
+        f"    * CAST(c AS BIGINT)),"
+        f"   CAST(0 AS BIGINT), (acc, v) -> acc + v),"
+        f"  'nk', -k)))"
+    )
+
+
+def _duck_ivf_dot(col: str, k: int) -> str:
+    arr = "[" + ",".join(f"{c:.1f}" for c in IVF_CENTROIDS[k]) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range(1, len({col}) + 1),"
+        f" i -> CAST(ROUND(CAST({col}[CAST(i AS INTEGER)] AS DOUBLE)"
+        f"   * 1000, 0) AS BIGINT)"
+        f" * CAST(({arr})[CAST(i AS INTEGER)] AS BIGINT))), (x, y) -> x + y)"
+    )
+
+
+def _duck_ivf_assigned() -> str:
+    unions = "\n        UNION ALL\n".join(
+        f"""        SELECT vec_id, label, embedding, {k} AS k,
+               {_duck_ivf_dot("embedding", k)} AS d
+        FROM embeddings"""
+        for k in range(K_IVF)
+    )
+    return f"""
+    dots16 AS (
+{unions}
+    ),
+    assigned AS (
+        SELECT vec_id, label, embedding, k,
+               CAST(row_number() OVER (
+                   PARTITION BY vec_id ORDER BY d DESC, k) AS BIGINT) AS rn
+        FROM dots16
+    )"""
+
+
+@query(
+    "pipeline_rag_eval_mrr_ivf",
+    oracle=f"""
+    WITH {_duck_ivf_assigned()},
+    corpus AS (
+        SELECT vec_id, label, embedding, k AS cell
+        FROM assigned WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id, label, embedding, k AS cell
+        FROM assigned WHERE rn <= {IVF_NPROBE} AND vec_id < 50
+    ),
+    dots AS (
+        SELECT p.vec_id AS q_id, p.label AS q_label,
+               c.vec_id AS cand_id, c.label AS c_label,
+               {_int_dot_duck("p.embedding", "c.embedding")} AS dot
+        FROM probes p JOIN corpus c
+          ON p.cell = c.cell AND c.vec_id != p.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, q_label, c_label,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY dot DESC, cand_id)
+                 AS BIGINT) AS rnk
+        FROM dots
+    ),
+    firsts AS (
+        SELECT q_id, q_label,
+               MIN(CASE WHEN c_label = q_label THEN rnk END) AS first_hit
+        FROM ranked GROUP BY q_id, q_label
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN first_hit IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+           CAST(SUM(COALESCE(1000000 // first_hit, 0)) AS BIGINT)
+               AS rr_ppm_sum,
+           ROUND(CAST(SUM(COALESCE(1000000 // first_hit, 0)) AS DOUBLE)
+                 / COUNT(*) / 1000000, 4) AS mrr
+    FROM firsts
+    GROUP BY q_label
+    ORDER BY q_label
+    """,
+    tags=("similarity", "eval", "llm-pipeline", "ann"),
+)
+def pipeline_rag_eval_mrr_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """The centroid-IVF twin of pipeline_rag_eval_mrr(_lsh): MRR where
+    each query's candidates come from its IVF_NPROBE best coarse cells
+    out of K_IVF fixed centroids — the inverted-file layout every
+    vector store ships next to LSH. The (K, nprobe) dial trades recall
+    for cells scanned where the hyperplane twin trades (tables, bits);
+    recall loss surfaces in n_hit exactly as there.
+
+    Cell assignment is ONE matrix-literal lambda expression per row
+    (argmax of K exact integer dots — the _spark_table_buckets codegen
+    lesson; a zero-shuffle map), so the corpus is hash-partitioned by
+    cell and each probe joins only its cells' slice — O(|eval| x
+    corpus/K x nprobe), the IVF contract. Ranking uses the shared
+    1e3-grid integer dot so ranks/ties are engine-identical; ties in
+    cell assignment break toward the lowest centroid id (rule 5) via
+    the (dot, -k) struct sort.
+
+    A real deployment would train centroids with
+    dedup_semantic_kmeans's k-means engine and re-balance skewed cells
+    (salting); fixed +-1 centroids keep the assignment reproducible
+    inside both engines, which is what the oracle contract needs.
+    """
+    emb = (
+        table(spark, sf, "embeddings", spread=True)
+        .withColumn("cells", F.expr(_spark_ivf_sorted_cells("embedding")))
+        .persist()
+    )
+    best = f"element_at(cells, {K_IVF}).nk * -1"
+    second = f"element_at(cells, {K_IVF - 1}).nk * -1"
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        F.expr(best).cast("bigint").alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(
+            F.expr(f"array(CAST({best} AS BIGINT), CAST({second} AS BIGINT))")
+        ).alias("q_cell"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            corpus,
+            (F.col("q_cell") == F.col("cell"))
+            & (F.col("q_id") != F.col("cand_id")),
+        )
+        .select("q_id", "q_label", "cand_id", "c_label",
+                F.expr(_int_dot_spark("q_emb", "c_emb")).alias("dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "cand_id")
+    ranked = pairs.select(
+        "q_id", "q_label", "c_label",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    firsts = ranked.groupBy("q_id", "q_label").agg(
+        F.min(F.when(F.col("c_label") == F.col("q_label"), F.col("rnk")))
+        .alias("first_hit")
+    )
+    try:
+        out = (
+            firsts.groupBy(F.col("q_label").alias("label"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.sum(F.when(F.col("first_hit").isNotNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_hit"),
+                F.sum(F.coalesce(F.expr("1000000 div first_hit"), F.lit(0)))
+                .cast("bigint").alias("rr_ppm_sum"),
+            )
+            .select(
+                "label", "n_queries", "n_hit", "rr_ppm_sum",
+                F.round(
+                    F.col("rr_ppm_sum").cast("double")
+                    / F.col("n_queries") / 1000000,
+                    4,
+                ).alias("mrr"),
+            )
+            .orderBy("label")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        emb.unpersist()
+    return out

@@ -467,6 +467,7 @@ PENDING_GATE: tuple[str, ...] = (
     "text_js_divergence_sources",     # symmetric source-mix drift (JSD)
     "text_tokenizer_fertility",       # subtokens-per-word by language
     "dedup_keep_best",                # canonical doc selection per cluster
+    "pipeline_rag_eval_mrr_ivf",      # centroid-IVF candidate MRR eval
 )
 
 
