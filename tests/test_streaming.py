@@ -1194,3 +1194,62 @@ def test_vn_downgrade_correct_across_arrow_chunks(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_ks_drift_tracker_matches_batch(spark, sf_dir, events_dir):
+    """The streaming KS drift monitor's final row must equal the batch
+    stats_ks_two_sample on the same data: identical integer
+    cross-multiplied sup statistic (d_num) and totals — floats are
+    compared via the exact integers only."""
+    from wireduck_spark.streaming.stateful import ks_drift_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        ks_drift_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_ks")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM t_ks ORDER BY n1 + n2 DESC LIMIT 1").collect()
+    assert rows, "tracker emitted nothing"
+    got = (rows[0]["n1"], rows[0]["n2"], rows[0]["d_num"])
+    b = QUERIES["stats_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    assert got == (b["n1"], b["n2"], b["d_num"])
+
+
+def test_ks_drift_tracker_forced_chunks(spark, sf_dir, events_dir):
+    """Same equivalence with maxRecordsPerBatch=9 so the single global
+    group arrives as many Arrow chunks in arbitrary order — the
+    concat-then-merge discipline must not depend on chunking."""
+    from wireduck_spark.streaming.stateful import ks_drift_tracker
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "9")
+    try:
+        stream = read_events_stream(spark, events_dir)
+        q = (
+            ks_drift_tracker(stream)
+            .writeStream.format("memory")
+            .queryName("t_ks_chunked")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    rows = spark.sql(
+        "SELECT * FROM t_ks_chunked ORDER BY n1 + n2 DESC LIMIT 1"
+    ).collect()
+    assert rows, "tracker emitted nothing"
+    got = (rows[0]["n1"], rows[0]["n2"], rows[0]["d_num"])
+    b = QUERIES["stats_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    assert got == (b["n1"], b["n2"], b["d_num"])

@@ -1176,6 +1176,7 @@ def _simhash16_spark(d: DataFrame) -> DataFrame:
     GROUP BY f.simhash16
     """,
     tags=("dedup", "llm-pipeline", "curation"),
+    bench=True,
 )
 def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-document selection: cluster by the 16-bit SimHash

@@ -1357,6 +1357,7 @@ def _duck_ivf_assigned() -> str:
     ORDER BY q_label
     """,
     tags=("similarity", "eval", "llm-pipeline", "ann"),
+    bench=True,
 )
 def pipeline_rag_eval_mrr_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """The centroid-IVF twin of pipeline_rag_eval_mrr(_lsh): MRR where

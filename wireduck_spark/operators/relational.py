@@ -2498,26 +2498,29 @@ def stats_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
     )
+    # ONE 1-row scalar broadcast: totals ride the same aggregate as the
+    # sup statistic (n1/n2 are constant post-crossjoin, min() re-emits
+    # them), so the plan carries a single bnlj, the scalar-subquery
+    # budget the audit enforces.
     d = (
         cum.crossJoin(F.broadcast(tot))
         .agg(
             F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
-            .cast("bigint").alias("d_num")
+            .cast("bigint").alias("d_num"),
+            F.min("n1").cast("bigint").alias("n1"),
+            F.min("n2").cast("bigint").alias("n2"),
         )
     )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
     ks_d = F.col("d_num").cast("double") / (n1d * n2d)
     crit = 1.358 * F.sqrt((n1d + n2d) / (n1d * n2d))
-    return (
-        d.crossJoin(F.broadcast(tot))
-        .select(
-            "n1", "n2", "d_num",
-            F.round(ks_d, 6).alias("ks_d"),
-            F.round(crit, 6).alias("ks_crit_05"),
-            F.when(ks_d > crit, 1).otherwise(0).cast("bigint")
-            .alias("reject_05"),
-        )
+    return d.select(
+        "n1", "n2", "d_num",
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(crit, 6).alias("ks_crit_05"),
+        F.when(ks_d > crit, 1).otherwise(0).cast("bigint")
+        .alias("reject_05"),
     )
 
 

@@ -18,7 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    BooleanType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, LongType, StringType, StructField,
+    StructType,
 )
 
 STATE_SCHEMA = StructType(
@@ -841,6 +842,114 @@ def holt_tracker(events: DataFrame) -> DataFrame:
         _holt_update,
         outputStructType=HOLT_OUTPUT_SCHEMA,
         stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming two-sample KS drift tracker (round 7): the live twin of the
+# batch stats_ks_two_sample query.
+# ---------------------------------------------------------------------------
+
+KS_STATE_SCHEMA = StructType(
+    [
+        StructField("bins", ArrayType(LongType())),
+        StructField("c1", ArrayType(LongType())),
+        StructField("c2", ArrayType(LongType())),
+    ]
+)
+
+KS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("n1", LongType()),
+        StructField("n2", LongType()),
+        StructField("d_num", LongType()),
+        StructField("ks_d", DoubleType()),
+    ]
+)
+
+
+def _ks_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State = the binned two-sample histogram (parallel int64 arrays:
+    bin ids, click counts, purchase counts — bounded by the VALUE
+    RANGE, not the stream length). Every micro-batch merges its bin
+    counts (all Arrow chunks concatenated first — the multi-chunk
+    rule) and re-derives the KS sup statistic with the batch query's
+    exact integer cross-multiplied arithmetic, so the emitted d_num is
+    bit-identical to running stats_ks_two_sample over everything seen
+    so far."""
+    counts: dict[int, list[int]] = {}
+    if state.exists:
+        bins, a1, a2 = state.get
+        counts = {
+            int(b): [int(x), int(y)] for b, x, y in zip(bins, a1, a2)
+        }
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
+        g = pdf.groupby("bin", sort=False)[["i1", "i2"]].sum()
+        for b, row in g.iterrows():
+            e = counts.setdefault(int(b), [0, 0])
+            e[0] += int(row["i1"])
+            e[1] += int(row["i2"])
+    n1 = sum(v[0] for v in counts.values())
+    n2 = sum(v[1] for v in counts.values())
+    f1 = f2 = d_num = 0
+    for b in sorted(counts):
+        f1 += counts[b][0]
+        f2 += counts[b][1]
+        d_num = max(d_num, abs(f1 * n2 - f2 * n1))
+    ordered = sorted(counts)
+    state.update(
+        (
+            [int(b) for b in ordered],
+            [counts[b][0] for b in ordered],
+            [counts[b][1] for b in ordered],
+        )
+    )
+    ks_d = round(d_num / (n1 * n2), 6) if n1 and n2 else 0.0
+    yield pd.DataFrame(
+        {
+            "n1": [n1],
+            "n2": [n2],
+            "d_num": [d_num],
+            "ks_d": [ks_d],
+        }
+    )
+
+
+def ks_drift_tracker(events: DataFrame) -> DataFrame:
+    """Streaming twin of stats_ks_two_sample: the always-on drift
+    monitor a data feed runs between two live segments (click vs
+    purchase `value` here). After each micro-batch the emitted row is
+    the KS test of EVERYTHING seen so far — integer-exact against the
+    batch query on the same prefix (pinned by tests incl. a
+    forced-chunk variant).
+
+    One global group (the batch query is one global comparison); at
+    scale you key this by (metric, segment-pair) — thousands of
+    independent drift monitors, one bin-domain-sized state row each —
+    and the per-group work stays bounded by the value range exactly as
+    here."""
+    from pyspark.sql import functions as F
+
+    src = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.lit(0).alias("g"),
+        F.floor(F.col("value")).cast("bigint").alias("bin"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("i2"),
+    )
+    return src.groupBy("g").applyInPandasWithState(
+        _ks_update,
+        outputStructType=KS_OUTPUT_SCHEMA,
+        stateStructType=KS_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
