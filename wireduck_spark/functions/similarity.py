@@ -1445,3 +1445,262 @@ def pipeline_rag_eval_mrr_ivf(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         emb.unpersist()
     return out
+
+
+# -- matryoshka (truncated-dimension) retrieval eval -----------------------
+
+
+@query(
+    "embed_matryoshka_eval",
+    oracle=f"""
+    WITH {_EVAL_DOT_SQL.replace(
+        "CAST(SUM(qr.qq * e.q) AS BIGINT) AS dot",
+        "CAST(SUM(CASE WHEN qr.dim <= 16 THEN qr.qq * e.q ELSE 0 END)"
+        " AS BIGINT) AS dot16,"
+        " CAST(SUM(qr.qq * e.q) AS BIGINT) AS dot64")},
+    stacked AS (
+        SELECT q_id, q_label, vec_id, label,
+               CAST(16 AS BIGINT) AS dims, dot16 AS dot FROM dots
+        UNION ALL
+        SELECT q_id, q_label, vec_id, label,
+               CAST(64 AS BIGINT) AS dims, dot64 AS dot FROM dots
+    ),
+    ranked AS (
+        SELECT dims, q_id, q_label, label,
+               CAST(row_number() OVER (
+                   PARTITION BY dims, q_id ORDER BY dot DESC, vec_id)
+                 AS BIGINT) AS rnk
+        FROM stacked
+    ),
+    firsts AS (
+        SELECT dims, q_id, q_label,
+               CAST(MIN(CASE WHEN label = q_label THEN rnk END)
+                   AS BIGINT) AS first_hit
+        FROM ranked GROUP BY dims, q_id, q_label
+    )
+    SELECT dims, q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(1000000 // first_hit) AS BIGINT) AS rr_ppm_sum,
+           ROUND(CAST(SUM(1000000 // first_hit) AS DOUBLE)
+                 / COUNT(*) / 1000000, 4) AS mrr
+    FROM firsts
+    GROUP BY dims, q_label
+    ORDER BY dims, q_label
+    """,
+    tags=("similarity", "eval", "llm-pipeline", "embedding"),
+)
+def embed_matryoshka_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-truncation eval: the exhaustive MRR at BOTH the full
+    64 dims and the 16-dim prefix of every embedding — the dial an
+    MRL-trained embedding stack exposes (serve the prefix, pay 4x less
+    memory/compute; this query states what that costs in rank
+    quality). The truncated dot is a CONDITIONAL partial sum inside
+    the SAME dim-keyed aggregate as the full dot (dim <= 16), so both
+    evals ride one join + one shuffle — truncation is free to measure,
+    which is exactly why it belongs inside the engine.
+
+    Determinism: both dots are exact int64 on the shared 1e6 grid;
+    ranks total-ordered per (dims, q_id) by (dot DESC, vec_id);
+    reciprocal ranks are exact integer ppm (the pipeline_rag_eval_mrr
+    conventions verbatim).
+
+    Scale: identical profile to pipeline_rag_eval_mrr (fixed eval set
+    x corpus through the dim equi-join); the stack step doubles only
+    the per-pair ROWS, which are |eval| x corpus before ranking — at
+    100 TB swap the candidate generator for the IVF/LSH twins exactly
+    as there.
+    """
+    e = table(spark, sf, "embeddings")
+    ex = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "vec_id", "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+        .alias("q"),
+    )
+    queries = ex.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        "dim",
+        F.col("q").alias("qq"),
+    )
+    dots = (
+        queries.join(ex, "dim")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "q_label", "vec_id", "label")
+        .agg(
+            F.sum(
+                F.when(F.col("dim") <= 16, F.col("qq") * F.col("q"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("dot16"),
+            F.sum(F.col("qq") * F.col("q")).cast("bigint").alias("dot64"),
+        )
+    )
+    stacked = dots.selectExpr(
+        "q_id", "q_label", "vec_id", "label",
+        "stack(2, CAST(16 AS BIGINT), dot16, CAST(64 AS BIGINT), dot64)"
+        " AS (dims, dot)",
+    )
+    w = Window.partitionBy("dims", "q_id").orderBy(F.desc("dot"), "vec_id")
+    ranked = stacked.select(
+        "dims", "q_id", "q_label", "label",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    firsts = ranked.groupBy("dims", "q_id", "q_label").agg(
+        F.min(F.when(F.col("label") == F.col("q_label"), F.col("rnk")))
+        .cast("bigint").alias("first_hit")
+    )
+    return (
+        firsts.groupBy("dims", F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(F.expr("1000000 div first_hit")).cast("bigint")
+            .alias("rr_ppm_sum"),
+        )
+        .select(
+            "dims", "label", "n_queries", "rr_ppm_sum",
+            F.round(
+                F.col("rr_ppm_sum").cast("double")
+                / F.col("n_queries") / 1000000,
+                4,
+            ).alias("mrr"),
+        )
+        .orderBy("dims", "label")
+    )
+
+
+# -- NDCG@10 / recall@10 retrieval eval ------------------------------------
+
+# Cumulative ideal-DCG literals for ranks 1..10 (sum of 1/log2(i+1)),
+# embedded with full repr precision so both engines parse the identical
+# IEEE doubles.
+_IDCG10 = [
+    "1.0", "1.6309297535714575", "2.1309297535714578", "2.5616063116448506",
+    "2.9484591188793923", "3.3046663059874146", "3.637999639320748",
+    "3.953464516106477", "4.254494511770458", "4.543559338088346",
+]
+
+
+@query(
+    "pipeline_rag_eval_ndcg",
+    oracle=f"""
+    WITH {_EVAL_DOT_SQL},
+    ranked AS (
+        SELECT q_id, q_label, label,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY dot DESC, vec_id)
+                 AS BIGINT) AS rnk
+        FROM dots
+    ),
+    per_q AS (
+        SELECT q_id, q_label,
+               CAST(SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rel,
+               CAST(SUM(CASE WHEN rnk <= 10 AND label = q_label
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+               SUM(CASE WHEN rnk <= 10 AND label = q_label
+                   THEN 1.0 / log2(CAST(rnk + 1 AS DOUBLE)) ELSE 0 END)
+                   AS dcg10
+        FROM ranked GROUP BY q_id, q_label
+    ),
+    scored AS (
+        SELECT q_label, n_rel, hits10,
+               dcg10 / ([{",".join(_IDCG10)}])
+                   [CAST(CASE WHEN n_rel < 10 THEN n_rel ELSE 10 END
+                     AS INTEGER)] AS ndcg10,
+               CAST(hits10 AS DOUBLE)
+                   / (CASE WHEN n_rel < 10 THEN n_rel ELSE 10 END)
+                   AS recall10
+        FROM per_q
+    )
+    SELECT q_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(SUM(ndcg10) / COUNT(*), 4) AS ndcg_at_10,
+           ROUND(SUM(recall10) / COUNT(*), 4) AS recall_at_10
+    FROM scored
+    GROUP BY q_label
+    ORDER BY q_label
+    """,
+    tags=("similarity", "eval", "llm-pipeline", "pipeline"),
+)
+def pipeline_rag_eval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 and recall@10 for the fixed eval set — the graded-rank
+    and coverage companions to pipeline_rag_eval_mrr (MRR sees only
+    the FIRST hit; NDCG rewards packing the whole top-10 with
+    relevant items, recall@10 states how much of the achievable
+    relevant set the cutoff captured). Binary gains (same-label =
+    relevant), the standard label-judgment setup.
+
+    The ideal DCG is a 10-entry cumulative literal table indexed by
+    min(n_rel, 10) — both engines parse the identical full-precision
+    IEEE doubles, so ndcg = dcg/idcg rides one shared tree; dcg terms
+    (1/log2(rnk+1)) are per-row exact and the ≤10-term sums +
+    per-label means are order-insensitive at the 4 dp output rounding.
+    recall@10 divides by min(n_rel, 10) — the ACHIEVABLE relevant
+    count at the cutoff — so a query with 40 relevant docs isn't
+    penalized for a 10-slot budget.
+
+    Scale: the pipeline_rag_eval_mrr plan verbatim (dim equi-join,
+    per-query rank windows) plus one per-query aggregate; swap in the
+    IVF/LSH candidate generators at 100 TB.
+    """
+    e = table(spark, sf, "embeddings")
+    ex = e.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "vec_id", "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+        .alias("q"),
+    )
+    queries = ex.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        "dim",
+        F.col("q").alias("qq"),
+    )
+    dots = (
+        queries.join(ex, "dim")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "q_label", "vec_id", "label")
+        .agg(F.sum(F.col("qq") * F.col("q")).cast("bigint").alias("dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot"), "vec_id")
+    ranked = dots.select(
+        "q_id", "q_label", "label",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+    rel = F.col("label") == F.col("q_label")
+    per_q = ranked.groupBy("q_id", "q_label").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("n_rel"),
+        F.sum(F.when((F.col("rnk") <= 10) & rel, 1).otherwise(0))
+        .cast("bigint").alias("hits10"),
+        F.sum(
+            F.when(
+                (F.col("rnk") <= 10) & rel,
+                F.lit(1.0) / F.log2((F.col("rnk") + 1).cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg10"),
+    )
+    idcg_arr = "array(" + ",".join(f"{v}D" for v in _IDCG10) + ")"
+    cap = F.when(F.col("n_rel") < 10, F.col("n_rel")).otherwise(F.lit(10))
+    scored = per_q.select(
+        "q_label", "n_rel", "hits10",
+        (
+            F.col("dcg10")
+            / F.element_at(F.expr(idcg_arr), cap.cast("int"))
+        ).alias("ndcg10"),
+        (F.col("hits10").cast("double") / cap).alias("recall10"),
+    )
+    return (
+        scored.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.round(F.sum("ndcg10") / F.count("*"), 4).alias("ndcg_at_10"),
+            F.round(F.sum("recall10") / F.count("*"), 4).alias("recall_at_10"),
+        )
+        .orderBy("label")
+    )

@@ -468,6 +468,8 @@ PENDING_GATE: tuple[str, ...] = (
     "text_tokenizer_fertility",       # subtokens-per-word by language
     "dedup_keep_best",                # canonical doc selection per cluster
     "pipeline_rag_eval_mrr_ivf",      # centroid-IVF candidate MRR eval
+    "embed_matryoshka_eval",          # MRR at 16-dim prefix vs full 64
+    "pipeline_rag_eval_ndcg",         # NDCG@10 + recall@10 per label
 )
 
 
