@@ -48,6 +48,7 @@ BOUNDED_CONSTANT_WINDOWS = {
     "stats_chi_square_independence",  # r x c contingency cells (<= 20)
     "stats_ks_two_sample",            # unit-value bins (<= value range)
     "text_js_divergence_sources",     # per-source count table (<= sources)
+    "stats_benjamini_hochberg",       # per-source p-value table (<= m tests)
 }
 
 

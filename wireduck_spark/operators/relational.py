@@ -2721,3 +2721,164 @@ def agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR correction (multiple testing over per-source
+# proportion tests)
+# --------------------------------------------------------------------------
+
+# Abramowitz & Stegun 26.2.17 upper-tail normal approximation (|eps| <
+# 7.5e-8), expressed as ONE arithmetic tree both engines evaluate on the
+# same doubles. sqrt(2*pi) is embedded as a full-precision literal.
+def _as_upper_tail(az: str) -> str:
+    t = f"(1 / (1 + 0.2316419 * {az}))"
+    return (
+        f"(exp(-({az} * {az}) / 2) / 2.5066282746310002)"
+        f" * ({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937"
+        f" + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+
+
+@query(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS en_j
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+             CAST(SUM(en_j) AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM per_src
+    ),
+    z AS (
+      SELECT source, n_j, en_j, m,
+             (CAST(en_j AS DOUBLE) / n_j - CAST(k AS DOUBLE) / n)
+             / sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+                    / n_j) AS zval
+      FROM per_src, tot
+    ),
+    p AS (
+      SELECT source, n_j, en_j, m, zval,
+             ROUND(2 * {_as_upper_tail("abs(zval)")}, 12) AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT source, n_j, en_j, m, zval, pval,
+             CAST(row_number() OVER (ORDER BY pval, source) AS BIGINT)
+                 AS rnk
+      FROM p
+    ),
+    kmax AS (
+      SELECT CAST(MAX(CASE WHEN pval <= ROUND(rnk * 0.05
+                           / CAST(m AS DOUBLE), 12)
+                      THEN rnk ELSE 0 END) AS BIGINT) AS k_max
+      FROM ranked
+    )
+    SELECT source, n_j, en_j,
+           ROUND(zval, 4) AS z,
+           ROUND(pval, 6) AS p_approx,
+           rnk,
+           CAST(CASE WHEN rnk <= k_max THEN 1 ELSE 0 END AS BIGINT)
+               AS rejected
+    FROM ranked, kmax
+    ORDER BY rnk
+    """,
+    tags=("agg", "stats", "experiment", "quality"),
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over one proportion test per
+    source ("is this feed's English share off the global share?") —
+    the multiple-testing step every per-segment dashboard needs: at 20+
+    segments, uncorrected 5% tests cry wolf weekly; BH bounds the
+    expected FALSE-DISCOVERY share of the flagged set at 5% while
+    keeping far more power than Bonferroni. The step-up rule rejects
+    every rank up to the largest i with p_(i) <= i*alpha/m (rejected
+    ranks can individually exceed their own threshold — that is BH's
+    defining property, not a bug).
+
+    Two-sided p-values come from the Abramowitz-Stegun 26.2.17 tail
+    polynomial (one shared arithmetic tree over exp/sqrt; error <
+    7.5e-8 — documented approximation, fine for thresholding), and
+    BOTH comparison operands are pre-rounded to 12 dp so a last-ulp
+    exp() divergence between engines can never flip a reject decision
+    (the KS reject-flag convention, hardened).
+
+    m (the test count) is data-driven — no fixture-bound literal
+    table; the rank window runs over the per-source aggregate (bounded
+    by source cardinality — allowlisted constant-partition window) and
+    k_max rides the single 1-row scalar broadcast.
+
+    Scale: one (source, lang-indicator) rollup is the corpus shuffle;
+    everything downstream is m rows.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_j"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint")
+        .alias("en_j"),
+    )
+    per_src = per_src.persist()
+    try:
+        tot = per_src.agg(
+            F.sum("n_j").cast("bigint").alias("n"),
+            F.sum("en_j").cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("m"),
+        )
+        p0 = F.col("k").cast("double") / F.col("n")
+        zval = (
+            (F.col("en_j").cast("double") / F.col("n_j") - p0)
+            / F.sqrt(p0 * (1 - p0) / F.col("n_j"))
+        )
+        z = (
+            per_src.crossJoin(F.broadcast(tot))
+            .select("source", "n_j", "en_j", "m", zval.alias("zval"))
+        )
+        az = F.abs(F.col("zval"))
+        t = 1 / (1 + 0.2316419 * az)
+        tail = (
+            (F.exp(-(az * az) / 2) / 2.5066282746310002)
+            * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+               + t * (-1.821255978 + t * 1.330274429)))))
+        )
+        p = z.select(
+            "source", "n_j", "en_j", "m", "zval",
+            F.round(2 * tail, 12).alias("pval"),
+        )
+        wr = Window.partitionBy(
+            F.pmod(F.coalesce(F.col("m"), F.lit(0)), F.lit(1))
+        ).orderBy("pval", "source")
+        ranked = p.select(
+            "source", "n_j", "en_j", "m", "zval", "pval",
+            F.row_number().over(wr).cast("bigint").alias("rnk"),
+        )
+        kmax = ranked.agg(
+            F.max(
+                F.when(
+                    F.col("pval")
+                    <= F.round(F.col("rnk") * 0.05 / F.col("m").cast("double"), 12),
+                    F.col("rnk"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("k_max")
+        )
+        out = (
+            ranked.crossJoin(F.broadcast(kmax))
+            .select(
+                "source", "n_j", "en_j",
+                F.round(F.col("zval"), 4).alias("z"),
+                F.round(F.col("pval"), 6).alias("p_approx"),
+                "rnk",
+                F.when(F.col("rnk") <= F.col("k_max"), 1).otherwise(0)
+                .cast("bigint").alias("rejected"),
+            )
+            .orderBy("rnk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        per_src.unpersist()
+    return out

@@ -470,6 +470,7 @@ PENDING_GATE: tuple[str, ...] = (
     "pipeline_rag_eval_mrr_ivf",      # centroid-IVF candidate MRR eval
     "embed_matryoshka_eval",          # MRR at 16-dim prefix vs full 64
     "pipeline_rag_eval_ndcg",         # NDCG@10 + recall@10 per label
+    "stats_benjamini_hochberg",       # step-up FDR over per-source tests
 )
 
 
