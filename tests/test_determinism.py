@@ -29,6 +29,12 @@ NAMES = [
     "event_pattern_three_rises",
     "io_incremental_file_ledger",
     "shuffle_deterministic_shards",
+    # round-7 continuation families: IVF cell-assignment ties, struct
+    # arg-min keep-selection, rank-trimmed means, BH step-up ranking
+    "pipeline_rag_eval_mrr_ivf",
+    "dedup_keep_best",
+    "agg_trimmed_mean",
+    "stats_benjamini_hochberg",
 ]
 
 

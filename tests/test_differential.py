@@ -332,3 +332,34 @@ def test_rows_frame_window_differential(engines, pred, n):
     )
     s, d = _both(engines, sql)
     assert s == d, f"ROWS frame divergence for n={n} pred: {pred}"
+
+
+@given(pred=_predicates())
+@settings(max_examples=40, deadline=None)
+def test_struct_argmin_differential(engines, pred):
+    """The portable MIN(STRUCT(-quality, id)) arg-max fold (the
+    dedup_keep_best canonical-selection primitive) must pick identical
+    winners per group in both engines — lexicographic struct comparison
+    over (negated quality, tiebreak id), including negatives and ties.
+    Engine-specific struct constructors (named_struct vs struct_pack),
+    identical extracted BIGINT results."""
+    spark, con = engines
+    s_sql = (
+        "SELECT o_orderstatus, "
+        "CAST(MIN(named_struct('a', -o_custkey, 'b', o_orderkey)).b "
+        "AS BIGINT) AS keep, "
+        "CAST(-MIN(named_struct('a', -o_custkey, 'b', o_orderkey)).a "
+        "AS BIGINT) AS best_q "
+        f"FROM orders WHERE {pred} GROUP BY o_orderstatus"
+    )
+    d_sql = (
+        "SELECT o_orderstatus, "
+        "CAST(MIN(struct_pack(a := -o_custkey, b := o_orderkey)).b "
+        "AS BIGINT) AS keep, "
+        "CAST(-MIN(struct_pack(a := -o_custkey, b := o_orderkey)).a "
+        "AS BIGINT) AS best_q "
+        f"FROM orders WHERE {pred} GROUP BY o_orderstatus"
+    )
+    s_rows = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+    d_rows = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
+    assert s_rows == d_rows, f"struct arg-min divergence for: {pred}"
