@@ -49,6 +49,7 @@ BOUNDED_CONSTANT_WINDOWS = {
     "stats_ks_two_sample",            # unit-value bins (<= value range)
     "text_js_divergence_sources",     # per-source count table (<= sources)
     "stats_benjamini_hochberg",       # per-source p-value table (<= m tests)
+    "curation_importance_weights",    # per-source weight table (<= sources)
 }
 
 

@@ -471,6 +471,8 @@ PENDING_GATE: tuple[str, ...] = (
     "embed_matryoshka_eval",          # MRR at 16-dim prefix vs full 64
     "pipeline_rag_eval_ndcg",         # NDCG@10 + recall@10 per label
     "stats_benjamini_hochberg",       # step-up FDR over per-source tests
+    "graph_jaccard_coshopper",        # one-mode-projection link prediction
+    "curation_importance_weights",    # uniform-target reweighting + ESS
 )
 
 
