@@ -1559,11 +1559,11 @@ def sampling_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
     "curation_importance_weights",
     oracle="""
     WITH per_src AS (
-      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j
-      FROM documents GROUP BY source
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_j
+      FROM documents GROUP BY lang
     ),
     w AS (
-      SELECT source, n_j,
+      SELECT lang, n_j,
              CAST(SUM(n_j) OVER () AS BIGINT) AS n,
              CAST(COUNT(*) OVER () AS BIGINT) AS m,
              CAST(CASE
@@ -1576,54 +1576,54 @@ def sampling_neyman_allocation(spark: SparkSession, sf: str) -> DataFrame:
       FROM per_src
     ),
     s AS (
-      SELECT source, n_j, n, weight_pm,
+      SELECT lang, n_j, n, weight_pm,
              CAST(SUM(n_j * weight_pm) OVER () AS BIGINT) AS sw,
              CAST(SUM(n_j * weight_pm * weight_pm) OVER () AS BIGINT)
                  AS sw2
       FROM w
     )
-    SELECT source, n_j,
+    SELECT lang, n_j,
            CAST(n_j * 1000000 // n AS BIGINT) AS share_ppm,
            weight_pm,
            CAST(n_j * weight_pm * 1000000 // sw AS BIGINT)
                AS weighted_share_ppm,
            CAST(sw * sw // sw2 AS BIGINT) AS ess_docs
     FROM s
-    ORDER BY source
+    ORDER BY lang
     """,
     tags=("curation", "sampling", "llm-pipeline"),
 )
 def curation_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     """Importance weights that rebalance the corpus toward a UNIFORM
-    source mix without resampling — the reweighting a training loader
+    language mix without resampling — the reweighting a training loader
     applies per example when you can't afford to physically drop/clone
     data — plus the effective sample size (Kish ESS = (Σw)²/Σw²): the
     honesty metric that says how many equivalent unweighted documents
     the weighted corpus is worth (weights clipped to [0.2, 5] — the
-    standard variance guard — so one tiny source can't dominate).
+    standard variance guard — so one tiny language can't dominate).
 
     Everything is exact integer per-mille/ppm arithmetic (rules 4/6:
     truncating div paired across engines), so the oracle matches
-    bit-for-bit; the n/m/Σw/Σw² totals ride windows over the per-source
-    aggregate (bounded by source cardinality — allowlisted
+    bit-for-bit; the n/m/Σw/Σw² totals ride windows over the per-language
+    aggregate (bounded by language cardinality — allowlisted
     constant-partition windows; zero scalar cross-joins).
 
-    Scale: one source-keyed corpus rollup, then m rows. At petabyte n
+    Scale: one lang-keyed corpus rollup, then m rows. At petabyte n
     the (Σw)² numerator outgrows int64 — the documented scale path is
     the same expression in DOUBLE (ESS is a diagnostic, not a join
     key); integer form kept for the cross-engine contract.
     """
     d = table(spark, sf, "documents", spread=True)
-    per_src = d.groupBy("source").agg(
+    per_src = d.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_j"))
     wall = Window.partitionBy(
         F.pmod(F.coalesce(F.col("n_j"), F.lit(0)), F.lit(1)))
     w = per_src.select(
-        "source", "n_j",
+        "lang", "n_j",
         F.sum("n_j").over(wall).cast("bigint").alias("n"),
         F.count("*").over(wall).cast("bigint").alias("m"),
     ).select(
-        "source", "n_j", "n",
+        "lang", "n_j", "n",
         F.expr("""CAST(CASE
             WHEN (n * 1000) div (m * n_j) < 200 THEN 200
             WHEN (n * 1000) div (m * n_j) > 5000 THEN 5000
@@ -1633,17 +1633,17 @@ def curation_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     wall2 = Window.partitionBy(
         F.pmod(F.coalesce(F.col("weight_pm"), F.lit(0)), F.lit(1)))
     s = w.select(
-        "source", "n_j", "n", "weight_pm",
+        "lang", "n_j", "n", "weight_pm",
         F.sum(F.col("n_j") * F.col("weight_pm")).over(wall2)
         .cast("bigint").alias("sw"),
         F.sum(F.col("n_j") * F.col("weight_pm") * F.col("weight_pm"))
         .over(wall2).cast("bigint").alias("sw2"),
     )
     return s.select(
-        "source", "n_j",
+        "lang", "n_j",
         F.expr("CAST(n_j * 1000000 div n AS BIGINT)").alias("share_ppm"),
         "weight_pm",
         F.expr("CAST(n_j * weight_pm * 1000000 div sw AS BIGINT)")
         .alias("weighted_share_ppm"),
         F.expr("CAST(sw * sw div sw2 AS BIGINT)").alias("ess_docs"),
-    ).orderBy("source")
+    ).orderBy("lang")

@@ -38,6 +38,14 @@ driver's order-insensitive value-hash matches bit-for-bit):
    ``md5(array_join(arr, ','))`` fingerprints instead (both engines hash
    the canonical comma-joined string identically). Enforced by
    tests/test_entry.py::test_no_complex_top_level_columns_in_oracle_outputs.
+9. Boolean decisions derived from float comparisons (reject flags,
+   step-up thresholds) must pre-round BOTH operands to 12 dp in BOTH
+   engines before comparing: sqrt is IEEE-correctly-rounded everywhere,
+   but exp/ln may differ by an ulp between JVM and DuckDB, and a raw
+   comparison at a knife-edge would flip a flag the 4-6 dp output
+   rounding can't save (stats_benjamini_hochberg is the template;
+   stats_ks_two_sample's flag compares sqrt-only trees and documents
+   why that is safe unrounded).
 """
 
 from __future__ import annotations
