@@ -2409,7 +2409,7 @@ def stats_wilson_interval(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                  AS BIGINT) AS c2
       FROM events
-      WHERE event_type IN ('click', 'purchase')
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
       GROUP BY CAST(FLOOR(value) AS BIGINT)
     ),
     cum AS (
@@ -2474,8 +2474,14 @@ def stats_ks_two_sample(spark: SparkSession, sf: str) -> DataFrame:
     the corpus; the window input is an aggregated bounded table.
     """
     e = table(spark, sf, "events")
+    # NULL values are excluded EXPLICITLY: a NULL bin would sort first
+    # in Spark's window ORDER BY but last in DuckDB's, silently skewing
+    # the cumulative fold (KS is defined over observed values anyway).
     binned = (
-        e.filter(F.col("event_type").isin("click", "purchase"))
+        e.filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
         .groupBy(F.floor("value").cast("bigint").alias("bin"))
         .agg(
             F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))

@@ -940,6 +940,7 @@ def ks_drift_tracker(events: DataFrame) -> DataFrame:
 
     src = events.filter(
         F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
     ).select(
         F.lit(0).alias("g"),
         F.floor(F.col("value")).cast("bigint").alias("bin"),
