@@ -99,3 +99,40 @@ def test_pcap_reader_plans_memory_paths():
         b.num_rows for p in parts for b in reader.read(p)
     )
     assert total == 4
+
+
+def test_spark_scratch_dir_is_process_private_and_reaps_dead_pids(tmp_path,
+                                                                  monkeypatch):
+    """Spark overwrite-writes race across processes on a shared path
+    (round-7: two concurrent corpus runs clobbered service_catalog.parquet).
+    The scratch root must therefore be keyed by live pid, and stale pid
+    directories from dead processes must be reaped on first use."""
+    import os
+    import subprocess
+    import sys
+
+    from wireduck_spark.sources import glossary
+
+    monkeypatch.setattr(glossary, "cache_dir", lambda: str(tmp_path))
+    mine = glossary.spark_scratch_dir()
+    assert mine.endswith(f"pid-{os.getpid()}")
+    assert os.path.isdir(mine)
+
+    # a second process resolves a DIFFERENT directory under the same root
+    other = subprocess.run(
+        [sys.executable, "-c",
+         "import os, sys; sys.path.insert(0, os.getcwd());"
+         f"os.environ['WIREDUCK_GLOSSARY_DIR'] = {str(tmp_path)!r};"
+         "from wireduck_spark.sources.glossary import spark_scratch_dir;"
+         "print(spark_scratch_dir())"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), check=True,
+    ).stdout.strip()
+    assert other != mine and "pid-" in other
+
+    # that pid is now dead -> a fresh first-use in THIS process reaps it
+    assert not os.path.isdir(other) or True  # reap happens on next first-use
+    import shutil
+    shutil.rmtree(mine)  # force the "first use" branch again
+    glossary.spark_scratch_dir()
+    assert not os.path.exists(other)

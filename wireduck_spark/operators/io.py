@@ -15,12 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wireduck_spark.registry import cents, query, table
-from wireduck_spark.sources.glossary import cache_dir
+from wireduck_spark.sources.glossary import spark_scratch_dir
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    # Process-private root (glossary.spark_scratch_dir): Spark overwrite
+    # writes race across concurrent sessions on a shared path. The sf tag
+    # still partitions within the process so sf0.01/sf0.1 runs coexist.
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(cache_dir(), "io_scratch", tag, name)
+    return os.path.join(spark_scratch_dir(), "io_scratch", tag, name)
 
 
 @query(

@@ -334,6 +334,36 @@ def cache_dir() -> str:
     )
 
 
+def spark_scratch_dir() -> str:
+    """Per-PROCESS root for Spark-written scratch output (sink round-trips,
+    federation catalog dims, capture re-writes).
+
+    Spark directory writes are not atomic and ``mode("overwrite")`` deletes
+    the target first, so two concurrent sessions sharing one scratch path
+    race: round 7 measured it — two corpus validation runs both overwrote
+    ``service_catalog.parquet`` and one read back an empty directory
+    (``[PATH_NOT_FOUND]`` / 0-file write warning). Synth pcap writers are
+    immune (tmp + os.replace, exists-guard); every path SPARK writes must
+    instead be process-private. Dead processes' directories are reaped
+    best-effort on first use so repeated runs don't accumulate."""
+    root = os.path.join(cache_dir(), "spark_scratch")
+    mine = os.path.join(root, f"pid-{os.getpid()}")
+    if not os.path.isdir(mine):
+        os.makedirs(mine, exist_ok=True)
+        import shutil
+
+        for entry in os.listdir(root):
+            if not entry.startswith("pid-") or entry == f"pid-{os.getpid()}":
+                continue
+            try:
+                os.kill(int(entry[4:]), 0)  # raises if pid is gone
+            except (ProcessLookupError, ValueError):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # live pid owned by someone else — leave it
+    return mine
+
+
 def build_glossary(
     use_tshark: bool | None = None,
 ) -> tuple[list[GlossaryProtocol], list[GlossaryField]]:

@@ -1032,9 +1032,12 @@ if _have_fixture():
         """
         import os
 
-        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.glossary import spark_scratch_dir
 
-        catalog_path = os.path.join(cache_dir(), "service_catalog.parquet")
+        # Process-private: Spark's overwrite+read on a shared path races
+        # across concurrent sessions (round-7 measured failure).
+        catalog_path = os.path.join(spark_scratch_dir(),
+                                    "service_catalog.parquet")
         catalog = spark.createDataFrame(
             [(53, "dns"), (80, "http"), (443, "https"),
              (53867, "fix-feed"), (11001, "fix-client")],
@@ -1075,10 +1078,12 @@ if _have_fixture():
         the split-parallel capture scan, one keyed aggregate; the
         distinct-DCID count rides the same shuffle.
         """
-        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.glossary import (cache_dir,
+                                                     spark_scratch_dir)
         from wireduck_spark.sources.synth import quic_capture
 
-        catalog_path = os.path.join(cache_dir(), "edge_catalog.parquet")
+        catalog_path = os.path.join(spark_scratch_dir(),
+                                    "edge_catalog.parquet")
         spark.createDataFrame(
             [("203.0.113.80", "cloud-edge-1")],
             "server_ip STRING, tenant STRING",
@@ -1167,14 +1172,14 @@ if _have_fixture():
         to port-pair aggregates BEFORE the full outer join — the join
         touches O(flows) rows, never O(packets).
         """
-        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.glossary import spark_scratch_dir
 
         base = read_pcap(spark, FIXTURE, protocols=["frame", "tcp"],
                          engine="native")
-        # Per-user cache_dir scratch (io.py _scratch convention), not a
+        # Process-private scratch (io.py _scratch convention), not a
         # world-shared /tmp path: concurrent sessions must not clash and
         # another user's leftover directory must not break the write.
-        out_dir = os.path.join(cache_dir(), "io_scratch",
+        out_dir = os.path.join(spark_scratch_dir(), "io_scratch",
                                "capture_compare")
         (
             base.filter(F.col("`tcp.len`") > 0)
