@@ -130,8 +130,9 @@ def test_spark_scratch_dir_is_process_private_and_reaps_dead_pids(tmp_path,
     ).stdout.strip()
     assert other != mine and "pid-" in other
 
-    # that pid is now dead -> a fresh first-use in THIS process reaps it
-    assert not os.path.isdir(other) or True  # reap happens on next first-use
+    # that pid is now dead; its directory persists until the reap runs
+    # on the next first-use in a live process
+    assert os.path.isdir(other)
     import shutil
     shutil.rmtree(mine)  # force the "first use" branch again
     glossary.spark_scratch_dir()

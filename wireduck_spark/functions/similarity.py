@@ -1604,6 +1604,7 @@ _IDCG10 = [
                    THEN 1.0 / log2(CAST(rnk + 1 AS DOUBLE)) ELSE 0 END)
                    AS dcg10
         FROM ranked GROUP BY q_id, q_label
+        HAVING SUM(CASE WHEN label = q_label THEN 1 ELSE 0 END) > 0
     ),
     scored AS (
         SELECT q_label, n_rel, hits10,
@@ -1684,7 +1685,11 @@ def pipeline_rag_eval_ndcg(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(1.0) / F.log2((F.col("rnk") + 1).cast("double")),
             ).otherwise(F.lit(0.0))
         ).alias("dcg10"),
-    )
+    ).filter(F.col("n_rel") > 0)
+    # n_rel = 0 (a label with no other member) would index idcg_arr at 0 —
+    # Spark's element_at throws ELEMENT_AT_BY_INDEX_ZERO while DuckDB's
+    # list[0] returns NULL, so such queries are excluded in BOTH engines
+    # (HAVING in the oracle). An un-gradeable query has no defined NDCG.
     idcg_arr = "array(" + ",".join(f"{v}D" for v in _IDCG10) + ")"
     cap = F.when(F.col("n_rel") < 10, F.col("n_rel")).otherwise(F.lit(10))
     scored = per_q.select(

@@ -725,13 +725,21 @@ if _have_fixture():
             F.col("`frame.time_epoch`").alias("ft"),
             F.col("`ip.src`").alias("src"),
             F.col("`ip.dst`").alias("dst"),
+            F.col("`udp.dstport`").alias("dport"),
             F.col("`quic.version`").cast("bigint").alias("version"),
             F.col("`quic.long.packet_type`").alias("ptype"),
         )
         # client-sent Initials carry the offered version; VN packets
-        # (version 0) travel server->client, so the client is ip.dst
+        # (version 0) travel server->client, so the client is ip.dst.
+        # Real QUIC servers ALSO send Initial packets (server->client in
+        # the handshake), so Initials are restricted to the client
+        # direction (udp.dstport == 443) — otherwise the server IP would
+        # surface as a bogus client whose "first_version" is meaningless.
+        # The streaming twin (streaming/pcap_stream.py) applies the same
+        # direction gate.
         initials = q.filter(
             (F.col("version") != 0) & (F.col("ptype") == 0)
+            & (F.col("dport") == 443)
         ).select(F.col("src").alias("client"), "version", "ft")
         vn = (
             q.filter(F.col("version") == 0)

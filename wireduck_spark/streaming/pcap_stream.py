@@ -40,7 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 from wireduck_spark.sources.glossary import fetch_selected_fields
@@ -301,6 +301,12 @@ VN_STATE_SCHEMA = StructType(
         StructField("first_version", LongType()),
         StructField("vn_ft_us", LongType()),
         StructField("retry_version", LongType()),
+        # Initial-packet (time, version) candidates buffered while no VN
+        # has been seen yet, so a VN arriving in a LATER micro-batch
+        # (multi-file / out-of-order stream) can still backfill the
+        # retry selection. Bounded at _VN_CAND_CAP earliest entries.
+        StructField("cand_ft_us", ArrayType(LongType())),
+        StructField("cand_version", ArrayType(LongType())),
     ]
 )
 
@@ -322,17 +328,32 @@ def _vrank(v: int) -> int:
     return 1 if v == 1 else 2 if v == _QUIC_V2 else 0
 
 
+_VN_CAND_CAP = 32
+
+
 def _vn_update(key, batches, state):
-    """4 ints of state per client: first-Initial (time, version), first
-    VN arrival time, first post-VN retry version (-1 sentinels). The
-    downgrade verdict re-derives the batch query's rank comparison each
-    micro-batch, so the final emitted row equals the batch answer.
+    """State per client: first-Initial (time, version), first VN arrival
+    time, first post-VN retry version (-1 sentinels), plus a bounded
+    buffer of Initial (time, version) candidates kept while no VN has
+    been seen. The buffer lets a VN that arrives in a LATER micro-batch
+    than the retry Initial (multi-file / out-of-order stream) backfill
+    the retry — without it, retry_v would stay -1 forever and the final
+    row would diverge from the batch pcap_quic_vn_downgrade twin.
+    first/vn selections take the event-time MINIMUM across batches, so
+    inter-batch disorder cannot flip them; retry locks at its first
+    resolution (a VN arriving even earlier than an already-resolved
+    retry keeps the resolved version — beyond the buffered window the
+    stream follows first-resolution semantics). The downgrade verdict
+    re-derives the batch query's rank comparison each micro-batch.
     Chunk-safe: concat all Arrow chunks, sort ONCE by capture time."""
     import pandas as pd
 
     (client,) = key
-    first_ft, first_v, vn_ft, retry_v = (
-        state.get if state.exists else (-1, -1, -1, -1))
+    first_ft, first_v, vn_ft, retry_v = -1, -1, -1, -1
+    cands: list[tuple[int, int]] = []
+    if state.exists:
+        first_ft, first_v, vn_ft, retry_v, cft, cv = state.get
+        cands = [(int(a), int(b)) for a, b in zip(cft or (), cv or ())]
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("ft_us")
@@ -343,14 +364,24 @@ def _vn_update(key, batches, state):
         ):
             ft, ver = int(ft), int(ver)
             if isvn:
-                if vn_ft < 0:
+                if vn_ft < 0 or ft < vn_ft:
                     vn_ft = ft
             else:
-                if first_ft < 0:
+                if first_ft < 0 or ft < first_ft:
                     first_ft, first_v = ft, ver
-                if vn_ft >= 0 and ft > vn_ft and retry_v < 0:
-                    retry_v = ver
-    state.update((first_ft, first_v, vn_ft, retry_v))
+                if retry_v < 0:
+                    cands.append((ft, ver))
+    if vn_ft >= 0 and retry_v < 0:
+        later = sorted(c for c in cands if c[0] > vn_ft)
+        if later:
+            retry_v = later[0][1]
+    # Buffer hygiene: once a VN time is known, unresolved candidates are
+    # all <= vn_ft and can never qualify — drop them (future Initials
+    # resolve in-loop next batch). While still VN-less, keep the
+    # earliest _VN_CAND_CAP candidates.
+    cands = [] if vn_ft >= 0 else sorted(cands)[:_VN_CAND_CAP]
+    state.update((first_ft, first_v, vn_ft, retry_v,
+                  [c[0] for c in cands], [c[1] for c in cands]))
     out = []
     if first_ft >= 0:
         downgrade = int(
@@ -378,11 +409,15 @@ def vn_downgrade_tracker(packets) -> "DataFrame":
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # Same direction gate as the batch query: Initials count only in the
+    # client direction (udp.dstport == 443) — real servers also send
+    # Initial packets, which would otherwise mint bogus client rows.
     q = (
         packets.filter(
             F.col("`quic.version`").isNotNull()
             & ((F.col("`quic.version`") == 0)
-               | (F.col("`quic.long.packet_type`") == 0))
+               | ((F.col("`quic.long.packet_type`") == 0)
+                  & (F.col("`udp.dstport`") == 443)))
         )
         .select(
             F.when(F.col("`quic.version`") == 0, F.col("`ip.dst`"))

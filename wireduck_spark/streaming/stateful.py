@@ -12,6 +12,7 @@ processing-time timeout: idle keys are evicted and emitted with
 
 from __future__ import annotations
 
+import decimal
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -21,6 +22,16 @@ from pyspark.sql.types import (
     ArrayType, BooleanType, DoubleType, LongType, StringType, StructField,
     StructType,
 )
+
+
+def _round_half_up(x: float, places: int) -> float:
+    """Spark F.round parity: BigDecimal.valueOf(double) sees the shortest
+    round-trip decimal string (== Python repr), then rounds HALF_UP."""
+    q = decimal.Decimal(1).scaleb(-places)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
 
 STATE_SCHEMA = StructType(
     [
@@ -912,7 +923,12 @@ def _ks_update(
             [counts[b][1] for b in ordered],
         )
     )
-    ks_d = round(d_num / (n1 * n2), 6) if n1 and n2 else 0.0
+    # HALF_UP to mirror the batch query's F.round (Python round() is
+    # banker's rounding and would differ at an exact half-ulp boundary).
+    # Same tree as the JVM: IEEE double division first, then
+    # Decimal(repr(x)) — repr is the shortest round-trip string, the
+    # same value BigDecimal.valueOf(double) sees — quantized HALF_UP.
+    ks_d = _round_half_up(d_num / (n1 * n2), 6) if n1 and n2 else 0.0
     yield pd.DataFrame(
         {
             "n1": [n1],
