@@ -31,7 +31,11 @@ def test_registry_shape():
     # reasonably SQL-expressible; invariants pinned in pytest instead)
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "pcap_scan_default", "pcap_throughput_split",
+        "pcap_flagship_portpair", "pcap_throughput_split",
+        "pcap_tcp_handshake_rtt", "pcap_tcp_retransmissions",
+        "pcap_protocol_hierarchy", "pcap_dns_latency",
+        "pcap_beacon_detection", "sim_ann_pq_rerank",
+        "pcap_port_scan_detect", "pcap_ja3_fingerprint",
         "dedup_semantic_kmeans_scaled",
     }
 

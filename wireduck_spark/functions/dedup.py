@@ -1217,3 +1217,172 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
             .alias("chars_dropped"),
         )
     )
+
+
+# -- incremental snapshot-vs-corpus dedup (the crawl-ingest shape) ----------
+
+_BANDS_TAGGED_DUCK = """
+    bands AS (
+        SELECT doc_id, is_new, 0 AS band,
+               CAST(mh0 AS VARCHAR) || '_' || mh1 AS bsig FROM tagged
+        UNION ALL
+        SELECT doc_id, is_new, 1, CAST(mh2 AS VARCHAR) || '_' || mh3
+            FROM tagged
+        UNION ALL
+        SELECT doc_id, is_new, 2, CAST(mh4 AS VARCHAR) || '_' || mh5
+            FROM tagged
+        UNION ALL
+        SELECT doc_id, is_new, 3, CAST(mh6 AS VARCHAR) || '_' || mh7
+            FROM tagged
+    )"""
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    tagged AS (
+        SELECT sig.*,
+               CASE WHEN {_SPLIT_BUCKET_DUCK} >= 8 THEN 1 ELSE 0 END AS is_new
+        FROM sig
+    ),
+    {_BANDS_TAGGED_DUCK},
+    candidates AS (
+        SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+        FROM bands n JOIN bands c
+          ON n.band = c.band AND n.bsig = c.bsig
+        WHERE n.is_new = 1 AND c.is_new = 0
+    ),
+    m AS (
+        SELECT cd.new_doc, cd.corpus_doc,
+               CAST((CASE WHEN sn.mh0 = sc.mh0 THEN 1 ELSE 0 END
+                   + CASE WHEN sn.mh1 = sc.mh1 THEN 1 ELSE 0 END
+                   + CASE WHEN sn.mh2 = sc.mh2 THEN 1 ELSE 0 END
+                   + CASE WHEN sn.mh3 = sc.mh3 THEN 1 ELSE 0 END
+                   + CASE WHEN sn.mh4 = sc.mh4 THEN 1 ELSE 0 END
+                   + CASE WHEN sn.mh5 = sc.mh5 THEN 1 ELSE 0 END
+                   + CASE WHEN sn.mh6 = sc.mh6 THEN 1 ELSE 0 END
+                   + CASE WHEN sn.mh7 = sc.mh7 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS m
+        FROM candidates cd
+        JOIN sig sn ON cd.new_doc = sn.doc_id
+        JOIN sig sc ON cd.corpus_doc = sc.doc_id
+    ),
+    dups AS (
+        SELECT new_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+               MIN(struct_pack(a := -m, b := corpus_doc)).b
+                   AS best_match_doc,
+               CAST(-MIN(struct_pack(a := -m, b := corpus_doc)).a * 1250
+                   AS BIGINT) AS best_est_bp
+        FROM m WHERE m >= 4 GROUP BY new_doc
+    )
+    SELECT t.doc_id,
+           CASE WHEN d.new_doc IS NOT NULL THEN 'dup' ELSE 'admit' END
+               AS decision,
+           CAST(COALESCE(d.n_corpus_matches, 0) AS BIGINT)
+               AS n_corpus_matches,
+           CAST(COALESCE(d.best_match_doc, -1) AS BIGINT)
+               AS best_match_doc,
+           CAST(COALESCE(d.best_est_bp, 0) AS BIGINT) AS best_est_bp
+    FROM tagged t LEFT JOIN dups d ON d.new_doc = t.doc_id
+    WHERE t.is_new = 1
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "llm-pipeline", "pipeline"),
+    bench=True,
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental crawl-ingest dedup: the NEW snapshot's documents (md5
+    buckets 8-9 of the _SPLIT_BUCKET assignment — the arriving 20%)
+    probe the EXISTING corpus's MinHash band index, and each new doc
+    gets an admit/dup ingest decision with its best corpus match. This
+    composes io_incremental_file_ledger's exactly-once ingest pattern
+    with dedup_minhash_lsh's banding: in production the ledger names
+    the new files, their docs' signatures are computed once, and ONLY
+    the delta's bands probe the persisted corpus band index.
+
+    The plan is directional by construction (the decontaminate
+    val->train asymmetric-join precedent): delta bands join corpus
+    bands — never corpus x corpus, never delta x delta — so per-ingest
+    cost is O(delta + matched candidates) regardless of corpus size.
+    A dup verdict needs >= 4/8 matching signature components (est
+    Jaccard >= 0.5, est basis points = 1250 * matches, exact integer).
+
+    Determinism: split assignment is the shared md5 bucket expression;
+    the best-match selection is the portable MIN(STRUCT(-m, doc)) fold
+    (dedup_keep_best precedent); sentinels -1/0 replace NULLs on admit
+    rows so both engines emit identical BIGINTs (rule 4).
+
+    Scale (100 TB): corpus signatures and bands persist as tables (8
+    ints + 4 band keys per doc); each ingest computes delta signatures
+    in one narrow map and runs band-keyed equi-joins whose left side is
+    the delta only. The verify join touches candidate pairs, not the
+    corpus. State grows O(docs), per-batch work O(delta).
+    """
+    d = table(spark, sf, "documents", spread=True)
+    sig = _spark_minhash_sig(d).withColumn(
+        "is_new", F.expr(_SPLIT_BUCKET_SPARK) >= 8
+    ).cache()
+    bands = sig.select(
+        "doc_id",
+        "is_new",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bsig"),
+    )
+    nb = bands.filter(F.col("is_new")).alias("n")
+    cb = bands.filter(~F.col("is_new")).alias("c")
+    candidates = (
+        nb.join(
+            cb,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bsig") == F.col("c.bsig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sn = sig.alias("sn")
+    sc = sig.alias("sc")
+    mcol = sum(
+        F.when(F.col(f"sn.mh{j}") == F.col(f"sc.mh{j}"), 1).otherwise(0)
+        for j in range(8)
+    )
+    m = (
+        candidates.join(sn, F.col("new_doc") == F.col("sn.doc_id"))
+        .join(sc, F.col("corpus_doc") == F.col("sc.doc_id"))
+        .select("new_doc", "corpus_doc", mcol.cast("bigint").alias("m"))
+        .filter(F.col("m") >= 4)
+    )
+    best = F.min(F.struct((-F.col("m")).alias("a"),
+                          F.col("corpus_doc").alias("b")))
+    dups = m.groupBy("new_doc").agg(
+        F.count("*").cast("bigint").alias("n_corpus_matches"),
+        best.getField("b").alias("best_match_doc"),
+        (-best.getField("a") * 1250).cast("bigint").alias("best_est_bp"),
+    )
+    return (
+        sig.filter(F.col("is_new"))
+        .select("doc_id")
+        .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("new_doc").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("admit")).alias("decision"),
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0))
+            .cast("bigint").alias("n_corpus_matches"),
+            F.coalesce(F.col("best_match_doc"), F.lit(-1))
+            .cast("bigint").alias("best_match_doc"),
+            F.coalesce(F.col("best_est_bp"), F.lit(0))
+            .cast("bigint").alias("best_est_bp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -464,17 +464,45 @@ def pipeline_rag_chunk_index(spark: SparkSession, sf: str) -> DataFrame:
     (array HOF, no UDTF needed for the simple case), a deterministic
     fake chunk embedding (md5-derived integer dims — swap for a real
     encoder's pandas_udf on a GPU cluster; the pipeline shape is
-    unchanged), sign-test LSH bucket routing, and the per-(source,
-    bucket) shard inventory a vector-index build job reports.
+    unchanged via the `rag_chunk_index` embed_dims seam), sign-test LSH
+    bucket routing, and the per-(source, bucket) shard inventory a
+    vector-index build job reports.
 
     Scale: chunking + embedding + routing are all NARROW (chunks never
     shuffle as rows until the final inventory aggregate, which moves
     only (source, bucket, doc_id, len) short rows with map-side
     partials). The real-encoder variant keeps the identical plan with
     the md5 dims swapped for an Arrow-batched pandas_udf — routing and
-    inventory stages untouched.
+    inventory stages untouched (proven by tests/test_encoder_seam.py's
+    numpy hashing-trick vectorizer through the same seam).
     """
-    d = table(spark, sf, "documents", spread=True)
+    return rag_chunk_index(table(spark, sf, "documents", spread=True))
+
+
+def _md5_chunk_dims(chunks: DataFrame) -> DataFrame:
+    """Default (fake) chunk encoder: 4 md5-derived integer dims. This is
+    the SEAM CONTRACT for any replacement encoder — take the chunks
+    frame (doc_id, source, chunk), return (doc_id, source, chunk_len,
+    d1..d4 integer dims); routing and inventory stages are untouched.
+    A real encoder implements the same contract as an Arrow-batched
+    pandas_udf."""
+    m = F.md5("chunk")
+    dim = lambda k: (  # noqa: E731
+        F.ascii(F.substring(m, k, 1)) * 256
+        + F.ascii(F.substring(m, k + 1, 1))
+    )
+    return chunks.select(
+        "doc_id", "source",
+        F.length("chunk").alias("chunk_len"),
+        dim(1).alias("d1"), dim(3).alias("d2"),
+        dim(5).alias("d3"), dim(7).alias("d4"),
+    )
+
+
+def rag_chunk_index(d: DataFrame, embed_dims=None) -> DataFrame:
+    """The pipeline_rag_chunk_index plan with a pluggable encoder stage:
+    fixed-width chunking -> ``embed_dims`` (default: _md5_chunk_dims)
+    -> sign-test LSH routing -> per-(source, bucket) inventory."""
     chunks = d.filter(F.length("text") > 0).select(
         "doc_id", "source",
         F.explode(
@@ -489,17 +517,7 @@ def pipeline_rag_chunk_index(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("chunk"),
     )
-    m = F.md5("chunk")
-    dim = lambda k: (  # noqa: E731
-        F.ascii(F.substring(m, k, 1)) * 256
-        + F.ascii(F.substring(m, k + 1, 1))
-    )
-    embedded = chunks.select(
-        "doc_id", "source",
-        F.length("chunk").alias("chunk_len"),
-        dim(1).alias("d1"), dim(3).alias("d2"),
-        dim(5).alias("d3"), dim(7).alias("d4"),
-    )
+    embedded = (embed_dims or _md5_chunk_dims)(chunks)
     bucketed = embedded.select(
         "source", "doc_id", "chunk_len",
         (F.when(F.col("d1") > F.col("d2"), 2).otherwise(0)

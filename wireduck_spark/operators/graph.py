@@ -486,3 +486,148 @@ def graph_jaccard_coshopper(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         pairs.unpersist()
     return out
+
+
+# -- volume-weighted supplier PageRank (fixed 8 iterations) -----------------
+
+PRS_ITERS = 8
+PPM = 1_000_000
+
+
+def _pagerank_suppliers_oracle() -> str:
+    """TRUE recursive-CTE oracle (not unrolled — the forecast_holt_linear
+    stateful-fold precedent): DuckDB allows grouped aggregation in the
+    recursive term, so all 8 hops ride one CTE."""
+    return f"""
+    WITH RECURSIVE ps AS (
+        SELECT l_partkey * 2 AS pnode, l_suppkey * 2 + 1 AS snode,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    edges AS (
+        SELECT pnode AS src, snode AS dst, w FROM ps
+        UNION ALL
+        SELECT snode AS src, pnode AS dst, w FROM ps
+    ),
+    wdeg AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM edges GROUP BY src
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
+    pr(i, node, rank) AS (
+        SELECT 0, node, CAST({RANK_SCALE} // c AS BIGINT)
+        FROM nodes CROSS JOIN nn
+        UNION ALL
+        SELECT pr.i + 1, e.dst,
+               CAST((15 * {RANK_SCALE}) // (100 * nn.c)
+                    + SUM((pr.rank * {DAMP_NUM} * e.w)
+                          // ({DAMP_DEN} * wdeg.wd)) AS BIGINT)
+        FROM pr
+        JOIN wdeg ON wdeg.src = pr.node
+        JOIN edges e ON e.src = pr.node
+        CROSS JOIN nn
+        WHERE pr.i < {PRS_ITERS}
+        GROUP BY pr.i + 1, e.dst, nn.c
+    )
+    SELECT CAST(node // 2 AS BIGINT) AS suppkey,
+           CAST(rank // {RANK_SCALE // PPM} AS BIGINT) AS rank_ppm
+    FROM pr WHERE i = {PRS_ITERS} AND node % 2 = 1
+    ORDER BY rank DESC, node
+    LIMIT 25
+    """
+
+
+@query(
+    "graph_pagerank_suppliers",
+    oracle=_pagerank_suppliers_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-25 suppliers by VOLUME-WEIGHTED PageRank on the part—supplier
+    fulfilment graph: edge weight = lineitem shipment count for the
+    (part, supplier) pair, so rank flows proportional to trade volume —
+    a supplier is important if it ships heavily-traded parts, and a
+    part is important if important suppliers carry it (the mutually
+    recursive definition PageRank resolves). Complements the unweighted
+    customer—supplier graph_pagerank_bipartite.
+
+    Deliberately NOT the supplier—supplier one-mode projection: at
+    sf0.01 that projection is already complete (100 nodes, 9900 edges)
+    and quadratic in supplier count — the same trap measured and
+    rejected for graph_jaccard_coshopper. The bipartite edge list is
+    the DATA-linear representation (distinct (part, supplier) pairs).
+
+    Exact integer arithmetic as graph_pagerank_bipartite (int64 ranks
+    scaled 10^12; per-hop contribution rank*85*w div (100*wdeg), all
+    floor-div): `rank * 85 * w` stays < 1e12 * 85 * wmax — int64-safe
+    for wmax up to ~10^5. Output ranks in ppm of total mass (rule 4
+    integers); ordering uses the FULL-precision internal rank with the
+    node id as the rule-5 tiebreak, identically in both engines.
+
+    FIXED 8 iterations (bounded-iteration contract — same reasoning as
+    PR_ITERS=5 above) with a localCheckpoint every 2 hops reusing the
+    cluster_components driver-loop machinery (functions/dedup.py):
+    without truncation the plan doubles per hop; with it, lineage stays
+    shallow and each iteration is exactly one edges-keyed shuffle join
+    plus one partial-aggregated groupBy(dst) — the per-iteration keyed
+    shuffle profile that survives a 1000-executor scale-up. The rank
+    table is O(nodes) << O(edges); `n_nodes` is one driver-side count
+    that sizes the teleport base (bounded scalar, not a data collect).
+    """
+    l = table(spark, sf, "lineitem")
+    ps = (
+        l.groupBy(
+            (F.col("l_partkey") * 2).alias("pnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    edges = ps.select(F.col("pnode").alias("src"),
+                      F.col("snode").alias("dst"), "w").unionAll(
+        ps.select(F.col("snode").alias("src"),
+                  F.col("pnode").alias("dst"), "w")
+    ).persist()
+    try:
+        wdeg = edges.groupBy("src").agg(
+            F.sum("w").cast("bigint").alias("wd")
+        ).select(F.col("src").alias("deg_node"), "wd")
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        n_nodes = nodes.count()
+        base = (15 * RANK_SCALE) // (100 * n_nodes)
+        e = edges.select(F.col("src").alias("e_src"),
+                         F.col("dst").alias("e_dst"),
+                         F.col("w").alias("e_w"))
+        ranks = nodes.withColumn(
+            "rank", F.lit(RANK_SCALE // n_nodes).cast("long"))
+        for it in range(PRS_ITERS):
+            contrib = (
+                ranks.join(wdeg, ranks.node == wdeg.deg_node)
+                .join(e, ranks.node == e.e_src)
+                .select(
+                    F.col("e_dst").alias("node"),
+                    F.expr(
+                        f"(`rank` * {DAMP_NUM} * e_w)"
+                        f" div ({DAMP_DEN} * wd)"
+                    ).alias("c"),
+                )
+            )
+            ranks = (
+                contrib.groupBy("node")
+                .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank"))
+            )
+            if it % 2 == 1:
+                ranks = ranks.localCheckpoint(eager=True)
+        out = (
+            ranks.filter(F.col("node") % 2 == 1)
+            .orderBy(F.desc("rank"), F.asc("node"))
+            .limit(25)
+            .select(
+                F.expr("node div 2").cast("long").alias("suppkey"),
+                F.expr(f"`rank` div {RANK_SCALE // PPM}").cast("long")
+                .alias("rank_ppm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        edges.unpersist()
+    return out

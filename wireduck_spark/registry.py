@@ -140,17 +140,81 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-7 rotation (SURVEY §8): CORRECTNESS_r06.json landed with 47/48
-    # oracle slots green — the one red, embed_mean_pool, was a checker-parity
-    # gap (raw ARRAY<BIGINT> output columns the driver's pandas canonicalizer
-    # cannot hash; fixed this round with md5/array_join fingerprints per
-    # determinism rule 8) and stays in the gate for a contracted re-check.
-    # The 47 green names moved to ROTATED_OUT; 47 slots were refilled from
-    # the front of the PENDING_GATE queue, oldest oracle-checkable first
-    # (round-4 §2f/§2g sweeps, then round-5 §2h, then round-6 §2i).
-    "embed_mean_pool",            # r6 red row root-caused: ARRAY output ->
-    #                               md5 fingerprint (rule 8); re-check
-    # -- promoted from PENDING_GATE (queue order, rows-only pcap skipped):
+    # Round-8 rotation (SURVEY §8): CORRECTNESS_r07.json landed 48/48 green
+    # (first zero-red round); all 48 moved to ROTATED_OUT. This rotation
+    # promotes EVERY remaining oracle-checkable PENDING_GATE name (38 — the
+    # round-6/7 stats/forecast/graph/RAG-eval/io additions), finally zeroing
+    # the oracle-checkable never-contracted backlog (VERDICT r7 #1), plus
+    # the two new round-8 oracle-checkable queries, and fills the remaining
+    # 8 slots with rows-only pcap names from the queue front for driver
+    # rows>0 smoke evidence.
+    # -- round-6 oracle-checkable backlog:
+    "pipeline_rag_eval_mrr",
+    "embed_hard_negatives",
+    "forecast_holt_linear",
+    "agg_weighted_percentile",
+    "stats_chi_square_independence",
+    "event_ab_srm_check",
+    "io_incremental_file_ledger",
+    "scalar_lambda_hofs",
+    "stats_bootstrap_ci",
+    "pipeline_rag_eval_mrr_lsh",
+    "event_pattern_three_rises",
+    "agg_gini_coefficient",
+    "event_ab_lift_by_decile",
+    "stats_mann_whitney_u",
+    "graph_assortativity",
+    "forecast_backtest_seasonal_naive",
+    "dq_k_anonymity",
+    "window_candlestick_ohlc",
+    "scalar_array_set_ops",
+    "stats_wilson_interval",
+    "text_entropy_source_mix",
+    "sampling_neyman_allocation",
+    "dedup_minhash_calibration",
+    # -- round-7 oracle-checkable backlog:
+    "embed_hard_negatives_lsh",
+    "io_text_log_parse",
+    "io_binaryfile_ingest",
+    "stats_ks_two_sample",
+    "stats_cramers_v",
+    "agg_trimmed_mean",
+    "text_js_divergence_sources",
+    "text_tokenizer_fertility",
+    "dedup_keep_best",
+    "pipeline_rag_eval_mrr_ivf",
+    "embed_matryoshka_eval",
+    "pipeline_rag_eval_ndcg",
+    "stats_benjamini_hochberg",
+    "graph_jaccard_coshopper",
+    "curation_importance_weights",
+    # -- new round-8 queries (driver-contracted in their debut round):
+    "graph_pagerank_suppliers",
+    "pipeline_incremental_dedup",
+    # -- rows-only pcap promotions (queue front; goldens in pytest —
+    #    the driver records a rows>0 smoke row):
+    "pcap_tcp_handshake_rtt",
+    "pcap_tcp_retransmissions",
+    "pcap_protocol_hierarchy",
+    "pcap_dns_latency",
+    "pcap_beacon_detection",
+    "sim_ann_pq_rerank",
+    "pcap_port_scan_detect",
+    "pcap_ja3_fingerprint",
+    # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
+    # pytest) — the reference-surface smoke. pcap_scan_default (1 row —
+    # weak rows>0 signal) is swapped for pcap_flagship_portpair (2 rows,
+    # the reference README's own golden aggregate 429/259678 + 56/19702)
+    # per VERDICT r7 #8:
+    "pcap_flagship_portpair",
+    "pcap_throughput_split",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json ... _r07.json; still
+    # verified by tools/check_oracle.py + pytest every run.
+    # -- round-7 GATE, all 48 green in CORRECTNESS_r07.json (zero red):
+    "embed_mean_pool",
     "agg_pareto_concentration",
     "dq_schema_drift_audit",
     "io_bloom_filter_pointlookup",
@@ -198,18 +262,11 @@ GATE: tuple[str, ...] = (
     "event_survival_kaplan_meier",
     "join_semi_bloom_prefilter",
     "window_trailing_interval",
-    # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
-    # pytest) — kept in the gate every round as the reference-surface smoke:
+    # pcap_scan_default rotated out for pcap_flagship_portpair (its 1-row
+    # result is a weak rows>0 signal; goldens still pin it in pytest):
     "pcap_scan_default",
-    "pcap_throughput_split",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json, _r02.json, _r03.json,
-    # _r05.json and/or _r06.json; still verified by tools/check_oracle.py +
-    # pytest every run.
     # -- round-6 GATE, all 47 green in CORRECTNESS_r06.json (the one red,
-    #    embed_mean_pool, stays in GATE for a re-check):
+    #    embed_mean_pool, was re-checked green in r7):
     "seq_pack_greedy",
     "window_max_drawdown",
     "event_time_to_convert",
@@ -396,7 +453,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize_stub",
     "pcap_dns_http_dissect",     # rows-only; golden values live in pytest
-    "pcap_flagship_portpair",
     "pcap_flow_stats",
     "pcap_tls_sni",
     "pipeline_corpus_clean",
@@ -405,22 +461,12 @@ ROTATED_OUT: tuple[str, ...] = (
 
 
 PENDING_GATE: tuple[str, ...] = (
-    # Queue for future rotations (front of queue promotes first). The round-7
-    # rotation promoted the 47 oldest oracle-checkable names into GATE;
-    # what remains is 23 oracle-checkable round-6 names (~half a rotation)
-    # plus the rows-only pcap/recall suites whose correctness evidence lives
-    # in pytest goldens (they'd only earn a weaker driver rows-only row, so
-    # oracle-checkable names outrank them for slots).
-    # pcap connection-quality suite (rows-only by design; goldens in
-    # tests/test_pcap_analysis.py over the deterministic session_capture):
-    "pcap_tcp_handshake_rtt",
-    "pcap_tcp_retransmissions",
-    "pcap_protocol_hierarchy",
-    "pcap_dns_latency",
-    "pcap_beacon_detection",          # rows-only; goldens in pytest
-    "sim_ann_pq_rerank",              # rows-only; recall tests in pytest
-    "pcap_port_scan_detect",          # rows-only; golden in pytest
-    "pcap_ja3_fingerprint",           # rows-only; md5 goldens in pytest
+    # Queue for future rotations (front of queue promotes first). The
+    # round-8 rotation promoted EVERY remaining oracle-checkable name —
+    # the oracle-checkable backlog is now ZERO. What remains is the
+    # rows-only pcap/recall suite (goldens in pytest over deterministic
+    # synthetic captures); 8 of its queue-front names are also in this
+    # round's gate, the rest cycle through future rounds' spare slots.
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
     "pcap_payload_entropy",           # rows-only; analytic goldens
     "pcap_follow_tcp_stream",         # rows-only; reassembly md5 goldens
@@ -441,46 +487,6 @@ PENDING_GATE: tuple[str, ...] = (
     "pcap_service_inventory",         # rows-only; ssh/smtp/ftp banners
     "embed_pca_top_component",        # rows-only; numpy-replay golden
     "embed_pca_two_components",       # rows-only; deflation numpy golden
-    # round-6 oracle-checkable additions (front of the round-8 rotation):
-    "pipeline_rag_eval_mrr",          # retrieval MRR against labels
-    "embed_hard_negatives",           # contrastive-training negative mining
-    "forecast_holt_linear",           # double-exponential trend forecast
-    "agg_weighted_percentile",        # quantity-weighted exact p50/p90
-    "stats_chi_square_independence",  # contingency-table chi-square
-    "event_ab_srm_check",             # sample-ratio-mismatch guard
-    "io_incremental_file_ledger",     # exactly-once-per-file ingest
-    "scalar_lambda_hofs",             # transform/filter/exists/forall/aggregate
-    "stats_bootstrap_ci",             # one-pass Poisson bootstrap 95% CI
-    "pipeline_rag_eval_mrr_lsh",      # sublinear LSH-candidate MRR eval
-    "event_pattern_three_rises",      # MATCH_RECOGNIZE-style run detection
-    "agg_gini_coefficient",           # two-pass-rank inequality summary
-    "event_ab_lift_by_decile",        # heterogeneous treatment effects
-    "stats_mann_whitney_u",           # nonparametric rank-sum A/B test
-    "graph_assortativity",            # endpoint-degree Pearson over edges
-    "forecast_backtest_seasonal_naive",  # naive-baseline MAE harness
-    "dq_k_anonymity",                 # privacy release-gate audit
-    "window_candlestick_ohlc",        # hourly OHLC bars, one shuffle
-    "scalar_array_set_ops",           # intersect/union/except parity
-    "stats_wilson_interval",          # binomial rate CI, closed form
-    "text_entropy_source_mix",        # training-mix diversity entropy
-    "sampling_neyman_allocation",     # variance-optimal budget design
-    "dedup_minhash_calibration",      # sketch-vs-exact Jaccard table
-    # round-7 additions:
-    "embed_hard_negatives_lsh",       # sublinear LSH-candidate mining twin
-    "io_text_log_parse",              # raw line ingest + regexp shred
-    "io_binaryfile_ingest",           # binaryFile asset landing + dedup
-    "stats_ks_two_sample",            # binned-ECDF KS drift test
-    "stats_cramers_v",                # source x lang association strength
-    "agg_trimmed_mean",               # rank-based 10% trim, robust mean
-    "text_js_divergence_sources",     # symmetric source-mix drift (JSD)
-    "text_tokenizer_fertility",       # subtokens-per-word by language
-    "dedup_keep_best",                # canonical doc selection per cluster
-    "pipeline_rag_eval_mrr_ivf",      # centroid-IVF candidate MRR eval
-    "embed_matryoshka_eval",          # MRR at 16-dim prefix vs full 64
-    "pipeline_rag_eval_ndcg",         # NDCG@10 + recall@10 per label
-    "stats_benjamini_hochberg",       # step-up FDR over per-source tests
-    "graph_jaccard_coshopper",        # one-mode-projection link prediction
-    "curation_importance_weights",    # uniform-target reweighting + ESS
 )
 
 
