@@ -363,3 +363,107 @@ def test_struct_argmin_differential(engines, pred):
     s_rows = sorted(tuple(r) for r in spark.sql(s_sql).collect())
     d_rows = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
     assert s_rows == d_rows, f"struct arg-min divergence for: {pred}"
+
+
+# -- round-8 additions: the two classes behind every historical red row ------
+# (VERDICT r7 #3: window frames over NULL-dense data; decimal/HUGEINT edges)
+
+
+@given(pred=_predicates(),
+       m=st.integers(min_value=2, max_value=7),
+       z=st.integers(min_value=0, max_value=6),
+       n=st.integers(min_value=0, max_value=4))
+@settings(max_examples=40, deadline=None)
+def test_null_dense_rows_frame_differential(engines, pred, m, z, n):
+    """ROWS frames aggregating a NULL-DENSE value (NULLIF makes up to
+    1/m of values NULL): COUNT must skip NULLs, SUM must ignore them
+    (not null-poison the frame), MIN must never pick one — per ANSI, in
+    both engines, row-for-row. Frames + NULLs are the class behind
+    historical red rows (chi-square NULL keys, KS NULL exclusion)."""
+    sql = (
+        "SELECT o_orderkey, "
+        "CAST(COUNT(v) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey "
+        f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW) AS BIGINT) AS c, "
+        "CAST(COALESCE(SUM(v) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey "
+        f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW), -1) AS BIGINT) AS s, "
+        "CAST(COALESCE(MIN(v) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey "
+        f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW), -1) AS BIGINT) AS mn "
+        f"FROM (SELECT o_orderkey, o_orderstatus, "
+        f"             NULLIF(o_custkey % {m}, {z % m}) AS v "
+        f"      FROM orders WHERE {pred}) t"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"NULL-dense ROWS frame divergence m={m} z={z} n={n}: {pred}"
+
+
+@given(pred=_predicates(),
+       r=st.integers(min_value=0, max_value=50),
+       m=st.integers(min_value=2, max_value=5))
+@settings(max_examples=40, deadline=None)
+def test_range_frame_nulls_first_differential(engines, pred, r, m):
+    """RANGE frames over a DUPLICATE-heavy integer order key whose values
+    are NULL-dense, with EXPLICIT NULLS FIRST (the engines' implicit
+    defaults differ: Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST —
+    the corpus always writes it out; this property pins that the
+    explicit form plus value-range peers agree exactly)."""
+    sql = (
+        "SELECT o_orderkey, "
+        "CAST(COALESCE(SUM(o_orderkey) OVER (PARTITION BY o_orderstatus "
+        "ORDER BY ok ASC NULLS FIRST "
+        f"RANGE BETWEEN {r} PRECEDING AND CURRENT ROW), -1) AS BIGINT) AS s "
+        f"FROM (SELECT o_orderkey, o_orderstatus, "
+        f"             NULLIF(o_custkey % 100, {r % 100}) * {m} AS ok "
+        f"      FROM orders WHERE {pred}) t"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"RANGE frame divergence r={r} m={m}: {pred}"
+
+
+@given(pred=_predicates(),
+       mult=st.sampled_from([1, 100, 10000, 1000000007]))
+@settings(max_examples=40, deadline=None)
+def test_decimal_cents_differential(engines, pred, mult):
+    """Decimal edges: o_totalprice (2-dp money as DOUBLE) cast through
+    DECIMAL(18,2) and summed exactly, plus a near-int64-edge integer
+    product ridden through each engine's wide-sum type (Spark
+    DECIMAL(28,2)/BIGINT vs DuckDB DECIMAL(38,2)/HUGEINT) — both must
+    land on identical BIGINTs after the rule-4 cast. This is the
+    decimal/HUGEINT class behind the round-6 Arrow-fetch red row."""
+    sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        " AS cents, "
+        f"CAST(COALESCE(SUM(CAST(o_orderkey AS BIGINT) * {mult}), 0) "
+        "AS BIGINT) AS wide "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"decimal/wide-sum divergence mult={mult}: {pred}"
+
+
+@given(pred=_predicates(),
+       k=st.integers(min_value=0, max_value=7000),
+       m=st.integers(min_value=2, max_value=97))
+@settings(max_examples=40, deadline=None)
+def test_trunc_div_differential(engines, pred, k, m):
+    """Truncating integer division on SIGNED dividends: Spark `div` vs
+    DuckDB `//` (registry rule 6 — both truncate toward zero, measured;
+    this property keeps that contract pinned across the literal space,
+    because pairing either with a flooring operator would silently skew
+    every bucketing expression on negative inputs)."""
+    spark, con = engines
+    s_sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COALESCE(SUM((o_orderkey - {k}) div {m}), 0) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred}"
+    )
+    d_sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(COALESCE(SUM((o_orderkey - {k}) // {m}), 0) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred}"
+    )
+    s_rows = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+    d_rows = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
+    assert s_rows == d_rows, f"trunc-div divergence k={k} m={m}: {pred}"

@@ -3027,3 +3027,148 @@ def window_candlestick_ohlc(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("bar_start")
         .limit(50)
     )
+
+
+@query(
+    "event_ab_did",
+    oracle="""
+    WITH bounds AS (
+        SELECT (epoch_us(CAST(MIN(ts) AS TIMESTAMP))
+                + epoch_us(CAST(MAX(ts) AS TIMESTAMP))) // 2 AS mid
+        FROM events
+    ),
+    cells AS (
+        SELECT CASE WHEN (('0x' || substr(md5('exp7:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                        >= (SELECT mid FROM bounds)
+                    THEN 'post' ELSE 'pre' END AS period,
+               user_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                    ELSE 0 END AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT arm, period,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM cells GROUP BY arm, period
+    ),
+    m AS (
+        SELECT arm, period, n_users,
+               CAST(10000 * cents // n_users AS BIGINT) AS mean_microcents
+        FROM agg
+    )
+    SELECT
+        CAST(SUM(CASE WHEN arm = 'control' AND period = 'pre'
+                 THEN n_users END) AS BIGINT) AS n_ctrl_pre,
+        CAST(SUM(CASE WHEN arm = 'control' AND period = 'post'
+                 THEN n_users END) AS BIGINT) AS n_ctrl_post,
+        CAST(SUM(CASE WHEN arm = 'treatment' AND period = 'pre'
+                 THEN n_users END) AS BIGINT) AS n_treat_pre,
+        CAST(SUM(CASE WHEN arm = 'treatment' AND period = 'post'
+                 THEN n_users END) AS BIGINT) AS n_treat_post,
+        CAST(SUM(CASE WHEN arm = 'control' AND period = 'pre'
+                 THEN mean_microcents END) AS BIGINT) AS mean_ctrl_pre,
+        CAST(SUM(CASE WHEN arm = 'control' AND period = 'post'
+                 THEN mean_microcents END) AS BIGINT) AS mean_ctrl_post,
+        CAST(SUM(CASE WHEN arm = 'treatment' AND period = 'pre'
+                 THEN mean_microcents END) AS BIGINT) AS mean_treat_pre,
+        CAST(SUM(CASE WHEN arm = 'treatment' AND period = 'post'
+                 THEN mean_microcents END) AS BIGINT) AS mean_treat_post,
+        CAST(SUM(CASE WHEN arm = 'treatment' AND period = 'post'
+                 THEN mean_microcents END)
+           - SUM(CASE WHEN arm = 'treatment' AND period = 'pre'
+                 THEN mean_microcents END)
+           - (SUM(CASE WHEN arm = 'control' AND period = 'post'
+                  THEN mean_microcents END)
+              - SUM(CASE WHEN arm = 'control' AND period = 'pre'
+                    THEN mean_microcents END)) AS BIGINT) AS did_microcents
+    FROM m
+    """,
+    tags=("events", "experiment", "stats"),
+)
+def event_ab_did(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences experiment readout — the causal
+    completion of the A/B family (event_ab_test_lift's raw lift,
+    event_cuped_adjustment's variance reduction, event_ab_srm_check's
+    validity gate): per-user revenue means in a 2x2 (arm x pre/post)
+    grid, with the DiD estimator (treat_post - treat_pre) -
+    (ctrl_post - ctrl_pre) netting out the shared time trend a naive
+    post-only comparison absorbs into the effect.
+
+    Arms are the family's shared salted-md5 user buckets; the pre/post
+    cut is the integer midpoint of the observed time range (epoch
+    microseconds, truncating div — both engines), so late-arriving
+    data moves no user between cells. Cell means are exact integer
+    microcents (10000 * cents div active users — rule 4/6 truncating
+    div), so the DiD is a pure int64 expression with no float crossing
+    the engine boundary.
+
+    Scale: one narrow map derives (arm, period, cents) per event, one
+    (arm, period, user)-keyed distinct-ish aggregate, then a 4-row
+    rollup folded to one row by conditional aggregation — the global
+    aggregate is over FOUR rows, not the event stream (no global
+    window). The time bounds are one combinable min/max pass.
+    """
+    e = table(spark, sf, "events")
+    # ts may be TIMESTAMP_NTZ (driver-round dependent); the UTC-pinned
+    # session makes the ltz cast the same wall-clock instant the oracle's
+    # naive-as-UTC epoch_us sees.
+    ets = F.col("ts").cast("timestamp")
+    bounds = e.agg(
+        (F.unix_micros(F.min(ets)) + F.unix_micros(F.max(ets)))
+        .alias("span_us")
+    ).select(F.expr("span_us div 2").cast("bigint").alias("mid"))
+    arm = F.when(
+        F.expr("CAST(conv(substring(md5(concat('exp7:', "
+               "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+        % 2 == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    cells = e.join(F.broadcast(bounds)).select(
+        arm.alias("arm"),
+        F.when(F.unix_micros(ets) >= F.col("mid"), F.lit("post"))
+        .otherwise(F.lit("pre")).alias("period"),
+        "user_id",
+        F.when(F.col("event_type") == "purchase", cents(F.col("value")))
+        .otherwise(F.lit(0)).cast("bigint").alias("cents"),
+    )
+    m = (
+        cells.groupBy("arm", "period")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            "arm", "period", "n_users",
+            F.expr("10000 * cents div n_users").cast("bigint")
+            .alias("mean_microcents"),
+        )
+    )
+
+    def cell(col, a, p):
+        return F.sum(
+            F.when((F.col("arm") == a) & (F.col("period") == p),
+                   F.col(col))
+        ).cast("bigint")
+
+    return m.agg(
+        cell("n_users", "control", "pre").alias("n_ctrl_pre"),
+        cell("n_users", "control", "post").alias("n_ctrl_post"),
+        cell("n_users", "treatment", "pre").alias("n_treat_pre"),
+        cell("n_users", "treatment", "post").alias("n_treat_post"),
+        cell("mean_microcents", "control", "pre").alias("mean_ctrl_pre"),
+        cell("mean_microcents", "control", "post").alias("mean_ctrl_post"),
+        cell("mean_microcents", "treatment", "pre").alias("mean_treat_pre"),
+        cell("mean_microcents", "treatment", "post")
+        .alias("mean_treat_post"),
+        (
+            cell("mean_microcents", "treatment", "post")
+            - cell("mean_microcents", "treatment", "pre")
+            - (cell("mean_microcents", "control", "post")
+               - cell("mean_microcents", "control", "pre"))
+        ).cast("bigint").alias("did_microcents"),
+    )

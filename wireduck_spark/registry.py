@@ -467,6 +467,9 @@ PENDING_GATE: tuple[str, ...] = (
     # rows-only pcap/recall suite (goldens in pytest over deterministic
     # synthetic captures); 8 of its queue-front names are also in this
     # round's gate, the rest cycle through future rounds' spare slots.
+    # round-8 oracle-checkable additions beyond the gate budget (front of
+    # the round-9 rotation):
+    "event_ab_did",                   # difference-in-differences readout
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
     "pcap_payload_entropy",           # rows-only; analytic goldens
     "pcap_follow_tcp_stream",         # rows-only; reassembly md5 goldens
