@@ -1253,3 +1253,81 @@ def test_ks_drift_tracker_forced_chunks(spark, sf_dir, events_dir):
     got = (rows[0]["n1"], rows[0]["n2"], rows[0]["d_num"])
     b = QUERIES["stats_ks_two_sample"].fn(spark, sf_dir).collect()[0]
     assert got == (b["n1"], b["n2"], b["d_num"])
+
+
+def _run_incremental_dedup_stream(spark, sf_dir, tmp_path, qname):
+    """Split documents into 3 parquet files, stream them one file per
+    micro-batch through incremental_dedup_tracker, return the deduped
+    (new_doc, match_doc, m) set."""
+    import os
+
+    from wireduck_spark.streaming.stateful import incremental_dedup_tracker
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema = docs.schema
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    # deterministic 3-way split on doc_id so batch boundaries cut
+    # near-dup clusters (the state must carry members across batches)
+    for i in range(3):
+        (docs.filter(F.col("doc_id") % 3 == i)
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        incremental_dedup_tracker(stream_src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        (r["new_doc"], r["match_doc"], r["m"])
+        for r in spark.sql(f"SELECT * FROM {qname}").collect()
+    }
+
+
+def test_incremental_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming band-index tracker's deduped candidate set equals the
+    batch dedup_minhash_lsh pairs at est_jaccard >= 0.5 — the same docs
+    arriving as 3 micro-batches (clusters cut across batch boundaries)
+    must find exactly the pairs the all-at-once batch probe finds,
+    oriented keep-first (match_doc < new_doc)."""
+    got = _run_incremental_dedup_stream(spark, sf_dir, tmp_path, "t_incdedup")
+    expected = {
+        (r["doc_b"], r["doc_a"], int(round(r["est_jaccard"] * 8)))
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+        if r["est_jaccard"] >= 0.5
+    }
+    assert got == expected
+    assert expected, "fixture has no >=0.5 pairs — test would be vacuous"
+    assert all(match < new for new, match, _ in got)
+
+
+def test_incremental_dedup_correct_across_arrow_chunks(spark, sf_dir,
+                                                       tmp_path):
+    """maxRecordsPerBatch=2 splits every band bucket's arrivals into many
+    Arrow chunks: the tracker must concat-and-sort ONCE so keep-first
+    orientation and in-batch earlier-doc comparisons survive chunking."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        got = _run_incremental_dedup_stream(
+            spark, sf_dir, tmp_path, "t_incdedup_chunked")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expected = {
+        (r["doc_b"], r["doc_a"], int(round(r["est_jaccard"] * 8)))
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+        if r["est_jaccard"] >= 0.5
+    }
+    assert got == expected

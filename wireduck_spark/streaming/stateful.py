@@ -970,3 +970,119 @@ def ks_drift_tracker(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental dedup: the MinHash band index as distributed state
+# ---------------------------------------------------------------------------
+
+DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("doc_ids", ArrayType(LongType())),
+        # 8 signature components per member doc, concatenated in doc order
+        # (flat parallel layout keeps the state row a pair of primitive
+        # arrays — no nested structs for the state serializer to chew on).
+        StructField("sigs", ArrayType(LongType())),
+    ]
+)
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("new_doc", LongType()),
+        StructField("match_doc", LongType()),
+        StructField("m", LongType()),
+    ]
+)
+
+
+def _band_index_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State per (band, bsig) bucket = the full 8-int signatures of every
+    doc ever seen in this bucket. Each arriving doc is compared against
+    every doc already in the bucket (earlier batches' members + docs
+    before it in the batch's doc_id order), emitting one row per
+    >= 4/8 signature agreement, then joins the bucket. Emission happens
+    at the LATER ARRIVAL but the row is oriented by doc id
+    (match_doc = smaller id) — streams don't arrive in id order, and
+    orienting by arrival would miss every pair whose larger id arrived
+    first; each unordered pair is compared exactly once per bucket, so
+    no pair double-emits within a band. Chunk-safe: concat all Arrow
+    chunks, sort ONCE by doc_id."""
+    members: list[tuple[int, tuple[int, ...]]] = []
+    if state.exists:
+        ids, flat = state.get
+        members = [
+            (int(d), tuple(int(x) for x in flat[8 * i: 8 * i + 8]))
+            for i, d in enumerate(ids)
+        ]
+    out: list[tuple[int, int, int]] = []
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+        cols = [pdf[f"mh{j}"].astype("int64") for j in range(8)]
+        for row_i, doc in enumerate(pdf["doc_id"].astype("int64")):
+            doc = int(doc)
+            sig = tuple(int(c.iloc[row_i]) for c in cols)
+            for prev_doc, prev_sig in members:
+                m = sum(1 for a, b in zip(sig, prev_sig) if a == b)
+                if m >= 4:
+                    out.append((max(doc, prev_doc), min(doc, prev_doc), m))
+            members.append((doc, sig))
+    state.update((
+        [d for d, _ in members],
+        [x for _, s in members for x in s],
+    ))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in DEDUP_OUTPUT_SCHEMA.fields]
+    )
+
+
+def incremental_dedup_tracker(docs) -> DataFrame:
+    """Streaming twin of the pipeline_incremental_dedup ingest gate: the
+    MinHash band index lives as applyInPandasWithState state SHARDED BY
+    (band, band-signature) — the always-on admission check a crawl
+    pipeline runs per arriving document instead of tomorrow's batch
+    probe. Emits near-dup candidate matches (new_doc, match_doc,
+    matches) with keep-first orientation (match_doc < new_doc); the
+    union over a doc's 4 bands equals the batch dedup_minhash_lsh
+    candidate pairs at est_jaccard >= 0.5, pinned by
+    tests/test_streaming.py::test_incremental_dedup_stream_matches_batch
+    (consumers dedupe the per-band repeats exactly as the batch query's
+    DISTINCT does).
+
+    Scale: signatures are computed in the same narrow map as the batch
+    path (_spark_minhash_sig — one reduce, zero shuffle); the ONLY
+    shuffle keys on (band, bsig), so state is the band index itself,
+    sharded bucket-by-bucket across executors: per-group state is
+    bounded by bucket occupancy (near-dup cluster size), never by
+    corpus size, and a hot bucket degrades one group, not the stream.
+    Total state grows O(docs) — the same footprint the batch path
+    persists as its signature table.
+    """
+    from pyspark.sql import functions as F
+
+    from wireduck_spark.functions.dedup import _spark_minhash_sig
+
+    sig = _spark_minhash_sig(docs)
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"mh{j}") for j in range(8)],
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", f"mh{2 * b}", f"mh{2 * b + 1}")
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bsig"),
+    )
+    return bands.groupBy("band", "bsig").applyInPandasWithState(
+        _band_index_update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
