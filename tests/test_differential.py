@@ -467,3 +467,46 @@ def test_trunc_div_differential(engines, pred, k, m):
     s_rows = sorted(tuple(r) for r in spark.sql(s_sql).collect())
     d_rows = sorted(tuple(r) for r in con.execute(d_sql).fetchall())
     assert s_rows == d_rows, f"trunc-div divergence k={k} m={m}: {pred}"
+
+
+@given(pred=_predicates(),
+       m=st.integers(min_value=2, max_value=9),
+       z=st.integers(min_value=0, max_value=8),
+       n=st.integers(min_value=1, max_value=200))
+@settings(max_examples=40, deadline=None)
+def test_nullable_groupkey_having_differential(engines, pred, m, z, n):
+    """GROUP BY a NULLABLE key: ANSI folds all NULL keys into ONE group
+    that survives (or dies by) HAVING like any other — both engines must
+    agree on the group set, the NULL group's aggregates, and SUM/COUNT
+    NULL-skipping within groups."""
+    sql = (
+        # grouping happens on the NULLABLE g; the -1 sentinel only makes
+        # the emitted key Python-sortable for the harness (g is never -1)
+        "SELECT CAST(COALESCE(g, -1) AS BIGINT) AS gk, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s "
+        f"FROM (SELECT NULLIF(o_custkey % {m}, {z % m}) AS g, o_orderkey "
+        f"      FROM orders WHERE {pred}) t "
+        f"GROUP BY g HAVING COUNT(*) >= {n}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"NULL-groupkey divergence m={m} z={z} n={n}: {pred}"
+
+
+@given(pred=_predicates(), n=st.integers(min_value=1, max_value=400))
+@settings(max_examples=40, deadline=None)
+def test_interval_arith_differential(engines, pred, n):
+    """Date + INTERVAL arithmetic crossing month/year boundaries, reduced
+    to exact integer yyyymmdd sums — catches calendar-increment and
+    end-of-month convention drift between the engines."""
+    sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(CAST("
+        f"  year(o_orderdate + INTERVAL {n} DAY) * 10000"
+        f"  + month(o_orderdate + INTERVAL {n} DAY) * 100"
+        f"  + day(o_orderdate + INTERVAL {n} DAY) AS BIGINT)), 0) "
+        "AS BIGINT) AS ymd_sum "
+        f"FROM orders WHERE {pred}"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"interval-arith divergence n={n}: {pred}"
