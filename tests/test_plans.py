@@ -71,7 +71,7 @@ def test_no_cartesian_in_dedup_or_similarity(spark, sf_dir):
     cartesian/nested-loop product over the corpus means the blocking
     broke and the query is O(n^2) at scale."""
     for name in ("dedup_minhash_lsh", "dedup_embedding_cosine",
-                 "sim_ann_ivf_bucketed"):
+                 "sim_ann_ivf_bucketed", "pipeline_incremental_dedup"):
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
 
