@@ -510,3 +510,26 @@ def test_interval_arith_differential(engines, pred, n):
     )
     s, d = _both(engines, sql)
     assert s == d, f"interval-arith divergence n={n}: {pred}"
+
+
+@given(pred=_predicates(), seg=st.sampled_from(
+    ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]))
+@settings(max_examples=40, deadline=None)
+def test_left_join_null_extension_differential(engines2, pred, seg):
+    """LEFT JOIN with a BUILD-SIDE condition in the ON clause: customers
+    that fail it must still appear as NULL-extended rows (moving the
+    condition to WHERE silently converts the join to inner — the classic
+    outer-join rewrite bug). Counting matched vs NULL-extended rows and
+    an exact key sum pins both engines to identical extension
+    semantics under arbitrary probe-side predicates."""
+    sql = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_unmatched, "
+        "CAST(COALESCE(SUM(o.o_orderkey), 0) AS BIGINT) AS s "
+        "FROM orders o LEFT JOIN customer c "
+        f"ON o.o_custkey = c.c_custkey AND c.c_mktsegment = '{seg}' "
+        f"WHERE {pred}"
+    )
+    s, d = _both(engines2, sql)
+    assert s == d, f"LEFT JOIN extension divergence seg={seg}: {pred}"

@@ -351,3 +351,77 @@ def test_pca_two_components_match_numpy_replay(spark, sf_dir):
     assert 0 < comps[0][1] < trace
     assert 0 < comps[1][1] < trace
     assert comps[1][1] < comps[0][1] * 1.2
+
+
+# -- round-8: weighted-PageRank invariants -----------------------------------
+
+
+def test_pagerank_suppliers_mass_conservation(spark, sf_dir):
+    """Total rank mass is conserved up to floor-division truncation: after
+    any number of hops, sum(rank) over ALL nodes stays within N_nodes *
+    (teleport truncation + per-edge div loss) of RANK_SCALE. The top-25
+    output is a slice, so this re-runs the loop body's final table via
+    the registered query's building blocks: mass conservation is the
+    canonical PageRank sanity check (a leak means the damping or degree
+    arithmetic is wrong)."""
+    from pyspark.sql import functions as F
+
+    from wireduck_spark.operators.graph import (
+        DAMP_DEN, DAMP_NUM, PRS_ITERS, RANK_SCALE,
+    )
+    from wireduck_spark.registry import table
+
+    l = table(spark, sf_dir, "lineitem")
+    ps = l.groupBy(
+        (F.col("l_partkey") * 2).alias("pnode"),
+        (F.col("l_suppkey") * 2 + 1).alias("snode"),
+    ).agg(F.count("*").cast("bigint").alias("w"))
+    edges = ps.select(F.col("pnode").alias("src"),
+                      F.col("snode").alias("dst"), "w").unionAll(
+        ps.select(F.col("snode").alias("src"),
+                  F.col("pnode").alias("dst"), "w"))
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    e = edges.join(wdeg, "src").select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"),
+        F.col("w").alias("e_w"), F.col("wd").alias("e_wd"))
+    nodes = e.select(F.col("e_src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    base = (15 * RANK_SCALE) // (100 * n_nodes)
+    ranks = nodes.withColumn("rank",
+                             F.lit(RANK_SCALE // n_nodes).cast("long"))
+    # max deficit per hop: teleport truncation (N * <100/N-ulp) plus one
+    # unit of div loss per (node's) outgoing edge-group term; bound
+    # loosely by N * 100 + total directed edges
+    n_edges = e.count()
+    tol = n_nodes * 100 + n_edges
+    for _ in range(PRS_ITERS):
+        contrib = ranks.join(e, ranks.node == e.e_src).select(
+            F.col("e_dst").alias("node"),
+            F.expr(f"(`rank` * {DAMP_NUM} * e_w)"
+                   f" div ({DAMP_DEN} * e_wd)").alias("c"))
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(base) + F.sum("c")).cast("long").alias("rank"))
+        mass = ranks.agg(F.sum("rank")).collect()[0][0]
+        assert RANK_SCALE - tol <= mass <= RANK_SCALE, (
+            f"rank mass leaked: {mass} vs {RANK_SCALE} (tol {tol})")
+
+
+def test_pagerank_suppliers_matches_volume_intuition(spark, sf_dir):
+    """The top supplier by weighted PageRank must be one whose total
+    shipment volume (weighted degree) is in the top decile — PageRank
+    refines volume ranking with part importance, it cannot contradict
+    it outright on a bipartite graph."""
+    from pyspark.sql import functions as F
+
+    from wireduck_spark.registry import QUERIES, table
+
+    top = QUERIES["graph_pagerank_suppliers"].fn(spark, sf_dir).collect()
+    assert 1 <= len(top) <= 25  # sf0.001 has only ~10 suppliers
+    assert all(r["rank_ppm"] >= 0 for r in top)
+    best = top[0]["suppkey"]
+    l = table(spark, sf_dir, "lineitem")
+    vol = (l.groupBy("l_suppkey").agg(F.count("*").alias("v"))
+           .orderBy(F.desc("v"), "l_suppkey").collect())
+    decile = max(1, len(vol) // 10)
+    assert best in {r["l_suppkey"] for r in vol[:decile]}, (
+        f"top PageRank supplier {best} not in top volume decile")
