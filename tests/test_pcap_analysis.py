@@ -504,3 +504,38 @@ def test_banner_dissectors_not_claimed_off_port_or_garbage():
                                  0x18, payload), 1, f2)
         assert not any(k.startswith(("ssh.", "smtp.", "ftp."))
                        for k in f2), (port, f2)
+
+
+def test_ntp_clock_skew_goldens(spark, sf_dir):
+    """Passive clock-skew audit over the deterministic NTP capture:
+    client A runs +0.25 s fast, client B -0.125 s slow, the server is
+    the capture-box reference (skew exactly 0 — both timestamps use
+    exact binary sub-second fractions, so no fixed-point truncation)."""
+    rows = {
+        (r["host"], r["role"]): (r["n_packets"], r["stratum"],
+                                 r["mean_skew_us"])
+        for r in load_all_queries()["pcap_ntp_clock_skew"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        ("10.0.10.1", "client"): (3, 16, 250000),
+        ("10.0.10.2", "client"): (3, 16, -125000),
+        ("192.0.2.10", "server"): (6, 2, 0),
+    }
+
+
+def test_dhcp_lease_inventory_goldens(spark, sf_dir):
+    """DORA accounting over the deterministic DHCP capture: client A's
+    clean 4-message lease of .100; client B NAKed once, then leased
+    .101 on the second round (2 discovers/offers/requests, 1 ack,
+    1 nak)."""
+    rows = {
+        r["mac"]: (r["n_discover"], r["n_offer"], r["n_request"],
+                   r["n_ack"], r["n_nak"], r["leased_ip"])
+        for r in load_all_queries()["pcap_dhcp_lease_inventory"]
+        .fn(spark, sf_dir).collect()
+    }
+    assert rows == {
+        "de:ad:be:ef:00:01": (1, 1, 1, 1, 0, "192.168.1.100"),
+        "de:ad:be:ef:00:02": (2, 2, 2, 1, 1, "192.168.1.101"),
+    }

@@ -470,6 +470,8 @@ PENDING_GATE: tuple[str, ...] = (
     # round-8 oracle-checkable additions beyond the gate budget (front of
     # the round-9 rotation):
     "event_ab_did",                   # difference-in-differences readout
+    "pcap_ntp_clock_skew",            # rows-only; skew goldens in pytest
+    "pcap_dhcp_lease_inventory",      # rows-only; DORA goldens in pytest
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
     "pcap_payload_entropy",           # rows-only; analytic goldens
     "pcap_follow_tcp_stream",         # rows-only; reassembly md5 goldens

@@ -1299,3 +1299,92 @@ if _have_fixture():
             .agg(F.count("*").cast("bigint").alias("n_syn"))
             .orderBy("src", "mss")
         )
+
+    @query("pcap_ntp_clock_skew", oracle=None,
+           tags=("pcap", "analysis", "dissect"))
+    def pcap_ntp_clock_skew(spark: SparkSession, sf: str) -> DataFrame:
+        """Passive NTP clock-skew audit: every NTP packet carries the
+        sender's transmit timestamp (ntp.xmt), so xmt minus the capture
+        timestamp IS the sender's clock offset from the capture box —
+        per host the fleet's time hygiene falls out of traffic you were
+        already capturing (clients in mode 3, servers in mode 4, plus
+        the advertised stratum). The classic use: find the machine
+        whose TLS tickets keep expiring because its clock runs fast.
+
+        Skews are exact integer microseconds (both timestamps are
+        integer-microsecond fields); the mean is a truncating integer
+        div. Scale: narrow per-packet header parse in the scan, one
+        (host, role)-keyed aggregate.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import ntp_capture
+
+        cap = ntp_capture(os.path.join(cache_dir(), "synth", "ntp.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "udp", "ntp"],
+                      engine="native")
+        n = t.filter(F.col("`ntp.flags.mode`").isNotNull()).select(
+            F.col("`ip.src`").alias("host"),
+            F.when(F.col("`ntp.flags.mode`") == 3, F.lit("client"))
+            .otherwise(F.lit("server")).alias("role"),
+            F.col("`ntp.stratum`").alias("stratum"),
+            (
+                F.unix_micros(F.col("`ntp.xmt`"))
+                - F.unix_micros(F.col("`frame.time_epoch`"))
+            ).alias("skew_us"),
+        )
+        return (
+            n.groupBy("host", "role")
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.min("stratum").cast("bigint").alias("stratum"),
+                F.expr("CAST(sum(skew_us) div count(*) AS BIGINT)")
+                .alias("mean_skew_us"),
+            )
+            .orderBy("host", "role")
+        )
+
+    @query("pcap_dhcp_lease_inventory", oracle=None,
+           tags=("pcap", "analysis", "dissect"))
+    def pcap_dhcp_lease_inventory(spark: SparkSession, sf: str) -> DataFrame:
+        """DHCP lease inventory from passive capture: per client MAC the
+        DORA message-type counts (discover/offer/request/ack/nak) and
+        the currently-leased address (yiaddr of the LAST ACK — the
+        max-by-time struct fold, no window) — who is on the network and
+        which requests the server refused, from broadcast traffic every
+        segment sees for free.
+
+        Scale: per-packet BOOTP/option-53 parse in the scan; one
+        MAC-keyed aggregate with conditional counts, all combinable.
+        """
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import dhcp_capture
+
+        cap = dhcp_capture(os.path.join(cache_dir(), "synth", "dhcp.pcap"))
+        t = read_pcap(spark, cap, protocols=["ip", "udp", "dhcp"],
+                      engine="native")
+        d = t.filter(F.col("`dhcp.option.dhcp`").isNotNull()).select(
+            F.col("`dhcp.hw.mac_addr`").alias("mac"),
+            F.col("`dhcp.option.dhcp`").alias("msg"),
+            F.col("`frame.time_epoch`").alias("ft"),
+            F.col("`dhcp.ip.your`").alias("yiaddr"),
+        )
+
+        def n_of(code, name):
+            return F.sum(F.when(F.col("msg") == code, 1).otherwise(0)) \
+                .cast("bigint").alias(name)
+
+        lease = F.max(
+            F.when(F.col("msg") == 5, F.struct("ft", "yiaddr"))
+        ).getField("yiaddr")
+        return (
+            d.groupBy("mac")
+            .agg(
+                n_of(1, "n_discover"),
+                n_of(2, "n_offer"),
+                n_of(3, "n_request"),
+                n_of(5, "n_ack"),
+                n_of(6, "n_nak"),
+                F.coalesce(lease, F.lit("none")).alias("leased_ip"),
+            )
+            .orderBy("mac")
+        )

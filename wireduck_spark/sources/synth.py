@@ -647,3 +647,110 @@ def services_capture(path: str) -> str:
         (t + 2.04, tcpp(s, c, 21, 50021, 51, b"230 User logged in\r\n")),
     ]
     return write_pcap(path, frames)
+
+
+def _ntp_payload(vn: int, mode: int, stratum: int, poll: int,
+                 xmt_epoch_us: int) -> bytes:
+    """RFC 5905 v1-v4 header with only the transmit timestamp populated
+    (1900-based 32.32 fixed point). Use sub-second parts that are exact
+    binary fractions (0.25 s, 0.125 s, ...) so the dissector's
+    (frac * 1e6) >> 32 conversion round-trips without truncation."""
+    sec = xmt_epoch_us // 1_000_000 + 2208988800
+    frac = ((xmt_epoch_us % 1_000_000) << 32) // 1_000_000
+    return (
+        bytes([(0 << 6) | (vn << 3) | mode, stratum, poll & 0xFF, 0xEC])
+        + bytes(36)
+        + struct.pack(">II", sec, frac)
+    )
+
+
+def ntp_capture(path: str) -> str:
+    """Deterministic NTP clock-skew scenario: two clients poll one
+    stratum-2 server three times each. Client A's clock runs +0.25 s
+    fast, client B's -0.125 s slow (exact binary fractions); the server
+    transmits true capture time (skew 0). The capture box is the time
+    reference, so xmt - frame time IS the sender's clock skew."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t0 = 1700002000.0
+    srv = "192.0.2.10"
+    a, b = "10.0.10.1", "10.0.10.2"
+    frames = []
+    for i in range(3):
+        ta = t0 + 64.0 * i
+        tb = t0 + 7.0 + 64.0 * i
+        a_us = int(ta) * 1_000_000 + 250_000          # +0.25 s fast
+        b_us = int(tb) * 1_000_000 - 125_000          # -0.125 s slow
+        frames += [
+            (ta, udp_frame(a, srv, 45001, 123,
+                           _ntp_payload(4, 3, 16, 6, a_us))),
+            # server replies at +0.5 s (exact binary fraction in both the
+            # pcap frac field and the NTP 32.32 encoding -> skew exactly 0)
+            (ta + 0.5, udp_frame(srv, a, 123, 45001,
+                                 _ntp_payload(4, 4, 2, 6,
+                                              (int(ta) * 1_000_000
+                                               + 500_000)))),
+            (tb, udp_frame(b, srv, 45002, 123,
+                           _ntp_payload(3, 3, 16, 6, b_us))),
+            (tb + 0.5, udp_frame(srv, b, 123, 45002,
+                                 _ntp_payload(3, 4, 2, 6,
+                                              (int(tb) * 1_000_000
+                                               + 500_000)))),
+        ]
+    return write_pcap(path, frames)
+
+
+def _dhcp_payload(op: int, xid: int, ciaddr: str, yiaddr: str,
+                  mac6: bytes, msgtype: int) -> bytes:
+    """RFC 2131 BOOTP framing + option-53 message type."""
+    def ip4(s):
+        return bytes(int(x) for x in s.split("."))
+
+    b = bytes([op, 1, 6, 0]) + struct.pack(">I", xid) + bytes(4)
+    b += ip4(ciaddr) + ip4(yiaddr) + bytes(8)
+    b += mac6 + bytes(10) + bytes(64) + bytes(128)
+    b += b"\x63\x82\x53\x63" + bytes([53, 1, msgtype]) + b"\xff"
+    return b
+
+
+def dhcp_capture(path: str) -> str:
+    """Deterministic DHCP lease scenario: client A completes one clean
+    DORA (leased 192.168.1.100); client B's first REQUEST is NAKed (the
+    offered address was taken), then a second DORA leases .101."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = 1700003000.0
+    srv, bcast = "192.168.1.1", "255.255.255.255"
+    mac_a = b"\xde\xad\xbe\xef\x00\x01"
+    mac_b = b"\xde\xad\xbe\xef\x00\x02"
+    zero = "0.0.0.0"
+
+    def cli(ts, mac, xid, msg, ciaddr=zero):
+        return (ts, udp_frame(zero if ciaddr == zero else ciaddr, bcast,
+                              68, 67, _dhcp_payload(1, xid, ciaddr, zero,
+                                                    mac, msg)))
+
+    def srv_msg(ts, mac, xid, msg, yiaddr):
+        return (ts, udp_frame(srv, bcast, 67, 68,
+                              _dhcp_payload(2, xid, zero, yiaddr, mac,
+                                            msg)))
+
+    frames = [
+        # client A: DISCOVER -> OFFER -> REQUEST -> ACK (.100)
+        cli(t + 0.0, mac_a, 0x1001, 1),
+        srv_msg(t + 0.1, mac_a, 0x1001, 2, "192.168.1.100"),
+        cli(t + 0.2, mac_a, 0x1001, 3),
+        srv_msg(t + 0.3, mac_a, 0x1001, 5, "192.168.1.100"),
+        # client B: first round NAKed, second round lands .101
+        cli(t + 1.0, mac_b, 0x2001, 1),
+        srv_msg(t + 1.1, mac_b, 0x2001, 2, "192.168.1.100"),
+        cli(t + 1.2, mac_b, 0x2001, 3),
+        srv_msg(t + 1.3, mac_b, 0x2001, 6, "0.0.0.0"),
+        cli(t + 2.0, mac_b, 0x2002, 1),
+        srv_msg(t + 2.1, mac_b, 0x2002, 2, "192.168.1.101"),
+        cli(t + 2.2, mac_b, 0x2002, 3),
+        srv_msg(t + 2.3, mac_b, 0x2002, 5, "192.168.1.101"),
+    ]
+    return write_pcap(path, frames)
