@@ -35,6 +35,11 @@ NAMES = [
     "dedup_keep_best",
     "agg_trimmed_mean",
     "stats_benjamini_hochberg",
+    # round-8 continuation families: iterative label voting (tie folds
+    # across 3 checkpointed hops), AUC/Spearman midrank reuse
+    "graph_label_spread_nation",
+    "stats_roc_auc",
+    "stats_spearman_corr",
 ]
 
 

@@ -425,3 +425,119 @@ def test_pagerank_suppliers_matches_volume_intuition(spark, sf_dir):
     decile = max(1, len(vol) // 10)
     assert best in {r["l_suppkey"] for r in vol[:decile]}, (
         f"top PageRank supplier {best} not in top volume decile")
+
+
+# -- round-8 continuation: label spreading + rank-statistic invariants -------
+
+
+def test_label_spread_partitions_all_strong_tie_nodes(spark, sf_dir):
+    """Every node of the strong-tie graph ends up in exactly one
+    community: per-side n_nodes sums match the distinct node counts of
+    the w>=2 edge list, labels stay in the nation domain, and no
+    customer is left unlabeled (hop 1 reaches every node with an edge).
+    n_native can never exceed the community size."""
+    from wireduck_spark.registry import QUERIES, table
+
+    rows = QUERIES["graph_label_spread_nation"].fn(spark, sf_dir).collect()
+    assert rows, "label spread returned no communities"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    strong = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    n_cust = strong.select("o_custkey").distinct().count()
+    n_supp = strong.select("l_suppkey").distinct().count()
+    got = {"customer": 0, "supplier": 0}
+    for r in rows:
+        assert r["nation_label"] is not None, "unlabeled community emitted"
+        assert 0 <= r["nation_label"] <= 24
+        assert 0 <= r["n_native"] <= r["n_nodes"]
+        got[r["side"]] += r["n_nodes"]
+    assert got["customer"] == n_cust
+    assert got["supplier"] == n_supp
+
+
+def test_roc_auc_antisymmetry_and_rational_consistency(spark, sf_dir):
+    """The registered AUC row is internally consistent (auc ==
+    num2/den2 to 6 dp, counts partition the users) and the rank-sum
+    machinery satisfies the defining antisymmetry: scoring by -score
+    must give exactly 1 - AUC (same ties, mirrored ranks)."""
+    from wireduck_spark.operators.relational import _global_midrank2
+    from wireduck_spark.registry import QUERIES, table
+
+    r = QUERIES["stats_roc_auc"].fn(spark, sf_dir).collect()[0]
+    n_users = (table(spark, sf_dir, "events")
+               .select("user_id").distinct().count())
+    assert r["n_pos"] + r["n_neg"] == n_users
+    assert r["auc_den2"] == 2 * r["n_pos"] * r["n_neg"]
+    assert 0 <= r["auc_num2"] <= r["auc_den2"]
+    # auc is ROUND(.., 6) of the rational — agree to half an ulp of 6 dp
+    assert abs(r["auc"] - r["auc_num2"] / r["auc_den2"]) <= 5e-7
+
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("score"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .alias("label"),
+    )
+
+    def auc_of(col):
+        lab = per_user.select("user_id", col.alias("s"), "label")
+        mid = _global_midrank2(lab, "s", "user_id", keep=("label",))
+        m = mid.agg(
+            F.sum(1 - F.col("label")).alias("n0"),
+            F.sum("label").alias("n1"),
+            F.sum(F.when(F.col("label") == 1, F.col("midrank2"))
+                  .otherwise(0)).alias("r1_2"),
+        ).collect()[0]
+        return (m["r1_2"] - m["n1"] * (m["n1"] + 1), 2 * m["n0"] * m["n1"])
+
+    fwd_num, den = auc_of(F.col("score"))
+    rev_num, den2 = auc_of(-F.col("score"))
+    assert den == den2
+    assert fwd_num + rev_num == den, (
+        f"AUC antisymmetry broken: {fwd_num} + {rev_num} != {den}")
+
+
+def test_spearman_exact_on_monotone_transforms(spark, sf_dir):
+    """Spearman is defined by ranks alone: rho(x, x^3-ish monotone
+    transform) == 1.0 exactly and rho(x, -x) == -1.0 exactly, ties and
+    all — computed through the same midrank fold the registered query
+    uses. The registered row itself must land in [-1, 1]."""
+    from wireduck_spark.operators.relational import _global_midrank2
+    from wireduck_spark.registry import QUERIES, table
+
+    r = QUERIES["stats_spearman_corr"].fn(spark, sf_dir).collect()[0]
+    assert -1.0 <= r["spearman_rho"] <= 1.0
+    assert r["n"] > 0
+
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("x"))
+
+    def rho(ycol):
+        sv = s.select("sk", "x", ycol.cast("bigint").alias("y"))
+        rx = _global_midrank2(sv, "x", "sk", keep=("sk",)).select(
+            "sk", F.col("midrank2").alias("x2"))
+        ry = _global_midrank2(sv, "y", "sk", keep=("sk",)).select(
+            "sk", F.col("midrank2").alias("y2"))
+        m = rx.join(ry, "sk").agg(
+            F.count("*").alias("n"), F.sum("x2").alias("sx"),
+            F.sum("y2").alias("sy"),
+            F.sum(F.col("x2") * F.col("y2")).alias("sxy"),
+            F.sum(F.col("x2") * F.col("x2")).alias("sxx"),
+            F.sum(F.col("y2") * F.col("y2")).alias("syy"),
+        ).collect()[0]
+        num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+        den = ((m["n"] * m["sxx"] - m["sx"] ** 2)
+               * (m["n"] * m["syy"] - m["sy"] ** 2)) ** 0.5
+        return num / den
+
+    # x -> x*3+7 is strictly monotone: identical ranks, rho exactly 1;
+    # x -> -x mirrors ranks (ties included), rho exactly -1.
+    assert rho(F.col("x") * 3 + 7) == pytest.approx(1.0, abs=1e-12)
+    assert rho(-F.col("x")) == pytest.approx(-1.0, abs=1e-12)

@@ -2268,9 +2268,54 @@ def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("y"))
         .select("user_id", arm.alias("arm"), "y")
     )
+    mid = _global_midrank2(per_user, "y", "user_id", keep=("arm",))
+    m = mid.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == "treatment", F.col("midrank2"))
+              .otherwise(0)).cast("bigint").alias("r1_2"),
+    )
+    u = (F.col("r1_2").cast("double")
+         - F.col("n1").cast("double") * (F.col("n1") + 1)) / 2
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    return m.select(
+        "n0", "n1",
+        F.round(u, 1).alias("u_stat"),
+        F.round(
+            (u - n0d * n1d / 2)
+            / F.sqrt(n0d * n1d * (F.col("n0") + F.col("n1") + 1) / 12),
+            4,
+        ).alias("z_approx"),
+    )
+
+
+def _global_midrank2(df: DataFrame, value_col: str, tiebreak_col: str,
+                     keep: tuple[str, ...] = ()) -> DataFrame:
+    """Exact global average ranks, doubled to stay integral, WITHOUT a
+    global window (plan-audit rule: no unpartitioned windows).
+
+    Two-pass range-partitioned rewrite (the stats_mann_whitney_u
+    pattern, factored out for the rank-statistic family): range-shuffle
+    on (value, tiebreak), collect ONE count per partition (bounded:
+    O(partitions) driver scalars, never data), convert to prefix
+    offsets, then a per-partition row_number plus the offset is the
+    exact global rank. Ties then get the exact integer midrank via a
+    value-keyed window: midrank2 = 2*min_rank + count - 1 (twice the
+    average rank, kept integral so downstream sums are exact int64 and
+    hash-match the DuckDB oracle's identical expression).
+
+    Returns ``keep + (value_col, midrank2)``, materialized via an
+    eager localCheckpoint (O(input rows) — rank tables here are
+    entity-level rollups, orders of magnitude below the corpus) so the
+    range-shuffled intermediate can be unpersisted before return.
+    """
+    spark = df.sparkSession
     nparts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
-        per_user.repartitionByRange(nparts, F.col("y"), F.col("user_id"))
+        df.repartitionByRange(nparts, F.col(value_col), F.col(tiebreak_col))
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
@@ -2288,42 +2333,227 @@ def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
             F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
             F.col("pid"),
         )
-        w_local = Window.partitionBy("pid").orderBy("y", "user_id")
+        w_local = Window.partitionBy("pid").orderBy(value_col, tiebreak_col)
         ranked = ranged.select(
-            "arm", "y",
+            *keep, value_col,
             (F.row_number().over(w_local) + off_expr).cast("bigint")
             .alias("rk"),
         )
-        w_y = Window.partitionBy("y")
-        mid = ranked.select(
-            "arm",
-            (2 * F.min("rk").over(w_y) + F.count("*").over(w_y) - 1)
+        w_v = Window.partitionBy(value_col)
+        out = ranked.select(
+            *keep, value_col,
+            (2 * F.min("rk").over(w_v) + F.count("*").over(w_v) - 1)
             .cast("bigint").alias("midrank2"),
-        )
-        m = mid.agg(
-            F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
-            .cast("bigint").alias("n0"),
-            F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0))
-            .cast("bigint").alias("n1"),
-            F.sum(F.when(F.col("arm") == "treatment", F.col("midrank2"))
-                  .otherwise(0)).cast("bigint").alias("r1_2"),
-        )
-        u = (F.col("r1_2").cast("double")
-             - F.col("n1").cast("double") * (F.col("n1") + 1)) / 2
-        n0d = F.col("n0").cast("double")
-        n1d = F.col("n1").cast("double")
-        out = m.select(
-            "n0", "n1",
-            F.round(u, 1).alias("u_stat"),
-            F.round(
-                (u - n0d * n1d / 2)
-                / F.sqrt(n0d * n1d * (F.col("n0") + F.col("n1") + 1) / 12),
-                4,
-            ).alias("z_approx"),
         ).localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
     return out
+
+
+@query(
+    "stats_roc_auc",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS purch_cents,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS score
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT median(purch_cents) AS m FROM per_user),
+    lab AS (
+      SELECT user_id, score,
+             CASE WHEN CAST(purch_cents AS DOUBLE) > m THEN 1 ELSE 0 END
+                 AS label
+      FROM per_user CROSS JOIN med
+    ),
+    ranked AS (
+      SELECT label, score,
+             CAST(row_number() OVER (ORDER BY score, user_id) AS BIGINT)
+                 AS rk
+      FROM lab
+    ),
+    mid AS (
+      SELECT label,
+             CAST(2 * MIN(rk) OVER (PARTITION BY score)
+                  + COUNT(*) OVER (PARTITION BY score) - 1 AS BIGINT)
+                 AS midrank2
+      FROM ranked
+    ),
+    m AS (
+      SELECT CAST(SUM(1 - label) AS BIGINT) AS n_neg,
+             CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN label = 1 THEN midrank2 ELSE 0 END)
+                 AS BIGINT) AS r1_2
+      FROM mid
+    )
+    SELECT n_neg, n_pos,
+           CAST(r1_2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+           CAST(2 * n_neg * n_pos AS BIGINT) AS auc_den2,
+           ROUND(CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_neg * n_pos), 6) AS auc
+    FROM m
+    """,
+    tags=("agg", "stats", "llm-pipeline"),
+)
+def stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC-AUC of a behavioural classifier: does a user's CLICK count
+    predict whether they land in the top half of purchase spend? AUC is
+    THE model-eval primitive of a training-data pipeline (quality
+    classifiers, dedup scorers, reward models are all gated on it), and
+    the rank-sum identity AUC = (R1 - n1(n1+1)/2) / (n0*n1) makes it
+    exactly computable at any scale — no curve sweep, one rank pass.
+
+    Ties (many users share a click count) get exact integer midranks
+    via the shared ``_global_midrank2`` rewrite — the textbook "ties
+    contribute 1/2" convention falls out for free. The AUC is emitted
+    BOTH as an exact integer rational (auc_num2/auc_den2 — hash-exact
+    cross-engine) and as a 6-dp double readout.
+
+    Label: purchase cents above the global median (quantile_cont /
+    percentile agree on the interpolated midpoint of exact integers;
+    the > compare goes through the same DOUBLE cast both engines).
+
+    Scale: one user-keyed rollup (the corpus shuffle), a broadcast
+    1-row median, then the O(users) rank machinery.
+    """
+    e = table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     cents(F.col("value"))).otherwise(0))
+        .cast("bigint").alias("purch_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("score"),
+    )
+    med = per_user.agg(
+        F.expr("percentile(purch_cents, 0.5D)").alias("m"))
+    lab = per_user.crossJoin(F.broadcast(med)).select(
+        "user_id", "score",
+        F.when(F.col("purch_cents").cast("double") > F.col("m"), 1)
+        .otherwise(0).alias("label"),
+    )
+    mid = _global_midrank2(lab, "score", "user_id", keep=("label",))
+    m = mid.agg(
+        F.sum(1 - F.col("label")).cast("bigint").alias("n_neg"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("label") == 1, F.col("midrank2")).otherwise(0))
+        .cast("bigint").alias("r1_2"),
+    )
+    num2 = (F.col("r1_2") - F.col("n_pos") * (F.col("n_pos") + 1))
+    return m.select(
+        "n_neg", "n_pos",
+        num2.cast("bigint").alias("auc_num2"),
+        (2 * F.col("n_neg") * F.col("n_pos")).cast("bigint")
+        .alias("auc_den2"),
+        F.round(num2.cast("double")
+                / (2.0 * F.col("n_neg") * F.col("n_pos")), 6).alias("auc"),
+    )
+
+
+@query(
+    "stats_spearman_corr",
+    oracle="""
+    WITH vol AS (
+      SELECT l_suppkey AS sk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    sv AS (
+      SELECT s_suppkey AS sk,
+             CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+             qty
+      FROM supplier JOIN vol ON sk = s_suppkey
+    ),
+    rx AS (
+      SELECT sk,
+             CAST(2 * MIN(rk) OVER (PARTITION BY bal_cents)
+                  + COUNT(*) OVER (PARTITION BY bal_cents) - 1 AS BIGINT)
+                 AS x2
+      FROM (SELECT sk, bal_cents,
+                   CAST(row_number() OVER (ORDER BY bal_cents, sk)
+                       AS BIGINT) AS rk FROM sv)
+    ),
+    ry AS (
+      SELECT sk,
+             CAST(2 * MIN(rk) OVER (PARTITION BY qty)
+                  + COUNT(*) OVER (PARTITION BY qty) - 1 AS BIGINT) AS y2
+      FROM (SELECT sk, qty,
+                   CAST(row_number() OVER (ORDER BY qty, sk)
+                       AS BIGINT) AS rk FROM sv)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x2) AS BIGINT) AS sx,
+             CAST(SUM(y2) AS BIGINT) AS sy,
+             CAST(SUM(x2 * y2) AS BIGINT) AS sxy,
+             CAST(SUM(x2 * x2) AS BIGINT) AS sxx,
+             CAST(SUM(y2 * y2) AS BIGINT) AS syy
+      FROM rx JOIN ry USING (sk)
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 4)
+               AS spearman_rho
+    FROM m
+    """,
+    tags=("agg", "stats"),
+)
+def stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation between a supplier's account balance
+    and its shipped volume — the robust companion to the Pearson
+    ``corr`` in agg_variance_corr: monotone-invariant, whale-proof
+    (one huge balance can carry Pearson; ranks cannot be carried).
+
+    Spearman = Pearson over average ranks. Both rank vectors come from
+    the shared ``_global_midrank2`` rewrite (doubled average ranks stay
+    exact integers; Pearson is affine-invariant so the factor 2 cancels
+    exactly in the same IEEE tree both engines evaluate). The five
+    moments are exact int64 sums (midrank2 <= 2n, so sxy <= 4n^3 —
+    int64-safe to n ~ 10^6 entities; beyond that, shift to the
+    t-digest/approx path documented in sketch_quantiles).
+
+    Scale: one lineitem-keyed rollup (the corpus shuffle), then two
+    O(suppliers) rank passes joined back on the supplier key.
+    """
+    li = table(spark, sf, "lineitem")
+    vol = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+        .alias("qty"))
+    s = table(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("sk"), cents(F.col("s_acctbal"))
+        .alias("bal_cents"))
+    sv = s.join(vol, "sk")
+    rx = _global_midrank2(sv, "bal_cents", "sk", keep=("sk",)).select(
+        "sk", F.col("midrank2").alias("x2"))
+    ry = _global_midrank2(sv, "qty", "sk", keep=("sk",)).select(
+        "sk", F.col("midrank2").alias("y2"))
+    m = rx.join(ry, "sk").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x2").cast("bigint").alias("sx"),
+        F.sum("y2").cast("bigint").alias("sy"),
+        F.sum(F.col("x2") * F.col("y2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n",
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx")
+                       - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy")
+                         - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            4,
+        ).alias("spearman_rho"),
+    )
 
 
 @query(

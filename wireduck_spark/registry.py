@@ -470,6 +470,9 @@ PENDING_GATE: tuple[str, ...] = (
     # round-8 oracle-checkable additions beyond the gate budget (front of
     # the round-9 rotation):
     "event_ab_did",                   # difference-in-differences readout
+    "graph_label_spread_nation",      # 3-hop semi-supervised LPA communities
+    "stats_roc_auc",                  # rank-sum AUC, exact integer rational
+    "stats_spearman_corr",            # rank correlation via shared midranks
     "pcap_ntp_clock_skew",            # rows-only; skew goldens in pytest
     "pcap_dhcp_lease_inventory",      # rows-only; DORA goldens in pytest
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
