@@ -533,3 +533,51 @@ def test_left_join_null_extension_differential(engines2, pred, seg):
     )
     s, d = _both(engines2, sql)
     assert s == d, f"LEFT JOIN extension divergence seg={seg}: {pred}"
+
+
+@given(pred=_predicates(), m=st.integers(min_value=2, max_value=9))
+@settings(max_examples=15, deadline=None)
+def test_global_midrank_differential(engines, pred, m):
+    """The two-pass range-partitioned `_global_midrank2` rewrite (shared
+    by Mann-Whitney / ROC-AUC / Spearman) must reproduce the textbook
+    single-window midrank definition exactly — arbitrary input subsets
+    (pred) and heavy tie groups (values folded mod m) included. DuckDB
+    evaluates the definitional global-window SQL; Spark runs the actual
+    helper (per-partition row_number + collected offsets), and per-value
+    midrank sums are compared as exact integers."""
+    from pyspark.sql import functions as F
+
+    from wireduck_spark.operators.relational import _global_midrank2
+
+    spark, con = engines
+    d_rows = con.execute(
+        f"""
+        WITH t AS (SELECT o_orderkey AS k, o_orderkey % {m} AS v
+                   FROM orders WHERE {pred}),
+        r AS (SELECT k, v,
+                     row_number() OVER (ORDER BY v, k) AS rk FROM t),
+        mid AS (SELECT v,
+                       2 * MIN(rk) OVER (PARTITION BY v)
+                       + COUNT(*) OVER (PARTITION BY v) - 1 AS m2
+                FROM r)
+        SELECT CAST(v AS BIGINT), CAST(SUM(m2) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)
+        FROM mid GROUP BY v
+        """
+    ).fetchall()
+    sdf = (
+        spark.table("orders")
+        .filter(F.expr(pred))
+        .select(F.col("o_orderkey").alias("k"),
+                (F.col("o_orderkey") % m).alias("v"))
+    )
+    mid = _global_midrank2(sdf, "v", "k")
+    s_rows = [
+        tuple(r)
+        for r in mid.groupBy("v").agg(
+            F.sum("midrank2").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        ).collect()
+    ]
+    assert sorted(s_rows) == sorted(map(tuple, d_rows)), (
+        f"midrank divergence m={m}: {pred}")

@@ -541,3 +541,33 @@ def test_spearman_exact_on_monotone_transforms(spark, sf_dir):
     # x -> -x mirrors ranks (ties included), rho exactly -1.
     assert rho(F.col("x") * 3 + 7) == pytest.approx(1.0, abs=1e-12)
     assert rho(-F.col("x")) == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_brier_calibration_decomposes_exactly(spark, sf_dir):
+    """Bins partition the users; the exact integer Brier numerators
+    re-aggregate to a global score in [0, 1]; rates and predictions are
+    proper probabilities."""
+    from wireduck_spark.registry import QUERIES, table
+
+    rows = QUERIES["stats_brier_calibration"].fn(spark, sf_dir).collect()
+    assert rows and all(0 <= r["bin"] <= 9 for r in rows)
+    n_users = (table(spark, sf_dir, "events")
+               .select("user_id").distinct().count())
+    assert sum(r["n"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert 0.0 <= r["obs_rate"] <= 1.0
+        assert 0.0 <= r["mean_pred"] <= 1.0
+        assert 0.0 <= r["brier"] <= 1.0
+        assert 0 <= r["sq_err_num"]
+    total_sq = sum(r["sq_err_num"] for r in rows)
+    total_n = sum(r["n"] for r in rows)
+    # global Brier from the exact per-bin integers: recompute maxc from
+    # per-bin consistency (brier = sq/(n*maxc^2) within rounding)
+    import math
+    r0 = max(rows, key=lambda r: r["sq_err_num"])
+    if r0["brier"] > 0:
+        maxc2 = r0["sq_err_num"] / (r0["n"] * r0["brier"])
+        global_brier = total_sq / (total_n * maxc2)
+        assert 0.0 <= global_brier <= 1.0 + 1e-6
+        assert not math.isnan(global_brier)

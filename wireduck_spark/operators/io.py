@@ -132,6 +132,53 @@ def io_json_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "io_xml_roundtrip",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("io", "sink"),
+)
+def io_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate -> write XML -> re-read with explicit schema -> return.
+
+    Spark 4 ships the (formerly spark-xml) XML source built in; XML is
+    the interchange format of the enterprise-feed world (SEC filings,
+    sitemaps, RSS/ATOM crawl layers), so a corpus-ingest engine needs
+    the round-trip proven. DuckDB cannot read XML, so — exactly like
+    the ORC twin — the oracle recomputes the aggregate from the source
+    parquet and the round-trip preserving every value IS the assertion.
+
+    Integer/string columns only (XML is not a faithful float
+    transport, same contract as io_csv_roundtrip). Scale: row-major
+    verbose text format — the docstring's honest 100-TB advice is
+    land XML at the edge, convert to parquet once (this query IS that
+    conversion pattern, reversed to prove fidelity); rowTag reads
+    split per file, so many medium files parallelize the scan.
+    """
+    d = table(spark, sf, "documents")
+    agg = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    path = _scratch(sf, "docs_by_source_lang.xml")
+    (
+        agg.write.mode("overwrite").format("xml")
+        .option("rootTag", "sources").option("rowTag", "cell")
+        .save(path)
+    )
+    return (
+        spark.read.format("xml").option("rowTag", "cell")
+        .schema("source STRING, lang STRING, n_docs BIGINT,"
+                " chars_total BIGINT")
+        .load(path)
+    )
+
+
+@query(
     "io_partitioned_pruning",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n,

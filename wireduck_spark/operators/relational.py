@@ -2453,6 +2453,111 @@ def stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "stats_brier_calibration",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS purch_cents,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT median(purch_cents) AS m,
+                 CAST(MAX(s) AS BIGINT) AS maxc FROM per_user),
+    lab AS (
+      SELECT s, maxc,
+             CASE WHEN CAST(purch_cents AS DOUBLE) > m THEN 1 ELSE 0 END
+                 AS y,
+             CAST(LEAST(9, s * 10 // maxc) AS BIGINT) AS bin
+      FROM per_user CROSS JOIN g
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(s) AS BIGINT) AS sum_score,
+           CAST(SUM((s - y * maxc) * (s - y * maxc)) AS BIGINT)
+               AS sq_err_num,
+           ROUND(CAST(SUM(s) AS DOUBLE)
+                 / (COUNT(*) * ANY_VALUE(maxc)), 4) AS mean_pred,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 4) AS obs_rate,
+           ROUND(CAST(SUM((s - y * maxc) * (s - y * maxc)) AS DOUBLE)
+                 / (COUNT(*) * ANY_VALUE(maxc) * ANY_VALUE(maxc)), 6)
+               AS brier
+    FROM lab
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    tags=("agg", "stats", "llm-pipeline"),
+)
+def stats_brier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Calibration table + per-bin Brier score for the same behavioural
+    classifier stats_roc_auc ranks: AUC says the score ORDERS users
+    correctly; calibration says the score's MAGNITUDE means what it
+    claims (a 0.8 bin should convert ~80%). Predicted probability is
+    the click count normalized by the global max; users land in ten
+    prediction bins and each bin reports predicted-vs-observed rate
+    plus its exact Brier numerator sum((s - y*maxc)^2) — an integer, so
+    the decomposition re-aggregates exactly downstream (reliability /
+    resolution splits are one more rollup away).
+
+    Determinism: bins use integer `div` truncation with a LEAST(9, ..)
+    clamp for the s == maxc user (rules 4/6); all numerators are exact
+    int64 (s <= maxc ~ 10^2 here; the square stays < 2^63 for maxc up
+    to ~10^9 with 10^9 users per bin — documented headroom); the three
+    readout doubles divide once and round on output.
+
+    Scale: one user-keyed rollup, ONE 1-row broadcast scalar frame
+    (median and max computed in the same aggregate), a 10-row fold.
+    """
+    e = table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     cents(F.col("value"))).otherwise(0))
+        .cast("bigint").alias("purch_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("s"),
+    )
+    # ONE 1-row scalar frame (median + max together): a single bounded
+    # bnlj broadcast, not two — the plan-audit `bnlj<=1` contract
+    g = per_user.agg(
+        F.expr("percentile(purch_cents, 0.5D)").alias("m"),
+        F.max("s").cast("bigint").alias("maxc"))
+    lab = (
+        per_user.crossJoin(F.broadcast(g))
+        .select(
+            "s", "maxc",
+            F.when(F.col("purch_cents").cast("double") > F.col("m"), 1)
+            .otherwise(0).alias("y"),
+            F.least(F.lit(9), F.expr("s * 10 div maxc")).cast("bigint")
+            .alias("bin"),
+        )
+    )
+    # integer multiply, NOT ** (Spark pow returns DOUBLE): keeps the
+    # Brier numerator an exact int64
+    diff = F.col("s") - F.col("y") * F.col("maxc")
+    sq = diff * diff
+    agg = lab.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("s").cast("bigint").alias("sum_score"),
+        F.sum(sq).cast("bigint").alias("sq_err_num"),
+        F.any_value(F.col("maxc")).alias("maxc"),
+    )
+    return agg.select(
+        "bin", "n", "n_pos", "sum_score", "sq_err_num",
+        F.round(F.col("sum_score").cast("double")
+                / (F.col("n") * F.col("maxc")), 4).alias("mean_pred"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 4)
+        .alias("obs_rate"),
+        F.round(F.col("sq_err_num").cast("double")
+                / (F.col("n") * F.col("maxc") * F.col("maxc")), 6)
+        .alias("brier"),
+    ).orderBy("bin")
+
+
+@query(
     "stats_spearman_corr",
     oracle="""
     WITH vol AS (

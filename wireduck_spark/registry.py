@@ -473,6 +473,8 @@ PENDING_GATE: tuple[str, ...] = (
     "graph_label_spread_nation",      # 3-hop semi-supervised LPA communities
     "stats_roc_auc",                  # rank-sum AUC, exact integer rational
     "stats_spearman_corr",            # rank correlation via shared midranks
+    "stats_brier_calibration",        # per-bin Brier + calibration table
+    "io_xml_roundtrip",               # Spark-4 built-in XML sink/source
     "pcap_ntp_clock_skew",            # rows-only; skew goldens in pytest
     "pcap_dhcp_lease_inventory",      # rows-only; DORA goldens in pytest
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
