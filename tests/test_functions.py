@@ -571,3 +571,27 @@ def test_brier_calibration_decomposes_exactly(spark, sf_dir):
         global_brier = total_sq / (total_n * maxc2)
         assert 0.0 <= global_brier <= 1.0 + 1e-6
         assert not math.isnan(global_brier)
+
+
+def test_quantile_normalize_aligns_every_source(spark, sf_dir):
+    """The whole point of quantile normalization: after it, every
+    source's distribution is (discretely) uniform — median lands near
+    500000 ppm and the global 900000 threshold selects ~10% of EVERY
+    source, no matter how the raw n_chars distributions differ.
+    Tolerances are generous for tiny per-source counts at sf0.001."""
+    from wireduck_spark.registry import QUERIES, table
+
+    rows = QUERIES["curation_quantile_normalize"].fn(
+        spark, sf_dir).collect()
+    n_sources = (table(spark, sf_dir, "documents")
+                 .select("source").distinct().count())
+    assert len(rows) == n_sources
+    for r in rows:
+        assert r["n_docs"] > 0
+        # uniform-in-[0,1e6] mean is 500000; discrete midranks keep the
+        # exact mean at 500000*(n+? )/n-ish — bound loosely
+        mean_ppm = r["sum_norm_ppm"] / r["n_docs"]
+        assert 400000 <= mean_ppm <= 600000, r
+        assert 350000 <= r["med_norm_ppm"] <= 650000, r
+        frac_top = r["n_top_decile"] / r["n_docs"]
+        assert frac_top <= 0.25, r  # ~10% by construction, never a flood

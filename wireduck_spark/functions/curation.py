@@ -1647,3 +1647,104 @@ def curation_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
         .alias("weighted_share_ppm"),
         F.expr("CAST(sw * sw div sw2 AS BIGINT)").alias("ess_docs"),
     ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# Cross-source quantile normalization (score alignment before filtering)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation_quantile_normalize",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             CAST(row_number() OVER (
+                 PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT)
+                 AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM documents
+    ),
+    mid AS (
+      SELECT source, n_s,
+             CAST(2 * MIN(rk) OVER (PARTITION BY source, n_chars)
+                  + COUNT(*) OVER (PARTITION BY source, n_chars) - 1
+                 AS BIGINT) AS midrank2
+      FROM ranked
+    ),
+    norm AS (
+      SELECT source, n_s,
+             CAST(midrank2 * 500000 // n_s AS BIGINT) AS norm_ppm
+      FROM mid
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(norm_ppm) AS BIGINT) AS sum_norm_ppm,
+           ROUND(median(norm_ppm), 1) AS med_norm_ppm,
+           CAST(SUM(CASE WHEN norm_ppm >= 900000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_top_decile
+    FROM norm
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("curation", "stats", "llm-pipeline"),
+)
+def curation_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile normalization of a quality score across sources: each
+    document's raw score (n_chars — the stand-in for any quality model
+    output) is replaced by its WITHIN-SOURCE quantile in exact integer
+    ppm, so a single global threshold then selects the same fraction
+    from every source. This is the alignment step a corpus team runs
+    before cross-source filtering — raw score scales differ per domain
+    (a "good" webpage score and a "good" paper score aren't comparable)
+    and thresholding raw values silently skews the mix toward whichever
+    source scores generously.
+
+    The per-source readout proves the alignment: med_norm_ppm ~ 500000
+    and n_top_decile ~ 10% of n_docs for EVERY source, regardless of
+    how skewed the raw n_chars distributions are.
+
+    Determinism: within-source ranks use source-partitioned windows
+    with the (score, doc_id) rule-5 total order; ties take exact
+    integer midranks (midrank2 = 2*min_rank + count - 1, the
+    _global_midrank2 convention); norm_ppm = midrank2 * 500000 div n_s
+    is one exact integer expression (rules 4/6); median interpolates
+    identically over the same integers in both engines.
+
+    Scale: ONE shuffle on source; windows are source-partitioned
+    (never global). A pathologically dominant source turns its
+    partition into a straggler — the documented fallback is the
+    two-pass `_global_midrank2` rewrite applied per heavy source
+    (range-partition WITHIN the source), same math, no hot partition.
+    """
+    d = table(spark, sf, "documents")
+    w_src = Window.partitionBy("source")
+    w_rank = w_src.orderBy("n_chars", "doc_id")
+    w_tie = Window.partitionBy("source", "n_chars")
+    ranked = d.select(
+        "source", "n_chars", "doc_id",
+        F.row_number().over(w_rank).cast("bigint").alias("rk"),
+        F.count("*").over(w_src).cast("bigint").alias("n_s"),
+    )
+    mid = ranked.select(
+        "source", "n_s",
+        (2 * F.min("rk").over(w_tie) + F.count("*").over(w_tie) - 1)
+        .cast("bigint").alias("midrank2"),
+    )
+    norm = mid.select(
+        "source",
+        F.expr("CAST(midrank2 * 500000 div n_s AS BIGINT)")
+        .alias("norm_ppm"),
+    )
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("norm_ppm").cast("bigint").alias("sum_norm_ppm"),
+            F.round(F.expr("percentile(norm_ppm, 0.5D)"), 1)
+            .alias("med_norm_ppm"),
+            F.sum(F.when(F.col("norm_ppm") >= 900000, 1).otherwise(0))
+            .cast("bigint").alias("n_top_decile"),
+        )
+        .orderBy("source")
+    )

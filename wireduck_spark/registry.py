@@ -475,6 +475,7 @@ PENDING_GATE: tuple[str, ...] = (
     "stats_spearman_corr",            # rank correlation via shared midranks
     "stats_brier_calibration",        # per-bin Brier + calibration table
     "io_xml_roundtrip",               # Spark-4 built-in XML sink/source
+    "curation_quantile_normalize",    # cross-source score alignment (ppm)
     "pcap_ntp_clock_skew",            # rows-only; skew goldens in pytest
     "pcap_dhcp_lease_inventory",      # rows-only; DORA goldens in pytest
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
