@@ -188,19 +188,23 @@ GATE: tuple[str, ...] = (
     "stats_benjamini_hochberg",
     "graph_jaccard_coshopper",
     "curation_importance_weights",
-    # -- new round-8 queries (driver-contracted in their debut round):
+    # -- new round-8 queries (driver-contracted in their debut round;
+    #    the continuation session swapped 7 rows-only pcap smoke slots
+    #    for the 7 new oracle-checkable queries — an oracle row is
+    #    stronger driver evidence than a rows>0 smoke row, and the
+    #    pcap names keep their pytest goldens while they wait):
     "graph_pagerank_suppliers",
     "pipeline_incremental_dedup",
-    # -- rows-only pcap promotions (queue front; goldens in pytest —
+    "event_ab_did",
+    "graph_label_spread_nation",
+    "stats_roc_auc",
+    "stats_spearman_corr",
+    "stats_brier_calibration",
+    "io_xml_roundtrip",
+    "curation_quantile_normalize",
+    # -- rows-only pcap promotion (queue front; goldens in pytest —
     #    the driver records a rows>0 smoke row):
     "pcap_tcp_handshake_rtt",
-    "pcap_tcp_retransmissions",
-    "pcap_protocol_hierarchy",
-    "pcap_dns_latency",
-    "pcap_beacon_detection",
-    "sim_ann_pq_rerank",
-    "pcap_port_scan_detect",
-    "pcap_ja3_fingerprint",
     # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
     # pytest) — the reference-surface smoke. pcap_scan_default (1 row —
     # weak rows>0 signal) is swapped for pcap_flagship_portpair (2 rows,
@@ -467,15 +471,15 @@ PENDING_GATE: tuple[str, ...] = (
     # rows-only pcap/recall suite (goldens in pytest over deterministic
     # synthetic captures); 8 of its queue-front names are also in this
     # round's gate, the rest cycle through future rounds' spare slots.
-    # round-8 oracle-checkable additions beyond the gate budget (front of
-    # the round-9 rotation):
-    "event_ab_did",                   # difference-in-differences readout
-    "graph_label_spread_nation",      # 3-hop semi-supervised LPA communities
-    "stats_roc_auc",                  # rank-sum AUC, exact integer rational
-    "stats_spearman_corr",            # rank correlation via shared midranks
-    "stats_brier_calibration",        # per-bin Brier + calibration table
-    "io_xml_roundtrip",               # Spark-4 built-in XML sink/source
-    "curation_quantile_normalize",    # cross-source score alignment (ppm)
+    # rows-only pcap queue (front promotes first; the 7 swapped-out
+    # round-8 smoke candidates lead):
+    "pcap_tcp_retransmissions",       # rows-only; RTO goldens in pytest
+    "pcap_protocol_hierarchy",        # rows-only; phs parity golden
+    "pcap_dns_latency",               # rows-only; txn pairing goldens
+    "pcap_beacon_detection",          # rows-only; interval CV goldens
+    "sim_ann_pq_rerank",              # rows-only by design (PQ recall)
+    "pcap_port_scan_detect",          # rows-only; fan-out goldens
+    "pcap_ja3_fingerprint",           # rows-only; TLS CH hash goldens
     "pcap_ntp_clock_skew",            # rows-only; skew goldens in pytest
     "pcap_dhcp_lease_inventory",      # rows-only; DORA goldens in pytest
     "pcap_arp_spoof_detect",          # rows-only; golden in pytest
