@@ -595,3 +595,47 @@ def test_quantile_normalize_aligns_every_source(spark, sf_dir):
         assert 350000 <= r["med_norm_ppm"] <= 650000, r
         frac_top = r["n_top_decile"] / r["n_docs"]
         assert frac_top <= 0.25, r  # ~10% by construction, never a flood
+
+
+def test_rank_stats_degrade_to_null_on_degenerate_inputs(spark, tmp_path):
+    """The NDCG n_rel=0 lesson applied up front: one-class labels
+    (everyone's spend equal => nobody above the median), zero-click
+    corpora, and zero-variance rank vectors must DEGRADE (NULL / p=0
+    bins), not crash or mint engine-specific inf/NaN. Runs the real
+    registered builders against constructed degenerate parquet."""
+    import datetime
+
+    from wireduck_spark.registry import QUERIES
+
+    d = str(tmp_path)
+    ts = datetime.datetime(2024, 1, 1)
+    # 4 users, one equal-value purchase each, zero clicks
+    ev = spark.createDataFrame(
+        [(i, ts, i, "purchase", 5.0, "{}") for i in range(4)],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING",
+    )
+    ev.write.parquet(f"{d}/events.parquet")
+
+    r = QUERIES["stats_roc_auc"].fn(spark, d).collect()[0]
+    assert r["n_pos"] == 0 and r["auc_den2"] == 0
+    assert r["auc"] is None
+
+    rows = QUERIES["stats_brier_calibration"].fn(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0  # everyone at p=0
+    assert rows[0]["n"] == 4
+
+    # 3 suppliers with identical shipped volume -> zero-variance y ranks
+    sup = spark.createDataFrame(
+        [(i, 100.0 + i) for i in range(1, 4)],
+        "s_suppkey BIGINT, s_acctbal DOUBLE",
+    )
+    li = spark.createDataFrame(
+        [(i, 7.0) for i in range(1, 4)],
+        "l_suppkey BIGINT, l_quantity DOUBLE",
+    )
+    sup.write.parquet(f"{d}/supplier.parquet")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    s = QUERIES["stats_spearman_corr"].fn(spark, d).collect()[0]
+    assert s["n"] == 3
+    assert s["spearman_rho"] is None

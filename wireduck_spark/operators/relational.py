@@ -2392,8 +2392,9 @@ def _global_midrank2(df: DataFrame, value_col: str, tiebreak_col: str,
     SELECT n_neg, n_pos,
            CAST(r1_2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
            CAST(2 * n_neg * n_pos AS BIGINT) AS auc_den2,
-           ROUND(CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
-                 / (2.0 * n_neg * n_pos), 6) AS auc
+           CASE WHEN n_neg = 0 OR n_pos = 0 THEN NULL
+                ELSE ROUND(CAST(r1_2 - n_pos * (n_pos + 1) AS DOUBLE)
+                           / (2.0 * n_neg * n_pos), 6) END AS auc
     FROM m
     """,
     tags=("agg", "stats", "llm-pipeline"),
@@ -2442,13 +2443,21 @@ def stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint").alias("r1_2"),
     )
     num2 = (F.col("r1_2") - F.col("n_pos") * (F.col("n_pos") + 1))
+    # NULL (not a crash / engine-specific inf) on a one-class label —
+    # the pipeline_rag_eval_ndcg n_rel=0 lesson applied up front: a
+    # degenerate shard (all spends equal => nobody above the median)
+    # must degrade identically in both engines.
     return m.select(
         "n_neg", "n_pos",
         num2.cast("bigint").alias("auc_num2"),
         (2 * F.col("n_neg") * F.col("n_pos")).cast("bigint")
         .alias("auc_den2"),
-        F.round(num2.cast("double")
-                / (2.0 * F.col("n_neg") * F.col("n_pos")), 6).alias("auc"),
+        F.when(
+            (F.col("n_neg") == 0) | (F.col("n_pos") == 0), F.lit(None)
+        ).otherwise(
+            F.round(num2.cast("double")
+                    / (2.0 * F.col("n_neg") * F.col("n_pos")), 6)
+        ).alias("auc"),
     )
 
 
@@ -2465,7 +2474,8 @@ def stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY user_id
     ),
     g AS (SELECT median(purch_cents) AS m,
-                 CAST(MAX(s) AS BIGINT) AS maxc FROM per_user),
+                 CAST(GREATEST(MAX(s), 1) AS BIGINT) AS maxc
+          FROM per_user),
     lab AS (
       SELECT s, maxc,
              CASE WHEN CAST(purch_cents AS DOUBLE) > m THEN 1 ELSE 0 END
@@ -2520,10 +2530,12 @@ def stats_brier_calibration(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint").alias("s"),
     )
     # ONE 1-row scalar frame (median + max together): a single bounded
-    # bnlj broadcast, not two — the plan-audit `bnlj<=1` contract
+    # bnlj broadcast, not two — the plan-audit `bnlj<=1` contract.
+    # GREATEST(max, 1): a zero-click corpus must bin everyone at p=0,
+    # not integer-divide by zero (the NDCG degenerate-input lesson).
     g = per_user.agg(
         F.expr("percentile(purch_cents, 0.5D)").alias("m"),
-        F.max("s").cast("bigint").alias("maxc"))
+        F.greatest(F.max("s"), F.lit(1)).cast("bigint").alias("maxc"))
     lab = (
         per_user.crossJoin(F.broadcast(g))
         .select(
@@ -2598,11 +2610,14 @@ def stats_brier_calibration(spark: SparkSession, sf: str) -> DataFrame:
       FROM rx JOIN ry USING (sk)
     )
     SELECT n,
-           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx
-                         - CAST(sx AS DOUBLE) * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy
-                           - CAST(sy AS DOUBLE) * sy)), 4)
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE ROUND((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (sqrt(CAST(n AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                              * sqrt(CAST(n AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy)), 4) END
                AS spearman_rho
     FROM m
     """,
@@ -2646,17 +2661,27 @@ def stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("syy"),
     )
     nd = F.col("n").cast("double")
+    # NULL on a zero-variance rank vector (all-equal x or y) — both
+    # engines degrade identically instead of minting NaN (the NDCG
+    # n_rel=0 lesson applied up front). The integer zero-test is exact.
+    degenerate = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0)
+        | (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0)
+    )
     return m.select(
         "n",
-        F.round(
-            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-            / (
-                F.sqrt(nd * F.col("sxx")
-                       - F.col("sx").cast("double") * F.col("sx"))
-                * F.sqrt(nd * F.col("syy")
-                         - F.col("sy").cast("double") * F.col("sy"))
-            ),
-            4,
+        F.when(degenerate, F.lit(None)).otherwise(
+            F.round(
+                (nd * F.col("sxy")
+                 - F.col("sx").cast("double") * F.col("sy"))
+                / (
+                    F.sqrt(nd * F.col("sxx")
+                           - F.col("sx").cast("double") * F.col("sx"))
+                    * F.sqrt(nd * F.col("syy")
+                             - F.col("sy").cast("double") * F.col("sy"))
+                ),
+                4,
+            )
         ).alias("spearman_rho"),
     )
 
