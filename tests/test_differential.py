@@ -581,3 +581,33 @@ def test_global_midrank_differential(engines, pred, m):
     ]
     assert sorted(s_rows) == sorted(map(tuple, d_rows)), (
         f"midrank divergence m={m}: {pred}")
+
+
+@given(pred=_predicates(), p=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]))
+@settings(max_examples=25, deadline=None)
+def test_percentile_interpolation_differential(engines, pred, p):
+    """Spark `percentile` and DuckDB `quantile_cont` must agree EXACTLY
+    on integer inputs at quarter fractions: the interpolation
+    a + (b-a)*f is exact IEEE arithmetic when a, b are int64 cents and
+    f in {0, .25, .5, .75, 1} — so any difference is a semantic drift
+    (nearest-rank vs linear, 0- vs 1-based position), not float noise.
+    Load-bearing: stats_roc_auc / stats_brier_calibration /
+    event_ab_lift_by_decile all broadcast engine-side medians or decile
+    boundaries computed this way."""
+    spark, con = engines
+    body = (f"SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v "
+            f"FROM orders WHERE {pred}")
+    d = con.execute(
+        f"SELECT COUNT(*), quantile_cont(v, {p}) FROM ({body})"
+    ).fetchone()
+    s_row = spark.sql(
+        f"SELECT COUNT(*) AS n, percentile(v, CAST({p} AS DOUBLE)) AS q "
+        f"FROM ({body})"
+    ).collect()[0]
+    assert s_row["n"] == d[0]
+    if d[0] == 0:
+        assert s_row["q"] is None and d[1] is None
+    else:
+        assert s_row["q"] == d[1], (
+            f"percentile divergence p={p}: spark={s_row['q']} "
+            f"duck={d[1]}: {pred}")
