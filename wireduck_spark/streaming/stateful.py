@@ -1086,3 +1086,113 @@ def incremental_dedup_tracker(docs) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded SpaceSaving heavy-hitter monitor (bounded-memory streaming top-k)
+# ---------------------------------------------------------------------------
+
+HH_SHARDS = 16
+HH_CAPACITY = 32
+
+HH_STATE_SCHEMA = StructType([StructField("monitor_csv", StringType())])
+
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("user_id", LongType()),
+        StructField("est", LongType()),
+        StructField("err", LongType()),
+    ]
+)
+
+
+def _spacesaving_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """SpaceSaving (Metwally et al. 2005) over this shard's key stream:
+    a monitor of at most HH_CAPACITY (key, est, err) entries. A hit
+    increments est; a miss over capacity EVICTS the minimum-est entry
+    (tie-break: smallest key — deterministic) and inherits its count as
+    the new entry's overestimation bound. Invariants the unit test
+    pins: est >= true count >= est - err, and any key whose true shard
+    count exceeds n_shard / HH_CAPACITY is guaranteed present.
+
+    State is the sorted 'key:est:err' CSV — bounded by HH_CAPACITY
+    regardless of stream length or key cardinality (unlike the exact
+    distinct tracker's vocabulary-bounded set). Per-batch arrivals are
+    pre-summed (order-insensitive integer adds) and applied in sorted
+    key order, so Arrow chunking and shuffle order cannot change the
+    monitor.
+    """
+    (shard,) = key
+    monitor: dict[int, list[int]] = {}
+    if state.exists:
+        (csv,) = state.get
+        if csv:
+            for ent in csv.split(";"):
+                u, e_, r_ = ent.split(":")
+                monitor[int(u)] = [int(e_), int(r_)]
+    counts: dict[int, int] = {}
+    for pdf in batches:
+        for u, c in pdf["user_id"].value_counts().items():
+            counts[int(u)] = counts.get(int(u), 0) + int(c)
+    for u in sorted(counts):
+        c = counts[u]
+        if u in monitor:
+            monitor[u][0] += c
+        elif len(monitor) < HH_CAPACITY:
+            monitor[u] = [c, 0]
+        else:
+            victim = min(monitor, key=lambda k: (monitor[k][0], k))
+            vest = monitor[victim][0]
+            del monitor[victim]
+            monitor[u] = [vest + c, vest]
+    state.update((
+        ";".join(f"{u}:{e}:{r}"
+                 for u, (e, r) in sorted(monitor.items())),
+    ))
+    users = sorted(monitor)
+    yield pd.DataFrame(
+        {
+            "shard": [shard] * len(users),
+            "user_id": users,
+            "est": [monitor[u][0] for u in users],
+            "err": [monitor[u][1] for u in users],
+        }
+    )
+
+
+def heavy_hitter_tracker(events: DataFrame) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: the always-on twin of
+    the exact batch plans (text_heavy_hitters' explode->count->top-k,
+    sketch_countmin_heavy_hitters' CM estimates). Keys are sharded by a
+    stable hash so each key lives in exactly ONE shard's SpaceSaving
+    monitor: per-shard the standard guarantee holds (no key with shard
+    count > n_shard/HH_CAPACITY can be missed), so every GLOBAL heavy
+    hitter survives the union of shard monitors, and total state is
+    HH_SHARDS x HH_CAPACITY entries — independent of stream length and
+    key cardinality.
+
+    Scale: one keyed shuffle onto HH_SHARDS groups per micro-batch;
+    widen HH_SHARDS for throughput (more parallel monitors, same
+    guarantee against per-shard volume), widen HH_CAPACITY for
+    precision. est is monotone per key, so downstream consumers take
+    the latest emission per (shard, key).
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        (F.crc32(F.col("user_id").cast("string")) % HH_SHARDS)
+        .cast("bigint").alias("shard"),
+        "user_id",
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _spacesaving_update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
