@@ -639,3 +639,53 @@ def test_rank_stats_degrade_to_null_on_degenerate_inputs(spark, tmp_path):
     s = QUERIES["stats_spearman_corr"].fn(spark, d).collect()[0]
     assert s["n"] == 3
     assert s["spearman_rho"] is None
+
+    ap = QUERIES["stats_pr_auc_average_precision"].fn(
+        spark, d).collect()[0]
+    assert ap["n_pos"] == 0 and ap["ap_scaled_sum"] == 0
+    assert ap["average_precision"] is None
+
+
+def test_average_precision_perfect_and_inverted_rankings(spark, tmp_path):
+    """AP is 1.0 exactly when every positive outranks every negative,
+    and hits its analytic minimum when the ranking is inverted: for 2
+    positives at the bottom of 4 ((1/3 + 2/4)/2), AP = 0.416666 at the
+    query's 6-dp rounding. Constructed parquet drives the real builder;
+    the registered row at the fixture scale must sit in (0, 1]."""
+    import datetime
+
+    from wireduck_spark.registry import QUERIES
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def make(dirname, clicks_by_user):
+        d = str(tmp_path / dirname)
+        rows = []
+        eid = 0
+        for u, (n_clicks, purch) in clicks_by_user.items():
+            rows.append((eid, ts, u, "purchase", purch, "{}")); eid += 1
+            for _ in range(n_clicks):
+                rows.append((eid, ts, u, "click", 1.0, "{}")); eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE, props STRING",
+        ).write.parquet(f"{d}/events.parquet")
+        return d
+
+    # positives (purch 10.0 > median 5.5) get MORE clicks -> ranked first
+    perfect = make("ap_perfect", {1: (5, 10.0), 2: (4, 10.0),
+                                  3: (2, 1.0), 4: (1, 1.0)})
+    r = QUERIES["stats_pr_auc_average_precision"].fn(
+        spark, perfect).collect()[0]
+    assert (r["n_users"], r["n_pos"]) == (4, 2)
+    assert r["average_precision"] == 1.0
+
+    # positives get FEWER clicks -> ranked last: AP = (1/3 + 2/4) / 2
+    inverted = make("ap_inverted", {1: (1, 10.0), 2: (2, 10.0),
+                                    3: (4, 1.0), 4: (5, 1.0)})
+    r = QUERIES["stats_pr_auc_average_precision"].fn(
+        spark, inverted).collect()[0]
+    assert r["n_pos"] == 2
+    assert r["average_precision"] == pytest.approx(
+        (1 / 3 + 2 / 4) / 2, abs=1e-6)

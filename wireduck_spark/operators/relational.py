@@ -2292,24 +2292,21 @@ def stats_mann_whitney_u(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _global_midrank2(df: DataFrame, value_col: str, tiebreak_col: str,
-                     keep: tuple[str, ...] = ()) -> DataFrame:
-    """Exact global average ranks, doubled to stay integral, WITHOUT a
-    global window (plan-audit rule: no unpartitioned windows).
+def _global_row_number(df: DataFrame, value_col: str, tiebreak_col: str,
+                       keep: tuple[str, ...] = ()) -> DataFrame:
+    """Exact global row_number over (value, tiebreak) WITHOUT a global
+    window (plan-audit rule: no unpartitioned windows).
 
     Two-pass range-partitioned rewrite (the stats_mann_whitney_u
-    pattern, factored out for the rank-statistic family): range-shuffle
-    on (value, tiebreak), collect ONE count per partition (bounded:
-    O(partitions) driver scalars, never data), convert to prefix
-    offsets, then a per-partition row_number plus the offset is the
-    exact global rank. Ties then get the exact integer midrank via a
-    value-keyed window: midrank2 = 2*min_rank + count - 1 (twice the
-    average rank, kept integral so downstream sums are exact int64 and
-    hash-match the DuckDB oracle's identical expression).
+    pattern): range-shuffle on (value, tiebreak), collect ONE count per
+    partition (bounded: O(partitions) driver scalars, never data),
+    convert to prefix offsets, then a per-partition row_number plus the
+    offset is the exact global rank. The (value, tiebreak) pair must be
+    a total order for the result to be unique.
 
-    Returns ``keep + (value_col, midrank2)``, materialized via an
-    eager localCheckpoint (O(input rows) — rank tables here are
-    entity-level rollups, orders of magnitude below the corpus) so the
+    Returns ``keep + (value_col, rk)``, materialized via an eager
+    localCheckpoint (O(input rows) — rank tables here are entity-level
+    rollups, orders of magnitude below the corpus) so the
     range-shuffled intermediate can be unpersisted before return.
     """
     spark = df.sparkSession
@@ -2334,20 +2331,33 @@ def _global_midrank2(df: DataFrame, value_col: str, tiebreak_col: str,
             F.col("pid"),
         )
         w_local = Window.partitionBy("pid").orderBy(value_col, tiebreak_col)
-        ranked = ranged.select(
+        out = ranged.select(
             *keep, value_col,
             (F.row_number().over(w_local) + off_expr).cast("bigint")
             .alias("rk"),
-        )
-        w_v = Window.partitionBy(value_col)
-        out = ranked.select(
-            *keep, value_col,
-            (2 * F.min("rk").over(w_v) + F.count("*").over(w_v) - 1)
-            .cast("bigint").alias("midrank2"),
         ).localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
     return out
+
+
+def _global_midrank2(df: DataFrame, value_col: str, tiebreak_col: str,
+                     keep: tuple[str, ...] = ()) -> DataFrame:
+    """Exact global average ranks, doubled to stay integral: the
+    :func:`_global_row_number` two-pass rewrite followed by a
+    value-keyed tie window — midrank2 = 2*min_rank + count - 1 (twice
+    the average rank, kept integral so downstream sums are exact int64
+    and hash-match the DuckDB oracle's identical expression).
+
+    Returns ``keep + (value_col, midrank2)``.
+    """
+    ranked = _global_row_number(df, value_col, tiebreak_col, keep=keep)
+    w_v = Window.partitionBy(value_col)
+    return ranked.select(
+        *keep, value_col,
+        (2 * F.min("rk").over(w_v) + F.count("*").over(w_v) - 1)
+        .cast("bigint").alias("midrank2"),
+    )
 
 
 @query(
@@ -2458,6 +2468,116 @@ def stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
             F.round(num2.cast("double")
                     / (2.0 * F.col("n_neg") * F.col("n_pos")), 6)
         ).alias("auc"),
+    )
+
+
+@query(
+    "stats_pr_auc_average_precision",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS purch_cents,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS score
+      FROM events GROUP BY user_id
+    ),
+    med AS (SELECT median(purch_cents) AS m FROM per_user),
+    lab AS (
+      SELECT user_id, score,
+             CASE WHEN CAST(purch_cents AS DOUBLE) > m THEN 1 ELSE 0 END
+                 AS label
+      FROM per_user CROSS JOIN med
+    ),
+    ranked AS (
+      SELECT label,
+             CAST(row_number() OVER (ORDER BY score DESC, user_id)
+                 AS BIGINT) AS rk
+      FROM lab
+    ),
+    pos AS (
+      SELECT rk,
+             CAST(row_number() OVER (ORDER BY rk) AS BIGINT) AS pidx
+      FROM ranked WHERE label = 1
+    ),
+    m AS (
+      SELECT CAST((SELECT COUNT(*) FROM ranked) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_pos,
+             CAST(COALESCE(SUM(pidx * 1000000000 // rk), 0) AS BIGINT)
+                 AS ap_scaled_sum
+      FROM pos
+    )
+    SELECT n_users, n_pos, ap_scaled_sum,
+           CASE WHEN n_pos = 0 THEN NULL
+                ELSE ROUND(CAST(ap_scaled_sum AS DOUBLE)
+                           / (1000000000.0 * n_pos), 6) END
+               AS average_precision
+    FROM m
+    """,
+    tags=("agg", "stats", "llm-pipeline"),
+)
+def stats_pr_auc_average_precision(spark: SparkSession, sf: str) -> DataFrame:
+    """Average precision (the exact PR-AUC) of the same behavioural
+    classifier stats_roc_auc ranks — the eval that matters under class
+    imbalance, where ROC-AUC flatters any model (false positives hide
+    in the huge negative class; precision does not forgive them). One
+    number per ranking: AP = (1/P) * sum over positives of
+    precision@their rank.
+
+    Determinism: the ranking is the TOTAL order (score DESC, user_id)
+    in both engines — a documented tie convention (tied scores break by
+    user id; the optimistic/pessimistic tie variants bracket this one).
+    Both ranks come from :func:`_global_row_number` (no global window);
+    a positive's precision@rk = pidx/rk is accumulated as the exact
+    integer `pidx * 10^9 div rk`, so the SUM is int64-exact and
+    order-free — no float accumulation anywhere, both engines agree
+    bit-for-bit and divide once on output. Degenerate zero-positive
+    inputs yield NULL AP identically (the NDCG n_rel=0 lesson).
+
+    Scale: one user-keyed rollup, then the rank machinery twice — once
+    over all users, once over the positives-only subset (pidx = the
+    positive's index among positives, ranks are unique so the midrank
+    layer is unnecessary).
+    """
+    e = table(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     cents(F.col("value"))).otherwise(0))
+        .cast("bigint").alias("purch_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("score"),
+    )
+    med = per_user.agg(
+        F.expr("percentile(purch_cents, 0.5D)").alias("m"))
+    lab = per_user.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        (-F.col("score")).alias("negscore"),  # ascending == score DESC
+        F.when(F.col("purch_cents").cast("double") > F.col("m"), 1)
+        .otherwise(0).alias("label"),
+    )
+    ranked = _global_row_number(lab, "negscore", "user_id",
+                                keep=("label",))
+    # pidx: global ranks are unique, so a second row_number pass over
+    # the positives' ranks IS each positive's index among positives —
+    # the helper emits it as `rk` with the global rank kept as `gr`.
+    pos = _global_row_number(
+        ranked.filter(F.col("label") == 1)
+        .select(F.col("rk").alias("gr")),
+        "gr", "gr", keep=())
+    n_users = ranked.agg(F.count("*").cast("bigint").alias("n_users"))
+    m = pos.agg(
+        F.count("*").cast("bigint").alias("n_pos"),
+        F.coalesce(
+            F.sum(F.expr("rk * 1000000000 div gr")), F.lit(0)
+        ).cast("bigint").alias("ap_scaled_sum"),
+    ).crossJoin(F.broadcast(n_users))
+    return m.select(
+        "n_users", "n_pos", "ap_scaled_sum",
+        F.when(F.col("n_pos") == 0, F.lit(None)).otherwise(
+            F.round(F.col("ap_scaled_sum").cast("double")
+                    / (1000000000.0 * F.col("n_pos")), 6)
+        ).alias("average_precision"),
     )
 
 

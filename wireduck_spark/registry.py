@@ -200,11 +200,9 @@ GATE: tuple[str, ...] = (
     "stats_roc_auc",
     "stats_spearman_corr",
     "stats_brier_calibration",
+    "stats_pr_auc_average_precision",
     "io_xml_roundtrip",
     "curation_quantile_normalize",
-    # -- rows-only pcap promotion (queue front; goldens in pytest —
-    #    the driver records a rows>0 smoke row):
-    "pcap_tcp_handshake_rtt",
     # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
     # pytest) — the reference-surface smoke. pcap_scan_default (1 row —
     # weak rows>0 signal) is swapped for pcap_flagship_portpair (2 rows,
@@ -471,8 +469,9 @@ PENDING_GATE: tuple[str, ...] = (
     # rows-only pcap/recall suite (goldens in pytest over deterministic
     # synthetic captures); 8 of its queue-front names are also in this
     # round's gate, the rest cycle through future rounds' spare slots.
-    # rows-only pcap queue (front promotes first; the 7 swapped-out
+    # rows-only pcap queue (front promotes first; the swapped-out
     # round-8 smoke candidates lead):
+    "pcap_tcp_handshake_rtt",         # rows-only; SYN->ACK RTT goldens
     "pcap_tcp_retransmissions",       # rows-only; RTO goldens in pytest
     "pcap_protocol_hierarchy",        # rows-only; phs parity golden
     "pcap_dns_latency",               # rows-only; txn pairing goldens
