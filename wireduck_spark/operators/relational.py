@@ -2360,6 +2360,36 @@ def _global_midrank2(df: DataFrame, value_col: str, tiebreak_col: str,
     )
 
 
+def _click_purchase_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavioural rollup shared by the classifier-eval family
+    (stats_roc_auc / stats_pr_auc_average_precision /
+    stats_brier_calibration): exact integer purchase cents (the label
+    source) and click-count score (the prediction source). One
+    user-keyed shuffle — the corpus-scale step of all three queries."""
+    e = table(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase",
+                     cents(F.col("value"))).otherwise(0))
+        .cast("bigint").alias("purch_cents"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("score"),
+    )
+
+
+def _median_split_labels(per_user: DataFrame) -> DataFrame:
+    """(user_id, score, label) with label = purchase cents above the
+    global median — the shared label convention of the classifier-eval
+    family. One 1-row broadcast scalar; the > compares through the same
+    DOUBLE cast both engines use."""
+    med = per_user.agg(
+        F.expr("percentile(purch_cents, 0.5D)").alias("m"))
+    return per_user.crossJoin(F.broadcast(med)).select(
+        "user_id", "score",
+        F.when(F.col("purch_cents").cast("double") > F.col("m"), 1)
+        .otherwise(0).alias("label"),
+    )
+
+
 @query(
     "stats_roc_auc",
     oracle="""
@@ -2430,21 +2460,7 @@ def stats_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one user-keyed rollup (the corpus shuffle), a broadcast
     1-row median, then the O(users) rank machinery.
     """
-    e = table(spark, sf, "events")
-    per_user = e.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "purchase",
-                     cents(F.col("value"))).otherwise(0))
-        .cast("bigint").alias("purch_cents"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("bigint").alias("score"),
-    )
-    med = per_user.agg(
-        F.expr("percentile(purch_cents, 0.5D)").alias("m"))
-    lab = per_user.crossJoin(F.broadcast(med)).select(
-        "user_id", "score",
-        F.when(F.col("purch_cents").cast("double") > F.col("m"), 1)
-        .otherwise(0).alias("label"),
-    )
+    lab = _median_split_labels(_click_purchase_rollup(spark, sf))
     mid = _global_midrank2(lab, "score", "user_id", keep=("label",))
     m = mid.agg(
         F.sum(1 - F.col("label")).cast("bigint").alias("n_neg"),
@@ -2540,21 +2556,12 @@ def stats_pr_auc_average_precision(spark: SparkSession, sf: str) -> DataFrame:
     positive's index among positives, ranks are unique so the midrank
     layer is unnecessary).
     """
-    e = table(spark, sf, "events")
-    per_user = e.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "purchase",
-                     cents(F.col("value"))).otherwise(0))
-        .cast("bigint").alias("purch_cents"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("bigint").alias("score"),
-    )
-    med = per_user.agg(
-        F.expr("percentile(purch_cents, 0.5D)").alias("m"))
-    lab = per_user.crossJoin(F.broadcast(med)).select(
+    lab = _median_split_labels(
+        _click_purchase_rollup(spark, sf)
+    ).select(
         "user_id",
         (-F.col("score")).alias("negscore"),  # ascending == score DESC
-        F.when(F.col("purch_cents").cast("double") > F.col("m"), 1)
-        .otherwise(0).alias("label"),
+        "label",
     )
     ranked = _global_row_number(lab, "negscore", "user_id",
                                 keep=("label",))
@@ -2641,16 +2648,12 @@ def stats_brier_calibration(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one user-keyed rollup, ONE 1-row broadcast scalar frame
     (median and max computed in the same aggregate), a 10-row fold.
     """
-    e = table(spark, sf, "events")
-    per_user = e.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "purchase",
-                     cents(F.col("value"))).otherwise(0))
-        .cast("bigint").alias("purch_cents"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("bigint").alias("s"),
-    )
+    per_user = _click_purchase_rollup(spark, sf).withColumnRenamed(
+        "score", "s")
     # ONE 1-row scalar frame (median + max together): a single bounded
-    # bnlj broadcast, not two — the plan-audit `bnlj<=1` contract.
+    # bnlj broadcast, not two — the plan-audit `bnlj<=1` contract
+    # (which is why this query does NOT reuse _median_split_labels:
+    # its median-only scalar would cost a second broadcast here).
     # GREATEST(max, 1): a zero-click corpus must bin everyone at p=0,
     # not integer-divide by zero (the NDCG degenerate-input lesson).
     g = per_user.agg(
@@ -2726,11 +2729,15 @@ def stats_brier_calibration(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(y2) AS BIGINT) AS sy,
              CAST(SUM(x2 * y2) AS BIGINT) AS sxy,
              CAST(SUM(x2 * x2) AS BIGINT) AS sxx,
-             CAST(SUM(y2 * y2) AS BIGINT) AS syy
+             CAST(SUM(y2 * y2) AS BIGINT) AS syy,
+             CAST(MIN(x2) AS BIGINT) AS minx2,
+             CAST(MAX(x2) AS BIGINT) AS maxx2,
+             CAST(MIN(y2) AS BIGINT) AS miny2,
+             CAST(MAX(y2) AS BIGINT) AS maxy2
       FROM rx JOIN ry USING (sk)
     )
     SELECT n,
-           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+           CASE WHEN minx2 = maxx2 OR miny2 = maxy2
                 THEN NULL
                 ELSE ROUND((CAST(n AS DOUBLE) * sxy
                             - CAST(sx AS DOUBLE) * sy)
@@ -2752,13 +2759,17 @@ def stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
     Spearman = Pearson over average ranks. Both rank vectors come from
     the shared ``_global_midrank2`` rewrite (doubled average ranks stay
     exact integers; Pearson is affine-invariant so the factor 2 cancels
-    exactly in the same IEEE tree both engines evaluate). The five
-    moments are exact int64 sums (midrank2 <= 2n, so sxy <= 4n^3 —
-    int64-safe to n ~ 10^6 entities; beyond that, shift to the
-    t-digest/approx path documented in sketch_quantiles).
+    exactly in the same IEEE tree both engines evaluate). The moment
+    SUMS are exact int64 (midrank2 <= 2n, so sxy <= 4n^3 — safe to
+    n ~ 10^6 entities); n^4-scale PRODUCTS of those sums appear only
+    inside the DOUBLE rho expression (precision-lossy, never
+    overflowing) — the degeneracy test deliberately avoids them via
+    min==max of the rank vector. Beyond ~10^6 entities, shift to the
+    t-digest/approx path documented in sketch_quantiles.
 
-    Scale: one lineitem-keyed rollup (the corpus shuffle), then two
-    O(suppliers) rank passes joined back on the supplier key.
+    Scale: one lineitem-keyed rollup (the corpus shuffle), persisted
+    across the two O(suppliers) rank passes joined back on the
+    supplier key.
     """
     li = table(spark, sf, "lineitem")
     vol = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
@@ -2767,11 +2778,18 @@ def stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
     s = table(spark, sf, "supplier").select(
         F.col("s_suppkey").alias("sk"), cents(F.col("s_acctbal"))
         .alias("bal_cents"))
-    sv = s.join(vol, "sk")
-    rx = _global_midrank2(sv, "bal_cents", "sk", keep=("sk",)).select(
-        "sk", F.col("midrank2").alias("x2"))
-    ry = _global_midrank2(sv, "qty", "sk", keep=("sk",)).select(
-        "sk", F.col("midrank2").alias("y2"))
+    # persist: the corpus-scale rollup feeds BOTH rank passes — without
+    # it each _global_midrank2 call re-executes the lineitem shuffle
+    sv = s.join(vol, "sk").persist()
+    try:
+        rx = _global_midrank2(sv, "bal_cents", "sk", keep=("sk",)).select(
+            "sk", F.col("midrank2").alias("x2"))
+        ry = _global_midrank2(sv, "qty", "sk", keep=("sk",)).select(
+            "sk", F.col("midrank2").alias("y2"))
+        # the helpers eagerly checkpoint their rank tables during the
+        # calls above, so sv is already out of rx/ry's lineage here
+    finally:
+        sv.unpersist()
     m = rx.join(ry, "sk").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x2").cast("bigint").alias("sx"),
@@ -2779,14 +2797,23 @@ def stats_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("x2") * F.col("y2")).cast("bigint").alias("sxy"),
         F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("sxx"),
         F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("syy"),
+        F.min("x2").cast("bigint").alias("minx2"),
+        F.max("x2").cast("bigint").alias("maxx2"),
+        F.min("y2").cast("bigint").alias("miny2"),
+        F.max("y2").cast("bigint").alias("maxy2"),
     )
     nd = F.col("n").cast("double")
     # NULL on a zero-variance rank vector (all-equal x or y) — both
     # engines degrade identically instead of minting NaN (the NDCG
-    # n_rel=0 lesson applied up front). The integer zero-test is exact.
+    # n_rel=0 lesson applied up front). Degeneracy is tested as
+    # min == max of the rank vector: exact at ANY n, unlike the naive
+    # integer n*sxx - sx^2 == 0 test whose products grow as n^4 and
+    # overflow int64 near 5x10^4 entities (caught in review; the rho
+    # expression itself computes those moments in DOUBLE, where n^4
+    # magnitudes lose ulps but cannot overflow).
     degenerate = (
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0)
-        | (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") == 0)
+        (F.col("minx2") == F.col("maxx2"))
+        | (F.col("miny2") == F.col("maxy2"))
     )
     return m.select(
         "n",

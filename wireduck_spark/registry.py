@@ -189,10 +189,11 @@ GATE: tuple[str, ...] = (
     "graph_jaccard_coshopper",
     "curation_importance_weights",
     # -- new round-8 queries (driver-contracted in their debut round;
-    #    the continuation session swapped 7 rows-only pcap smoke slots
-    #    for the 7 new oracle-checkable queries — an oracle row is
-    #    stronger driver evidence than a rows>0 smoke row, and the
-    #    pcap names keep their pytest goldens while they wait):
+    #    the continuation session swapped all 8 rows-only smoke slots
+    #    for the 8 new oracle-checkable queries below — an oracle row
+    #    is stronger driver evidence than a rows>0 smoke row, and the
+    #    swapped-out names lead PENDING_GATE with their pytest goldens
+    #    intact):
     "graph_pagerank_suppliers",
     "pipeline_incremental_dedup",
     "event_ab_did",
@@ -467,10 +468,9 @@ PENDING_GATE: tuple[str, ...] = (
     # round-8 rotation promoted EVERY remaining oracle-checkable name —
     # the oracle-checkable backlog is now ZERO. What remains is the
     # rows-only pcap/recall suite (goldens in pytest over deterministic
-    # synthetic captures); 8 of its queue-front names are also in this
-    # round's gate, the rest cycle through future rounds' spare slots.
-    # rows-only pcap queue (front promotes first; the swapped-out
-    # round-8 smoke candidates lead):
+    # synthetic captures), cycling through future rounds' spare slots;
+    # the 8 names the continuation session swapped OUT of the round-8
+    # gate (in favor of new oracle-checkable queries) lead the queue:
     "pcap_tcp_handshake_rtt",         # rows-only; SYN->ACK RTT goldens
     "pcap_tcp_retransmissions",       # rows-only; RTO goldens in pytest
     "pcap_protocol_hierarchy",        # rows-only; phs parity golden
