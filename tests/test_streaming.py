@@ -1340,8 +1340,30 @@ def test_heavy_hitter_tracker_exact_when_under_capacity(
     final shard monitors must equal the batch per-user counts exactly,
     with zero overestimation error everywhere. est is monotone per key,
     so the latest emission is the per-key max."""
-    from wireduck_spark.streaming.stateful import heavy_hitter_tracker
+    from wireduck_spark.streaming.stateful import (
+        HH_CAPACITY, HH_SHARDS, heavy_hitter_tracker)
 
+    # Precondition, asserted not assumed (round-8 ADVICE): the
+    # zero-eviction guarantee only holds while every shard's distinct
+    # user count stays under HH_CAPACITY. True at the default sf0.001
+    # fixture (15 users over 16 shards); a larger SPARK_GRAFT_SF_DIR_TEST
+    # (sf0.1 ~ 90+ users/shard) would evict and legitimately report
+    # err > 0 — that is the SpaceSaving contract, not a bug, so skip
+    # rather than fail the exactness assertion.
+    per_shard = (
+        table(spark, sf_dir, "events")
+        .select((F.crc32(F.col("user_id").cast("string")) % HH_SHARDS)
+                .alias("shard"), "user_id")
+        .groupBy("shard")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .agg(F.max("nd").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if per_shard >= HH_CAPACITY:
+        pytest.skip(
+            f"fixture has {per_shard} distinct users in a shard >= "
+            f"HH_CAPACITY={HH_CAPACITY}: evictions expected, exactness "
+            "precondition does not hold")
     stream = read_events_stream(spark, events_dir)
     q = (
         heavy_hitter_tracker(stream)

@@ -182,8 +182,47 @@ def audit_windows(qe) -> tuple[int, int, int]:
     return g_phys, const_log, skip_phys + skip_log
 
 
-def audit_one(spark, spec, sf_dir: str) -> dict:
+class _CheckpointSkipper:
+    """Monkeypatch DataFrame.localCheckpoint / .checkpoint into counting
+    no-ops for the duration of the audit sweep (round-8 VERDICT #2): an
+    eager checkpoint replaces the returned plan with a checkpointed-RDD
+    scan, so the audit previously saw all-zero operator rows for exactly
+    the most complex queries in the corpus (pagerank, label spreading,
+    cluster components, minhash calibration, gini, schema drift). With
+    checkpoints skipped, the audit sees the full PRE-CHECKPOINT plan —
+    the plan that actually computes the result — and `count` tells the
+    report how many truncations the real query would have applied.
+    """
+
+    def __init__(self):
+        self.count = 0
+
+    def __enter__(self):
+        from pyspark.sql import DataFrame
+
+        self._local = DataFrame.localCheckpoint
+        self._reliable = DataFrame.checkpoint
+
+        def _skip(df, eager=True):
+            self.count += 1
+            return df
+
+        DataFrame.localCheckpoint = _skip
+        DataFrame.checkpoint = _skip
+        return self
+
+    def __exit__(self, *exc):
+        from pyspark.sql import DataFrame
+
+        DataFrame.localCheckpoint = self._local
+        DataFrame.checkpoint = self._reliable
+        return False
+
+
+def audit_one(spark, spec, sf_dir: str, skipper: _CheckpointSkipper) -> dict:
+    before = skipper.count
     df = spec.fn(spark, sf_dir)
+    ckpts_skipped = skipper.count - before
     qe = df._jdf.queryExecution()
     plan = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -197,6 +236,7 @@ def audit_one(spark, spec, sf_dir: str) -> dict:
     global_windows, const_windows, skipped = audit_windows(qe)
     return {
         "name": spec.name,
+        "ckpts_skipped": ckpts_skipped,
         "const_windows": const_windows,
         "win_nodes_skipped": skipped,
         "shuffles": counts.get("Exchange", 0),
@@ -230,12 +270,13 @@ def main() -> None:
     queries = load_all_queries()
     spark = get_spark("plan-audit")
     rows, errors = [], []
-    for name in sorted(queries):
-        spec = queries[name]
-        try:
-            rows.append(audit_one(spark, spec, args.sf))
-        except Exception as exc:  # pcap synth deps etc — report, don't die
-            errors.append((name, str(exc).splitlines()[0][:120]))
+    with _CheckpointSkipper() as skipper:
+        for name in sorted(queries):
+            spec = queries[name]
+            try:
+                rows.append(audit_one(spark, spec, args.sf, skipper))
+            except Exception as exc:  # pcap synth deps — report, don't die
+                errors.append((name, str(exc).splitlines()[0][:120]))
 
     # Queries whose nested-loop joins are bounded-by-construction and
     # therefore expected (documented here so a NEW bnlj still flags):
@@ -291,18 +332,27 @@ def main() -> None:
                 f.write(f"- `{r['name']}`: {r}\n")
             f.write("\n")
         f.write(
+            "Rows with `pre-ckpt N` were audited with lineage truncation "
+            "DISABLED (checkpoints monkeypatched to no-ops): the counts "
+            "are the real pre-checkpoint plan the query computes — the "
+            "production query additionally applies N checkpoint "
+            "truncations (round-8 VERDICT #2: previously these rows "
+            "showed the all-zero checkpointed-RDD scan instead).\n\n"
             "| query | shuffles | broadcast joins | sort-merge joins |"
             " nested-loop | windows (global/const) | explodes |"
-            " python stages | top-k |\n|---|---|---|---|---|---|---|---|---|\n"
+            " python stages | top-k | ckpt |\n"
+            "|---|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
+            ck = (f"pre-ckpt {r['ckpts_skipped']}"
+                  if r["ckpts_skipped"] else "-")
             f.write(
                 f"| {r['name']} | {r['shuffles']} | {r['bhj']} |"
                 f" {r['smj']} | {r['bnlj'] + r['cartesian']} |"
                 f" {r['windows']} ({r['global_windows']}/"
                 f"{r['const_windows']}) |"
                 f" {r['generates']} | {r['python']} |"
-                f" {r['takeordered']} |\n"
+                f" {r['takeordered']} | {ck} |\n"
             )
         if errors:
             f.write("\n## Not audited (builder raised at plan time)\n\n")

