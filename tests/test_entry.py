@@ -27,8 +27,12 @@ def test_registry_shape():
     assert len(qs) <= 50
     assert set(oracles) <= set(qs)
     # the rows-only set is the documented one: pcap (no DuckDB oracle
-    # exists) plus the scaled SemDeDup config (hash/LSH routing is not
-    # reasonably SQL-expressible; invariants pinned in pytest instead)
+    # exists — goldens pinned in pytest over deterministic captures),
+    # the PQ/PCA recall-quality configs (numpy-replay goldens), and the
+    # scaled SemDeDup config (hash/LSH routing is not reasonably
+    # SQL-expressible; invariants pinned in pytest instead). Round 9
+    # promoted the ENTIRE rows-only queue into the gate, so this list is
+    # the full documented rows-only surface.
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "pcap_flagship_portpair", "pcap_throughput_split",
@@ -36,6 +40,17 @@ def test_registry_shape():
         "pcap_protocol_hierarchy", "pcap_dns_latency",
         "pcap_beacon_detection", "sim_ann_pq_rerank",
         "pcap_port_scan_detect", "pcap_ja3_fingerprint",
+        "pcap_ntp_clock_skew", "pcap_dhcp_lease_inventory",
+        "pcap_arp_spoof_detect", "pcap_payload_entropy",
+        "pcap_follow_tcp_stream", "pcap_dns_tunneling_detect",
+        "pcap_vxlan_decap", "pcap_traceroute_path",
+        "pcap_filter_and_save", "pcap_capture_summary",
+        "pcap_http_transactions", "pcap_ipv6_traffic",
+        "pcap_lake_federation", "pcap_capture_compare",
+        "pcap_flowlet_split", "pcap_syn_options_audit",
+        "pcap_quic_handshakes", "pcap_quic_federation",
+        "pcap_quic_vn_downgrade", "pcap_service_inventory",
+        "embed_pca_top_component", "embed_pca_two_components",
         "dedup_semantic_kmeans_scaled",
     }
 

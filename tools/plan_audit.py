@@ -50,6 +50,10 @@ BOUNDED_CONSTANT_WINDOWS = {
     "text_js_divergence_sources",     # per-source count table (<= sources)
     "stats_benjamini_hochberg",       # per-source p-value table (<= m tests)
     "curation_importance_weights",    # per-source weight table (<= sources)
+    "stats_runs_test",                # daily series (<= 366 rows/yr)
+    "stats_acf_daily_lags",           # daily series (<= 366 rows/yr)
+    "window_bollinger_bands",         # daily series (<= 366 rows/yr)
+    "window_rsi_sma",                 # daily series (<= 366 rows/yr)
 }
 
 

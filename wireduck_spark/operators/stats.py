@@ -1,0 +1,1237 @@
+"""Round-9 statistics depth: classical inference + technical-analysis
+windows + ML feature diagnostics, each paired with a DuckDB oracle.
+
+The reference delegates every analytic to its host engine
+(`/root/reference/README.md:15`); this module continues materializing
+that delegated surface with the statistics an analyst runs after the
+relational rollups: ANOVA across groups, rater agreement (kappa),
+paired-change tests (McNemar), proportion z-tests, effect sizes,
+capture-recapture population estimates, market concentration (HHI),
+runs tests, Poisson overdispersion checks, autocorrelation, Bollinger
+bands, RSI, decision-tree split gain, and embedding-cluster spread.
+
+Determinism strategy (registry rules 1-9): every statistic is reduced
+to exact int64 sums first; the readout is either pure integer
+arithmetic (div/compare — capture-recapture, HHI, dispersion flag,
+Bollinger breach flags) or a SINGLE final double expression computed
+from a handful of exact integers with the identical IEEE tree in both
+engines and rounded on output. No statistic here sums doubles over
+data-sized sets; the only multi-term double sums (ANOVA's 20 group
+terms) are over bounded group counts, the rule-2 precedent of
+stats_chi_square_independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wireduck_spark.registry import cents, query, table
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA across document sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(n_chars) AS BIGINT) AS s_j,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss_j
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(SUM(s_j) AS BIGINT) AS s,
+               CAST(SUM(ss_j) AS BIGINT) AS ss,
+               SUM(CAST(s_j AS DOUBLE) * s_j / n_j) AS gterm
+        FROM g
+    )
+    SELECT k, n,
+           ROUND(gterm - CAST(s AS DOUBLE) * s / n, 4) AS ss_between,
+           ROUND(CAST(ss AS DOUBLE) - gterm, 4) AS ss_within,
+           ROUND(((gterm - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                 / ((CAST(ss AS DOUBLE) - gterm) / (n - k)), 4) AS f_stat
+    FROM tot
+    """,
+    tags=("stats",),
+)
+def stats_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
+    """One-way ANOVA: does mean document length differ across sources?
+    F = [SSB/(k-1)] / [SSW/(N-k)] over the 20-source length table —
+    the first test a corpus curator runs before trusting per-source
+    length mixes (a significant F means length-based quality filters
+    hit sources unevenly).
+
+    Determinism: per-group (n_j, sum, sumsq) are exact int64; each
+    group's s_j^2/n_j term is one double division of exact integers
+    (both < 2^53, so the double representation is exact); the sum of
+    those terms spans only k=20 group rows (rule-2 bounded-term
+    precedent: stats_chi_square_independence's <=20 cells), and the
+    final F is the same IEEE tree both sides, rounded 4 dp.
+
+    Scale: one map-combinable groupBy(source) then a k-row fold —
+    cost is the scan, independent of group count skew.
+    """
+    d = table(spark, sf, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_j"),
+        F.sum("n_chars").cast("bigint").alias("s_j"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint")
+        .alias("ss_j"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum("s_j").cast("bigint").alias("s"),
+        F.sum("ss_j").cast("bigint").alias("ss"),
+        F.sum(F.col("s_j").cast("double") * F.col("s_j") / F.col("n_j"))
+        .alias("gterm"),
+    )
+    ssb = F.col("gterm") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - F.col("gterm")
+    return tot.select(
+        "k", "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))),
+                4).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two binary document-quality raters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, n_chars,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+        FROM documents
+    ),
+    m AS (SELECT median(n_chars) AS mc, median(nt) AS mt FROM f),
+    lab AS (
+        SELECT CASE WHEN n_chars > mc THEN 1 ELSE 0 END AS a,
+               CASE WHEN nt > mt THEN 1 ELSE 0 END AS b
+        FROM f, m
+    ),
+    cells AS (
+        SELECT CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00,
+               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lab
+    )
+    SELECT n00, n01, n10, n11,
+           ROUND(CAST(n * (n00 + n11)
+                      - ((n00 + n01) * (n00 + n10)
+                         + (n10 + n11) * (n01 + n11)) AS DOUBLE)
+                 / (n * n - ((n00 + n01) * (n00 + n10)
+                             + (n10 + n11) * (n01 + n11))), 4) AS kappa
+    FROM cells
+    """,
+    tags=("stats", "quality", "llm-pipeline"),
+)
+def stats_cohens_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-rater agreement (Cohen's kappa) between two binary document
+    quality raters: rater A = char length above corpus median, rater B =
+    token count above corpus median. Kappa corrects raw agreement for
+    the agreement two independent raters would reach by chance — the
+    standard check before trusting ensemble quality labels in a
+    curation pipeline (high kappa here = the raters are redundant; low
+    kappa = they capture different signals and both belong in the mix).
+
+    Determinism: the 2x2 cells are exact int64; kappa is algebraically
+    cleared of fractions — kappa = (N*(n00+n11) - X) / (N^2 - X) with
+    X = row0*col0 + row1*col1 — so it is ONE double division of two
+    exact int64 values, rounded 4 dp (int64-safe for N up to ~3e9;
+    beyond that the cells need a common rescale). Medians of integers
+    interpolate identically in both engines (determinism-rules memo).
+
+    Scale: two scans (median scalar + cells), both map-combinable; the
+    kappa fold is a 1-row frame.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    f = d.select(
+        "n_chars",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit("[a-z0-9]+"), 0)).alias("nt"),
+    )
+    m = f.agg(
+        F.expr("percentile(n_chars, 0.5D)").alias("mc"),
+        F.expr("percentile(nt, 0.5D)").alias("mt"),
+    )
+    lab = f.crossJoin(F.broadcast(m)).select(
+        F.when(F.col("n_chars") > F.col("mc"), 1).otherwise(0).alias("a"),
+        F.when(F.col("nt") > F.col("mt"), 1).otherwise(0).alias("b"),
+    )
+    cells = lab.agg(
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n00"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n01"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n10"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n11"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    x = ((F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+         + (F.col("n10") + F.col("n11")) * (F.col("n01") + F.col("n11")))
+    return cells.select(
+        "n00", "n01", "n10", "n11",
+        F.round(
+            (F.col("n") * (F.col("n00") + F.col("n11")) - x).cast("double")
+            / (F.col("n") * F.col("n") - x), 4).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired-conversion test (week 1 vs final week)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mcnemar_paired_conversion",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    w1 AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'),
+    w4 AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-24')
+    SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_early,
+           CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_only_late,
+           CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neither,
+           ROUND(CAST((SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                       - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))
+                      * (SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                         - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))
+                      AS DOUBLE)
+                 / (SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)), 4)
+               AS chi2
+    FROM (
+        SELECT CASE WHEN w1.user_id IS NOT NULL THEN 1 ELSE 0 END AS a,
+               CASE WHEN w4.user_id IS NOT NULL THEN 1 ELSE 0 END AS b
+        FROM u LEFT JOIN w1 ON u.user_id = w1.user_id
+               LEFT JOIN w4 ON u.user_id = w4.user_id
+    )
+    """,
+    tags=("stats", "events"),
+)
+def stats_mcnemar_paired_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes: for each user, did they
+    purchase in the first week vs the final week of the month? The test
+    ignores the concordant users (both / neither) and asks whether the
+    discordant flows are balanced — chi2 = (b - c)^2 / (b + c) over
+    only-early (b) vs only-late (c) converters. This is the right test
+    for before/after product changes on the SAME population, where the
+    two-proportion z-test's independence assumption is wrong.
+
+    Determinism: the four cells are exact int64 from two distinct-user
+    semi-join flags; chi2 is one double division of exact integers,
+    rounded 4 dp (uncorrected McNemar — the continuity-corrected
+    variant subtracts 1 from |b-c|; documented choice, same both
+    engines).
+
+    Scale: three bounded per-user distincts (the user dimension), one
+    user-keyed left-join pair, a 1-row fold.
+    """
+    e = table(spark, sf, "events")
+    u = e.select("user_id").distinct()
+    w1 = (e.filter((F.col("event_type") == "purchase")
+                   & (F.col("ts") < F.lit("2024-01-08").cast("timestamp")))
+          .select(F.col("user_id").alias("u1")).distinct())
+    w4 = (e.filter((F.col("event_type") == "purchase")
+                   & (F.col("ts") >= F.lit("2024-01-24").cast("timestamp")))
+          .select(F.col("user_id").alias("u4")).distinct())
+    lab = (
+        u.join(w1, u.user_id == w1.u1, "left")
+        .join(w4, u.user_id == w4.u4, "left")
+        .select(
+            F.when(F.col("u1").isNotNull(), 1).otherwise(0).alias("a"),
+            F.when(F.col("u4").isNotNull(), 1).otherwise(0).alias("b"),
+        )
+    )
+    cells = lab.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n_both"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n_only_early"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint").alias("n_only_late"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n_neither"),
+    )
+    diff = F.col("n_only_early") - F.col("n_only_late")
+    return cells.select(
+        "n_both", "n_only_early", "n_only_late", "n_neither",
+        F.round((diff * diff).cast("double")
+                / (F.col("n_only_early") + F.col("n_only_late")), 4)
+        .alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test on a stable hash split
+# ---------------------------------------------------------------------------
+
+# Stable 2-arm assignment (shared md5-bucket idiom used by the split/
+# holdout queries — rule: never rand()).
+_ARM_SPARK = ("pmod(CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+              " 16, 10) AS BIGINT), 2)")
+_ARM_DUCK = ("(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+             " % 2)")
+
+
+@query(
+    "stats_two_proportion_ztest",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, CAST({_ARM_DUCK} AS BIGINT) AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 80
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+               CAST(SUM(CASE WHEN arm = 0 AND c.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+               CAST(SUM(CASE WHEN arm = 1 AND c.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        FROM u LEFT JOIN conv c ON u.user_id = c.user_id
+    )
+    SELECT n1, x1, n2, x2,
+           ROUND(CAST(x1 AS DOUBLE) / n1, 4) AS p1,
+           ROUND(CAST(x2 AS DOUBLE) / n2, 4) AS p2,
+           ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)),
+                 4) AS z
+    FROM arms
+    """,
+    tags=("stats", "events"),
+)
+def stats_two_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test: high-value purchase conversion across the
+    two arms of a stable md5 user split (the A/B assignment that
+    event_ab_* queries use). z = (p1 - p2) / sqrt(p(1-p)(1/n1 + 1/n2))
+    with pooled p — the null-of-equal-rates workhorse.
+
+    Determinism: counts are exact int64; p1/p2/pooled-p are each one
+    division; z's expression tree is identical both sides (sqrt is
+    IEEE-correctly-rounded everywhere — the stats_ks_two_sample
+    sqrt-only precedent), rounded 4 dp.
+
+    Scale: distinct-user frame + one semi-join flag + a 1-row fold.
+    """
+    e = table(spark, sf, "events")
+    u = e.select("user_id").distinct().select(
+        "user_id", F.expr(_ARM_SPARK).cast("bigint").alias("arm"))
+    conv = (e.filter((F.col("event_type") == "purchase")
+                     & (F.col("value") > 80))
+            .select(F.col("user_id").alias("cu")).distinct())
+    arms = (
+        u.join(conv, u.user_id == conv.cu, "left")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+            F.sum(F.when((F.col("arm") == 0) & F.col("cu").isNotNull(), 1)
+                  .otherwise(0)).cast("bigint").alias("x1"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint").alias("n2"),
+            F.sum(F.when((F.col("arm") == 1) & F.col("cu").isNotNull(), 1)
+                  .otherwise(0)).cast("bigint").alias("x2"),
+        )
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1")
+                                                       + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp)
+        * (F.lit(1).cast("double") / F.col("n1")
+           + F.lit(1).cast("double") / F.col("n2")))
+    return arms.select(
+        "n1", "x1", "n2", "x2",
+        F.round(p1, 4).alias("p1"),
+        F.round(p2, 4).alias("p2"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size between two document sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cohens_d_effect",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS s,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+        FROM documents WHERE source IN ('src0', 'src8') GROUP BY source
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN source = 'src0' THEN n END) AS n1,
+               MAX(CASE WHEN source = 'src0' THEN s END) AS s1,
+               MAX(CASE WHEN source = 'src0' THEN ss END) AS ss1,
+               MAX(CASE WHEN source = 'src8' THEN n END) AS n2,
+               MAX(CASE WHEN source = 'src8' THEN s END) AS s2,
+               MAX(CASE WHEN source = 'src8' THEN ss END) AS ss2
+        FROM g
+    )
+    SELECT n1, n2,
+           ROUND(CAST(s1 AS DOUBLE) / n1, 4) AS mean1,
+           ROUND(CAST(s2 AS DOUBLE) / n2, 4) AS mean2,
+           ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / n1
+                         + CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / n2)
+                        / (n1 + n2 - 2)), 4) AS cohens_d
+    FROM w
+    """,
+    tags=("stats",),
+)
+def stats_cohens_d_effect(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohen's d effect size for the length difference between the two
+    sources ANOVA flags as extreme (src0 longest vs src8 shortest at
+    the fixture): d = (m1 - m2) / s_pooled. The statistic that turns
+    "significant" into "big enough to matter" — significance without an
+    effect size is how pipelines end up quarantining sources over
+    trivia.
+
+    Determinism: group moments are exact int64; the pooled-variance
+    numerators n*ss - s^2 are exact int64 (n_chars <= ~10^3, so s^2
+    fits for n up to ~10^6 docs per source; beyond that rescale to
+    dekachars); d is a single same-tree double expression (one sqrt),
+    rounded 4 dp.
+
+    Scale: a 2-group filtered aggregate — one scan.
+    """
+    d = table(spark, sf, "documents")
+    g = (d.filter(F.col("source").isin("src0", "src8"))
+         .groupBy("source")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("n_chars").cast("bigint").alias("s"),
+              F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint")
+              .alias("ss")))
+    w = g.agg(
+        F.max(F.when(F.col("source") == "src0", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("source") == "src0", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("source") == "src0", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("source") == "src8", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("source") == "src8", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("source") == "src8", F.col("ss"))).alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    pooled = F.sqrt(
+        ((F.col("n1") * F.col("ss1") - F.col("s1") * F.col("s1"))
+         .cast("double") / F.col("n1")
+         + (F.col("n2") * F.col("ss2") - F.col("s2") * F.col("s2"))
+         .cast("double") / F.col("n2"))
+        / (F.col("n1") + F.col("n2") - 2))
+    return w.select(
+        "n1", "n2",
+        F.round(m1, 4).alias("mean1"),
+        F.round(m2, 4).alias("mean2"),
+        F.round((m1 - m2) / pooled, 4).alias("cohens_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture population estimate (Lincoln-Petersen / Chapman)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_capture_recapture",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'
+                 AND CAST(ts AS DATE) = DATE '2024-01-01'),
+         b AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase'
+                 AND CAST(ts AS DATE) = DATE '2024-01-02')
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_first,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_second,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+               AS n_recaptured,
+           CAST((SELECT COUNT(*) FROM a) * (SELECT COUNT(*) FROM b)
+                // (SELECT COUNT(*) FROM a JOIN b USING (user_id))
+                AS BIGINT) AS n_lincoln_petersen,
+           CAST(((SELECT COUNT(*) FROM a) + 1)
+                * ((SELECT COUNT(*) FROM b) + 1)
+                // ((SELECT COUNT(*) FROM a JOIN b USING (user_id)) + 1) - 1
+                AS BIGINT) AS n_chapman
+    """,
+    tags=("stats", "events"),
+)
+def stats_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Capture-recapture population estimate: purchasers on day 1 are
+    the marked sample, purchasers on day 2 the recapture; the overlap
+    estimates the total purchasing population (Lincoln-Petersen
+    N = n1*n2/m; Chapman's bias-corrected (n1+1)(n2+1)/(m+1) - 1).
+    The estimator analysts reach for when the "population" (active
+    buyers, crawlable hosts, dedup-cluster count) can't be enumerated —
+    only sampled twice. Fixture honesty: day-level windows keep the
+    overlap partial (56/57 with 16 recaptured at sf0.01); the
+    month-halves variant was measured degenerate (every user in both).
+
+    Determinism: pure integer counts and truncating integer division
+    (rule 6: DuckDB // pairs with Spark div).
+
+    Scale: two distinct sets + one equi-join — all user-dimension
+    bounded.
+    """
+    e = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    a = (e.filter(F.to_date("ts") == F.lit("2024-01-01").cast("date"))
+         .select("user_id").distinct())
+    b = (e.filter(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
+         .select("user_id").distinct())
+    counts = (
+        a.agg(F.count("*").cast("bigint").alias("n_first"))
+        .crossJoin(b.agg(F.count("*").cast("bigint").alias("n_second")))
+        .crossJoin(a.join(b, "user_id")
+                   .agg(F.count("*").cast("bigint").alias("n_recaptured")))
+    )
+    return counts.select(
+        "n_first", "n_second", "n_recaptured",
+        F.expr("n_first * n_second div n_recaptured").cast("bigint")
+        .alias("n_lincoln_petersen"),
+        (F.expr("(n_first + 1) * (n_second + 1) div (n_recaptured + 1)")
+         - 1).cast("bigint").alias("n_chapman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman market concentration per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_herfindahl_concentration",
+    oracle="""
+    WITH r AS (
+        SELECT s_nationkey AS nationkey, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100,
+                                   0) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    ),
+    tot AS (SELECT nationkey, CAST(SUM(rev) AS BIGINT) AS trev,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM r GROUP BY nationkey),
+    shares AS (
+        SELECT r.nationkey, t.n_suppliers,
+               CAST(r.rev * 1000000 // t.trev AS BIGINT) AS share_ppm
+        FROM r JOIN tot t ON r.nationkey = t.nationkey
+    )
+    SELECT nationkey,
+           CAST(ANY_VALUE(n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM shares GROUP BY nationkey ORDER BY nationkey
+    """,
+    tags=("stats", "agg"),
+)
+def stats_herfindahl_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation: HHI = sum of squared market shares (1e6 ppm = monopoly;
+    1e6/n = perfectly even). The market-structure rollup an ops team
+    runs to find single-supplier risk — and, in a data pipeline, the
+    same statistic measures source concentration of a training mix.
+
+    Determinism: revenue through integer cents (rule 1); shares are
+    truncating-div ppm integers (<= 1e6), so sum(share^2) <= n * 1e12
+    is exact int64 for any real supplier count; the only care point is
+    rev * 1e6 which caps per-supplier revenue at ~$9.2e10 (92 billion
+    dollars) before int64 overflow — beyond that, pre-divide rev and
+    trev by a common 10^k.
+
+    Scale: one (nation, supplier)-keyed rollup, a nation-keyed total
+    join (25 rows broadcast), a nation-keyed fold.
+    """
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    r = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))))
+             .cast("bigint").alias("rev"))
+    )
+    tot = r.groupBy("nationkey").agg(
+        F.sum("rev").cast("bigint").alias("trev"),
+        F.count("*").cast("bigint").alias("n_suppliers"))
+    shares = (
+        r.join(F.broadcast(tot.withColumnRenamed("nationkey", "tn")),
+               F.col("nationkey") == F.col("tn"))
+        .select("nationkey", "n_suppliers",
+                F.expr("rev * 1000000 div trev").cast("bigint")
+                .alias("share_ppm"))
+    )
+    return (
+        shares.groupBy("nationkey")
+        .agg(
+            F.first("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.expr("CAST(SUM(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+            .alias("hhi_ppm"),
+            F.max("share_ppm").cast("bigint").alias("top_share_ppm"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue series
+# ---------------------------------------------------------------------------
+
+# Shared daily purchase-revenue series (exact integer cents per day).
+_DAILY_REV_DUCK = """
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+"""
+
+
+def _daily_rev_spark(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("c"))
+    )
+
+
+@query(
+    "stats_runs_test",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_DUCK}),
+    m AS (SELECT median(c) AS md FROM daily),
+    signs AS (
+        SELECT d, CASE WHEN c > md THEN 1 ELSE 0 END AS s,
+               LAG(CASE WHEN c > md THEN 1 ELSE 0 END)
+                   OVER (ORDER BY d) AS prev_s
+        FROM daily, m
+    ),
+    agg AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS n1,
+               CAST(SUM(1 - s) AS BIGINT) AS n2,
+               CAST(1 + SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM signs
+    )
+    SELECT n1, n2, runs,
+           ROUND((runs - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1))
+                 / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                        / (CAST((n1 + n2) AS DOUBLE) * (n1 + n2)
+                           * (n1 + n2 - 1))), 4) AS z
+    FROM agg
+    """,
+    tags=("stats", "timeseries"),
+)
+def stats_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series: days are labeled above/below the median and the number of
+    sign runs is compared to its null distribution — too few runs means
+    trending/regime behavior, too many means oscillation. The quick
+    sanity check before anyone fits a forecast (forecast_holt_linear)
+    to a series that may be pure noise.
+
+    Determinism: signs come from an exact int-vs-median comparison;
+    run counting is a lag over the day-keyed bounded series (constant
+    pmod window over the <=366-row daily aggregate — allowlisted
+    bounded-domain idiom); z is one same-tree double expression from
+    three exact integers (2*n1*n2*(2*n1*n2-n1-n2) fits int64 for
+    series up to ~40k points — a century of days is 36.5k), rounded
+    4 dp.
+
+    Scale: the raw scan folds to per-day partials map-side; everything
+    after is calendar-bounded.
+    """
+    daily = _daily_rev_spark(spark, sf)
+    m = daily.agg(F.expr("percentile(c, 0.5D)").alias("md"))
+    w = Window.partitionBy(F.pmod(F.col("s"), F.lit(1))).orderBy("d")
+    signs = (
+        daily.crossJoin(F.broadcast(m))
+        .select("d", F.when(F.col("c") > F.col("md"), 1).otherwise(0)
+                .alias("s"))
+        .withColumn("prev_s", F.lag("s").over(w))
+    )
+    agg = signs.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n2"),
+        (F.lit(1) + F.sum(
+            F.when(F.col("prev_s").isNotNull()
+                   & (F.col("s") != F.col("prev_s")), 1).otherwise(0)))
+        .cast("bigint").alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = (2 * n1 * n2).cast("double") / (n1 + n2) + 1
+    var = ((2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double")
+           / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1)))
+    return agg.select(
+        "n1", "n2", "runs",
+        F.round((runs - mu) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson overdispersion check on per-user daily activity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_poisson_dispersion",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n) AS BIGINT) AS s,
+               CAST(SUM(n * n) AS BIGINT) AS ss
+        FROM c
+    )
+    SELECT n_cells,
+           ROUND(CAST(s AS DOUBLE) / n_cells, 4) AS mean_count,
+           ROUND(CAST(n_cells * ss - s * s AS DOUBLE)
+                 / (CAST(n_cells AS DOUBLE) * (n_cells - 1)), 4)
+               AS var_count,
+           ROUND(CAST(n_cells * ss - s * s AS DOUBLE)
+                 / (CAST(s AS DOUBLE) * (n_cells - 1)), 4)
+               AS dispersion_index,
+           CAST(CASE WHEN (n_cells * ss - s * s) > s * (n_cells - 1)
+                     THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+    FROM agg
+    """,
+    tags=("stats", "events"),
+)
+def stats_poisson_dispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson overdispersion check on per-(user, day) event counts:
+    dispersion index = sample variance / mean. A Poisson arrival
+    process has index 1; index > 1 (overdispersion) means bursty users
+    — and tells a capacity planner that Poisson-based sizing (peak
+    concurrency, queue depth) will underestimate tails. The fixture
+    measures ~0.74 (underdispersed: the generator spreads activity
+    more evenly than Poisson).
+
+    Determinism: counts are small exact ints; the variance numerator
+    N*ss - s^2 is exact int64; the overdispersion FLAG is a pure
+    integer comparison (variance > mean <=> N*ss - s^2 > s*(N-1)) so
+    no float knife-edge can flip it (rule 9 by construction); the
+    three readout doubles each divide exact integers once, rounded.
+
+    Scale: one (user, day) rollup then a 1-row fold — both
+    map-combinable.
+    """
+    e = table(spark, sf, "events")
+    c = (e.groupBy("user_id", F.to_date("ts").alias("d"))
+         .agg(F.count("*").cast("bigint").alias("n")))
+    agg = c.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
+    )
+    num = F.col("n_cells") * F.col("ss") - F.col("s") * F.col("s")
+    return agg.select(
+        "n_cells",
+        F.round(F.col("s").cast("double") / F.col("n_cells"), 4)
+        .alias("mean_count"),
+        F.round(num.cast("double")
+                / (F.col("n_cells").cast("double") * (F.col("n_cells") - 1)),
+                4).alias("var_count"),
+        F.round(num.cast("double")
+                / (F.col("s").cast("double") * (F.col("n_cells") - 1)), 4)
+        .alias("dispersion_index"),
+        F.when(num > F.col("s") * (F.col("n_cells") - 1), 1).otherwise(0)
+        .cast("bigint").alias("overdispersed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily event-count series (lags 1..7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_acf_daily_lags",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+        SELECT d, x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+        FROM daily
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+            FROM idx),
+    den AS (
+        SELECT CAST(SUM((x * n - s) * (x * n - s)) AS BIGINT) AS d0
+        FROM idx, tot
+    ),
+    pairs AS (
+        SELECT b.rn - a.rn AS lag_k,
+               CAST(SUM((a.x * t.n - t.s) * (b.x * t.n - t.s)) AS BIGINT)
+                   AS num,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM idx a JOIN idx b ON b.rn > a.rn AND b.rn <= a.rn + 7, tot t
+        GROUP BY b.rn - a.rn
+    )
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, n_pairs,
+           ROUND(CAST(num AS DOUBLE) / d0, 4) AS acf
+    FROM pairs, den ORDER BY lag_k
+    """,
+    tags=("stats", "timeseries"),
+)
+def stats_acf_daily_lags(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7: ACF_k = sum((x_t - m)(x_{t+k} - m)) / sum((x_t - m)^2). The
+    weekly-seasonality detector a forecaster consults before choosing
+    the seasonal-naive baseline (forecast_backtest_seasonal_naive's
+    period=7 is exactly the lag this measures).
+
+    Determinism: centered products are cleared of the rational mean m
+    = s/n by scaling with n — (x*n - s) is exact int64 — so numerator
+    and denominator are exact integer sums (terms <= (x_max*n)^2 ~
+    1e10 at the 30-day fixture; a century of days at 1e6 events/day is
+    ~1.3e18, inside int64); ACF is one double division per lag,
+    rounded 4 dp.
+
+    Scale: the raw scan folds to <=366 day rows map-side; the lag
+    self-join and folds are calendar-bounded (never data-sized).
+    """
+    e = table(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x"))
+    w = Window.partitionBy(F.pmod(F.col("x"), F.lit(1))).orderBy("d")
+    idx = daily.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    tot = idx.agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum("x").cast("bigint").alias("s"))
+    idx = idx.crossJoin(F.broadcast(tot))
+    den = idx.agg(
+        F.sum((F.col("x") * F.col("n") - F.col("s"))
+              * (F.col("x") * F.col("n") - F.col("s")))
+        .cast("bigint").alias("d0"))
+    a = idx.select(F.col("rn").alias("rn_a"),
+                   (F.col("x") * F.col("n") - F.col("s")).alias("ca"))
+    b = idx.select(F.col("rn").alias("rn_b"),
+                   (F.col("x") * F.col("n") - F.col("s")).alias("cb"))
+    pairs = (
+        a.join(b, (F.col("rn_b") > F.col("rn_a"))
+               & (F.col("rn_b") <= F.col("rn_a") + 7))
+        .groupBy((F.col("rn_b") - F.col("rn_a")).cast("bigint")
+                 .alias("lag_k"))
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("num"),
+             F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select("lag_k", "n_pairs",
+                F.round(F.col("num").cast("double") / F.col("d0"), 4)
+                .alias("acf"))
+        .orderBy("lag_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_bollinger_bands",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_DUCK}),
+    roll AS (
+        SELECT d, c,
+               CAST(SUM(c) OVER w AS BIGINT) AS s7,
+               CAST(SUM(c * c) OVER w AS BIGINT) AS ss7,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cnt
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, c AS close_cents,
+           CAST(s7 // 7 AS BIGINT) AS ma7_cents,
+           ROUND(CAST(s7 AS DOUBLE) / 700
+                 + 2 * sqrt(CAST(7 * ss7 - s7 * s7 AS DOUBLE) / 42) / 100,
+                 2) AS upper_band,
+           ROUND(CAST(s7 AS DOUBLE) / 700
+                 - 2 * sqrt(CAST(7 * ss7 - s7 * s7 AS DOUBLE) / 42) / 100,
+                 2) AS lower_band,
+           CAST(CASE WHEN 7 * c - s7 > 0
+                      AND 3 * (7 * c - s7) * (7 * c - s7)
+                          > 14 * (7 * ss7 - s7 * s7)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach_upper,
+           CAST(CASE WHEN 7 * c - s7 < 0
+                      AND 3 * (7 * c - s7) * (7 * c - s7)
+                          > 14 * (7 * ss7 - s7 * s7)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach_lower
+    FROM roll WHERE cnt = 7 ORDER BY d
+    """,
+    tags=("window", "timeseries"),
+)
+def window_bollinger_bands(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger bands (7-day trailing mean +- 2 sigma) over the daily
+    purchase-revenue series, with breach flags — the volatility
+    envelope behind "is today unusually hot/cold given the recent
+    regime", the window-native cousin of anomaly_zscore_trailing.
+
+    Determinism: the rolling sum/sumsq are exact int64 cents over a
+    ROWS frame ordered by the unique day; the band edges are rendered
+    doubles (one sqrt, same tree both engines, 2 dp) but the BREACH
+    FLAGS never touch a float: close > mean + 2*sd is algebraically
+    cleared to 3*(7c - s7)^2 > 14*(7*ss7 - s7^2) with the sign guard
+    7c - s7 > 0 — exact int64 for daily revenue up to ~$5e7 (7c*7c at
+    5e9 cents is ~1.2e21/3... bound: |7c| < 1.6e9 => c < $2.3e6/day
+    per series; rescale cents to dollars beyond).
+
+    Scale: map-side fold to <=366 day rows, then a calendar-bounded
+    window (constant-pmod allowlisted idiom).
+    """
+    daily = _daily_rev_spark(spark, sf)
+    w = (Window.partitionBy(F.pmod(F.col("c"), F.lit(1))).orderBy("d")
+         .rowsBetween(-6, 0))
+    roll = daily.select(
+        "d", "c",
+        F.sum("c").over(w).cast("bigint").alias("s7"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("bigint").alias("ss7"),
+        F.count("*").over(w).cast("bigint").alias("cnt"),
+    ).filter(F.col("cnt") == 7)
+    dev = 7 * F.col("c") - F.col("s7")
+    varnum = 7 * F.col("ss7") - F.col("s7") * F.col("s7")
+    sd = F.sqrt(varnum.cast("double") / 42)
+    return roll.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("close_cents"),
+        F.expr("s7 div 7").cast("bigint").alias("ma7_cents"),
+        F.round(F.col("s7").cast("double") / 700 + 2 * sd / 100, 2)
+        .alias("upper_band"),
+        F.round(F.col("s7").cast("double") / 700 - 2 * sd / 100, 2)
+        .alias("lower_band"),
+        F.when((dev > 0) & (3 * dev * dev > 14 * varnum), 1).otherwise(0)
+        .cast("bigint").alias("breach_upper"),
+        F.when((dev < 0) & (3 * dev * dev > 14 * varnum), 1).otherwise(0)
+        .cast("bigint").alias("breach_lower"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# SMA-based RSI over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rsi_sma",
+    oracle=f"""
+    WITH daily AS ({_DAILY_REV_DUCK}),
+    diffs AS (
+        SELECT d, c, c - LAG(c) OVER (ORDER BY d) AS diff
+        FROM daily
+    ),
+    gl AS (
+        SELECT d, c,
+               CAST(SUM(GREATEST(diff, 0)) OVER w AS BIGINT) AS g7,
+               CAST(SUM(GREATEST(-diff, 0)) OVER w AS BIGINT) AS l7,
+               CAST(COUNT(diff) OVER w AS BIGINT) AS nd
+        FROM diffs
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, c AS close_cents, g7 AS gains_cents,
+           l7 AS losses_cents,
+           ROUND(CAST(100 * g7 AS DOUBLE) / (g7 + l7), 4) AS rsi
+    FROM gl WHERE nd = 7 ORDER BY d
+    """,
+    tags=("window", "timeseries"),
+)
+def window_rsi_sma(spark: SparkSession, sf: str) -> DataFrame:
+    """Relative Strength Index (simple-average 7-period variant) of the
+    daily revenue series: RSI = 100 * gains / (gains + losses) over the
+    trailing 7 day-over-day moves. The SMA formulation (Cutler's RSI)
+    is chosen over Wilder's recursive smoothing deliberately: it is a
+    pure window aggregate — no stateful fold — so it stays exact in
+    both engines (Wilder's EWMA belongs to the forecast_holt_linear
+    recursive-CTE family instead).
+
+    Determinism: day-over-day diffs, gains and losses are exact int64
+    cents; RSI is one double division of exact integers, rounded 4 dp.
+    Rows with fewer than 7 trailing diffs are excluded by an exact
+    count (the first day's NULL diff never contributes).
+
+    Scale: same calendar-bounded profile as window_bollinger_bands —
+    the scan folds map-side to day rows.
+    """
+    daily = _daily_rev_spark(spark, sf)
+    w_lag = Window.partitionBy(F.pmod(F.col("c"), F.lit(1))).orderBy("d")
+    diffs = daily.withColumn("diff", F.col("c") - F.lag("c").over(w_lag))
+    w = (Window.partitionBy(F.pmod(F.col("c"), F.lit(1))).orderBy("d")
+         .rowsBetween(-6, 0))
+    gl = diffs.select(
+        "d", "c",
+        F.sum(F.greatest(F.col("diff"), F.lit(0))).over(w).cast("bigint")
+        .alias("g7"),
+        F.sum(F.greatest(-F.col("diff"), F.lit(0))).over(w).cast("bigint")
+        .alias("l7"),
+        F.count("diff").over(w).cast("bigint").alias("nd"),
+    ).filter(F.col("nd") == 7)
+    return gl.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("close_cents"),
+        F.col("g7").alias("gains_cents"),
+        F.col("l7").alias("losses_cents"),
+        F.round((100 * F.col("g7")).cast("double")
+                / (F.col("g7") + F.col("l7")), 4).alias("rsi"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Decision-tree split gain (Gini impurity reduction per feature)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_gini_split_gain",
+    oracle="""
+    WITH lab AS (
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_orderstatus,
+               c.c_mktsegment,
+               CASE WHEN o.o_totalprice >
+                    (SELECT median(o_totalprice) FROM orders)
+                    THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    parent AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(1000000
+                    - (SUM(y) * 1000 // COUNT(*))
+                      * (SUM(y) * 1000 // COUNT(*))
+                    - (SUM(1 - y) * 1000 // COUNT(*))
+                      * (SUM(1 - y) * 1000 // COUNT(*)) AS BIGINT)
+                   AS parent_ppm
+        FROM lab
+    ),
+    per_value AS (
+        SELECT feature, v,
+               CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(1000000
+                    - (SUM(y) * 1000 // COUNT(*))
+                      * (SUM(y) * 1000 // COUNT(*))
+                    - (SUM(1 - y) * 1000 // COUNT(*))
+                      * (SUM(1 - y) * 1000 // COUNT(*)) AS BIGINT) AS imp_ppm
+        FROM (
+            SELECT 'orderpriority' AS feature, o_orderpriority AS v, y
+            FROM lab
+            UNION ALL
+            SELECT 'orderstatus', o_orderstatus, y FROM lab
+            UNION ALL
+            SELECT 'mktsegment', c_mktsegment, y FROM lab
+        )
+        GROUP BY feature, v
+    )
+    SELECT feature,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(ANY_VALUE(p.parent_ppm) AS BIGINT) AS parent_impurity_ppm,
+           CAST(SUM(n_v * imp_ppm) // ANY_VALUE(p.n) AS BIGINT)
+               AS weighted_child_ppm,
+           CAST(ANY_VALUE(p.parent_ppm)
+                - SUM(n_v * imp_ppm) // ANY_VALUE(p.n) AS BIGINT)
+               AS gain_ppm
+    FROM per_value, parent p
+    GROUP BY feature ORDER BY feature
+    """,
+    tags=("stats", "feature", "llm-pipeline"),
+)
+def feature_gini_split_gain(spark: SparkSession, sf: str) -> DataFrame:
+    """Decision-tree split finding: Gini impurity reduction per
+    candidate categorical feature (order priority, order status,
+    customer market segment) against the binary label "order value
+    above median". The per-feature gain table is the inner loop of
+    tree/GBDT training and of feature-importance triage — here as one
+    declarative pass (all three features' class counts in a single
+    unioned aggregate).
+
+    Determinism: class shares are truncating-div MILLI-shares
+    (n_y*1000 div n_v <= 1000), so impurity_ppm = 1e6 - s1^2 - s0^2 is
+    exact int64 at ANY group size (no n^2 blowup — the milli-share
+    rescale keeps it scale-safe for n up to int64 row counts); the
+    weighted fold n_v*imp_ppm sums to <= N*1e6. Identical truncation
+    both engines (rule 6).
+
+    Scale: label join is orders x broadcast(median scalar) + a
+    customer-keyed join; the unioned feature table is 3x orders but
+    folds map-side to <= sum of feature cardinalities rows.
+    """
+    o = table(spark, sf, "orders")
+    cst = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    med = o.agg(F.expr("percentile(o_totalprice, 0.5D)").alias("mp"))
+    lab = (
+        o.join(cst, o.o_custkey == cst.c_custkey)
+        .crossJoin(F.broadcast(med))
+        .select(
+            "o_orderpriority", "o_orderstatus", "c_mktsegment",
+            F.when(F.col("o_totalprice") > F.col("mp"), 1).otherwise(0)
+            .alias("y"),
+        )
+    )
+    stacked = (
+        lab.select(F.lit("orderpriority").alias("feature"),
+                   F.col("o_orderpriority").alias("v"), "y")
+        .unionAll(lab.select(F.lit("orderstatus"),
+                             F.col("o_orderstatus"), "y"))
+        .unionAll(lab.select(F.lit("mktsegment"),
+                             F.col("c_mktsegment"), "y"))
+    )
+
+    def _imp_ppm() -> F.Column:
+        s1 = F.expr("sum(y) * 1000 div count(*)")
+        s0 = F.expr("sum(1 - y) * 1000 div count(*)")
+        return (F.lit(1000000) - s1 * s1 - s0 * s0).cast("bigint")
+
+    parent = lab.agg(
+        F.count("*").cast("bigint").alias("n"),
+        _imp_ppm().alias("parent_ppm"),
+    )
+    per_value = stacked.groupBy("feature", "v").agg(
+        F.count("*").cast("bigint").alias("n_v"),
+        _imp_ppm().alias("imp_ppm"),
+    )
+    return (
+        per_value.crossJoin(F.broadcast(parent))
+        .groupBy("feature")
+        .agg(
+            F.count("*").cast("bigint").alias("n_values"),
+            F.first("parent_ppm").cast("bigint")
+            .alias("parent_impurity_ppm"),
+            F.expr("CAST(SUM(n_v * imp_ppm) div ANY_VALUE(n) AS BIGINT)")
+            .alias("weighted_child_ppm"),
+            F.expr("CAST(ANY_VALUE(parent_ppm)"
+                   " - SUM(n_v * imp_ppm) div ANY_VALUE(n) AS BIGINT)")
+            .alias("gain_ppm"),
+        )
+        .orderBy("feature")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster spread: distance-to-centroid per label
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_centroid_spread",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label, CAST(i AS BIGINT) AS dim,
+               CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                          * 10000, 0) AS BIGINT) AS xq
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS s_d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY label, dim
+    ),
+    pervec AS (
+        SELECT q.vec_id, q.label,
+               CAST(SUM((q.xq * c.n - c.s_d) * (q.xq * c.n - c.s_d))
+                    // (ANY_VALUE(c.n) * ANY_VALUE(c.n)) AS BIGINT) AS d2
+        FROM q JOIN cent c ON q.label = c.label AND q.dim = c.dim
+        GROUP BY q.vec_id, q.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d2) // COUNT(*) AS BIGINT) AS avg_dist2,
+           CAST(MAX(d2) AS BIGINT) AS max_dist2
+    FROM pervec GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "llm-pipeline"),
+)
+def embed_centroid_spread(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-cluster spread of the embedding space: squared L2 distance
+    of every vector to its label's centroid, rolled up per label (mean
+    and max, in quantized units^2). The compactness diagnostic behind
+    IVF cell quality (sim_ann_ivf_bucketed routes by these labels) and
+    SemDeDup's epsilon choice — a label whose max_dist2 dwarfs its
+    avg_dist2 has outliers that will leak through centroid-routed ANN.
+
+    Determinism: embeddings are float32, and a float centroid would be
+    a SUMMATION-ORDER-dependent double (never hash-exact) — so each
+    coordinate is quantized to exact int64 ten-thousandths FIRST
+    (deterministic per value), making the centroid numerator an exact
+    integer sum. Per-vector distance is cleared of the rational mean:
+    sum_d (xq*n - s_d)^2 div n^2 — exact int64 (|xq| <= 6e3 at the
+    unit-normalized fixture: term <= 64*(1.2e4*n)^2/n^2 ~ 9.2e9; the
+    truncating div is identical both engines).
+
+    Scale: posexplode to (vec, dim) rows — a narrow 64x map; centroid
+    is a (label, dim)-keyed agg (10x64 rows, broadcast back); the
+    distance join shuffles only quantized ints, never floats.
+    """
+    emb = table(spark, sf, "embeddings", spread=True)
+    q = emb.select(
+        "vec_id", "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id", "label",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        # float widened to DOUBLE before arithmetic (embed_quantize_int8
+        # precedent: float math promotes differently per engine)
+        F.round(F.col("x").cast("double") * 10000, 0).cast("bigint")
+        .alias("xq"),
+    )
+    cent = q.groupBy("label", "dim").agg(
+        F.sum("xq").cast("bigint").alias("s_d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    c = cent.select(F.col("label").alias("cl"), F.col("dim").alias("cd"),
+                    "s_d", "n")
+    pervec = (
+        q.join(F.broadcast(c), (q.label == c.cl) & (q.dim == c.cd))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "CAST(SUM((xq * n - s_d) * (xq * n - s_d))"
+                " div (ANY_VALUE(n) * ANY_VALUE(n)) AS BIGINT)"
+            ).alias("d2")
+        )
+    )
+    return (
+        pervec.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.expr("CAST(SUM(d2) div COUNT(*) AS BIGINT)").alias("avg_dist2"),
+            F.max("d2").cast("bigint").alias("max_dist2"),
+        )
+        .orderBy("label")
+    )

@@ -73,6 +73,7 @@ _QUERY_MODULES = (
     "wireduck_spark.operators.io",
     "wireduck_spark.operators.quality",
     "wireduck_spark.operators.graph",
+    "wireduck_spark.operators.stats",
     "wireduck_spark.functions.text",
     "wireduck_spark.functions.dedup",
     "wireduck_spark.functions.similarity",
@@ -140,15 +141,66 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-8 rotation (SURVEY §8): CORRECTNESS_r07.json landed 48/48 green
-    # (first zero-red round); all 48 moved to ROTATED_OUT. This rotation
-    # promotes EVERY remaining oracle-checkable PENDING_GATE name (38 — the
-    # round-6/7 stats/forecast/graph/RAG-eval/io additions), finally zeroing
-    # the oracle-checkable never-contracted backlog (VERDICT r7 #1), plus
-    # the two new round-8 oracle-checkable queries, and fills the remaining
-    # 8 slots with rows-only pcap names from the queue front for driver
-    # rows>0 smoke evidence.
-    # -- round-6 oracle-checkable backlog:
+    # Round-9 rotation (VERDICT r8 #2): CORRECTNESS_r08.json landed 48/48
+    # green + 2 pcap rows>0 — second consecutive zero-red round — so all 50
+    # r8 names moved to ROTATED_OUT. The oracle-checkable backlog is ZERO,
+    # so this rotation (a) promotes the ENTIRE rows-only queue (30 names:
+    # the pcap analytics family, PQ re-rank, PCA goldens) so the driver's
+    # rows>0 smoke finally contracts them, and (b) debuts the 14 new
+    # round-9 oracle-checkable queries (operators/stats.py).
+    # -- rows-only queue, promoted in full (goldens pinned in pytest):
+    "pcap_tcp_handshake_rtt",
+    "pcap_tcp_retransmissions",
+    "pcap_protocol_hierarchy",
+    "pcap_dns_latency",
+    "pcap_beacon_detection",
+    "sim_ann_pq_rerank",
+    "pcap_port_scan_detect",
+    "pcap_ja3_fingerprint",
+    "pcap_ntp_clock_skew",
+    "pcap_dhcp_lease_inventory",
+    "pcap_arp_spoof_detect",
+    "pcap_payload_entropy",
+    "pcap_follow_tcp_stream",
+    "pcap_dns_tunneling_detect",
+    "pcap_vxlan_decap",
+    "pcap_traceroute_path",
+    "pcap_filter_and_save",
+    "pcap_capture_summary",
+    "pcap_http_transactions",
+    "pcap_ipv6_traffic",
+    "pcap_lake_federation",
+    "pcap_capture_compare",
+    "pcap_flowlet_split",
+    "pcap_syn_options_audit",
+    "pcap_quic_handshakes",
+    "pcap_quic_federation",
+    "pcap_quic_vn_downgrade",
+    "pcap_service_inventory",
+    "embed_pca_top_component",
+    "embed_pca_two_components",
+    # -- new round-9 oracle-checkable queries (operators/stats.py):
+    "stats_anova_oneway",
+    "stats_cohens_kappa",
+    "stats_mcnemar_paired_conversion",
+    "stats_two_proportion_ztest",
+    "stats_cohens_d_effect",
+    "stats_capture_recapture",
+    "stats_herfindahl_concentration",
+    "stats_runs_test",
+    "stats_poisson_dispersion",
+    "stats_acf_daily_lags",
+    "window_bollinger_bands",
+    "window_rsi_sma",
+    "feature_gini_split_gain",
+    "embed_centroid_spread",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json ... _r08.json; still
+    # verified by tools/check_oracle.py + pytest every run.
+    # -- round-8 GATE, all 48 oracle rows green + 2 pcap rows>0 in
+    #    CORRECTNESS_r08.json (zero red):
     "pipeline_rag_eval_mrr",
     "embed_hard_negatives",
     "forecast_holt_linear",
@@ -172,7 +224,6 @@ GATE: tuple[str, ...] = (
     "text_entropy_source_mix",
     "sampling_neyman_allocation",
     "dedup_minhash_calibration",
-    # -- round-7 oracle-checkable backlog:
     "embed_hard_negatives_lsh",
     "io_text_log_parse",
     "io_binaryfile_ingest",
@@ -188,12 +239,6 @@ GATE: tuple[str, ...] = (
     "stats_benjamini_hochberg",
     "graph_jaccard_coshopper",
     "curation_importance_weights",
-    # -- new round-8 queries (driver-contracted in their debut round;
-    #    the continuation session swapped all 8 rows-only smoke slots
-    #    for the 8 new oracle-checkable queries below — an oracle row
-    #    is stronger driver evidence than a rows>0 smoke row, and the
-    #    swapped-out names lead PENDING_GATE with their pytest goldens
-    #    intact):
     "graph_pagerank_suppliers",
     "pipeline_incremental_dedup",
     "event_ab_did",
@@ -204,18 +249,8 @@ GATE: tuple[str, ...] = (
     "stats_pr_auc_average_precision",
     "io_xml_roundtrip",
     "curation_quantile_normalize",
-    # standing pcap rows-only slots (no DuckDB oracle exists; goldens in
-    # pytest) — the reference-surface smoke. pcap_scan_default (1 row —
-    # weak rows>0 signal) is swapped for pcap_flagship_portpair (2 rows,
-    # the reference README's own golden aggregate 429/259678 + 56/19702)
-    # per VERDICT r7 #8:
     "pcap_flagship_portpair",
     "pcap_throughput_split",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json ... _r07.json; still
-    # verified by tools/check_oracle.py + pytest every run.
     # -- round-7 GATE, all 48 green in CORRECTNESS_r07.json (zero red):
     "embed_mean_pool",
     "agg_pareto_concentration",
@@ -464,43 +499,12 @@ ROTATED_OUT: tuple[str, ...] = (
 
 
 PENDING_GATE: tuple[str, ...] = (
-    # Queue for future rotations (front of queue promotes first). The
-    # round-8 rotation promoted EVERY remaining oracle-checkable name —
-    # the oracle-checkable backlog is now ZERO. What remains is the
-    # rows-only pcap/recall suite (goldens in pytest over deterministic
-    # synthetic captures), cycling through future rounds' spare slots;
-    # the 8 names the continuation session swapped OUT of the round-8
-    # gate (in favor of new oracle-checkable queries) lead the queue:
-    "pcap_tcp_handshake_rtt",         # rows-only; SYN->ACK RTT goldens
-    "pcap_tcp_retransmissions",       # rows-only; RTO goldens in pytest
-    "pcap_protocol_hierarchy",        # rows-only; phs parity golden
-    "pcap_dns_latency",               # rows-only; txn pairing goldens
-    "pcap_beacon_detection",          # rows-only; interval CV goldens
-    "sim_ann_pq_rerank",              # rows-only by design (PQ recall)
-    "pcap_port_scan_detect",          # rows-only; fan-out goldens
-    "pcap_ja3_fingerprint",           # rows-only; TLS CH hash goldens
-    "pcap_ntp_clock_skew",            # rows-only; skew goldens in pytest
-    "pcap_dhcp_lease_inventory",      # rows-only; DORA goldens in pytest
-    "pcap_arp_spoof_detect",          # rows-only; golden in pytest
-    "pcap_payload_entropy",           # rows-only; analytic goldens
-    "pcap_follow_tcp_stream",         # rows-only; reassembly md5 goldens
-    "pcap_dns_tunneling_detect",      # rows-only; zone-level goldens
-    "pcap_vxlan_decap",               # rows-only; overlay decap goldens
-    "pcap_traceroute_path",           # rows-only; hop/RTT goldens
-    "pcap_filter_and_save",           # rows-only; pcap SINK round-trip
-    "pcap_capture_summary",           # rows-only; capinfos parity golden
-    "pcap_http_transactions",         # rows-only; request/response pairing
-    "pcap_ipv6_traffic",              # rows-only; dual-stack rollup
-    "pcap_lake_federation",           # rows-only; capture x parquet dim join
-    "pcap_capture_compare",           # rows-only; before/after capture diff
-    "pcap_flowlet_split",             # rows-only; NetFlow inactive timeout
-    "pcap_syn_options_audit",         # rows-only; p0f-style SYN options
-    "pcap_quic_handshakes",           # rows-only; QUIC long-header goldens
-    "pcap_quic_federation",           # rows-only; HTTP/3 x edge catalog
-    "pcap_quic_vn_downgrade",         # rows-only; VN downgrade-attack flag
-    "pcap_service_inventory",         # rows-only; ssh/smtp/ftp banners
-    "embed_pca_top_component",        # rows-only; numpy-replay golden
-    "embed_pca_two_components",       # rows-only; deflation numpy golden
+    # Queue for future rotations (front of queue promotes first). EMPTY
+    # as of round 9: the oracle-checkable backlog was zeroed in round 8
+    # and the round-9 rotation promoted the entire remaining rows-only
+    # pcap/recall queue, so every registered query has either a green
+    # driver row already (ROTATED_OUT) or a slot in this round's GATE.
+    # New queries debut here only if a round's GATE is already full.
 )
 
 
