@@ -1446,3 +1446,119 @@ def test_spacesaving_guarantees_under_eviction(monkeypatch):
     # guaranteed invariants hold identically
     for u, (est, err) in mon3.items():
         assert est >= true[u] >= est - err
+
+
+# ---------------------------------------------------------------------------
+# Streaming Brier calibration tracker
+# ---------------------------------------------------------------------------
+
+
+def _scored_cols(df):
+    """Shared scored-outcomes derivation for the Brier tracker tests:
+    prediction = event value as basis points (clamped to [0, 10000]),
+    outcome = is-a-purchase. Identical exact-integer expressions feed
+    the stream and the batch expectation."""
+    return df.select(
+        F.least(
+            F.lit(10000),
+            F.greatest(F.lit(0),
+                       F.round(F.col("value") * 100, 0).cast("bigint")),
+        ).alias("p_bp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .cast("bigint").alias("y"),
+    )
+
+
+def _brier_batch_expected(spark, sf_dir):
+    scored = _scored_cols(table(spark, sf_dir, "events"))
+    rows = (
+        scored.select(
+            F.least(F.lit(9), F.expr("p_bp div 1000")).cast("bigint")
+            .alias("bin"), "p_bp", "y")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum("p_bp").cast("bigint").alias("sum_p_bp"),
+            F.sum((F.col("p_bp") - F.col("y") * 10000)
+                  * (F.col("p_bp") - F.col("y") * 10000))
+            .cast("bigint").alias("sq_err_num"),
+        )
+        .collect()
+    )
+    return {r["bin"]: (r["n"], r["n_pos"], r["sum_p_bp"], r["sq_err_num"])
+            for r in rows}
+
+
+def _run_brier_stream(spark, sf_dir, tmp_path, qname):
+    """Split events into 3 micro-batches and run the tracker to
+    completion; return the LATEST emission per bin (n is monotone, so
+    latest = max-n row)."""
+    from wireduck_spark.streaming.stateful import brier_calibration_tracker
+
+    ev = table(spark, sf_dir, "events")
+    src_dir = tmp_path / f"{qname}_src"
+    src_dir.mkdir()
+    scored = _scored_cols(ev)
+    for i in range(3):
+        (ev.filter(F.col("event_id") % 3 == i)
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    schema = ev.schema
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        brier_calibration_tracker(_scored_cols(stream_src))
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        prev = got.get(r["bin"])
+        if prev is None or r["n"] > prev[0]:
+            got[r["bin"]] = (r["n"], r["n_pos"], r["sum_p_bp"],
+                             r["sq_err_num"], r["mean_pred"],
+                             r["obs_rate"], r["brier"])
+    assert scored.count() == sum(v[0] for v in got.values())
+    return got
+
+
+def test_brier_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming calibration tracker's final per-bin row (after the
+    same rows arrive as 3 micro-batches) must equal the batch per-bin
+    aggregation exactly on the int64 accumulators, and its rendered
+    doubles must match the Spark-round formulas recomputed from those
+    integers."""
+    got = _run_brier_stream(spark, sf_dir, tmp_path, "t_brier")
+    expected = _brier_batch_expected(spark, sf_dir)
+    assert {b: v[:4] for b, v in got.items()} == expected
+    for b, (n, n_pos, sum_p, sq, mean_pred, obs_rate, brier) in got.items():
+        assert mean_pred == pytest.approx(
+            round(sum_p / (n * 10000), 4), abs=1e-12)
+        assert obs_rate == pytest.approx(round(n_pos / n, 4), abs=1e-12)
+        assert brier == pytest.approx(
+            round(sq / (n * 10000 * 10000), 6), abs=1e-12)
+
+
+def test_brier_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Same equivalence with maxRecordsPerBatch=7 so every bin's arrivals
+    hit the update function as many small Arrow chunks: the integer
+    accumulation is order-free, so chunking must not perturb anything."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        got = _run_brier_stream(spark, sf_dir, tmp_path, "t_brier_chunked")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expected = _brier_batch_expected(spark, sf_dir)
+    assert {b: v[:4] for b, v in got.items()} == expected

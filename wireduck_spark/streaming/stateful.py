@@ -1196,3 +1196,107 @@ def heavy_hitter_tracker(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Brier calibration tracker (twin of stats_brier_calibration's
+# per-bin accumulation layer)
+# ---------------------------------------------------------------------------
+
+BRIER_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("n_pos", LongType()),
+        StructField("sum_p_bp", LongType()),
+        StructField("sq_err_num", LongType()),
+    ]
+)
+
+BRIER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("bin", LongType()),
+        StructField("n", LongType()),
+        StructField("n_pos", LongType()),
+        StructField("sum_p_bp", LongType()),
+        StructField("sq_err_num", LongType()),
+        StructField("mean_pred", DoubleType()),
+        StructField("obs_rate", DoubleType()),
+        StructField("brier", DoubleType()),
+    ]
+)
+
+
+def _brier_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Constant state per bin: (n, n_pos, sum_p_bp, sq_err_num) — all
+    exact int64 in basis points (p_bp in [0, 10000], outcome scaled to
+    y*10000), so the accumulation is order-free: chunk order, batch
+    order, and replay order cannot perturb integer sums. The emitted
+    doubles divide the exact integers once per emission with Spark
+    F.round parity (_round_half_up)."""
+    (bin_id,) = key
+    n, n_pos, sum_p, sq = (state.get if state.exists else (0, 0, 0, 0))
+    for chunk in batches:
+        if not len(chunk):
+            continue
+        p = chunk["p_bp"].values.astype("int64")
+        y = chunk["y"].values.astype("int64")
+        n += len(chunk)
+        n_pos += int(y.sum())
+        sum_p += int(p.sum())
+        d = p - y * 10000
+        sq += int((d * d).sum())
+    state.update((n, n_pos, sum_p, sq))
+    yield pd.DataFrame(
+        [(
+            bin_id, n, n_pos, sum_p, sq,
+            _round_half_up(sum_p / (n * 10000), 4),
+            _round_half_up(n_pos / n, 4),
+            _round_half_up(sq / (n * 10000 * 10000), 6),
+        )],
+        columns=[f.name for f in BRIER_OUTPUT_SCHEMA.fields],
+    )
+
+
+def brier_calibration_tracker(scored: DataFrame) -> DataFrame:
+    """Streaming calibration / Brier tracker: the always-on twin of the
+    per-bin accumulation layer of stats_brier_calibration
+    (operators/relational.py). Input is a scored-outcomes stream with
+    integer columns `p_bp` (predicted probability in basis points,
+    0..10000) and `y` (realized outcome 0/1); rows land in ten
+    prediction bins and each bin's state is four exact int64 sums —
+    BOUNDED state (10 bins x 4 longs) regardless of stream length, the
+    SpaceSaving/KS-tracker bounded-state contract. Every micro-batch
+    re-emits each touched bin's current (mean_pred, obs_rate, brier)
+    row (update mode), so calibration drift of a live model is visible
+    while it happens instead of in tomorrow's batch scan; downstream
+    takes the latest emission per bin.
+
+    Exactness contract (pytest-pinned, incl. forced Arrow chunking):
+    integer accumulation is order-free, so after any partitioning of
+    the same rows into micro-batches the final emitted row per bin is
+    bit-identical to the batch aggregation of the full input.
+
+    Scale: one keyed shuffle onto 10 bin groups per micro-batch; the
+    per-row work is vectorized numpy on Arrow chunks. sq_err_num grows
+    as n * 1e8, so int64 holds ~9e10 rows per bin; rescale p_bp to
+    permille for longer-lived monitors.
+    """
+    from pyspark.sql import functions as F
+
+    binned = scored.select(
+        F.least(F.lit(9), F.expr("p_bp div 1000")).cast("bigint")
+        .alias("bin"),
+        F.col("p_bp").cast("bigint").alias("p_bp"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    return binned.groupBy("bin").applyInPandasWithState(
+        _brier_update,
+        outputStructType=BRIER_OUTPUT_SCHEMA,
+        stateStructType=BRIER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
