@@ -96,13 +96,18 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         rounds = []
         for f in os.listdir(here):
-            m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+            # BENCH_r8.json (driver) and BENCH_r8_judge.json (archived
+            # judge re-run — the authoritative r8 record, since the
+            # driver's r8 artifact is tail-truncated with parsed:null)
+            m = re.fullmatch(r"BENCH_r(\d+)(_judge)?\.json", f)
             if m:
-                rounds.append((int(m.group(1)), os.path.join(here, f)))
+                rounds.append((int(m.group(1)), m.group(2) is not None,
+                               os.path.join(here, f)))
         # Newest round with a USABLE per-query map wins — BENCH_r08.json
         # has parsed:null (tail-truncated), so blindly taking max() would
-        # arm the retry with an empty baseline.
-        for _, path in sorted(rounds, reverse=True):
+        # arm the retry with an empty baseline. Judge archives of the
+        # same round outrank the driver artifact (idle-box re-runs).
+        for _, _, path in sorted(rounds, reverse=True):
             base_times = _load_baseline(path)
             if base_times:
                 retry_path = path

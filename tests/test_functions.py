@@ -689,3 +689,24 @@ def test_average_precision_perfect_and_inverted_rankings(spark, tmp_path):
     assert r["n_pos"] == 2
     assert r["average_precision"] == pytest.approx(
         (1 / 3 + 2 / 4) / 2, abs=1e-6)
+
+
+def test_iterative_graph_reliable_checkpoint_equivalence(spark, sf_dir,
+                                                         tmp_path):
+    """Round-8 VERDICT #3: localCheckpoint stores blocks on executors —
+    on a real cluster one lost executor kills an 8-hop iterative query.
+    Both iterative graph queries now accept checkpoint_dir= (reliable
+    df.checkpoint into fault-tolerant storage, mirroring
+    dedup_cluster_components); the reliable path must converge to
+    output IDENTICAL to the default local path."""
+    from wireduck_spark.operators.graph import (
+        graph_label_spread_nation, graph_pagerank_suppliers,
+    )
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    for fn in (graph_pagerank_suppliers, graph_label_spread_nation):
+        local = [tuple(r) for r in fn(spark, sf_dir).collect()]
+        reliable = [tuple(r)
+                    for r in fn(spark, sf_dir, checkpoint_dir=ckpt).collect()]
+        assert local == reliable, fn.__name__
+        assert local, f"{fn.__name__} returned no rows"

@@ -161,3 +161,41 @@ def test_centroid_spread_bounds(rows):
     for r in rs:
         assert r["n_vecs"] >= 1
         assert 0 <= r["avg_dist2"] <= r["max_dist2"]
+
+
+def test_power_sample_size_sanity(rows):
+    """n_per_arm must be positive and DECREASE if the detectable lift
+    grows (checked via the closed form recomputed from the emitted base
+    rate): smaller effects need more users."""
+    import math
+
+    [r] = rows("stats_power_sample_size")
+    assert r["x_conv"] <= r["n_users"]
+    assert r["n_per_arm"] >= 1
+    p1 = r["x_conv"] / r["n_users"]
+    for lift, prev in ((1.1, None), (1.2, None)):
+        p2 = p1 * lift
+        pbar = (p1 + p2) / 2
+        n = math.ceil(
+            (1.959963984540054 * math.sqrt(2 * pbar * (1 - pbar))
+             + 0.8416212335729143
+             * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2
+            / (p2 - p1) ** 2)
+        if lift == 1.1:
+            assert n == r["n_per_arm"]
+            n_10 = n
+        else:
+            assert n < n_10, "bigger detectable lift needs fewer users"
+
+
+def test_quantization_audit_bounds(rows, spark, sf_dir):
+    """int8 reconstruction cosine must be very high for every vector
+    (symmetric scale over 64 dims) and never exceed 1; every vector is
+    audited."""
+    from wireduck_spark.registry import table
+
+    rs = rows("embed_quantization_error_audit")
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert len(rs) == n_vecs
+    for r in rs:
+        assert 0.99 <= r["cos_recon"] <= 1.0 + 1e-9

@@ -171,6 +171,65 @@ def _walk_windows(jplan, amap=None) -> tuple[int, int, int]:
     return n_global, n_constant, n_skipped
 
 
+def _subtree_has_scalar_agg(node) -> bool:
+    """True if the subtree contains a global (empty-grouping) aggregate —
+    the plan shape that guarantees AT MOST ONE row out, i.e. a scalar
+    frame. Used to classify BroadcastNestedLoopJoin build sides."""
+    from py4j.protocol import Py4JError
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if "Aggregate" in n.nodeName():
+            try:
+                if n.groupingExpressions().isEmpty():
+                    return True
+            except Py4JError:
+                pass
+        kids = n.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return False
+
+
+def count_multirow_bnlj(jplan) -> int:
+    """BroadcastNestedLoopJoins whose BROADCAST side is NOT a provably
+    1-row scalar frame. The blunt `bnlj > 1` rule mis-flagged queries
+    that legitimately broadcast several 1-row aggregates (median + total
+    + parent-impurity scalars each cost one bnlj); the scale risk is a
+    MULTI-ROW nested loop, which this counts structurally: build side
+    lacking an empty-grouping aggregate."""
+    from py4j.protocol import Py4JError
+
+    multirow = 0
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            stack.append(node.initialPlan())
+            continue
+        if name == "BroadcastNestedLoopJoin":
+            try:
+                build_left = "BuildLeft" in node.buildSide().toString()
+            except Py4JError:
+                build_left = False  # Spark default is BuildRight
+            kids = node.children()
+            build = kids.apply(0 if build_left else 1)
+            if not _subtree_has_scalar_agg(build):
+                multirow += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        try:
+            subs = node.subqueries()
+            for i in range(subs.size()):
+                stack.append(subs.apply(i))
+        except Py4JError:
+            pass
+    return multirow
+
+
 def audit_windows(qe) -> tuple[int, int, int]:
     """(n_global, n_constant, n_skipped) for one query execution.
 
@@ -251,9 +310,11 @@ def audit_one(spark, spec, sf_dir: str, skipper: _CheckpointSkipper) -> dict:
     for op in ops:
         counts[op] = counts.get(op, 0) + 1
     global_windows, const_windows, skipped = audit_windows(qe)
+    bnlj_multirow = count_multirow_bnlj(qe.executedPlan())
     return {
         "name": spec.name,
         "ckpts_skipped": ckpts_skipped,
+        "bnlj_multirow": bnlj_multirow,
         "const_windows": const_windows,
         "win_nodes_skipped": skipped,
         "shuffles": counts.get("Exchange", 0),
@@ -306,6 +367,17 @@ def main() -> None:
         # centroid table) — every nested-loop side is the broadcast
         # centroid set, bounded by k, never row x row.
         "dedup_semantic_kmeans_scaled",
+        # Bounded-broadcast nested loops the structural multi-row
+        # classifier correctly surfaces (the old bnlj<=1 rule passed
+        # them without proving anything); each broadcast side is a
+        # CONSTANT-size frame by construction:
+        "join_cross",          # the CROSS JOIN operator demo: 25x5 dims
+        "cte_reuse",           # 1-row filtered segment baseline (seg =
+        #                        'BUILDING' over a 5-group aggregate)
+        "dedup_simhash",       # broadcast spark.range(0,16) bit table
+        "dedup_keep_best",     # same 16-row bit table (shared builder)
+        "sim_topk_bruteforce",  # broadcast of the N_QUERY_VECS probe set
+        #                         (constant; docstring documents it)
     }
     flagged = [
         r for r in rows
@@ -317,9 +389,12 @@ def main() -> None:
         # constant-partition windows (pmod(x,1) idiom) are physically
         # global; only bounded-domain allowlisted queries may use them
         or (r["const_windows"] and r["name"] not in BOUNDED_CONSTANT_WINDOWS)
-        # >1 nested-loop join means something beyond the 1-row scalar
-        # broadcast pattern slipped in
-        or (r["bnlj"] > 1 and r["name"] not in allowed_bnlj)
+        # a nested-loop join whose broadcast side is NOT a provably-1-row
+        # scalar frame (empty-grouping aggregate) — the genuine O(n*m)
+        # risk. Any NUMBER of scalar broadcasts is fine (each costs one
+        # bnlj against exactly one row); the kmeans queries' K-row
+        # centroid broadcasts are the documented bounded exception.
+        or (r["bnlj_multirow"] > 0 and r["name"] not in allowed_bnlj)
     ]
 
     with open(args.out, "w") as f:
@@ -328,20 +403,25 @@ def main() -> None:
             f"Physical-plan operator counts per registered query at "
             f"`{args.sf}` (AQE on, so counts reflect the initial plan; "
             "AQE only improves them at runtime — e.g. converting "
-            "sort-merge to broadcast joins). `bnlj=1` rows are the "
-            "1-row scalar-subquery broadcast pattern (tpch_q11/q22 "
-            "style), asserted single-row by tests/test_plans.py; "
+            "sort-merge to broadcast joins). The nested-loop column "
+            "shows total bnlj+cartesian with the MULTI-ROW count in "
+            "parens: a bnlj whose broadcast side is a provably-1-row "
+            "scalar frame (empty-grouping aggregate, the tpch_q11/q22 "
+            "decorrelation pattern) is fine in any number — the flag "
+            "fires only on multi-row build sides; "
             "dedup_semantic_kmeans' nested-loop joins are its K-row "
-            "centroid-broadcast assignment stages (bounded by K).\n\n"
+            "centroid-broadcast assignment stages (bounded by K, "
+            "allowlisted).\n\n"
         )
         f.write(
             f"**{len(rows)} queries audited; "
             f"{len(flagged)} flagged** (cartesian products, global "
             "windows, non-allowlisted constant-partition windows, "
-            "uninspectable Window nodes, or multi-row nested-loop "
-            "joins). Constant-partition windows (the pmod(x,1) idiom) "
-            "are physically single-task; the allowlisted queries run "
-            "them over bounded-domain aggregate tables only.\n\n"
+            "uninspectable Window nodes, or non-allowlisted MULTI-ROW "
+            "nested-loop joins). Constant-partition windows (the "
+            "pmod(x,1) idiom) are physically single-task; the "
+            "allowlisted queries run them over bounded-domain "
+            "aggregate tables only.\n\n"
         )
         if flagged:
             f.write("## FLAGGED\n\n")
@@ -354,9 +434,13 @@ def main() -> None:
             "are the real pre-checkpoint plan the query computes — the "
             "production query additionally applies N checkpoint "
             "truncations (round-8 VERDICT #2: previously these rows "
-            "showed the all-zero checkpointed-RDD scan instead).\n\n"
+            "showed the all-zero checkpointed-RDD scan instead). "
+            "`dq_schema_drift_audit` is all-zero BY DESIGN, not opacity: "
+            "it diffs parquet FOOTER schemas driver-side (O(files) "
+            "metadata reads, no data scan) and returns a LocalTableScan "
+            "— there is no distributed plan to audit.\n\n"
             "| query | shuffles | broadcast joins | sort-merge joins |"
-            " nested-loop | windows (global/const) | explodes |"
+            " nested-loop (multi-row) | windows (global/const) | explodes |"
             " python stages | top-k | ckpt |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n"
         )
@@ -365,7 +449,8 @@ def main() -> None:
                   if r["ckpts_skipped"] else "-")
             f.write(
                 f"| {r['name']} | {r['shuffles']} | {r['bhj']} |"
-                f" {r['smj']} | {r['bnlj'] + r['cartesian']} |"
+                f" {r['smj']} | {r['bnlj'] + r['cartesian']}"
+                f" ({r['bnlj_multirow']}) |"
                 f" {r['windows']} ({r['global_windows']}/"
                 f"{r['const_windows']}) |"
                 f" {r['generates']} | {r['python']} |"

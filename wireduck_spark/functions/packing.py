@@ -616,3 +616,80 @@ def embed_drift_audit(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("abs_drift_q").desc(), "dim")
         .limit(10)
     )
+
+
+def _quant_audit_oracle() -> str:
+    from wireduck_spark.functions.similarity import duck_cosine
+
+    return f"""
+    WITH scaled AS (
+      SELECT vec_id,
+             greatest(list_aggregate(
+                 list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE))), 'max'),
+               1e-30) AS maxabs,
+             embedding
+      FROM embeddings
+    ),
+    recon AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                 x -> ROUND(CAST(x AS DOUBLE) * 127 / maxabs, 0)) AS q
+      FROM scaled
+      WHERE maxabs > 1e-20
+    )
+    SELECT vec_id,
+           ROUND({duck_cosine("embedding", "q")}, 6) AS cos_recon
+    FROM recon ORDER BY vec_id
+    """
+
+
+@query(
+    "embed_quantization_error_audit",
+    oracle=_quant_audit_oracle(),
+    tags=("embedding", "llm-pipeline", "quality"),
+)
+def embed_quantization_error_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Reconstruction-quality audit of embed_quantize_int8: per-vector
+    cosine between the original float vector and its int8-quantized
+    form. The check that closes the quantization loop — a serving tier
+    that stores int8 must KNOW the recall cost (cos_recon ~0.999+ for
+    well-scaled vectors; a low row here flags a vector whose dynamic
+    range the symmetric scale clips).
+
+    The per-vector scale s = maxabs/127 cancels out of the cosine
+    (cos(x, q*s) = cos(x, q) for s > 0), so the audit compares the
+    original against the INTEGER code vector directly — one less float
+    op chain to keep IEEE-identical. Same deterministic sequential
+    fold as dedup_embedding_cosine; floats widened to double before
+    any arithmetic; all-zero vectors (maxabs at the 1e-30 floor) are
+    excluded rather than emitting cross-engine NaN.
+
+    Scale: a pure narrow map over the embeddings scan — per-vector
+    array folds, no shuffle, no Python (the embed_quantize_int8
+    profile).
+    """
+    from wireduck_spark.functions.similarity import cosine
+
+    e = table(spark, sf, "embeddings", spread=True)
+    maxabs = F.greatest(
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ),
+        F.lit(1e-30),
+    )
+    scaled = e.withColumn("maxabs", maxabs).filter(F.col("maxabs") > 1e-20)
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127 / F.col("maxabs"), 0)
+        .cast("bigint"),
+    )
+    return (
+        scaled.withColumn("q", q)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q")), 6)
+            .alias("cos_recon"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1235,3 +1235,87 @@ def embed_centroid_spread(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion power analysis (required sample size per arm)
+# ---------------------------------------------------------------------------
+
+# Standard normal quantiles as exact double literals (identical text in
+# both engines): z_{0.025} two-sided alpha=0.05, z_{0.20} power=0.80.
+_Z_ALPHA = "1.959963984540054"
+_Z_BETA = "0.8416212335729143"
+
+
+@query(
+    "stats_power_sample_size",
+    oracle=f"""
+    WITH u AS (SELECT COUNT(*) AS n_users FROM
+               (SELECT DISTINCT user_id FROM events)),
+    c AS (SELECT COUNT(*) AS x_conv FROM
+          (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND value > 80)),
+    p AS (
+        SELECT CAST(n_users AS BIGINT) AS n_users,
+               CAST(x_conv AS BIGINT) AS x_conv,
+               CAST(x_conv AS DOUBLE) / n_users AS p1,
+               CAST(x_conv AS DOUBLE) / n_users * 1.1 AS p2
+        FROM u, c
+    )
+    SELECT n_users, x_conv,
+           ROUND(p1, 4) AS p_base,
+           ROUND(p2, 4) AS p_target,
+           CAST(CEIL(
+               ({_Z_ALPHA} * sqrt(2 * ((p1 + p2) / 2) * (1 - (p1 + p2) / 2))
+                + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+               * ({_Z_ALPHA} * sqrt(2 * ((p1 + p2) / 2)
+                                    * (1 - (p1 + p2) / 2))
+                  + {_Z_BETA} * sqrt(p1 * (1 - p1) + p2 * (1 - p2)))
+               / ((p2 - p1) * (p2 - p1))) AS BIGINT) AS n_per_arm
+    FROM p
+    """,
+    tags=("stats", "events"),
+)
+def stats_power_sample_size(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B power analysis: required users PER ARM to detect a +10%
+    relative lift over the observed high-value conversion rate at
+    alpha 0.05 (two-sided) / power 0.80 — the planning step that closes
+    the experimentation family (power -> assignment -> SRM -> lift ->
+    CUPED -> DiD -> z-test). Ship an experiment without this number and
+    "no significant difference" is indistinguishable from "underpowered".
+
+    Determinism: the base rate is one division of exact distinct
+    counts; the normal quantiles are exact double LITERALS (identical
+    text both engines); the sample-size formula is one same-tree double
+    expression (sqrt-only, rule-9 safe) and CEIL of identical doubles
+    is identical.
+
+    Scale: two distinct-user counts and a 1-row closed-form readout.
+    """
+    e = table(spark, sf, "events")
+    u = e.select("user_id").distinct().agg(
+        F.count("*").cast("bigint").alias("n_users"))
+    c = (e.filter((F.col("event_type") == "purchase")
+                  & (F.col("value") > 80))
+         .select("user_id").distinct()
+         .agg(F.count("*").cast("bigint").alias("x_conv")))
+    p = u.crossJoin(c).select(
+        "n_users", "x_conv",
+        (F.col("x_conv").cast("double") / F.col("n_users")).alias("p1"),
+        (F.col("x_conv").cast("double") / F.col("n_users") * 1.1)
+        .alias("p2"),
+    )
+    za, zb = float(_Z_ALPHA), float(_Z_BETA)
+    pbar = (F.col("p1") + F.col("p2")) / 2
+    num_root = (za * F.sqrt(2 * pbar * (1 - pbar))
+                + zb * F.sqrt(F.col("p1") * (1 - F.col("p1"))
+                              + F.col("p2") * (1 - F.col("p2"))))
+    return p.select(
+        "n_users", "x_conv",
+        F.round("p1", 4).alias("p_base"),
+        F.round("p2", 4).alias("p_target"),
+        F.ceil(num_root * num_root
+               / ((F.col("p2") - F.col("p1"))
+                  * (F.col("p2") - F.col("p1"))))
+        .cast("bigint").alias("n_per_arm"),
+    )

@@ -194,6 +194,8 @@ GATE: tuple[str, ...] = (
     "window_rsi_sma",
     "feature_gini_split_gain",
     "embed_centroid_spread",
+    "stats_power_sample_size",
+    "embed_quantization_error_audit",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
