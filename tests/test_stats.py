@@ -199,3 +199,23 @@ def test_quantization_audit_bounds(rows, spark, sf_dir):
     assert len(rs) == n_vecs
     for r in rs:
         assert 0.99 <= r["cos_recon"] <= 1.0 + 1e-9
+
+
+def test_cusum_monotone_maxima_and_alarm(rows):
+    """Maxima non-negative, alarm step is after warmup (>= 8) when
+    armed, and mu equals the mean of the first 7 days (re-derived
+    independently would require the series — instead pin mu > 0 for
+    every 30-day type and that at least one type alarms)."""
+    rs = rows("stats_cusum_drift")
+    assert len(rs) == 5
+    armed = 0
+    for r in rs:
+        assert r["n_days"] >= 8
+        assert r["mu_cents"] > 0
+        assert r["max_cusum_pos"] >= 0 and r["max_cusum_neg"] >= 0
+        if r["alarm_step"] >= 0:
+            armed += 1
+            assert r["alarm_step"] >= 8
+            assert (max(r["max_cusum_pos"], r["max_cusum_neg"])
+                    > r["mu_cents"] // 4)
+    assert armed >= 1, "fixture should alarm somewhere (degeneracy guard)"

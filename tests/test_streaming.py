@@ -1562,3 +1562,94 @@ def test_brier_tracker_forced_chunks(spark, sf_dir, tmp_path):
             spark.conf.set(key, prev)
     expected = _brier_batch_expected(spark, sf_dir)
     assert {b: v[:4] for b, v in got.items()} == expected
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift tracker
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+
+
+def _run_cusum_stream(spark, sf_dir, tmp_path, qname):
+    """Stream the CLOSED daily totals as 3 day-range micro-batches
+    (days are complete within a batch and batches arrive in day order —
+    the tracker's documented contract); return the latest emission per
+    type (n_days is monotone)."""
+    from wireduck_spark.streaming.stateful import cusum_tracker
+
+    daily = _daily_cents(spark, sf_dir)
+    src_dir = tmp_path / f"{qname}_src"
+    src_dir.mkdir()
+    for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                  ("2024-01-11", "2024-01-21"),
+                                  ("2024-01-21", "2024-02-01"))):
+        (daily.filter((F.col("d") >= lo) & (F.col("d") < hi))
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        cusum_tracker(stream_src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        prev = got.get(r["event_type"])
+        if prev is None or r["n_days"] > prev[0]:
+            got[r["event_type"]] = (r["n_days"], r["mu_cents"],
+                                    r["max_cusum_pos"], r["max_cusum_neg"],
+                                    r["alarm_step"])
+    return got
+
+
+def test_cusum_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming CUSUM tracker's final per-type row (daily totals
+    arriving as 3 day-ordered micro-batches, batch boundaries cutting
+    the warmup and monitoring phases) must be bit-identical to the
+    batch stats_cusum_drift query."""
+    got = _run_cusum_stream(spark, sf_dir, tmp_path, "t_cusum")
+    expected = {
+        r["event_type"]: (r["n_days"], r["mu_cents"], r["max_cusum_pos"],
+                          r["max_cusum_neg"], r["alarm_step"])
+        for r in QUERIES["stats_cusum_drift"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[4] >= 0 for v in got.values()), \
+        "fixture should alarm somewhere (degeneracy guard)"
+
+
+def test_cusum_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Same equivalence with maxRecordsPerBatch=3: a batch's days hit
+    the update function as many Arrow chunks; the concat-then-sort-once
+    discipline must keep the day walk identical."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        got = _run_cusum_stream(spark, sf_dir, tmp_path, "t_cusum_chunked")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expected = {
+        r["event_type"]: (r["n_days"], r["mu_cents"], r["max_cusum_pos"],
+                          r["max_cusum_neg"], r["alarm_step"])
+        for r in QUERIES["stats_cusum_drift"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected

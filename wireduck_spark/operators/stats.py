@@ -1319,3 +1319,152 @@ def stats_power_sample_size(spark: SparkSession, sf: str) -> DataFrame:
                   * (F.col("p2") - F.col("p1"))))
         .cast("bigint").alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift monitor over the per-type daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cusum_drift",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (
+                 PARTITION BY event_type ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ),
+    -- the CUSUM recurrence replayed one row per (type, step); recursive
+    -- CTE not list_reduce (DuckDB 1.0 struct-accumulator bug — the
+    -- forecast_holt_linear precedent). State: warmup sum -> mu at step
+    -- 7, then one-sided sums sp/sn with 5% slack, running maxima, and
+    -- the first step either side crossed h = mu/4.
+    cu AS (
+      SELECT event_type, i, cents AS warm, CAST(0 AS BIGINT) AS mu,
+             CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+             CAST(0 AS BIGINT) AS mp, CAST(0 AS BIGINT) AS mn,
+             CAST(-1 AS BIGINT) AS alarm
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i,
+        CASE WHEN c.i < 7 THEN c.warm + d.cents ELSE c.warm END,
+        CASE WHEN c.i = 6 THEN (c.warm + d.cents) // 7 ELSE c.mu END,
+        CASE WHEN c.i < 7 THEN CAST(0 AS BIGINT)
+             ELSE greatest(CAST(0 AS BIGINT),
+                           c.sp + d.cents - c.mu - c.mu // 20) END,
+        CASE WHEN c.i < 7 THEN CAST(0 AS BIGINT)
+             ELSE greatest(CAST(0 AS BIGINT),
+                           c.sn + c.mu - c.mu // 20 - d.cents) END,
+        CASE WHEN c.i < 7 THEN CAST(0 AS BIGINT)
+             ELSE greatest(c.mp, greatest(CAST(0 AS BIGINT),
+                           c.sp + d.cents - c.mu - c.mu // 20)) END,
+        CASE WHEN c.i < 7 THEN CAST(0 AS BIGINT)
+             ELSE greatest(c.mn, greatest(CAST(0 AS BIGINT),
+                           c.sn + c.mu - c.mu // 20 - d.cents)) END,
+        CASE WHEN c.i < 7 OR c.alarm >= 0 THEN c.alarm
+             WHEN greatest(CAST(0 AS BIGINT),
+                           c.sp + d.cents - c.mu - c.mu // 20) > c.mu // 4
+               OR greatest(CAST(0 AS BIGINT),
+                           c.sn + c.mu - c.mu // 20 - d.cents) > c.mu // 4
+             THEN d.i ELSE CAST(-1 AS BIGINT) END
+      FROM cu c JOIN idx d
+        ON d.event_type = c.event_type AND d.i = c.i + 1
+    ),
+    final AS (
+      SELECT event_type, i, mu, mp, mn, alarm,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY i DESC) AS rl
+      FROM cu
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS n_days,
+           CAST(mu AS BIGINT) AS mu_cents,
+           CAST(mp AS BIGINT) AS max_cusum_pos,
+           CAST(mn AS BIGINT) AS max_cusum_neg,
+           CAST(alarm AS BIGINT) AS alarm_step
+    FROM final WHERE rl = 1 ORDER BY event_type
+    """,
+    tags=("stats", "timeseries", "drift"),
+)
+def stats_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Tabular CUSUM drift monitor per event type: the first 7 days set
+    the in-control mean mu; from day 8 the one-sided cumulative sums
+    S+ = max(0, S+ + x - mu - k) and S- = max(0, S- + mu - k - x)
+    (slack k = mu/20, i.e. 5%) accumulate deviation, and the monitor
+    alarms the first day either side exceeds h = mu/4. CUSUM detects
+    small SUSTAINED shifts that per-point z-scores
+    (anomaly_zscore_trailing) miss, and its "significant drift or
+    noise?" question is the monitoring dual of stats_runs_test.
+
+    Determinism: the entire recurrence is int64 cents with truncating
+    divisions and greatest() — no floats anywhere. The fold runs ONCE
+    per type via the aggregate() HOF over the day-ordered point list
+    (forecast_holt_linear's machinery); the oracle replays it as a
+    recursive CTE (DuckDB 1.0 list_reduce struct-accumulator bug).
+    Types with < 7 days never arm (mu = 0, alarm = -1) — documented.
+
+    Scale: one (type, day)-keyed aggregate, then a per-type fold whose
+    state is 8 ints; series length is calendar-bounded. The streaming
+    twin (cusum_tracker, streaming/stateful.py) carries the same 8-int
+    state across micro-batches of CLOSED daily totals.
+    """
+    e = table(spark, sf, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("d", "cents"))).alias("pts"),
+    )
+    folded = series.withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              pts,
+              named_struct('n', 0L, 'warm', 0L, 'mu', 0L, 'sp', 0L,
+                           'sn', 0L, 'mp', 0L, 'mn', 0L, 'alarm', -1L),
+              (acc, x) -> CASE
+                WHEN acc.n < 6L THEN named_struct(
+                  'n', acc.n + 1L, 'warm', acc.warm + x.cents, 'mu', 0L,
+                  'sp', 0L, 'sn', 0L, 'mp', 0L, 'mn', 0L, 'alarm', -1L)
+                WHEN acc.n = 6L THEN named_struct(
+                  'n', 7L, 'warm', acc.warm + x.cents,
+                  'mu', (acc.warm + x.cents) div 7L,
+                  'sp', 0L, 'sn', 0L, 'mp', 0L, 'mn', 0L, 'alarm', -1L)
+                ELSE named_struct(
+                  'n', acc.n + 1L, 'warm', acc.warm, 'mu', acc.mu,
+                  'sp', greatest(0L,
+                        acc.sp + x.cents - acc.mu - acc.mu div 20L),
+                  'sn', greatest(0L,
+                        acc.sn + acc.mu - acc.mu div 20L - x.cents),
+                  'mp', greatest(acc.mp, greatest(0L,
+                        acc.sp + x.cents - acc.mu - acc.mu div 20L)),
+                  'mn', greatest(acc.mn, greatest(0L,
+                        acc.sn + acc.mu - acc.mu div 20L - x.cents)),
+                  'alarm', CASE WHEN acc.alarm >= 0L THEN acc.alarm
+                    WHEN greatest(0L,
+                         acc.sp + x.cents - acc.mu - acc.mu div 20L)
+                         > acc.mu div 4L
+                      OR greatest(0L,
+                         acc.sn + acc.mu - acc.mu div 20L - x.cents)
+                         > acc.mu div 4L
+                    THEN acc.n + 1L ELSE -1L END)
+              END)
+            """
+        ),
+    )
+    return folded.select(
+        "event_type", "n_days",
+        F.col("st.mu").cast("bigint").alias("mu_cents"),
+        F.col("st.mp").cast("bigint").alias("max_cusum_pos"),
+        F.col("st.mn").cast("bigint").alias("max_cusum_neg"),
+        F.col("st.alarm").cast("bigint").alias("alarm_step"),
+    ).orderBy("event_type")

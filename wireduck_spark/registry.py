@@ -196,6 +196,7 @@ GATE: tuple[str, ...] = (
     "embed_centroid_spread",
     "stats_power_sample_size",
     "embed_quantization_error_audit",
+    "stats_cusum_drift",
 )
 
 ROTATED_OUT: tuple[str, ...] = (

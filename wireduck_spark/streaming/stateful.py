@@ -1300,3 +1300,101 @@ def brier_calibration_tracker(scored: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift tracker (twin of stats_cusum_drift)
+# ---------------------------------------------------------------------------
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("warm", LongType()),
+        StructField("mu", LongType()),
+        StructField("sp", LongType()),
+        StructField("sn", LongType()),
+        StructField("mp", LongType()),
+        StructField("mn", LongType()),
+        StructField("alarm", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("mu_cents", LongType()),
+        StructField("max_cusum_pos", LongType()),
+        StructField("max_cusum_neg", LongType()),
+        StructField("alarm_step", LongType()),
+    ]
+)
+
+
+def _cusum_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Replays stats_cusum_drift's integer recurrence across
+    micro-batches: 7-day warmup sets mu, then one-sided sums with 5%
+    slack and an h = mu//4 alarm. concat-then-sort-once per batch (the
+    beacon-tracker discipline) so Arrow chunking cannot reorder days;
+    cross-batch the tracker relies on per-key day-ordered delivery of
+    CLOSED daily totals (the contract documented on cusum_tracker)."""
+    (event_type,) = key
+    n, warm, mu, sp, sn, mp, mn, alarm = (
+        state.get if state.exists else (0, 0, 0, 0, 0, 0, 0, -1))
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
+        for cents in pdf["cents"].astype("int64"):
+            c = int(cents)
+            if n < 6:
+                n, warm = n + 1, warm + c
+            elif n == 6:
+                n, warm = 7, warm + c
+                mu = warm // 7 if warm >= 0 else -((-warm) // 7)
+            else:
+                k = mu // 20 if mu >= 0 else -((-mu) // 20)
+                h = mu // 4 if mu >= 0 else -((-mu) // 4)
+                sp = max(0, sp + c - mu - k)
+                sn = max(0, sn + mu - k - c)
+                mp, mn = max(mp, sp), max(mn, sn)
+                if alarm < 0 and (sp > h or sn > h):
+                    alarm = n + 1
+                n += 1
+    state.update((n, warm, mu, sp, sn, mp, mn, alarm))
+    yield pd.DataFrame(
+        [(event_type, n, mu, mp, mn, alarm)],
+        columns=[f.name for f in CUSUM_OUTPUT_SCHEMA.fields],
+    )
+
+
+def cusum_tracker(daily: DataFrame) -> DataFrame:
+    """Streaming twin of stats_cusum_drift: per event type, the 8-int
+    CUSUM state (warmup sum, in-control mean, one-sided sums, running
+    maxima, first alarm step) carried across micro-batches — drift
+    alarms fire the DAY the cumulative deviation crosses h, not in
+    tomorrow's batch scan. Input contract: a stream of CLOSED daily
+    totals (event_type, d, cents) in per-key day order — the natural
+    downstream of a watermarked tumbling daily aggregate (tw_tumbling's
+    machinery), matching the batch query's (type, day) rollup exactly.
+
+    Bounded state: 8 int64 per event type regardless of stream length
+    (the Brier/SpaceSaving bounded-state contract). Exactness contract
+    (pytest-pinned incl. forced Arrow chunking): with day-ordered
+    delivery, the final emitted row per type is bit-identical to
+    stats_cusum_drift's row. Python-side integer division mirrors
+    Spark/DuckDB TRUNCATION toward zero (mu // k floors in Python, so
+    negative values go through an explicit -((-x)//d) — revenue cents
+    are non-negative here, but the twin must not silently diverge on a
+    hypothetical negative series).
+    """
+    return daily.groupBy("event_type").applyInPandasWithState(
+        _cusum_update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
