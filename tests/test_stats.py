@@ -219,3 +219,30 @@ def test_cusum_monotone_maxima_and_alarm(rows):
             assert (max(r["max_cusum_pos"], r["max_cusum_neg"])
                     > r["mu_cents"] // 4)
     assert armed >= 1, "fixture should alarm somewhere (degeneracy guard)"
+
+
+def test_macd_identities_and_seed(rows):
+    """hist = macd - signal row-by-row; EMAs seed at the first close
+    (fast tracks closer than slow: |close - fast| <= |close - slow| is
+    NOT guaranteed pointwise, but the macd line must equal fast - slow
+    exactly); crosses are mutually exclusive."""
+    rs = rows("window_macd_ema")
+    assert len(rs) >= 20
+    for r in rs:
+        assert r["macd_cents"] == r["ema_fast_cents"] - r["ema_slow_cents"]
+        assert r["hist_cents"] == r["macd_cents"] - r["signal_cents"]
+        assert not (r["cross_up"] and r["cross_down"])
+    assert any(r["cross_up"] or r["cross_down"] for r in rs), \
+        "a month of noisy revenue should cross at least once"
+
+
+def test_schnabel_bounds(rows):
+    """The pooled estimate must be at least the observed population
+    (unbiased capture-recapture can't estimate below what was seen,
+    modulo the +1 adjustment) and recaptures can't exceed total
+    captures."""
+    [r] = rows("stats_schnabel_recapture")
+    assert r["n_occasions"] >= 2
+    assert r["sum_recaptures"] >= 1
+    assert r["n_schnabel"] >= r["n_observed"] - 1
+    assert r["sum_cm"] >= r["sum_recaptures"]

@@ -54,6 +54,8 @@ BOUNDED_CONSTANT_WINDOWS = {
     "stats_acf_daily_lags",           # daily series (<= 366 rows/yr)
     "window_bollinger_bands",         # daily series (<= 366 rows/yr)
     "window_rsi_sma",                 # daily series (<= 366 rows/yr)
+    "window_macd_ema",                # daily series (<= 366 rows/yr)
+    "stats_schnabel_recapture",       # daily occasions (<= 366 rows/yr)
 }
 
 

@@ -1468,3 +1468,244 @@ def stats_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.col("st.mn").cast("bigint").alias("max_cusum_neg"),
         F.col("st.alarm").cast("bigint").alias("alarm_step"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# MACD over the daily revenue series (integer EMA halvings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_macd_ema",
+    oracle=f"""
+    WITH RECURSIVE daily AS ({_DAILY_REV_DUCK}),
+    idx AS (
+      SELECT d, c,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ),
+    ema AS (
+      SELECT d, i, c, c AS f, c AS s, CAST(0 AS BIGINT) AS g
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.d, x.i, x.c,
+             (x.c + e.f) // 2 AS f,
+             (x.c + 3 * e.s) // 4 AS s,
+             CASE WHEN e.i = 1
+                  THEN ((x.c + e.f) // 2) - ((x.c + 3 * e.s) // 4)
+                  ELSE ((((x.c + e.f) // 2) - ((x.c + 3 * e.s) // 4))
+                        + e.g) // 2 END AS g
+      FROM ema e JOIN idx x ON x.i = e.i + 1
+    ),
+    macd AS (
+      SELECT d, i, c, f, s, f - s AS m, g,
+             (f - s) - g AS hist,
+             LAG((f - s) - g) OVER (ORDER BY i) AS prev_hist
+      FROM ema
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS close_cents,
+           CAST(f AS BIGINT) AS ema_fast_cents,
+           CAST(s AS BIGINT) AS ema_slow_cents,
+           CAST(m AS BIGINT) AS macd_cents,
+           CAST(g AS BIGINT) AS signal_cents,
+           CAST(hist AS BIGINT) AS hist_cents,
+           CAST(CASE WHEN prev_hist IS NOT NULL
+                      AND hist > 0 AND prev_hist <= 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS cross_up,
+           CAST(CASE WHEN prev_hist IS NOT NULL
+                      AND hist < 0 AND prev_hist >= 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS cross_down
+    FROM macd WHERE i > 1 ORDER BY day
+    """,
+    tags=("window", "timeseries"),
+)
+def window_macd_ema(spark: SparkSession, sf: str) -> DataFrame:
+    """MACD of the daily revenue series with INTEGER exponential
+    smoothing: fast EMA alpha=1/2 (halving), slow EMA alpha=1/4
+    (quartering), signal = EMA(1/2) of the MACD line, histogram and
+    signal-cross flags. alpha restricted to dyadic rationals is the
+    price of exactness — every smoothing step is a truncating integer
+    division identical in Spark (`div`), DuckDB (`//`), and the
+    recursive-CTE oracle, so a float-free MACD that hash-matches
+    bit-for-bit (the forecast_holt_linear alpha=1/2 precedent; Wilder's
+    alpha=1/14 would force float state). Completes the TA family:
+    OHLC bars -> drawdown -> Bollinger -> RSI -> MACD.
+
+    Per-day output from a single fold: the aggregate() HOF carries
+    (f, s, g) AND appends each day's state to an array, which
+    posexplodes into the day table — one pass, no per-lag self-joins.
+    The signal line seeds at the first MACD value (i = 2; day 1 has no
+    meaningful MACD and is excluded, documented).
+
+    Scale: calendar-bounded like the other daily-series queries (the
+    accumulated array is <= 366 elements/yr); the raw scan folds
+    map-side.
+    """
+    daily = _daily_rev_spark(spark, sf)
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "c"))).alias("pts"))
+    folded = series.withColumn(
+        "rows",
+        F.expr(
+            """
+            aggregate(
+              pts,
+              named_struct(
+                'f', 0L, 's', 0L, 'g', 0L, 'n', 0L,
+                'rows', CAST(array() AS
+                  array<struct<d: date, c: bigint, f: bigint,
+                               s: bigint, g: bigint>>)),
+              (acc, x) -> CASE WHEN acc.n = 0L THEN named_struct(
+                  'f', x.c, 's', x.c, 'g', 0L, 'n', 1L,
+                  'rows', array(named_struct('d', x.d, 'c', x.c,
+                                             'f', x.c, 's', x.c,
+                                             'g', 0L)))
+                ELSE named_struct(
+                  'f', (x.c + acc.f) div 2L,
+                  's', (x.c + 3L * acc.s) div 4L,
+                  'g', CASE WHEN acc.n = 1L
+                       THEN ((x.c + acc.f) div 2L)
+                            - ((x.c + 3L * acc.s) div 4L)
+                       ELSE ((((x.c + acc.f) div 2L)
+                              - ((x.c + 3L * acc.s) div 4L))
+                             + acc.g) div 2L END,
+                  'n', acc.n + 1L,
+                  'rows', concat(acc.rows, array(named_struct(
+                    'd', x.d, 'c', x.c,
+                    'f', (x.c + acc.f) div 2L,
+                    's', (x.c + 3L * acc.s) div 4L,
+                    'g', CASE WHEN acc.n = 1L
+                         THEN ((x.c + acc.f) div 2L)
+                              - ((x.c + 3L * acc.s) div 4L)
+                         ELSE ((((x.c + acc.f) div 2L)
+                                - ((x.c + 3L * acc.s) div 4L))
+                               + acc.g) div 2L END))))
+              END).rows
+            """
+        ),
+    )
+    days = folded.select(
+        F.posexplode("rows").alias("idx", "r")
+    ).select(
+        (F.col("idx") + 1).alias("i"),
+        F.col("r.d").alias("d"), F.col("r.c").alias("c"),
+        F.col("r.f").alias("f"), F.col("r.s").alias("s"),
+        F.col("r.g").alias("g"),
+        (F.col("r.f") - F.col("r.s")).alias("m"),
+        (F.col("r.f") - F.col("r.s") - F.col("r.g")).alias("hist"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("c"), F.lit(1))).orderBy("i")
+    out = days.withColumn("prev_hist", F.lag("hist").over(w))
+    return (
+        out.filter(F.col("i") > 1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("c").alias("close_cents"),
+            F.col("f").cast("bigint").alias("ema_fast_cents"),
+            F.col("s").cast("bigint").alias("ema_slow_cents"),
+            F.col("m").cast("bigint").alias("macd_cents"),
+            F.col("g").cast("bigint").alias("signal_cents"),
+            F.col("hist").cast("bigint").alias("hist_cents"),
+            F.when(F.col("prev_hist").isNotNull()
+                   & (F.col("hist") > 0) & (F.col("prev_hist") <= 0), 1)
+            .otherwise(0).cast("bigint").alias("cross_up"),
+            F.when(F.col("prev_hist").isNotNull()
+                   & (F.col("hist") < 0) & (F.col("prev_hist") >= 0), 1)
+            .otherwise(0).cast("bigint").alias("cross_down"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schnabel multi-occasion capture-recapture
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_schnabel_recapture",
+    oracle="""
+    WITH pd AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (
+        SELECT user_id, MIN(d) AS fd FROM pd GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT pd.d,
+               CAST(COUNT(*) AS BIGINT) AS c_t,
+               CAST(SUM(CASE WHEN pd.d > f.fd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS r_t,
+               CAST(SUM(CASE WHEN pd.d = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new_marks
+        FROM pd JOIN firsts f ON pd.user_id = f.user_id
+        GROUP BY pd.d
+    ),
+    with_m AS (
+        SELECT d, c_t, r_t,
+               CAST(COALESCE(SUM(new_marks) OVER (
+                   ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS m_t
+        FROM per_day
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_occasions,
+           CAST(SUM(c_t * m_t) AS BIGINT) AS sum_cm,
+           CAST(SUM(r_t) AS BIGINT) AS sum_recaptures,
+           CAST(SUM(c_t * m_t) // (SUM(r_t) + 1) AS BIGINT) AS n_schnabel,
+           CAST((SELECT COUNT(*) FROM firsts) AS BIGINT) AS n_observed
+    FROM with_m
+    """,
+    tags=("stats", "events"),
+)
+def stats_schnabel_recapture(spark: SparkSession, sf: str) -> DataFrame:
+    """Schnabel multi-occasion capture-recapture: every purchase day is
+    a capture occasion, a user's first day marks them, later days
+    recapture them; the population estimate pools all occasions —
+    N = sum(C_t * M_t) / (sum(R_t) + 1) (Chapman-adjusted Schnabel, the
+    +1 also guards the all-new first occasion). Generalizes the
+    two-occasion stats_capture_recapture: one estimate from the whole
+    month instead of one day pair, which is what you actually run over
+    a crawl's daily host samples.
+
+    Determinism: pure integer counts; M_t (marked before day t) is an
+    exclusive-prefix cumulative sum over the calendar-bounded day table
+    (constant-pmod window, allowlisted); the estimator is one
+    truncating integer division (rule 6). c_t * m_t <= users^2 caps
+    the user dimension at ~3e9 before int64 overflow — rescale beyond.
+
+    Scale: (user, day) distinct pairs fold map-side; firsts is one
+    user-keyed min; everything after is day-keyed (<= 366 rows).
+    """
+    e = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    pd_ = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = pd_.groupBy("user_id").agg(F.min("d").alias("fd"))
+    per_day = (
+        pd_.join(firsts, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count("*").cast("bigint").alias("c_t"),
+            F.sum(F.when(F.col("d") > F.col("fd"), 1).otherwise(0))
+            .cast("bigint").alias("r_t"),
+            F.sum(F.when(F.col("d") == F.col("fd"), 1).otherwise(0))
+            .cast("bigint").alias("new_marks"),
+        )
+    )
+    w = (Window.partitionBy(F.pmod(F.col("c_t"), F.lit(1))).orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    with_m = per_day.withColumn(
+        "m_t",
+        F.coalesce(F.sum("new_marks").over(w), F.lit(0)).cast("bigint"))
+    n_obs = firsts.agg(F.count("*").cast("bigint").alias("n_observed"))
+    return (
+        with_m.agg(
+            F.count("*").cast("bigint").alias("n_occasions"),
+            F.sum(F.col("c_t") * F.col("m_t")).cast("bigint")
+            .alias("sum_cm"),
+            F.sum("r_t").cast("bigint").alias("sum_recaptures"),
+            F.expr("CAST(SUM(c_t * m_t) div (SUM(r_t) + 1) AS BIGINT)")
+            .alias("n_schnabel"),
+        )
+        .crossJoin(F.broadcast(n_obs))
+    )

@@ -197,6 +197,8 @@ GATE: tuple[str, ...] = (
     "stats_power_sample_size",
     "embed_quantization_error_audit",
     "stats_cusum_drift",
+    "window_macd_ema",
+    "stats_schnabel_recapture",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
