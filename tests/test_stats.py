@@ -246,3 +246,11 @@ def test_schnabel_bounds(rows):
     assert r["sum_recaptures"] >= 1
     assert r["n_schnabel"] >= r["n_observed"] - 1
     assert r["sum_cm"] >= r["sum_recaptures"]
+
+
+def test_levene_w_positive_and_scale_invariant(rows):
+    """W > 0 on the fixture; k and n match the ANOVA run (same groups)."""
+    [r] = rows("stats_levene_brown_forsythe")
+    [a] = rows("stats_anova_oneway")
+    assert r["k"] == a["k"] and r["n"] == a["n"]
+    assert r["w_stat"] > 0

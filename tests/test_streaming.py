@@ -1653,3 +1653,44 @@ def test_cusum_tracker_forced_chunks(spark, sf_dir, tmp_path):
         for r in QUERIES["stats_cusum_drift"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Streaming SRM tracker
+# ---------------------------------------------------------------------------
+
+
+def test_srm_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """The live SRM alarm's final row (first-seen users arriving as 3
+    micro-batches) must equal event_ab_srm_check bit-for-bit."""
+    from wireduck_spark.streaming.stateful import srm_tracker
+
+    users = table(spark, sf_dir, "events").select("user_id").distinct()
+    src_dir = tmp_path / "srm_src"
+    src_dir.mkdir()
+    for i in range(3):
+        (users.filter(F.col("user_id") % 3 == i)
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema(users.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        srm_tracker(stream_src)
+        .writeStream.format("memory")
+        .queryName("t_srm")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM t_srm ORDER BY n_control + n_treatment DESC LIMIT 1"
+    ).collect()
+    assert rows, "tracker emitted nothing"
+    got = (rows[0]["n_control"], rows[0]["n_treatment"], rows[0]["chi2"],
+           rows[0]["srm_flag"])
+    b = QUERIES["event_ab_srm_check"].fn(spark, sf_dir).collect()[0]
+    assert got == (b["n_control"], b["n_treatment"], b["chi2"],
+                   b["srm_flag"])

@@ -1709,3 +1709,93 @@ def stats_schnabel_recapture(spark: SparkSession, sf: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n_obs))
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe (median-centered Levene) variance homogeneity test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_levene_brown_forsythe",
+    oracle="""
+    WITH med AS (
+        SELECT source, CAST(2 * median(n_chars) AS BIGINT) AS m2
+        FROM documents GROUP BY source
+    ),
+    z AS (
+        SELECT d.source, abs(2 * d.n_chars - m.m2) AS z
+        FROM documents d JOIN med m ON d.source = m.source
+    ),
+    g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(z) AS BIGINT) AS s_j,
+               CAST(SUM(z * z) AS BIGINT) AS ss_j
+        FROM z GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(SUM(s_j) AS BIGINT) AS s,
+               CAST(SUM(ss_j) AS BIGINT) AS ss,
+               SUM(CAST(s_j AS DOUBLE) * s_j / n_j) AS gterm
+        FROM g
+    )
+    SELECT k, n,
+           ROUND(((gterm - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                 / ((CAST(ss AS DOUBLE) - gterm) / (n - k)), 4) AS w_stat
+    FROM tot
+    """,
+    tags=("stats",),
+)
+def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
+    """Brown-Forsythe test (median-centered Levene) for variance
+    homogeneity across document sources: a one-way ANOVA on the
+    absolute deviations from each group's MEDIAN. The companion to
+    stats_anova_oneway — ANOVA's pooled-variance F assumes equal group
+    variances, and this is the test of that assumption (median
+    centering keeps it robust where classic Levene's mean centering is
+    itself skew-sensitive).
+
+    Exactness trick: |x - median| is a DOUBLE (medians interpolate to
+    .5), which would make the group moments order-dependent float sums
+    — so the deviations are computed at TWICE the scale:
+    z = |2x - 2m| where 2*median of integers is itself an exact
+    integer (a + b of the two middle values). All moments are then
+    exact int64 (z <= 2*max_chars ~ 2e3, ss_j fits for ~10^12 docs per
+    source) and the W statistic is the same bounded k=20-term fold as
+    stats_anova_oneway. The doubled scale cancels from W exactly
+    (numerator and denominator both scale by 4).
+
+    Scale: one groupBy(source) median + a broadcast join back + one
+    moment rollup — two scans, map-combinable.
+    """
+    d = table(spark, sf, "documents")
+    med = d.groupBy("source").agg(
+        F.expr("CAST(2 * percentile(n_chars, 0.5D) AS BIGINT)").alias("m2"))
+    z = (
+        d.join(F.broadcast(med), "source")
+        .select("source",
+                F.abs(2 * F.col("n_chars") - F.col("m2")).alias("z"))
+    )
+    g = z.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_j"),
+        F.sum("z").cast("bigint").alias("s_j"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss_j"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum("s_j").cast("bigint").alias("s"),
+        F.sum("ss_j").cast("bigint").alias("ss"),
+        F.sum(F.col("s_j").cast("double") * F.col("s_j") / F.col("n_j"))
+        .alias("gterm"),
+    )
+    ssb = F.col("gterm") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - F.col("gterm")
+    return tot.select(
+        "k", "n",
+        F.round((ssb / (F.col("k") - 1))
+                / (ssw / (F.col("n") - F.col("k"))), 4).alias("w_stat"),
+    )

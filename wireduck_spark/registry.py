@@ -199,6 +199,7 @@ GATE: tuple[str, ...] = (
     "stats_cusum_drift",
     "window_macd_ema",
     "stats_schnabel_recapture",
+    "stats_levene_brown_forsythe",
 )
 
 ROTATED_OUT: tuple[str, ...] = (

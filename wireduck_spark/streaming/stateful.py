@@ -1398,3 +1398,85 @@ def cusum_tracker(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SRM (sample-ratio-mismatch) tracker (twin of event_ab_srm_check)
+# ---------------------------------------------------------------------------
+
+SRM_STATE_SCHEMA = StructType(
+    [
+        StructField("n0", LongType()),
+        StructField("n1", LongType()),
+    ]
+)
+
+SRM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("n_control", LongType()),
+        StructField("n_treatment", LongType()),
+        StructField("chi2", DoubleType()),
+        StructField("srm_flag", BooleanType()),
+    ]
+)
+
+
+def _srm_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Two exact int64 arm counters; per emission the 1-dof chi-square
+    against 50/50 with the same IEEE tree as the batch query (half as
+    a double, squares divided once) and the exact 3.841 literal."""
+    n0, n1 = (state.get if state.exists else (0, 0))
+    for chunk in batches:
+        if not len(chunk):
+            continue
+        a = chunk["is_treatment"].values.astype("int64")
+        n1 += int(a.sum())
+        n0 += len(chunk) - int(a.sum())
+    state.update((n0, n1))
+    half = (n0 + n1) / 2.0
+    chi2 = ((n0 - half) * (n0 - half) / half
+            + (n1 - half) * (n1 - half) / half) if (n0 + n1) else 0.0
+    yield pd.DataFrame(
+        [(n0, n1, _round_half_up(chi2, 4), chi2 > 3.841)],
+        columns=[f.name for f in SRM_OUTPUT_SCHEMA.fields],
+    )
+
+
+def srm_tracker(users: DataFrame) -> DataFrame:
+    """Streaming twin of event_ab_srm_check: a LIVE sample-ratio-
+    mismatch alarm over the exp7 assignment — the single most valuable
+    always-on experiment guard, because a biased ramp-up invalidates
+    every downstream readout and batch SRM only catches it tomorrow.
+
+    Input contract: a stream of FIRST-SEEN users (one row per user_id —
+    the natural downstream of a watermarked streaming dropDuplicates on
+    user_id); the tracker derives the salted-md5 exp7 arm exactly as
+    the batch query and keeps TWO int64 counters as its entire state
+    (one global group here; key by experiment_id at scale — thousands
+    of concurrent experiments, 16 bytes of state each).
+
+    Exactness contract (pytest-pinned): after any micro-batch split of
+    the same first-seen users, the final emitted row equals
+    event_ab_srm_check bit-for-bit (counts exact; chi2 re-derived with
+    the same IEEE tree and Spark-parity HALF_UP rounding).
+    """
+    from pyspark.sql import functions as F
+
+    src = users.select(
+        F.lit(0).alias("g"),
+        (F.expr(
+            "CAST(conv(substring(md5(concat('exp7:', "
+            "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ) % 2 != 0).cast("int").alias("is_treatment"),
+    )
+    return src.groupBy("g").applyInPandasWithState(
+        _srm_update,
+        outputStructType=SRM_OUTPUT_SCHEMA,
+        stateStructType=SRM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
