@@ -611,3 +611,50 @@ def test_percentile_interpolation_differential(engines, pred, p):
         assert s_row["q"] == d[1], (
             f"percentile divergence p={p}: spark={s_row['q']} "
             f"duck={d[1]}: {pred}")
+
+
+@given(pred=_predicates(), m=st.integers(min_value=2, max_value=9))
+@settings(max_examples=15, deadline=None)
+def test_pmod_constant_window_differential(engines, pred, m):
+    """The pmod(col, 1) constant-partition idiom (the bounded-domain
+    single-task window behind every daily-series query: runs test, ACF,
+    Bollinger, RSI, MACD, Schnabel) must produce EXACTLY the global
+    window's results: same row_number sequence, same running sums, no
+    rows dropped into a second partition by a NULL or sign quirk. DuckDB
+    evaluates the definitional un-partitioned window; Spark runs the
+    actual pmod idiom over the same filtered/aggregated rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark, con = engines
+    d_rows = con.execute(
+        f"""
+        WITH t AS (SELECT o_orderkey % {m} AS g,
+                          CAST(COUNT(*) AS BIGINT) AS x
+                   FROM orders WHERE {pred} GROUP BY o_orderkey % {m})
+        SELECT CAST(g AS BIGINT),
+               CAST(row_number() OVER (ORDER BY g) AS BIGINT),
+               CAST(SUM(x) OVER (ORDER BY g
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        FROM t
+        """
+    ).fetchall()
+    sdf = (
+        spark.table("orders")
+        .filter(F.expr(pred))
+        .groupBy((F.col("o_orderkey") % m).alias("g"))
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy(F.pmod(F.col("x"), F.lit(1))).orderBy("g")
+    s_rows = [
+        tuple(r)
+        for r in sdf.select(
+            F.col("g").cast("bigint"),
+            F.row_number().over(w).cast("bigint"),
+            F.sum("x").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        ).collect()
+    ]
+    assert sorted(s_rows) == sorted(map(tuple, d_rows)), (
+        f"pmod-window divergence m={m}: {pred}")
