@@ -1694,3 +1694,78 @@ def test_srm_tracker_matches_batch(spark, sf_dir, tmp_path):
     b = QUERIES["event_ab_srm_check"].fn(spark, sf_dir).collect()[0]
     assert got == (b["n_control"], b["n_treatment"], b["chi2"],
                    b["srm_flag"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming ACF / seasonality tracker
+# ---------------------------------------------------------------------------
+
+
+def _run_acf_stream(spark, sf_dir, tmp_path, qname):
+    from wireduck_spark.streaming.stateful import acf_tracker
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x"))
+    src_dir = tmp_path / f"{qname}_src"
+    src_dir.mkdir()
+    for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                  ("2024-01-11", "2024-01-21"),
+                                  ("2024-01-21", "2024-02-01"))):
+        (daily.filter((F.col("d") >= lo) & (F.col("d") < hi))
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        acf_tracker(stream_src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        prev = got.get(r["lag_k"])
+        if prev is None or r["n_pairs"] > prev[0]:
+            got[r["lag_k"]] = (r["n_pairs"], r["acf"])
+    return got
+
+
+def test_acf_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming seasonality tracker's final lag rows (daily counts
+    arriving as 3 day-ordered micro-batches, the edge buffers crossing
+    batch boundaries) must equal stats_acf_daily_lags bit-for-bit —
+    the bounded-state identity num_k = n^2 P_k - nS(A_k+B_k) + (n-k)S^2
+    against the batch query's explicit pair join."""
+    got = _run_acf_stream(spark, sf_dir, tmp_path, "t_acf")
+    expected = {
+        r["lag_k"]: (r["n_pairs"], r["acf"])
+        for r in QUERIES["stats_acf_daily_lags"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_acf_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Same equivalence with maxRecordsPerBatch=4: day rows arrive as
+    many Arrow chunks; the concat-then-sort-once walk must keep the
+    lagged products identical."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "4")
+    try:
+        got = _run_acf_stream(spark, sf_dir, tmp_path, "t_acf_chunked")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    expected = {
+        r["lag_k"]: (r["n_pairs"], r["acf"])
+        for r in QUERIES["stats_acf_daily_lags"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected

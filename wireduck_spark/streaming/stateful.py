@@ -1480,3 +1480,113 @@ def srm_tracker(users: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming seasonality / autocorrelation tracker (twin of
+# stats_acf_daily_lags)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+ACF_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("ss", LongType()),
+        StructField("firsts", StringType()),   # first <=7 values, CSV
+        StructField("lasts", StringType()),    # last  <=7 values, CSV
+    ]
+    + [StructField(f"p{k}", LongType()) for k in range(1, ACF_MAX_LAG + 1)]
+)
+
+ACF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("lag_k", LongType()),
+        StructField("n_pairs", LongType()),
+        StructField("acf", DoubleType()),
+    ]
+)
+
+
+def _acf_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Bounded ACF state: (n, S, SS), the first and last ACF_MAX_LAG
+    values, and the lagged product sums P_k = sum(x_{t-k} * x_t). The
+    batch statistic's mean-cleared integer form expands EXACTLY from
+    these sums:
+
+        num_k = n^2*P_k - n*S*(A_k + B_k) + (n-k)*S^2
+        den   = n^2*SS - n*S^2
+
+    with A_k = S - sum(last k values), B_k = S - sum(first k values) —
+    so the emitted ACF equals stats_acf_daily_lags bit-for-bit without
+    ever storing the series. concat-then-sort-once per batch (day
+    order); cross-batch requires day-ordered delivery of closed daily
+    counts (the cusum_tracker contract)."""
+    if state.exists:
+        n, s, ss, firsts_csv, lasts_csv, *ps = state.get
+        firsts = [int(v) for v in firsts_csv.split(",") if v]
+        lasts = [int(v) for v in lasts_csv.split(",") if v]
+        ps = list(ps)
+    else:
+        n, s, ss, firsts, lasts = 0, 0, 0, [], []
+        ps = [0] * ACF_MAX_LAG
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
+        for x in pdf["x"].astype("int64"):
+            x = int(x)
+            for k in range(1, ACF_MAX_LAG + 1):
+                if len(lasts) >= k:
+                    ps[k - 1] += lasts[-k] * x
+            if len(firsts) < ACF_MAX_LAG:
+                firsts.append(x)
+            lasts.append(x)
+            if len(lasts) > ACF_MAX_LAG:
+                lasts.pop(0)
+            n, s, ss = n + 1, s + x, ss + x * x
+    state.update((n, s, ss,
+                  ",".join(str(v) for v in firsts),
+                  ",".join(str(v) for v in lasts), *ps))
+    out: list[tuple] = []
+    den = n * n * ss - n * s * s
+    for k in range(1, ACF_MAX_LAG + 1):
+        if n > k and den != 0:
+            a_k = s - sum(lasts[-k:])
+            b_k = s - sum(firsts[:k])
+            num = (n * n * ps[k - 1] - n * s * (a_k + b_k)
+                   + (n - k) * s * s)
+            out.append((k, n - k, _round_half_up(num / den, 4)))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in ACF_OUTPUT_SCHEMA.fields])
+
+
+def acf_tracker(daily: DataFrame) -> DataFrame:
+    """Streaming seasonality monitor: the always-on twin of
+    stats_acf_daily_lags. Input is the closed daily event-count stream
+    (d, x) in day order (the cusum_tracker contract); state is FIXED
+    regardless of stream length — three moment sums, two 7-value edge
+    buffers, seven lagged product sums (~17 int64) — yet every
+    emission's lag-1..7 autocorrelations equal the batch query on the
+    full prefix EXACTLY (the mean-cleared integer identity in
+    _acf_update). A weekly cycle appearing in live traffic moves the
+    lag-7 row the day it starts, instead of in tomorrow's batch scan.
+
+    Same int64 headroom as the batch twin (terms ~ (x*n)^2): rescale x
+    for century-long series at > ~1e6 events/day.
+    """
+    from pyspark.sql import functions as F
+
+    src = daily.select(F.lit(0).alias("g"), "d",
+                       F.col("x").cast("bigint").alias("x"))
+    return src.groupBy("g").applyInPandasWithState(
+        _acf_update,
+        outputStructType=ACF_OUTPUT_SCHEMA,
+        stateStructType=ACF_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
