@@ -40,6 +40,15 @@ NAMES = [
     "graph_label_spread_nation",
     "stats_roc_auc",
     "stats_spearman_corr",
+    # round-9 families: sort_array(collect_list(...)) stateful folds
+    # (CUSUM / MACD — collect_list order is nondeterministic and ONLY
+    # the sort_array makes the fold replayable), constant-pmod window
+    # series, milli-share split gains, quantized centroid distances
+    "stats_cusum_drift",
+    "window_macd_ema",
+    "stats_acf_daily_lags",
+    "feature_gini_split_gain",
+    "embed_centroid_spread",
 ]
 
 
