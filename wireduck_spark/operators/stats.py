@@ -48,15 +48,22 @@ from wireduck_spark.registry import cents, query, table
                CAST(SUM(n_j) AS BIGINT) AS n,
                CAST(SUM(s_j) AS BIGINT) AS s,
                CAST(SUM(ss_j) AS BIGINT) AS ss,
-               SUM(CAST(s_j AS DOUBLE) * s_j / n_j) AS gterm
+               CAST(SUM(s_j * s_j // n_j) AS BIGINT) AS gq,
+               SUM(CAST(s_j * s_j % n_j AS DOUBLE) / n_j) AS gf
         FROM g
+    ),
+    parts AS (
+        SELECT k, n, ss,
+               CAST(gq - s * s // n AS DOUBLE)
+                   + (gf - CAST(s * s % n AS DOUBLE) / n) AS ssb,
+               CAST(ss - gq AS DOUBLE) - gf AS ssw
+        FROM tot
     )
     SELECT k, n,
-           ROUND(gterm - CAST(s AS DOUBLE) * s / n, 4) AS ss_between,
-           ROUND(CAST(ss AS DOUBLE) - gterm, 4) AS ss_within,
-           ROUND(((gterm - CAST(s AS DOUBLE) * s / n) / (k - 1))
-                 / ((CAST(ss AS DOUBLE) - gterm) / (n - k)), 4) AS f_stat
-    FROM tot
+           ROUND(ssb, 4) AS ss_between,
+           ROUND(ssw, 4) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat
+    FROM parts
     """,
     tags=("stats",),
 )
@@ -67,12 +74,18 @@ def stats_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
     length mixes (a significant F means length-based quality filters
     hit sources unevenly).
 
-    Determinism: per-group (n_j, sum, sumsq) are exact int64; each
-    group's s_j^2/n_j term is one double division of exact integers
-    (both < 2^53, so the double representation is exact); the sum of
-    those terms spans only k=20 group rows (rule-2 bounded-term
-    precedent: stats_chi_square_independence's <=20 cells), and the
-    final F is the same IEEE tree both sides, rounded 4 dp.
+    Determinism: per-group (n_j, sum, sumsq) are exact int64; the
+    between-group term sum(s_j^2 / n_j) is decomposed by integer divmod
+    into an EXACT int64 quotient sum plus a fractional-remainder sum
+    whose terms are each < 1 — so the k=20-term double sum carries
+    magnitude < k and its summation-order noise (~1e-15) sits twelve
+    orders below the 4-dp rounding grid. (A naive double gterm sums
+    ~1e7-magnitude terms whose reorder noise reaches ~1e-6 — close
+    enough to the 1e-4 grid of the rendered SSB/SSW to flip a digit
+    cross-engine on an unlucky fixture.) F itself is a ratio and was
+    never at risk; the decomposition protects the rendered absolute
+    sums. s_j^2 must fit int64: s_j < 3e9 (10M docs/source at ~300
+    chars) — rescale to dekachars beyond.
 
     Scale: one map-combinable groupBy(source) then a k-row fold —
     cost is the scan, independent of group count skew.
@@ -89,11 +102,15 @@ def stats_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_j").cast("bigint").alias("n"),
         F.sum("s_j").cast("bigint").alias("s"),
         F.sum("ss_j").cast("bigint").alias("ss"),
-        F.sum(F.col("s_j").cast("double") * F.col("s_j") / F.col("n_j"))
-        .alias("gterm"),
+        F.expr("CAST(SUM(s_j * s_j div n_j) AS BIGINT)").alias("gq"),
+        F.sum((F.col("s_j") * F.col("s_j") % F.col("n_j")).cast("double")
+              / F.col("n_j")).alias("gf"),
     )
-    ssb = F.col("gterm") - F.col("s").cast("double") * F.col("s") / F.col("n")
-    ssw = F.col("ss").cast("double") - F.col("gterm")
+    ssb = ((F.col("gq") - F.expr("s * s div n")).cast("double")
+           + (F.col("gf")
+              - (F.col("s") * F.col("s") % F.col("n")).cast("double")
+              / F.col("n")))
+    ssw = (F.col("ss") - F.col("gq")).cast("double") - F.col("gf")
     return tot.select(
         "k", "n",
         F.round(ssb, 4).alias("ss_between"),
@@ -1739,13 +1756,20 @@ def stats_schnabel_recapture(spark: SparkSession, sf: str) -> DataFrame:
                CAST(SUM(n_j) AS BIGINT) AS n,
                CAST(SUM(s_j) AS BIGINT) AS s,
                CAST(SUM(ss_j) AS BIGINT) AS ss,
-               SUM(CAST(s_j AS DOUBLE) * s_j / n_j) AS gterm
+               CAST(SUM(s_j * s_j // n_j) AS BIGINT) AS gq,
+               SUM(CAST(s_j * s_j % n_j AS DOUBLE) / n_j) AS gf
         FROM g
+    ),
+    parts AS (
+        SELECT k, n,
+               CAST(gq - s * s // n AS DOUBLE)
+                   + (gf - CAST(s * s % n AS DOUBLE) / n) AS ssb,
+               CAST(ss - gq AS DOUBLE) - gf AS ssw
+        FROM tot
     )
     SELECT k, n,
-           ROUND(((gterm - CAST(s AS DOUBLE) * s / n) / (k - 1))
-                 / ((CAST(ss AS DOUBLE) - gterm) / (n - k)), 4) AS w_stat
-    FROM tot
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS w_stat
+    FROM parts
     """,
     tags=("stats",),
 )
@@ -1764,9 +1788,12 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     z = |2x - 2m| where 2*median of integers is itself an exact
     integer (a + b of the two middle values). All moments are then
     exact int64 (z <= 2*max_chars ~ 2e3, ss_j fits for ~10^12 docs per
-    source) and the W statistic is the same bounded k=20-term fold as
-    stats_anova_oneway. The doubled scale cancels from W exactly
-    (numerator and denominator both scale by 4).
+    source) and the W statistic reuses stats_anova_oneway's EXACT
+    divmod decomposition of the between-group term (integer quotient
+    sum + sub-unit fractional remainders), so the bounded k=20-term
+    double sum carries no rounding-grid risk. The doubled scale
+    cancels from W exactly (numerator and denominator both scale
+    by 4).
 
     Scale: one groupBy(source) median + a broadcast join back + one
     moment rollup — two scans, map-combinable.
@@ -1789,11 +1816,15 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_j").cast("bigint").alias("n"),
         F.sum("s_j").cast("bigint").alias("s"),
         F.sum("ss_j").cast("bigint").alias("ss"),
-        F.sum(F.col("s_j").cast("double") * F.col("s_j") / F.col("n_j"))
-        .alias("gterm"),
+        F.expr("CAST(SUM(s_j * s_j div n_j) AS BIGINT)").alias("gq"),
+        F.sum((F.col("s_j") * F.col("s_j") % F.col("n_j")).cast("double")
+              / F.col("n_j")).alias("gf"),
     )
-    ssb = F.col("gterm") - F.col("s").cast("double") * F.col("s") / F.col("n")
-    ssw = F.col("ss").cast("double") - F.col("gterm")
+    ssb = ((F.col("gq") - F.expr("s * s div n")).cast("double")
+           + (F.col("gf")
+              - (F.col("s") * F.col("s") % F.col("n")).cast("double")
+              / F.col("n")))
+    ssw = (F.col("ss") - F.col("gq")).cast("double") - F.col("gf")
     return tot.select(
         "k", "n",
         F.round((ssb / (F.col("k") - 1))
