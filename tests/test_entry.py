@@ -71,19 +71,22 @@ def test_gate_partition():
 
 
 def test_no_complex_top_level_columns_in_oracle_outputs(spark, sf_dir):
-    """Contract rule (round-6 lesson, `embed_mean_pool` driver-red row):
-    the driver's pandas canonicalizer sorts result rows to hash them, and
-    list/dict cells are unhashable — a query returning a top-level
-    ARRAY/MAP/STRUCT column passes every local check and then dies in the
-    driver. Ban the class for every oracle-checkable query (any of which a
-    rotation can promote into the gate): emit md5(array_join(...))
-    fingerprints instead (the embed_quantize_int8 convention)."""
+    """Contract rule (round-6 lesson, `embed_mean_pool` driver-red row;
+    re-learned round 9 on the rows-only surface): the driver's pandas
+    canonicalizer sorts result rows to hash them — for EVERY gate row,
+    rows-only included — and list/dict cells are unhashable, so a query
+    returning a top-level ARRAY/MAP/STRUCT column passes every local
+    check and then dies in the driver with zero evidence recorded
+    (r9: pcap_ja3_fingerprint, pcap_arp_spoof_detect,
+    embed_pca_two_components all landed spark_rows: None). Ban the class
+    for EVERY registered query — the r9 exemption for `oracle is None`
+    was exactly the hole the rotation promoted into the gate. Emit
+    array_join(...) strings or md5(array_join(...)) fingerprints instead
+    (the embed_quantize_int8 convention)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     offenders = []
     for name, spec in QUERIES.items():
-        if spec.oracle is None:
-            continue
         for f in spec.fn(spark, sf_dir).schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
@@ -91,6 +94,25 @@ def test_no_complex_top_level_columns_in_oracle_outputs(spark, sf_dir):
         "top-level complex columns in oracle-checkable outputs "
         f"(driver canonicalizer cannot hash them): {offenders}"
     )
+
+
+def test_driver_sim_canonicalizer_reproduces_the_r9_crash(spark):
+    """VERDICT r9 #3: the pre-submit sim checked rows>0 via .count(), which
+    passes on results the real driver cannot canonicalize. The sim now goes
+    through toPandas() + all-column sort_values (tools/driver_sim.py). Pin
+    both directions: a frame with a top-level ARRAY column must CRASH the
+    sim path exactly like the driver did (TypeError from pandas), and a
+    plain-typed frame must count cleanly."""
+    import pytest
+
+    from tools.driver_sim import driver_canon_rows
+
+    bad = spark.createDataFrame(
+        [(1, ["a", "b"]), (1, ["c"])], "k INT, arr ARRAY<STRING>")
+    with pytest.raises(TypeError):
+        driver_canon_rows(bad)
+    good = spark.createDataFrame([(1, "a,b"), (1, "c")], "k INT, s STRING")
+    assert driver_canon_rows(good) == 2
 
 
 def test_each_query_runs_at_sf0001(spark, sf_dir):

@@ -135,10 +135,10 @@ def test_ja3_fingerprint_golden(spark, queries):
     assert rows[h_plain]["ja3_string"] == plain
     assert rows[h_plain]["n_hellos"] == 2
     assert rows[h_plain]["n_clients"] == 2
-    assert rows[h_plain]["sni_hosts"] == ["a.example.com", "b.example.com"]
+    assert rows[h_plain]["sni_hosts"] == "a.example.com,b.example.com"
     assert rows[h_grease]["ja3_string"] == grease
     assert rows[h_grease]["n_clients"] == 1
-    assert rows[h_grease]["sni_hosts"] == ["c.example.com"]
+    assert rows[h_grease]["sni_hosts"] == "c.example.com"
 
 
 def test_ja3s_server_fingerprint(spark, queries):
@@ -169,7 +169,7 @@ def test_arp_spoof_detect_golden(spark, queries):
     assert gw["n_replies"] == 5
     assert gw["n_macs"] == 2
     assert gw["is_spoofed"] is True
-    assert list(gw["macs"]) == ["aa:00:00:00:00:01", "ee:00:00:00:00:66"]
+    assert gw["macs"] == "aa:00:00:00:00:01,ee:00:00:00:00:66"
     benign = rows["10.0.0.5"]
     assert benign["n_macs"] == 1 and benign["is_spoofed"] is False
     # the who-has request must not count as a claim

@@ -1436,16 +1436,19 @@ def embed_pca_two_components(spark: SparkSession, sf: str) -> DataFrame:
         top3 = sorted(
             range(len(v)), key=lambda d: (-abs(v[d]), d)
         )[:3]
+        # Comma-joined strings, NOT arrays: registry rule 8 — the driver
+        # canonicalizes every gate row (rows-only included) and list
+        # cells crashed its pandas sort in round 9.
         rows.append((
             ci + 1,
             round(lam / trace, 4) if trace else 0.0,
-            [int(d) for d in top3],
-            [int(v[d]) for d in top3],
+            ",".join(str(int(d)) for d in top3),
+            ",".join(str(int(v[d])) for d in top3),
         ))
     return spark.createDataFrame(
         rows,
         "component INT, explained_var_ratio DOUBLE, "
-        "top_dims ARRAY<INT>, top_loadings_micro ARRAY<BIGINT>",
+        "top_dims STRING, top_loadings_micro STRING",
     ).orderBy("component")
 
 

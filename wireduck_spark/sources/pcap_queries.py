@@ -418,9 +418,13 @@ if _have_fixture():
                 F.count("*").cast("bigint").alias("n_hellos"),
                 F.count_distinct("`ip.src`").cast("bigint")
                 .alias("n_clients"),
-                F.array_sort(
-                    F.collect_set(
-                        F.col("`tls.handshake.extensions_server_name`"))
+                # Comma-joined sorted set, NOT an array: registry rule 8 —
+                # the driver canonicalizes EVERY gate row (rows-only
+                # included) and list cells are unhashable (r9 gate crash).
+                F.array_join(
+                    F.array_sort(F.collect_set(
+                        F.col("`tls.handshake.extensions_server_name`"))),
+                    ",",
                 ).alias("sni_hosts"),
                 F.min("`tls.handshake.ja3_string`").alias("ja3_string"),
             )
@@ -451,8 +455,12 @@ if _have_fixture():
                 F.count("*").cast("bigint").alias("n_replies"),
                 F.count_distinct("`arp.src.hw_mac`").cast("bigint")
                 .alias("n_macs"),
-                F.array_sort(F.collect_set(F.col("`arp.src.hw_mac`")))
-                .alias("macs"),
+                # Joined string per registry rule 8 (driver canonicalizer
+                # cannot hash list cells — r9 gate crash).
+                F.array_join(
+                    F.array_sort(F.collect_set(F.col("`arp.src.hw_mac`"))),
+                    ",",
+                ).alias("macs"),
             )
             .select(
                 "claimed_ip", "n_replies", "n_macs", "macs",
