@@ -194,20 +194,28 @@ def main() -> None:
                     "after": [round(x, 2) for x in os.getloadavg()]},
     }
     print(f"# diagnostics: {json.dumps(diagnostics)}", file=sys.stderr)
+    print(stdout_line(result))
+
+    if baseline_path:
+        sys.exit(check_regressions(result, baseline_path))
+
+
+def stdout_line(result: dict) -> str:
+    """Render the ONE contract line for the driver's ~2,000-char stdout
+    tail. If the full line would overflow, fall back to totals-only —
+    WITHOUT mutating `result`: check_regressions still needs the per-query
+    map afterwards (popping the shared dict crashed the guard with
+    KeyError whenever the fallback fired alongside --baseline)."""
     line = json.dumps(result)
     if len(line) > 1900:
-        # Never let the contract line outgrow the driver's capture again:
-        # drop to totals-only rather than emit an unparseable tail.
         print(f"# stdout line {len(line)} chars > 1900; emitting "
               f"totals-only (full per-query map above on stderr)",
               file=sys.stderr)
         print(f"# full: {line}", file=sys.stderr)
-        result.pop("queries")
-        line = json.dumps(result)
-    print(line)
-
-    if baseline_path:
-        sys.exit(check_regressions(result, baseline_path))
+        slim = dict(result)
+        slim.pop("queries", None)
+        line = json.dumps(slim)
+    return line
 
 
 def check_regressions(result: dict, baseline_path: str,

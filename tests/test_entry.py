@@ -147,3 +147,36 @@ def test_bench_stdout_line_fits_driver_capture():
     assert len(line) <= 1900, (
         f"bench stdout line would be {len(line)} chars; trim the bench "
         "set or shorten names — the driver capture window is ~2000")
+
+
+def test_bench_overflow_fallback_keeps_queries_for_the_guard():
+    """ADVICE r9: the >1900-char totals-only fallback used to pop
+    "queries" from the SAME dict later handed to check_regressions, which
+    then crashed with KeyError whenever the fallback fired alongside
+    --baseline. stdout_line must (a) emit a parseable totals-only line,
+    (b) leave the caller's dict intact, and (c) the guard must still run
+    on the full per-query map afterwards."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    big = {
+        "metric": "headline_query_wall_seconds", "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i:04d}_{'x' * 40}": 1.234 for i in range(60)},
+        "sf": 0.1,
+        "methodology": {"runs": 2, "agg": "min", "warmup": True,
+                        "cache_cleared": True},
+    }
+    assert len(json.dumps(big)) > 1900  # the fallback must fire
+    line = bench.stdout_line(big)
+    parsed = json.loads(line)
+    assert len(line) <= 1900 and "queries" not in parsed
+    assert "queries" in big and len(big["queries"]) == 60  # not mutated
+    small = {**big, "queries": {"q1": 0.5}}
+    assert json.loads(bench.stdout_line(small))["queries"] == {"q1": 0.5}

@@ -113,6 +113,22 @@ def test_cluster_components_reliable_checkpoint(spark, sf_dir, tmp_path):
     assert any(ckdir.rglob("*")), "no reliable checkpoint files written"
 
 
+def test_minhash_lsh_threads_checkpoint_dir(spark, sf_dir, tmp_path):
+    """ADVICE r9: dedup_cluster_components(checkpoint_dir=...) used to call
+    dedup_minhash_lsh with an UNCONDITIONAL localCheckpoint inside, so an
+    executor lost during the LSH stage still killed the query on a real
+    cluster. The kwarg now threads through: a reliable dir must produce
+    checkpoint files from the LSH call itself, with identical pairs."""
+    from wireduck_spark.functions.dedup import dedup_minhash_lsh
+
+    ckdir = tmp_path / "lsh_ckpt"
+    base = dedup_minhash_lsh(spark, sf_dir).collect()
+    rel = dedup_minhash_lsh(
+        spark, sf_dir, checkpoint_dir=str(ckdir)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, rel))
+    assert any(ckdir.rglob("*")), "LSH stage wrote no reliable checkpoint"
+
+
 # ---------------------------------------------------------------------------
 # Parameterized SemDeDup engine (functions/curation.py)
 # ---------------------------------------------------------------------------

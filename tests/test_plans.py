@@ -671,3 +671,33 @@ def test_plan_audit_sees_pre_checkpoint_plans(spark, sf_dir):
     df = QUERIES["dedup_minhash_calibration"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan
+
+
+def test_bnlj_classifier_rejects_multirow_build_embedding_a_scalar(spark):
+    """ADVICE r9 (plan_audit false negative): the old classifier scanned
+    the WHOLE build subtree for an empty-grouping aggregate, so a
+    multi-row build that merely EMBEDS a broadcast scalar (the
+    stats_acf_daily_lags day-index shape) passed as "provably 1-row".
+    The classifier now requires the scalar aggregate at the TOP of the
+    build side (through row-non-increasing wrappers only). Pin both
+    directions on constructed plans."""
+    from pyspark.sql import functions as F
+
+    import tools.plan_audit as pa
+
+    big = spark.range(100).withColumnRenamed("id", "x")
+    scalar = spark.range(50).agg(F.sum("id").alias("tot"))
+
+    # A pure scalar broadcast: one BNLJ, zero multirow.
+    clean = big.crossJoin(F.broadcast(scalar))
+    jplan = clean._jdf.queryExecution().executedPlan()
+    assert pa.count_multirow_bnlj(jplan) == 0
+
+    # The r9 false-negative shape: a 20-row frame that EMBEDS the scalar
+    # via its own crossJoin, then broadcast into an outer nested loop.
+    idx = spark.range(20).withColumnRenamed("id", "day").crossJoin(
+        F.broadcast(scalar))
+    dirty = big.crossJoin(F.broadcast(idx))
+    jplan = dirty._jdf.queryExecution().executedPlan()
+    assert pa.count_multirow_bnlj(jplan) == 1, (
+        "multi-row build embedding a scalar must flag as multirow")

@@ -173,25 +173,59 @@ def _walk_windows(jplan, amap=None) -> tuple[int, int, int]:
     return n_global, n_constant, n_skipped
 
 
-def _subtree_has_scalar_agg(node) -> bool:
-    """True if the subtree contains a global (empty-grouping) aggregate —
-    the plan shape that guarantees AT MOST ONE row out, i.e. a scalar
-    frame. Used to classify BroadcastNestedLoopJoin build sides."""
+# Unary physical wrappers that never INCREASE the row count of their
+# child, so a scalar (<=1-row) frame stays scalar through them. Matched
+# by prefix because several render with ids ("WholeStageCodegen (3)").
+_ROW_NONINCREASING_WRAPPERS = (
+    "Project", "Filter", "BroadcastExchange", "Exchange", "ShuffleExchange",
+    "WholeStageCodegen", "InputAdapter", "Sort", "ColumnarToRow",
+    "AQEShuffleRead", "CollectLimit", "GlobalLimit", "LocalLimit",
+    "Coalesce",
+)
+
+
+def _is_scalar_frame(node) -> bool:
+    """True only if the frame is PROVABLY at most one row: descending
+    through row-non-increasing unary wrappers, the top real operator is an
+    empty-grouping aggregate — or a (nested-loop/cartesian) join of two
+    such scalar frames, which is itself <=1 row.
+
+    This replaces the old any-descendant scan (ADVICE r9): a multi-row
+    build side that merely CONTAINS a broadcast scalar somewhere below
+    (e.g. a ~366-row day-index table that embeds a crossJoin'd scalar
+    total) used to pass as "provably 1-row" — a false negative on exactly
+    the range-join shape the audit exists to catch."""
     from py4j.protocol import Py4JError
 
-    stack = [node]
-    while stack:
-        n = stack.pop()
-        if "Aggregate" in n.nodeName():
+    n = node
+    while True:
+        name = n.nodeName()
+        if name == "AdaptiveSparkPlan":
+            n = n.initialPlan()
+            continue
+        if "QueryStage" in name:  # AQE stage wrapper — inspect its plan
             try:
-                if n.groupingExpressions().isEmpty():
-                    return True
+                n = n.plan()
+                continue
             except Py4JError:
-                pass
-        kids = n.children()
-        for i in range(kids.size()):
-            stack.append(kids.apply(i))
-    return False
+                return False
+        if "Aggregate" in name:
+            try:
+                return bool(n.groupingExpressions().isEmpty())
+            except Py4JError:
+                return False
+        if name in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+            kids = n.children()
+            return (kids.size() == 2
+                    and _is_scalar_frame(kids.apply(0))
+                    and _is_scalar_frame(kids.apply(1)))
+        if name.startswith(_ROW_NONINCREASING_WRAPPERS):
+            kids = n.children()
+            if kids.size() != 1:
+                return False
+            n = kids.apply(0)
+            continue
+        return False
 
 
 def count_multirow_bnlj(jplan) -> int:
@@ -199,8 +233,9 @@ def count_multirow_bnlj(jplan) -> int:
     1-row scalar frame. The blunt `bnlj > 1` rule mis-flagged queries
     that legitimately broadcast several 1-row aggregates (median + total
     + parent-impurity scalars each cost one bnlj); the scale risk is a
-    MULTI-ROW nested loop, which this counts structurally: build side
-    lacking an empty-grouping aggregate."""
+    MULTI-ROW nested loop, which this counts structurally: a build side
+    that is not _is_scalar_frame (empty-grouping aggregate at the TOP of
+    the build, through row-non-increasing wrappers only)."""
     from py4j.protocol import Py4JError
 
     multirow = 0
@@ -218,7 +253,7 @@ def count_multirow_bnlj(jplan) -> int:
                 build_left = False  # Spark default is BuildRight
             kids = node.children()
             build = kids.apply(0 if build_left else 1)
-            if not _subtree_has_scalar_agg(build):
+            if not _is_scalar_frame(build):
                 multirow += 1
         kids = node.children()
         for i in range(kids.size()):

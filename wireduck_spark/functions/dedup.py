@@ -294,7 +294,8 @@ def _spark_minhash_sig(d: DataFrame) -> DataFrame:
     tags=("dedup",),
     bench=True,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_minhash_lsh(spark: SparkSession, sf: str,
+                      checkpoint_dir: str | None = None) -> DataFrame:
     """MinHash (8 permutations) + LSH (4 bands x 2 rows) near-dup candidate
     pairs with the signature-estimated Jaccard.
 
@@ -303,6 +304,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     banding turns all-pairs into equality joins on band signatures, so the
     shuffle volume is O(docs), never O(docs^2). The estimate join touches
     only candidate pairs.
+
+    `checkpoint_dir` selects reliable (HDFS/S3) checkpointing for the
+    result truncation instead of localCheckpoint — callers running inside
+    a longer fault-tolerant pipeline (dedup_cluster_components) thread
+    theirs through so an executor loss during the LSH stage replays from
+    storage (round-9 ADVICE: the unconditional localCheckpoint here was
+    the one non-restartable seam left in the cluster-components path).
     """
     d = table(spark, sf, "documents", spread=True)
     # Signatures are the materialization point of minhash dedup (8 ints
@@ -353,7 +361,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
                 "doc_a",
                 "doc_b",
                 F.round(matches / F.lit(8.0), 4).alias("est_jaccard"),
-            )
+            ),
+            checkpoint_dir,
         )
     finally:
         sig.unpersist()
@@ -528,7 +537,8 @@ def dedup_cluster_components(
     def ckpt(df: DataFrame) -> DataFrame:
         return _lineage_checkpoint(df, checkpoint_dir)
 
-    pairs = dedup_minhash_lsh(spark, sf).filter(F.col("est_jaccard") >= 0.5)
+    pairs = dedup_minhash_lsh(spark, sf, checkpoint_dir=checkpoint_dir) \
+        .filter(F.col("est_jaccard") >= 0.5)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -48,14 +48,15 @@ from wireduck_spark.registry import cents, query, table
                CAST(SUM(n_j) AS BIGINT) AS n,
                CAST(SUM(s_j) AS BIGINT) AS s,
                CAST(SUM(ss_j) AS BIGINT) AS ss,
-               CAST(SUM(s_j * s_j // n_j) AS BIGINT) AS gq,
-               SUM(CAST(s_j * s_j % n_j AS DOUBLE) / n_j) AS gf
+               CAST(SUM(s_j * (s_j // n_j)
+                        + (s_j * (s_j % n_j)) // n_j) AS BIGINT) AS gq,
+               SUM(CAST((s_j * (s_j % n_j)) % n_j AS DOUBLE) / n_j) AS gf
         FROM g
     ),
     parts AS (
         SELECT k, n, ss,
-               CAST(gq - s * s // n AS DOUBLE)
-                   + (gf - CAST(s * s % n AS DOUBLE) / n) AS ssb,
+               CAST(gq - (s * (s // n) + (s * (s % n)) // n) AS DOUBLE)
+                   + (gf - CAST((s * (s % n)) % n AS DOUBLE) / n) AS ssb,
                CAST(ss - gq AS DOUBLE) - gf AS ssw
         FROM tot
     )
@@ -84,8 +85,17 @@ def stats_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
     enough to the 1e-4 grid of the rendered SSB/SSW to flip a digit
     cross-engine on an unlucky fixture.) F itself is a ratio and was
     never at risk; the decomposition protects the rendered absolute
-    sums. s_j^2 must fit int64: s_j < 3e9 (10M docs/source at ~300
-    chars) — rescale to dekachars beyond.
+    sums.
+
+    Overflow headroom (ADVICE r9 — the naive s*s and s_j*s_j squares
+    bounded the GRAND total at s < 3.03e9, i.e. only ~10M docs TOTAL at
+    300 chars, with non-ANSI bigint multiply wrapping silently beyond):
+    every squared term is now split as x*x div m = x*(x div m) +
+    (x*(x mod m)) div m, so nothing ever squares a raw sum. The binding
+    products are x*(x div m) ~ mean*x and x*(x mod m) < x*m, so the
+    bound becomes mean * n^2 < 9.2e18 — n < ~1.7e8 docs total at 300
+    mean chars (and the same per group), a ~17x headroom gain; rescale
+    chars to dekachars beyond that.
 
     Scale: one map-combinable groupBy(source) then a k-row fold —
     cost is the scan, independent of group count skew.
@@ -102,14 +112,17 @@ def stats_anova_oneway(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_j").cast("bigint").alias("n"),
         F.sum("s_j").cast("bigint").alias("s"),
         F.sum("ss_j").cast("bigint").alias("ss"),
-        F.expr("CAST(SUM(s_j * s_j div n_j) AS BIGINT)").alias("gq"),
-        F.sum((F.col("s_j") * F.col("s_j") % F.col("n_j")).cast("double")
+        F.expr("CAST(SUM(s_j * (s_j div n_j) "
+               "+ (s_j * (s_j % n_j)) div n_j) AS BIGINT)").alias("gq"),
+        F.sum(((F.col("s_j") * (F.col("s_j") % F.col("n_j")))
+               % F.col("n_j")).cast("double")
               / F.col("n_j")).alias("gf"),
     )
-    ssb = ((F.col("gq") - F.expr("s * s div n")).cast("double")
+    ssb = ((F.col("gq")
+            - F.expr("s * (s div n) + (s * (s % n)) div n")).cast("double")
            + (F.col("gf")
-              - (F.col("s") * F.col("s") % F.col("n")).cast("double")
-              / F.col("n")))
+              - ((F.col("s") * (F.col("s") % F.col("n"))) % F.col("n"))
+              .cast("double") / F.col("n")))
     ssw = (F.col("ss") - F.col("gq")).cast("double") - F.col("gf")
     return tot.select(
         "k", "n",
@@ -846,33 +859,35 @@ def stats_acf_daily_lags(spark: SparkSession, sf: str) -> DataFrame:
     ~1.3e18, inside int64); ACF is one double division per lag,
     rounded 4 dp.
 
-    Scale: the raw scan folds to <=366 day rows map-side; the lag
-    self-join and folds are calendar-bounded (never data-sized).
+    Scale: the raw scan folds to <=366 day rows map-side; all lag work
+    is calendar-bounded (never data-sized). Round-10 shape (VERDICT r9
+    #4/#8): the 7 lag self-joins folded into ONE bounded window pass —
+    lead(ca, k) for k=1..7 shares a single Window node (constant-pmod
+    allowlisted idiom over the <=366-day table) and a stack() unpivot
+    feeds one 7-group fold, replacing the range self-join whose
+    broadcast side was a multi-row frame (the exact shape the hardened
+    BNLJ classifier now flags).
     """
     e = table(spark, sf, "events")
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("bigint").alias("x"))
-    w = Window.partitionBy(F.pmod(F.col("x"), F.lit(1))).orderBy("d")
-    idx = daily.withColumn("rn", F.row_number().over(w).cast("bigint"))
-    tot = idx.agg(F.count("*").cast("bigint").alias("n"),
-                  F.sum("x").cast("bigint").alias("s"))
-    idx = idx.crossJoin(F.broadcast(tot))
-    den = idx.agg(
-        F.sum((F.col("x") * F.col("n") - F.col("s"))
-              * (F.col("x") * F.col("n") - F.col("s")))
-        .cast("bigint").alias("d0"))
-    a = idx.select(F.col("rn").alias("rn_a"),
-                   (F.col("x") * F.col("n") - F.col("s")).alias("ca"))
-    b = idx.select(F.col("rn").alias("rn_b"),
-                   (F.col("x") * F.col("n") - F.col("s")).alias("cb"))
-    pairs = (
-        a.join(b, (F.col("rn_b") > F.col("rn_a"))
-               & (F.col("rn_b") <= F.col("rn_a") + 7))
-        .groupBy((F.col("rn_b") - F.col("rn_a")).cast("bigint")
-                 .alias("lag_k"))
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("num"),
-             F.count("*").cast("bigint").alias("n_pairs"))
-    )
+    tot = daily.agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum("x").cast("bigint").alias("s"))
+    idx = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("x") * F.col("n") - F.col("s")).alias("ca"))
+    den = idx.agg(F.sum(F.col("ca") * F.col("ca")).cast("bigint")
+                  .alias("d0"))
+    w = Window.partitionBy(F.pmod(F.col("ca"), F.lit(1))).orderBy("d")
+    leads = idx.select(
+        "ca",
+        *[F.lead("ca", k).over(w).alias(f"cb{k}") for k in range(1, 8)])
+    stacked = leads.select(F.expr(
+        "stack(7, " + ", ".join(
+            f"CAST({k} AS BIGINT), ca * cb{k}" for k in range(1, 8))
+        + ") AS (lag_k, prod)")).filter(F.col("prod").isNotNull())
+    pairs = stacked.groupBy("lag_k").agg(
+        F.sum("prod").cast("bigint").alias("num"),
+        F.count("*").cast("bigint").alias("n_pairs"))
     return (
         pairs.crossJoin(F.broadcast(den))
         .select("lag_k", "n_pairs",
@@ -1756,14 +1771,15 @@ def stats_schnabel_recapture(spark: SparkSession, sf: str) -> DataFrame:
                CAST(SUM(n_j) AS BIGINT) AS n,
                CAST(SUM(s_j) AS BIGINT) AS s,
                CAST(SUM(ss_j) AS BIGINT) AS ss,
-               CAST(SUM(s_j * s_j // n_j) AS BIGINT) AS gq,
-               SUM(CAST(s_j * s_j % n_j AS DOUBLE) / n_j) AS gf
+               CAST(SUM(s_j * (s_j // n_j)
+                        + (s_j * (s_j % n_j)) // n_j) AS BIGINT) AS gq,
+               SUM(CAST((s_j * (s_j % n_j)) % n_j AS DOUBLE) / n_j) AS gf
         FROM g
     ),
     parts AS (
         SELECT k, n,
-               CAST(gq - s * s // n AS DOUBLE)
-                   + (gf - CAST(s * s % n AS DOUBLE) / n) AS ssb,
+               CAST(gq - (s * (s // n) + (s * (s % n)) // n) AS DOUBLE)
+                   + (gf - CAST((s * (s % n)) % n AS DOUBLE) / n) AS ssb,
                CAST(ss - gq AS DOUBLE) - gf AS ssw
         FROM tot
     )
@@ -1793,7 +1809,10 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     sum + sub-unit fractional remainders), so the bounded k=20-term
     double sum carries no rounding-grid risk. The doubled scale
     cancels from W exactly (numerator and denominator both scale
-    by 4).
+    by 4). Like ANOVA (ADVICE r9), neither the grand total s nor any
+    s_j is ever squared raw: x*x div m is split as x*(x div m) +
+    (x*(x mod m)) div m, putting the int64 bound at mean_z * n^2 <
+    9.2e18 (~1e8 docs at z~600) instead of s < 3e9.
 
     Scale: one groupBy(source) median + a broadcast join back + one
     moment rollup — two scans, map-combinable.
@@ -1816,14 +1835,17 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_j").cast("bigint").alias("n"),
         F.sum("s_j").cast("bigint").alias("s"),
         F.sum("ss_j").cast("bigint").alias("ss"),
-        F.expr("CAST(SUM(s_j * s_j div n_j) AS BIGINT)").alias("gq"),
-        F.sum((F.col("s_j") * F.col("s_j") % F.col("n_j")).cast("double")
+        F.expr("CAST(SUM(s_j * (s_j div n_j) "
+               "+ (s_j * (s_j % n_j)) div n_j) AS BIGINT)").alias("gq"),
+        F.sum(((F.col("s_j") * (F.col("s_j") % F.col("n_j")))
+               % F.col("n_j")).cast("double")
               / F.col("n_j")).alias("gf"),
     )
-    ssb = ((F.col("gq") - F.expr("s * s div n")).cast("double")
+    ssb = ((F.col("gq")
+            - F.expr("s * (s div n) + (s * (s % n)) div n")).cast("double")
            + (F.col("gf")
-              - (F.col("s") * F.col("s") % F.col("n")).cast("double")
-              / F.col("n")))
+              - ((F.col("s") * (F.col("s") % F.col("n"))) % F.col("n"))
+              .cast("double") / F.col("n")))
     ssw = (F.col("ss") - F.col("gq")).cast("double") - F.col("gf")
     return tot.select(
         "k", "n",
