@@ -49,6 +49,16 @@ NAMES = [
     "stats_acf_daily_lags",
     "feature_gini_split_gain",
     "embed_centroid_spread",
+    # round-10 families: week-blocked pair joins (join-order-insensitive
+    # integer counters), lagged-moment OLS over a constant-pmod window,
+    # scratch-dir parquet re-read (flow export overwrites a shared tmp
+    # path — a second run must see its own write, not a stale one)
+    "stats_kendall_tau_weekly",
+    "stats_granger_lagged_daily",
+    "text_burstiness_vmr",
+    "pcap_flow_export_sink",
+    "quality_benford_first_digit",
+    "stats_cramers_v_source_lang",
 ]
 
 

@@ -52,6 +52,9 @@ def test_registry_shape():
         "pcap_quic_vn_downgrade", "pcap_service_inventory",
         "embed_pca_top_component", "embed_pca_two_components",
         "dedup_semantic_kmeans_scaled",
+        # round-10: the capture -> flow-lake parquet export (pcap input,
+        # so no DuckDB twin; golden flow counters pinned in pytest)
+        "pcap_flow_export_sink",
     }
 
 

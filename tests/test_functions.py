@@ -726,3 +726,38 @@ def test_iterative_graph_reliable_checkpoint_equivalence(spark, sf_dir,
                     for r in fn(spark, sf_dir, checkpoint_dir=ckpt).collect()]
         assert local == reliable, fn.__name__
         assert local, f"{fn.__name__} returned no rows"
+
+
+def test_burstiness_vmr_matches_bruteforce(spark, sf_dir):
+    """Re-derive one term's VMR and Church-Gale burstiness from raw
+    per-doc counts in Python (including zero-docs) — the algebraic
+    identity var*n = (n*ss - s*s)/n used by the query must agree with
+    the direct two-pass computation, and burstiness = total/df >= 1."""
+    import re
+
+    from wireduck_spark.registry import QUERIES, table
+
+    out = {r["term"]: r
+           for r in QUERIES["text_burstiness_vmr"].fn(spark, sf_dir)
+           .collect()}
+    assert out, "no term reached the 20-occurrence floor"
+    term = sorted(out)[0]
+    docs = [r["text"] for r in
+            table(spark, sf_dir, "documents").select("text").collect()]
+    counts = [len(re.findall(r"[a-z0-9]+", t.lower()))
+              and sum(1 for w in re.findall(r"[a-z0-9]+", t.lower())
+                      if w == term)
+              for t in docs]
+    n = len(counts)
+    s = sum(counts)
+    mean = s / n
+    var = sum((c - mean) ** 2 for c in counts) / n
+    r = out[term]
+    assert r["total_count"] == s
+    assert r["df"] == sum(1 for c in counts if c > 0)
+    assert abs(r["vmr"] - var / mean) < 1e-3
+    assert r["burstiness"] == round(s / r["df"], 4)
+    assert r["burstiness"] >= 1
+    # every reported term: VMR positive, df <= n
+    for t, row in out.items():
+        assert row["vmr"] > 0 and 0 < row["df"] <= n

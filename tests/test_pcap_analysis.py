@@ -539,3 +539,22 @@ def test_dhcp_lease_inventory_goldens(spark, sf_dir):
         "de:ad:be:ef:00:01": (1, 1, 1, 1, 0, "192.168.1.100"),
         "de:ad:be:ef:00:02": (2, 2, 2, 1, 1, "192.168.1.101"),
     }
+
+
+def test_flow_export_sink_golden(spark, queries):
+    """The exported flow table must reproduce the reference README's
+    fix.pcap goldens (429 pkts / 259678 payload bytes one direction,
+    56 / 19702 the other) AFTER the parquet round-trip, proving the
+    sink wrote exactly what the rollup computed."""
+    rows = {
+        (r["src_port"], r["dst_port"]): r
+        for r in queries["pcap_flow_export_sink"].fn(spark, SF).collect()
+    }
+    fwd = rows[(11001, 53867)]
+    rev = rows[(53867, 11001)]
+    assert fwd["n_packets"] == 429 and fwd["payload_bytes"] == 259678
+    assert rev["n_packets"] == 56 and rev["payload_bytes"] == 19702
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r["n_bytes"] >= r["payload_bytes"]
+        assert r["first_seen"] <= r["last_seen"]

@@ -254,3 +254,136 @@ def test_levene_w_positive_and_scale_invariant(rows):
     [a] = rows("stats_anova_oneway")
     assert r["k"] == a["k"] and r["n"] == a["n"]
     assert r["w_stat"] > 0
+
+
+# -- round-10: Kendall tau-b (week-blocked) -----------------------------------
+
+
+def test_kendall_tau_weekly_matches_bruteforce(rows, spark, sf_dir):
+    """Re-derive the blocked tau-b from first principles in Python over
+    the collected daily table (itertools pairs within each 7-day block)
+    — the query's join-based counters must match the brute force
+    exactly, and tau-b must sit in [-1, 1]."""
+    import itertools
+    import math
+
+    from wireduck_spark.operators.stats import _daily_xy_spark
+
+    [r] = rows("stats_kendall_tau_weekly")
+    daily = sorted(
+        (d["d"], d["x"], d["y"])
+        for d in _daily_xy_spark(spark, sf_dir).collect()
+    )
+    import datetime
+    anchor = datetime.date(2024, 1, 1)
+    blocks = {}
+    for d, x, y in daily:
+        blocks.setdefault((d - anchor).days // 7, []).append((d, x, y))
+    conc = disc = tx = ty = n = 0
+    for days in blocks.values():
+        for (da, xa, ya), (db, xb, yb) in itertools.combinations(days, 2):
+            n += 1
+            p = (xb - xa) * (yb - ya)
+            conc += p > 0
+            disc += p < 0
+            tx += xb == xa
+            ty += yb == ya
+    assert (r["conc"], r["disc"], r["ties_x"], r["ties_y"],
+            r["n_pairs"]) == (conc, disc, tx, ty, n)
+    expect = round((conc - disc)
+                   / math.sqrt(float((n - tx) * (n - ty))), 4)
+    assert r["tau_b"] == expect
+    assert -1 <= r["tau_b"] <= 1
+    assert disc > 0, "fixture degenerate: no discordant pairs"
+
+
+# -- round-10: Granger-lite lagged regression ---------------------------------
+
+
+def test_granger_lagged_matches_numpy_ols(rows, spark, sf_dir):
+    """The closed-form moment solve must match numpy lstsq on the same
+    lagged series to well past the output rounding, and the F statistic
+    must be non-negative with sse_ratio in (0, 1]."""
+    import numpy as np
+
+    from wireduck_spark.operators.stats import _daily_xy_spark
+
+    [r] = rows("stats_granger_lagged_daily")
+    daily = sorted(
+        (d["d"], d["x"], d["y"])
+        for d in _daily_xy_spark(spark, sf_dir).collect()
+    )
+    x = np.array([t[1] for t in daily], float)
+    y = np.array([t[2] for t in daily], float)
+    yt, u, v = y[1:], y[:-1], x[:-1]
+    m = len(yt)
+    assert r["n_obs"] == m
+    A1 = np.vstack([np.ones(m), u]).T
+    A2 = np.vstack([np.ones(m), u, v]).T
+    c1, *_ = np.linalg.lstsq(A1, yt, rcond=None)
+    c2, *_ = np.linalg.lstsq(A2, yt, rcond=None)
+    sse1 = float(((yt - A1 @ c1) ** 2).sum())
+    sse2 = float(((yt - A2 @ c2) ** 2).sum())
+    f = (sse1 - sse2) / (sse2 / (m - 3))
+    assert abs(r["b_lag_count"] - c2[2]) < 1e-4
+    assert abs(r["f_stat"] - f) < 1e-3
+    assert abs(r["sse_ratio"] - sse2 / sse1) < 1e-3
+    assert r["f_stat"] >= 0
+    assert 0 < r["sse_ratio"] <= 1
+
+
+# -- round-10: Benford first-digit screen --------------------------------------
+
+
+def test_benford_screen_identities(rows, spark, sf_dir):
+    """Observed counts partition the order table; expected counts sum to
+    n (Benford proportions sum to 1); every chi2 term recomputes from
+    its own row; and the uniform price fixture must deviate (total chi2
+    large), which is the screen's whole point on synthetic data."""
+    import math
+
+    from wireduck_spark.registry import table
+
+    out = rows("quality_benford_first_digit")
+    n_orders = table(spark, sf_dir, "orders").count()
+    assert sum(r["observed"] for r in out) == n_orders
+    assert abs(sum(r["expected"] for r in out) - n_orders) < 0.01
+    total_chi2 = 0.0
+    for r in out:
+        p = math.log10(1 + 1 / int(r["digit"]))
+        e = n_orders * p
+        assert abs(r["expected"] - e) < 5e-4
+        assert abs(r["chi2_term"] - (r["observed"] - e) ** 2 / e) < 1e-2
+        total_chi2 += r["chi2_term"]
+    assert total_chi2 > 15.51, "uniform fixture must fail Benford"
+    assert {r["digit"] for r in out} <= set("123456789")
+
+
+# -- round-10: Cramér's V ------------------------------------------------------
+
+
+def test_cramers_v_matches_bruteforce(rows, spark, sf_dir):
+    """Recompute chi2 and V from the raw contingency table in Python —
+    and pin the range: V in [0, 1], chi2 >= 0, dims match the fixture's
+    source/lang cardinalities."""
+    import collections
+
+    from wireduck_spark.registry import table
+
+    [r] = rows("stats_cramers_v_source_lang")
+    cells = collections.Counter()
+    for row in table(spark, sf_dir, "documents") \
+            .select("source", "lang").collect():
+        cells[(row["source"], row["lang"])] += 1
+    n = sum(cells.values())
+    rm = collections.Counter(); cm = collections.Counter()
+    for (a, b), c in cells.items():
+        rm[a] += c; cm[b] += c
+    chi2 = sum((c - rm[a] * cm[b] / n) ** 2 / (rm[a] * cm[b] / n)
+               for (a, b), c in cells.items())
+    v = (chi2 / (n * (min(len(rm), len(cm)) - 1))) ** 0.5
+    assert r["n"] == n
+    assert (r["n_rows"], r["n_cols"]) == (len(rm), len(cm))
+    assert abs(r["chi2"] - chi2) < 1e-2
+    assert abs(r["cramers_v"] - v) < 1e-3
+    assert 0 <= r["cramers_v"] <= 1

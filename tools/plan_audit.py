@@ -56,6 +56,8 @@ BOUNDED_CONSTANT_WINDOWS = {
     "window_rsi_sma",                 # daily series (<= 366 rows/yr)
     "window_macd_ema",                # daily series (<= 366 rows/yr)
     "stats_schnabel_recapture",       # daily occasions (<= 366 rows/yr)
+    "stats_granger_lagged_daily",     # daily series (<= 366 rows/yr)
+    "stats_cramers_v_source_lang",    # r x k contingency cells (<= 100)
 }
 
 

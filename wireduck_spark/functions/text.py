@@ -1730,3 +1730,89 @@ def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness: variance-to-mean ratio + Church-Gale per-doc rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_burstiness_vmr",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tc AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, term
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    pt AS (
+        SELECT term,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss,
+               CAST(COUNT(*) AS BIGINT) AS df
+        FROM tc GROUP BY term
+    )
+    SELECT term, df, s AS total_count,
+           ROUND(CAST(n * ss - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 4) AS vmr,
+           ROUND(CAST(s AS DOUBLE) / df, 4) AS burstiness
+    FROM pt, nd
+    WHERE s >= 20
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_burstiness_vmr(spark: SparkSession, sf: str) -> DataFrame:
+    """Term burstiness over the corpus: for every term with >= 20 total
+    occurrences, (a) the variance-to-mean ratio of its per-document
+    count INCLUDING zero-docs (Fano factor — 1.0 under a Poisson
+    sprinkle, > 1 for topical/bursty terms) and (b) Church & Gale's
+    burstiness E[count | count > 0] = total/df. The curation signal
+    behind content-word vs function-word weighting: bursty terms carry
+    topic, uniform terms carry grammar — and a dedup/contamination
+    screen reads high-VMR terms as template/boilerplate markers.
+
+    Determinism: per-(doc, term) counts, totals, sumsq, and df are all
+    exact int64 (zero-docs enter via the algebraic identity var*n =
+    (n*ss - s*s)/n without materializing zeros); the two rendered
+    ratios divide identical int64-derived doubles, 4 dp. int64 bound:
+    n*ss — at 1e8 docs with per-doc counts <= ~30, ss <= 9e2 * df so
+    n*ss < ~1e19 only if EVERY doc repeats the term 30x; typical
+    corpora sit orders below (the binding real-world term is s*s with
+    s < 3e9 total occurrences of one term — rescale by sharding the
+    term key beyond).
+
+    Scale: tokenize + explode is narrow (no shuffle); the (doc, term)
+    fold and the per-term rollup are both map-combinable hash
+    aggregates, output is vocabulary-sized; the doc-count scalar joins
+    by broadcast. No per-row Python anywhere.
+    """
+    d = table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tc = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("c"))
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    pt = tc.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.count("*").cast("bigint").alias("df"),
+    ).filter(F.col("s") >= 20)
+    return pt.crossJoin(F.broadcast(nd)).select(
+        "term", "df", F.col("s").alias("total_count"),
+        F.round((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                .cast("double")
+                / (F.col("n").cast("double") * F.col("s").cast("double")),
+                4).alias("vmr"),
+        F.round(F.col("s").cast("double") / F.col("df"), 4)
+        .alias("burstiness"),
+    )

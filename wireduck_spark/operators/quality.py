@@ -559,3 +559,80 @@ def dq_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
             "END)) div SUM(n_rows) AS BIGINT)"
         ).alias("risk_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen over order totals
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) for d = 1..9, embedded as EXACT double literals in BOTH
+# engines (computing log10 at query time risks a cross-engine ulp —
+# java.lang.Math.log10 vs DuckDB's libm are not guaranteed identical;
+# a shared literal is, by rule 2).
+_BENFORD_P = (
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+)
+
+_BENFORD_CASE = ("CASE d " + " ".join(
+    f"WHEN '{i + 1}' THEN {p}" for i, p in enumerate(_BENFORD_P)
+) + " END")
+
+
+@query(
+    "quality_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS d,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM digits)
+    SELECT d AS digit, observed,
+           ROUND(CAST(n AS DOUBLE) * {_BENFORD_CASE}, 4) AS expected,
+           ROUND((CAST(observed AS DOUBLE)
+                  - CAST(n AS DOUBLE) * {_BENFORD_CASE})
+                 * (CAST(observed AS DOUBLE)
+                    - CAST(n AS DOUBLE) * {_BENFORD_CASE})
+                 / (CAST(n AS DOUBLE) * {_BENFORD_CASE}), 6) AS chi2_term
+    FROM digits, tot
+    """,
+    tags=("quality", "stats"),
+)
+def quality_benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic fabricated-/truncated-data detector (auditing, fraud, and
+    synthetic-data QA all read large deviations as "these amounts were
+    not produced by a natural multiplicative process"). Emits per digit
+    the observed count, the Benford-expected count, and the chi-square
+    contribution; the TPC-H-ish uniform price fixture deviates loudly
+    by construction (digits 5-9 starved — probed before implementing),
+    which is exactly what the screen should say about uniform data.
+
+    Determinism: the first digit is taken from the exact integer-cents
+    STRING (no log10 on data — a float log near a power-of-10 boundary
+    could flip a digit cross-engine); the nine Benford proportions are
+    shared double literals, so expected/chi2 are identical IEEE trees
+    over exact int64 (n, observed), rounded 4/6 dp.
+
+    Scale: one map-combinable 9-group aggregate; the scalar total joins
+    back by broadcast. Cost is the scan.
+    """
+    o = table(spark, sf, "orders")
+    digits = (
+        o.select(F.substring(cents(F.col("o_totalprice"))
+                             .cast("string"), 1, 1).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    tot = digits.agg(F.sum("observed").cast("bigint").alias("n"))
+    p = F.expr(_BENFORD_CASE)
+    expected = F.col("n").cast("double") * p
+    dev = F.col("observed").cast("double") - expected
+    return digits.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"), "observed",
+        F.round(expected, 4).alias("expected"),
+        F.round(dev * dev / expected, 6).alias("chi2_term"),
+    )

@@ -1852,3 +1852,345 @@ def stats_levene_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
         F.round((ssb / (F.col("k") - 1))
                 / (ssw / (F.col("n") - F.col("k"))), 4).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b between daily event volume and daily revenue (week-blocked)
+# ---------------------------------------------------------------------------
+
+_DAILY_XY_DUCK = """
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100, 0) AS BIGINT) END), 0)
+                    AS BIGINT) AS y
+        FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
+def _daily_xy_spark(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day (total event count, purchase revenue cents) — the bivariate
+    daily series shared by the Kendall and Granger queries. Days without
+    purchases keep x and get y=0 (COALESCE in both engines)."""
+    e = table(spark, sf, "events")
+    return e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         cents(F.col("value")))),
+            F.lit(0),
+        ).cast("bigint").alias("y"),
+    )
+
+
+@query(
+    "stats_kendall_tau_weekly",
+    oracle=f"""
+    WITH daily AS ({_DAILY_XY_DUCK}),
+    wk AS (
+        SELECT d, x, y,
+               CAST(CAST(d - DATE '2024-01-01' AS BIGINT) // 7 AS BIGINT)
+                   AS w
+        FROM daily
+    ),
+    p AS (
+        SELECT CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+               CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties_x,
+               CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ties_y,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM wk a JOIN wk b ON a.w = b.w AND b.d > a.d
+    )
+    SELECT n_pairs, conc, disc, ties_x, ties_y,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / sqrt(CAST((n_pairs - ties_x) * (n_pairs - ties_y)
+                             AS DOUBLE)), 4) AS tau_b
+    FROM p
+    """,
+    tags=("stats", "timeseries"),
+)
+def stats_kendall_tau_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily event volume and
+    daily purchase revenue, over a WEEK-BLOCKED pair space: concordant /
+    discordant pairs are counted only within the same 7-day block
+    (anchored at 2024-01-01), the standard guard against secular trend
+    confounding both series — and, at scale, the device that keeps the
+    pair space linear in days (<= C(7,2) pairs per calendar week)
+    instead of quadratic.
+
+    Determinism: everything up to tau is exact int64 (sign tests on
+    integer products; daily cents deltas < 2e9 so (b.x-a.x)*(b.y-a.y)
+    fits); tau-b's sqrt is IEEE-correctly-rounded in both engines over
+    the same int64->double cast, rounded 4 dp (rule 2; the sqrt-only
+    tree is the stats_ks_two_sample precedent).
+
+    Scale: the raw scan folds map-side to <=366 day rows; the pair join
+    is an EQUI-join on the week block (never a nested loop) over the
+    bounded day table.
+    """
+    daily = _daily_xy_spark(spark, sf)
+    wk = daily.select(
+        "d", "x", "y",
+        F.expr("CAST(datediff(d, DATE '2024-01-01') div 7 AS BIGINT)")
+        .alias("w"),
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    prod = (F.col("b.x") - F.col("a.x")) * (F.col("b.y") - F.col("a.y"))
+    p = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("b.d") > F.col("a.d")))
+        .agg(
+            F.sum(F.when(prod > 0, 1).otherwise(0)).cast("bigint")
+            .alias("conc"),
+            F.sum(F.when(prod < 0, 1).otherwise(0)).cast("bigint")
+            .alias("disc"),
+            F.sum(F.when(F.col("b.x") == F.col("a.x"), 1).otherwise(0))
+            .cast("bigint").alias("ties_x"),
+            F.sum(F.when(F.col("b.y") == F.col("a.y"), 1).otherwise(0))
+            .cast("bigint").alias("ties_y"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return p.select(
+        "n_pairs", "conc", "disc", "ties_x", "ties_y",
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(((F.col("n_pairs") - F.col("ties_x"))
+                      * (F.col("n_pairs") - F.col("ties_y")))
+                     .cast("double")),
+            4,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Granger-lite lagged regression: does yesterday's volume predict revenue?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_granger_lagged_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_XY_DUCK}),
+    lagged AS (
+        SELECT y AS yt,
+               lag(y) OVER (ORDER BY d) AS u,
+               lag(x) OVER (ORDER BY d) AS v
+        FROM daily
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(u) AS BIGINT) AS su,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(yt) AS BIGINT) AS sy,
+               CAST(SUM(u * u) AS BIGINT) AS suu,
+               CAST(SUM(v * v) AS BIGINT) AS svv,
+               CAST(SUM(yt * yt) AS BIGINT) AS syy,
+               CAST(SUM(u * v) AS BIGINT) AS suv,
+               CAST(SUM(u * yt) AS BIGINT) AS suy,
+               CAST(SUM(v * yt) AS BIGINT) AS svy
+        FROM lagged WHERE u IS NOT NULL
+    ),
+    cm AS (
+        SELECT m,
+               CAST(CAST(m * suu - su * su AS BIGINT) AS DOUBLE) AS muu,
+               CAST(CAST(m * svv - sv * sv AS BIGINT) AS DOUBLE) AS mvv,
+               CAST(CAST(m * syy - sy * sy AS BIGINT) AS DOUBLE) AS myy,
+               CAST(CAST(m * suv - su * sv AS BIGINT) AS DOUBLE) AS muv,
+               CAST(CAST(m * suy - su * sy AS BIGINT) AS DOUBLE) AS muy,
+               CAST(CAST(m * svy - sv * sy AS BIGINT) AS DOUBLE) AS mvy
+        FROM mom
+    ),
+    fit AS (
+        SELECT m, myy,
+               muu * mvv - muv * muv AS det,
+               myy - ((muy * mvv - mvy * muv) * muy
+                      + (mvy * muu - muy * muv) * mvy)
+                     / (muu * mvv - muv * muv) AS sse_full,
+               myy - muy * muy / muu AS sse_rest,
+               (mvy * muu - muy * muv) / (muu * mvv - muv * muv) AS b2
+        FROM cm
+    )
+    SELECT m AS n_obs,
+           ROUND(b2, 6) AS b_lag_count,
+           ROUND((sse_rest - sse_full)
+                 / (sse_full / CAST(m - 3 AS DOUBLE)), 4) AS f_stat,
+           ROUND(sse_full / sse_rest, 4) AS sse_ratio
+    FROM fit
+    """,
+    tags=("stats", "timeseries"),
+)
+def stats_granger_lagged_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Granger-lite causality screen on the daily series: does
+    yesterday's EVENT VOLUME explain today's REVENUE beyond what
+    yesterday's revenue already does? Ordinary least squares of y_t on
+    (1, y_{t-1}) [restricted] vs (1, y_{t-1}, x_{t-1}) [full], reported
+    as the incremental-F of the volume lag, its coefficient, and the
+    SSE ratio — the one-lag, two-series core of the Granger test, in
+    closed form from exact integer cross-moments.
+
+    Determinism: all ten raw moments are exact int64 over the lag-paired
+    day table; the n-scaled centered moments M_ab = m*S_ab - S_a*S_b are
+    computed IN INT64 (exact) in both engines, and only then cast to
+    double for the 2x2 normal-equation solve — every double after that
+    point is the product/difference/quotient of IDENTICAL doubles
+    through an identical expression tree (rule 2), so f_stat/b2/ratio
+    agree bit-for-bit before the output rounding. int64 bound: the
+    binding term is Sy^2 ~ (days * daily_cents)^2 < 9.2e18, i.e. daily
+    revenue < ~8e6 cents (~$82k/day) on a full-year series — rescale
+    cents to dollars beyond (the series shape, not the unit, is what
+    Granger sees).
+
+    Scale: one map-combinable fold to <=366 day rows, one bounded
+    window lag (constant-pmod allowlisted idiom), one scalar moment
+    row; cost is the scan.
+    """
+    daily = _daily_xy_spark(spark, sf)
+    w = Window.partitionBy(F.pmod(F.col("x"), F.lit(1))).orderBy("d")
+    lagged = daily.select(
+        F.col("y").alias("yt"),
+        F.lag("y").over(w).alias("u"),
+        F.lag("x").over(w).alias("v"),
+    ).filter(F.col("u").isNotNull())
+    mom = lagged.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum("yt").cast("bigint").alias("sy"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+        F.sum(F.col("yt") * F.col("yt")).cast("bigint").alias("syy"),
+        F.sum(F.col("u") * F.col("v")).cast("bigint").alias("suv"),
+        F.sum(F.col("u") * F.col("yt")).cast("bigint").alias("suy"),
+        F.sum(F.col("v") * F.col("yt")).cast("bigint").alias("svy"),
+    )
+    cm = mom.select(
+        "m",
+        (F.col("m") * F.col("suu") - F.col("su") * F.col("su"))
+        .cast("bigint").cast("double").alias("muu"),
+        (F.col("m") * F.col("svv") - F.col("sv") * F.col("sv"))
+        .cast("bigint").cast("double").alias("mvv"),
+        (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("bigint").cast("double").alias("myy"),
+        (F.col("m") * F.col("suv") - F.col("su") * F.col("sv"))
+        .cast("bigint").cast("double").alias("muv"),
+        (F.col("m") * F.col("suy") - F.col("su") * F.col("sy"))
+        .cast("bigint").cast("double").alias("muy"),
+        (F.col("m") * F.col("svy") - F.col("sv") * F.col("sy"))
+        .cast("bigint").cast("double").alias("mvy"),
+    )
+    det = F.col("muu") * F.col("mvv") - F.col("muv") * F.col("muv")
+    b2 = (F.col("mvy") * F.col("muu")
+          - F.col("muy") * F.col("muv")) / det
+    sse_full = (F.col("myy")
+                - ((F.col("muy") * F.col("mvv")
+                    - F.col("mvy") * F.col("muv")) * F.col("muy")
+                   + (F.col("mvy") * F.col("muu")
+                      - F.col("muy") * F.col("muv")) * F.col("mvy"))
+                / det)
+    sse_rest = F.col("myy") - F.col("muy") * F.col("muy") / F.col("muu")
+    return cm.select(
+        F.col("m").alias("n_obs"),
+        F.round(b2, 6).alias("b_lag_count"),
+        F.round((sse_rest - sse_full)
+                / (sse_full / (F.col("m") - 3).cast("double")), 4)
+        .alias("f_stat"),
+        F.round(sse_full / sse_rest, 4).alias("sse_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V: strength of the source <-> language association
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_cramers_v_source_lang",
+    oracle="""
+    WITH obs AS (
+        SELECT source AS r, lang AS c, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY source, lang
+    ),
+    margins AS (
+        SELECT r, c, o,
+               CAST(SUM(o) OVER (PARTITION BY r) AS BIGINT) AS row_n,
+               CAST(SUM(o) OVER (PARTITION BY c) AS BIGINT) AS col_n,
+               CAST(SUM(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ),
+    agg AS (
+        SELECT CAST(MIN(n) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols,
+               SUM((CAST(o AS DOUBLE)
+                    - CAST(row_n AS DOUBLE) * col_n / n)
+                   * (CAST(o AS DOUBLE)
+                      - CAST(row_n AS DOUBLE) * col_n / n)
+                   / (CAST(row_n AS DOUBLE) * col_n / n)) AS chi2
+        FROM margins
+    )
+    SELECT n, n_rows, n_cols, ROUND(chi2, 4) AS chi2,
+           ROUND(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * (CASE WHEN n_rows < n_cols THEN n_rows
+                         ELSE n_cols END - 1))), 4) AS cramers_v
+    FROM agg
+    """,
+    tags=("stats", "text", "llm-pipeline"),
+)
+def stats_cramers_v_source_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Cramér's V for the source x language contingency table — the
+    normalized [0, 1] effect size that answers the curation question the
+    raw chi-square can't: HOW confounded is language mix with source?
+    (A corpus where one source supplies all the German makes
+    per-language quality conclusions unattributable.) The fixture
+    carries real association (V ~ 0.19, probed in DuckDB before
+    implementing — the uniform event-type pairings measured V < 0.02
+    and were rejected as degenerate).
+
+    Determinism: exact integer contingency cells + margins via
+    bounded-domain windows (<= sources x langs = 100 cells; the
+    stats_chi_square_independence machinery verbatim); chi2 sums one
+    shared IEEE tree over the single-partition cell table; V adds one
+    sqrt of identical doubles (rule 2), both rounded 4 dp.
+
+    Scale: corpus-sized work is ONE map-combinable count to r*k cells;
+    everything downstream is constant-size.
+    """
+    d = table(spark, sf, "documents")
+    obs = (
+        d.select(F.col("source").alias("r"), F.col("lang").alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").cast("bigint").alias("o"))
+    )
+    w_r = Window.partitionBy("r")
+    w_c = Window.partitionBy("c")
+    w_n = Window.partitionBy(F.pmod(F.col("o"), F.lit(1)))
+    m = obs.select(
+        "r", "c", "o",
+        F.sum("o").over(w_r).cast("bigint").alias("row_n"),
+        F.sum("o").over(w_c).cast("bigint").alias("col_n"),
+        F.sum("o").over(w_n).cast("bigint").alias("n"),
+    )
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    agg = m.agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.countDistinct("r").cast("bigint").alias("n_rows"),
+        F.countDistinct("c").cast("bigint").alias("n_cols"),
+        F.sum((F.col("o").cast("double") - expected)
+              * (F.col("o").cast("double") - expected) / expected)
+        .alias("chi2"),
+    )
+    return agg.select(
+        "n", "n_rows", "n_cols",
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2")
+                       / (F.col("n").cast("double")
+                          * (F.when(F.col("n_rows") < F.col("n_cols"),
+                                    F.col("n_rows"))
+                             .otherwise(F.col("n_cols")) - 1))), 4)
+        .alias("cramers_v"),
+    )

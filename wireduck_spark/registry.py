@@ -141,14 +141,30 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-9 rotation (VERDICT r8 #2): CORRECTNESS_r08.json landed 48/48
-    # green + 2 pcap rows>0 — second consecutive zero-red round — so all 50
-    # r8 names moved to ROTATED_OUT. The oracle-checkable backlog is ZERO,
-    # so this rotation (a) promotes the ENTIRE rows-only queue (30 names:
-    # the pcap analytics family, PQ re-rank, PCA goldens) so the driver's
-    # rows>0 smoke finally contracts them, and (b) debuts the 14 new
-    # round-9 oracle-checkable queries (operators/stats.py).
-    # -- rows-only queue, promoted in full (goldens pinned in pytest):
+    # Round-10 rotation (VERDICT r9 #4): CORRECTNESS_r09.json landed 20/20
+    # oracle green + 27 clean rows-only rows>0 — those 47 move to
+    # ROTATED_OUT. The gate re-checks the THREE r9 crash slots (top-level
+    # ARRAY columns killed the driver's canonicalizer; now emitted as
+    # joined strings) and debuts the four round-10 queries.
+    # -- r9 canonicalizer-crash repairs (VERDICT r9 #1, must land a clean
+    #    rows-only driver row this round):
+    "pcap_ja3_fingerprint",
+    "pcap_arp_spoof_detect",
+    "embed_pca_two_components",
+    # -- new round-10 queries:
+    "stats_kendall_tau_weekly",
+    "stats_granger_lagged_daily",
+    "text_burstiness_vmr",
+    "pcap_flow_export_sink",
+    "quality_benford_first_digit",
+    "stats_cramers_v_source_lang",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json ... _r09.json; still
+    # verified by tools/check_oracle.py + pytest every run.
+    # -- round-9 GATE: 20 oracle greens + 27 clean rows-only rows>0 in
+    #    CORRECTNESS_r09.json (the 3 canonicalizer crashes stay in GATE):
     "pcap_tcp_handshake_rtt",
     "pcap_tcp_retransmissions",
     "pcap_protocol_hierarchy",
@@ -156,10 +172,8 @@ GATE: tuple[str, ...] = (
     "pcap_beacon_detection",
     "sim_ann_pq_rerank",
     "pcap_port_scan_detect",
-    "pcap_ja3_fingerprint",
     "pcap_ntp_clock_skew",
     "pcap_dhcp_lease_inventory",
-    "pcap_arp_spoof_detect",
     "pcap_payload_entropy",
     "pcap_follow_tcp_stream",
     "pcap_dns_tunneling_detect",
@@ -178,8 +192,6 @@ GATE: tuple[str, ...] = (
     "pcap_quic_vn_downgrade",
     "pcap_service_inventory",
     "embed_pca_top_component",
-    "embed_pca_two_components",
-    # -- new round-9 oracle-checkable queries (operators/stats.py):
     "stats_anova_oneway",
     "stats_cohens_kappa",
     "stats_mcnemar_paired_conversion",
@@ -200,11 +212,6 @@ GATE: tuple[str, ...] = (
     "window_macd_ema",
     "stats_schnabel_recapture",
     "stats_levene_brown_forsythe",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json ... _r08.json; still
-    # verified by tools/check_oracle.py + pytest every run.
     # -- round-8 GATE, all 48 oracle rows green + 2 pcap rows>0 in
     #    CORRECTNESS_r08.json (zero red):
     "pipeline_rag_eval_mrr",

@@ -1396,3 +1396,43 @@ if _have_fixture():
             )
             .orderBy("mac")
         )
+
+    @query("pcap_flow_export_sink", oracle=None, tags=("pcap", "sink"))
+    def pcap_flow_export_sink(spark: SparkSession, sf: str) -> DataFrame:
+        """NetFlow-style flow export: collapse a capture into 5-tuple
+        flow records (first/last seen, packet and byte counters — the
+        NetFlow v5 core fields), WRITE them to parquet (the lake-native
+        IPFIX substitute every SOC pipeline lands captures into), then
+        re-read the exported table and return it. The reference can
+        aggregate per port pair in SQL (README.md:160-167) but has no
+        export path at all; this is the capture -> flow-lake ETL step.
+
+        Scale: the flow rollup is one map-combinable hash aggregate
+        keyed by the 5-tuple (short rows; payloads never shuffle); the
+        parquet write is one file per task with atomic rename publish,
+        and the re-read scan prunes columns like any lake table.
+        """
+        import tempfile
+
+        t = read_pcap(spark, FIXTURE, protocols=["ip", "tcp"],
+                      engine="native")
+        flows = (
+            t.filter(F.col("`tcp.srcport`").isNotNull())
+            .groupBy(
+                F.col("`ip.src`").alias("src_addr"),
+                F.col("`ip.dst`").alias("dst_addr"),
+                F.col("`tcp.srcport`").alias("src_port"),
+                F.col("`tcp.dstport`").alias("dst_port"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_packets"),
+                F.sum("`frame.len`").cast("bigint").alias("n_bytes"),
+                F.sum("`tcp.len`").cast("bigint").alias("payload_bytes"),
+                ts_str(F.min("`frame.time_epoch`")).alias("first_seen"),
+                ts_str(F.max("`frame.time_epoch`")).alias("last_seen"),
+            )
+        )
+        out_dir = os.path.join(tempfile.gettempdir(),
+                               "wireduck_flow_export_q")
+        flows.write.mode("overwrite").parquet(out_dir)
+        return spark.read.parquet(out_dir)
