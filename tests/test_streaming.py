@@ -1769,3 +1769,81 @@ def test_acf_tracker_forced_chunks(spark, sf_dir, tmp_path):
         for r in QUERIES["stats_acf_daily_lags"].fn(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Streaming Benford first-digit tracker
+# ---------------------------------------------------------------------------
+
+
+def _benford_batch_expected(spark, sf_dir):
+    from wireduck_spark.registry import QUERIES
+
+    return {
+        r["digit"]: (r["observed"], r["expected"], r["chi2_term"])
+        for r in QUERIES["quality_benford_first_digit"]
+        .fn(spark, sf_dir).collect()
+    }
+
+
+def _run_benford_stream(spark, sf_dir, tmp_path, qname):
+    """Stream order totals (exact cents) as 3 micro-batches; return the
+    LATEST emission per digit (observed is monotone)."""
+    from wireduck_spark.streaming.stateful import benford_tracker
+
+    o = table(spark, sf_dir, "orders")
+    amounts = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .alias("cents"), "o_orderkey")
+    src_dir = tmp_path / f"{qname}_src"
+    src_dir.mkdir()
+    for i in range(3):
+        (amounts.filter(F.col("o_orderkey") % 3 == i).select("cents")
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema("cents BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        benford_tracker(stream_src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        prev = got.get(r["digit"])
+        if prev is None or r["observed"] > prev[0]:
+            got[r["digit"]] = (r["observed"], r["expected"], r["chi2_term"])
+    return got
+
+
+def test_benford_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """After the same order totals arrive as 3 micro-batches, the
+    tracker's final per-digit emission must equal the batch screen
+    bit-for-bit (exact counters; expected/chi2 re-rendered with the
+    shared Benford literals and HALF_UP rounding)."""
+    got = _run_benford_stream(spark, sf_dir, tmp_path, "t_benford")
+    assert got == _benford_batch_expected(spark, sf_dir)
+
+
+def test_benford_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Same equivalence with maxRecordsPerBatch=7 so arrivals hit the
+    update function as many small Arrow chunks — the integer counters
+    are order-free, so chunking must not perturb anything."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        got = _run_benford_stream(spark, sf_dir, tmp_path,
+                                  "t_benford_chunked")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == _benford_batch_expected(spark, sf_dir)

@@ -1590,3 +1590,83 @@ def acf_tracker(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Benford first-digit tracker (twin of quality_benford_first_digit)
+# ---------------------------------------------------------------------------
+
+BENFORD_STATE_SCHEMA = StructType(
+    [StructField(f"c{d}", LongType()) for d in range(1, 10)]
+)
+
+BENFORD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("digit", StringType()),
+        StructField("observed", LongType()),
+        StructField("expected", DoubleType()),
+        StructField("chi2_term", DoubleType()),
+    ]
+)
+
+
+def _benford_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Nine exact int64 digit counters as the ENTIRE state; per emission
+    the expected counts and chi-square terms re-derive from the counters
+    with the batch query's IEEE tree (shared Benford double literals,
+    Spark F.round HALF_UP parity), so the final emission equals
+    quality_benford_first_digit bit-for-bit."""
+    from wireduck_spark.operators.quality import _BENFORD_P
+
+    counts = list(state.get) if state.exists else [0] * 9
+    for chunk in batches:
+        if not len(chunk):
+            continue
+        first = chunk["cents"].astype("int64").astype(str).str[0]
+        for digit, c in first.value_counts().items():
+            counts[int(digit) - 1] += int(c)
+    state.update(tuple(counts))
+    n = sum(counts)
+    out = []
+    for i, c in enumerate(counts):
+        if c == 0:
+            continue  # the batch groupBy emits only digits present
+        e = float(n) * float(_BENFORD_P[i])
+        dev = float(c) - e
+        out.append((str(i + 1), c, _round_half_up(e, 4),
+                    _round_half_up(dev * dev / e, 6)))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in BENFORD_OUTPUT_SCHEMA.fields])
+
+
+def benford_tracker(amounts: DataFrame) -> DataFrame:
+    """Always-on Benford first-digit monitor: the streaming twin of
+    quality_benford_first_digit, watching a live stream of money
+    amounts (exact integer `cents`) for the first-digit drift that
+    flags fabricated, truncated, or re-binned data THE BATCH SCREEN
+    ONLY CATCHES TOMORROW. State is nine int64 counters — fixed
+    forever, order-free (integer adds commute across chunks, batches
+    and replays) — and every emission re-renders expected counts and
+    chi-square terms from those exact integers with the batch query's
+    expression tree, so the final emission is bit-identical to the
+    batch screen over the same rows (pytest-pinned, forced-chunk
+    included).
+
+    One global group here; key by (ledger, currency) at scale — 72
+    bytes of state per key.
+    """
+    from pyspark.sql import functions as F
+
+    src = amounts.select(F.lit(0).alias("g"),
+                         F.col("cents").cast("bigint").alias("cents"))
+    return src.groupBy("g").applyInPandasWithState(
+        _benford_update,
+        outputStructType=BENFORD_OUTPUT_SCHEMA,
+        stateStructType=BENFORD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
