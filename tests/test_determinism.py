@@ -59,6 +59,7 @@ NAMES = [
     "pcap_flow_export_sink",
     "quality_benford_first_digit",
     "stats_cramers_v_source_lang",
+    "stats_weekday_effect_anova",
 ]
 
 

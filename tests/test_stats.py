@@ -6,6 +6,7 @@ distinguish from a consistently-wrong formula in both engines.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from wireduck_spark.registry import QUERIES, load_all_queries
 
@@ -387,3 +388,32 @@ def test_cramers_v_matches_bruteforce(rows, spark, sf_dir):
     assert abs(r["chi2"] - chi2) < 1e-2
     assert abs(r["cramers_v"] - v) < 1e-3
     assert 0 <= r["cramers_v"] <= 1
+
+
+# -- round-10: weekday-effect ANOVA --------------------------------------------
+
+
+def test_weekday_effect_anova_decomposition(rows, spark, sf_dir):
+    """SSB + SSW must equal the total sum of squares computed directly
+    from the daily series in Python; eta2 = ssb/(ssb+ssw); k = distinct
+    weekdays present; n = distinct days."""
+    from wireduck_spark.registry import table
+
+    [r] = rows("stats_weekday_effect_anova")
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("x"))
+        .collect()
+    )
+    xs = [row["x"] for row in daily]
+    n = len(xs)
+    mean = sum(xs) / n
+    sst = sum((x - mean) ** 2 for x in xs)
+    assert r["n"] == n
+    assert 1 <= r["k"] <= 7
+    assert abs((r["ss_between"] + r["ss_within"]) - sst) < 1e-2
+    assert r["ss_between"] >= 0 and r["ss_within"] >= 0
+    assert abs(r["eta_squared"]
+               - r["ss_between"] / (r["ss_between"] + r["ss_within"])) < 1e-3
+    assert 0 <= r["eta_squared"] <= 1

@@ -2194,3 +2194,105 @@ def stats_cramers_v_source_lang(spark: SparkSession, sf: str) -> DataFrame:
                              .otherwise(F.col("n_cols")) - 1))), 4)
         .alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday-effect ANOVA: how much daily-volume variance is day-of-week?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_weekday_effect_anova",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    g AS (
+        SELECT CAST(dayofweek(d) AS BIGINT) AS wd,
+               CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(x) AS BIGINT) AS s_j,
+               CAST(SUM(x * x) AS BIGINT) AS ss_j
+        FROM daily GROUP BY dayofweek(d)
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(SUM(s_j) AS BIGINT) AS s,
+               CAST(SUM(ss_j) AS BIGINT) AS ss,
+               CAST(SUM(s_j * (s_j // n_j)
+                        + (s_j * (s_j % n_j)) // n_j) AS BIGINT) AS gq,
+               SUM(CAST((s_j * (s_j % n_j)) % n_j AS DOUBLE) / n_j) AS gf
+        FROM g
+    ),
+    parts AS (
+        SELECT k, n,
+               CAST(gq - (s * (s // n) + (s * (s % n)) // n) AS DOUBLE)
+                   + (gf - CAST((s * (s % n)) % n AS DOUBLE) / n) AS ssb,
+               CAST(ss - gq AS DOUBLE) - gf AS ssw
+        FROM tot
+    )
+    SELECT k, n,
+           ROUND(ssb, 4) AS ss_between,
+           ROUND(ssw, 4) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+           ROUND(ssb / (ssb + ssw), 4) AS eta_squared
+    FROM parts
+    """,
+    tags=("stats", "timeseries"),
+)
+def stats_weekday_effect_anova(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week effect on daily event volume: one-way ANOVA of the
+    daily counts grouped by weekday, with eta-squared — the SHARE of
+    daily-volume variance explained by the weekly cycle. Completes the
+    seasonality triple: stats_acf_daily_lags DETECTS the period,
+    forecast_backtest_seasonal_naive EXPLOITS it, this QUANTIFIES how
+    much of the variance it actually owns (fixture probed
+    non-degenerate: F=1.81, eta2=0.32).
+
+    Determinism: daily counts are exact int64; the weekday key maps
+    Spark `dayofweek(d) - 1` == DuckDB `dayofweek(d)` (both Sunday=0,
+    verified on known dates); the between-group term reuses
+    stats_anova_oneway's exact divmod decomposition (nothing ever
+    squares a raw sum), so SSB/SSW render from an exact integer part
+    plus a <k-magnitude fractional sum; eta2 = ssb/(ssb+ssw) is one
+    extra division of identical doubles (rule 2).
+
+    Scale: one map-combinable fold to <=366 day rows, a 7-group fold,
+    and a scalar; cost is the scan.
+    """
+    e = table(spark, sf, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x"))
+    g = daily.groupBy(
+        (F.dayofweek("d") - 1).cast("bigint").alias("wd")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_j"),
+        F.sum("x").cast("bigint").alias("s_j"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss_j"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum("s_j").cast("bigint").alias("s"),
+        F.sum("ss_j").cast("bigint").alias("ss"),
+        F.expr("CAST(SUM(s_j * (s_j div n_j) "
+               "+ (s_j * (s_j % n_j)) div n_j) AS BIGINT)").alias("gq"),
+        F.sum(((F.col("s_j") * (F.col("s_j") % F.col("n_j")))
+               % F.col("n_j")).cast("double")
+              / F.col("n_j")).alias("gf"),
+    )
+    ssb = ((F.col("gq")
+            - F.expr("s * (s div n) + (s * (s % n)) div n")).cast("double")
+           + (F.col("gf")
+              - ((F.col("s") * (F.col("s") % F.col("n"))) % F.col("n"))
+              .cast("double") / F.col("n")))
+    ssw = (F.col("ss") - F.col("gq")).cast("double") - F.col("gf")
+    return tot.select(
+        "k", "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1))
+                / (ssw / (F.col("n") - F.col("k"))), 4).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 4).alias("eta_squared"),
+    )

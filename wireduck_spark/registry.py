@@ -158,6 +158,7 @@ GATE: tuple[str, ...] = (
     "pcap_flow_export_sink",
     "quality_benford_first_digit",
     "stats_cramers_v_source_lang",
+    "stats_weekday_effect_anova",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
