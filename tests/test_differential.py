@@ -658,3 +658,44 @@ def test_pmod_constant_window_differential(engines, pred, m):
     ]
     assert sorted(s_rows) == sorted(map(tuple, d_rows)), (
         f"pmod-window divergence m={m}: {pred}")
+
+
+@given(pred=_predicates(), m=st.integers(min_value=2, max_value=11))
+@settings(max_examples=40, deadline=None)
+def test_square_divmod_decomposition_differential(engines, pred, m):
+    """Property 24 (round-10, ADVICE r9): the overflow-safe square
+    decomposition used by ANOVA / Levene / weekday-effect —
+
+        x*x div n == x*(x div n) + (x*(x mod n)) div n
+        x*x mod n == (x*(x mod n)) mod n
+
+    — must hold as an exact int64 identity IN BOTH DIALECTS (Spark
+    `div`/`%` vs DuckDB `//`/`%`) over data-derived group sums, and the
+    two engines must agree row-for-row. A dialect where % or integer
+    division rounded differently would silently skew every SSB term the
+    decomposition protects."""
+    spark, con = engines
+    body = (
+        "WITH g AS (SELECT o_orderkey % {m} AS k, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders WHERE {pred} GROUP BY o_orderkey % {m}) "
+        "SELECT CAST(k AS BIGINT), "
+        "CAST(s * s {d} n AS BIGINT) AS naive_q, "
+        "CAST(s * (s {d} n) + (s * (s % n)) {d} n AS BIGINT) AS decomp_q, "
+        "CAST(s * s % n AS BIGINT) AS naive_r, "
+        "CAST((s * (s % n)) % n AS BIGINT) AS decomp_r "
+        "FROM g"
+    )
+    s_rows = sorted(
+        tuple(r)
+        for r in spark.sql(body.format(m=m, pred=pred, d="div")).collect()
+    )
+    d_rows = sorted(
+        map(tuple,
+            con.execute(body.format(m=m, pred=pred, d="//")).fetchall())
+    )
+    assert s_rows == d_rows, f"cross-engine divergence m={m}: {pred}"
+    for k, nq, dq, nr, dr in s_rows:
+        assert nq == dq and nr == dr, (
+            f"decomposition identity broke at k={k}: {pred}")
