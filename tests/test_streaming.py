@@ -1847,3 +1847,100 @@ def test_benford_tracker_forced_chunks(spark, sf_dir, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert got == _benford_batch_expected(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Granger-lite and week-blocked Kendall trackers
+# ---------------------------------------------------------------------------
+
+
+def _daily_xy(spark, sf_dir):
+    from wireduck_spark.operators.stats import _daily_xy_spark
+
+    return _daily_xy_spark(spark, sf_dir)
+
+
+def _run_daily_xy_stream(spark, sf_dir, tmp_path, qname, tracker_fn,
+                         latest_key):
+    """Stream the closed daily (d, x, y) table as 3 day-range
+    micro-batches (day order — the documented contract); return the
+    latest emission (keyed on the monotone `latest_key` column)."""
+    daily = _daily_xy(spark, sf_dir)
+    src_dir = tmp_path / f"{qname}_src"
+    src_dir.mkdir()
+    for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                  ("2024-01-11", "2024-01-21"),
+                                  ("2024-01-21", "2024-02-28"))):
+        (daily.filter((F.col("d") >= lo) & (F.col("d") < hi))
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema("d DATE, x BIGINT, y BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        tracker_fn(stream_src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    assert rows, "tracker emitted nothing"
+    return max(rows, key=lambda r: r[latest_key])
+
+
+def test_granger_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """After the daily series arrives as 3 day-ordered micro-batches,
+    the tracker's final emission must equal stats_granger_lagged_daily
+    bit-for-bit (raw moments exact; solve re-rendered with the batch
+    tree + HALF_UP parity)."""
+    from wireduck_spark.registry import QUERIES
+    from wireduck_spark.streaming.stateful import granger_tracker
+
+    got = _run_daily_xy_stream(spark, sf_dir, tmp_path, "t_granger",
+                               granger_tracker, "n_obs")
+    [exp] = QUERIES["stats_granger_lagged_daily"].fn(spark, sf_dir) \
+        .collect()
+    assert (got["n_obs"], got["b_lag_count"], got["f_stat"],
+            got["sse_ratio"]) == (exp["n_obs"], exp["b_lag_count"],
+                                  exp["f_stat"], exp["sse_ratio"])
+
+
+def test_kendall_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """Same equivalence for the week-blocked tau tracker: the <=7-day
+    week buffer must reproduce the batch equi-join's pair counters
+    exactly across week-boundary-crossing micro-batches."""
+    from wireduck_spark.registry import QUERIES
+    from wireduck_spark.streaming.stateful import kendall_tracker
+
+    got = _run_daily_xy_stream(spark, sf_dir, tmp_path, "t_kendall",
+                               kendall_tracker, "n_pairs")
+    [exp] = QUERIES["stats_kendall_tau_weekly"].fn(spark, sf_dir) \
+        .collect()
+    assert tuple(got) == tuple(exp)
+
+
+def test_kendall_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Forced small Arrow chunks: per-batch rows are re-sorted by day
+    inside the update fn, so chunking must not perturb the counters."""
+    from wireduck_spark.registry import QUERIES
+    from wireduck_spark.streaming.stateful import kendall_tracker
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        got = _run_daily_xy_stream(spark, sf_dir, tmp_path,
+                                   "t_kendall_chunked",
+                                   kendall_tracker, "n_pairs")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    [exp] = QUERIES["stats_kendall_tau_weekly"].fn(spark, sf_dir) \
+        .collect()
+    assert tuple(got) == tuple(exp)

@@ -1670,3 +1670,218 @@ def benford_tracker(amounts: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Granger-lite tracker (twin of stats_granger_lagged_daily)
+# ---------------------------------------------------------------------------
+
+GRANGER_STATE_SCHEMA = StructType(
+    [
+        StructField("has_prev", BooleanType()),
+        StructField("prev_x", LongType()),
+        StructField("prev_y", LongType()),
+        StructField("m", LongType()),
+        StructField("su", LongType()),
+        StructField("sv", LongType()),
+        StructField("sy", LongType()),
+        StructField("suu", LongType()),
+        StructField("svv", LongType()),
+        StructField("syy", LongType()),
+        StructField("suv", LongType()),
+        StructField("suy", LongType()),
+        StructField("svy", LongType()),
+    ]
+)
+
+GRANGER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("n_obs", LongType()),
+        StructField("b_lag_count", DoubleType()),
+        StructField("f_stat", DoubleType()),
+        StructField("sse_ratio", DoubleType()),
+    ]
+)
+
+
+def _granger_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Thirteen-value bounded state: yesterday's (x, y) plus the ten raw
+    int64 lag-pair moments. Each closed day extends the moments by ONE
+    observation (u=prev_y, v=prev_x, yt=y); the emission re-runs the
+    batch query's n-scaled centered-moment 2x2 solve (int64 centered
+    moments, then the identical double tree with HALF_UP parity), so the
+    final row equals stats_granger_lagged_daily bit-for-bit. Day-ordered
+    closed daily rows required (the cusum_tracker contract)."""
+    if state.exists:
+        (has_prev, px, py, m, su, sv, sy,
+         suu, svv, syy, suv, suy, svy) = state.get
+    else:
+        has_prev, px, py = False, 0, 0
+        m = su = sv = sy = suu = svv = syy = suv = suy = svy = 0
+    chunks = [c for c in batches if len(c)]
+    days = (pd.concat(chunks, ignore_index=True).sort_values("d")
+            if chunks else pd.DataFrame(columns=["d", "x", "y"]))
+    for _, row in days.iterrows():
+        x, y = int(row["x"]), int(row["y"])
+        if has_prev:
+            u, v, yt = py, px, y
+            m += 1
+            su += u; sv += v; sy += yt
+            suu += u * u; svv += v * v; syy += yt * yt
+            suv += u * v; suy += u * yt; svy += v * yt
+        has_prev, px, py = True, x, y
+    state.update((has_prev, px, py, m, su, sv, sy,
+                  suu, svv, syy, suv, suy, svy))
+    if m < 4:
+        yield pd.DataFrame(
+            [], columns=[f.name for f in GRANGER_OUTPUT_SCHEMA.fields])
+        return
+    muu = float(m * suu - su * su)
+    mvv = float(m * svv - sv * sv)
+    myy = float(m * syy - sy * sy)
+    muv = float(m * suv - su * sv)
+    muy = float(m * suy - su * sy)
+    mvy = float(m * svy - sv * sy)
+    det = muu * mvv - muv * muv
+    b2 = (mvy * muu - muy * muv) / det
+    sse_full = myy - ((muy * mvv - mvy * muv) * muy
+                      + (mvy * muu - muy * muv) * mvy) / det
+    sse_rest = myy - muy * muy / muu
+    f = (sse_rest - sse_full) / (sse_full / float(m - 3))
+    yield pd.DataFrame(
+        [(m, _round_half_up(b2, 6), _round_half_up(f, 4),
+          _round_half_up(sse_full / sse_rest, 4))],
+        columns=[f.name for f in GRANGER_OUTPUT_SCHEMA.fields])
+
+
+def granger_tracker(daily: DataFrame) -> DataFrame:
+    """Always-on lead-lag causality screen: the streaming twin of
+    stats_granger_lagged_daily over the closed daily (d, x, y) stream.
+    A volume->revenue lead appearing in live traffic moves the
+    incremental-F the day it emerges, instead of in tomorrow's batch
+    scan; state is thirteen int64-ish values FOREVER (the whole OLS
+    lives in raw moments). Same int64 headroom as the batch twin
+    (binding term Sy^2): rescale cents for year-long series beyond
+    ~8e6 cents/day.
+    """
+    from pyspark.sql import functions as F
+
+    src = daily.select(F.lit(0).alias("g"), "d",
+                       F.col("x").cast("bigint").alias("x"),
+                       F.col("y").cast("bigint").alias("y"))
+    return src.groupBy("g").applyInPandasWithState(
+        _granger_update,
+        outputStructType=GRANGER_OUTPUT_SCHEMA,
+        stateStructType=GRANGER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming week-blocked Kendall tau-b tracker (twin of
+# stats_kendall_tau_weekly)
+# ---------------------------------------------------------------------------
+
+KENDALL_ANCHOR = pd.Timestamp("2024-01-01").date()
+
+KENDALL_STATE_SCHEMA = StructType(
+    [
+        StructField("conc", LongType()),
+        StructField("disc", LongType()),
+        StructField("ties_x", LongType()),
+        StructField("ties_y", LongType()),
+        StructField("n_pairs", LongType()),
+        StructField("cur_week", LongType()),
+        StructField("week_buf", StringType()),  # 'x:y;x:y;...' <=7 days
+    ]
+)
+
+KENDALL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("n_pairs", LongType()),
+        StructField("conc", LongType()),
+        StructField("disc", LongType()),
+        StructField("ties_x", LongType()),
+        StructField("ties_y", LongType()),
+        StructField("tau_b", DoubleType()),
+    ]
+)
+
+
+def _kendall_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Five int64 pair counters plus a <=7-day current-week buffer as the
+    ENTIRE state: the week-blocked pair space means a new day only ever
+    pairs against the days already seen in ITS OWN calendar week, so the
+    buffer resets at each week boundary and the counters match the batch
+    equi-join exactly. tau-b re-renders per emission with the batch
+    query's sqrt tree and HALF_UP rounding."""
+    import math
+
+    if state.exists:
+        conc, disc, tx, ty, n_pairs, cur_w, buf_csv = state.get
+        buf = [tuple(int(v) for v in p.split(":"))
+               for p in buf_csv.split(";") if p]
+    else:
+        conc = disc = tx = ty = n_pairs = 0
+        cur_w, buf = -1, []
+    chunks = [c for c in batches if len(c)]
+    days = (pd.concat(chunks, ignore_index=True).sort_values("d")
+            if chunks else pd.DataFrame(columns=["d", "x", "y"]))
+    for _, row in days.iterrows():
+        d = pd.Timestamp(row["d"]).date()
+        x, y = int(row["x"]), int(row["y"])
+        w = (d - KENDALL_ANCHOR).days // 7
+        if w != cur_w:
+            cur_w, buf = w, []
+        for xa, ya in buf:
+            p = (x - xa) * (y - ya)
+            conc += p > 0
+            disc += p < 0
+            tx += x == xa
+            ty += y == ya
+            n_pairs += 1
+        buf.append((x, y))
+    state.update((conc, disc, tx, ty, n_pairs, cur_w,
+                  ";".join(f"{x}:{y}" for x, y in buf)))
+    denom = float((n_pairs - tx) * (n_pairs - ty))
+    if n_pairs == 0 or denom <= 0:
+        yield pd.DataFrame(
+            [], columns=[f.name for f in KENDALL_OUTPUT_SCHEMA.fields])
+        return
+    tau = float(conc - disc) / math.sqrt(denom)
+    yield pd.DataFrame(
+        [(n_pairs, conc, disc, tx, ty, _round_half_up(tau, 4))],
+        columns=[f.name for f in KENDALL_OUTPUT_SCHEMA.fields])
+
+
+def kendall_tracker(daily: DataFrame) -> DataFrame:
+    """Always-on rank-concordance monitor: the streaming twin of
+    stats_kendall_tau_weekly over the closed daily (d, x, y) stream.
+    The week-blocked design is what makes a STREAMING tau possible at
+    all — pairs never reach back past the current calendar week, so
+    state is five counters plus at most seven buffered days, forever.
+    Day-ordered closed daily rows required (the cusum_tracker
+    contract); final emission is bit-identical to the batch query
+    (pytest-pinned, forced-chunk included).
+    """
+    from pyspark.sql import functions as F
+
+    src = daily.select(F.lit(0).alias("g"), "d",
+                       F.col("x").cast("bigint").alias("x"),
+                       F.col("y").cast("bigint").alias("y"))
+    return src.groupBy("g").applyInPandasWithState(
+        _kendall_update,
+        outputStructType=KENDALL_OUTPUT_SCHEMA,
+        stateStructType=KENDALL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
