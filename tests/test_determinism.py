@@ -60,6 +60,7 @@ NAMES = [
     "quality_benford_first_digit",
     "stats_cramers_v_source_lang",
     "stats_weekday_effect_anova",
+    "stats_theil_sen_weekly",
 ]
 
 

@@ -417,3 +417,35 @@ def test_weekday_effect_anova_decomposition(rows, spark, sf_dir):
     assert abs(r["eta_squared"]
                - r["ss_between"] / (r["ss_between"] + r["ss_within"])) < 1e-3
     assert 0 <= r["eta_squared"] <= 1
+
+
+# -- round-10: Theil-Sen robust weekly trend -----------------------------------
+
+
+def test_theil_sen_weekly_matches_bruteforce(rows, spark, sf_dir):
+    """Re-derive the week-blocked slope median in Python (statistics
+    .median over itertools pairs) — the count, the median, and the
+    trend flag must match exactly."""
+    import datetime
+    import itertools
+    import statistics
+
+    from wireduck_spark.operators.stats import _daily_xy_spark
+
+    [r] = rows("stats_theil_sen_weekly")
+    daily = sorted(
+        (d["d"], d["y"]) for d in _daily_xy_spark(spark, sf_dir).collect()
+    )
+    anchor = datetime.date(2024, 1, 1)
+    blocks = {}
+    for d, y in daily:
+        blocks.setdefault((d - anchor).days // 7, []).append((d, y))
+    slopes = [
+        (yb - ya) / (db - da).days
+        for days in blocks.values()
+        for (da, ya), (db, yb) in itertools.combinations(days, 2)
+    ]
+    assert r["n_slopes"] == len(slopes)
+    med = statistics.median(slopes)
+    assert r["median_slope"] == round(med, 4)
+    assert r["is_downtrend"] == (med < 0)

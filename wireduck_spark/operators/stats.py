@@ -2296,3 +2296,75 @@ def stats_weekday_effect_anova(spark: SparkSession, sf: str) -> DataFrame:
                 / (ssw / (F.col("n") - F.col("k"))), 4).alias("f_stat"),
         F.round(ssb / (ssb + ssw), 4).alias("eta_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (week-blocked) on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_theil_sen_weekly",
+    oracle=f"""
+    WITH daily AS ({_DAILY_XY_DUCK}),
+    wk AS (
+        SELECT d, y,
+               CAST(CAST(d - DATE '2024-01-01' AS BIGINT) // 7 AS BIGINT)
+                   AS w
+        FROM daily
+    ),
+    slopes AS (
+        SELECT CAST(b.y - a.y AS DOUBLE)
+               / CAST(b.d - a.d AS BIGINT) AS slope
+        FROM wk a JOIN wk b ON a.w = b.w AND b.d > a.d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_slopes,
+           ROUND(median(slope), 4) AS median_slope,
+           median(slope) < 0 AS is_downtrend
+    FROM slopes
+    """,
+    tags=("stats", "timeseries"),
+)
+def stats_theil_sen_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend estimate of daily revenue, week-blocked:
+    the median of pairwise difference quotients (y_b - y_a)/(d_b - d_a)
+    over within-week day pairs — the outlier-immune complement to
+    stats_granger_lagged_daily's OLS (one flash-sale day drags a
+    least-squares slope; the slope MEDIAN shrugs it off). Blocking by
+    calendar week is the same device as stats_kendall_tau_weekly: it
+    de-confounds the secular level AND keeps the pair space linear in
+    days (<= C(7,2) slopes per week) instead of quadratic.
+
+    Determinism: every slope is one division of exact int64 deltas
+    (identical IEEE doubles in both engines — Spark datediff == DuckDB
+    date subtraction, verified by the shared week key); the median
+    interpolates identically over identical sorted doubles
+    (lower + (upper-lower)*frac in both engines); the trend flag
+    compares the same exact double to zero, so it cannot diverge.
+    Rendered at 4 dp (fixture probed non-degenerate: 85 slopes,
+    median -6806.5 cents/day).
+
+    Scale: daily fold map-side; the pair join is an EQUI-join on the
+    week block over the <=366-row day table.
+    """
+    daily = _daily_xy_spark(spark, sf)
+    wk = daily.select(
+        "d", "y",
+        F.expr("CAST(datediff(d, DATE '2024-01-01') div 7 AS BIGINT)")
+        .alias("w"),
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    slopes = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("b.d") > F.col("a.d")))
+        .select(
+            ((F.col("b.y") - F.col("a.y")).cast("double")
+             / F.datediff(F.col("b.d"), F.col("a.d")).cast("bigint"))
+            .alias("slope"))
+    )
+    return slopes.agg(
+        F.count("*").cast("bigint").alias("n_slopes"),
+        F.round(F.expr("percentile(slope, 0.5D)"), 4)
+        .alias("median_slope"),
+        (F.expr("percentile(slope, 0.5D)") < 0).alias("is_downtrend"),
+    )

@@ -159,6 +159,7 @@ GATE: tuple[str, ...] = (
     "quality_benford_first_digit",
     "stats_cramers_v_source_lang",
     "stats_weekday_effect_anova",
+    "stats_theil_sen_weekly",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
