@@ -699,3 +699,36 @@ def test_square_divmod_decomposition_differential(engines, pred, m):
     for k, nq, dq, nr, dr in s_rows:
         assert nq == dq and nr == dr, (
             f"decomposition identity broke at k={k}: {pred}")
+
+
+@given(pred=_predicates(),
+       anchor=st.sampled_from((
+           "1994-06-15", "1995-01-01", "1997-07-04", "1999-12-31",
+           "2000-02-29", "2002-03-01",
+       )))
+@settings(max_examples=40, deadline=None)
+def test_week_block_date_arith_differential(engines, pred, anchor):
+    """Property 25 (round-10): the calendar-week blocking key used by
+    stats_kendall_tau_weekly / stats_theil_sen_weekly — Spark
+    `datediff(d, DATE a) div 7` vs DuckDB `CAST(d - DATE a AS BIGINT)
+    // 7` — must bucket identically across the WHOLE date range,
+    including anchors after the data (negative day diffs, where a
+    flooring engine would shift every pre-anchor week by one)."""
+    spark, con = engines
+    s_sql = (
+        "SELECT CAST(datediff(CAST(o_orderdate AS DATE), "
+        f"DATE '{anchor}') div 7 AS BIGINT) AS w, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred} GROUP BY 1"
+    )
+    d_sql = (
+        "SELECT CAST(CAST(CAST(o_orderdate AS DATE) - "
+        f"DATE '{anchor}' AS BIGINT) // 7 AS BIGINT) AS w, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(o_orderkey) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred} GROUP BY 1"
+    )
+    s_rows = sorted(tuple(r) for r in spark.sql(s_sql).collect())
+    d_rows = sorted(map(tuple, con.execute(d_sql).fetchall()))
+    assert s_rows == d_rows, f"week-block divergence anchor={anchor}: {pred}"
