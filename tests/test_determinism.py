@@ -61,6 +61,7 @@ NAMES = [
     "stats_cramers_v_source_lang",
     "stats_weekday_effect_anova",
     "stats_theil_sen_weekly",
+    "stats_mann_kendall_weekly",
 ]
 
 

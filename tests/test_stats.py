@@ -449,3 +449,45 @@ def test_theil_sen_weekly_matches_bruteforce(rows, spark, sf_dir):
     med = statistics.median(slopes)
     assert r["median_slope"] == round(med, 4)
     assert r["is_downtrend"] == (med < 0)
+
+
+# -- round-10: week-blocked Mann-Kendall ---------------------------------------
+
+
+def test_mann_kendall_weekly_matches_bruteforce(rows, spark, sf_dir):
+    """Re-derive S, the tie-corrected variance numerator, and the
+    continuity-corrected z from first principles in Python; sign must
+    agree with Theil-Sen's median slope on the same series."""
+    import collections
+    import datetime
+    import itertools
+    import math
+
+    from wireduck_spark.operators.stats import _daily_xy_spark
+
+    [r] = rows("stats_mann_kendall_weekly")
+    daily = sorted(
+        (d["d"], d["y"]) for d in _daily_xy_spark(spark, sf_dir).collect()
+    )
+    anchor = datetime.date(2024, 1, 1)
+    blocks = collections.defaultdict(list)
+    for d, y in daily:
+        blocks[(d - anchor).days // 7].append(y)
+    s = var_num = 0
+    for ys in blocks.values():
+        n = len(ys)
+        for ya, yb in itertools.combinations(ys, 2):
+            s += (yb > ya) - (yb < ya)
+        var_num += n * (n - 1) * (2 * n + 5)
+        for t in collections.Counter(ys).values():
+            var_num -= t * (t - 1) * (2 * t + 5)
+    assert (r["n_days"], r["s_stat"], r["var_num"]) == (len(daily), s,
+                                                        var_num)
+    sd = math.sqrt(var_num / 18)
+    z = (s - 1) / sd if s > 0 else ((s + 1) / sd if s < 0 else 0.0)
+    assert r["z"] == round(z, 4)
+    assert r["is_significant"] == (abs(z) > 1.96)
+    # trend-direction agreement with Sen's slope
+    [ts] = rows("stats_theil_sen_weekly")
+    if r["s_stat"] != 0:
+        assert (r["s_stat"] < 0) == ts["is_downtrend"]

@@ -2368,3 +2368,120 @@ def stats_theil_sen_weekly(spark: SparkSession, sf: str) -> DataFrame:
         .alias("median_slope"),
         (F.expr("percentile(slope, 0.5D)") < 0).alias("is_downtrend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (week-blocked) on daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_mann_kendall_weekly",
+    oracle=f"""
+    WITH daily AS ({_DAILY_XY_DUCK}),
+    wk AS (
+        SELECT d, y,
+               CAST(CAST(d - DATE '2024-01-01' AS BIGINT) // 7 AS BIGINT)
+                   AS w
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                             WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM wk a JOIN wk b ON a.w = b.w AND b.d > a.d
+    ),
+    blocks AS (
+        SELECT CAST(SUM(n_w * (n_w - 1) * (2 * n_w + 5)) AS BIGINT) AS t1
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_w FROM wk GROUP BY w)
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS t2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM wk GROUP BY w, y)
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM wk),
+    fin AS (
+        SELECT n_days, s_stat, t1 - t2 AS var_num,
+               CASE WHEN s_stat > 0 THEN
+                        CAST(s_stat - 1 AS DOUBLE)
+                        / sqrt(CAST(t1 - t2 AS DOUBLE) / 18)
+                    WHEN s_stat < 0 THEN
+                        CAST(s_stat + 1 AS DOUBLE)
+                        / sqrt(CAST(t1 - t2 AS DOUBLE) / 18)
+                    ELSE 0.0 END AS z
+        FROM s, blocks, ties, nd
+    )
+    SELECT n_days, s_stat, var_num, ROUND(z, 4) AS z,
+           abs(z) > 1.96 AS is_significant
+    FROM fin
+    """,
+    tags=("stats", "timeseries"),
+)
+def stats_mann_kendall_weekly(spark: SparkSession, sf: str) -> DataFrame:
+    """Mann-Kendall trend TEST on daily revenue, week-blocked — the
+    classic nonparametric companion to stats_theil_sen_weekly's trend
+    ESTIMATE (MK + Sen's slope is the standard monitoring duo:
+    MK answers "is there a monotone trend at all", Sen answers "how
+    steep"). S sums pairwise signs within calendar-week blocks;
+    independent blocks make Var(S) the SUM of per-block variances
+    n(n-1)(2n+5)/18 with the standard tie correction, and the
+    continuity-corrected z = (S -/+ 1)/sqrt(Var) (probed
+    non-degenerate: S=-13, z=-0.899, agreeing in sign with Theil-Sen's
+    negative median slope).
+
+    Determinism: S, the variance numerator (t1 - t2, kept at 18x scale
+    as an exact int64), and all tie counts are pure integers; z divides
+    int64-derived doubles through one sqrt (identical tree both
+    engines, rule-9-safe sqrt-only flag at |z| > 1.96), rendered 4 dp.
+
+    Scale: the pair space is week-blocked (linear in days); the
+    variance terms are two map-combinable grouped counts over the
+    <=366-row day table; three scalar frames combine by broadcast.
+    """
+    daily = _daily_xy_spark(spark, sf)
+    wk = daily.select(
+        "d", "y",
+        F.expr("CAST(datediff(d, DATE '2024-01-01') div 7 AS BIGINT)")
+        .alias("w"),
+    )
+    a, b = wk.alias("a"), wk.alias("b")
+    s = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("b.d") > F.col("a.d")))
+        .agg(F.sum(
+            F.when(F.col("b.y") > F.col("a.y"), 1)
+            .when(F.col("b.y") < F.col("a.y"), -1).otherwise(0))
+            .cast("bigint").alias("s_stat"))
+    )
+    blocks = (
+        wk.groupBy("w").agg(F.count("*").cast("bigint").alias("n_w"))
+        .agg(F.sum(F.col("n_w") * (F.col("n_w") - 1)
+                   * (2 * F.col("n_w") + 5)).cast("bigint").alias("t1"))
+    )
+    ties = (
+        wk.groupBy("w", "y").agg(F.count("*").cast("bigint").alias("t"))
+        .agg(F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+            F.lit(0)).cast("bigint").alias("t2"))
+    )
+    nd = wk.agg(F.count("*").cast("bigint").alias("n_days"))
+    fin = (
+        s.crossJoin(F.broadcast(blocks))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nd))
+    )
+    var_num = F.col("t1") - F.col("t2")
+    sd = F.sqrt(var_num.cast("double") / 18)
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1).cast("double") / sd)
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1).cast("double") / sd)
+         .otherwise(F.lit(0.0)))
+    return fin.select(
+        "n_days", "s_stat",
+        var_num.cast("bigint").alias("var_num"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("is_significant"),
+    )

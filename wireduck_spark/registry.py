@@ -160,6 +160,7 @@ GATE: tuple[str, ...] = (
     "stats_cramers_v_source_lang",
     "stats_weekday_effect_anova",
     "stats_theil_sen_weekly",
+    "stats_mann_kendall_weekly",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
