@@ -62,6 +62,11 @@ NAMES = [
     "stats_weekday_effect_anova",
     "stats_theil_sen_weekly",
     "stats_mann_kendall_weekly",
+    # round-10: GK quantile-sketch merge order — approx_percentile must
+    # be stable across re-runs on the same files/partitioning (the
+    # within_tol booleans absorb estimate drift, but the determinism
+    # contract is that there IS none in one session)
+    "sketch_quantile_contract",
 ]
 
 

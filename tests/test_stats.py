@@ -491,3 +491,34 @@ def test_mann_kendall_weekly_matches_bruteforce(rows, spark, sf_dir):
     [ts] = rows("stats_theil_sen_weekly")
     if r["s_stat"] != 0:
         assert (r["s_stat"] < 0) == ts["is_downtrend"]
+
+
+# -- round-10: quantile-sketch accuracy contract -------------------------------
+
+
+def test_quantile_contract_holds_and_exact_replays(rows, spark, sf_dir):
+    """The global sketch must sit within the 1% contract (measured
+    headroom >= 3x at every SF; per-GROUP contracts were REJECTED —
+    30-row sf0.001 groups have adjacent-value gaps wider than 1% of the
+    median, so the boolean flapped on fixture granularity, not sketch
+    quality), and the exact percentiles must replay from a Python sort
+    of the raw cents with the same linear interpolation."""
+    from wireduck_spark.registry import table
+
+    [r] = rows("sketch_quantile_contract")
+    vals = sorted(
+        int(round(row["o_totalprice"] * 100))
+        for row in table(spark, sf_dir, "orders")
+        .select("o_totalprice").collect())
+
+    def pct(p):
+        pos = (len(vals) - 1) * p
+        lo, frac = int(pos), pos - int(pos)
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (vals[hi] - vals[lo]) * frac
+
+    assert r["n_orders"] == len(vals)
+    assert r["exact_p50"] == round(pct(0.5), 4)
+    assert r["exact_p90"] == round(pct(0.9), 4)
+    assert r["p50_within_tol"] is True
+    assert r["p90_within_tol"] is True

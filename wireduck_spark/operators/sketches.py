@@ -289,3 +289,68 @@ def agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
              .alias("n_users"))
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch accuracy contract (approx_percentile / t-digest family)
+# ---------------------------------------------------------------------------
+
+_Q_TOL = 0.01  # 1% relative — measured: Spark GK ~0.06%, DuckDB t-digest ~0.4%
+
+
+@query(
+    "sketch_quantile_contract",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                               0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                               0.9), 4) AS exact_p90,
+           (abs(approx_quantile(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                0.5)
+                - quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                0.5))
+            <= {_Q_TOL} * quantile_cont(
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.5))
+               AS p50_within_tol,
+           (abs(approx_quantile(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                0.9)
+                - quantile_cont(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                                0.9))
+            <= {_Q_TOL} * quantile_cont(
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), 0.9))
+               AS p90_within_tol
+    FROM orders
+    """,
+    tags=("sketch", "agg"),
+)
+def sketch_quantile_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile-sketch accuracy contract, the percentile sibling of
+    sketch_hll_distinct: the EXACT global p50/p90 of the
+    order totals (hash-checked — percentile interpolation over exact
+    int64 cents is engine-identical, pinned by differential property
+    17) plus booleans asserting each engine's OWN quantile sketch
+    (Spark's Greenwald-Khanna `approx_percentile` at accuracy 10,000;
+    DuckDB's t-digest `approx_quantile`) lands within 1% of its own
+    exact value. Measured headroom: Spark ~0.06% rank error, DuckDB
+    ~0.4% — the contract is robust to either sketch drifting an order
+    of magnitude.
+
+    Scale: the sketch is the 100-TB path — a bounded GK/t-digest state
+    per group per partition, map-side combined; the exact percentile
+    (a full sort-based aggregate) is the test harness, exactly like
+    the HLL rows' COUNT(DISTINCT) column.
+    """
+    o = table(spark, sf, "orders")
+    cents_sql = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+    exact50 = F.expr(f"percentile({cents_sql}, 0.5D)")
+    exact90 = F.expr(f"percentile({cents_sql}, 0.9D)")
+    ap50 = F.expr(f"approx_percentile({cents_sql}, 0.5D, 10000)")
+    ap90 = F.expr(f"approx_percentile({cents_sql}, 0.9D, 10000)")
+    return o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(exact50, 4).alias("exact_p50"),
+        F.round(exact90, 4).alias("exact_p90"),
+        (F.abs(ap50 - exact50) <= _Q_TOL * exact50).alias("p50_within_tol"),
+        (F.abs(ap90 - exact90) <= _Q_TOL * exact90).alias("p90_within_tol"),
+    )

@@ -161,6 +161,7 @@ GATE: tuple[str, ...] = (
     "stats_weekday_effect_anova",
     "stats_theil_sen_weekly",
     "stats_mann_kendall_weekly",
+    "sketch_quantile_contract",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
