@@ -1944,3 +1944,86 @@ def test_kendall_tracker_forced_chunks(spark, sf_dir, tmp_path):
     [exp] = QUERIES["stats_kendall_tau_weekly"].fn(spark, sf_dir) \
         .collect()
     assert tuple(got) == tuple(exp)
+
+
+def test_benford_tracker_misbehaving_cents(spark, tmp_path):
+    """ADVICE r10: zero cents must not increment the digit-9 counter,
+    negative cents must not kill the stream, NULL cents must not crash
+    the int64 cast — and all three must surface exactly as the batch
+    screen does ('0' / '-' / NULL digit rows, NULL expected/chi2, and
+    the scalar n spanning ALL groups)."""
+    from wireduck_spark.operators.quality import _BENFORD_P
+    from wireduck_spark.streaming.stateful import (
+        _round_half_up, benford_tracker,
+    )
+
+    vals = [123, 456, 789, 0, 0, -50, None, 1999]
+    src_dir = tmp_path / "benford_bad_src"
+    src_dir.mkdir()
+    for i in range(2):
+        (spark.createDataFrame([(v,) for v in vals[i::2]],
+                               "cents BIGINT")
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema("cents BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        benford_tracker(stream_src)
+        .writeStream.format("memory").queryName("t_benford_bad")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    # Latest emission per digit: observed is monotone, but a digit seen
+    # only in an early batch keeps observed flat while n (hence
+    # expected) grows — tie-break on expected to pick the final row.
+    for r in spark.sql("SELECT * FROM t_benford_bad").collect():
+        key = (r["observed"], r["expected"] if r["expected"] is not None
+               else -1.0)
+        prev = got.get(r["digit"])
+        if prev is None or key > (prev[0], prev[1] if prev[1] is not None
+                                  else -1.0):
+            got[r["digit"]] = (r["observed"], r["expected"], r["chi2_term"])
+    # Batch semantics over the same rows: n counts EVERY group (8).
+    n = len(vals)
+    exp = {}
+    for d, c in (("1", 2), ("4", 1), ("7", 1)):
+        e = float(n) * float(_BENFORD_P[int(d) - 1])
+        dev = float(c) - e
+        exp[d] = (c, _round_half_up(e, 4), _round_half_up(dev * dev / e, 6))
+    exp["0"] = (2, None, None)    # cents == 0
+    exp["-"] = (1, None, None)    # negative cents
+    exp[None] = (1, None, None)   # NULL cents
+    assert got == exp
+
+
+def test_kendall_tracker_rejects_week_regression(spark, tmp_path):
+    """ADVICE r10: a day from a PRIOR week must fail the stream loudly
+    (contract violation) instead of silently resetting the buffer and
+    permanently corrupting the pair counters."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wireduck_spark.streaming.stateful import kendall_tracker
+
+    src_dir = tmp_path / "kendall_reg_src"
+    src_dir.mkdir()
+    import datetime as dt
+    wk2 = [(dt.date(2024, 1, 8), 1, 2), (dt.date(2024, 1, 9), 3, 4)]
+    wk1_late = [(dt.date(2024, 1, 3), 5, 6)]  # PRIOR week, arrives after
+    for i, rows in enumerate((wk2, wk1_late)):
+        (spark.createDataFrame(rows, "d DATE, x BIGINT, y BIGINT")
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema("d DATE, x BIGINT, y BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        kendall_tracker(stream_src)
+        .writeStream.format("memory").queryName("t_kendall_reg")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException, match="day-ordered"):
+        q.awaitTermination(120)

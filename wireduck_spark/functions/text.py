@@ -1758,8 +1758,8 @@ def text_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
         FROM tc GROUP BY term
     )
     SELECT term, df, s AS total_count,
-           ROUND(CAST(n * ss - s * s AS DOUBLE)
-                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 4) AS vmr,
+           ROUND(CAST(ss AS DOUBLE) / CAST(s AS DOUBLE)
+                 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS vmr,
            ROUND(CAST(s AS DOUBLE) / df, 4) AS burstiness
     FROM pt, nd
     WHERE s >= 20
@@ -1777,14 +1777,15 @@ def text_burstiness_vmr(spark: SparkSession, sf: str) -> DataFrame:
     screen reads high-VMR terms as template/boilerplate markers.
 
     Determinism: per-(doc, term) counts, totals, sumsq, and df are all
-    exact int64 (zero-docs enter via the algebraic identity var*n =
-    (n*ss - s*s)/n without materializing zeros); the two rendered
-    ratios divide identical int64-derived doubles, 4 dp. int64 bound:
-    n*ss — at 1e8 docs with per-doc counts <= ~30, ss <= 9e2 * df so
-    n*ss < ~1e19 only if EVERY doc repeats the term 30x; typical
-    corpora sit orders below (the binding real-world term is s*s with
-    s < 3e9 total occurrences of one term — rescale by sharding the
-    term key beyond).
+    exact int64 (zero-docs enter via the algebraic identity
+    (n*ss - s*s)/(n*s) = ss/s - s/n without materializing zeros); the
+    rendered ratios divide identical int64-derived doubles, 4 dp.
+    Overflow (ADVICE r10): the earlier n*ss - s*s form squared raw
+    int64 sums — Spark (non-ANSI) wraps silently where DuckDB raises,
+    so at scale the engines would silently diverge. The ss/s - s/n
+    rewrite removes BOTH products: every operand is a plain int64 sum
+    cast to double, so there is no overflow at any corpus size, and
+    IEEE division + subtraction are identical trees in both engines.
 
     Scale: tokenize + explode is narrow (no shuffle); the (doc, term)
     fold and the per-term rollup are both map-combinable hash
@@ -1809,9 +1810,8 @@ def text_burstiness_vmr(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("s") >= 20)
     return pt.crossJoin(F.broadcast(nd)).select(
         "term", "df", F.col("s").alias("total_count"),
-        F.round((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
-                .cast("double")
-                / (F.col("n").cast("double") * F.col("s").cast("double")),
+        F.round(F.col("ss").cast("double") / F.col("s").cast("double")
+                - F.col("s").cast("double") / F.col("n").cast("double"),
                 4).alias("vmr"),
         F.round(F.col("s").cast("double") / F.col("df"), 4)
         .alias("burstiness"),

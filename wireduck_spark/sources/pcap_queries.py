@@ -1432,7 +1432,12 @@ if _have_fixture():
                 ts_str(F.max("`frame.time_epoch`")).alias("last_seen"),
             )
         )
-        out_dir = os.path.join(tempfile.gettempdir(),
-                               "wireduck_flow_export_q")
+        # Per-invocation unique directory (ADVICE r10): a fixed shared
+        # /tmp name + overwrite let two concurrent sessions clobber each
+        # other mid-read and was a symlink/pre-creation hazard on
+        # multi-user hosts. mkdtemp is created 0700 by us, and the lazy
+        # re-read below can never race another invocation.
+        out_dir = os.path.join(
+            tempfile.mkdtemp(prefix="wireduck_flow_export_"), "flows")
         flows.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir)

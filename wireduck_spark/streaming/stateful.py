@@ -1598,6 +1598,12 @@ def acf_tracker(daily: DataFrame) -> DataFrame:
 
 BENFORD_STATE_SCHEMA = StructType(
     [StructField(f"c{d}", LongType()) for d in range(1, 10)]
+    # Misbehaving-data counters (ADVICE r10): exact zero, negative, and
+    # NULL cents each get their own int64 counter so a live ledger with
+    # refunds/voids neither crashes the stream nor skews digits 1-9.
+    + [StructField("c_zero", LongType()),
+       StructField("c_neg", LongType()),
+       StructField("c_null", LongType())]
 )
 
 BENFORD_OUTPUT_SCHEMA = StructType(
@@ -1615,30 +1621,49 @@ def _benford_update(
     batches: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Nine exact int64 digit counters as the ENTIRE state; per emission
-    the expected counts and chi-square terms re-derive from the counters
-    with the batch query's IEEE tree (shared Benford double literals,
-    Spark F.round HALF_UP parity), so the final emission equals
-    quality_benford_first_digit bit-for-bit."""
+    """Twelve exact int64 counters as the ENTIRE state: nine first-digit
+    counters plus zero/negative/NULL guards (ADVICE r10 — cents==0 used
+    to increment digit 9 via counts[int('0')-1] == counts[-1], negative
+    cents raised ValueError killing the stream, NULL cents crashed the
+    int64 cast). Per emission the expected counts and chi-square terms
+    re-derive from the counters with the batch query's IEEE tree (shared
+    Benford double literals, Spark F.round HALF_UP parity), so the final
+    emission equals quality_benford_first_digit bit-for-bit INCLUDING on
+    misbehaving data: the batch screen groups cents==0 under digit '0',
+    negatives under '-' (the string's first char) and NULL under a NULL
+    digit — all with NULL expected/chi2 — and its scalar n counts them;
+    this twin mirrors all of that exactly."""
     from wireduck_spark.operators.quality import _BENFORD_P
 
-    counts = list(state.get) if state.exists else [0] * 9
+    counts = list(state.get) if state.exists else [0] * 12
     for chunk in batches:
         if not len(chunk):
             continue
-        first = chunk["cents"].astype("int64").astype(str).str[0]
+        cents = chunk["cents"]
+        null_mask = cents.isna()
+        counts[11] += int(null_mask.sum())
+        valid = cents[~null_mask]
+        counts[9] += int((valid == 0).sum())
+        counts[10] += int((valid < 0).sum())
+        first = valid[valid > 0].astype("int64").astype(str).str[0]
         for digit, c in first.value_counts().items():
             counts[int(digit) - 1] += int(c)
     state.update(tuple(counts))
-    n = sum(counts)
+    n = sum(counts)  # the batch scalar n spans ALL groups, incl. '0'/'-'/NULL
     out = []
-    for i, c in enumerate(counts):
+    for i, c in enumerate(counts[:9]):
         if c == 0:
             continue  # the batch groupBy emits only digits present
         e = float(n) * float(_BENFORD_P[i])
         dev = float(c) - e
         out.append((str(i + 1), c, _round_half_up(e, 4),
                     _round_half_up(dev * dev / e, 6)))
+    # Batch-twin rows for misbehaving data: digit '0' (cents==0), '-'
+    # (negative cents), NULL (NULL cents) — observed counted, expected
+    # and chi2_term NULL (the Benford CASE has no arm for them).
+    for label, c in (("0", counts[9]), ("-", counts[10]), (None, counts[11])):
+        if c:
+            out.append((label, c, None, None))
     yield pd.DataFrame(
         out, columns=[f.name for f in BENFORD_OUTPUT_SCHEMA.fields])
 
@@ -1648,15 +1673,17 @@ def benford_tracker(amounts: DataFrame) -> DataFrame:
     quality_benford_first_digit, watching a live stream of money
     amounts (exact integer `cents`) for the first-digit drift that
     flags fabricated, truncated, or re-binned data THE BATCH SCREEN
-    ONLY CATCHES TOMORROW. State is nine int64 counters — fixed
-    forever, order-free (integer adds commute across chunks, batches
-    and replays) — and every emission re-renders expected counts and
-    chi-square terms from those exact integers with the batch query's
-    expression tree, so the final emission is bit-identical to the
-    batch screen over the same rows (pytest-pinned, forced-chunk
-    included).
+    ONLY CATCHES TOMORROW. State is twelve int64 counters (nine digits
+    + zero/negative/NULL cents guards) — fixed forever, order-free
+    (integer adds commute across chunks, batches and replays) — and
+    every emission re-renders expected counts and chi-square terms
+    from those exact integers with the batch query's expression tree,
+    so the final emission is bit-identical to the batch screen over
+    the same rows (pytest-pinned, forced-chunk included), including on
+    misbehaving data: zero/negative/NULL amounts land in the same
+    '0' / '-' / NULL digit rows (NULL expected) the batch emits.
 
-    One global group here; key by (ledger, currency) at scale — 72
+    One global group here; key by (ledger, currency) at scale — 96
     bytes of state per key.
     """
     from pyspark.sql import functions as F
@@ -1840,6 +1867,15 @@ def _kendall_update(
         d = pd.Timestamp(row["d"]).date()
         x, y = int(row["x"]), int(row["y"])
         w = (d - KENDALL_ANCHOR).days // 7
+        if buf and w < cur_w:
+            # Loud, not silently wrong (ADVICE r10): a day from a PRIOR
+            # week would pair against the wrong buffer and permanently
+            # corrupt the int64 counters — the day-ordered contract is
+            # violated, so fail the stream instead of resetting.
+            raise ValueError(
+                f"kendall_tracker: day {d} (week {w}) arrived after week "
+                f"{cur_w} was opened — closed daily rows must be "
+                "day-ordered (late/out-of-order upstream data)")
         if w != cur_w:
             cur_w, buf = w, []
         for xa, ya in buf:
