@@ -55,6 +55,11 @@ def test_registry_shape():
         # round-10: the capture -> flow-lake parquet export (pcap input,
         # so no DuckDB twin; golden flow counters pinned in pytest)
         "pcap_flow_export_sink",
+        # round-11: the flow-lake import side (same pcap provenance,
+        # goldens in test_pcap_analysis) and two r1/r2 pcap queries
+        # cycled back into the gate for evidence freshness
+        "pcap_flow_import_talkers",
+        "pcap_dns_http_dissect", "pcap_flow_stats",
     }
 
 
@@ -183,3 +188,37 @@ def test_bench_overflow_fallback_keeps_queries_for_the_guard():
     assert "queries" in big and len(big["queries"]) == 60  # not mutated
     small = {**big, "queries": {"q1": 0.5}}
     assert json.loads(bench.stdout_line(small))["queries"] == {"q1": 0.5}
+
+
+def test_digest_snapshot_is_current_round():
+    """The changed-implementation rule only works if the snapshot is
+    regenerated at each round boundary: its recorded round must equal the
+    newest CORRECTNESS_r*.json round (the previous round), which both
+    forces the start-of-round refresh and forbids re-writing it mid-round
+    to dodge test_changed_impl_queries_are_gated."""
+    from tools.query_digests import load_snapshot, newest_correctness_round
+
+    snap = load_snapshot()
+    assert snap["round"] == newest_correctness_round(), (
+        "tools/query_digests_prev.json is stale: regenerate it at the "
+        "START of the round, before changing any query "
+        "(python tools/query_digests.py --write)")
+
+
+def test_changed_impl_queries_are_gated():
+    """VERDICT r10 #2 mechanized: any query whose builder source or
+    oracle text differs from the previous round's snapshot — or that is
+    newly registered — MUST hold a GATE slot this round, so the driver
+    re-verifies every changed implementation. (Run against the r9->r10
+    diff, this fails on exactly the four queries round 10 forgot:
+    stats_acf_daily_lags, stats_anova_oneway, stats_levene_brown_forsythe,
+    dedup_minhash_lsh — plus dedup_cluster_components.)"""
+    from tools.query_digests import (
+        changed_or_new, compute_digests, load_snapshot,
+    )
+
+    changed = changed_or_new(compute_digests(), load_snapshot())
+    ungated = sorted(set(changed) - set(GATE))
+    assert not ungated, (
+        f"changed/new queries missing from GATE: {ungated} — every "
+        "changed implementation needs a driver re-check this round")

@@ -558,3 +558,18 @@ def test_flow_export_sink_golden(spark, queries):
     for r in rows.values():
         assert r["n_bytes"] >= r["payload_bytes"]
         assert r["first_seen"] <= r["last_seen"]
+
+
+def test_flow_import_talkers_golden(spark, queries):
+    """The flow-lake IMPORT query must fold the exported table's two
+    directional flows into one loopback-host row whose counters equal
+    the README goldens summed per role: 429+56 = 485 packets each way
+    and identical bytes in/out (every flow is 127.0.0.1 -> 127.0.0.1)."""
+    rows = queries["pcap_flow_import_talkers"].fn(spark, SF).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r["host"] == "127.0.0.1"
+    assert r["flows_out"] == 2 and r["flows_in"] == 2
+    assert r["pkts_out"] == 485 and r["pkts_in"] == 485
+    assert r["bytes_out"] == r["bytes_in"] == r["bytes_total"] // 2
+    assert r["bytes_total"] == 622836

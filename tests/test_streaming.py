@@ -2027,3 +2027,77 @@ def test_kendall_tracker_rejects_week_regression(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="day-ordered"):
         q.awaitTermination(120)
+
+
+def _trend_duo_batch_expected(spark, sf_dir):
+    from wireduck_spark.registry import QUERIES
+
+    [mk] = QUERIES["stats_mann_kendall_weekly"].fn(spark, sf_dir).collect()
+    [ts] = QUERIES["stats_theil_sen_weekly"].fn(spark, sf_dir).collect()
+    return (mk["n_days"], mk["s_stat"], mk["var_num"], mk["z"],
+            mk["is_significant"], ts["n_slopes"], ts["median_slope"],
+            ts["is_downtrend"])
+
+
+def test_trend_duo_tracker_matches_batch_pair(spark, sf_dir, tmp_path):
+    """VERDICT r10 #5: after the daily series arrives as 3 day-ordered
+    micro-batches, the tracker's final emission must equal BOTH batch
+    queries bit-for-bit — the MK test fields (S from the week buffer,
+    variance from closed-week + open-week tie terms) and the Sen fields
+    (median over the exact slope log with Spark's percentile
+    interpolation)."""
+    from wireduck_spark.streaming.stateful import trend_duo_tracker
+
+    got = _run_daily_xy_stream(spark, sf_dir, tmp_path, "t_trend_duo",
+                               trend_duo_tracker, "n_days")
+    assert tuple(got) == _trend_duo_batch_expected(spark, sf_dir)
+
+
+def test_trend_duo_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Same equivalence with tiny Arrow chunks: per-batch rows re-sort
+    by day inside the update fn, so chunking must not perturb the
+    counters, the tie terms, or the slope log."""
+    from wireduck_spark.streaming.stateful import trend_duo_tracker
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        got = _run_daily_xy_stream(spark, sf_dir, tmp_path,
+                                   "t_trend_duo_chunked",
+                                   trend_duo_tracker, "n_days")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert tuple(got) == _trend_duo_batch_expected(spark, sf_dir)
+
+
+def test_trend_duo_tracker_rejects_week_regression(spark, tmp_path):
+    """The day-ordered contract fails loudly here too (same ADVICE-r10
+    device as kendall_tracker)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from wireduck_spark.streaming.stateful import trend_duo_tracker
+
+    src_dir = tmp_path / "trend_reg_src"
+    src_dir.mkdir()
+    import datetime as dt
+    wk2 = [(dt.date(2024, 1, 8), 0, 1), (dt.date(2024, 1, 9), 0, 3)]
+    wk1_late = [(dt.date(2024, 1, 3), 0, 5)]
+    for i, rows in enumerate((wk2, wk1_late)):
+        (spark.createDataFrame(rows, "d DATE, x BIGINT, y BIGINT")
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema("d DATE, x BIGINT, y BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        trend_duo_tracker(stream_src)
+        .writeStream.format("memory").queryName("t_trend_reg")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException, match="day-ordered"):
+        q.awaitTermination(120)

@@ -21,6 +21,25 @@ delegated to Catalyst/Tungsten (AQE on, broadcast joins for small dims,
 partition-count tuned via ``session.get_spark``).
 """
 
+import os as _os
+
+# Make this package importable inside Spark's Python WORKER processes no
+# matter where the driver process was launched from. Workers inherit the
+# driver's PYTHONPATH env var, not its sys.path mutations — a driver that
+# did `sys.path.insert(0, repo)` from a foreign cwd (the graded driver,
+# tools/driver_sim.py) can build every plan, but any query that ships a
+# module-level Pandas-UDF helper (functions/multimodal.py's decode UDFs)
+# then dies in the worker's unpickle with ModuleNotFoundError. Exporting
+# the package parent onto PYTHONPATH at import time — which by definition
+# happens before any SparkSession (and thus any worker) exists — closes
+# the gap for every launch mode.
+_pkg_parent = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _pkg_parent not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _pkg_parent + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH") else _pkg_parent
+    )
+
 from wireduck_spark.registry import QUERIES, load_all_queries
 from wireduck_spark.sources.glossary import (
     check_tshark_installed,

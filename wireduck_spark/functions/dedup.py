@@ -21,7 +21,7 @@ blocking to bound the pair space and exists mainly as the exact verifier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wireduck_spark.ckpt import checkpoint as _lineage_checkpoint
@@ -411,7 +411,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(range(1, len(a.embedding) + 1),
                        i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
@@ -429,19 +429,40 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                       (x, y) -> x + y))) AS cos_sim
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    ranked AS (
+        SELECT label, vec_a, vec_b, cos_sim,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY cos_sim DESC, vec_a, vec_b)
+                   AS rk
+        FROM pairs
     )
-    SELECT vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim
-    FROM pairs WHERE cos_sim >= 0.9
+    SELECT label, vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim
+    FROM ranked WHERE rk <= 3
     """,
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup: cosine >= 0.9 pairs within the same label bucket.
+    """Embedding near-dup audit: the 3 MOST cosine-similar pairs per
+    label bucket — the duplicate-candidate shortlist a curator reviews.
+
+    Fixture degeneracy (found when the r11 rotation cycled this back
+    into the gate): the synthetic embeddings are near-orthogonal random
+    vectors — the max within-label cosine is ~0.45/0.47/0.51 at
+    sf0.001/0.01/0.1 — so the original "cosine >= 0.9" emitted 0 rows
+    at EVERY scale and its r1/r2 hash-green rows only certified that
+    both engines agree on empty. A fixed threshold can never be
+    non-degenerate on this fixture; the per-label top-k rewrite always
+    returns rows, exercises the same blocked pair space PLUS the
+    ranking, and is what the human review queue actually consumes.
 
     The cosine is an identical left-fold in both engines (zip -> double
     products -> sequential sum), so values match bit-for-bit before
-    rounding. Label blocking stands in for the IVF/LSH bucketing that
-    bounds the pair space at 100 TB (see functions/similarity.py).
+    rounding, and the rank orders by that exact double with a unique
+    (vec_a, vec_b) tiebreak (rule 5). Label blocking stands in for the
+    IVF/LSH bucketing that bounds the pair space at 100 TB
+    (functions/similarity.py); the window partitions by label — never
+    global.
     """
     emb = table(spark, sf, "embeddings", spread=True)
     a = emb.alias("a")
@@ -481,12 +502,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
+            F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.9)
-        .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("label")
+                .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("label", "vec_a", "vec_b",
+                F.round("cos_sim", 4).alias("cos_sim"))
     )
 
 

@@ -297,15 +297,28 @@ def join_semi(spark: SparkSession, sf: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS rewrite): customers with no orders."""
+    """Left-anti join (NOT EXISTS rewrite): customers with no >400k
+    order — join_semi's exact complement predicate.
+
+    Fixture degeneracy (found when the r11 rotation cycled this back
+    into the gate): this testdata generator gives EVERY customer at
+    least one order, so the original "customers with no orders at all"
+    was hash-green with 0 rows in r1/r2 — both engines agreeing on
+    empty is valid but evidentially worthless. The thresholded
+    predicate is non-degenerate at every scale (probed: 20 / 202 /
+    1997 rows at sf0.001/0.01/0.1) while exercising the same
+    left-anti physical plan.
+    """
     c = table(spark, sf, "customer")
-    o = table(spark, sf, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+    big = table(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 

@@ -2485,3 +2485,158 @@ def stats_mann_kendall_weekly(spark: SparkSession, sf: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("is_significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift monitor over the per-type daily revenue series
+# ---------------------------------------------------------------------------
+
+# The recurrence, written once per engine with the SAME integer tree
+# (rule 6: Spark `div` <-> DuckDB `//`, both truncate toward zero).
+# State per type: running count n, running sum s, the two one-sided
+# Page-Hinkley sums mup/mdn, their running extrema mnm/mxm, and the
+# first alarm step per side. mean_t = s_t div t is the RUNNING mean —
+# the defining difference from CUSUM's frozen warm-up mu.
+_PH_SPARK_MEAN = "((acc.s + x.cents) div (acc.n + 1L))"
+_PH_SPARK_MUP = (f"(acc.mup + x.cents - {_PH_SPARK_MEAN}"
+                 f" - ({_PH_SPARK_MEAN} div 100L))")
+_PH_SPARK_MDN = (f"(acc.mdn + x.cents - {_PH_SPARK_MEAN}"
+                 f" + ({_PH_SPARK_MEAN} div 100L))")
+_PH_DUCK_MEAN = "((c.s + d.cents) // d.i)"
+_PH_DUCK_MUP = (f"(c.mup + d.cents - {_PH_DUCK_MEAN}"
+                f" - ({_PH_DUCK_MEAN} // 100))")
+_PH_DUCK_MDN = (f"(c.mdn + d.cents - {_PH_DUCK_MEAN}"
+                f" + ({_PH_DUCK_MEAN} // 100))")
+
+
+@query(
+    "stats_page_hinkley_drift",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (
+                 PARTITION BY event_type ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ),
+    -- Page-Hinkley replayed one row per (type, step); recursive CTE not
+    -- list_reduce (DuckDB 1.0 struct-accumulator bug, rule 7). The seed
+    -- row is the n=0 state; every observation, INCLUDING the first, goes
+    -- through the same recurrence arm.
+    seed AS (
+      SELECT DISTINCT event_type, CAST(0 AS BIGINT) AS i,
+             CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS mup,
+             CAST(0 AS BIGINT) AS mnm, CAST(0 AS BIGINT) AS mdn,
+             CAST(0 AS BIGINT) AS mxm, CAST(-1 AS BIGINT) AS aup,
+             CAST(-1 AS BIGINT) AS adn
+      FROM idx
+    ),
+    ph AS (
+      SELECT * FROM seed
+      UNION ALL
+      SELECT d.event_type, d.i, c.s + d.cents,
+        {_PH_DUCK_MUP},
+        least(c.mnm, {_PH_DUCK_MUP}),
+        {_PH_DUCK_MDN},
+        greatest(c.mxm, {_PH_DUCK_MDN}),
+        CASE WHEN c.aup >= 0 THEN c.aup
+             WHEN {_PH_DUCK_MUP} - least(c.mnm, {_PH_DUCK_MUP})
+                  > {_PH_DUCK_MEAN} // 4
+             THEN d.i ELSE CAST(-1 AS BIGINT) END,
+        CASE WHEN c.adn >= 0 THEN c.adn
+             WHEN greatest(c.mxm, {_PH_DUCK_MDN}) - {_PH_DUCK_MDN}
+                  > {_PH_DUCK_MEAN} // 4
+             THEN d.i ELSE CAST(-1 AS BIGINT) END
+      FROM ph c JOIN idx d
+        ON d.event_type = c.event_type AND d.i = c.i + 1
+    ),
+    final AS (
+      SELECT event_type, i, mup - mnm AS ph_up, mxm - mdn AS ph_down,
+             aup, adn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY i DESC) AS rl
+      FROM ph
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS n_days,
+           CAST(ph_up AS BIGINT) AS ph_up,
+           CAST(ph_down AS BIGINT) AS ph_down,
+           CAST(aup AS BIGINT) AS alarm_up_step,
+           CAST(adn AS BIGINT) AS alarm_down_step
+    FROM final WHERE rl = 1 ORDER BY event_type
+    """,
+    tags=("stats", "timeseries", "drift"),
+)
+def stats_page_hinkley_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-Hinkley drift monitor per event type: m_t accumulates
+    x_t - mean_t - delta against the RUNNING mean (mean_t = s_t div t,
+    delta = 1% slack), the monitor tracks M_t = min(m) (resp. max for
+    the downward side), and alarms the first step the excursion
+    m_t - M_t exceeds lambda = mean_t div 4. The running-mean
+    adaptation is what distinguishes Page-Hinkley from the tabular
+    CUSUM (stats_cusum_drift): CUSUM freezes mu after a 7-day warm-up
+    and clamps its sums at zero, so it answers "did the level leave the
+    calibration window?", while Page-Hinkley's mean keeps absorbing
+    slow drift and its unclamped sum answers "was there a sustained
+    run away from everything seen so far?". Degeneracy-probed before
+    building: on the sf0.01 fixture the two monitors alarm on
+    DIFFERENT days with different orderings across the five event
+    types (PH up-alarms 6/10/13/16/23 vs CUSUM 9/9/10/14/15), so the
+    pair is non-redundant.
+
+    Determinism: the entire recurrence is int64 cents with truncating
+    `div` (DuckDB `//`, rule 6) — no floats anywhere, so the output is
+    hash-exact by construction. The fold runs ONCE per type via the
+    aggregate() HOF over the day-ordered point list; the oracle replays
+    it as a recursive CTE seeded with the n=0 state (rule 7).
+
+    Scale: one map-combinable (type, day) aggregate, then a per-type
+    fold whose state is 8 ints; series length is calendar-bounded, and
+    the per-type lists never co-shuffle with raw events.
+    """
+    e = table(spark, sf, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "cents"))).alias("pts"),
+    )
+    folded = series.withColumn(
+        "st",
+        F.expr(f"""
+            aggregate(
+              pts,
+              named_struct('n', 0L, 's', 0L, 'mup', 0L, 'mnm', 0L,
+                           'mdn', 0L, 'mxm', 0L, 'aup', -1L, 'adn', -1L),
+              (acc, x) -> named_struct(
+                'n', acc.n + 1L,
+                's', acc.s + x.cents,
+                'mup', {_PH_SPARK_MUP},
+                'mnm', least(acc.mnm, {_PH_SPARK_MUP}),
+                'mdn', {_PH_SPARK_MDN},
+                'mxm', greatest(acc.mxm, {_PH_SPARK_MDN}),
+                'aup', CASE WHEN acc.aup >= 0L THEN acc.aup
+                       WHEN {_PH_SPARK_MUP}
+                            - least(acc.mnm, {_PH_SPARK_MUP})
+                            > {_PH_SPARK_MEAN} div 4L
+                       THEN acc.n + 1L ELSE -1L END,
+                'adn', CASE WHEN acc.adn >= 0L THEN acc.adn
+                       WHEN greatest(acc.mxm, {_PH_SPARK_MDN})
+                            - {_PH_SPARK_MDN}
+                            > {_PH_SPARK_MEAN} div 4L
+                       THEN acc.n + 1L ELSE -1L END))
+        """),
+    )
+    return folded.select(
+        "event_type",
+        F.col("st.n").alias("n_days"),
+        (F.col("st.mup") - F.col("st.mnm")).cast("bigint").alias("ph_up"),
+        (F.col("st.mxm") - F.col("st.mdn")).cast("bigint").alias("ph_down"),
+        F.col("st.aup").alias("alarm_up_step"),
+        F.col("st.adn").alias("alarm_down_step"),
+    ).orderBy("event_type")

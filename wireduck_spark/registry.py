@@ -141,32 +141,93 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-10 rotation (VERDICT r9 #4): CORRECTNESS_r09.json landed 20/20
-    # oracle green + 27 clean rows-only rows>0 — those 47 move to
-    # ROTATED_OUT. The gate re-checks the THREE r9 crash slots (top-level
-    # ARRAY columns killed the driver's canonicalizer; now emitted as
-    # joined strings) and debuts the four round-10 queries.
-    # -- r9 canonicalizer-crash repairs (VERDICT r9 #1, must land a clean
-    #    rows-only driver row this round):
+    # Round-11 rotation (VERDICT r10 #1): the 13 green r10 rows move to
+    # ROTATED_OUT; the gate re-fills ALL 50 slots = this round's debuts
+    # + EVERY query whose builder fn source or oracle text changed since
+    # the round-10 snapshot (mechanically enforced by
+    # tests/test_entry.py::test_changed_impl_queries_are_gated against
+    # tools/query_digests_prev.json) + the OLDEST rotated greens for
+    # evidence freshness (the rounds-1-2 cohort — their driver rows are
+    # 9 rounds stale).
+    # -- round-11 debuts:
+    "stats_page_hinkley_drift",
+    "pcap_flow_import_talkers",
+    # -- changed implementation this round (ADVICE r10: overflow-free
+    #    VMR tree; per-invocation flow-export temp dir):
+    "text_burstiness_vmr",
+    "pcap_flow_export_sink",
+    # -- round-10 changed-implementation re-checks the r10 gate skipped
+    #    (VERDICT r10 "What's wrong" #1; dedup_cluster_components also
+    #    took the checkpoint-threading change and was equally missed):
+    "stats_acf_daily_lags",
+    "stats_anova_oneway",
+    "stats_levene_brown_forsythe",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
+    #    their last driver rows are CORRECTNESS_r01/_r02 — 41 of 44,
+    #    the remaining 3 queue for round 12):
+    "agg_approx_distinct",
+    "agg_basic_stats",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_median_percentile",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_skew_salted_distinct",
+    "agg_string_array",
+    "agg_variance_corr",
+    "cte_reuse",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "distinct_dedup_rows",
+    "filter_predicates",
+    "grouped_apply_deviation",
+    "io_csv_roundtrip",
+    "io_json_roundtrip",
+    "io_orc_roundtrip",
+    "io_parquet_roundtrip",
+    "join_anti",
+    "join_cross",
+    "join_full_outer",
+    "join_fuzzy_levenshtein",
+    "join_inner",
+    "join_left_outer",
+    "join_range_interval",
+    "join_right_outer",
+    "join_semi",
+    "join_star_q9_profit",
+    "join_theta_nonequi",
+    "latest_per_key",
+    "mm_binary_metadata",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize_stub",
+    "pcap_dns_http_dissect",
+    "pcap_flow_stats",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json ... _r10.json; still
+    # verified by tools/check_oracle.py + pytest every run.
+    # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
+    #    (text_burstiness_vmr / pcap_flow_export_sink changed again in
+    #    r11 and keep their GATE slots):
+    #    CORRECTNESS_r10.json (zero red):
     "pcap_ja3_fingerprint",
     "pcap_arp_spoof_detect",
     "embed_pca_two_components",
-    # -- new round-10 queries:
     "stats_kendall_tau_weekly",
     "stats_granger_lagged_daily",
-    "text_burstiness_vmr",
-    "pcap_flow_export_sink",
     "quality_benford_first_digit",
     "stats_cramers_v_source_lang",
     "stats_weekday_effect_anova",
     "stats_theil_sen_weekly",
     "stats_mann_kendall_weekly",
     "sketch_quantile_contract",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json ... _r09.json; still
-    # verified by tools/check_oracle.py + pytest every run.
     # -- round-9 GATE: 20 oracle greens + 27 clean rows-only rows>0 in
     #    CORRECTNESS_r09.json (the 3 canonicalizer crashes stay in GATE):
     "pcap_tcp_handshake_rtt",
@@ -196,7 +257,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "pcap_quic_vn_downgrade",
     "pcap_service_inventory",
     "embed_pca_top_component",
-    "stats_anova_oneway",
     "stats_cohens_kappa",
     "stats_mcnemar_paired_conversion",
     "stats_two_proportion_ztest",
@@ -205,7 +265,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "stats_herfindahl_concentration",
     "stats_runs_test",
     "stats_poisson_dispersion",
-    "stats_acf_daily_lags",
     "window_bollinger_bands",
     "window_rsi_sma",
     "feature_gini_split_gain",
@@ -215,7 +274,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "stats_cusum_drift",
     "window_macd_ema",
     "stats_schnabel_recapture",
-    "stats_levene_brown_forsythe",
     # -- round-8 GATE, all 48 oracle rows green + 2 pcap rows>0 in
     #    CORRECTNESS_r08.json (zero red):
     "pipeline_rag_eval_mrr",
@@ -464,51 +522,8 @@ ROTATED_OUT: tuple[str, ...] = (
     "window_frames",
     "window_percent_cume",
     "window_ranking",
-    "dedup_cluster_components",
-    "dedup_minhash_lsh",
     "join_asof",
     # -- rounds 1-2:
-    "agg_approx_distinct",
-    "agg_basic_stats",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_median_percentile",
-    "agg_pricing_summary",       # also smoke-run by the driver via entry()
-    "agg_rollup",
-    "agg_skew_salted_distinct",
-    "agg_string_array",
-    "agg_variance_corr",
-    "cte_reuse",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "distinct_dedup_rows",
-    "filter_predicates",
-    "grouped_apply_deviation",
-    "io_csv_roundtrip",
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
-    "io_parquet_roundtrip",
-    "join_anti",
-    "join_cross",
-    "join_full_outer",
-    "join_fuzzy_levenshtein",
-    "join_inner",
-    "join_left_outer",
-    "join_range_interval",
-    "join_right_outer",
-    "join_semi",
-    "join_star_q9_profit",
-    "join_theta_nonequi",
-    "latest_per_key",
-    "mm_binary_metadata",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_resize_stub",
-    "pcap_dns_http_dissect",     # rows-only; golden values live in pytest
-    "pcap_flow_stats",
     "pcap_tls_sni",
     "pipeline_corpus_clean",
     "pivot_segments",

@@ -1441,3 +1441,53 @@ if _have_fixture():
             tempfile.mkdtemp(prefix="wireduck_flow_export_"), "flows")
         flows.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir)
+
+    @query("pcap_flow_import_talkers", oracle=None,
+           tags=("pcap", "source"))
+    def pcap_flow_import_talkers(spark: SparkSession, sf: str) -> DataFrame:
+        """NetFlow flow-lake IMPORT: the consumption side of
+        pcap_flow_export_sink (VERDICT r10 next-round #6). The sink
+        lands 5-tuple flow records in parquet; this query reads that
+        lake back — never touching the capture — and answers the
+        classic flow-collector question: per-host talker totals with
+        both directions fused (bytes/packets/flows sent vs received, a
+        full-outer self-fold of the flow table on src vs dst role).
+        This is the query shape a SOC runs against MONTHS of exported
+        flows where the pcaps themselves are long gone; reading the
+        r10 sink's output end-to-end also round-trip-verifies the
+        export schema (golden counters pinned in pytest).
+
+        Scale: the flow lake is already 5-tuple-granular (orders of
+        magnitude smaller than packets); two map-combinable hash aggs
+        on a column-pruned parquet scan, fused by a full outer join on
+        host — skew-free because hosts are the HIGH-cardinality side of
+        a flow table. The capture is re-dissected here only because the
+        test container has no persistent lake between queries.
+        """
+        flows = pcap_flow_export_sink(spark, sf)
+        sent = flows.groupBy(F.col("src_addr").alias("host")).agg(
+            F.count("*").cast("bigint").alias("flows_out"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_out"),
+            F.sum("n_packets").cast("bigint").alias("pkts_out"),
+        )
+        recv = flows.groupBy(F.col("dst_addr").alias("host")).agg(
+            F.count("*").cast("bigint").alias("flows_in"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_in"),
+            F.sum("n_packets").cast("bigint").alias("pkts_in"),
+        )
+        z = F.lit(0).cast("bigint")
+        return (
+            sent.join(recv, "host", "full_outer")
+            .select(
+                "host",
+                F.coalesce("flows_out", z).alias("flows_out"),
+                F.coalesce("flows_in", z).alias("flows_in"),
+                F.coalesce("bytes_out", z).alias("bytes_out"),
+                F.coalesce("bytes_in", z).alias("bytes_in"),
+                F.coalesce("pkts_out", z).alias("pkts_out"),
+                F.coalesce("pkts_in", z).alias("pkts_in"),
+                (F.coalesce("bytes_out", z)
+                 + F.coalesce("bytes_in", z)).alias("bytes_total"),
+            )
+            .orderBy(F.col("bytes_total").desc(), "host")
+        )

@@ -1921,3 +1921,156 @@ def kendall_tracker(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming trend-duo tracker (twin of stats_mann_kendall_weekly +
+# stats_theil_sen_weekly — VERDICT r10 next-round #5)
+# ---------------------------------------------------------------------------
+
+TREND_DUO_STATE_SCHEMA = StructType(
+    [
+        StructField("s_stat", LongType()),
+        StructField("closed_t1", LongType()),   # tie/block terms of CLOSED weeks
+        StructField("closed_t2", LongType()),
+        StructField("n_days", LongType()),
+        StructField("cur_week", LongType()),
+        StructField("week_buf", StringType()),  # 'dayord:y;...' <=7 days
+        StructField("slopes", StringType()),    # 'dy:dd;...' <=21 per week
+    ]
+)
+
+TREND_DUO_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("n_days", LongType()),
+        StructField("s_stat", LongType()),
+        StructField("var_num", LongType()),
+        StructField("z", DoubleType()),
+        StructField("is_significant", BooleanType()),
+        StructField("n_slopes", LongType()),
+        StructField("median_slope", DoubleType()),
+        StructField("is_downtrend", BooleanType()),
+    ]
+)
+
+
+def _mk_block_term(t: int) -> int:
+    return t * (t - 1) * (2 * t + 5)
+
+
+def _trend_duo_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Mann-Kendall + Theil-Sen in one pass over the closed daily stream.
+
+    MK side is fully bounded — the kendall_tracker device: pairs only
+    form within the current calendar week, so S accumulates against a
+    <=7-day buffer; the variance's tie terms split into exact int64
+    contributions of CLOSED weeks (frozen forever once the week rolls)
+    plus the open week's, re-derived from the buffer at emission so any
+    emission equals the batch pair over the same closed days.
+
+    Sen side keeps the within-week slope log as exact int64 (dy, dd)
+    pairs — ~21 entries/week, i.e. ~1 KB/month/key: calendar-bounded
+    like the batch series itself (the unbounded-horizon alternative is
+    a mergeable quantile sketch, whose accuracy-vs-exactness tradeoff
+    sketch_quantile_contract already measures; an exact median cannot
+    be computed from sublinear state). The median re-renders per
+    emission with Spark's percentile interpolation (pos = 0.5*(n-1),
+    lower + (upper-lower)*frac) over float(dy)/float(dd) doubles —
+    identical IEEE divisions to the batch slope column.
+
+    Day-ordered closed daily rows required; a day from a PRIOR week
+    fails loudly (the kendall_tracker ADVICE-r10 contract)."""
+    import math
+
+    if state.exists:
+        (s_stat, closed_t1, closed_t2, n_days, cur_w,
+         buf_csv, slopes_csv) = state.get
+        buf = [tuple(int(v) for v in p.split(":"))
+               for p in buf_csv.split(";") if p]
+        slopes = [tuple(int(v) for v in p.split(":"))
+                  for p in slopes_csv.split(";") if p]
+    else:
+        s_stat = closed_t1 = closed_t2 = n_days = 0
+        cur_w, buf, slopes = -1, [], []
+    chunks = [c for c in batches if len(c)]
+    days = (pd.concat(chunks, ignore_index=True).sort_values("d")
+            if chunks else pd.DataFrame(columns=["d", "y"]))
+    for _, row in days.iterrows():
+        d = pd.Timestamp(row["d"]).date()
+        y = int(row["y"])
+        dayord = (d - KENDALL_ANCHOR).days
+        w = dayord // 7
+        if buf and w < cur_w:
+            raise ValueError(
+                f"trend_duo_tracker: day {d} (week {w}) arrived after "
+                f"week {cur_w} was opened — closed daily rows must be "
+                "day-ordered (late/out-of-order upstream data)")
+        if w != cur_w:
+            if buf:  # freeze the closing week's variance terms
+                closed_t1 += _mk_block_term(len(buf))
+                ys = {}
+                for _, ya in buf:
+                    ys[ya] = ys.get(ya, 0) + 1
+                closed_t2 += sum(_mk_block_term(t) for t in ys.values())
+            cur_w, buf = w, []
+        for da, ya in buf:
+            s_stat += (y > ya) - (y < ya)
+            slopes.append((y - ya, dayord - da))
+        buf.append((dayord, y))
+        n_days += 1
+    state.update((s_stat, closed_t1, closed_t2, n_days, cur_w,
+                  ";".join(f"{a}:{b}" for a, b in buf),
+                  ";".join(f"{a}:{b}" for a, b in slopes)))
+    # Open week's variance terms, re-derived from the buffer.
+    t1 = closed_t1 + _mk_block_term(len(buf))
+    ys = {}
+    for _, ya in buf:
+        ys[ya] = ys.get(ya, 0) + 1
+    t2 = closed_t2 + sum(_mk_block_term(t) for t in ys.values())
+    var_num = t1 - t2
+    if s_stat > 0:
+        z = float(s_stat - 1) / math.sqrt(float(var_num) / 18)
+    elif s_stat < 0:
+        z = float(s_stat + 1) / math.sqrt(float(var_num) / 18)
+    else:
+        z = 0.0
+    vals = sorted(float(dy) / float(dd) for dy, dd in slopes)
+    if vals:
+        pos = 0.5 * (len(vals) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(vals) - 1)
+        med = vals[lo] + (vals[hi] - vals[lo]) * frac
+        med_out, down = _round_half_up(med, 4), med < 0
+    else:
+        med_out = down = None
+    yield pd.DataFrame(
+        [(n_days, s_stat, var_num, _round_half_up(z, 4),
+          abs(z) > 1.96, len(vals), med_out, down)],
+        columns=[f.name for f in TREND_DUO_OUTPUT_SCHEMA.fields])
+
+
+def trend_duo_tracker(daily: DataFrame) -> DataFrame:
+    """Always-on monotone-trend monitor: the streaming twin of the
+    MK + Sen's slope DUO (stats_mann_kendall_weekly "is there a trend"
+    + stats_theil_sen_weekly "how steep") over the closed daily (d, y)
+    revenue stream. Week-blocked like its batch pair, so every emission
+    is bit-identical to running BOTH batch queries over the days seen
+    so far (pytest-pinned, forced-chunk included). One global group
+    here; key by (metric, segment) at scale.
+    """
+    from pyspark.sql import functions as F
+
+    src = daily.select(F.lit(0).alias("g"), "d",
+                       F.col("y").cast("bigint").alias("y"))
+    return src.groupBy("g").applyInPandasWithState(
+        _trend_duo_update,
+        outputStructType=TREND_DUO_OUTPUT_SCHEMA,
+        stateStructType=TREND_DUO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
