@@ -732,3 +732,29 @@ def test_week_block_date_arith_differential(engines, pred, anchor):
     s_rows = sorted(tuple(r) for r in spark.sql(s_sql).collect())
     d_rows = sorted(map(tuple, con.execute(d_sql).fetchall()))
     assert s_rows == d_rows, f"week-block divergence anchor={anchor}: {pred}"
+
+
+@given(pred=_predicates())
+@settings(max_examples=40, deadline=None)
+def test_ratio_difference_vmr_differential(engines, pred):
+    """Property 26 (round-11, ADVICE r10): the overflow-free VMR tree
+    used by text_burstiness_vmr —
+
+        (n*ss - s*s) / (n*s)  ==  ss/s - s/n   (algebraically)
+
+    — where every operand of the RIGHT side is a plain int64 sum cast
+    to double (no int64 product anywhere, so nothing to wrap in Spark
+    or raise in DuckDB). Both engines must render the identical IEEE
+    value for the ss/s - s/n tree over arbitrary predicate-selected
+    groups, 4-dp rounded like the query output."""
+    sql = (
+        "SELECT o_orderstatus, "
+        "ROUND(CAST(SUM(o_orderkey * o_orderkey) AS DOUBLE)"
+        " / CAST(SUM(o_orderkey) AS DOUBLE)"
+        " - CAST(SUM(o_orderkey) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE), 4) AS vmrish "
+        f"FROM orders WHERE {pred} "
+        "GROUP BY o_orderstatus HAVING SUM(o_orderkey) > 0"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"divergence for predicate: {pred}"

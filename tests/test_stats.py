@@ -522,3 +522,67 @@ def test_quantile_contract_holds_and_exact_replays(rows, spark, sf_dir):
     assert r["exact_p90"] == round(pct(0.9), 4)
     assert r["p50_within_tol"] is True
     assert r["p90_within_tol"] is True
+
+
+def test_page_hinkley_matches_python_replay(rows, spark, sf_dir):
+    """Replay the Page-Hinkley recurrence in pure Python (truncating
+    int division toward zero, per-step running mean, extrema tracking,
+    first-excursion alarms) over the day-ordered per-type cents series
+    and require exact equality with the Spark fold — every field is
+    int64 so there is no tolerance."""
+    from pyspark.sql import functions as F
+
+    from wireduck_spark.registry import cents, table
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("c"))
+        .orderBy("event_type", "d").collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(r["c"])
+
+    def tdiv(a, b):  # truncate toward zero, matching Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    exp = {}
+    for et, xs in series.items():
+        n = s = mup = mnm = mdn = mxm = 0
+        aup = adn = -1
+        for x in xs:
+            n += 1
+            s += x
+            mean = tdiv(s, n)
+            mup += x - mean - tdiv(mean, 100)
+            mnm = min(mnm, mup)
+            mdn += x - mean + tdiv(mean, 100)
+            mxm = max(mxm, mdn)
+            lam = tdiv(mean, 4)
+            if aup < 0 and mup - mnm > lam:
+                aup = n
+            if adn < 0 and mxm - mdn > lam:
+                adn = n
+        exp[et] = (n, mup - mnm, mxm - mdn, aup, adn)
+
+    got = {
+        r["event_type"]: (r["n_days"], r["ph_up"], r["ph_down"],
+                          r["alarm_up_step"], r["alarm_down_step"])
+        for r in rows("stats_page_hinkley_drift")
+    }
+    assert got == exp
+
+
+def test_page_hinkley_separates_from_cusum(rows):
+    """Degeneracy/redundancy guard: the running-mean monitor must tell
+    a DIFFERENT story from the frozen-warmup CUSUM on the same series —
+    if the two alarm vectors ever collapse to identical values the pair
+    is redundant and one of them should be cut."""
+    ph = {r["event_type"]: (r["alarm_up_step"], r["alarm_down_step"])
+          for r in rows("stats_page_hinkley_drift")}
+    cu = {r["event_type"]: r["alarm_step"] for r in rows("stats_cusum_drift")}
+    assert set(ph) == set(cu)
+    assert any(ph[t][0] != cu[t] and ph[t][1] != cu[t] for t in ph), (
+        "Page-Hinkley alarms identical to CUSUM everywhere — redundant")
