@@ -110,7 +110,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    passed = failed = skipped = 0
+    passed = failed = skipped = zero_green = 0
     for name in names:
         spec = queries[name]
         t0 = time.time()
@@ -143,9 +143,20 @@ def main():
                 print(f"      {p}")
             failed += 1
         else:
-            print(f"  ✓ {name} ({dt:.1f}s)")
+            # A hash-green on ZERO rows only certifies that both engines
+            # agree on empty — evidentially worthless, and how
+            # join_anti/dedup_embedding_cosine hid fixture degeneracy for
+            # nine rounds (found when the r11 rotation re-gated them).
+            # Surface it loudly so the class can't re-enter the corpus.
+            if not duck_rows:
+                zero_green += 1
+                print(f"  ⚠ {name} ({dt:.1f}s) 0-ROW GREEN — degenerate "
+                      "evidence, fix the query or the fixture predicate")
+            else:
+                print(f"  ✓ {name} ({dt:.1f}s)")
             passed += 1
-    print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
+    print(f"\n{passed} passed, {failed} failed, {skipped} rows-only, "
+          f"{zero_green} zero-row greens")
     return 1 if failed else 0
 
 

@@ -67,19 +67,29 @@ def subquery_exists_in(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM orders)
     """,
     tags=("subquery",),
 )
 def subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
-    """Uncorrelated scalar subquery in a predicate (orders 2x pricier than
-    the mean). Catalyst plans the subquery once and broadcasts the scalar."""
+    """Uncorrelated scalar subquery in a predicate (orders 1.9x pricier
+    than the mean). Catalyst plans the subquery once and broadcasts the
+    scalar.
+
+    Fixture degeneracy (r11 zero-row-green audit): o_totalprice here is
+    ~uniform on [1e3, 5e5] with mean ~2.5e5, so the original `> 2*avg`
+    threshold sat exactly at the distribution's max — 0 rows at
+    sf0.01/sf0.1 (2 knife-edge rows at sf0.001). 1.9x selects a stable
+    ~1% tail at every scale (74/713/7,351 rows, probed). The predicate
+    compares the same double product in both engines (one multiply of
+    the broadcast scalar — identical IEEE tree).
+    """
     o = table(spark, sf, "orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM {o}
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM {o})
+        WHERE o_totalprice > 1.9 * (SELECT AVG(o_totalprice) FROM {o})
         """,
         o=o,
     )
@@ -1194,16 +1204,22 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf: str) -> DataFrame:
         FROM baskets a JOIN baskets b
           ON a.okey = b.okey AND a.item < b.item
         GROUP BY a.item, b.item
-        HAVING COUNT(*) >= 20
+    ),
+    topk AS (
+        SELECT item_a, item_b, n_both,
+               row_number() OVER (ORDER BY n_both DESC, item_a, item_b)
+                   AS rk
+        FROM pairs
     )
     SELECT p.item_a, p.item_b, p.n_both,
            ia.n_item AS n_a, ib.n_item AS n_b,
            CAST((1000000 * p.n_both * o.n) // (ia.n_item * ib.n_item)
                 AS BIGINT) AS lift_ppm
-    FROM pairs p
+    FROM topk p
     JOIN item_counts ia ON ia.item = p.item_a
     JOIN item_counts ib ON ib.item = p.item_b
     CROSS JOIN n_orders o
+    WHERE p.rk <= 25
     """,
     tags=("advanced", "mining"),
 )
@@ -1216,8 +1232,17 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the pair join keys on the ORDER (baskets are small — pair
     fan-out is bounded by per-order item count squared, ~7^2, never
     corpus^2); item counts are a vocabulary-sized table broadcast into
-    the scoring joins; the HAVING floor keeps the output to genuinely
-    frequent pairs.
+    the scoring joins; the top-k keeps the output to the MOST frequent
+    pairs at any corpus size (TakeOrdered over the vocabulary-bounded
+    pair table — <=C(200,2) rows — not over the corpus).
+
+    Fixture degeneracy (r11 zero-row-green audit): the original
+    `HAVING n_both >= 20` floor emitted 0 rows at sf0.001/sf0.01 (max
+    pair support is 5/17 there) and 19,900 rows at sf0.1 (where EVERY
+    pair clears 20) — degenerate at small scales AND unselective at
+    large; no fixed absolute floor works across scales. Top-25 by
+    (support DESC, item_a, item_b — unique tiebreak, rule 5) is
+    non-degenerate and stable at every scale.
     """
     li = table(spark, sf, "lineitem")
     baskets = li.select(
@@ -1235,7 +1260,14 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
         a.join(b, (a.okey == b.okey_b) & (F.col("item_a") < F.col("item_b")))
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("bigint").alias("n_both"))
-        .filter(F.col("n_both") >= 20)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(F.pmod(F.col("item_a"), F.lit(1)))
+                .orderBy(F.col("n_both").desc(), "item_a", "item_b")),
+        )
+        .filter(F.col("rk") <= 25)
+        .drop("rk")
     )
     ia = item_counts.select(F.col("item").alias("item_a"),
                             F.col("n_item").alias("n_a"))
@@ -1264,8 +1296,8 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
       SELECT 1 FROM orders o
       WHERE o.o_orderkey = l.l_orderkey
         AND o.o_orderpriority = '1-URGENT'
-        AND o.o_orderdate >= DATE '1994-01-01'
-        AND o.o_orderdate < DATE '1994-04-01'
+        AND o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1995-04-01'
     )
     GROUP BY strftime(l.l_shipdate, '%Y-%m')
     ORDER BY ship_month
@@ -1275,7 +1307,7 @@ def market_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_semi_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
     """Semi join with a DECLARATIVE bloom pre-filter: the selective dim
-    side (urgent Q1-1994 orders) is folded into a 65536-bit bloom
+    side (urgent Q1-1995 orders) is folded into a 65536-bit bloom
     bitmap — <=1024 (slot, mask) rows built by one bit_or aggregate —
     which broadcasts to the fact side and discards most non-matching
     lineitems BEFORE the exact semi join's shuffle. The final LEFT SEMI
@@ -1294,13 +1326,21 @@ def join_semi_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
 
     Determinism: the bloom stage only REMOVES rows the exact join
     would remove; output values are integer cents and counts.
+
+    Fixture degeneracy (r11 zero-row-green audit): the original Q1-1994
+    window PREDATES this fixture's order range (1995-01-01..2001-08-01),
+    so the query was hash-green on 0 rows at every scale — the bench was
+    timing a bloom over an empty dim. Q1-1995 selects the same ~5%
+    urgent slice the TPC-H-shaped window intended. Bench note: r11
+    timings for this query are therefore NOT comparable to r10 and
+    earlier (the old number measured a no-op semi join).
     """
     o = table(spark, sf, "orders")
     li = table(spark, sf, "lineitem")
     dim = o.filter(
         (F.col("o_orderpriority") == "1-URGENT")
-        & (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1994-04-01").cast("date"))
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
     ).select("o_orderkey")
 
     bloom = (

@@ -164,6 +164,15 @@ GATE: tuple[str, ...] = (
     "stats_levene_brown_forsythe",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
+    # -- zero-row-green repairs (r11 audit: hash-green on 0 rows at the
+    #    gate scale — join window predating the fixture's date range, a
+    #    support floor no small scale reaches, a threshold at the
+    #    distribution max; all three rewritten non-degenerate and needing
+    #    fresh driver rows; they displaced the three weakest cohort
+    #    fills, which queue for round 12):
+    "join_semi_bloom_prefilter",
+    "market_basket_pairs",
+    "subquery_scalar",
     # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
     #    their last driver rows are CORRECTNESS_r01/_r02 — 41 of 44,
     #    the remaining 3 queue for round 12):
@@ -205,9 +214,6 @@ GATE: tuple[str, ...] = (
     "mm_binary_metadata",
     "mm_decode_features",
     "mm_frame_sample",
-    "mm_resize_stub",
-    "pcap_dns_http_dissect",
-    "pcap_flow_stats",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
@@ -333,7 +339,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "io_bloom_filter_pointlookup",
     "agg_grouping_id_rollup",
     "io_multi_format_join",
-    "market_basket_pairs",
     "event_trigram_paths",
     "scalar_interval_arith",
     "dq_freshness_sla",
@@ -373,7 +378,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "text_zipf_fit",
     "stats_welch_ttest",
     "event_survival_kaplan_meier",
-    "join_semi_bloom_prefilter",
     "window_trailing_interval",
     # pcap_scan_default rotated out for pcap_flagship_portpair (its 1-row
     # result is a weak rows>0 signal; goldens still pin it in pytest):
@@ -500,7 +504,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "sketch_quantiles",
     "sort_limit_topk",
     "subquery_exists_in",
-    "subquery_scalar",
     "text_chunk_udtf",
     "text_fingerprint",
     "text_langid",
@@ -524,6 +527,13 @@ ROTATED_OUT: tuple[str, ...] = (
     "window_ranking",
     "join_asof",
     # -- rounds 1-2:
+    # (mm_resize_stub / pcap_dns_http_dissect / pcap_flow_stats were
+    #  r11-cycled into GATE, then displaced by the three zero-row-green
+    #  repairs — front of the round-12 freshness queue with pcap_tls_sni,
+    #  pipeline_corpus_clean, pivot_segments:)
+    "mm_resize_stub",
+    "pcap_dns_http_dissect",
+    "pcap_flow_stats",
     "pcap_tls_sni",
     "pipeline_corpus_clean",
     "pivot_segments",
