@@ -2101,3 +2101,95 @@ def test_trend_duo_tracker_rejects_week_regression(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="day-ordered"):
         q.awaitTermination(120)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley drift tracker
+# ---------------------------------------------------------------------------
+
+
+def _run_ph_stream(spark, sf_dir, tmp_path, qname):
+    """Stream the CLOSED daily totals as 3 day-range micro-batches
+    (days complete within a batch, batches in day order — the tracker's
+    documented contract); return the latest emission per type."""
+    from wireduck_spark.streaming.stateful import page_hinkley_tracker
+
+    daily = _daily_cents(spark, sf_dir)
+    src_dir = tmp_path / f"{qname}_src"
+    src_dir.mkdir()
+    for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                  ("2024-01-11", "2024-01-21"),
+                                  ("2024-01-21", "2024-02-01"))):
+        (daily.filter((F.col("d") >= lo) & (F.col("d") < hi))
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        page_hinkley_tracker(stream_src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        prev = got.get(r["event_type"])
+        if prev is None or r["n_days"] > prev[0]:
+            got[r["event_type"]] = (r["n_days"], r["ph_up"], r["ph_down"],
+                                    r["alarm_up_step"],
+                                    r["alarm_down_step"])
+    return got
+
+
+def _ph_batch_expected(spark, sf_dir):
+    return {
+        r["event_type"]: (r["n_days"], r["ph_up"], r["ph_down"],
+                          r["alarm_up_step"], r["alarm_down_step"])
+        for r in QUERIES["stats_page_hinkley_drift"].fn(spark,
+                                                        sf_dir).collect()
+    }
+
+
+def test_ph_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming Page-Hinkley tracker's final per-type row (daily
+    totals arriving as 3 day-ordered micro-batches, batch boundaries
+    cutting the running-mean adaptation mid-series) must be
+    bit-identical to the batch stats_page_hinkley_drift query."""
+    got = _run_ph_stream(spark, sf_dir, tmp_path, "t_ph")
+    assert got == _ph_batch_expected(spark, sf_dir)
+    assert any(v[3] >= 0 or v[4] >= 0 for v in got.values()), \
+        "fixture should alarm somewhere (degeneracy guard)"
+
+
+def test_ph_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Same equivalence with maxRecordsPerBatch=3: a batch's days hit
+    the update function as many Arrow chunks; the concat-then-sort-once
+    discipline must keep the day walk identical."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        got = _run_ph_stream(spark, sf_dir, tmp_path, "t_ph_chunked")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == _ph_batch_expected(spark, sf_dir)
+
+
+def test_ph_tracker_negative_series_tdiv():
+    """_tdiv must truncate toward zero exactly like Spark `div` /
+    DuckDB `//` on negative numerators (Python // floors): the tracker
+    must not silently diverge on a hypothetical refund-heavy series."""
+    from wireduck_spark.streaming.stateful import _tdiv
+    assert _tdiv(-7, 2) == -3          # Python -7 // 2 == -4
+    assert _tdiv(7, 2) == 3
+    assert _tdiv(-100, 100) == -1
+    assert _tdiv(-99, 100) == 0        # Python -99 // 100 == -1
+    assert _tdiv(0, 4) == 0

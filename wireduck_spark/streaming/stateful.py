@@ -2074,3 +2074,111 @@ def trend_duo_tracker(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley drift tracker (twin of stats_page_hinkley_drift)
+# ---------------------------------------------------------------------------
+
+PH_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("mup", LongType()),
+        StructField("mnm", LongType()),
+        StructField("mdn", LongType()),
+        StructField("mxm", LongType()),
+        StructField("aup", LongType()),
+        StructField("adn", LongType()),
+    ]
+)
+
+PH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("ph_up", LongType()),
+        StructField("ph_down", LongType()),
+        StructField("alarm_up_step", LongType()),
+        StructField("alarm_down_step", LongType()),
+    ]
+)
+
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncate-toward-zero integer division by a POSITIVE divisor
+    (Spark `div` / DuckDB `//` semantics, rule 6). Python's `//`
+    floors, which diverges on negative numerators; revenue cents are
+    non-negative on this fixture, but the twin must not silently
+    diverge on a hypothetical negative series."""
+    return a // d if a >= 0 else -((-a) // d)
+
+
+def _ph_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Replays stats_page_hinkley_drift's integer recurrence across
+    micro-batches: running mean mean_t = s_t div t (NOT a frozen
+    warm-up mu — the defining difference from the CUSUM tracker two
+    sections up), one-sided unclamped sums with 1% slack, extrema
+    tracked, alarm the first step the excursion exceeds mean_t div 4.
+    concat-then-sort-once per batch (the beacon-tracker discipline) so
+    Arrow chunking cannot reorder days; cross-batch the tracker relies
+    on per-key day-ordered delivery of CLOSED daily totals (the
+    contract documented on page_hinkley_tracker)."""
+    (event_type,) = key
+    n, s, mup, mnm, mdn, mxm, aup, adn = (
+        state.get if state.exists else (0, 0, 0, 0, 0, 0, -1, -1))
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
+        for cents_v in pdf["cents"].astype("int64"):
+            x = int(cents_v)
+            s += x
+            n += 1
+            mean = _tdiv(s, n)
+            slack = _tdiv(mean, 100)
+            lam = _tdiv(mean, 4)
+            mup = mup + x - mean - slack
+            mnm = min(mnm, mup)
+            mdn = mdn + x - mean + slack
+            mxm = max(mxm, mdn)
+            if aup < 0 and mup - mnm > lam:
+                aup = n
+            if adn < 0 and mxm - mdn > lam:
+                adn = n
+    state.update((n, s, mup, mnm, mdn, mxm, aup, adn))
+    yield pd.DataFrame(
+        [(event_type, n, mup - mnm, mxm - mdn, aup, adn)],
+        columns=[f.name for f in PH_OUTPUT_SCHEMA.fields],
+    )
+
+
+def page_hinkley_tracker(daily: DataFrame) -> DataFrame:
+    """Streaming twin of stats_page_hinkley_drift: per event type, the
+    8-int Page-Hinkley state (count, running sum, both one-sided sums,
+    their extrema, first alarm step per side) carried across
+    micro-batches — the drift alarm fires the DAY the excursion crosses
+    lambda, not in tomorrow's batch scan. Input contract: a stream of
+    CLOSED daily totals (event_type, d, cents) in per-key day order —
+    the natural downstream of a watermarked tumbling daily aggregate
+    (tw_tumbling's machinery), matching the batch query's (type, day)
+    rollup exactly.
+
+    Bounded state: 8 int64 per event type regardless of stream length
+    (the CUSUM/Brier bounded-state contract). Exactness contract
+    (pytest-pinned incl. forced Arrow chunking): with day-ordered
+    delivery, the final emitted row per type is bit-identical to
+    stats_page_hinkley_drift's row. All divisions go through _tdiv
+    (truncate toward zero) to mirror Spark `div` / DuckDB `//` exactly
+    even on a negative series.
+    """
+    return daily.groupBy("event_type").applyInPandasWithState(
+        _ph_update,
+        outputStructType=PH_OUTPUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
