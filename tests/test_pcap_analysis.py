@@ -573,3 +573,24 @@ def test_flow_import_talkers_golden(spark, queries):
     assert r["pkts_out"] == 485 and r["pkts_in"] == 485
     assert r["bytes_out"] == r["bytes_in"] == r["bytes_total"] // 2
     assert r["bytes_total"] == 622836
+
+
+def test_flow_lake_recurring_dst_golden(spark, queries):
+    """The multi-capture flow lake must surface EXACTLY the two
+    destinations present in more than one capture: the benign client
+    10.0.1.1 reaches 10.0.2.1:80 and :443 in BOTH the session and the
+    portscan fixtures, while fix.pcap's loopback flows and the 25
+    scanned ports are single-capture noise. Counters derive from the
+    synth frame lists: port 80 sees session stream A's 6 packets
+    (one side) ... pinned as totals below."""
+    rows = {
+        (r["dst_addr"], r["dst_port"]): r
+        for r in queries["pcap_flow_lake_recurring_dst"].fn(
+            spark, SF).collect()
+    }
+    assert set(rows) == {("10.0.2.1", 80), ("10.0.2.1", 443)}
+    p80, p443 = rows[("10.0.2.1", 80)], rows[("10.0.2.1", 443)]
+    assert p80["n_captures"] == 2 and p443["n_captures"] == 2
+    assert p80["n_flows"] == 2 and p443["n_flows"] == 2
+    assert p80["pkts"] == 8 and p443["pkts"] == 6
+    assert p80["bytes"] == 470 and p443["bytes"] == 347

@@ -152,6 +152,7 @@ GATE: tuple[str, ...] = (
     # -- round-11 debuts:
     "stats_page_hinkley_drift",
     "pcap_flow_import_talkers",
+    "pcap_flow_lake_recurring_dst",
     # -- changed implementation this round (ADVICE r10: overflow-free
     #    VMR tree; per-invocation flow-export temp dir):
     "text_burstiness_vmr",
@@ -174,11 +175,10 @@ GATE: tuple[str, ...] = (
     "market_basket_pairs",
     "subquery_scalar",
     # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
-    #    their last driver rows are CORRECTNESS_r01/_r02 — 41 of 44,
-    #    the remaining 3 queue for round 12):
+    #    their last driver rows are CORRECTNESS_r01/_r02 — 40 of 44,
+    #    the remaining 4 queue for round 12):
     "agg_approx_distinct",
     "agg_basic_stats",
-    "agg_cube",
     "agg_distinct",
     "agg_grouping_sets",
     "agg_median_percentile",
@@ -219,6 +219,10 @@ GATE: tuple[str, ...] = (
 ROTATED_OUT: tuple[str, ...] = (
     # green hash-match rows in CORRECTNESS_r01.json ... _r10.json; still
     # verified by tools/check_oracle.py + pytest every run.
+    # -- displaced by the pcap_flow_lake_recurring_dst debut (its cube /
+    #    rollup / grouping-sets family keeps two fresher gate rows via
+    #    agg_rollup + agg_grouping_sets); queues for round 12:
+    "agg_cube",
     # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
     #    (text_burstiness_vmr / pcap_flow_export_sink changed again in
     #    r11 and keep their GATE slots):

@@ -1491,3 +1491,78 @@ if _have_fixture():
             )
             .orderBy(F.col("bytes_total").desc(), "host")
         )
+
+    @query("pcap_flow_lake_recurring_dst", oracle=None,
+           tags=("pcap", "source", "federation"))
+    def pcap_flow_lake_recurring_dst(spark: SparkSession,
+                                     sf: str) -> DataFrame:
+        """Multi-capture flow LAKE: the flow-level cousin of
+        pcap_lake_federation. THREE captures (the reference fixture, the
+        session-quality fixture, the portscan fixture) are each collapsed
+        to 5-tuple flow records — the same rollup pcap_flow_export_sink
+        lands — and written into ONE parquet lake partitioned by
+        capture_id. The aggregation then runs on the LAKE, never the
+        captures, and answers the cross-capture question a single import
+        cannot: which (dst_addr, dst_port) services recur across
+        captures (n_captures >= 2) — the "same destination keeps showing
+        up in unrelated captures" persistence signal a SOC threat-hunts
+        with. On these fixtures exactly 10.0.2.1:80 and 10.0.2.1:443
+        recur (the benign client 10.0.1.1 talks to both in the session
+        AND the portscan capture) — golden-pinned in pytest.
+
+        Scale: each capture's flow rollup is one map-combinable hash
+        aggregate (payloads never shuffle); the lake is partitioned by
+        capture_id so per-capture reprocessing prunes to one partition
+        and months of rolling captures append without rewrites; the
+        recurrence scan is a second map-combinable aggregate over flow
+        rows (orders of magnitude smaller than packets) whose
+        countDistinct rides the same (dst_addr, dst_port) shuffle.
+        """
+        import tempfile
+
+        from wireduck_spark.sources.glossary import cache_dir
+        from wireduck_spark.sources.synth import (portscan_capture,
+                                                  session_capture)
+
+        captures = (
+            ("fix", FIXTURE),
+            ("sessions", session_capture(
+                os.path.join(cache_dir(), "synth", "session.pcap"))),
+            ("portscan", portscan_capture(
+                os.path.join(cache_dir(), "synth", "portscan.pcap"))),
+        )
+        lake = os.path.join(
+            tempfile.mkdtemp(prefix="wireduck_flow_lake_"), "flows")
+        for cap_id, path in captures:
+            t = read_pcap(spark, path, protocols=["ip", "tcp"],
+                          engine="native")
+            (
+                t.filter(F.col("`tcp.srcport`").isNotNull())
+                .groupBy(
+                    F.col("`ip.src`").alias("src_addr"),
+                    F.col("`ip.dst`").alias("dst_addr"),
+                    F.col("`tcp.srcport`").alias("src_port"),
+                    F.col("`tcp.dstport`").alias("dst_port"),
+                )
+                .agg(
+                    F.count("*").cast("bigint").alias("n_packets"),
+                    F.sum("`frame.len`").cast("bigint").alias("n_bytes"),
+                )
+                .withColumn("capture_id", F.lit(cap_id))
+                .write.mode("append").partitionBy("capture_id")
+                .parquet(lake)
+            )
+        flows = spark.read.parquet(lake)
+        return (
+            flows.groupBy("dst_addr", "dst_port")
+            .agg(
+                F.countDistinct("capture_id").cast("bigint")
+                .alias("n_captures"),
+                F.count("*").cast("bigint").alias("n_flows"),
+                F.sum("n_packets").cast("bigint").alias("pkts"),
+                F.sum("n_bytes").cast("bigint").alias("bytes"),
+            )
+            .filter(F.col("n_captures") >= 2)
+            .orderBy(F.col("n_captures").desc(), F.col("bytes").desc(),
+                     "dst_addr", "dst_port")
+        )
