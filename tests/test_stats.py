@@ -586,3 +586,85 @@ def test_page_hinkley_separates_from_cusum(rows):
     assert set(ph) == set(cu)
     assert any(ph[t][0] != cu[t] and ph[t][1] != cu[t] for t in ph), (
         "Page-Hinkley alarms identical to CUSUM everywhere — redundant")
+
+
+def test_ewma_chart_matches_python_replay(rows, spark, sf_dir):
+    """Replay the EWMA control chart in pure Python (truncating int
+    division, 7-day frozen warm-up center, z' = (3z+x) div 4, mu div 8
+    band) over the day-ordered per-type cents series and require exact
+    equality with the Spark fold — every field is int64 so there is no
+    tolerance."""
+    from pyspark.sql import functions as F
+
+    from wireduck_spark.registry import cents, table
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("c"))
+        .orderBy("event_type", "d").collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(r["c"])
+
+    def tdiv(a, b):  # truncate toward zero, matching Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    exp = {}
+    for et, xs in series.items():
+        n = warm = mu = z = mx = 0
+        alarm = -1
+        for x in xs:
+            if n < 6:
+                n, warm = n + 1, warm + x
+            elif n == 6:
+                n, warm = 7, warm + x
+                mu = z = tdiv(warm, 7)
+            else:
+                n += 1
+                z = tdiv(3 * z + x, 4)
+                exc = abs(z - mu)
+                mx = max(mx, exc)
+                if alarm < 0 and exc > tdiv(mu, 8):
+                    alarm = n
+        exp[et] = (n, mu, z, mx, alarm)
+
+    got = {
+        r["event_type"]: (r["n_days"], r["mu_cents"], r["ewma_cents"],
+                          r["max_excursion"], r["alarm_step"])
+        for r in rows("stats_ewma_control_chart")
+    }
+    assert got == exp
+
+
+def test_ewma_chart_separates_from_cusum_and_ph(rows):
+    """Degeneracy/redundancy guard for the drift TRIPLE: the smoothed
+    chart must tell a different story from BOTH cousins on the same
+    series — on this fixture it must also exercise its no-alarm arm
+    somewhere (the transient-tolerance property that justified it)."""
+    ew = {r["event_type"]: r["alarm_step"]
+          for r in rows("stats_ewma_control_chart")}
+    cu = {r["event_type"]: r["alarm_step"] for r in rows("stats_cusum_drift")}
+    ph = {r["event_type"]: r["alarm_up_step"]
+          for r in rows("stats_page_hinkley_drift")}
+    assert set(ew) == set(cu) == set(ph)
+    assert any(ew[t] != cu[t] for t in ew), "EWMA == CUSUM everywhere"
+    assert any(ew[t] != ph[t] for t in ew), "EWMA == PH everywhere"
+
+
+def test_ewma_chart_no_alarm_arm_at_gate_scale(spark):
+    """Transient-tolerance pin at the driver's gate scale (sf0.01): the
+    click series trips CUSUM on day 9 and Page-Hinkley on day 6, but
+    the alpha=1/4 smoothed chart never leaves the mu/8 band — the
+    no-alarm arm that justified adding a third drift monitor. (At
+    sf0.001 the tiny daily sums are noisy enough that every type
+    alarms, so this property is pinned at sf0.01 specifically.)"""
+    rows = {
+        r["event_type"]: r["alarm_step"]
+        for r in QUERIES["stats_ewma_control_chart"]
+        .fn(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows["click"] == -1
+    assert sorted(rows.values()) == [-1, 14, 14, 17, 18]

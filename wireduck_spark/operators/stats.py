@@ -2640,3 +2640,152 @@ def stats_page_hinkley_drift(spark: SparkSession, sf: str) -> DataFrame:
         F.col("st.aup").alias("alarm_up_step"),
         F.col("st.adn").alias("alarm_down_step"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart over the per-type daily revenue series
+# ---------------------------------------------------------------------------
+
+# The recurrence, written once per engine with the SAME integer tree
+# (rule 6: Spark `div` <-> DuckDB `//`, both truncate toward zero).
+# alpha = 1/4 via the exact update z' = (3z + x) div 4; the control
+# limit is the frozen warm-up center's mu div 8. State per type:
+# warm-up sum, frozen mu, smoothed z, max |excursion|, first alarm.
+_EW_SPARK_Z = "((3L * acc.z + x.cents) div 4L)"
+_EW_SPARK_EXC = f"abs({_EW_SPARK_Z} - acc.mu)"
+_EW_DUCK_Z = "((3 * c.z + d.cents) // 4)"
+_EW_DUCK_EXC = f"abs({_EW_DUCK_Z} - c.mu)"
+
+
+@query(
+    "stats_ewma_control_chart",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT event_type, cents,
+             CAST(row_number() OVER (
+                 PARTITION BY event_type ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ),
+    -- EWMA chart replayed one row per (type, step); recursive CTE not
+    -- list_reduce (DuckDB 1.0 struct-accumulator bug, rule 7). Seed is
+    -- the n=0 state; warm-up rows only accumulate, the 7th observation
+    -- freezes mu and seeds z, monitoring starts at the 8th.
+    seed AS (
+      SELECT DISTINCT event_type, CAST(0 AS BIGINT) AS i,
+             CAST(0 AS BIGINT) AS warm, CAST(0 AS BIGINT) AS mu,
+             CAST(0 AS BIGINT) AS z, CAST(0 AS BIGINT) AS mx,
+             CAST(-1 AS BIGINT) AS alarm
+      FROM idx
+    ),
+    ch AS (
+      SELECT * FROM seed
+      UNION ALL
+      SELECT d.event_type, d.i,
+        CASE WHEN c.i < 7 THEN c.warm + d.cents ELSE c.warm END,
+        CASE WHEN c.i < 6 THEN CAST(0 AS BIGINT)
+             WHEN c.i = 6 THEN (c.warm + d.cents) // 7
+             ELSE c.mu END,
+        CASE WHEN c.i < 6 THEN CAST(0 AS BIGINT)
+             WHEN c.i = 6 THEN (c.warm + d.cents) // 7
+             ELSE {_EW_DUCK_Z} END,
+        CASE WHEN c.i < 7 THEN CAST(0 AS BIGINT)
+             ELSE greatest(c.mx, {_EW_DUCK_EXC}) END,
+        CASE WHEN c.i < 7 THEN CAST(-1 AS BIGINT)
+             WHEN c.alarm >= 0 THEN c.alarm
+             WHEN {_EW_DUCK_EXC} > c.mu // 8 THEN d.i
+             ELSE CAST(-1 AS BIGINT) END
+      FROM ch c JOIN idx d
+        ON d.event_type = c.event_type AND d.i = c.i + 1
+    ),
+    final AS (
+      SELECT event_type, i, mu, z, mx, alarm,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY i DESC) AS rl
+      FROM ch
+    )
+    SELECT event_type, CAST(i AS BIGINT) AS n_days,
+           CAST(mu AS BIGINT) AS mu_cents,
+           CAST(z AS BIGINT) AS ewma_cents,
+           CAST(mx AS BIGINT) AS max_excursion,
+           CAST(alarm AS BIGINT) AS alarm_step
+    FROM final WHERE rl = 1 ORDER BY event_type
+    """,
+    tags=("stats", "timeseries", "drift"),
+)
+def stats_ewma_control_chart(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA control chart per event type: a 7-day warm-up freezes the
+    center line mu (CUSUM's calibration device), the smoothed statistic
+    z seeds at mu and updates z' = (3z + x) div 4 (alpha = 1/4, exact
+    in int64), and the chart alarms the first day |z - mu| exceeds
+    mu div 8. Third member of the drift family, probed NON-REDUNDANT
+    before building (pytest-pinned): on the sf0.01 fixture its alarm
+    vector is [-1, 18, 17, 14, 14] (alphabetical types) vs CUSUM's
+    [9, 9, 10, 14, 15] and Page-Hinkley's up-side [6, 10, 13, 16, 23] —
+    the exponential memory tolerates the click-series transient that
+    trips BOTH cousins (no alarm at all), while confirming the
+    sustained purchase/view shifts a week earlier than PH. The three
+    monitors answer different questions: CUSUM "did the level leave the
+    calibration window?", PH "was there a sustained run away from
+    everything seen so far?", EWMA "is the smoothed level currently
+    outside the band?".
+
+    Determinism: the entire recurrence is int64 cents with truncating
+    `div` (DuckDB `//`, rule 6) — alpha = 1/4 makes the EWMA update a
+    single exact integer expression, so the output is hash-exact by
+    construction (the same power-of-two-weights device as window_ewma).
+    The fold runs ONCE per type via the aggregate() HOF over the
+    day-ordered point list; the oracle replays it as a recursive CTE
+    seeded with the n=0 state (rule 7).
+
+    Scale: one map-combinable (type, day) aggregate, then a per-type
+    fold whose state is 5 ints; series length is calendar-bounded, and
+    the per-type lists never co-shuffle with raw events.
+    """
+    e = table(spark, sf, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "cents"))).alias("pts"),
+    )
+    folded = series.withColumn(
+        "st",
+        F.expr(f"""
+            aggregate(
+              pts,
+              named_struct('n', 0L, 'warm', 0L, 'mu', 0L, 'z', 0L,
+                           'mx', 0L, 'alarm', -1L),
+              (acc, x) -> CASE
+                WHEN acc.n < 6L THEN named_struct(
+                  'n', acc.n + 1L, 'warm', acc.warm + x.cents,
+                  'mu', 0L, 'z', 0L, 'mx', 0L, 'alarm', -1L)
+                WHEN acc.n = 6L THEN named_struct(
+                  'n', 7L, 'warm', acc.warm + x.cents,
+                  'mu', (acc.warm + x.cents) div 7L,
+                  'z', (acc.warm + x.cents) div 7L,
+                  'mx', 0L, 'alarm', -1L)
+                ELSE named_struct(
+                  'n', acc.n + 1L, 'warm', acc.warm, 'mu', acc.mu,
+                  'z', {_EW_SPARK_Z},
+                  'mx', greatest(acc.mx, {_EW_SPARK_EXC}),
+                  'alarm', CASE WHEN acc.alarm >= 0L THEN acc.alarm
+                           WHEN {_EW_SPARK_EXC} > acc.mu div 8L
+                           THEN acc.n + 1L ELSE -1L END)
+              END)
+        """),
+    )
+    return folded.select(
+        "event_type",
+        F.col("st.n").alias("n_days"),
+        F.col("st.mu").alias("mu_cents"),
+        F.col("st.z").alias("ewma_cents"),
+        F.col("st.mx").alias("max_excursion"),
+        F.col("st.alarm").alias("alarm_step"),
+    ).orderBy("event_type")

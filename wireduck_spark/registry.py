@@ -153,6 +153,7 @@ GATE: tuple[str, ...] = (
     "stats_page_hinkley_drift",
     "pcap_flow_import_talkers",
     "pcap_flow_lake_recurring_dst",
+    "stats_ewma_control_chart",
     # -- changed implementation this round (ADVICE r10: overflow-free
     #    VMR tree; per-invocation flow-export temp dir):
     "text_burstiness_vmr",
@@ -175,8 +176,8 @@ GATE: tuple[str, ...] = (
     "market_basket_pairs",
     "subquery_scalar",
     # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
-    #    their last driver rows are CORRECTNESS_r01/_r02 — 40 of 44,
-    #    the remaining 4 queue for round 12):
+    #    their last driver rows are CORRECTNESS_r01/_r02 — 39 of 44,
+    #    the remaining 5 queue for round 12):
     "agg_approx_distinct",
     "agg_basic_stats",
     "agg_distinct",
@@ -206,7 +207,6 @@ GATE: tuple[str, ...] = (
     "join_inner",
     "join_left_outer",
     "join_range_interval",
-    "join_right_outer",
     "join_semi",
     "join_star_q9_profit",
     "join_theta_nonequi",
@@ -219,10 +219,13 @@ GATE: tuple[str, ...] = (
 ROTATED_OUT: tuple[str, ...] = (
     # green hash-match rows in CORRECTNESS_r01.json ... _r10.json; still
     # verified by tools/check_oracle.py + pytest every run.
-    # -- displaced by the pcap_flow_lake_recurring_dst debut (its cube /
-    #    rollup / grouping-sets family keeps two fresher gate rows via
-    #    agg_rollup + agg_grouping_sets); queues for round 12:
+    # -- displaced by the pcap_flow_lake_recurring_dst and
+    #    stats_ewma_control_chart debuts (agg_cube's family keeps two
+    #    fresher gate rows via agg_rollup + agg_grouping_sets;
+    #    join_right_outer shares join_left_outer's still-gated code
+    #    path); both queue for round 12:
     "agg_cube",
+    "join_right_outer",
     # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
     #    (text_burstiness_vmr / pcap_flow_export_sink changed again in
     #    r11 and keep their GATE slots):
