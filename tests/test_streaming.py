@@ -2193,3 +2193,84 @@ def test_ph_tracker_negative_series_tdiv():
     assert _tdiv(-100, 100) == -1
     assert _tdiv(-99, 100) == 0        # Python -99 // 100 == -1
     assert _tdiv(0, 4) == 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA control-chart tracker
+# ---------------------------------------------------------------------------
+
+
+def _run_ewma_chart_stream(spark, sf_dir, tmp_path, qname):
+    """Stream the CLOSED daily totals as 3 day-range micro-batches
+    (days complete within a batch, batches in day order — the tracker's
+    documented contract); return the latest emission per type."""
+    from wireduck_spark.streaming.stateful import ewma_chart_tracker
+
+    daily = _daily_cents(spark, sf_dir)
+    src_dir = tmp_path / f"{qname}_src"
+    src_dir.mkdir()
+    for i, (lo, hi) in enumerate((("2024-01-01", "2024-01-11"),
+                                  ("2024-01-11", "2024-01-21"),
+                                  ("2024-01-21", "2024-02-01"))):
+        (daily.filter((F.col("d") >= lo) & (F.col("d") < hi))
+         .coalesce(1).write.parquet(str(src_dir / f"chunk-{i}")))
+    stream_src = (
+        spark.readStream.schema(daily.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "chunk-*"))
+    )
+    q = (
+        ewma_chart_tracker(stream_src)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {qname}").collect():
+        prev = got.get(r["event_type"])
+        if prev is None or r["n_days"] > prev[0]:
+            got[r["event_type"]] = (r["n_days"], r["mu_cents"],
+                                    r["ewma_cents"], r["max_excursion"],
+                                    r["alarm_step"])
+    return got
+
+
+def _ewma_chart_batch_expected(spark, sf_dir):
+    return {
+        r["event_type"]: (r["n_days"], r["mu_cents"], r["ewma_cents"],
+                          r["max_excursion"], r["alarm_step"])
+        for r in QUERIES["stats_ewma_control_chart"].fn(spark,
+                                                        sf_dir).collect()
+    }
+
+
+def test_ewma_chart_tracker_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming EWMA-chart tracker's final per-type row (daily
+    totals arriving as 3 day-ordered micro-batches, batch boundaries
+    cutting both the warm-up and the monitoring phases) must be
+    bit-identical to the batch stats_ewma_control_chart query."""
+    got = _run_ewma_chart_stream(spark, sf_dir, tmp_path, "t_ewch")
+    assert got == _ewma_chart_batch_expected(spark, sf_dir)
+    assert any(v[4] >= 0 for v in got.values()), \
+        "fixture should alarm somewhere (degeneracy guard)"
+
+
+def test_ewma_chart_tracker_forced_chunks(spark, sf_dir, tmp_path):
+    """Same equivalence with maxRecordsPerBatch=3: a batch's days hit
+    the update function as many Arrow chunks; the concat-then-sort-once
+    discipline must keep the day walk identical."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "3")
+    try:
+        got = _run_ewma_chart_stream(spark, sf_dir, tmp_path,
+                                     "t_ewch_chunked")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == _ewma_chart_batch_expected(spark, sf_dir)

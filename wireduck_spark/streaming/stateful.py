@@ -2182,3 +2182,100 @@ def page_hinkley_tracker(daily: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA control-chart tracker (twin of stats_ewma_control_chart)
+# ---------------------------------------------------------------------------
+
+EWMA_CHART_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("warm", LongType()),
+        StructField("mu", LongType()),
+        StructField("z", LongType()),
+        StructField("mx", LongType()),
+        StructField("alarm", LongType()),
+    ]
+)
+
+EWMA_CHART_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("mu_cents", LongType()),
+        StructField("ewma_cents", LongType()),
+        StructField("max_excursion", LongType()),
+        StructField("alarm_step", LongType()),
+    ]
+)
+
+
+def _ewma_chart_update(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Replays stats_ewma_control_chart's integer recurrence across
+    micro-batches: 7-day warm-up freezes the center mu and seeds z,
+    then z' = (3z + x) div 4 with an alarm the first day |z - mu|
+    leaves the mu div 8 band. concat-then-sort-once per batch (the
+    beacon-tracker discipline) so Arrow chunking cannot reorder days;
+    cross-batch the tracker relies on per-key day-ordered delivery of
+    CLOSED daily totals (the contract documented on
+    ewma_chart_tracker)."""
+    (event_type,) = key
+    n, warm, mu, z, mx, alarm = (
+        state.get if state.exists else (0, 0, 0, 0, 0, -1))
+    chunks = [c for c in batches if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
+        for cents_v in pdf["cents"].astype("int64"):
+            x = int(cents_v)
+            if n < 6:
+                n, warm = n + 1, warm + x
+            elif n == 6:
+                n, warm = 7, warm + x
+                mu = z = _tdiv(warm, 7)
+            else:
+                n += 1
+                z = _tdiv(3 * z + x, 4)
+                exc = abs(z - mu)
+                mx = max(mx, exc)
+                if alarm < 0 and exc > _tdiv(mu, 8):
+                    alarm = n
+    state.update((n, warm, mu, z, mx, alarm))
+    yield pd.DataFrame(
+        [(event_type, n, mu, z, mx, alarm)],
+        columns=[f.name for f in EWMA_CHART_OUTPUT_SCHEMA.fields],
+    )
+
+
+def ewma_chart_tracker(daily: DataFrame) -> DataFrame:
+    """Streaming twin of stats_ewma_control_chart, completing the drift
+    family's batch/tracker symmetry (CUSUM and Page-Hinkley both have
+    always-on twins two sections up): per event type, the 6-int chart
+    state (warm-up sum, frozen center, smoothed z, max excursion, first
+    alarm step) carried across micro-batches — the band-exit alarm
+    fires the DAY the smoothed level leaves mu +/- mu div 8, not in
+    tomorrow's batch scan. Input contract: a stream of CLOSED daily
+    totals (event_type, d, cents) in per-key day order — the natural
+    downstream of a watermarked tumbling daily aggregate, matching the
+    batch query's (type, day) rollup exactly. (This is the CHART over
+    the per-type daily series; the per-user value smoother is
+    ewma_tracker near the top of this module.)
+
+    Bounded state: 6 int64 per event type regardless of stream length.
+    Exactness contract (pytest-pinned incl. forced Arrow chunking):
+    with day-ordered delivery, the final emitted row per type is
+    bit-identical to stats_ewma_control_chart's row. All divisions go
+    through _tdiv (truncate toward zero) to mirror Spark `div` /
+    DuckDB `//` exactly even on a negative series.
+    """
+    return daily.groupBy("event_type").applyInPandasWithState(
+        _ewma_chart_update,
+        outputStructType=EWMA_CHART_OUTPUT_SCHEMA,
+        stateStructType=EWMA_CHART_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
