@@ -758,3 +758,51 @@ def test_ratio_difference_vmr_differential(engines, pred):
     )
     s, d = _both(engines, sql)
     assert s == d, f"divergence for predicate: {pred}"
+
+
+_REC_SMOOTH_SQL = """
+WITH RECURSIVE src AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS x,
+         CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS i
+  FROM (SELECT o_orderkey FROM orders WHERE {pred}
+        ORDER BY o_orderkey LIMIT 30) t
+),
+rec AS (
+  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS z,
+         CAST(0 AS BIGINT) AS mx
+  UNION ALL
+  SELECT s.i,
+         ({a} * r.z + s.x) {IDIV} {a1},
+         greatest(r.mx,
+                  abs(({a} * r.z + s.x) {IDIV} {a1} - s.x))
+  FROM rec r JOIN src s ON s.i = r.i + 1
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(z AS BIGINT) AS z,
+       CAST(mx AS BIGINT) AS mx
+FROM rec
+"""
+
+
+@given(pred=_predicates(), a=st.sampled_from([1, 3, 7]))
+@settings(max_examples=30, deadline=None)
+def test_recursive_smoothing_differential(engines, pred, a):
+    """Property 27 (round-11): the exact-integer smoothing recurrence
+    family behind stats_ewma_control_chart — z' = (a*z + x) div (a+1),
+    alpha = 1/(a+1) — replayed via WITH RECURSIVE in BOTH engines
+    (Spark 4.x recursion operator vs DuckDB's), over the first 30
+    predicate-selected order keys, comparing the ENTIRE trajectory
+    (every step's z and running max |excursion|), not just the final
+    state. Pins two things at once: that the two recursion operators
+    walk identical step orders, and that Spark `div` / DuckDB `//`
+    truncate identically inside a recursive step — the combination the
+    oracle corpus exercises only at fixed alpha = 1/4."""
+    spark, con = engines
+    s_rows = sorted(
+        tuple(r) for r in spark.sql(
+            _REC_SMOOTH_SQL.format(pred=pred, a=a, a1=a + 1,
+                                   IDIV="div")).collect()
+    )
+    d_rows = sorted(map(tuple, con.execute(
+        _REC_SMOOTH_SQL.format(pred=pred, a=a, a1=a + 1,
+                               IDIV="//")).fetchall()))
+    assert s_rows == d_rows, f"recursive smoothing divergence: {pred} a={a}"
