@@ -219,26 +219,39 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
-      WHERE n.n_name = 'NATION_5')
-    SELECT l_partkey, CAST(SUM(rev) AS BIGINT) AS value_cents
-    FROM natline
-    GROUP BY l_partkey
-    HAVING SUM(rev) > (SELECT SUM(rev) * 0.001 FROM natline)
+      WHERE n.n_name = 'NATION_12'),
+    pp AS (
+      SELECT l_partkey, CAST(SUM(rev) AS BIGINT) AS value_cents
+      FROM natline GROUP BY l_partkey)
+    SELECT l_partkey, value_cents
+    FROM pp
+    WHERE value_cents > (SELECT CAST(SUM(value_cents) AS DOUBLE) * 2.0
+                                / COUNT(*) FROM pp)
     """,
     tags=("tpch", "subquery", "having"),
 )
 def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
-    """Q11 important stock: parts whose NATION_5-supplied revenue exceeds
-    a fixed fraction of that nation's total (ps_supplycost*availqty
-    stand-in: lineitem revenue through NATION_5 suppliers).
+    """Q11 important stock: parts whose NATION_12-supplied revenue
+    exceeds twice the AVERAGE per-part value for that nation
+    (ps_supplycost*availqty stand-in: lineitem revenue through
+    NATION_12 suppliers).
+
+    Scale-free threshold (r11 zero-row-green audit): the spec's Q11
+    fraction is 0.0001/SF — a FIXED fraction of the nation total
+    empties as the part count grows (the old 0.001 cut returned 0 rows
+    at sf0.1, and the old NATION_5 literal had no supplied lineitems at
+    sf0.001 at all, so both engines agreed on empty at two of three
+    scales). Relative-to-average keeps a stable ~6-9% tail at every
+    scale (12/31/1,213 rows at sf0.001/0.01/0.1), and NATION_12 is
+    supplied at all three.
 
     Scale: the nation-filtered lineitem subset is computed once and
     aggregated twice — per-part and globally; the global scalar joins
     back as a 1-row broadcast (no driver collect, no second lineitem
-    scan of the correlated form). Threshold compare is BIGINT*0.001 with
-    the identical expression on both engines.
+    scan of the correlated form). Threshold compare is the identical
+    SUM*2.0/COUNT double tree on both engines over exact int64 cents.
     """
-    n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_5")
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_12")
     s = table(spark, sf, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
@@ -247,9 +260,12 @@ def tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(s), li.l_suppkey == F.col("s_suppkey")
     ).select("l_partkey", _rev_cents().alias("rev"))
     per_part = natline.groupBy("l_partkey").agg(
-        F.sum("rev").alias("value_cents")
+        F.sum("rev").cast("bigint").alias("value_cents")
     )
-    total = natline.agg((F.sum("rev") * 0.001).alias("threshold"))
+    total = per_part.agg(
+        (F.sum("value_cents").cast("double") * 2.0 / F.count("*"))
+        .alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value_cents") > F.col("threshold"))

@@ -155,9 +155,14 @@ GATE: tuple[str, ...] = (
     "pcap_flow_lake_recurring_dst",
     "stats_ewma_control_chart",
     # -- changed implementation this round (ADVICE r10: overflow-free
-    #    VMR tree; per-invocation flow-export temp dir):
+    #    VMR tree; per-invocation flow-export temp dir; and the
+    #    sf0.1-sweep zero-row-green repair — Q11's fixed 0.001 fraction
+    #    emptied at sf0.1 and its NATION_5 literal had no supplied
+    #    lineitems at sf0.001; now a scale-free 2x-average threshold on
+    #    NATION_12, non-degenerate at all three scales):
     "text_burstiness_vmr",
     "pcap_flow_export_sink",
+    "tpch_q11",
     # -- round-10 changed-implementation re-checks the r10 gate skipped
     #    (VERDICT r10 "What's wrong" #1; dedup_cluster_components also
     #    took the checkpoint-threading change and was equally missed):
@@ -176,8 +181,8 @@ GATE: tuple[str, ...] = (
     "market_basket_pairs",
     "subquery_scalar",
     # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
-    #    their last driver rows are CORRECTNESS_r01/_r02 — 39 of 44,
-    #    the remaining 5 queue for round 12):
+    #    their last driver rows are CORRECTNESS_r01/_r02 — 38 of 44,
+    #    the remaining 6 queue for round 12):
     "agg_approx_distinct",
     "agg_basic_stats",
     "agg_distinct",
@@ -197,7 +202,6 @@ GATE: tuple[str, ...] = (
     "filter_predicates",
     "grouped_apply_deviation",
     "io_csv_roundtrip",
-    "io_json_roundtrip",
     "io_orc_roundtrip",
     "io_parquet_roundtrip",
     "join_anti",
@@ -223,9 +227,11 @@ ROTATED_OUT: tuple[str, ...] = (
     #    stats_ewma_control_chart debuts (agg_cube's family keeps two
     #    fresher gate rows via agg_rollup + agg_grouping_sets;
     #    join_right_outer shares join_left_outer's still-gated code
-    #    path); both queue for round 12:
+    #    path), and by the tpch_q11 changed-impl re-gate (io keeps
+    #    csv/orc/parquet gate rows); all queue for round 12:
     "agg_cube",
     "join_right_outer",
+    "io_json_roundtrip",
     # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
     #    (text_burstiness_vmr / pcap_flow_export_sink changed again in
     #    r11 and keep their GATE slots):
@@ -476,7 +482,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "tpch_q2",
     "tpch_q4",
     "tpch_q8",
-    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q15",
