@@ -58,6 +58,11 @@ BOUNDED_CONSTANT_WINDOWS = {
     "stats_schnabel_recapture",       # daily occasions (<= 366 rows/yr)
     "stats_granger_lagged_daily",     # daily series (<= 366 rows/yr)
     "stats_cramers_v_source_lang",    # r x k contingency cells (<= 100)
+    "market_basket_pairs",            # item-pair table (<= C(200,2) —
+    #                                   items hash into 200 buckets; the
+    #                                   r11 top-25 rewrite ranks this
+    #                                   vocabulary-bounded table, never
+    #                                   the corpus)
 }
 
 
