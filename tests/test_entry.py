@@ -60,6 +60,10 @@ def test_registry_shape():
         # cycled back into the gate for evidence freshness
         "pcap_flow_import_talkers",
         "pcap_dns_http_dissect", "pcap_flow_stats",
+        # round-11 second sitting: the multi-capture flow lake (pcap
+        # provenance; cross-capture recurrence goldens in
+        # test_pcap_analysis)
+        "pcap_flow_lake_recurring_dst",
     }
 
 
