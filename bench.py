@@ -218,12 +218,29 @@ def stdout_line(result: dict) -> str:
     return line
 
 
+# Queries whose SEMANTICS changed this round, making a baseline ratio
+# meaningless (the two timings measure different work, not a code
+# regression). Each entry documents why, and MUST be dropped as soon as
+# a baseline measured on the new semantics exists (i.e. next round).
+STEP_CHANGED = {
+    "join_semi_bloom_prefilter":
+        "r11 zero-row-green repair: the baseline timed an EXISTS whose "
+        "urgent-orders dim was EMPTY (its Q1-1994 window predates the "
+        "fixture's 1995-2001 order range — the bloom filtered against "
+        "nothing since r7); the non-degenerate Q1-1995 rewrite does "
+        "real probe work, so the old number is not a comparable "
+        "baseline",
+}
+
+
 def check_regressions(result: dict, baseline_path: str,
                       threshold: float = 1.5) -> int:
     """Diff per-query timings against a prior round's BENCH json; return 1
     if any shared query regressed by more than `threshold`x. Skips (with a
     note) when the baseline was measured under a different methodology —
-    cross-methodology ratios say nothing about the code."""
+    cross-methodology ratios say nothing about the code. Queries in
+    STEP_CHANGED are reported but never fail the guard: their semantics
+    changed this round, so the baseline measures different work."""
     with open(baseline_path) as fh:
         base = json.load(fh)
     # the driver's BENCH_r{N}.json wraps our JSON line under "parsed"
@@ -242,6 +259,11 @@ def check_regressions(result: dict, baseline_path: str,
     for name, t in result["queries"].items():
         b = base.get("queries", {}).get(name)
         if b and b > 0.05 and t > b * threshold:
+            if name in STEP_CHANGED:
+                print(f"# step-change (not a regression) {name}: "
+                      f"{b:.3f}s -> {t:.3f}s — {STEP_CHANGED[name]}",
+                      file=sys.stderr)
+                continue
             regressed.append((name, b, t))
     for name, b, t in regressed:
         print(f"# REGRESSION {name}: {b:.3f}s -> {t:.3f}s "
