@@ -806,3 +806,30 @@ def test_recursive_smoothing_differential(engines, pred, a):
         _REC_SMOOTH_SQL.format(pred=pred, a=a, a1=a + 1,
                                IDIV="//")).fetchall()))
     assert s_rows == d_rows, f"recursive smoothing divergence: {pred} a={a}"
+
+
+@given(pred=_predicates(), m=st.integers(min_value=2, max_value=9),
+       k=st.integers(min_value=0, max_value=2000))
+@settings(max_examples=40, deadline=None)
+def test_greatest_least_null_skip_differential(engines, pred, m, k):
+    """Property 28 (round-11): greatest/least NULL-skip semantics —
+    both engines return the extreme of the NON-NULL operands (NULL only
+    if all are) — combined with abs(), the exact operand kit the drift
+    folds and recursive oracles lean on (EWMA chart's
+    greatest(mx, abs(z-mu)), PH's least(mnm, mup)). Probed identical
+    before pinning (greatest(1,NULL)=1 in both). Shared SQL text; the
+    CASE injects NULLs into one operand on a fuzzed modulus so every
+    group exercises both the skip path and the all-present path."""
+    sql = (
+        "SELECT o_orderstatus, "
+        "CAST(SUM(greatest(CASE WHEN o_orderkey % "
+        f"{m} = 0 THEN NULL ELSE o_orderkey END, "
+        f"o_custkey, abs(o_custkey - {k}))) AS BIGINT) AS g, "
+        "CAST(SUM(least(CASE WHEN o_orderkey % "
+        f"{m} = 0 THEN NULL ELSE o_orderkey END, "
+        f"o_custkey, abs(o_custkey - {k}))) AS BIGINT) AS l, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM orders WHERE {pred} GROUP BY o_orderstatus"
+    )
+    s, d = _both(engines, sql)
+    assert s == d, f"greatest/least divergence: {pred} m={m} k={k}"
