@@ -226,3 +226,31 @@ def test_changed_impl_queries_are_gated():
     assert not ungated, (
         f"changed/new queries missing from GATE: {ungated} — every "
         "changed implementation needs a driver re-check this round")
+
+
+def test_bench_step_changes_are_real_changes():
+    """The bench guard's STEP_CHANGED exemption (r11) is only
+    legitimate for a query whose implementation actually changed since
+    the previous round's digest snapshot — otherwise the exemption
+    could silently absorb a REAL performance regression. Each exempted
+    name must (a) be a registered bench-relevant query and (b) appear
+    in the changed/new set, and the dict must stay small (entries are
+    dropped the round after a baseline measured on the new semantics
+    exists)."""
+    import bench
+    from tools.query_digests import (
+        changed_or_new, compute_digests, load_snapshot,
+    )
+
+    if not bench.STEP_CHANGED:
+        return
+    changed = set(changed_or_new(compute_digests(), load_snapshot()))
+    for name in bench.STEP_CHANGED:
+        assert name in QUERIES, f"STEP_CHANGED names unknown query {name}"
+        assert name in changed, (
+            f"STEP_CHANGED exempts {name}, but its implementation did "
+            "NOT change this round — drop the entry; the guard must see "
+            "real regressions")
+    assert len(bench.STEP_CHANGED) <= 3, (
+        "STEP_CHANGED growing — it is a per-round escape hatch for "
+        "semantic rewrites, not a standing exemption list")
