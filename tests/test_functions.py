@@ -761,3 +761,54 @@ def test_burstiness_vmr_matches_bruteforce(spark, sf_dir):
     # every reported term: VMR positive, df <= n
     for t, row in out.items():
         assert row["vmr"] > 0 and 0 < row["df"] <= n
+
+
+def test_bpe_train_merges_matches_python_replay(spark, sf_dir):
+    """Replay the full BPE trainer in pure Python (the reference
+    Sennrich merge loop over the distinct-word frequency table:
+    left-to-right simultaneous merge, argmax with (count DESC, p1 ASC,
+    p2 ASC) tiebreak) and require EXACT equality of the learned merge
+    table — symbols and counts — with the Spark plan's output."""
+    import re
+
+    from wireduck_spark.registry import QUERIES, table
+
+    d = table(spark, sf_dir, "documents")
+    words = {}
+    for r in d.select("text").collect():
+        for w in re.split(r"[^a-z]+", r["text"].lower()):
+            if len(w) >= 2:
+                words[w] = words.get(w, 0) + 1
+
+    segs = {w: list(w) for w in words}
+    expected = []
+    for step in range(1, 11):
+        counts = {}
+        for w, syms in segs.items():
+            c = words[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        (p1, p2), c = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expected.append((step, p1, p2, c))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in QUERIES["text_bpe_train_merges"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # the hierarchy property that makes this a TRAINER, not a pair
+    # count: some later merge must consume an earlier merge's output
+    merged = {p1 + p2 for _, p1, p2, _ in got}
+    assert any(p1 in merged or p2 in merged for _, p1, p2, _ in got), \
+        "no hierarchical merge in 10 steps — fixture degenerate?"

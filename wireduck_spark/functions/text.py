@@ -1816,3 +1816,194 @@ def text_burstiness_vmr(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("s").cast("double") / F.col("df"), 4)
         .alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (iterative merges) — the full trainer, not just
+# one round's pair statistic (that is text_bpe_pair_counts above).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 10
+
+# The re-segmentation fold, written once per engine with the SAME
+# left-to-right BPE convention: walk the symbol list, and whenever the
+# accumulator's LAST token equals p1 and the next symbol is p2, replace
+# them with the merged token. The '#' seed gives the first real token a
+# leading space so the boundary check `right(acc, len(p1)+1) = ' '||p1`
+# is exact for every position (a merged token can never re-match p1 in
+# the same pass because it is strictly longer). Spark aggregate() seeds
+# directly; DuckDB list_reduce is seedless, so the oracle prepends '#'.
+_BPE_FOLD_SPARK = """
+substr(aggregate(split(seg, ' '), '#',
+  (acc, x) -> CASE WHEN right(acc, length(p1) + 1) = concat(' ', p1)
+                    AND x = p2
+              THEN concat(left(acc, length(acc) - length(p1) - 1),
+                          ' ', p1, p2)
+              ELSE concat(acc, ' ', x) END), 3)
+"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Generate the UNROLLED n-stage DuckDB twin: each stage computes
+    the max-count pair (ties broken (p1, p2) ascending via min over the
+    space-joined pair string — space sorts below every [a-z] symbol, so
+    string order equals tuple order), then re-segments via the same
+    fold. Unrolled WITH chain rather than recursion: each stage needs a
+    global argmax aggregate, which a recursive CTE cannot express."""
+    parts = [r"""
+WITH vocab AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(w)
+  WHERE length(w) >= 2 GROUP BY w
+),
+seg0 AS MATERIALIZED (
+  SELECT cnt, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg
+  FROM vocab
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+pairs{i} AS MATERIALIZED (
+  SELECT u.p[1] AS p1, u.p[2] AS p2, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, string_split(seg, ' ') AS l FROM seg{i - 1}) s,
+       unnest(list_zip(l[1:length(l) - 1], l[2:length(l)])) AS u(p)
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT split_part(dec, ' ', 1) AS p1, split_part(dec, ' ', 2) AS p2,
+         CAST(left(mx, 19) AS BIGINT) AS c
+  FROM (SELECT mx,
+          translate(left(substr(mx, 21), length(substr(mx, 21)) - 1),
+                    'zyxwvutsrqponmlkjihgfedcba{{',
+                    'abcdefghijklmnopqrstuvwxyz ') AS dec
+        FROM (SELECT max(lpad(CAST(c AS VARCHAR), 19, '0') || '|' ||
+                translate(p1 || ' ' || p2,
+                          'abcdefghijklmnopqrstuvwxyz ',
+                          'zyxwvutsrqponmlkjihgfedcba{{') || '~') AS mx
+              FROM pairs{i}))
+),
+seg{i} AS MATERIALIZED (
+  SELECT s.cnt,
+         substr(list_reduce(list_prepend('#', string_split(s.seg, ' ')),
+           (acc, x) -> CASE WHEN right(acc, length(b.p1) + 1) = ' ' || b.p1
+                             AND x = b.p2
+                       THEN left(acc, length(acc) - length(b.p1) - 1)
+                            || ' ' || b.p1 || b.p2
+                       ELSE acc || ' ' || x END), 3) AS seg
+  FROM seg{i - 1} s, best{i} b
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, p1 AS left_sym, p2 AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, n_merges + 1))
+    parts.append(f"\nSELECT * FROM (\n{unions}\n) ORDER BY step")
+    return "".join(parts)
+
+
+@query(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    tags=("text", "tokenization"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): the first 10
+    merge rounds learned from the corpus — each round counts adjacent
+    symbol pairs over the current segmentation, picks the most frequent
+    (ties broken (left, right) ascending, rule 5's unique-tiebreak
+    discipline applied to the argmax), merges every left-to-right
+    occurrence, and repeats. Returns the merge TABLE (step, left_sym,
+    right_sym, pair_count) — the artifact a tokenizer ships. On this
+    corpus the hierarchy appears by step 6 ('m'+'er' after 'e'+'r') and
+    steps 9/10 exercise the tiebreak (equal counts 'a r' vs 'p ar').
+
+    Spark-first shape: the whole 10-round trainer is ONE lazy plan —
+    the per-round argmax is an empty-grouping scalar aggregate
+    (max count, then min over the space-joined pair string, which
+    orders identically to the (p1, p2) tuple because space sorts below
+    every [a-z] symbol) broadcast into the next round's re-segmentation
+    fold; no driver-side collect anywhere. The fold is a JVM
+    aggregate() HOF with a '#' seed; the oracle replays it with
+    DuckDB's seedless list_reduce + list_prepend (rule 7 applies to
+    STRUCT accumulators; this accumulator is a plain VARCHAR, probed
+    safe).
+
+    Scale: the trick every real BPE trainer uses — ALL rounds run on
+    the DISTINCT-word frequency table (Heaps' law: ~1e6-1e7 rows from
+    100 TB of text), never the corpus; the corpus is touched exactly
+    once by the word-count rollup. Each round is then two
+    vocabulary-sized passes (pair explode + hash agg, fold projection)
+    with scalar broadcasts between rounds; re-computation across the
+    unrolled chain is O(rounds^2) vocabulary passes, still corpus-free.
+    """
+    d = table(spark, sf, "documents", spread=True)
+    vocab = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
+                 .alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    # One corpus pass builds the vocab; every training round then runs
+    # on this vocabulary-sized table. localCheckpoint materializes it
+    # (and each round's re-segmentation below) so the 10-round chain
+    # stays 10 SMALL plans instead of one exponentially-nested lineage
+    # (each round references its predecessor three times: pair count,
+    # argmax join, fold) — the same lineage-truncation seam as the
+    # PageRank hops; at cluster scale the reliable-checkpoint variant
+    # threads exactly like dedup_cluster_components' checkpoint_dir.
+    seg = vocab.select(
+        "cnt",
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seg"),
+    ).localCheckpoint(eager=True)
+    merge_tables = []
+    for step in range(1, _BPE_MERGES + 1):
+        pairs = (
+            seg.select(
+                "cnt",
+                F.expr("""
+                  explode(arrays_zip(
+                    slice(split(seg, ' '), 1, size(split(seg, ' ')) - 1),
+                    slice(split(seg, ' '), 2, size(split(seg, ' ')) - 1)))
+                """).alias("p"),
+            )
+            .select(F.col("p.0").alias("p1"), F.col("p.1").alias("p2"),
+                    "cnt")
+            .groupBy("p1", "p2")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+        )
+        # Single-pass deterministic argmax: one scalar aggregate over an
+        # order-encoding key — zero-padded count (numeric order ==
+        # string order for non-negative int64) then the ORDER-INVERTED
+        # pair string (chars a-z reversed, the space separator mapped to
+        # '{' which sorts above 'z', a '~' terminator handling the
+        # prefix case), so max(key) == (count DESC, p1 ASC, p2 ASC).
+        # One reference to `pairs` keeps the no-checkpoint lineage at
+        # branching factor 2 (the PageRank-hop bound the plan audit can
+        # render); p1/p2/c are decoded back from the winning key.
+        enc = F.concat(
+            F.lpad(F.col("c").cast("string"), 19, "0"), F.lit("|"),
+            F.translate(F.concat_ws(" ", "p1", "p2"),
+                        "abcdefghijklmnopqrstuvwxyz ",
+                        "zyxwvutsrqponmlkjihgfedcba{"), F.lit("~"))
+        best = pairs.agg(F.max(enc).alias("mx")).select(
+            F.expr("translate(left(substr(mx, 21), length(substr(mx, 21)) - 1), 'zyxwvutsrqponmlkjihgfedcba{', 'abcdefghijklmnopqrstuvwxyz ')").alias("dec"),
+            F.expr("CAST(left(mx, 19) AS BIGINT)").alias("c"),
+        ).select(
+            F.expr("split_part(dec, ' ', 1)").alias("p1"),
+            F.expr("split_part(dec, ' ', 2)").alias("p2"),
+            "c",
+        )
+        merge_tables.append(
+            best.select(
+                F.lit(step).cast("bigint").alias("step"),
+                F.col("p1").alias("left_sym"),
+                F.col("p2").alias("right_sym"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        seg = seg.crossJoin(F.broadcast(best)).select(
+            "cnt", F.expr(_BPE_FOLD_SPARK).alias("seg"),
+        ).localCheckpoint(eager=True)
+    out = merge_tables[0]
+    for t in merge_tables[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("step")

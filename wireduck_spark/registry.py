@@ -154,6 +154,7 @@ GATE: tuple[str, ...] = (
     "pcap_flow_import_talkers",
     "pcap_flow_lake_recurring_dst",
     "stats_ewma_control_chart",
+    "text_bpe_train_merges",
     # -- changed implementation this round (ADVICE r10: overflow-free
     #    VMR tree; per-invocation flow-export temp dir; and the
     #    sf0.1-sweep zero-row-green repair — Q11's fixed 0.001 fraction
@@ -181,8 +182,8 @@ GATE: tuple[str, ...] = (
     "market_basket_pairs",
     "subquery_scalar",
     # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
-    #    their last driver rows are CORRECTNESS_r01/_r02 — 38 of 44,
-    #    the remaining 6 queue for round 12):
+    #    their last driver rows are CORRECTNESS_r01/_r02 — 37 of 44,
+    #    the remaining 7 queue for round 12):
     "agg_approx_distinct",
     "agg_basic_stats",
     "agg_distinct",
@@ -197,7 +198,6 @@ GATE: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "distinct_dedup_rows",
     "filter_predicates",
     "grouped_apply_deviation",
@@ -227,11 +227,14 @@ ROTATED_OUT: tuple[str, ...] = (
     #    stats_ewma_control_chart debuts (agg_cube's family keeps two
     #    fresher gate rows via agg_rollup + agg_grouping_sets;
     #    join_right_outer shares join_left_outer's still-gated code
-    #    path), and by the tpch_q11 changed-impl re-gate (io keeps
-    #    csv/orc/parquet gate rows); all queue for round 12:
+    #    path), by the tpch_q11 changed-impl re-gate (io keeps
+    #    csv/orc/parquet gate rows), and by the text_bpe_train_merges
+    #    debut (dedup keeps exact/ngram_jaccard/embedding_cosine gate
+    #    rows); all queue for round 12:
     "agg_cube",
     "join_right_outer",
     "io_json_roundtrip",
+    "dedup_simhash",
     # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
     #    (text_burstiness_vmr / pcap_flow_export_sink changed again in
     #    r11 and keep their GATE slots):
