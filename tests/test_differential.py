@@ -833,3 +833,75 @@ def test_greatest_least_null_skip_differential(engines, pred, m, k):
     )
     s, d = _both(engines, sql)
     assert s == d, f"greatest/least divergence: {pred} m={m} k={k}"
+
+
+_ENC_KEY = (
+    "lpad(CAST(cnt AS STRING), 19, '0') || '|' || "
+    "translate(s1 || ' ' || s2, 'abcdefghijklmnopqrstuvwxyz ', "
+    "'zyxwvutsrqponmlkjihgfedcba{') || '~'"
+)
+
+_ENC_SQL = f"""
+WITH g AS (
+  SELECT replace(lower(substr(o_orderpriority, 3,
+                              1 + (o_orderkey % @W1@))), ' ', '') AS s1,
+         replace(lower(substr(o_orderpriority, 3,
+                              1 + (o_custkey % @W2@))), ' ', '') AS s2,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE @PRED@ GROUP BY 1, 2
+)
+SELECT max({_ENC_KEY}) AS mx FROM g
+"""
+
+_DIRECT_SQL = """
+WITH g AS (
+  SELECT replace(lower(substr(o_orderpriority, 3,
+                              1 + (o_orderkey % {w1}))), ' ', '') AS s1,
+         replace(lower(substr(o_orderpriority, 3,
+                              1 + (o_custkey % {w2}))), ' ', '') AS s2,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE {pred} GROUP BY 1, 2
+),
+r AS (SELECT s1, s2, cnt,
+             row_number() OVER (ORDER BY cnt DESC, s1, s2) AS rk FROM g)
+SELECT s1, s2, cnt FROM r WHERE rk = 1
+"""
+
+
+@given(pred=_predicates(), w1=st.integers(min_value=1, max_value=6),
+       w2=st.integers(min_value=1, max_value=5))
+@settings(max_examples=30, deadline=None)
+def test_argmax_order_encoding_differential(engines, pred, w1, w2):
+    """Property 29 (round-11): the single-aggregate argmax device
+    text_bpe_train_merges leans on — max over `zero-padded count ‖
+    order-INVERTED symbol string ('{'-mapped separator, '~'
+    terminator)` must pick exactly the (count DESC, s1 ASC, s2 ASC)
+    winner. Checked two ways at once: the encoded max DECODES to the
+    same row that a direct ORDER BY ... rk=1 window returns (within
+    each engine — the encoding is order-faithful, prefix cases
+    included), and both engines agree on both forms (shared SQL text;
+    substr widths fuzzed so s1 is sometimes a strict prefix of another
+    group's s1 — the case a naive char-inversion without the
+    terminator gets wrong)."""
+    spark, con = engines
+    for w in (None,):
+        enc = (_ENC_SQL.replace("@PRED@", pred)
+               .replace("@W1@", str(w1)).replace("@W2@", str(w2)))
+        direct = _DIRECT_SQL.format(pred=pred, w1=w1, w2=w2)
+        s_mx = spark.sql(enc).collect()[0]["mx"]
+        d_mx = con.execute(enc).fetchone()[0]
+        assert s_mx == d_mx, f"encoded max diverges: {pred} w=({w1},{w2})"
+        s_row = [tuple(r) for r in spark.sql(direct).collect()]
+        d_row = list(map(tuple, con.execute(direct).fetchall()))
+        assert s_row == d_row, f"direct argmax diverges: {pred}"
+        if s_mx is None:
+            assert s_row == []
+            continue
+        inv = s_mx[20:-1]
+        dec = inv.translate(str.maketrans(
+            "zyxwvutsrqponmlkjihgfedcba{",
+            "abcdefghijklmnopqrstuvwxyz "))
+        s1, _, s2 = dec.partition(" ")
+        assert (s1, s2, int(s_mx[:19])) == s_row[0], (
+            f"encoding is not order-faithful: decoded {(s1, s2)} vs "
+            f"direct {s_row[0]} for {pred}")
