@@ -812,3 +812,50 @@ def test_bpe_train_merges_matches_python_replay(spark, sf_dir):
     merged = {p1 + p2 for _, p1, p2, _ in got}
     assert any(p1 in merged or p2 in merged for _, p1, p2, _ in got), \
         "no hierarchical merge in 10 steps — fixture degenerate?"
+
+
+def test_bpe_segment_compression_matches_python_replay(spark, sf_dir):
+    """Replay the apply side: run the same Python Sennrich loop, then
+    compute the compression stats from the final segmentations and
+    require exact equality (ints exact; the ratio re-derived with the
+    same float division and 4-dp round)."""
+    import re
+
+    from wireduck_spark.registry import QUERIES, table
+
+    d = table(spark, sf_dir, "documents")
+    words = {}
+    for r in d.select("text").collect():
+        for w in re.split(r"[^a-z]+", r["text"].lower()):
+            if len(w) >= 2:
+                words[w] = words.get(w, 0) + 1
+    segs = {w: list(w) for w in words}
+    for step in range(10):
+        counts = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        (p1, p2), _ = min(counts.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+
+    chars_total = sum(words[w] * len(w) for w in words)
+    tokens_total = sum(words[w] * len(s) for w, s in segs.items())
+    [r] = QUERIES["text_bpe_segment_compression"].fn(
+        spark, sf_dir).collect()
+    assert r["n_distinct_words"] == len(words)
+    assert r["words_total"] == sum(words.values())
+    assert r["chars_total"] == chars_total
+    assert r["tokens_total"] == tokens_total
+    assert r["chars_per_token"] == round(chars_total / tokens_total, 4)
+    assert r["tokens_total"] < r["chars_total"], \
+        "10 merges bought no compression — fixture degenerate?"

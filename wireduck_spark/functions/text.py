@@ -1843,13 +1843,17 @@ substr(aggregate(split(seg, ' '), '#',
 """
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Generate the UNROLLED n-stage DuckDB twin: each stage computes
-    the max-count pair (ties broken (p1, p2) ascending via min over the
-    space-joined pair string — space sorts below every [a-z] symbol, so
-    string order equals tuple order), then re-segments via the same
-    fold. Unrolled WITH chain rather than recursion: each stage needs a
-    global argmax aggregate, which a recursive CTE cannot express."""
+def _bpe_stages(n_merges: int) -> str:
+    """Generate the UNROLLED n-stage WITH chain shared by the trainer
+    and compression oracles: each stage computes the max-count pair
+    (ties broken (p1, p2) ascending via a single scalar aggregate over
+    the order-encoding key — zero-padded count then the order-INVERTED
+    pair string, so max(key) == the (count DESC, p1 ASC, p2 ASC)
+    tuple), then re-segments via the same fold. Unrolled rather than
+    recursive: each stage needs a global argmax aggregate, which a
+    recursive CTE cannot express. Every CTE is MATERIALIZED — DuckDB
+    inlines plain CTEs, which re-expands the chain exponentially
+    (measured as fd exhaustion at 3^10 parquet opens)."""
     parts = [r"""
 WITH vocab AS MATERIALIZED (
   SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1891,12 +1895,30 @@ seg{i} AS MATERIALIZED (
                        ELSE acc || ' ' || x END), 3) AS seg
   FROM seg{i - 1} s, best{i} b
 )""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int) -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, p1 AS left_sym, p2 AS right_sym, "
         f"CAST(c AS BIGINT) AS pair_count FROM best{i}"
         for i in range(1, n_merges + 1))
-    parts.append(f"\nSELECT * FROM (\n{unions}\n) ORDER BY step")
-    return "".join(parts)
+    return (_bpe_stages(n_merges)
+            + f"\nSELECT * FROM (\n{unions}\n) ORDER BY step")
+
+
+def _bpe_compression_oracle(n_merges: int) -> str:
+    return _bpe_stages(n_merges) + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(cnt) AS BIGINT) AS words_total,
+       CAST(SUM(cnt * length(replace(seg, ' ', ''))) AS BIGINT)
+           AS chars_total,
+       CAST(SUM(cnt * (length(seg) - length(replace(seg, ' ', '')) + 1))
+           AS BIGINT) AS tokens_total,
+       ROUND(CAST(SUM(cnt * length(replace(seg, ' ', ''))) AS DOUBLE)
+             / CAST(SUM(cnt * (length(seg) - length(replace(seg, ' ', ''))
+                               + 1)) AS DOUBLE), 4) AS chars_per_token
+FROM seg{n_merges}"""
 
 
 @query(
@@ -1915,12 +1937,11 @@ def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     corpus the hierarchy appears by step 6 ('m'+'er' after 'e'+'r') and
     steps 9/10 exercise the tiebreak (equal counts 'a r' vs 'p ar').
 
-    Spark-first shape: the whole 10-round trainer is ONE lazy plan —
-    the per-round argmax is an empty-grouping scalar aggregate
-    (max count, then min over the space-joined pair string, which
-    orders identically to the (p1, p2) tuple because space sorts below
-    every [a-z] symbol) broadcast into the next round's re-segmentation
-    fold; no driver-side collect anywhere. The fold is a JVM
+    Spark-first shape: the per-round argmax is a SINGLE empty-grouping
+    scalar aggregate over an order-encoding key (zero-padded count,
+    then the order-inverted pair string — see the inline comment)
+    broadcast into the next round's re-segmentation fold; no
+    driver-side collect anywhere. The fold is a JVM
     aggregate() HOF with a '#' seed; the oracle replays it with
     DuckDB's seedless list_reduce + list_prepend (rule 7 applies to
     STRUCT accumulators; this accumulator is a plain VARCHAR, probed
@@ -1934,6 +1955,17 @@ def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     with scalar broadcasts between rounds; re-computation across the
     unrolled chain is O(rounds^2) vocabulary passes, still corpus-free.
     """
+    merge_tables, _ = _bpe_train(spark, sf)
+    out = merge_tables[0]
+    for t in merge_tables[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("step")
+
+
+def _bpe_train(spark, sf):
+    """Shared trainer core: returns (per-step 1-row merge DataFrames,
+    final segmentation DataFrame (cnt, seg)) after _BPE_MERGES rounds.
+    See text_bpe_train_merges for the algorithm and scale notes."""
     d = table(spark, sf, "documents", spread=True)
     vocab = (
         d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
@@ -2003,7 +2035,42 @@ def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
         seg = seg.crossJoin(F.broadcast(best)).select(
             "cnt", F.expr(_BPE_FOLD_SPARK).alias("seg"),
         ).localCheckpoint(eager=True)
-    out = merge_tables[0]
-    for t in merge_tables[1:]:
-        out = out.unionAll(t)
-    return out.orderBy("step")
+    return merge_tables, seg
+
+
+@query(
+    "text_bpe_segment_compression",
+    oracle=_bpe_compression_oracle(_BPE_MERGES),
+    tags=("text", "tokenization"),
+)
+def text_bpe_segment_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """The APPLY side of the BPE trainer: segment the vocabulary with
+    the 10 learned merges and report the compression the tokenizer
+    buys — chars per token (1.0 = no merging helped; higher = fewer,
+    longer tokens). This is the metric a pipeline tracks when choosing
+    a merge budget, and at 100 TB it is the tokenize-everything path:
+    the per-word segmentation computed here is exactly what the corpus
+    tokenizer broadcasts (word -> token list) before the token-count /
+    packing stages (text token counting and seq packing above consume
+    it).
+
+    Shares _bpe_train's plan (same vocab rollup, same per-round scalar
+    broadcasts), then ONE vocabulary-sized aggregate over the final
+    segmentation: token counts derive from the space count of the seg
+    string (spaces + 1), characters from the space-stripped length —
+    both exact int64; the one ratio uses the same IEEE division tree in
+    both engines (rule 2), rounded 4 dp.
+    """
+    _, seg = _bpe_train(spark, sf)
+    chars = F.length(F.regexp_replace("seg", " ", ""))
+    tokens = F.length(F.col("seg")) - chars + F.lit(1)
+    return seg.agg(
+        F.count("*").cast("bigint").alias("n_distinct_words"),
+        F.sum("cnt").cast("bigint").alias("words_total"),
+        F.sum(F.col("cnt") * chars).cast("bigint").alias("chars_total"),
+        F.sum(F.col("cnt") * tokens).cast("bigint").alias("tokens_total"),
+        F.round(
+            F.sum(F.col("cnt") * chars).cast("double")
+            / F.sum(F.col("cnt") * tokens).cast("double"), 4)
+        .alias("chars_per_token"),
+    )

@@ -155,6 +155,7 @@ GATE: tuple[str, ...] = (
     "pcap_flow_lake_recurring_dst",
     "stats_ewma_control_chart",
     "text_bpe_train_merges",
+    "text_bpe_segment_compression",
     # -- changed implementation this round (ADVICE r10: overflow-free
     #    VMR tree; per-invocation flow-export temp dir; and the
     #    sf0.1-sweep zero-row-green repair — Q11's fixed 0.001 fraction
@@ -182,8 +183,8 @@ GATE: tuple[str, ...] = (
     "market_basket_pairs",
     "subquery_scalar",
     # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
-    #    their last driver rows are CORRECTNESS_r01/_r02 — 37 of 44,
-    #    the remaining 7 queue for round 12):
+    #    their last driver rows are CORRECTNESS_r01/_r02 — 36 of 44,
+    #    the remaining 8 queue for round 12):
     "agg_approx_distinct",
     "agg_basic_stats",
     "agg_distinct",
@@ -207,7 +208,6 @@ GATE: tuple[str, ...] = (
     "join_anti",
     "join_cross",
     "join_full_outer",
-    "join_fuzzy_levenshtein",
     "join_inner",
     "join_left_outer",
     "join_range_interval",
@@ -235,6 +235,7 @@ ROTATED_OUT: tuple[str, ...] = (
     "join_right_outer",
     "io_json_roundtrip",
     "dedup_simhash",
+    "join_fuzzy_levenshtein",
     # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
     #    (text_burstiness_vmr / pcap_flow_export_sink changed again in
     #    r11 and keep their GATE slots):
