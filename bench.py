@@ -223,13 +223,9 @@ def stdout_line(result: dict) -> str:
 # regression). Each entry documents why, and MUST be dropped as soon as
 # a baseline measured on the new semantics exists (i.e. next round).
 STEP_CHANGED = {
-    "join_semi_bloom_prefilter":
-        "r11 zero-row-green repair: the baseline timed an EXISTS whose "
-        "urgent-orders dim was EMPTY (its Q1-1994 window predates the "
-        "fixture's 1995-2001 order range — the bloom filtered against "
-        "nothing since r7); the non-degenerate Q1-1995 rewrite does "
-        "real probe work, so the old number is not a comparable "
-        "baseline",
+    # (empty as of round 12: join_semi_bloom_prefilter's r11 exemption was
+    # dropped once BENCH_r11_judge.json recorded a baseline measured on the
+    # new non-degenerate semantics — the self-policing rule above.)
 }
 
 

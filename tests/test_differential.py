@@ -884,24 +884,23 @@ def test_argmax_order_encoding_differential(engines, pred, w1, w2):
     group's s1 — the case a naive char-inversion without the
     terminator gets wrong)."""
     spark, con = engines
-    for w in (None,):
-        enc = (_ENC_SQL.replace("@PRED@", pred)
-               .replace("@W1@", str(w1)).replace("@W2@", str(w2)))
-        direct = _DIRECT_SQL.format(pred=pred, w1=w1, w2=w2)
-        s_mx = spark.sql(enc).collect()[0]["mx"]
-        d_mx = con.execute(enc).fetchone()[0]
-        assert s_mx == d_mx, f"encoded max diverges: {pred} w=({w1},{w2})"
-        s_row = [tuple(r) for r in spark.sql(direct).collect()]
-        d_row = list(map(tuple, con.execute(direct).fetchall()))
-        assert s_row == d_row, f"direct argmax diverges: {pred}"
-        if s_mx is None:
-            assert s_row == []
-            continue
-        inv = s_mx[20:-1]
-        dec = inv.translate(str.maketrans(
-            "zyxwvutsrqponmlkjihgfedcba{",
-            "abcdefghijklmnopqrstuvwxyz "))
-        s1, _, s2 = dec.partition(" ")
-        assert (s1, s2, int(s_mx[:19])) == s_row[0], (
-            f"encoding is not order-faithful: decoded {(s1, s2)} vs "
-            f"direct {s_row[0]} for {pred}")
+    enc = (_ENC_SQL.replace("@PRED@", pred)
+           .replace("@W1@", str(w1)).replace("@W2@", str(w2)))
+    direct = _DIRECT_SQL.format(pred=pred, w1=w1, w2=w2)
+    s_mx = spark.sql(enc).collect()[0]["mx"]
+    d_mx = con.execute(enc).fetchone()[0]
+    assert s_mx == d_mx, f"encoded max diverges: {pred} w=({w1},{w2})"
+    s_row = [tuple(r) for r in spark.sql(direct).collect()]
+    d_row = list(map(tuple, con.execute(direct).fetchall()))
+    assert s_row == d_row, f"direct argmax diverges: {pred}"
+    if s_mx is None:
+        assert s_row == []
+        return
+    inv = s_mx[20:-1]
+    dec = inv.translate(str.maketrans(
+        "zyxwvutsrqponmlkjihgfedcba{",
+        "abcdefghijklmnopqrstuvwxyz "))
+    s1, _, s2 = dec.partition(" ")
+    assert (s1, s2, int(s_mx[:19])) == s_row[0], (
+        f"encoding is not order-faithful: decoded {(s1, s2)} vs "
+        f"direct {s_row[0]} for {pred}")

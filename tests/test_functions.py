@@ -113,6 +113,23 @@ def test_cluster_components_reliable_checkpoint(spark, sf_dir, tmp_path):
     assert any(ckdir.rglob("*")), "no reliable checkpoint files written"
 
 
+def test_bpe_train_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """VERDICT r11 #2: _bpe_train hard-coded localCheckpoint while its
+    docstring claimed the reliable variant threads like
+    dedup_cluster_components'. checkpoint_dir= now exists: a reliable
+    dir must yield the identical merge table AND write checkpoint files
+    (on a real cluster an executor lost mid-10-round-chain replays from
+    storage, not from deliberately-truncated lineage)."""
+    from wireduck_spark.functions.text import text_bpe_train_merges
+
+    ckdir = tmp_path / "bpe_ckpt"
+    base = text_bpe_train_merges(spark, sf_dir).collect()
+    rel = text_bpe_train_merges(
+        spark, sf_dir, checkpoint_dir=str(ckdir)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, rel))
+    assert any(ckdir.rglob("*")), "BPE chain wrote no reliable checkpoint"
+
+
 def test_minhash_lsh_threads_checkpoint_dir(spark, sf_dir, tmp_path):
     """ADVICE r9: dedup_cluster_components(checkpoint_dir=...) used to call
     dedup_minhash_lsh with an UNCONDITIONAL localCheckpoint inside, so an

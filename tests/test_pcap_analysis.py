@@ -10,6 +10,8 @@ their correctness contract.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from wireduck_spark.registry import load_all_queries
@@ -573,6 +575,34 @@ def test_flow_import_talkers_golden(spark, queries):
     assert r["pkts_out"] == 485 and r["pkts_in"] == 485
     assert r["bytes_out"] == r["bytes_in"] == r["bytes_total"] // 2
     assert r["bytes_total"] == 622836
+
+
+def test_scratch_dir_reaps_stale_siblings(tmp_path, monkeypatch):
+    """ADVICE r11: repeated pytest/driver/bench invocations accumulated one
+    wireduck_flow_lake_* dir per run in /tmp. _scratch_dir must reap
+    same-prefix dirs older than the age floor, keep YOUNG ones (a live
+    concurrent session's lake), and still return a fresh private dir."""
+    import tempfile
+
+    from wireduck_spark.sources.pcap_queries import _scratch_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path), raising=False)
+    stale = tmp_path / "wireduck_test_scratch_stale"
+    young = tmp_path / "wireduck_test_scratch_young"
+    other = tmp_path / "unrelated_prefix_dir"
+    for d in (stale, young, other):
+        d.mkdir()
+    old = 1_000_000_000  # 2001 — far past any age floor
+    os.utime(stale, (old, old))
+    os.utime(other, (old, old))
+
+    fresh = _scratch_dir("wireduck_test_scratch_")
+    assert os.path.isdir(fresh)
+    assert fresh.startswith(str(tmp_path))
+    assert not stale.exists(), "stale same-prefix dir was not reaped"
+    assert young.exists(), "young dir (possibly live) must survive"
+    assert other.exists(), "other-prefix dirs must never be touched"
 
 
 def test_flow_lake_recurring_dst_golden(spark, queries):

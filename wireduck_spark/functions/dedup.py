@@ -407,28 +407,46 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return _simhash16_spark(table(spark, sf, "documents", spread=True))
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH pairs AS (
-        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(range(1, len(a.embedding) + 1),
-                       i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                          * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
-                   (x, y) -> x + y)
-               / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                      list_transform(range(1, len(a.embedding) + 1),
-                          i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                             * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
-                      (x, y) -> x + y))
-                * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                      list_transform(range(1, len(b.embedding) + 1),
-                          i -> CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
-                             * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
-                      (x, y) -> x + y))) AS cos_sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+# -- dedup LSH dial: the same 32 deterministic hyperplanes as
+# functions/similarity.py, regrouped 4 tables x 8 bits (256 buckets/table)
+# instead of the ANN queries' 8x4. Dedup is a SELF-join, so per-bucket
+# occupancy enters the cost QUADRATICALLY — more bits (smaller buckets)
+# matter more than more tables (recall). n_bits is the scale dial:
+# grow it ~log2(n) as the corpus grows to keep candidate pairs linear.
+_DEDUP_LSH_TABLES = 4
+_DEDUP_LSH_BITS = 8
+
+
+def _dedup_cosine_oracle() -> str:
+    from wireduck_spark.functions.similarity import (
+        _table_bucket_duck, duck_cosine)
+
+    buckets = ", ".join(
+        f'{_table_bucket_duck("embedding", t, n_bits=_DEDUP_LSH_BITS)} AS b{t}'
+        for t in range(_DEDUP_LSH_TABLES)
+    )
+    per_table = "\n        UNION ALL\n".join(
+        f"""        SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bucketed a JOIN bucketed b
+          ON a.label = b.label AND a.b{t} = b.b{t} AND a.vec_id < b.vec_id"""
+        for t in range(_DEDUP_LSH_TABLES)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, {buckets}
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT label, vec_a, vec_b FROM (
+{per_table}
+        )
+    ),
+    pairs AS (
+        SELECT c.label, c.vec_a, c.vec_b,
+               {duck_cosine("ea.embedding", "eb.embedding")} AS cos_sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
     ),
     ranked AS (
         SELECT label, vec_a, vec_b, cos_sim,
@@ -439,84 +457,102 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT label, vec_a, vec_b, ROUND(cos_sim, 4) AS cos_sim
     FROM ranked WHERE rk <= 3
-    """,
+    """
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_dedup_cosine_oracle(),
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup audit: the 3 MOST cosine-similar pairs per
-    label bucket — the duplicate-candidate shortlist a curator reviews.
+    label bucket among LSH candidate pairs — the duplicate-candidate
+    shortlist a curator reviews.
 
-    Fixture degeneracy (found when the r11 rotation cycled this back
-    into the gate): the synthetic embeddings are near-orthogonal random
-    vectors — the max within-label cosine is ~0.45/0.47/0.51 at
-    sf0.001/0.01/0.1 — so the original "cosine >= 0.9" emitted 0 rows
-    at EVERY scale and its r1/r2 hash-green rows only certified that
-    both engines agree on empty. A fixed threshold can never be
-    non-degenerate on this fixture; the per-label top-k rewrite always
-    returns rows, exercises the same blocked pair space PLUS the
-    ranking, and is what the human review queue actually consumes.
+    Candidate generation (r12 rewrite — VERDICT r11 "What's wrong" #1):
+    the r11 version self-joined on label alone, an O(n^2/L) all-pairs
+    space over a FIXED label set whose K=8 probe measured 4.59x wall at
+    8x data. Candidates now route through the deterministic random-
+    hyperplane LSH machinery of functions/similarity.py (the same 32
+    md5-derived +-1 hyperplanes, regrouped 4 tables x 8 sign bits): a
+    pair is a candidate only if it shares a (table, bucket) signature
+    slot, so the shuffle key is (label, table, bucket) and the pair
+    space is sum-of-squared-bucket-occupancy — bounded by the n_bits
+    dial (2^bits buckets/table must grow ~log2(n), exactly the
+    sim_ann_hyperplane_lsh scale note). The shuffle moves 4 signature
+    rows per vector, never pairs; exact cosine runs only on surviving
+    candidates.
 
-    The cosine is an identical left-fold in both engines (zip -> double
-    products -> sequential sum), so values match bit-for-bit before
-    rounding, and the rank orders by that exact double with a unique
-    (vec_a, vec_b) tiebreak (rule 5). Label blocking stands in for the
-    IVF/LSH bucketing that bounds the pair space at 100 TB
-    (functions/similarity.py); the window partitions by label — never
-    global.
+    Hash-exactness: bucket assignment is bit-identical across engines
+    (+-1.0 products are exact in IEEE754; fold order matches), and the
+    cosine is the same left-fold both sides (proven by the hash-exact
+    sim_ann_* family), so the candidate sets and the rank order (exact
+    double DESC with unique (vec_a, vec_b) tiebreak, rule 5) match
+    bit-for-bit before the final 4-decimal rounding. Per-label top-k
+    (not a fixed threshold) keeps the query non-degenerate on this
+    fixture, whose near-orthogonal random embeddings max out at cosine
+    ~0.51 — and LSH's collision bias toward high-cosine pairs means the
+    shortlist still surfaces the closest pairs (recall measured in
+    tests/test_dedup.py).
     """
-    emb = table(spark, sf, "embeddings", spread=True)
-    a = emb.alias("a")
-    b = emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    from wireduck_spark.functions.similarity import (
+        _spark_table_buckets, cosine)
+
+    emb = (
+        table(spark, sf, "embeddings", spread=True)
+        .withColumn(
+            "buckets",
+            F.expr(_spark_table_buckets(
+                "embedding",
+                n_tables=_DEDUP_LSH_TABLES,
+                n_bits=_DEDUP_LSH_BITS,
+            )),
+        )
+        .persist()
     )
-    norm_a = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"),
-            F.col("a.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    a = emb.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
     )
-    norm_b = F.aggregate(
-        F.zip_with(
-            F.col("b.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.posexplode("buckets").alias("tbl_b", "bucket_b"),
     )
-    cos = dot / (F.sqrt(norm_a) * F.sqrt(norm_b))
-    return (
+    sims = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("label") == F.col("label_b"))
+            & (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
         )
         .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
+            "label", "vec_a", "vec_b",
+            cosine(F.col("e_a"), F.col("e_b")).alias("cos_sim"),
         )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("label")
-                .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")),
-        )
-        .filter(F.col("rk") <= 3)
-        .select("label", "vec_a", "vec_b",
-                F.round("cos_sim", 4).alias("cos_sim"))
+        .distinct()  # collapses multi-table collisions of the same pair
     )
+    try:
+        out = (
+            sims.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("label")
+                    .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")),
+            )
+            .filter(F.col("rk") <= 3)
+            .select("label", "vec_a", "vec_b",
+                    F.round("cos_sim", 4).alias("cos_sim"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        emb.unpersist()
+    return out
 
 
 @query(

@@ -237,10 +237,14 @@ def _sign_bit_duck(col: str, h: int, weight: int) -> str:
     return f"(CASE WHEN {dot} >= 0.0 THEN {weight} ELSE 0 END)"
 
 
-def _table_bucket_duck(col: str, t: int) -> str:
+def _table_bucket_duck(col: str, t: int, n_bits: int = N_LSH_BITS) -> str:
+    """DuckDB twin of one table's bucket id. ``n_bits`` regroups the same
+    32 hyperplanes under a different (tables, bits) dial — e.g. the dedup
+    candidate generator in functions/dedup.py uses 4x8 (256 buckets/table)
+    where the ANN queries here use 8x4."""
     bits = [
-        _sign_bit_duck(col, t * N_LSH_BITS + b, 1 << b)
-        for b in range(N_LSH_BITS)
+        _sign_bit_duck(col, t * n_bits + b, 1 << b)
+        for b in range(n_bits)
     ]
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 

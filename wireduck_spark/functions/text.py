@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wireduck_spark.ckpt import checkpoint as _lineage_checkpoint
 from wireduck_spark.registry import query, table
 
 # Stopword alternations per language for the lang-ID heuristic.
@@ -1926,7 +1927,9 @@ FROM seg{n_merges}"""
     oracle=_bpe_oracle(_BPE_MERGES),
     tags=("text", "tokenization"),
 )
-def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+def text_bpe_train_merges(
+    spark: SparkSession, sf: str, checkpoint_dir: str | None = None,
+) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich et al. 2016): the first 10
     merge rounds learned from the corpus — each round counts adjacent
     symbol pairs over the current segmentation, picks the most frequent
@@ -1955,17 +1958,25 @@ def text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     with scalar broadcasts between rounds; re-computation across the
     unrolled chain is O(rounds^2) vocabulary passes, still corpus-free.
     """
-    merge_tables, _ = _bpe_train(spark, sf)
+    merge_tables, _ = _bpe_train(spark, sf, checkpoint_dir=checkpoint_dir)
     out = merge_tables[0]
     for t in merge_tables[1:]:
         out = out.unionAll(t)
     return out.orderBy("step")
 
 
-def _bpe_train(spark, sf):
+def _bpe_train(spark, sf, checkpoint_dir: str | None = None):
     """Shared trainer core: returns (per-step 1-row merge DataFrames,
     final segmentation DataFrame (cnt, seg)) after _BPE_MERGES rounds.
-    See text_bpe_train_merges for the algorithm and scale notes."""
+    See text_bpe_train_merges for the algorithm and scale notes.
+
+    ``checkpoint_dir=None`` truncates each round's lineage with
+    localCheckpoint (right for single-node runs); a path switches every
+    round to reliable checkpoints into fault-tolerant storage — on a
+    real cluster an executor loss mid-chain must not recompute from
+    lineage that was deliberately truncated. Same seam as
+    dedup_cluster_components(checkpoint_dir=) and the PageRank hops
+    (wireduck_spark/ckpt.py)."""
     d = table(spark, sf, "documents", spread=True)
     vocab = (
         d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+"))
@@ -1975,17 +1986,19 @@ def _bpe_train(spark, sf):
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     # One corpus pass builds the vocab; every training round then runs
-    # on this vocabulary-sized table. localCheckpoint materializes it
-    # (and each round's re-segmentation below) so the 10-round chain
+    # on this vocabulary-sized table. The eager checkpoint materializes
+    # it (and each round's re-segmentation below) so the 10-round chain
     # stays 10 SMALL plans instead of one exponentially-nested lineage
     # (each round references its predecessor three times: pair count,
     # argmax join, fold) — the same lineage-truncation seam as the
-    # PageRank hops; at cluster scale the reliable-checkpoint variant
-    # threads exactly like dedup_cluster_components' checkpoint_dir.
-    seg = vocab.select(
-        "cnt",
-        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seg"),
-    ).localCheckpoint(eager=True)
+    # PageRank hops; checkpoint_dir= selects the reliable variant.
+    seg = _lineage_checkpoint(
+        vocab.select(
+            "cnt",
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("seg"),
+        ),
+        checkpoint_dir,
+    )
     merge_tables = []
     for step in range(1, _BPE_MERGES + 1):
         pairs = (
@@ -2032,9 +2045,12 @@ def _bpe_train(spark, sf):
                 F.col("c").alias("pair_count"),
             )
         )
-        seg = seg.crossJoin(F.broadcast(best)).select(
-            "cnt", F.expr(_BPE_FOLD_SPARK).alias("seg"),
-        ).localCheckpoint(eager=True)
+        seg = _lineage_checkpoint(
+            seg.crossJoin(F.broadcast(best)).select(
+                "cnt", F.expr(_BPE_FOLD_SPARK).alias("seg"),
+            ),
+            checkpoint_dir,
+        )
     return merge_tables, seg
 
 
@@ -2043,7 +2059,9 @@ def _bpe_train(spark, sf):
     oracle=_bpe_compression_oracle(_BPE_MERGES),
     tags=("text", "tokenization"),
 )
-def text_bpe_segment_compression(spark: SparkSession, sf: str) -> DataFrame:
+def text_bpe_segment_compression(
+    spark: SparkSession, sf: str, checkpoint_dir: str | None = None,
+) -> DataFrame:
     """The APPLY side of the BPE trainer: segment the vocabulary with
     the 10 learned merges and report the compression the tokenizer
     buys — chars per token (1.0 = no merging helped; higher = fewer,
@@ -2061,7 +2079,7 @@ def text_bpe_segment_compression(spark: SparkSession, sf: str) -> DataFrame:
     both exact int64; the one ratio uses the same IEEE division tree in
     both engines (rule 2), rounded 4 dp.
     """
-    _, seg = _bpe_train(spark, sf)
+    _, seg = _bpe_train(spark, sf, checkpoint_dir=checkpoint_dir)
     chars = F.length(F.regexp_replace("seg", " ", ""))
     tokens = F.length(F.col("seg")) - chars + F.lit(1)
     return seg.agg(

@@ -2649,8 +2649,9 @@ def stats_page_hinkley_drift(spark: SparkSession, sf: str) -> DataFrame:
 # The recurrence, written once per engine with the SAME integer tree
 # (rule 6: Spark `div` <-> DuckDB `//`, both truncate toward zero).
 # alpha = 1/4 via the exact update z' = (3z + x) div 4; the control
-# limit is the frozen warm-up center's mu div 8. State per type:
-# warm-up sum, frozen mu, smoothed z, max |excursion|, first alarm.
+# limit is the frozen warm-up center's mu div 8. State per type, 6 ints:
+# day counter, warm-up sum, frozen mu, smoothed z, max |excursion|,
+# first alarm.
 _EW_SPARK_Z = "((3L * acc.z + x.cents) div 4L)"
 _EW_SPARK_EXC = f"abs({_EW_SPARK_Z} - acc.mu)"
 _EW_DUCK_Z = "((3 * c.z + d.cents) // 4)"
@@ -2744,7 +2745,7 @@ def stats_ewma_control_chart(spark: SparkSession, sf: str) -> DataFrame:
     seeded with the n=0 state (rule 7).
 
     Scale: one map-combinable (type, day) aggregate, then a per-type
-    fold whose state is 5 ints; series length is calendar-bounded, and
+    fold whose state is 6 ints; series length is calendar-bounded, and
     the per-type lists never co-shuffle with raw events.
     """
     e = table(spark, sf, "events")

@@ -23,6 +23,35 @@ def _have_fixture() -> bool:
     return os.path.exists(FIXTURE)
 
 
+def _scratch_dir(prefix: str, max_age_sec: int = 6 * 3600) -> str:
+    """Per-invocation private scratch dir (mkdtemp, 0700) with best-effort
+    reaping of PRIOR same-prefix dirs older than ``max_age_sec`` — repeated
+    pytest/driver/bench invocations otherwise accumulate one dir each in
+    /tmp (ADVICE r11). The age floor keeps a concurrent session's live
+    lake out of reach (no invocation runs for hours); reap errors (another
+    user's dir, a race with its owner) are ignored — cleanup is hygiene,
+    never correctness."""
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - max_age_sec
+    try:
+        for name in os.listdir(root):
+            if not name.startswith(prefix):
+                continue
+            stale = os.path.join(root, name)
+            try:
+                if os.path.getmtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 if _have_fixture():
 
     @query("pcap_scan_default", oracle=None, tags=("pcap", "scan"),
@@ -1412,8 +1441,6 @@ if _have_fixture():
         parquet write is one file per task with atomic rename publish,
         and the re-read scan prunes columns like any lake table.
         """
-        import tempfile
-
         t = read_pcap(spark, FIXTURE, protocols=["ip", "tcp"],
                       engine="native")
         flows = (
@@ -1435,10 +1462,11 @@ if _have_fixture():
         # Per-invocation unique directory (ADVICE r10): a fixed shared
         # /tmp name + overwrite let two concurrent sessions clobber each
         # other mid-read and was a symlink/pre-creation hazard on
-        # multi-user hosts. mkdtemp is created 0700 by us, and the lazy
-        # re-read below can never race another invocation.
+        # multi-user hosts. The dir is created 0700 by us, the lazy
+        # re-read below can never race another invocation, and stale
+        # prior dirs are reaped (ADVICE r11, _scratch_dir).
         out_dir = os.path.join(
-            tempfile.mkdtemp(prefix="wireduck_flow_export_"), "flows")
+            _scratch_dir("wireduck_flow_export_"), "flows")
         flows.write.mode("overwrite").parquet(out_dir)
         return spark.read.parquet(out_dir)
 
@@ -1518,8 +1546,6 @@ if _have_fixture():
         rows (orders of magnitude smaller than packets) whose
         countDistinct rides the same (dst_addr, dst_port) shuffle.
         """
-        import tempfile
-
         from wireduck_spark.sources.glossary import cache_dir
         from wireduck_spark.sources.synth import (portscan_capture,
                                                   session_capture)
@@ -1532,7 +1558,7 @@ if _have_fixture():
                 os.path.join(cache_dir(), "synth", "portscan.pcap"))),
         )
         lake = os.path.join(
-            tempfile.mkdtemp(prefix="wireduck_flow_lake_"), "flows")
+            _scratch_dir("wireduck_flow_lake_"), "flows")
         for cap_id, path in captures:
             t = read_pcap(spark, path, protocols=["ip", "tcp"],
                           engine="native")
