@@ -64,6 +64,9 @@ def test_registry_shape():
         # provenance; cross-capture recurrence goldens in
         # test_pcap_analysis)
         "pcap_flow_lake_recurring_dst",
+        # round-12: r1/r2 pcap query cycled back into the gate for
+        # evidence freshness (goldens in test_pcap_analysis)
+        "pcap_tls_sni",
     }
 
 

@@ -141,50 +141,95 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-11 rotation (VERDICT r10 #1): the 13 green r10 rows move to
-    # ROTATED_OUT; the gate re-fills ALL 50 slots = this round's debuts
-    # + EVERY query whose builder fn source or oracle text changed since
-    # the round-10 snapshot (mechanically enforced by
+    # Round-12 rotation (VERDICT r11 #2): all 50 r11 rows came back green
+    # (47 hash-exact + 3 clean rows-only), so the 44 that did not change
+    # again this round move to ROTATED_OUT; the gate re-fills ALL 50
+    # slots = EVERY query whose builder fn source or oracle text changed
+    # since the round-11 snapshot (mechanically enforced by
     # tests/test_entry.py::test_changed_impl_queries_are_gated against
-    # tools/query_digests_prev.json) + the OLDEST rotated greens for
-    # evidence freshness (the rounds-1-2 cohort — their driver rows are
-    # 9 rounds stale).
-    # -- round-11 debuts:
-    "stats_page_hinkley_drift",
-    "pcap_flow_import_talkers",
+    # tools/query_digests_prev.json) + the 8 names the r11 rotation
+    # queued + the remaining rounds-1-2 leftovers + the OLDEST rotated
+    # greens (round-3 cohort — their driver rows are 9 rounds stale).
+    # -- changed implementation this round (VERDICT r11 #1: the
+    #    embedding-cosine candidate join rewritten onto LSH buckets;
+    #    #2: checkpoint_dir threaded through the BPE trainer; ADVICE
+    #    r11: flow-lake scratch-dir reaping, EWMA state-size docstring):
+    "dedup_embedding_cosine",
+    "pcap_flow_export_sink",
     "pcap_flow_lake_recurring_dst",
     "stats_ewma_control_chart",
-    "text_bpe_train_merges",
     "text_bpe_segment_compression",
-    # -- changed implementation this round (ADVICE r10: overflow-free
-    #    VMR tree; per-invocation flow-export temp dir; and the
-    #    sf0.1-sweep zero-row-green repair — Q11's fixed 0.001 fraction
-    #    emptied at sf0.1 and its NATION_5 literal had no supplied
-    #    lineitems at sf0.001; now a scale-free 2x-average threshold on
-    #    NATION_12, non-degenerate at all three scales):
+    "text_bpe_train_merges",
+    # -- the 8 names the r11 rotation queued for round 12:
+    "pcap_tls_sni",
+    "pipeline_corpus_clean",
+    "pivot_segments",
+    "agg_cube",
+    "join_right_outer",
+    "io_json_roundtrip",
+    "dedup_simhash",
+    "join_fuzzy_levenshtein",
+    # -- rounds-1-2 leftovers (r11-cycled into GATE, then displaced by
+    #    the zero-row-green repairs; last driver rows r01/r02):
+    "mm_resize_stub",
+    "pcap_dns_http_dissect",
+    "pcap_flow_stats",
+    # -- oldest ROTATED_OUT greens cycled back in (round-3 cohort; their
+    #    last driver rows are CORRECTNESS_r03 — 33 of 45, the remaining
+    #    12 queue for round 13):
+    "proj_expressions",
+    "resample_gapfill",
+    "sampling_bernoulli",
+    "sampling_stable_split",
+    "scalar_array_funcs",
+    "scalar_cast_try",
+    "scalar_conditional",
+    "scalar_datetime_funcs",
+    "scalar_explode_unnest",
+    "scalar_json_funcs",
+    "scalar_map_struct",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "setop_intersect_except",
+    "setop_union_all",
+    "sim_ann_hyperplane_lsh",
+    "sim_ann_ivf_bucketed",
+    "sim_topk_bruteforce",
+    "sketch_hll_distinct",
+    "sketch_hll_union_rollup",
+    "sketch_quantiles",
+    "sort_limit_topk",
+    "subquery_exists_in",
+    "text_chunk_udtf",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q3",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json ... _r11.json; still
+    # verified by tools/check_oracle.py + pytest every run.
+    # -- round-11 GATE: 41 oracle greens + 3 clean rows-only rows>0 in
+    #    CORRECTNESS_r11.json (zero red; the 6 queries whose
+    #    implementation changed again in r12 keep their GATE slots):
+    "stats_page_hinkley_drift",
+    "pcap_flow_import_talkers",
     "text_burstiness_vmr",
-    "pcap_flow_export_sink",
     "tpch_q11",
-    # -- round-10 changed-implementation re-checks the r10 gate skipped
-    #    (VERDICT r10 "What's wrong" #1; dedup_cluster_components also
-    #    took the checkpoint-threading change and was equally missed):
     "stats_acf_daily_lags",
     "stats_anova_oneway",
     "stats_levene_brown_forsythe",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
-    # -- zero-row-green repairs (r11 audit: hash-green on 0 rows at the
-    #    gate scale — join window predating the fixture's date range, a
-    #    support floor no small scale reaches, a threshold at the
-    #    distribution max; all three rewritten non-degenerate and needing
-    #    fresh driver rows; they displaced the three weakest cohort
-    #    fills, which queue for round 12):
     "join_semi_bloom_prefilter",
     "market_basket_pairs",
     "subquery_scalar",
-    # -- oldest ROTATED_OUT greens cycled back in (rounds-1-2 cohort;
-    #    their last driver rows are CORRECTNESS_r01/_r02 — 36 of 44,
-    #    the remaining 8 queue for round 12):
     "agg_approx_distinct",
     "agg_basic_stats",
     "agg_distinct",
@@ -196,7 +241,6 @@ GATE: tuple[str, ...] = (
     "agg_string_array",
     "agg_variance_corr",
     "cte_reuse",
-    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "distinct_dedup_rows",
@@ -218,27 +262,7 @@ GATE: tuple[str, ...] = (
     "mm_binary_metadata",
     "mm_decode_features",
     "mm_frame_sample",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json ... _r10.json; still
-    # verified by tools/check_oracle.py + pytest every run.
-    # -- displaced by the pcap_flow_lake_recurring_dst and
-    #    stats_ewma_control_chart debuts (agg_cube's family keeps two
-    #    fresher gate rows via agg_rollup + agg_grouping_sets;
-    #    join_right_outer shares join_left_outer's still-gated code
-    #    path), by the tpch_q11 changed-impl re-gate (io keeps
-    #    csv/orc/parquet gate rows), and by the text_bpe_train_merges
-    #    debut (dedup keeps exact/ngram_jaccard/embedding_cosine gate
-    #    rows); all queue for round 12:
-    "agg_cube",
-    "join_right_outer",
-    "io_json_roundtrip",
-    "dedup_simhash",
-    "join_fuzzy_levenshtein",
     # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
-    #    (text_burstiness_vmr / pcap_flow_export_sink changed again in
-    #    r11 and keep their GATE slots):
     #    CORRECTNESS_r10.json (zero red):
     "pcap_ja3_fingerprint",
     "pcap_arp_spoof_detect",
@@ -496,40 +520,9 @@ ROTATED_OUT: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "window_topk_per_group",
-    # -- round-3 GATE, all green in CORRECTNESS_r03.json:
-    "proj_expressions",
-    "resample_gapfill",
-    "sampling_bernoulli",
-    "sampling_stable_split",
-    "scalar_array_funcs",
-    "scalar_cast_try",
-    "scalar_conditional",
-    "scalar_datetime_funcs",
-    "scalar_explode_unnest",
-    "scalar_json_funcs",
-    "scalar_map_struct",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "setop_intersect_except",
-    "setop_union_all",
-    "sim_ann_hyperplane_lsh",
-    "sim_ann_ivf_bucketed",
-    "sim_topk_bruteforce",
-    "sketch_hll_distinct",
-    "sketch_hll_union_rollup",
-    "sketch_quantiles",
-    "sort_limit_topk",
-    "subquery_exists_in",
-    "text_chunk_udtf",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q14",
-    "tpch_q18",
-    "tpch_q3",
+    # -- round-3 GATE, all green in CORRECTNESS_r03.json (33 of the 45
+    #    were r12-cycled back into GATE; these 12 are the front of the
+    #    round-13 freshness queue):
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
@@ -542,17 +535,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "window_percent_cume",
     "window_ranking",
     "join_asof",
-    # -- rounds 1-2:
-    # (mm_resize_stub / pcap_dns_http_dissect / pcap_flow_stats were
-    #  r11-cycled into GATE, then displaced by the three zero-row-green
-    #  repairs — front of the round-12 freshness queue with pcap_tls_sni,
-    #  pipeline_corpus_clean, pivot_segments:)
-    "mm_resize_stub",
-    "pcap_dns_http_dissect",
-    "pcap_flow_stats",
-    "pcap_tls_sni",
-    "pipeline_corpus_clean",
-    "pivot_segments",
 )
 
 
