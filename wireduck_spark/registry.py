@@ -174,9 +174,14 @@ GATE: tuple[str, ...] = (
     "mm_resize_stub",
     "pcap_dns_http_dissect",
     "pcap_flow_stats",
+    # -- round-12 debut (the VERDICT r11 #8 shortlist's streaming
+    #    SRM/assignment drift composition: the batch daily trajectory
+    #    here, the tracker-equivalence pytest in test_streaming; it
+    #    displaced tpch_q3, the last round-3 fill, to the r13 queue):
+    "event_ab_srm_drift_daily",
     # -- oldest ROTATED_OUT greens cycled back in (round-3 cohort; their
-    #    last driver rows are CORRECTNESS_r03 — 33 of 45, the remaining
-    #    12 queue for round 13):
+    #    last driver rows are CORRECTNESS_r03 — 32 of 45, the remaining
+    #    13 queue for round 13):
     "proj_expressions",
     "resample_gapfill",
     "sampling_bernoulli",
@@ -209,7 +214,6 @@ GATE: tuple[str, ...] = (
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",
-    "tpch_q3",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
@@ -520,9 +524,10 @@ ROTATED_OUT: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "window_topk_per_group",
-    # -- round-3 GATE, all green in CORRECTNESS_r03.json (33 of the 45
-    #    were r12-cycled back into GATE; these 12 are the front of the
+    # -- round-3 GATE, all green in CORRECTNESS_r03.json (32 of the 45
+    #    were r12-cycled back into GATE; these 13 are the front of the
     #    round-13 freshness queue):
+    "tpch_q3",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
