@@ -51,6 +51,7 @@ BOUNDED_CONSTANT_WINDOWS = {
     "stats_benjamini_hochberg",       # per-source p-value table (<= m tests)
     "curation_importance_weights",    # per-source weight table (<= sources)
     "stats_runs_test",                # daily series (<= 366 rows/yr)
+    "event_ab_srm_drift_daily",       # daily ramp series (<= 366 rows/yr)
     "stats_acf_daily_lags",           # daily series (<= 366 rows/yr)
     "window_bollinger_bands",         # daily series (<= 366 rows/yr)
     "window_rsi_sma",                 # daily series (<= 366 rows/yr)
