@@ -113,6 +113,59 @@ def test_cluster_components_reliable_checkpoint(spark, sf_dir, tmp_path):
     assert any(ckdir.rglob("*")), "no reliable checkpoint files written"
 
 
+def test_embedding_cosine_lsh_recovers_planted_duplicates(spark, tmp_path):
+    """The r12 LSH-bucketed candidate generator's load-bearing property:
+    GENUINE near-duplicates (cosine ~0.999) collide in at least one of
+    the 4x8 hyperplane tables with overwhelming probability, so the
+    per-label top-3 shortlist recovers every planted pair. The driver
+    fixture cannot test this (its random embeddings max out at cosine
+    ~0.51 — no true near-dups exist, and at those angles LSH correctly
+    prunes most pairs); this planted frame is the production regime the
+    rewrite exists for."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wireduck_spark.functions.dedup import dedup_embedding_cosine
+
+    rng = np.random.RandomState(7)
+    vec_id, label, emb = [], [], []
+    planted = {}  # label -> set of (vec_a, vec_b), vec_a < vec_b
+    for lab in (0, 1):
+        # ids lab*14 + 0..11 are random bases; +12/+13 are near-dup
+        # copies of bases 0 and 1.
+        base = rng.randn(12, 64)
+        for i in range(12):
+            vec_id.append(lab * 14 + i)
+            label.append(lab)
+            emb.append(base[i].astype("float32"))
+        for i in range(2):
+            dup = base[i] + 0.01 * rng.randn(64)
+            vec_id.append(lab * 14 + 12 + i)
+            label.append(lab)
+            emb.append(dup.astype("float32"))
+        planted[lab] = {(lab * 14 + i, lab * 14 + 12 + i) for i in range(2)}
+    sf = tmp_path / "planted_sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(vec_id, pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(label, pa.int32()),
+        }),
+        str(sf / "embeddings.parquet"),
+    )
+    out = dedup_embedding_cosine(spark, str(sf)).collect()
+    got = {(r["label"], r["vec_a"], r["vec_b"]): r["cos_sim"] for r in out}
+    for lab in (0, 1):
+        for (a, b) in planted[lab]:
+            assert (lab, a, b) in got, (
+                f"planted near-dup pair {(a, b)} in label {lab} missing "
+                f"from the LSH shortlist: {sorted(got)}")
+            assert got[(lab, a, b)] > 0.99
+
+
 def test_bpe_train_reliable_checkpoint(spark, sf_dir, tmp_path):
     """VERDICT r11 #2: _bpe_train hard-coded localCheckpoint while its
     docstring claimed the reliable variant threads like

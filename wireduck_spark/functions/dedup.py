@@ -492,9 +492,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     bit-for-bit before the final 4-decimal rounding. Per-label top-k
     (not a fixed threshold) keeps the query non-degenerate on this
     fixture, whose near-orthogonal random embeddings max out at cosine
-    ~0.51 — and LSH's collision bias toward high-cosine pairs means the
-    shortlist still surfaces the closest pairs (recall measured in
-    tests/test_dedup.py).
+    ~0.51 — at those angles LSH correctly prunes most pairs, so the
+    shortlist legitimately diverges from the all-pairs top-3 here
+    (measured recall@3 0.03-0.13 by scale): that is the audit trading
+    exhaustiveness for a bounded pair space, not a defect. On GENUINE
+    near-duplicates — the regime the rewrite exists for — collision
+    probability per table is (1 - theta/pi)^bits (~0.69 at cosine 0.99),
+    so planted duplicates are recovered essentially always; pinned by
+    tests/test_functions.py::
+    test_embedding_cosine_lsh_recovers_planted_duplicates.
     """
     from wireduck_spark.functions.similarity import (
         _spark_table_buckets, cosine)
