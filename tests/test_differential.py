@@ -904,3 +904,62 @@ def test_argmax_order_encoding_differential(engines, pred, w1, w2):
     assert (s1, s2, int(s_mx[:19])) == s_row[0], (
         f"encoding is not order-faithful: decoded {(s1, s2)} vs "
         f"direct {s_row[0]} for {pred}")
+
+
+# -- property 30: cumulative-ratio drift trajectory (round-12) --------------
+
+_SRM_DRIFT_SQL = """
+WITH firstseen AS (
+  SELECT o_custkey AS uid, MIN(CAST(o_orderdate AS DATE)) AS d,
+         CAST((o_custkey % @M@) % 2 AS BIGINT) AS t
+  FROM orders WHERE @PRED@ GROUP BY o_custkey
+),
+daily AS (
+  SELECT d, CAST(SUM(1 - t) AS BIGINT) AS c0,
+         CAST(SUM(t) AS BIGINT) AS c1
+  FROM firstseen GROUP BY d
+),
+cum AS (
+  SELECT d,
+         CAST(SUM(c0) OVER (ORDER BY d) AS BIGINT) AS n0,
+         CAST(SUM(c1) OVER (ORDER BY d) AS BIGINT) AS n1
+  FROM daily
+)
+SELECT d, n0, n1,
+       ROUND((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+             * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+             / ((n0 + n1) / 2.0)
+             + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+             * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+             / ((n0 + n1) / 2.0), 4) AS chi2,
+       ((CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+        * (CAST(n0 AS DOUBLE) - (n0 + n1) / 2.0)
+        / ((n0 + n1) / 2.0)
+        + (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+        * (CAST(n1 AS DOUBLE) - (n0 + n1) / 2.0)
+        / ((n0 + n1) / 2.0)) > 3.841 AS flag
+FROM cum ORDER BY d
+"""
+
+
+@given(pred=_predicates(), m=st.integers(min_value=2, max_value=13))
+@settings(max_examples=30, deadline=None)
+def test_srm_drift_trajectory_differential(engines, pred, m):
+    """Property 30 (round-12): the cumulative-ratio drift device
+    event_ab_srm_drift_daily leans on — a no-partition cumulative SUM
+    OVER (ORDER BY unique day) feeding the 1-dof chi-square IEEE tree
+    (half as a double, squares divided once, ROUND 4 dp, exact 3.841
+    threshold) — must produce the identical FULL trajectory in both
+    engines under arbitrary predicates and fuzzed modular arm splits
+    (the md5 arm device itself is pinned separately by the hash-exact
+    srm family oracles; here the split is engine-neutral `% m % 2` so
+    the shared SQL text isolates the window + float tree). Pins the
+    cumulative-window frame default (RANGE CURRENT ROW over a unique
+    key), HUGEINT-vs-BIGINT window-sum casting, the rounding of a
+    shared double tree at the 4th decimal, and boundary behavior of
+    the > comparison against the exact literal."""
+    spark, con = engines
+    sql = _SRM_DRIFT_SQL.replace("@PRED@", pred).replace("@M@", str(m))
+    s_rows = [tuple(r) for r in spark.sql(sql).collect()]
+    d_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert s_rows == d_rows, f"trajectory diverges: {pred} m={m}"

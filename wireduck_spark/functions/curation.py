@@ -1315,7 +1315,7 @@ def embed_pca_top_component(spark: SparkSession, sf: str) -> DataFrame:
     Emits the top-8 |loading| dimensions plus the explained-variance
     ratio — small, stable output for the rows-only gate; the full
     verification is the numpy-replay golden in
-    tests/test_curation.py (exact integer equality, since the
+    tests/test_functions.py (exact integer equality, since the
     distributed iteration is integer-exact between normalizations).
     """
     e = table(spark, sf, "embeddings")
