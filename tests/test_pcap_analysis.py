@@ -577,31 +577,53 @@ def test_flow_import_talkers_golden(spark, queries):
     assert r["bytes_total"] == 622836
 
 
-def test_scratch_dir_reaps_stale_siblings(tmp_path, monkeypatch):
-    """ADVICE r11: repeated pytest/driver/bench invocations accumulated one
-    wireduck_flow_lake_* dir per run in /tmp. _scratch_dir must reap
-    same-prefix dirs older than the age floor, keep YOUNG ones (a live
-    concurrent session's lake), and still return a fresh private dir."""
+def test_scratch_dir_reaps_dead_owners_only(tmp_path, monkeypatch):
+    """ADVICE r11 + the r12 review's lazy-handle hazard: repeated
+    invocations accumulated one wireduck_flow_lake_* dir per run, but an
+    age floor alone could reap a dir a LIVE session's lazily-returned
+    DataFrame still re-scans. _scratch_dir therefore embeds the creator
+    pid and reaps only dirs whose creator is GONE: dead-pid dirs go
+    immediately (any age), live-pid dirs survive (any age), legacy
+    un-pidded dirs fall back to the age floor, other prefixes are never
+    touched, and the fresh dir carries this process's pid."""
     import tempfile
 
     from wireduck_spark.sources.pcap_queries import _scratch_dir
 
     monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
     monkeypatch.setattr(tempfile, "tempdir", str(tmp_path), raising=False)
-    stale = tmp_path / "wireduck_test_scratch_stale"
-    young = tmp_path / "wireduck_test_scratch_young"
+    # pid 1 is init (alive, unsignalable by us -> must survive);
+    # pick a dead pid by probing a high range.
+    dead_pid = None
+    for cand in range(99999, 90000, -7):
+        try:
+            os.kill(cand, 0)
+        except ProcessLookupError:
+            dead_pid = cand
+            break
+        except (PermissionError, OSError):
+            continue
+    assert dead_pid is not None
+    dead = tmp_path / f"wireduck_test_scratch_{dead_pid}_x"
+    live = tmp_path / "wireduck_test_scratch_1_x"
+    mine = tmp_path / f"wireduck_test_scratch_{os.getpid()}_x"
+    legacy_old = tmp_path / "wireduck_test_scratch_legacy_old"
+    legacy_new = tmp_path / "wireduck_test_scratch_legacy_new"
     other = tmp_path / "unrelated_prefix_dir"
-    for d in (stale, young, other):
+    for d in (dead, live, mine, legacy_old, legacy_new, other):
         d.mkdir()
     old = 1_000_000_000  # 2001 — far past any age floor
-    os.utime(stale, (old, old))
-    os.utime(other, (old, old))
+    for d in (dead, live, legacy_old, other):
+        os.utime(d, (old, old))
 
     fresh = _scratch_dir("wireduck_test_scratch_")
     assert os.path.isdir(fresh)
-    assert fresh.startswith(str(tmp_path))
-    assert not stale.exists(), "stale same-prefix dir was not reaped"
-    assert young.exists(), "young dir (possibly live) must survive"
+    assert f"wireduck_test_scratch_{os.getpid()}_" in fresh
+    assert not dead.exists(), "dead-owner dir was not reaped"
+    assert live.exists(), "live-owner dir must survive at any age"
+    assert mine.exists(), "this process's own prior dir must survive"
+    assert not legacy_old.exists(), "old legacy dir past floor not reaped"
+    assert legacy_new.exists(), "young legacy dir must survive"
     assert other.exists(), "other-prefix dirs must never be touched"
 
 

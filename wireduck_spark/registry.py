@@ -185,8 +185,9 @@ GATE: tuple[str, ...] = (
     #    displaced tpch_q3, the last round-3 fill, to the r13 queue):
     "event_ab_srm_drift_daily",
     # -- oldest ROTATED_OUT greens cycled back in (round-3 cohort; their
-    #    last driver rows are CORRECTNESS_r03 — 32 of 45, the remaining
-    #    13 queue for round 13):
+    #    last driver rows are CORRECTNESS_r03 — 31 of 45 after tpch_q18
+    #    also vacated for embed_pca_top_component; the remaining 14
+    #    queue for round 13):
     "proj_expressions",
     "resample_gapfill",
     "sampling_bernoulli",
@@ -223,9 +224,12 @@ GATE: tuple[str, ...] = (
 ROTATED_OUT: tuple[str, ...] = (
     # green hash-match rows in CORRECTNESS_r01.json ... _r11.json; still
     # verified by tools/check_oracle.py + pytest every run.
-    # -- round-11 GATE: 41 oracle greens + 3 clean rows-only rows>0 in
-    #    CORRECTNESS_r11.json (zero red; the 6 queries whose
-    #    implementation changed again in r12 keep their GATE slots):
+    # -- round-11 GATE: 43 oracle greens + 1 clean rows-only row>0
+    #    (pcap_flow_import_talkers) in CORRECTNESS_r11.json — zero red;
+    #    the 6 queries whose implementation changed again in r12 keep
+    #    their GATE slots, which is where the other 2 r11 rows-only
+    #    rows (pcap_flow_export_sink, pcap_flow_lake_recurring_dst)
+    #    stayed:
     "stats_page_hinkley_drift",
     "pcap_flow_import_talkers",
     "text_burstiness_vmr",

@@ -25,12 +25,21 @@ def _have_fixture() -> bool:
 
 def _scratch_dir(prefix: str, max_age_sec: int = 6 * 3600) -> str:
     """Per-invocation private scratch dir (mkdtemp, 0700) with best-effort
-    reaping of PRIOR same-prefix dirs older than ``max_age_sec`` — repeated
-    pytest/driver/bench invocations otherwise accumulate one dir each in
-    /tmp (ADVICE r11). The age floor keeps a concurrent session's live
-    lake out of reach (no invocation runs for hours); reap errors (another
-    user's dir, a race with its owner) are ignored — cleanup is hygiene,
-    never correctness."""
+    reaping of PRIOR same-prefix dirs — repeated pytest/driver/bench
+    invocations otherwise accumulate one dir each in /tmp (ADVICE r11).
+
+    Reap rule: the dir name embeds its creator's pid
+    (``{prefix}{pid}_...``); a dir is reaped only when that process is
+    GONE. An age floor alone is not safe here: the sink queries return
+    LAZY ``spark.read.parquet`` handles over their scratch dir, so a
+    long-lived interactive session can legitimately hold a reference far
+    past any fixed age — pid-liveness protects exactly the dirs a live
+    session could still re-scan, while dead runs' dirs are reclaimed
+    immediately instead of after hours. Legacy dirs without a parseable
+    pid fall back to the ``max_age_sec`` floor. Reap errors (another
+    user's dir — os.kill raises PermissionError, which reads as ALIVE —
+    or a race with the owner) are ignored: cleanup is hygiene, never
+    correctness."""
     import shutil
     import tempfile
     import time
@@ -42,14 +51,24 @@ def _scratch_dir(prefix: str, max_age_sec: int = 6 * 3600) -> str:
             if not name.startswith(prefix):
                 continue
             stale = os.path.join(root, name)
+            pid_part = name[len(prefix):].split("_", 1)[0]
             try:
-                if os.path.getmtime(stale) < cutoff:
-                    shutil.rmtree(stale, ignore_errors=True)
+                if pid_part.isdigit():
+                    try:
+                        os.kill(int(pid_part), 0)
+                        continue  # creator still alive (or not ours)
+                    except ProcessLookupError:
+                        pass  # creator gone -> reap
+                    except (PermissionError, OSError):
+                        continue  # existing process we can't signal
+                elif os.path.getmtime(stale) >= cutoff:
+                    continue  # legacy un-pidded dir, still young
+                shutil.rmtree(stale, ignore_errors=True)
             except OSError:
                 pass
     except OSError:
         pass
-    return tempfile.mkdtemp(prefix=prefix)
+    return tempfile.mkdtemp(prefix=f"{prefix}{os.getpid()}_")
 
 
 if _have_fixture():
