@@ -124,6 +124,7 @@ def build_pcapng(
     linktype: int = 1,
     spb: bool = False,
     mid_filler_bytes: int = 0,
+    snaplen: int = 262144,
 ) -> bytes:
     """Minimal pcapng: SHB + one IDB (usec tsresol default) + packet blocks.
 
@@ -132,7 +133,7 @@ def build_pcapng(
     filler blocks after the FIRST packet block (models the ISB/NRB/custom
     runs long dumpcap captures interleave between packets)."""
     shb = pcapng_block(0x0A0D0D0A, struct.pack("<IHHq", 0x1A2B3C4D, 1, 0, -1))
-    idb = pcapng_block(0x00000001, struct.pack("<HHI", linktype, 0, 262144))
+    idb = pcapng_block(0x00000001, struct.pack("<HHI", linktype, 0, snaplen))
     out = shb + idb
     for i, (ts, data) in enumerate(frames):
         if spb:

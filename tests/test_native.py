@@ -692,3 +692,176 @@ def test_vlan_tag_fields():
     assert fields["vlan.priority"] == 5
     assert fields["tcp.dstport"] == 80
     assert "vlan" in fields["frame.protocols"]
+
+
+# ---------------------------------------------------------------------------
+# Round-12 native-dissector review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_ipv4_non_first_fragment_stops_l4(tmp_path):
+    """A non-first IPv4 fragment (fragment offset != 0) carries mid-packet
+    payload after the IP header, not an L4 header: the dissector must stop
+    (tshark's non-reassembled behavior) instead of emitting bogus
+    port/flag/stream fields — the guard the IPv6 branch has had since
+    round 3 (r12 review). The FIRST fragment (MF set, offset 0) still
+    contains the real L4 header and must keep dissecting."""
+    import struct as _s
+
+    full = build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1111, 80, 1, 0,
+                              0x18, b"xx")
+    frag = bytearray(full)
+    _s.pack_into(">H", frag, 14 + 6, 0x00B9)  # offset 185 (x8 bytes)
+    first = bytearray(full)
+    _s.pack_into(">H", first, 14 + 6, 0x2000)  # MF set, offset 0
+    p = tmp_path / "frag.pcap"
+    p.write_bytes(build_pcap([(1.0, bytes(frag)), (2.0, bytes(first))]))
+    nf, f0 = list(iter_packets(str(p)))
+    assert "tcp.srcport" not in nf and "tcp.stream" not in nf
+    assert nf["frame.protocols"] == "eth:ethertype:ip:data"
+    assert nf["ip.src"] == "10.0.0.1"  # L3 fields still dissected
+    assert f0["tcp.srcport"] == 1111  # first fragment keeps its L4
+
+
+def test_dns_many_label_name_decodes_fully(tmp_path):
+    """A legal 20+-label DNS name (typical of tunneling traffic) must
+    decode completely AND leave the parse position right, so qry.type is
+    still read from the question footer — r12 review: ordinary labels
+    used to charge the 16-deep compression bound, truncating the name
+    and desynchronizing everything behind it."""
+    name = ".".join(f"l{i}" for i in range(20)) + ".example.com"
+    q = build_eth_ipv4_udp("10.0.0.1", "8.8.8.8", 40000, 53,
+                           dns_query_payload(name, 16, 0xCAFE))
+    p = tmp_path / "dns_long.pcap"
+    p.write_bytes(build_pcap([(1.0, q)]))
+    (pkt,) = list(iter_packets(str(p)))
+    assert pkt["dns.qry.name"] == name
+    assert pkt["dns.qry.type"] == 16
+
+
+def test_tcp_info_flag_order_matches_wireshark(tmp_path):
+    """Wireshark renders the info-column flag list in BIT order:
+    [FIN, ACK] / [PSH, ACK] / [SYN, ECE, CWR] — never [ACK, FIN]; and
+    URG/ECE/CWR must be named at all (r12 review)."""
+    combos = ((0x11, "[FIN, ACK]"), (0x18, "[PSH, ACK]"),
+              (0x12, "[SYN, ACK]"), (0xC2, "[SYN, ECE, CWR]"),
+              (0x20, "[URG]"))
+    frames = [
+        (float(i), build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 1000 + i,
+                                      80, 1, 0, flags, b""))
+        for i, (flags, _) in enumerate(combos)
+    ]
+    p = tmp_path / "flags.pcap"
+    p.write_bytes(build_pcap(frames))
+    for pkt, (_, expect) in zip(iter_packets(str(p)), combos):
+        assert expect in pkt["_ws.col.info"], pkt["_ws.col.info"]
+
+
+def test_is_grease_exact_rfc8701_set():
+    """RFC 8701 reserves exactly the 16 equal-byte 0x?A?A values; an
+    unequal-byte 0x?A?A (e.g. 0x2A4A) is a legitimate codepoint and must
+    NOT be stripped from JA3 (r12 review)."""
+    from wireduck_spark.sources.native import _is_grease
+
+    greases = {((h << 4) | 0xA) * 0x101 for h in range(16)}
+    for v in greases:
+        assert _is_grease(v), hex(v)
+    for v in (0x2A4A, 0x1A2A, 0xA0A, 0x0A1A, 0x1301):
+        if v not in greases:
+            assert not _is_grease(v), hex(v)
+
+
+def test_truncated_client_hello_emits_no_ja3(tmp_path):
+    """A snaplen-cut ClientHello must not emit a confidently-wrong JA3
+    computed over a clipped extension walk (it would match nothing in
+    published feeds — a silent false negative); record-layer fields and
+    any SNI already parsed stay (r12 review)."""
+    from wireduck_spark.sources.synth import tls_client_hello
+
+    hello = tls_client_hello("example.com", curves=(29, 23),
+                             ec_formats=(0,))
+    full = build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 50000, 443, 1, 0,
+                              0x18, hello)
+    cut = build_eth_ipv4_tcp("10.0.0.1", "10.0.0.2", 50001, 443, 1, 0,
+                             0x18, hello[:-6])
+    p = tmp_path / "tls_trunc.pcap"
+    p.write_bytes(build_pcap([(1.0, full), (2.0, cut)]))
+    ok, trunc = list(iter_packets(str(p)))
+    assert "tls.handshake.ja3" in ok and "tls.handshake.ja3_string" in ok
+    assert "tls.handshake.ja3" not in trunc
+    assert "tls.handshake.ja3_string" not in trunc
+    assert trunc["tls.record.length"] == ok["tls.record.length"]
+    assert trunc.get("tls.handshake.extensions_server_name") \
+        == "example.com"
+
+
+def test_pcapng_oversized_snaplen_reads_unsplit(tmp_path):
+    """pcapng twin of classic's splittable_snaplen fallback (r12 review:
+    it did not exist, so a block larger than the resync sanity cap at a
+    slice boundary was owned by NO slice — silent record loss): an IDB
+    snaplen past the cap makes the first slice own the whole file and
+    every other slice yield nothing — exactly-once preserved."""
+    frames = [
+        (float(i), build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 1000 + i,
+                                      53, b"x" * 50))
+        for i in range(30)
+    ]
+    png = build_pcapng(frames, snaplen=8 * 1024 * 1024)
+    p = tmp_path / "big_snap.pcapng"
+    p.write_bytes(png)
+    size = len(png)
+    whole = [x["udp.srcport"] for x in iter_packets(str(p))]
+    assert whole == [1000 + i for i in range(30)]
+    parts = byte_range_partitions(str(p), 4, size=size)
+    assert len(parts) > 1
+    got = [
+        x["udp.srcport"]
+        for s, e in parts
+        for x in iter_packets(str(p), s, e, size=size)
+    ]
+    assert got == whole  # all records, exactly once, no slice overlap
+
+
+def test_frozen_size_replays_identically_after_growth(tmp_path):
+    """Streaming replay contract (r12 review): a batch planned against a
+    frozen size-at-listing must yield the SAME rows when replayed after
+    the capture grew — a record whose header preceded frozen-EOF but
+    whose bytes extended past it stays excluded on the replay."""
+    frames = [
+        (float(i), build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 2000 + i,
+                                      53, b"y" * 40))
+        for i in range(5)
+    ]
+    full = build_pcap(frames)
+    rec_len = 16 + len(frames[0][1])
+    cut = 24 + 4 * rec_len + 16 + 10  # 5th header whole, data partial
+    p = tmp_path / "grow.pcap"
+    p.write_bytes(full[:cut])
+    original = [x["udp.srcport"]
+                for x in iter_packets(str(p), 0, cut, size=cut)]
+    assert original == [2000, 2001, 2002, 2003]
+    p.write_bytes(full)  # the capture "grows" to completion
+    replay = [x["udp.srcport"]
+              for x in iter_packets(str(p), 0, cut, size=cut)]
+    assert replay == original
+    live = [x["udp.srcport"] for x in iter_packets(str(p))]
+    assert live == [2000, 2001, 2002, 2003, 2004]
+
+
+def test_single_slice_plan_keeps_ordinal_frame_numbers(tmp_path):
+    """frame.number semantics must not depend on the FORMAT for the same
+    plan (r12 review: a one-slice plan — start == GLOBAL_HEADER_LEN —
+    yielded ordinals on classic but byte offsets on pcapng)."""
+    frames = [(1.0, build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 1, 53,
+                                       b"z")),
+              (2.0, build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 2, 53,
+                                       b"z"))]
+    classic = tmp_path / "one.pcap"
+    classic.write_bytes(build_pcap(frames))
+    png = tmp_path / "one.pcapng"
+    png.write_bytes(build_pcapng(frames))
+    for path in (classic, png):
+        (start, end), = byte_range_partitions(str(path), 1)
+        nums = [x["frame.number"]
+                for x in iter_packets(str(path), start, end)]
+        assert nums == [1, 2], (path.name, nums)

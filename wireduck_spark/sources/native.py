@@ -249,8 +249,14 @@ def _ipv6(b: bytes) -> str:
     return ":".join(parts)  # non-compressed form (deterministic)
 
 
+# Wireshark renders the info-column flag list in BIT order (FIN, SYN,
+# RST, PSH, ACK, URG, ECE, CWR) — "[FIN, ACK]", "[PSH, ACK]", never
+# "[ACK, FIN]" (r12 review: the old SYN/ACK-first order deviated for
+# FIN/PSH/RST+ACK combos and dropped URG/ECE/CWR entirely, so string
+# filters written against tshark output silently missed rows here).
 _TCP_FLAG_NAMES = (
-    (0x02, "SYN"), (0x10, "ACK"), (0x01, "FIN"), (0x04, "RST"), (0x08, "PSH"),
+    (0x01, "FIN"), (0x02, "SYN"), (0x04, "RST"), (0x08, "PSH"),
+    (0x10, "ACK"), (0x20, "URG"), (0x40, "ECE"), (0x80, "CWR"),
 )
 
 # flags byte -> "SYN, ACK" label: 256-entry table beats a per-packet join
@@ -345,6 +351,17 @@ def _dissect_ipv4(data: bytes, off: int, protos: list,
     fields["ip.proto"] = proto
     fields["ip.src"] = _ipv4(data[off + 12:off + 16])
     fields["ip.dst"] = _ipv4(data[off + 16:off + 20])
+    # A NON-FIRST IPv4 fragment (13-bit fragment offset != 0, low bits of
+    # the flags/frag-offset word) carries mid-packet payload after the IP
+    # header, not an L4 header: stop dissection there, matching tshark's
+    # non-reassembled behavior — the exact guard the IPv6 branch added in
+    # round 3 (r12 review: the IPv4 path had been emitting bogus
+    # port/flag/stream fields and sub-dissecting payload garbage for
+    # every fragment after the first).
+    frag_word = struct.unpack(">H", data[off + 6:off + 8])[0]
+    if frag_word & 0x1FFF:
+        protos.append("data")
+        return
     _dissect_l4(data, off + ihl, proto, total_len - ihl, protos, fields)
 
 
@@ -526,25 +543,29 @@ def _dissect_l4(
         flags_ver = struct.unpack(">H", data[off:off + 2])[0]
         ptype = struct.unpack(">H", data[off + 2:off + 4])[0]
         protos.append("gre")
-        fields["gre.proto"] = ptype
+        # First GRE layer wins the gre.* fields AND the one decap level
+        # (r12 review: a nested GRE-in-GRE packet used to overwrite the
+        # OUTER tunnel's gre.proto/gre.key with inner-header values even
+        # though decap correctly stopped — the emitted fields mixed two
+        # tunnel layers; the old `"gre.proto" in fields` guard was set
+        # unconditionally 16 lines above, i.e. always true).
+        outer_gre = "gre.proto" not in fields
+        if outer_gre:
+            fields["gre.proto"] = ptype
         hdr = 4
         if flags_ver & 0x8000:  # checksum present -> +checksum/reserved
             hdr += 4
         if flags_ver & 0x2000:  # key present
-            fields["gre.key"] = struct.unpack(
-                ">I", data[off + hdr:off + hdr + 4])[0] \
-                if len(data) >= off + hdr + 4 else None
+            if outer_gre:
+                fields["gre.key"] = struct.unpack(
+                    ">I", data[off + hdr:off + hdr + 4])[0] \
+                    if len(data) >= off + hdr + 4 else None
             hdr += 4
         if flags_ver & 0x1000:  # sequence present
             hdr += 4
         # Inner IPv4 decap, one level (same inner-wins deviation as the
         # VXLAN branch; outer endpoints preserved under gre.outer_*).
-        if (
-            ptype == 0x0800
-            and len(data) >= off + hdr + 20
-            and "gre.proto" in fields
-            and "gre.outer_ip_src" not in fields
-        ):
+        if ptype == 0x0800 and len(data) >= off + hdr + 20 and outer_gre:
             fields["gre.outer_ip_src"] = fields.get("ip.src")
             fields["gre.outer_ip_dst"] = fields.get("ip.dst")
             _dissect_ipv4(data, off + hdr, protos, fields)
@@ -554,14 +575,22 @@ def _dissect_l4(
 
 def _dns_name(payload: bytes, off: int, depth: int = 0) -> tuple[str, int]:
     """Decode one (possibly compressed) DNS name; returns (name, next_off).
-    Compression loops are depth-bounded."""
+
+    Compression-pointer chains are depth-bounded (16) SEPARATELY from
+    ordinary labels, which are bounded at the RFC 1035 maximum (127) —
+    r12 review: plain labels used to charge the pointer bound, so a
+    legal 17+-label name (typical of exactly the DNS-tunneling traffic
+    pcap_dns_tunneling_detect hunts) was silently truncated mid-name
+    AND left next_off pointing into the name, desynchronizing the
+    question/answer walk behind it."""
     labels = []
-    while off < len(payload) and depth < 16:
+    n_labels = 0
+    while off < len(payload) and n_labels < 128:
         length = payload[off]
         if length == 0:
             return ".".join(labels), off + 1
         if length & 0xC0 == 0xC0:  # compression pointer
-            if off + 1 >= len(payload):
+            if off + 1 >= len(payload) or depth >= 16:
                 break
             ptr = ((length & 0x3F) << 8) | payload[off + 1]
             tail, _ = _dns_name(payload, ptr, depth + 1)
@@ -573,7 +602,7 @@ def _dns_name(payload: bytes, off: int, depth: int = 0) -> tuple[str, int]:
             payload[off:off + length].decode("ascii", errors="replace")
         )
         off += length
-        depth += 1
+        n_labels += 1
     return ".".join(labels), off
 
 
@@ -893,6 +922,13 @@ def _dissect_tls(payload: bytes, fields: dict) -> bool:
     fields["tls.record.length"] = rec_len
     info = f"TLS record type {ctype}"
     body = payload[5:5 + rec_len]
+    # A snaplen-truncated record (captured bytes end before the declared
+    # record length) can still yield the SNI and header fields, but a
+    # fingerprint computed over a CLIPPED cipher/extension walk would be
+    # a confidently-wrong md5 that matches nothing in published JA3
+    # feeds — a silent false negative in threat-intel joins (r12
+    # review). Emit NO ja3/ja3s on truncation instead.
+    truncated = len(body) < rec_len
     if ctype == 22 and len(body) >= 4:  # handshake
         hs_type = body[0]
         fields["tls.handshake.type"] = hs_type
@@ -908,13 +944,13 @@ def _dissect_tls(payload: bytes, fields: dict) -> bool:
             if sni:
                 fields["tls.handshake.extensions_server_name"] = sni
                 info = f"Client Hello (SNI={sni})"
-            if ja3_str is not None:
+            if ja3_str is not None and not truncated:
                 fields["tls.handshake.ja3_string"] = ja3_str
                 fields["tls.handshake.ja3"] = hashlib.md5(
                     ja3_str.encode()).hexdigest()
         elif hs_type == 2:
             ja3s_str = _server_hello_ja3s(body[4:])
-            if ja3s_str is not None:
+            if ja3s_str is not None and not truncated:
                 fields["tls.handshake.ja3s_string"] = ja3s_str
                 fields["tls.handshake.ja3s"] = hashlib.md5(
                     ja3s_str.encode()).hexdigest()
@@ -954,8 +990,12 @@ def _server_hello_ja3s(b: bytes) -> str | None:
 
 
 def _is_grease(v: int) -> bool:
-    """GREASE code points (RFC 8701: 0x?a?a) are excluded from JA3."""
-    return (v & 0x0F0F) == 0x0A0A
+    """GREASE code points are excluded from JA3. RFC 8701 reserves the
+    16 values whose two bytes are EQUAL and end in 0xA (0x0a0a, 0x1a1a,
+    ... 0xfafa) — the old `(v & 0x0F0F) == 0x0A0A` mask also matched any
+    unequal-byte 0x?A?A value, which would silently strip a future
+    legitimately-assigned codepoint from the fingerprint (r12 review)."""
+    return (v & 0x0F0F) == 0x0A0A and (v >> 8) == (v & 0xFF)
 
 
 def _client_hello_details(
@@ -1072,6 +1112,16 @@ def _iter_classic_raw(fh, info: PcapInfo, size: int, start_byte, end_byte):
         if len(hdr) < RECORD_HEADER_LEN:
             break
         _, _, incl, _ = struct.unpack(info.endian + "IIII", hdr)
+        # Two guards before the data read (r12 review): (a) a corrupt
+        # header's u32 incl (up to 4 GiB) must not become one giant
+        # fh.read allocation — >64 MiB is payload garbage, not a packet
+        # (the _MAX_SANE_ORIGLEN rationale); (b) a record extending past
+        # `size` must not be read from a file that has GROWN since the
+        # plan froze `size` — replays of a frozen byte range would
+        # otherwise yield rows the original run did not (the streaming
+        # replays-identically contract).
+        if incl > _MAX_SANE_ORIGLEN or off + RECORD_HEADER_LEN + incl > size:
+            break
         data = fh.read(incl)
         if len(data) < incl:
             break
@@ -1239,15 +1289,28 @@ def _find_all(buf: bytes, marker: bytes):
 
 
 def _pcapng_preamble(fh, size: int):
-    """(endian, interfaces, first_packet_off): walk the head of the file —
-    SHB + IDBs (+NRBs etc.) — up to the first packet block. pcapng puts
-    interface definitions before the packets they describe, so a byte-range
-    executor reads this O(KB) preamble plus its own slice. (An IDB added
-    mid-file for a hot-plugged interface would be missed by slices after
-    it — documented limitation; such captures should disable splitting.)"""
+    """(endian, interfaces, first_packet_off, splittable): walk the head of
+    the file — SHB + IDBs (+NRBs etc.) — up to the first packet block.
+    pcapng puts interface definitions before the packets they describe, so
+    a byte-range executor reads this O(KB) preamble plus its own slice.
+    (An IDB added mid-file for a hot-plugged interface would be missed by
+    slices after it — documented limitation; such captures should disable
+    splitting.)
+
+    ``splittable`` is the pcapng twin of classic's
+    :func:`splittable_snaplen` (r12 review: the pcapng path had NO
+    unsplittable fallback, so a capture whose declared snaplen allows
+    blocks beyond the resync sanity cap could silently lose every
+    oversized block sitting at a slice boundary — every resync chain
+    containing it fails and no slice owns it): an IDB snaplen that could
+    produce a packet block over ``_MAX_SANE_BLOCK`` makes byte-range
+    resync untrustworthy, so such captures read as ONE partition.
+    snaplen 0 (unset/unlimited) stays splittable under the sanity cap —
+    the same documented residual as classic's snaplen-0 rule."""
     off = 0
     endian = "<"
     interfaces: list[tuple[int, int]] = []
+    splittable = True
     while off + 12 <= size:
         fh.seek(off)
         head = fh.read(8)
@@ -1261,14 +1324,18 @@ def _pcapng_preamble(fh, size: int):
         if blen < 12 or off + blen > size:
             break
         if btype in (_EPB_TYPE, _SPB_TYPE):
-            return endian, interfaces, off
+            return endian, interfaces, off, splittable
         if btype == _IDB_TYPE:
             body = fh.read(min(blen - 12, 4096))
             if len(body) >= 8:
                 linktype = struct.unpack(endian + "H", body[:2])[0]
+                snaplen = struct.unpack(endian + "I", body[4:8])[0]
+                # 128 B of EPB framing/options headroom over the snaplen
+                if snaplen + 128 > _MAX_SANE_BLOCK and snaplen != 0:
+                    splittable = False
                 interfaces.append((linktype, _idb_tsresol(body, endian)))
         off += blen
-    return endian, interfaces, size
+    return endian, interfaces, size, splittable
 
 
 def extract_pcapng_slice(path: str, start_byte, end_byte,
@@ -1295,7 +1362,14 @@ def extract_pcapng_slice(path: str, start_byte, end_byte,
     size = fs.size(path)
     offsets: list[int] = []
     with fs.open(path) as fh:
-        endian, _, first_pkt = _pcapng_preamble(fh, size)
+        endian, _, first_pkt, splittable = _pcapng_preamble(fh, size)
+        if not splittable:
+            # oversized-snaplen fallback (see _pcapng_preamble): first
+            # slice owns the whole file, every other slice owns nothing.
+            if start_byte is not None and start_byte > first_pkt:
+                open(out_path, "wb").close()
+                return offsets
+            start_byte = end_byte = None
         fh.seek(0)
         preamble = fh.read(first_pkt)
         off = first_pkt
@@ -1313,7 +1387,8 @@ def extract_pcapng_slice(path: str, start_byte, end_byte,
                     bom = fh.read(4)
                     endian = "<" if bom == b"\x4d\x3c\x2b\x1a" else ">"
                 btype, blen = struct.unpack(endian + "II", head)
-                if blen < 12 or off + blen > size:
+                if blen < 12 or blen > _MAX_SANE_ORIGLEN \
+                        or off + blen > size:
                     break
                 fh.seek(off)
                 out.write(fh.read(blen))
@@ -1333,8 +1408,14 @@ def _iter_pcapng_records(fh, size: int, start_byte=None, end_byte=None):
     start_byte/end_byte select a byte-range slice: the executor reads the
     head preamble (endian + interface table), resyncs to the first EPB
     whose block STARTS inside [start, end), and stops at end — the same
-    owned-by-exactly-one-slice contract as the classic reader."""
-    endian, interfaces, first_pkt = _pcapng_preamble(fh, size)
+    owned-by-exactly-one-slice contract as the classic reader, including
+    classic's oversized-snaplen unsplit fallback (first slice owns the
+    whole file; see _pcapng_preamble)."""
+    endian, interfaces, first_pkt, splittable = _pcapng_preamble(fh, size)
+    if not splittable:
+        if start_byte is not None and start_byte > first_pkt:
+            return
+        start_byte = end_byte = None
     off = first_pkt
     if start_byte is not None and start_byte > first_pkt:
         off = pcapng_resync_offset(fh, endian, start_byte, size)
@@ -1353,7 +1434,9 @@ def _iter_pcapng_records(fh, size: int, start_byte=None, end_byte=None):
             fh.seek(off)
             head = fh.read(8)
         btype, blen = struct.unpack(endian + "II", head)
-        if blen < 12 or off + blen > size:
+        # blen > _MAX_SANE_ORIGLEN: a corrupt u32 length must not become
+        # one near-file-sized fh.read allocation (r12 review)
+        if blen < 12 or blen > _MAX_SANE_ORIGLEN or off + blen > size:
             break
         body = fh.read(blen - 12)[: blen - 12]
         if btype == _IDB_TYPE and len(body) >= 8:
@@ -1385,6 +1468,7 @@ def iter_packets(
     end_byte: int | None = None,
     raw_ts: bool = False,
     include_raw: bool = False,
+    size: int | None = None,
 ):
     """Yield one {filter_name: value} dict per packet (classic pcap or
     pcapng — format sniffed from the first 4 bytes).
@@ -1407,26 +1491,39 @@ def iter_packets(
     of a datetime — the Arrow emission fast path (pyarrow builds the
     timestamp column straight from int64s, no per-packet datetime object).
 
+    `size` is the PLAN-frozen total file size: pass the size the
+    partition plan was computed from (byte_range_partitions(size=...))
+    so a batch replays identically even if the capture grew since —
+    r12 review: deriving it live from the filesystem let a record whose
+    bytes extended past then-EOF be skipped on the original run yet
+    yielded on a replay after the file grew, and flipped the
+    split-detection comparison below. None (the default) reads the live
+    size — correct for one-shot batch reads of a quiescent file.
+
     All IO goes through the `fs` seam, so `path` may be local, memory://
     (tests), or any fsspec/pyarrow scheme (s3://, hdfs://, ...) — the
     byte-range split contract is identical on all of them.
     """
     fs = filesystem_for(path)
-    size = fs.size(path)
+    if size is None:
+        size = fs.size(path)
     with fs.open(path) as fh:
-        if fh.read(4) == PCAPNG_MAGIC:
-            fh.seek(0)
+        pcapng = fh.read(4) == PCAPNG_MAGIC
+        fh.seek(0)
+        if pcapng:
             records = _iter_pcapng_records(fh, size, start_byte, end_byte)
-            split = start_byte is not None and (
-                start_byte > 0 or (end_byte is not None and end_byte < size)
-            )
         else:
-            fh.seek(0)
             records = _iter_classic_records(fh, size, start_byte, end_byte)
-            split = start_byte is not None and (
-                start_byte > GLOBAL_HEADER_LEN
-                or (end_byte is not None and end_byte < size)
-            )
+        # One split rule for BOTH formats (r12 review: pcapng used
+        # `start_byte > 0`, so the same single-slice plan —
+        # byte_range_partitions always starts at GLOBAL_HEADER_LEN —
+        # produced ordinal frame.numbers on classic but byte offsets on
+        # pcapng). GLOBAL_HEADER_LEN is the planner's minimum first-slice
+        # start; any true split's later slices start far beyond it.
+        split = start_byte is not None and (
+            start_byte > GLOBAL_HEADER_LEN
+            or (end_byte is not None and end_byte < size)
+        )
         frame_no = 1
         for off, epoch_us, incl, orig, data, linktype in records:
             fields: dict = {

@@ -104,6 +104,7 @@ def native_arrow_batches(
     start_byte: int | None = None,
     end_byte: int | None = None,
     limit: int | None = None,
+    size: int | None = None,
 ):
     """Columnar emission for the native engine (shared by the batch reader
     and the partitioned stream reader): packet dicts append straight into
@@ -128,7 +129,7 @@ def native_arrow_batches(
     n_total = 0
     for fields in native.iter_packets(
         path, start_byte, end_byte, raw_ts=True,
-        include_raw="frame.raw" in names,
+        include_raw="frame.raw" in names, size=size,
     ):
         if limit is not None and n_total >= limit:
             break
@@ -151,6 +152,10 @@ class PcapPartition(InputPartition):
     path: str
     start_byte: int | None = None  # None -> whole file
     end_byte: int | None = None
+    # plan-frozen whole-file size (None -> executor reads the live size);
+    # threads to iter_packets(size=) so every slice of one plan sees the
+    # SAME size even if the capture grows between planning and execution.
+    file_size: int | None = None
 
 
 class PcapDataSource(DataSource):
@@ -428,7 +433,7 @@ class PcapReader(DataSourceReader):
                 for start, end in native.byte_range_partitions(
                     path, n_splits, size=size
                 ):
-                    parts.append(PcapPartition(path, start, end))
+                    parts.append(PcapPartition(path, start, end, size))
             else:
                 parts.append(PcapPartition(path))
         return parts
@@ -447,6 +452,7 @@ class PcapReader(DataSourceReader):
         yield from native_arrow_batches(
             self.schema_, partition.path, partition.start_byte,
             partition.end_byte, self.climit,
+            size=getattr(partition, "file_size", None),
         )
 
     def _batches_tshark(self, partition: PcapPartition, names, dtypes):

@@ -59,6 +59,13 @@ class PcapStreamPartition(InputPartition):
     path: str
     start_byte: int
     end_byte: int
+    # size-at-listing of the WHOLE file (not this slice): threads through
+    # to iter_packets(size=) so a batch replays identically even if the
+    # capture grew after the offset was recorded — reading the live size
+    # executor-side let a record that straddled then-EOF appear only on
+    # the replay, and flipped unsplit reads into offset-numbered ones
+    # (r12 review).
+    file_size: int
 
 
 class PcapStreamDataSource(DataSource):
@@ -120,9 +127,9 @@ class PcapStreamReader(DataSourceStreamReader):
                     (size + TARGET_SPLIT_BYTES - 1) // TARGET_SPLIT_BYTES,
                 )
                 for s, e in byte_range_partitions(path, n_splits, size=size):
-                    parts.append(PcapStreamPartition(path, s, e))
+                    parts.append(PcapStreamPartition(path, s, e, size))
             else:
-                parts.append(PcapStreamPartition(path, 0, size))
+                parts.append(PcapStreamPartition(path, 0, size, size))
         return parts
 
     # -- Execution (executor-side) ------------------------------------------
@@ -133,6 +140,7 @@ class PcapStreamReader(DataSourceStreamReader):
             partition.path,
             partition.start_byte,
             partition.end_byte,
+            size=partition.file_size,
         )
 
     def commit(self, end: dict) -> None:
