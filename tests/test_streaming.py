@@ -5,6 +5,7 @@ import os
 import shutil
 import time
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -2327,3 +2328,118 @@ def test_ewma_chart_tracker_forced_chunks(spark, sf_dir, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert got == _ewma_chart_batch_expected(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 tracker review fixes (driven directly via a GroupState stub —
+# the update fns are plain callables)
+# ---------------------------------------------------------------------------
+
+
+class _StubState:
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    @property
+    def hasTimedOut(self):
+        return False
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_cents_series_spark_parity_and_null_skip():
+    """Per-event HALF_UP cents (registry.cents semantics) — pandas
+    .round() is HALF_TO_EVEN and diverged at exact half-cents; NaN maps
+    to <NA> instead of crashing the int64 cast (r12 review)."""
+    import numpy as np
+
+    from wireduck_spark.streaming.stateful import _cents_series
+
+    s = _cents_series(pd.Series([0.125, 0.005, 1.0, np.nan, 0.135]))
+    # 12.5 -> 13 and 0.5 -> 1 (HALF_UP; banker's gives 12 and 0)
+    assert list(s[:3]) == [13, 1, 100]
+    assert pd.isna(s[3])
+    assert s[4] == 14  # 13.5 -> 14 either way (sanity)
+
+
+def test_user_totals_chunk_split_invariant_and_null_safe():
+    """Totals must equal the batch SUM of per-event rounded cents, not a
+    rounding of the chunk sum: two 0.004 events are 0 cents however they
+    are chunked (old code: 1 when co-chunked), and a NULL value counts
+    the row but adds nothing (r12 review)."""
+    from wireduck_spark.streaming.stateful import make_update_fn
+
+    fn = make_update_fn(None)
+    one_chunk = _StubState()
+    [out1] = list(fn((7,), [pd.DataFrame({"value": [0.004, 0.004, None]})],
+                     one_chunk))
+    split = _StubState()
+    list(fn((7,), [pd.DataFrame({"value": [0.004]})], split))
+    [out2] = list(fn((7,), [pd.DataFrame({"value": [0.004, None]})], split))
+    for out in (out1, out2):
+        assert out["n_events"][0] == 3
+        assert out["sum_cents"][0] == 0
+
+
+def test_granger_constant_series_emits_instead_of_crashing():
+    """A constant lagged series gives det == 0: the divisions must follow
+    IEEE (inf/nan) like the batch twin's Spark doubles, not raise
+    ZeroDivisionError and kill the stream (r12 review)."""
+    from wireduck_spark.streaming.stateful import _granger_update
+
+    st = _StubState()
+    days = pd.DataFrame({
+        "d": pd.date_range("2024-01-01", periods=6).date,
+        "x": [5] * 6,
+        "y": [5] * 6,
+    })
+    [out] = list(_granger_update((0,), [days], st))
+    assert len(out) == 1  # emitted a row, not an exception
+    assert out["m"][0] if "m" in out else True
+
+
+def test_funnel_null_ts_does_not_corrupt_stage():
+    """A NaT timestamp must be ignored (batch MIN(CASE) skips NULL), not
+    cast to INT64_MIN where it wins every min-merge and inflates the
+    stage forever (r12 review)."""
+    from wireduck_spark.streaming.stateful import _funnel_update
+
+    st = _StubState()
+    pdf = pd.DataFrame({
+        "ts": [pd.NaT, pd.Timestamp("2024-01-01 10:00:00")],
+        "event_type": ["view", "click"],
+    })
+    [out] = list(_funnel_update((3,), [pdf], st))
+    # no valid view -> stage 0 (NaT view must not count as first-seen)
+    assert out["stage"][0] == 0
+
+
+def test_distinct_tracker_comma_type_survives_state_roundtrip():
+    """Set state is JSON-packed: an event_type containing a comma is ONE
+    type across batches, not two phantom types on restore (r12 review);
+    legacy CSV states still restore."""
+    from wireduck_spark.streaming.stateful import _distinct_update
+
+    st = _StubState()
+    [o1] = list(_distinct_update((1,), [pd.DataFrame(
+        {"event_type": ["a,b"]})], st))
+    assert o1["n_distinct_types"][0] == 1
+    [o2] = list(_distinct_update((1,), [pd.DataFrame(
+        {"event_type": ["a,b"]})], st))
+    assert o2["n_distinct_types"][0] == 1  # CSV restore would say 2
+    legacy = _StubState(("x,y",))  # pre-r12 CSV state: best-effort split
+    [o3] = list(_distinct_update((1,), [pd.DataFrame(
+        {"event_type": []}, dtype=str)], legacy))
+    assert o3["n_distinct_types"][0] == 2

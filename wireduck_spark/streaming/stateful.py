@@ -13,6 +13,8 @@ processing-time timeout: idle keys are evicted and emitted with
 from __future__ import annotations
 
 import decimal
+import json
+import math
 from collections.abc import Iterable, Iterator
 
 import pandas as pd
@@ -26,10 +28,41 @@ from pyspark.sql.types import (
 
 def _round_half_up(x: float, places: int) -> float:
     """Spark F.round parity: BigDecimal.valueOf(double) sees the shortest
-    round-trip decimal string (== Python repr), then rounds HALF_UP."""
+    round-trip decimal string (== Python repr), then rounds HALF_UP.
+    Non-finite inputs pass through unchanged (Spark's round(NaN/inf)
+    stays NaN/inf; Decimal.quantize would raise InvalidOperation)."""
+    if not math.isfinite(x):
+        return x
     q = decimal.Decimal(1).scaleb(-places)
     return float(
         decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _cents_series(values: pd.Series) -> pd.Series:
+    """Spark-parity per-event integer cents for one chunk (r12 review).
+
+    Each event's value*100 is the IEEE double product rounded HALF_UP at
+    0 places — exactly registry.cents() / the batch twins'
+    CAST(ROUND(value*100, 0) AS BIGINT). The previous per-chunk
+    ``(series * 100).round()`` / ``round(series.sum() * 100)`` idioms
+    diverged two ways: pandas rounds HALF_TO_EVEN (0.125 -> 12 vs
+    Spark's 13), and rounding a CHUNK SUM made the output depend on how
+    rows happened to split across Arrow chunks. Non-finite entries (SQL
+    NULL) become <NA> instead of crashing the int64 cast (the Benford
+    ADVICE-r10 defect class); callers pick the twin's NULL rule —
+    ``.fillna(0)`` where the batch SUM skips NULLs but the row still
+    counts (totals, sessions), notna-filtering where the batch window
+    excludes the value entirely (the anomaly/EWMA deques)."""
+    vals = pd.to_numeric(values, errors="coerce").astype("float64")
+    return pd.Series(
+        [
+            int(_round_half_up(float(v) * 100, 0))
+            if math.isfinite(v) else None
+            for v in vals
+        ],
+        index=values.index,
+        dtype="Int64",
     )
 
 
@@ -70,8 +103,8 @@ def make_update_fn(idle_timeout_ms: int | None):
             return
         n, cents = state.get if state.exists else (0, 0)
         for pdf in batches:
-            n += len(pdf)
-            cents += int(round(pdf["value"].sum() * 100))
+            n += len(pdf)  # COUNT(*) counts NULL-value rows too
+            cents += int(_cents_series(pdf["value"]).fillna(0).sum())
         state.update((n, cents))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
@@ -152,6 +185,10 @@ def _funnel_update(
         return m if cur == _NONE else min(cur, m)
 
     for pdf in batches:
+        # NaT casts to INT64_MIN, which would win every min-merge and
+        # permanently inflate the user's stage (r12 review); the batch
+        # twin's MIN(CASE ...) ignores NULL ts.
+        pdf = pdf[pdf["ts"].notna()]
         us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
         et = pdf["event_type"].values
         tv = merge(tv, us[et == "view"])
@@ -234,8 +271,10 @@ def _anomaly_update(
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        xs = (pdf["value"] * 100).round().astype("int64")
-        for eid, x in zip(pdf["event_id"].astype("int64"), xs):
+        cents_s = _cents_series(pdf["value"])
+        keep = cents_s.notna()  # NULL cents never enter the deque
+        for eid, x in zip(pdf.loc[keep, "event_id"].astype("int64"),
+                          cents_s[keep]):
             n = len(hist)
             if n >= 5:
                 s = sum(hist)
@@ -313,8 +352,10 @@ def _ewma_update(
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        xs = (pdf["value"] * 100).round().astype("int64")
-        for eid, x in zip(pdf["event_id"].astype("int64"), xs):
+        cents_s = _cents_series(pdf["value"])
+        keep = cents_s.notna()  # NULL cents never enter the deque
+        for eid, x in zip(pdf.loc[keep, "event_id"].astype("int64"),
+                          cents_s[keep]):
             hist.append(int(x))
             if len(hist) > 8:
                 hist.pop(0)
@@ -415,8 +456,8 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
                 self._totals.get() if self._totals.exists() else (0, 0)
             )
             for pdf in rows:
-                n += len(pdf)
-                cents += int(round(pdf["value"].sum() * 100))
+                n += len(pdf)  # COUNT(*) counts NULL-value rows too
+                cents += int(_cents_series(pdf["value"]).fillna(0).sum())
             self._totals.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [user_id], "n_events": [n],
@@ -492,9 +533,12 @@ def _session_update(
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True)
+        # NaT would cast to INT64_MIN and fabricate a session at the
+        # dawn of time; a NULL-ts event has no place on the gap timeline
+        pdf = pdf[pdf["ts"].notna()]
         pdf = pdf.sort_values(["ts", "event_id"])
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-        xs = (pdf["value"] * 100).round().astype("int64")
+        xs = _cents_series(pdf["value"]).fillna(0)  # SUM skips NULL cents
         for t, x in zip(ts_us, xs):
             if n > 0 and t - last_us > _GAP_US:
                 close()
@@ -642,12 +686,19 @@ def _distinct_update(
     (user_id,) = key
     seen: set[str] = set()
     if state.exists:
-        (csv,) = state.get
-        if csv:
-            seen.update(csv.split(","))
+        (packed,) = state.get
+        if packed:
+            # JSON list, not CSV: an event_type containing a comma used
+            # to split into phantom types on state restore, inflating
+            # the count across batches (r12 review). Legacy CSV states
+            # (no leading '[') restore best-effort the old way.
+            if packed.startswith("["):
+                seen.update(json.loads(packed))
+            else:
+                seen.update(packed.split(","))
     for pdf in batches:
         seen.update(pdf["event_type"].dropna().astype(str))
-    state.update((",".join(sorted(seen)),))
+    state.update((json.dumps(sorted(seen)),))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_distinct_types": [len(seen)]}
     )
@@ -798,10 +849,6 @@ def _holt_update(
     )
     level, trend, n_days = int(level), int(trend), int(n_days)
 
-    def tdiv2(a: int) -> int:  # truncate-toward-zero halving (Spark div)
-        q = abs(a) // 2
-        return -q if a < 0 else q
-
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True)
@@ -813,8 +860,8 @@ def _holt_update(
             if n_days == 0:
                 level, trend = y, 0
             else:
-                nl = tdiv2(y + level + trend)
-                trend = tdiv2(trend + nl - level)
+                nl = _tdiv(y + level + trend, 2)
+                trend = _tdiv(trend + nl - level, 2)
                 level = nl
             n_days += 1
     state.update((int(level), int(trend), int(n_days)))
@@ -1354,10 +1401,10 @@ def _cusum_update(
                 n, warm = n + 1, warm + c
             elif n == 6:
                 n, warm = 7, warm + c
-                mu = warm // 7 if warm >= 0 else -((-warm) // 7)
+                mu = _tdiv(warm, 7)
             else:
-                k = mu // 20 if mu >= 0 else -((-mu) // 20)
-                h = mu // 4 if mu >= 0 else -((-mu) // 4)
+                k = _tdiv(mu, 20)
+                h = _tdiv(mu, 4)
                 sp = max(0, sp + c - mu - k)
                 sn = max(0, sn + mu - k - c)
                 mp, mn = max(mp, sp), max(mn, sn)
@@ -1767,21 +1814,31 @@ def _granger_update(
         yield pd.DataFrame(
             [], columns=[f.name for f in GRANGER_OUTPUT_SCHEMA.fields])
         return
-    muu = float(m * suu - su * su)
-    mvv = float(m * svv - sv * sv)
-    myy = float(m * syy - sy * sy)
-    muv = float(m * suv - su * sv)
-    muy = float(m * suy - su * sy)
-    mvy = float(m * svy - sv * sy)
-    det = muu * mvv - muv * muv
-    b2 = (mvy * muu - muy * muv) / det
-    sse_full = myy - ((muy * mvv - mvy * muv) * muy
-                      + (mvy * muu - muy * muv) * mvy) / det
-    sse_rest = myy - muy * muy / muu
-    f = (sse_rest - sse_full) / (sse_full / float(m - 3))
+    # numpy float64 divisions follow IEEE 754 (x/0 -> inf/nan) exactly
+    # like Spark's double arithmetic in the batch twin — plain Python
+    # floats RAISE ZeroDivisionError instead, so a constant lagged
+    # series (muu == 0 -> det == 0) or a perfectly collinear fit
+    # (sse == 0) killed the whole stream where the batch query renders
+    # a row (r12 review). _round_half_up passes non-finite through.
+    import numpy as _np
+
+    muu = _np.float64(m * suu - su * su)
+    mvv = _np.float64(m * svv - sv * sv)
+    myy = _np.float64(m * syy - sy * sy)
+    muv = _np.float64(m * suv - su * sv)
+    muy = _np.float64(m * suy - su * sy)
+    mvy = _np.float64(m * svy - sv * sy)
+    with _np.errstate(divide="ignore", invalid="ignore"):
+        det = muu * mvv - muv * muv
+        b2 = float((mvy * muu - muy * muv) / det)
+        sse_full = myy - ((muy * mvv - mvy * muv) * muy
+                          + (mvy * muu - muy * muv) * mvy) / det
+        sse_rest = myy - muy * muy / muu
+        f = float((sse_rest - sse_full) / (sse_full / _np.float64(m - 3)))
+        ratio = float(sse_full / sse_rest)
     yield pd.DataFrame(
         [(m, _round_half_up(b2, 6), _round_half_up(f, 4),
-          _round_half_up(sse_full / sse_rest, 4))],
+          _round_half_up(ratio, 4))],
         columns=[f.name for f in GRANGER_OUTPUT_SCHEMA.fields])
 
 
