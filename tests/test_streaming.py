@@ -2443,3 +2443,115 @@ def test_distinct_tracker_comma_type_survives_state_roundtrip():
     [o3] = list(_distinct_update((1,), [pd.DataFrame(
         {"event_type": []}, dtype=str)], legacy))
     assert o3["n_distinct_types"][0] == 2
+
+
+# ---------------------------------------------------------------------------
+# Day-ordered contract enforcement (r13): every daily-fold tracker must
+# RAISE on a late or replayed day — the kendall/trend-duo loud rule made
+# consistent — instead of silently folding it into permanently corrupted
+# state. Direct-drive via _StubState (the r12 hardening pattern): batch 1
+# establishes the last_day watermark, batch 2 violates it.
+# ---------------------------------------------------------------------------
+
+
+def _days_pdf(days, **cols):
+    import datetime as dt
+
+    return pd.DataFrame(
+        {"d": [dt.date.fromisoformat(x) for x in days], **cols})
+
+
+@pytest.mark.parametrize(
+    "fn_name,mk_pdf",
+    [
+        ("_cusum_update",
+         lambda days: _days_pdf(days, cents=[100] * len(days))),
+        ("_ph_update",
+         lambda days: _days_pdf(days, cents=[100] * len(days))),
+        ("_ewma_chart_update",
+         lambda days: _days_pdf(days, cents=[100] * len(days))),
+        ("_acf_update",
+         lambda days: _days_pdf(days, x=[5] * len(days))),
+        ("_granger_update",
+         lambda days: _days_pdf(days, x=[5] * len(days),
+                                y=[7] * len(days))),
+        # holt's source casts d to an ISO string — _day_str must treat
+        # both representations identically
+        ("_holt_update",
+         lambda days: pd.DataFrame({"d": list(days),
+                                    "cents": [100] * len(days)})),
+    ],
+)
+def test_daily_trackers_reject_out_of_order_and_replayed_days(
+        fn_name, mk_pdf):
+    import wireduck_spark.streaming.stateful as st_mod
+
+    fn = getattr(st_mod, fn_name)
+    key = (0,) if fn_name in ("_acf_update", "_granger_update") \
+        else ("purchase",)
+
+    # late day (strictly older than the watermark)
+    st = _StubState()
+    list(fn(key, [mk_pdf(["2024-01-01", "2024-01-02"])], st))
+    with pytest.raises(ValueError, match="day-ordered"):
+        list(fn(key, [mk_pdf(["2024-01-01"])], st))
+
+    # replayed day (== watermark) — would fold the same total twice
+    st = _StubState()
+    list(fn(key, [mk_pdf(["2024-01-01", "2024-01-02"])], st))
+    with pytest.raises(ValueError, match="day-ordered"):
+        list(fn(key, [mk_pdf(["2024-01-02"])], st))
+
+    # duplicate day WITHIN one batch: the same contract violation for
+    # the pre-aggregated daily-total trackers; holt instead groupbys its
+    # per-event rows to day totals first (its documented "complete day
+    # per micro-batch" contract), so two same-day rows are ONE day there.
+    st = _StubState()
+    if fn_name == "_holt_update":
+        list(fn(key, [mk_pdf(["2024-01-03", "2024-01-03"])], st))
+        assert st.get[0] == 200  # level seeded from the 100+100 day total
+    else:
+        with pytest.raises(ValueError, match="day-ordered"):
+            list(fn(key, [mk_pdf(["2024-01-03", "2024-01-03"])], st))
+
+    # in-order continuation stays green and advances the watermark
+    st = _StubState()
+    list(fn(key, [mk_pdf(["2024-01-01", "2024-01-02"])], st))
+    list(fn(key, [mk_pdf(["2024-01-03"])], st))
+    assert "2024-01-03" in st.get
+
+
+def test_beacon_tracker_rejects_out_of_order_event():
+    """An event older than the folded last_ts watermark would add a
+    NEGATIVE gap to the S/Q sums — raise instead (r13); an event at
+    exactly the watermark is a legal zero gap, and NaT rows are dropped
+    rather than misread as out-of-order INT64_MIN timestamps."""
+    from wireduck_spark.streaming.stateful import _beacon_update
+
+    key = (1, "purchase")
+
+    def pdf(ts_list, ids=None):
+        return pd.DataFrame({
+            "ts": pd.to_datetime(ts_list),
+            "event_id": ids or list(range(len(ts_list))),
+        })
+
+    st = _StubState()
+    list(_beacon_update(key, [pdf(["2024-01-01 10:00:00",
+                                   "2024-01-01 10:05:00"])], st))
+    with pytest.raises(ValueError, match="event-time-ordered"):
+        list(_beacon_update(key, [pdf(["2024-01-01 10:01:00"])], st))
+
+    # equal timestamp: a zero gap, exactly what the batch LAG computes
+    st = _StubState()
+    list(_beacon_update(key, [pdf(["2024-01-01 10:00:00"])], st))
+    [out] = list(_beacon_update(
+        key, [pdf(["2024-01-01 10:00:00", "2024-01-01 10:04:00",
+                   "2024-01-01 10:08:00"])], st))
+    assert out["n_gaps"][0] == 3 and out["sum_gap_s"][0] == 480
+
+    # NaT is dropped, not folded and not misread as out-of-order
+    st = _StubState()
+    list(_beacon_update(key, [pdf(["2024-01-01 10:00:00"])], st))
+    list(_beacon_update(key, [pdf([pd.NaT, "2024-01-01 10:05:00"])], st))
+    assert st.get[1] == 1  # exactly one gap counted

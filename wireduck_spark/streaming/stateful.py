@@ -66,6 +66,31 @@ def _cents_series(values: pd.Series) -> pd.Series:
     )
 
 
+def _day_str(v) -> str:
+    """Canonical 'YYYY-MM-DD' for a day cell however Arrow delivered it
+    (datetime.date object column, datetime64 column, or the ISO string
+    the holt source casts to). Used by the day-ordered-contract guards
+    so the state's last_day comparison is type-stable across batches."""
+    if isinstance(v, str):
+        return v[:10]
+    return pd.Timestamp(v).date().isoformat()
+
+
+def _check_day_order(tracker: str, day: str, last_day: str) -> None:
+    """The loud day-ordered contract (ADVICE r10, made consistent in
+    r13): a CLOSED daily total arriving at-or-before the day already
+    folded into state would permanently corrupt the recurrence — the
+    worst failure mode an always-on drift monitor can have — so fail
+    the stream instead of silently folding it. Matches the diagnostic
+    kendall_tracker/_trend_duo_update raise on a week regression."""
+    if last_day and day <= last_day:
+        raise ValueError(
+            f"{tracker}: day {day} arrived after day {last_day} was "
+            f"already folded — closed daily rows must be day-ordered "
+            "and delivered exactly once (late/replayed/out-of-order "
+            "upstream data)")
+
+
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
@@ -620,8 +645,22 @@ def _beacon_update(
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # NaT rows are dropped BEFORE the order guard below: NaT casts
+        # to INT64_MIN and would masquerade as an out-of-order event
+        # (and a negative gap would corrupt S/Q — the funnel NaT class).
+        pdf = pdf.dropna(subset=["ts"]).sort_values(["ts", "event_id"])
         ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        if len(ts_us) and last_ts >= 0 and int(ts_us[0]) < last_ts:
+            # The loud ordering contract (ADVICE r10, made consistent in
+            # r13): an event older than the folded watermark would add a
+            # NEGATIVE gap to the running sums and permanently corrupt
+            # the regularity verdict — fail the stream instead.
+            raise ValueError(
+                f"beacon_tracker: event at {pd.Timestamp(ts_us[0], unit='us')}"
+                f" arrived after {pd.Timestamp(last_ts, unit='us')} was "
+                "already folded — events must be event-time-ordered per "
+                "key across micro-batches (late/out-of-order upstream "
+                "data)")
         for t in ts_us:
             if last_ts >= 0:
                 g = (int(t) - last_ts) // 1_000_000
@@ -646,7 +685,11 @@ def beacon_tracker(events: DataFrame) -> DataFrame:
     beaconing is still happening, instead of in tomorrow's batch scan.
     Exactness contract matches the other trackers in this module: with
     per-key event-time-ordered delivery across batches, the last emitted
-    row per key is bit-identical to the batch query's row.
+    row per key is bit-identical to the batch query's row. The ordering
+    contract is ENFORCED against the state's last_ts_us watermark — an
+    event older than the folded watermark raises instead of adding a
+    negative gap to the running sums (r13); NaT timestamps are dropped
+    like the batch window's NULL-ordering exclusion.
     """
     return events.groupBy("user_id", "event_type").applyInPandasWithState(
         _beacon_update,
@@ -816,6 +859,7 @@ HOLT_STATE_SCHEMA = StructType(
         StructField("level", LongType()),
         StructField("trend", LongType()),
         StructField("n_days", LongType()),
+        StructField("last_day", StringType()),
     ]
 )
 
@@ -842,12 +886,15 @@ def _holt_update(
     forecast_holt_linear; the updated state emits one forecast row.
     Contract: a day must arrive complete within one micro-batch (the
     availableNow / daily-trigger deployment — partial days would smooth
-    a partial total; same caveat family as session_tracker)."""
+    a partial total; same caveat family as session_tracker), and days
+    must arrive in order — ENFORCED via the state's last_day watermark:
+    a late or replayed day raises instead of smoothing twice (r13)."""
     (event_type,) = key
-    level, trend, n_days = (
-        state.get if state.exists else (0, 0, 0)
+    level, trend, n_days, last_day = (
+        state.get if state.exists else (0, 0, 0, "")
     )
     level, trend, n_days = int(level), int(trend), int(n_days)
+    last_day = last_day or ""
 
     chunks = [c for c in batches if len(c)]
     if chunks:
@@ -855,7 +902,13 @@ def _holt_update(
         daily = (
             pdf.groupby("d", sort=True)["cents"].sum().astype("int64")
         )
-        for y in daily.to_list():
+        for d_v, y in daily.items():
+            d = _day_str(d_v)
+            # A replayed day (== last_day) means the "complete day per
+            # micro-batch" contract broke and this total would smooth
+            # TWICE; an older day would smooth out of sequence.
+            _check_day_order("holt_tracker", d, last_day)
+            last_day = d
             y = int(y)
             if n_days == 0:
                 level, trend = y, 0
@@ -864,7 +917,7 @@ def _holt_update(
                 trend = _tdiv(trend + nl - level, 2)
                 level = nl
             n_days += 1
-    state.update((int(level), int(trend), int(n_days)))
+    state.update((int(level), int(trend), int(n_days), last_day))
     yield pd.DataFrame(
         {
             "event_type": [event_type],
@@ -879,7 +932,9 @@ def _holt_update(
 def holt_tracker(events: DataFrame) -> DataFrame:
     """Streaming twin of forecast_holt_linear: the live capacity
     forecast a pipeline reads after each day's data lands. State is
-    THREE int64s per event type; every arithmetic step is the batch
+    THREE int64s plus the last_day watermark per event type (the
+    watermark enforces the day-ordered contract loudly — r13); every
+    arithmetic step is the batch
     query's integer recurrence, so with complete days per micro-batch
     the final emitted row per type equals the batch fold exactly
     (pinned by tests/test_streaming.py)."""
@@ -1069,10 +1124,14 @@ def _band_index_update(
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
-        cols = [pdf[f"mh{j}"].astype("int64") for j in range(8)]
-        for row_i, doc in enumerate(pdf["doc_id"].astype("int64")):
-            doc = int(doc)
-            sig = tuple(int(c.iloc[row_i]) for c in cols)
+        # hoisted ndarrays: per-row tuple assembly indexes numpy arrays,
+        # not ~8 pandas .iloc scalar dispatches per document (r13 —
+        # identical output, pinned by the band-index equivalence test)
+        sig_mat = [pdf[f"mh{j}"].to_numpy("int64") for j in range(8)]
+        doc_ids = pdf["doc_id"].to_numpy("int64")
+        for row_i in range(len(doc_ids)):
+            doc = int(doc_ids[row_i])
+            sig = tuple(int(c[row_i]) for c in sig_mat)
             for prev_doc, prev_sig in members:
                 m = sum(1 for a, b in zip(sig, prev_sig) if a == b)
                 if m >= 4:
@@ -1363,6 +1422,7 @@ CUSUM_STATE_SCHEMA = StructType(
         StructField("mp", LongType()),
         StructField("mn", LongType()),
         StructField("alarm", LongType()),
+        StructField("last_day", StringType()),
     ]
 )
 
@@ -1387,15 +1447,21 @@ def _cusum_update(
     micro-batches: 7-day warmup sets mu, then one-sided sums with 5%
     slack and an h = mu//4 alarm. concat-then-sort-once per batch (the
     beacon-tracker discipline) so Arrow chunking cannot reorder days;
-    cross-batch the tracker relies on per-key day-ordered delivery of
-    CLOSED daily totals (the contract documented on cusum_tracker)."""
+    cross-batch the day-ordered delivery of CLOSED daily totals is
+    ENFORCED via the state's last_day watermark — a late or replayed
+    day raises instead of silently corrupting the recurrence (r13,
+    the kendall loud-contract rule made consistent)."""
     (event_type,) = key
-    n, warm, mu, sp, sn, mp, mn, alarm = (
-        state.get if state.exists else (0, 0, 0, 0, 0, 0, 0, -1))
+    n, warm, mu, sp, sn, mp, mn, alarm, last_day = (
+        state.get if state.exists else (0, 0, 0, 0, 0, 0, 0, -1, ""))
+    last_day = last_day or ""
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
-        for cents in pdf["cents"].astype("int64"):
+        for d_v, cents in zip(pdf["d"], pdf["cents"].astype("int64")):
+            d = _day_str(d_v)
+            _check_day_order("cusum_tracker", d, last_day)
+            last_day = d
             c = int(cents)
             if n < 6:
                 n, warm = n + 1, warm + c
@@ -1411,7 +1477,7 @@ def _cusum_update(
                 if alarm < 0 and (sp > h or sn > h):
                     alarm = n + 1
                 n += 1
-    state.update((n, warm, mu, sp, sn, mp, mn, alarm))
+    state.update((n, warm, mu, sp, sn, mp, mn, alarm, last_day))
     yield pd.DataFrame(
         [(event_type, n, mu, mp, mn, alarm)],
         columns=[f.name for f in CUSUM_OUTPUT_SCHEMA.fields],
@@ -1427,9 +1493,13 @@ def cusum_tracker(daily: DataFrame) -> DataFrame:
     totals (event_type, d, cents) in per-key day order — the natural
     downstream of a watermarked tumbling daily aggregate (tw_tumbling's
     machinery), matching the batch query's (type, day) rollup exactly.
+    The contract is ENFORCED: a late or replayed day fails the stream
+    loudly (r13 — the kendall_tracker rule made consistent across the
+    drift family) instead of silently corrupting the monitor's state.
 
-    Bounded state: 8 int64 per event type regardless of stream length
-    (the Brier/SpaceSaving bounded-state contract). Exactness contract
+    Bounded state: 8 int64 + the 10-byte last_day watermark per event
+    type regardless of stream length (the Brier/SpaceSaving
+    bounded-state contract). Exactness contract
     (pytest-pinned incl. forced Arrow chunking): with day-ordered
     delivery, the final emitted row per type is bit-identical to
     stats_cusum_drift's row. Python-side integer division mirrors
@@ -1543,6 +1613,7 @@ ACF_STATE_SCHEMA = StructType(
         StructField("ss", LongType()),
         StructField("firsts", StringType()),   # first <=7 values, CSV
         StructField("lasts", StringType()),    # last  <=7 values, CSV
+        StructField("last_day", StringType()),  # day-order watermark (r13)
     ]
     + [StructField(f"p{k}", LongType()) for k in range(1, ACF_MAX_LAG + 1)]
 )
@@ -1572,20 +1643,25 @@ def _acf_update(
     with A_k = S - sum(last k values), B_k = S - sum(first k values) —
     so the emitted ACF equals stats_acf_daily_lags bit-for-bit without
     ever storing the series. concat-then-sort-once per batch (day
-    order); cross-batch requires day-ordered delivery of closed daily
-    counts (the cusum_tracker contract)."""
+    order); cross-batch the day-ordered delivery of closed daily counts
+    is ENFORCED via the state's last_day watermark — a late or replayed
+    day raises instead of silently corrupting the lagged sums (r13)."""
     if state.exists:
-        n, s, ss, firsts_csv, lasts_csv, *ps = state.get
+        n, s, ss, firsts_csv, lasts_csv, last_day, *ps = state.get
         firsts = [int(v) for v in firsts_csv.split(",") if v]
         lasts = [int(v) for v in lasts_csv.split(",") if v]
+        last_day = last_day or ""
         ps = list(ps)
     else:
-        n, s, ss, firsts, lasts = 0, 0, 0, [], []
+        n, s, ss, firsts, lasts, last_day = 0, 0, 0, [], [], ""
         ps = [0] * ACF_MAX_LAG
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
-        for x in pdf["x"].astype("int64"):
+        for d_v, x in zip(pdf["d"], pdf["x"].astype("int64")):
+            d = _day_str(d_v)
+            _check_day_order("acf_tracker", d, last_day)
+            last_day = d
             x = int(x)
             for k in range(1, ACF_MAX_LAG + 1):
                 if len(lasts) >= k:
@@ -1598,7 +1674,7 @@ def _acf_update(
             n, s, ss = n + 1, s + x, ss + x * x
     state.update((n, s, ss,
                   ",".join(str(v) for v in firsts),
-                  ",".join(str(v) for v in lasts), *ps))
+                  ",".join(str(v) for v in lasts), last_day, *ps))
     out: list[tuple] = []
     den = n * n * ss - n * s * s
     for k in range(1, ACF_MAX_LAG + 1):
@@ -1765,6 +1841,7 @@ GRANGER_STATE_SCHEMA = StructType(
         StructField("suv", LongType()),
         StructField("suy", LongType()),
         StructField("svy", LongType()),
+        StructField("last_day", StringType()),  # day-order watermark (r13)
     ]
 )
 
@@ -1789,17 +1866,23 @@ def _granger_update(
     batch query's n-scaled centered-moment 2x2 solve (int64 centered
     moments, then the identical double tree with HALF_UP parity), so the
     final row equals stats_granger_lagged_daily bit-for-bit. Day-ordered
-    closed daily rows required (the cusum_tracker contract)."""
+    closed daily rows ENFORCED via the state's last_day watermark — a
+    late or replayed day raises instead of silently extending the
+    moments with a mis-lagged pair (r13)."""
     if state.exists:
         (has_prev, px, py, m, su, sv, sy,
-         suu, svv, syy, suv, suy, svy) = state.get
+         suu, svv, syy, suv, suy, svy, last_day) = state.get
+        last_day = last_day or ""
     else:
-        has_prev, px, py = False, 0, 0
+        has_prev, px, py, last_day = False, 0, 0, ""
         m = su = sv = sy = suu = svv = syy = suv = suy = svy = 0
     chunks = [c for c in batches if len(c)]
     days = (pd.concat(chunks, ignore_index=True).sort_values("d")
             if chunks else pd.DataFrame(columns=["d", "x", "y"]))
     for _, row in days.iterrows():
+        d = _day_str(row["d"])
+        _check_day_order("granger_tracker", d, last_day)
+        last_day = d
         x, y = int(row["x"]), int(row["y"])
         if has_prev:
             u, v, yt = py, px, y
@@ -1809,7 +1892,7 @@ def _granger_update(
             suv += u * v; suy += u * yt; svy += v * yt
         has_prev, px, py = True, x, y
     state.update((has_prev, px, py, m, su, sv, sy,
-                  suu, svv, syy, suv, suy, svy))
+                  suu, svv, syy, suv, suy, svy, last_day))
     if m < 4:
         yield pd.DataFrame(
             [], columns=[f.name for f in GRANGER_OUTPUT_SCHEMA.fields])
@@ -2147,6 +2230,7 @@ PH_STATE_SCHEMA = StructType(
         StructField("mxm", LongType()),
         StructField("aup", LongType()),
         StructField("adn", LongType()),
+        StructField("last_day", StringType()),
     ]
 )
 
@@ -2182,16 +2266,21 @@ def _ph_update(
     sections up), one-sided unclamped sums with 1% slack, extrema
     tracked, alarm the first step the excursion exceeds mean_t div 4.
     concat-then-sort-once per batch (the beacon-tracker discipline) so
-    Arrow chunking cannot reorder days; cross-batch the tracker relies
-    on per-key day-ordered delivery of CLOSED daily totals (the
-    contract documented on page_hinkley_tracker)."""
+    Arrow chunking cannot reorder days; cross-batch the day-ordered
+    delivery of CLOSED daily totals is ENFORCED via the state's
+    last_day watermark — a late or replayed day raises instead of
+    silently corrupting the recurrence (r13)."""
     (event_type,) = key
-    n, s, mup, mnm, mdn, mxm, aup, adn = (
-        state.get if state.exists else (0, 0, 0, 0, 0, 0, -1, -1))
+    n, s, mup, mnm, mdn, mxm, aup, adn, last_day = (
+        state.get if state.exists else (0, 0, 0, 0, 0, 0, -1, -1, ""))
+    last_day = last_day or ""
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
-        for cents_v in pdf["cents"].astype("int64"):
+        for d_v, cents_v in zip(pdf["d"], pdf["cents"].astype("int64")):
+            d = _day_str(d_v)
+            _check_day_order("page_hinkley_tracker", d, last_day)
+            last_day = d
             x = int(cents_v)
             s += x
             n += 1
@@ -2206,7 +2295,7 @@ def _ph_update(
                 aup = n
             if adn < 0 and mxm - mdn > lam:
                 adn = n
-    state.update((n, s, mup, mnm, mdn, mxm, aup, adn))
+    state.update((n, s, mup, mnm, mdn, mxm, aup, adn, last_day))
     yield pd.DataFrame(
         [(event_type, n, mup - mnm, mxm - mdn, aup, adn)],
         columns=[f.name for f in PH_OUTPUT_SCHEMA.fields],
@@ -2222,10 +2311,13 @@ def page_hinkley_tracker(daily: DataFrame) -> DataFrame:
     CLOSED daily totals (event_type, d, cents) in per-key day order —
     the natural downstream of a watermarked tumbling daily aggregate
     (tw_tumbling's machinery), matching the batch query's (type, day)
-    rollup exactly.
+    rollup exactly. The contract is ENFORCED: a late or replayed day
+    fails the stream loudly (r13) instead of silently corrupting the
+    monitor's state.
 
-    Bounded state: 8 int64 per event type regardless of stream length
-    (the CUSUM/Brier bounded-state contract). Exactness contract
+    Bounded state: 8 int64 + the 10-byte last_day watermark per event
+    type regardless of stream length (the CUSUM/Brier bounded-state
+    contract). Exactness contract
     (pytest-pinned incl. forced Arrow chunking): with day-ordered
     delivery, the final emitted row per type is bit-identical to
     stats_page_hinkley_drift's row. All divisions go through _tdiv
@@ -2253,6 +2345,7 @@ EWMA_CHART_STATE_SCHEMA = StructType(
         StructField("z", LongType()),
         StructField("mx", LongType()),
         StructField("alarm", LongType()),
+        StructField("last_day", StringType()),
     ]
 )
 
@@ -2278,16 +2371,20 @@ def _ewma_chart_update(
     then z' = (3z + x) div 4 with an alarm the first day |z - mu|
     leaves the mu div 8 band. concat-then-sort-once per batch (the
     beacon-tracker discipline) so Arrow chunking cannot reorder days;
-    cross-batch the tracker relies on per-key day-ordered delivery of
-    CLOSED daily totals (the contract documented on
-    ewma_chart_tracker)."""
+    cross-batch the day-ordered delivery of CLOSED daily totals is
+    ENFORCED via the state's last_day watermark — a late or replayed
+    day raises instead of silently corrupting the recurrence (r13)."""
     (event_type,) = key
-    n, warm, mu, z, mx, alarm = (
-        state.get if state.exists else (0, 0, 0, 0, 0, -1))
+    n, warm, mu, z, mx, alarm, last_day = (
+        state.get if state.exists else (0, 0, 0, 0, 0, -1, ""))
+    last_day = last_day or ""
     chunks = [c for c in batches if len(c)]
     if chunks:
         pdf = pd.concat(chunks, ignore_index=True).sort_values("d")
-        for cents_v in pdf["cents"].astype("int64"):
+        for d_v, cents_v in zip(pdf["d"], pdf["cents"].astype("int64")):
+            d = _day_str(d_v)
+            _check_day_order("ewma_chart_tracker", d, last_day)
+            last_day = d
             x = int(cents_v)
             if n < 6:
                 n, warm = n + 1, warm + x
@@ -2301,7 +2398,7 @@ def _ewma_chart_update(
                 mx = max(mx, exc)
                 if alarm < 0 and exc > _tdiv(mu, 8):
                     alarm = n
-    state.update((n, warm, mu, z, mx, alarm))
+    state.update((n, warm, mu, z, mx, alarm, last_day))
     yield pd.DataFrame(
         [(event_type, n, mu, z, mx, alarm)],
         columns=[f.name for f in EWMA_CHART_OUTPUT_SCHEMA.fields],
@@ -2320,9 +2417,12 @@ def ewma_chart_tracker(daily: DataFrame) -> DataFrame:
     downstream of a watermarked tumbling daily aggregate, matching the
     batch query's (type, day) rollup exactly. (This is the CHART over
     the per-type daily series; the per-user value smoother is
-    ewma_tracker near the top of this module.)
+    ewma_tracker near the top of this module.) The day-order contract
+    is ENFORCED: a late or replayed day fails the stream loudly (r13)
+    instead of silently corrupting the monitor's state.
 
-    Bounded state: 6 int64 per event type regardless of stream length.
+    Bounded state: 6 int64 + the 10-byte last_day watermark per event
+    type regardless of stream length.
     Exactness contract (pytest-pinned incl. forced Arrow chunking):
     with day-ordered delivery, the final emitted row per type is
     bit-identical to stats_ewma_control_chart's row. All divisions go
