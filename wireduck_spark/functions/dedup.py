@@ -480,9 +480,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     slot, so the shuffle key is (label, table, bucket) and the pair
     space is sum-of-squared-bucket-occupancy — bounded by the n_bits
     dial (2^bits buckets/table must grow ~log2(n), exactly the
-    sim_ann_hyperplane_lsh scale note). The shuffle moves 4 signature
-    rows per vector, never pairs; exact cosine runs only on surviving
-    candidates.
+    sim_ann_hyperplane_lsh scale note). The bucket join shuffles 4
+    SIGNATURE-ONLY rows per vector — (label, vec_id, table, bucket),
+    never the embedding payload (r13, VERDICT r12 #3: the r12 shape
+    attached the embedding to both posexplode sides, moving every
+    vector's payload 4x); the surviving DISTINCT pairs then re-join
+    the embedding twice by vec_id, so each embedding moves once per
+    surviving pair — at 100 TB, where embedding bytes dominate, the
+    candidate stage's shuffle volume is 4 slim rows per vector plus
+    O(candidates), not O(4n) payloads. Exact cosine runs only on
+    surviving candidates, the same shape as the oracle's cand CTE.
 
     Hash-exactness: bucket assignment is bit-identical across engines
     (+-1.0 products are exact in IEEE754; fold order matches), and the
@@ -520,16 +527,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     a = emb.select(
         "label",
         F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("e_a"),
         F.posexplode("buckets").alias("tbl", "bucket"),
     )
     b = emb.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("e_b"),
         F.posexplode("buckets").alias("tbl_b", "bucket_b"),
     )
-    sims = (
+    cand = (
         a.join(
             b,
             (F.col("label") == F.col("label_b"))
@@ -537,11 +542,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
+        .select("label", "vec_a", "vec_b")
+        .distinct()  # collapses multi-table collisions of the same pair
+    )
+    sims = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("e_a")),
+            "vec_a",
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("e_b")),
+            "vec_b",
+        )
         .select(
             "label", "vec_a", "vec_b",
             cosine(F.col("e_a"), F.col("e_b")).alias("cos_sim"),
         )
-        .distinct()  # collapses multi-table collisions of the same pair
     )
     try:
         out = (
