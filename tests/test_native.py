@@ -865,3 +865,106 @@ def test_single_slice_plan_keeps_ordinal_frame_numbers(tmp_path):
         nums = [x["frame.number"]
                 for x in iter_packets(str(path), start, end)]
         assert nums == [1, 2], (path.name, nums)
+
+
+def test_pcapng_unsplit_fallback_tiny_slices_no_duplication(tmp_path):
+    """ADVICE r12: the unsplittable-snaplen ownership test must be
+    start_byte <= GLOBAL_HEADER_LEN (the planner's unique minimum first-
+    slice start), not <= first_pkt — with per-slice spans smaller than
+    the SHB+IDB preamble, slices 2..k used to ALSO own the whole file
+    and every row duplicated."""
+    from tests.pcap_fixtures import pcapng_block  # noqa: F401 (doc)
+
+    frames = [
+        (float(i), build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 3000 + i,
+                                      53, b"q" * 30))
+        for i in range(3)
+    ]
+    png = build_pcapng(frames, snaplen=8 * 1024 * 1024)  # unsplittable
+    p = tmp_path / "tiny_slices.pcapng"
+    p.write_bytes(png)
+    size = len(png)
+    whole = [x["udp.srcport"] for x in iter_packets(str(p))]
+    assert whole == [3000, 3001, 3002]
+    parts = byte_range_partitions(str(p), 64, size=size)
+    # the probe only bites when some slice starts INSIDE the preamble
+    assert any(0 < s - 24 < 48 for s, _ in parts[1:]) or len(parts) > 8
+    got = [
+        x["udp.srcport"]
+        for s, e in parts
+        for x in iter_packets(str(p), s, e, size=size)
+    ]
+    assert got == whole  # exactly once — no preamble-straddling dupes
+
+    # extract_pcapng_slice twin: only the first slice materializes rows
+    from wireduck_spark.sources.native import extract_pcapng_slice
+    owned = []
+    for i, (s, e) in enumerate(parts):
+        out = tmp_path / f"slice_{i}.pcapng"
+        offs = extract_pcapng_slice(str(p), s, e, str(out))
+        owned.append(len(offs))
+    assert owned[0] == 3 and sum(owned) == 3
+
+
+def test_pcapng_unsplit_read_skips_oversized_block(tmp_path, monkeypatch):
+    """ADVICE r12: on an UNSPLIT read, a legitimate block larger than the
+    sanity cap (trailing length field confirms blen) is skipped — not a
+    silent truncation of every block behind it; a CORRUPT length (trailer
+    disagrees) still stops the walk instead of chaining into garbage."""
+    import struct as st
+
+    import wireduck_spark.sources.native as native
+    from tests.pcap_fixtures import pcapng_block
+
+    monkeypatch.setattr(native, "_MAX_SANE_ORIGLEN", 1024)
+    frames = [(1.0, build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 4000, 53,
+                                       b"a" * 20)),
+              (2.0, build_eth_ipv4_udp("10.0.0.1", "10.0.0.2", 4001, 53,
+                                       b"b" * 20))]
+    base = build_pcapng(frames[:1])
+    giant = pcapng_block(0x00000BAD, bytes(2048))  # valid trailer, > cap
+    us = 2_000_000
+    data = frames[1][1]
+    epb2 = pcapng_block(0x00000006, st.pack(
+        "<IIIII", 0, us >> 32, us & 0xFFFFFFFF, len(data), len(data)) + data)
+    p = tmp_path / "giant_mid.pcapng"
+    p.write_bytes(base + giant + epb2)
+    ports = [x["udp.srcport"] for x in iter_packets(str(p))]
+    assert ports == [4000, 4001]  # giant block skipped, not truncating
+
+    # corrupt trailer: walk stops at the lie, no giant allocation
+    bad_giant = bytearray(giant)
+    bad_giant[-4:] = st.pack("<I", 99)
+    p2 = tmp_path / "giant_corrupt.pcapng"
+    p2.write_bytes(base + bytes(bad_giant) + epb2)
+    ports2 = [x["udp.srcport"] for x in iter_packets(str(p2))]
+    assert ports2 == [4000]
+
+    # extract twin: the skipped block is not copied, both EPBs are
+    from wireduck_spark.sources.native import extract_pcapng_slice
+    out = tmp_path / "giant_slice.pcapng"
+    offs = extract_pcapng_slice(str(p), None, None, str(out))
+    assert len(offs) == 2
+    ports3 = [x["udp.srcport"] for x in iter_packets(str(out))]
+    assert ports3 == [4000, 4001]
+
+
+def test_dns_name_depth_exhaustion_advances_past_pointer():
+    """ADVICE r12: when the compression-pointer depth bound trips, the
+    name walk must still advance next_off past the 2-byte pointer —
+    pointers always terminate a name — so the field walk behind a
+    maliciously deep chain stays in sync."""
+    from wireduck_spark.sources.native import _dns_name
+
+    # '<label a><pointer to 0>' driven at the depth bound: the pointer
+    # is refused (depth) but next_off must be 4, not 2 (the old break
+    # left it AT the pointer byte)
+    payload = b"\x01a\xc0\x00\x00"
+    name, noff = _dns_name(payload, 0, depth=16)
+    assert name == "a"
+    assert noff == 4
+
+    # sanity below the bound: the same bytes resolve the loop-free tail
+    deep = b"\x01a\xc0\x04" + b"\x01b\x00"
+    name2, noff2 = _dns_name(deep, 0)
+    assert name2 == "a.b" and noff2 == 4

@@ -582,10 +582,13 @@ def test_scratch_dir_reaps_dead_owners_only(tmp_path, monkeypatch):
     invocations accumulated one wireduck_flow_lake_* dir per run, but an
     age floor alone could reap a dir a LIVE session's lazily-returned
     DataFrame still re-scans. _scratch_dir therefore embeds the creator
-    pid and reaps only dirs whose creator is GONE: dead-pid dirs go
-    immediately (any age), live-pid dirs survive (any age), legacy
-    un-pidded dirs fall back to the age floor, other prefixes are never
-    touched, and the fresh dir carries this process's pid."""
+    pid and reaps only dirs whose creator is GONE: dead-pid dirs past
+    the 5-minute minimum-age floor go (the floor shrinks the
+    probe-to-rmtree race and the PID-recycling window — ADVICE r12),
+    young dirs survive regardless of pid, live-pid dirs survive at any
+    age, legacy un-pidded dirs fall back to the age floor, other
+    prefixes are never touched, and the fresh dir carries this
+    process's pid."""
     import tempfile
 
     from wireduck_spark.sources.pcap_queries import _scratch_dir
@@ -605,12 +608,13 @@ def test_scratch_dir_reaps_dead_owners_only(tmp_path, monkeypatch):
             continue
     assert dead_pid is not None
     dead = tmp_path / f"wireduck_test_scratch_{dead_pid}_x"
+    dead_young = tmp_path / f"wireduck_test_scratch_{dead_pid}_y"
     live = tmp_path / "wireduck_test_scratch_1_x"
     mine = tmp_path / f"wireduck_test_scratch_{os.getpid()}_x"
     legacy_old = tmp_path / "wireduck_test_scratch_legacy_old"
     legacy_new = tmp_path / "wireduck_test_scratch_legacy_new"
     other = tmp_path / "unrelated_prefix_dir"
-    for d in (dead, live, mine, legacy_old, legacy_new, other):
+    for d in (dead, dead_young, live, mine, legacy_old, legacy_new, other):
         d.mkdir()
     old = 1_000_000_000  # 2001 — far past any age floor
     for d in (dead, live, legacy_old, other):
@@ -620,6 +624,8 @@ def test_scratch_dir_reaps_dead_owners_only(tmp_path, monkeypatch):
     assert os.path.isdir(fresh)
     assert f"wireduck_test_scratch_{os.getpid()}_" in fresh
     assert not dead.exists(), "dead-owner dir was not reaped"
+    assert dead_young.exists(), \
+        "dead-owner dir younger than the min-age floor must survive"
     assert live.exists(), "live-owner dir must survive at any age"
     assert mine.exists(), "this process's own prior dir must survive"
     assert not legacy_old.exists(), "old legacy dir past floor not reaped"

@@ -590,8 +590,16 @@ def _dns_name(payload: bytes, off: int, depth: int = 0) -> tuple[str, int]:
         if length == 0:
             return ".".join(labels), off + 1
         if length & 0xC0 == 0xC0:  # compression pointer
-            if off + 1 >= len(payload) or depth >= 16:
-                break
+            if off + 1 >= len(payload):
+                break  # truncated pointer: record ends mid-name
+            if depth >= 16:
+                # Depth exhaustion on a malicious pointer chain: a
+                # pointer always TERMINATES the name, so next_off must
+                # still advance past its 2 bytes — breaking here left
+                # off AT the pointer byte and desynchronized the
+                # question/answer walk behind it, the same desync class
+                # as the r12 label-bound fix (ADVICE r12).
+                return ".".join(labels), off + 2
             ptr = ((length & 0x3F) << 8) | payload[off + 1]
             tail, _ = _dns_name(payload, ptr, depth + 1)
             if tail:
@@ -1366,7 +1374,11 @@ def extract_pcapng_slice(path: str, start_byte, end_byte,
         if not splittable:
             # oversized-snaplen fallback (see _pcapng_preamble): first
             # slice owns the whole file, every other slice owns nothing.
-            if start_byte is not None and start_byte > first_pkt:
+            # Ownership = start_byte <= GLOBAL_HEADER_LEN, the planner's
+            # unique minimum first-slice start (same test as
+            # _iter_pcapng_records / _iter_classic_raw — ADVICE r12:
+            # first_pkt let preamble-straddling slices double-own).
+            if start_byte is not None and start_byte > GLOBAL_HEADER_LEN:
                 open(out_path, "wb").close()
                 return offsets
             start_byte = end_byte = None
@@ -1387,8 +1399,20 @@ def extract_pcapng_slice(path: str, start_byte, end_byte,
                     bom = fh.read(4)
                     endian = "<" if bom == b"\x4d\x3c\x2b\x1a" else ">"
                 btype, blen = struct.unpack(endian + "II", head)
-                if blen < 12 or blen > _MAX_SANE_ORIGLEN \
-                        or off + blen > size:
+                if blen < 12 or off + blen > size:
+                    break
+                if blen > _MAX_SANE_ORIGLEN:
+                    # same skip-vs-break rule as _iter_pcapng_records
+                    # (ADVICE r12): unsplit reads seek past a giant
+                    # block whose trailing length confirms blen; split
+                    # slices break and let the next slice resync.
+                    if start_byte is None:
+                        fh.seek(off + blen - 4)
+                        tail = fh.read(4)
+                        if len(tail) == 4 and \
+                                struct.unpack(endian + "I", tail)[0] == blen:
+                            off += blen
+                            continue
                     break
                 fh.seek(off)
                 out.write(fh.read(blen))
@@ -1413,7 +1437,13 @@ def _iter_pcapng_records(fh, size: int, start_byte=None, end_byte=None):
     whole file; see _pcapng_preamble)."""
     endian, interfaces, first_pkt, splittable = _pcapng_preamble(fh, size)
     if not splittable:
-        if start_byte is not None and start_byte > first_pkt:
+        # Ownership test mirrors _iter_classic_raw: exactly ONE planned
+        # slice starts at GLOBAL_HEADER_LEN (the planner's unique
+        # minimum). Testing against first_pkt instead (SHB+IDB preamble,
+        # ~48+ bytes) let slices 2..k whose start fell inside the
+        # preamble ALSO own the whole file and duplicate every row when
+        # per-slice spans are tiny (ADVICE r12).
+        if start_byte is not None and start_byte > GLOBAL_HEADER_LEN:
             return
         start_byte = end_byte = None
     off = first_pkt
@@ -1434,9 +1464,23 @@ def _iter_pcapng_records(fh, size: int, start_byte=None, end_byte=None):
             fh.seek(off)
             head = fh.read(8)
         btype, blen = struct.unpack(endian + "II", head)
-        # blen > _MAX_SANE_ORIGLEN: a corrupt u32 length must not become
-        # one near-file-sized fh.read allocation (r12 review)
-        if blen < 12 or blen > _MAX_SANE_ORIGLEN or off + blen > size:
+        if blen < 12 or off + blen > size:
+            break
+        if blen > _MAX_SANE_ORIGLEN:
+            # A >64 MiB blen must not become one near-file-sized fh.read
+            # allocation (r12 review) — but on an UNSPLIT read breaking
+            # here silently truncated everything after the first
+            # oversized block (ADVICE r12). If the block's trailing
+            # length field confirms blen, it is a real (if giant) block:
+            # seek past it and keep reading. Split reads still break —
+            # the slice that owns the next block resyncs past this one.
+            if start_byte is None:
+                fh.seek(off + blen - 4)
+                tail = fh.read(4)
+                if len(tail) == 4 and \
+                        struct.unpack(endian + "I", tail)[0] == blen:
+                    off += blen
+                    continue
             break
         body = fh.read(blen - 12)[: blen - 12]
         if btype == _IDB_TYPE and len(body) >= 8:

@@ -39,13 +39,21 @@ def _scratch_dir(prefix: str, max_age_sec: int = 6 * 3600) -> str:
     pid fall back to the ``max_age_sec`` floor. Reap errors (another
     user's dir — os.kill raises PermissionError, which reads as ALIVE —
     or a race with the owner) are ignored: cleanup is hygiene, never
-    correctness."""
+    correctness.
+
+    Pid-liveness is additionally paired with a short MINIMUM-age floor
+    (ADVICE r12): dirs younger than a few minutes are kept even when the
+    creator pid looks dead, shrinking the probe-to-rmtree race against a
+    same-prefix creator exiting mid-reap (and against PID recycling
+    mis-reading a just-made dir)."""
     import shutil
     import tempfile
     import time
 
     root = tempfile.gettempdir()
-    cutoff = time.time() - max_age_sec
+    now = time.time()
+    cutoff = now - max_age_sec
+    min_age_floor = now - 300  # keep anything younger than 5 minutes
     try:
         for name in os.listdir(root):
             if not name.startswith(prefix):
@@ -53,6 +61,8 @@ def _scratch_dir(prefix: str, max_age_sec: int = 6 * 3600) -> str:
             stale = os.path.join(root, name)
             pid_part = name[len(prefix):].split("_", 1)[0]
             try:
+                if os.path.getmtime(stale) >= min_age_floor:
+                    continue  # too young to reap regardless of pid
                 if pid_part.isdigit():
                     try:
                         os.kill(int(pid_part), 0)
