@@ -141,31 +141,89 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-12 rotation (VERDICT r11 #2): all 50 r11 rows came back green
-    # (47 hash-exact + 3 clean rows-only), so the 44 that did not change
-    # again this round move to ROTATED_OUT; the gate re-fills ALL 50
-    # slots = EVERY query whose builder fn source or oracle text changed
-    # since the round-11 snapshot (mechanically enforced by
+    # Round-13 rotation (VERDICT r12 next-round #3): all 50 r12 rows came
+    # back green (44 hash-exact + 6 clean rows-only), so the 49 that did
+    # not change again this round move to ROTATED_OUT; the gate re-fills
+    # ALL 50 slots = EVERY query whose builder fn source or oracle text
+    # changed since the round-12 snapshot (mechanically enforced by
     # tests/test_entry.py::test_changed_impl_queries_are_gated against
-    # tools/query_digests_prev.json) + the 8 names the r11 rotation
-    # queued + the remaining rounds-1-2 leftovers + the OLDEST rotated
-    # greens (round-3 cohort — their driver rows are 9 rounds stale).
-    # -- changed implementation this round (VERDICT r11 #1: the
-    #    embedding-cosine candidate join rewritten onto LSH buckets;
-    #    #2: checkpoint_dir threaded through the BPE trainer; ADVICE
-    #    r11: flow-lake scratch-dir reaping, EWMA state-size docstring;
-    #    plus embed_pca_top_component, whose stale docstring pointer to
-    #    a nonexistent test file was corrected — a doc-only digest
-    #    change, but the mechanical gate rule makes no exception, so it
-    #    takes the slot tpch_q18 vacates for the r13 queue):
+    # tools/query_digests_prev.json) + the 14 names the r12 rotation
+    # queued (round-3 cohort tail) + the next-oldest rotated greens
+    # (round-4/5 cohort — their driver rows are CORRECTNESS_r05, 8
+    # rounds stale).
+    # -- changed implementation this round (VERDICT r12 #3: the
+    #    embedding-cosine candidate shuffle slimmed to signature-only
+    #    rows, embeddings re-joined by vec_id for the exact stage):
     "dedup_embedding_cosine",
+    # -- the 14 names the r12 rotation queued for round 13 (round-3
+    #    cohort tail; last driver rows CORRECTNESS_r03):
+    "tpch_q3",
+    "tpch_q18",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tw_session",
+    "tw_sliding",
+    "tw_tumbling",
+    "unpivot_melt",
+    "window_analytic",
+    "window_frames",
+    "window_percent_cume",
+    "window_ranking",
+    "join_asof",
+    # -- next-oldest ROTATED_OUT greens cycled back in (round-4/5
+    #    cohort, first 35 in cohort order; the remaining 11 — tpch_q8/
+    #    q12/q13/q15/q16/q17/q19/q20/q21/q22 + window_topk_per_group —
+    #    queue for round 14):
+    "agg_histogram_equiwidth",
+    "agg_incremental_merge",
+    "agg_mode_deterministic",
+    "anomaly_zscore_trailing",
+    "dedup_semantic_kmeans",
+    "dedup_semantic_kmeans_scaled",  # rows-only by design (no oracle)
+    "dedup_ngram_containment",
+    "event_sessionization_gap",
+    "sampling_group_split",
+    "text_source_novelty",
+    "event_peak_concurrency",
+    "join_asof_tolerance",
+    "pipeline_eval_holdout",
+    "merge_upsert_scd",
+    "embed_quantize_int8",
+    "event_funnel_ordered",
+    "event_retention_cohorts",
+    "io_partitioned_pruning",
+    "io_schema_evolution",
+    "io_sorted_clustered_write",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_null_safe",
+    "mm_asset_dedup",
+    "pipeline_training_mix",
+    "sampling_stratified_source",
+    "shuffle_deterministic_shards",
+    "sketch_countmin_heavy_hitters",
+    "text_commonness_score",
+    "text_contamination_ngram",
+    "text_heavy_hitters",
+    "text_pii_scrub",
+    "text_quality_repetition",
+    "tpch_q2",
+    "tpch_q4",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # green hash-match rows in CORRECTNESS_r01.json ... _r12.json; still
+    # verified by tools/check_oracle.py + pytest every run.
+    # -- round-12 GATE: 44 oracle greens + 6 clean rows-only rows>0 in
+    #    CORRECTNESS_r12.json — zero red; dedup_embedding_cosine, whose
+    #    implementation changed again in r13, keeps its GATE slot:
     "embed_pca_top_component",
     "pcap_flow_export_sink",
     "pcap_flow_lake_recurring_dst",
     "stats_ewma_control_chart",
     "text_bpe_segment_compression",
     "text_bpe_train_merges",
-    # -- the 8 names the r11 rotation queued for round 12:
     "pcap_tls_sni",
     "pipeline_corpus_clean",
     "pivot_segments",
@@ -174,20 +232,10 @@ GATE: tuple[str, ...] = (
     "io_json_roundtrip",
     "dedup_simhash",
     "join_fuzzy_levenshtein",
-    # -- rounds-1-2 leftovers (r11-cycled into GATE, then displaced by
-    #    the zero-row-green repairs; last driver rows r01/r02):
     "mm_resize_stub",
     "pcap_dns_http_dissect",
     "pcap_flow_stats",
-    # -- round-12 debut (the VERDICT r11 #8 shortlist's streaming
-    #    SRM/assignment drift composition: the batch daily trajectory
-    #    here, the tracker-equivalence pytest in test_streaming; it
-    #    displaced tpch_q3, the last round-3 fill, to the r13 queue):
     "event_ab_srm_drift_daily",
-    # -- oldest ROTATED_OUT greens cycled back in (round-3 cohort; their
-    #    last driver rows are CORRECTNESS_r03 — 31 of 45 after tpch_q18
-    #    also vacated for embed_pca_top_component; the remaining 14
-    #    queue for round 13):
     "proj_expressions",
     "resample_gapfill",
     "sampling_bernoulli",
@@ -219,11 +267,6 @@ GATE: tuple[str, ...] = (
     "tpch_q1",
     "tpch_q10",
     "tpch_q14",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
-    # green hash-match rows in CORRECTNESS_r01.json ... _r11.json; still
-    # verified by tools/check_oracle.py + pytest every run.
     # -- round-11 GATE: 43 oracle greens + 1 clean rows-only row>0
     #    (pcap_flow_import_talkers) in CORRECTNESS_r11.json — zero red;
     #    the 6 queries whose implementation changed again in r12 keep
@@ -484,43 +527,9 @@ ROTATED_OUT: tuple[str, ...] = (
     "window_nth_value",
     "io_snapshot_time_travel",
     "io_small_files_compaction",
-    # -- round-4/5 GATE, green in CORRECTNESS_r05.json (the one hash
-    #    mismatch, seq_pack_greedy, stays in GATE for a re-check):
-    "agg_histogram_equiwidth",
-    "agg_incremental_merge",
-    "agg_mode_deterministic",
-    "anomaly_zscore_trailing",
-    "dedup_semantic_kmeans",
-    "dedup_semantic_kmeans_scaled",  # rows-only by design (no oracle)
-    "dedup_ngram_containment",
-    "event_sessionization_gap",
-    "sampling_group_split",
-    "text_source_novelty",
-    "event_peak_concurrency",
-    "join_asof_tolerance",
-    "pipeline_eval_holdout",
-    "merge_upsert_scd",
-    "embed_quantize_int8",
-    "event_funnel_ordered",
-    "event_retention_cohorts",
-    "io_partitioned_pruning",
-    "io_schema_evolution",
-    "io_sorted_clustered_write",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_null_safe",
-    "mm_asset_dedup",
-    "pipeline_training_mix",
-    "sampling_stratified_source",
-    "shuffle_deterministic_shards",
-    "sketch_countmin_heavy_hitters",
-    "text_commonness_score",
-    "text_contamination_ngram",
-    "text_heavy_hitters",
-    "text_pii_scrub",
-    "text_quality_repetition",
-    "tpch_q2",
-    "tpch_q4",
+    # -- round-4/5 GATE, green in CORRECTNESS_r05.json; 35 of the 46
+    #    were r13-cycled back into GATE; these 11 are the front of the
+    #    round-14 freshness queue:
     "tpch_q8",
     "tpch_q12",
     "tpch_q13",
@@ -532,23 +541,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "window_topk_per_group",
-    # -- round-3 GATE, all green in CORRECTNESS_r03.json (31 of the 45
-    #    were r12-cycled back into GATE; these 14 are the front of the
-    #    round-13 freshness queue):
-    "tpch_q3",
-    "tpch_q18",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tw_session",
-    "tw_sliding",
-    "tw_tumbling",
-    "unpivot_melt",
-    "window_analytic",
-    "window_frames",
-    "window_percent_cume",
-    "window_ranking",
-    "join_asof",
 )
 
 
