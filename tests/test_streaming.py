@@ -2480,6 +2480,13 @@ def _days_pdf(days, **cols):
         ("_holt_update",
          lambda days: pd.DataFrame({"d": list(days),
                                     "cents": [100] * len(days)})),
+        # kendall/trend-duo raised on a PRIOR week already (ADVICE r10);
+        # the r13 watermark must also catch same-week replays/reorders
+        ("_kendall_update",
+         lambda days: _days_pdf(days, x=[5] * len(days),
+                                y=[7] * len(days))),
+        ("_trend_duo_update",
+         lambda days: _days_pdf(days, y=[7] * len(days))),
     ],
 )
 def test_daily_trackers_reject_out_of_order_and_replayed_days(
@@ -2487,7 +2494,8 @@ def test_daily_trackers_reject_out_of_order_and_replayed_days(
     import wireduck_spark.streaming.stateful as st_mod
 
     fn = getattr(st_mod, fn_name)
-    key = (0,) if fn_name in ("_acf_update", "_granger_update") \
+    key = (0,) if fn_name in ("_acf_update", "_granger_update",
+                              "_kendall_update", "_trend_duo_update") \
         else ("purchase",)
 
     # late day (strictly older than the watermark)

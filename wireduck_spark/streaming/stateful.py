@@ -1965,6 +1965,7 @@ KENDALL_STATE_SCHEMA = StructType(
         StructField("n_pairs", LongType()),
         StructField("cur_week", LongType()),
         StructField("week_buf", StringType()),  # 'x:y;x:y;...' <=7 days
+        StructField("last_day", StringType()),  # day-order watermark (r13)
     ]
 )
 
@@ -1994,28 +1995,28 @@ def _kendall_update(
     import math
 
     if state.exists:
-        conc, disc, tx, ty, n_pairs, cur_w, buf_csv = state.get
+        conc, disc, tx, ty, n_pairs, cur_w, buf_csv, last_day = state.get
         buf = [tuple(int(v) for v in p.split(":"))
                for p in buf_csv.split(";") if p]
+        last_day = last_day or ""
     else:
         conc = disc = tx = ty = n_pairs = 0
-        cur_w, buf = -1, []
+        cur_w, buf, last_day = -1, [], ""
     chunks = [c for c in batches if len(c)]
     days = (pd.concat(chunks, ignore_index=True).sort_values("d")
             if chunks else pd.DataFrame(columns=["d", "x", "y"]))
     for _, row in days.iterrows():
         d = pd.Timestamp(row["d"]).date()
         x, y = int(row["x"]), int(row["y"])
+        # Loud, not silently wrong (ADVICE r10, widened r13): the
+        # strictly-increasing day watermark subsumes the original
+        # prior-week check AND catches a replayed or out-of-order day
+        # WITHIN the current week, which would pair against the wrong
+        # buffer (or its own earlier copy) and permanently corrupt the
+        # int64 counters.
+        _check_day_order("kendall_tracker", d.isoformat(), last_day)
+        last_day = d.isoformat()
         w = (d - KENDALL_ANCHOR).days // 7
-        if buf and w < cur_w:
-            # Loud, not silently wrong (ADVICE r10): a day from a PRIOR
-            # week would pair against the wrong buffer and permanently
-            # corrupt the int64 counters — the day-ordered contract is
-            # violated, so fail the stream instead of resetting.
-            raise ValueError(
-                f"kendall_tracker: day {d} (week {w}) arrived after week "
-                f"{cur_w} was opened — closed daily rows must be "
-                "day-ordered (late/out-of-order upstream data)")
         if w != cur_w:
             cur_w, buf = w, []
         for xa, ya in buf:
@@ -2027,7 +2028,7 @@ def _kendall_update(
             n_pairs += 1
         buf.append((x, y))
     state.update((conc, disc, tx, ty, n_pairs, cur_w,
-                  ";".join(f"{x}:{y}" for x, y in buf)))
+                  ";".join(f"{x}:{y}" for x, y in buf), last_day))
     denom = float((n_pairs - tx) * (n_pairs - ty))
     if n_pairs == 0 or denom <= 0:
         yield pd.DataFrame(
@@ -2077,6 +2078,7 @@ TREND_DUO_STATE_SCHEMA = StructType(
         StructField("cur_week", LongType()),
         StructField("week_buf", StringType()),  # 'dayord:y;...' <=7 days
         StructField("slopes", StringType()),    # 'dy:dd;...' <=21 per week
+        StructField("last_day", StringType()),  # day-order watermark (r13)
     ]
 )
 
@@ -2122,20 +2124,22 @@ def _trend_duo_update(
     lower + (upper-lower)*frac) over float(dy)/float(dd) doubles —
     identical IEEE divisions to the batch slope column.
 
-    Day-ordered closed daily rows required; a day from a PRIOR week
-    fails loudly (the kendall_tracker ADVICE-r10 contract)."""
+    Day-ordered closed daily rows ENFORCED via the state's last_day
+    watermark (r13 — widened from the ADVICE-r10 prior-week raise):
+    a late, replayed, or same-week out-of-order day fails loudly."""
     import math
 
     if state.exists:
         (s_stat, closed_t1, closed_t2, n_days, cur_w,
-         buf_csv, slopes_csv) = state.get
+         buf_csv, slopes_csv, last_day) = state.get
         buf = [tuple(int(v) for v in p.split(":"))
                for p in buf_csv.split(";") if p]
         slopes = [tuple(int(v) for v in p.split(":"))
                   for p in slopes_csv.split(";") if p]
+        last_day = last_day or ""
     else:
         s_stat = closed_t1 = closed_t2 = n_days = 0
-        cur_w, buf, slopes = -1, [], []
+        cur_w, buf, slopes, last_day = -1, [], [], ""
     chunks = [c for c in batches if len(c)]
     days = (pd.concat(chunks, ignore_index=True).sort_values("d")
             if chunks else pd.DataFrame(columns=["d", "y"]))
@@ -2144,11 +2148,11 @@ def _trend_duo_update(
         y = int(row["y"])
         dayord = (d - KENDALL_ANCHOR).days
         w = dayord // 7
-        if buf and w < cur_w:
-            raise ValueError(
-                f"trend_duo_tracker: day {d} (week {w}) arrived after "
-                f"week {cur_w} was opened — closed daily rows must be "
-                "day-ordered (late/out-of-order upstream data)")
+        # strictly-increasing day watermark (r13): subsumes the original
+        # prior-week raise and catches same-week replays, which would
+        # add a phantom 0/0 slope and a self-tie to the S statistic
+        _check_day_order("trend_duo_tracker", d.isoformat(), last_day)
+        last_day = d.isoformat()
         if w != cur_w:
             if buf:  # freeze the closing week's variance terms
                 closed_t1 += _mk_block_term(len(buf))
@@ -2164,7 +2168,7 @@ def _trend_duo_update(
         n_days += 1
     state.update((s_stat, closed_t1, closed_t2, n_days, cur_w,
                   ";".join(f"{a}:{b}" for a, b in buf),
-                  ";".join(f"{a}:{b}" for a, b in slopes)))
+                  ";".join(f"{a}:{b}" for a, b in slopes), last_day))
     # Open week's variance terms, re-derived from the buffer.
     t1 = closed_t1 + _mk_block_term(len(buf))
     ys = {}
