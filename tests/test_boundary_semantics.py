@@ -89,3 +89,50 @@ def test_peak_concurrency_touching_intervals_not_concurrent(
     rows = _both(spark, sf, "event_peak_concurrency")
     peaks = {r[0]: r[1] for r in rows}
     assert peaks == {1: 1, 2: 2}
+
+
+def test_session_window_exact_gap_merges(spark, tmp_path):
+    """Spark's native F.session_window merges an event arriving EXACTLY
+    `gap` after its predecessor (windows touch -> same session; probed
+    r13); the oracle's gaps-and-islands rewrite must split on strictly-
+    greater, not `>=` — the original `>=` diverged precisely here."""
+    def ev(eid, user, sec_off, us_off=0):
+        return (eid, T0 + dt.timedelta(seconds=sec_off,
+                                       microseconds=us_off),
+                user, "view", 1.0, "{}")
+
+    sf = _write(spark, tmp_path, [
+        # user 1: exactly 10:00 apart twice -> ONE session of 3
+        ev(1, 1, 0),
+        ev(2, 1, 600),
+        ev(3, 1, 1200),
+        # user 2: 10:00.000001 apart -> TWO sessions
+        ev(4, 2, 0),
+        ev(5, 2, 600, 1),
+    ])
+    rows = _both(spark, sf, "tw_session")
+    by_user = {}
+    for user, _start, end, n, _cents in rows:
+        by_user.setdefault(user, []).append((n, end))
+    assert by_user[1] == [(3, "2024-03-01 12:30:00")]
+    assert sorted(n for n, _ in by_user[2]) == [1, 1]
+
+
+def test_tumbling_window_edge_event_goes_to_next_bucket(spark, tmp_path):
+    """An event exactly on the hour belongs to the NEXT tumbling window
+    (start-inclusive, end-exclusive) in both F.window and time_bucket."""
+    def ev(eid, sec_off, us_off=0):
+        return (eid, T0 + dt.timedelta(seconds=sec_off,
+                                       microseconds=us_off),
+                1, "view", 1.0, "{}")
+
+    sf = _write(spark, tmp_path, [
+        ev(1, -1, 999_999),     # 11:59:59.999999 -> the 11:00 bucket
+        ev(2, 0),               # exactly 12:00:00 -> the 12:00 bucket
+        ev(3, 3600),            # exactly 13:00:00 -> the 13:00 bucket
+    ])
+    rows = _both(spark, sf, "tw_tumbling")
+    counts = {r[0]: r[2] for r in rows}
+    assert counts == {"2024-03-01 11:00:00": 1,
+                      "2024-03-01 12:00:00": 1,
+                      "2024-03-01 13:00:00": 1}

@@ -94,7 +94,7 @@ def tw_sliding(spark: SparkSession, sf: str) -> DataFrame:
     WITH marked AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -121,8 +121,15 @@ def tw_session(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows with a 10-minute inactivity gap per user.
 
     Spark's F.session_window merges events whose windows [ts, ts+gap)
-    overlap; the oracle reproduces that with the classic gaps-and-islands
-    rewrite (lag + running sum). Session end = last event + gap in both.
+    overlap OR TOUCH — probed directly (r13): an event exactly `gap`
+    after its predecessor lands in the SAME session, so a new session
+    starts only when the gap is STRICTLY greater than 10 minutes. The
+    oracle reproduces that with the classic gaps-and-islands rewrite
+    (lag + running sum, split on `> INTERVAL 10 MINUTE`; the original
+    `>=` split diverged from the native operator exactly at the
+    boundary — invisible on the fixture's microsecond timestamps,
+    pinned by tests/test_boundary_semantics.py). Session end = last
+    event + gap in both.
 
     Scale: one shuffle on user_id; Spark's native session-window operator
     merges partial sessions map-side. Streaming twin uses the same
