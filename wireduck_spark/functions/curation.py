@@ -832,7 +832,9 @@ def sampling_group_split(spark: SparkSession, sf: str) -> DataFrame:
           ELSE [array_to_string(toks, ' ')] END) AS g
         FROM (SELECT source,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-              FROM documents)
+              FROM documents
+              WHERE len(regexp_extract_all(lower(text),
+                                           '[a-z0-9]+')) >= 1)
       )
     ),
     spread AS (
@@ -872,6 +874,10 @@ def text_source_novelty(spark: SparkSession, sf: str) -> DataFrame:
                 F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
             ),
         )
+        # token-less docs contribute no grams (the dedup.DUCK_SHINGLES
+        # exclusion rule: Spark's array_join([], ' ') mints a concrete
+        # '' gram that DuckDB's array_to_string NULLs out — r13)
+        .filter(F.expr("size(toks) >= 1"))
         .select(
             "source",
             F.explode(

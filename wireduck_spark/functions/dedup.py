@@ -56,9 +56,21 @@ DUCK_SHINGLES = """
                 SELECT doc_id, source,
                        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
                 FROM documents
+                WHERE len(regexp_extract_all(lower(text),
+                                             '[a-z0-9]+')) >= 1
             )
         )
 """
+# Token-less docs (NULL/empty/punctuation-only text) are EXCLUDED from
+# the shingle surface on both engines (the WHERE above; the Spark twins
+# filter size(toks) >= 1). Before r13 this was an accident of engine
+# disagreement: DuckDB's array_to_string([], ' ') is NULL (the sh=NULL
+# row then self-excludes from every equi-join), while Spark's
+# array_join([], ' ') is '' — a CONCRETE shingle that paired every
+# degenerate doc with every other one, and at 100 TB would funnel all
+# of them into ONE band bucket (quadratic pair blowup). Exact-dedup
+# still owns identical-empty-content grouping; near-dup candidacy
+# requires at least one alphanumeric token.
 
 
 def _spark_shingles(d: DataFrame) -> DataFrame:
@@ -73,6 +85,11 @@ def _spark_shingles(d: DataFrame) -> DataFrame:
         d.withColumn(
             "toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         )
+        # token-less docs are excluded from the shingle surface (see the
+        # DUCK_SHINGLES note: Spark's array_join([], ' ') would mint a
+        # concrete '' shingle and pair every degenerate doc; size(NULL)
+        # is -1, so NULL text is excluded here too)
+        .filter(F.expr("size(toks) >= 1"))
         .select(
             "doc_id",
             "source",
@@ -265,6 +282,12 @@ def _spark_minhash_sig(d: DataFrame) -> DataFrame:
             "toks",
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
         )
+        # token-less docs get NO signature (the DUCK_SHINGLES exclusion
+        # rule): without this, every NULL/empty/punctuation-only doc
+        # folded the same degenerate shingle into an identical signature
+        # and they ALL landed in one band bucket — spurious est=1.0
+        # pairs here, and a quadratic hot bucket at 100 TB
+        .filter(F.expr("size(toks) >= 1"))
         .withColumn(
             "hs",
             F.expr(

@@ -32,7 +32,7 @@ CHUNK_STRIDE = 150
     FROM documents d,
          LATERAL (SELECT unnest(generate_series(
                       0, GREATEST(len(d.text) - 1, 0), {CHUNK_STRIDE})) AS off)
-    WHERE d.doc_id <= 100
+    WHERE d.doc_id <= 100 AND d.text IS NOT NULL
     """,
     tags=("text", "udtf"),
 )
@@ -45,7 +45,9 @@ def text_chunk_udtf(spark: SparkSession, sf: str) -> DataFrame:
     Scale: a UDTF is a per-row generator on the Arrow path — no shuffle,
     no state; chunking 100 TB of text is embarrassingly parallel and this
     plan keeps it that way (lateral join to the generator, pure map
-    stage).
+    stage). NULL text yields NO chunks (the generator's None-guard; the
+    oracle filters the same docs — r13 adversarial-corpus pin), while
+    empty text yields exactly one empty chunk on both engines.
     """
     from pyspark.sql.functions import udtf
 

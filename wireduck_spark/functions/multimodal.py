@@ -145,7 +145,7 @@ def mm_binary_metadata(spark: SparkSession, sf: str) -> DataFrame:
                         i -> ('0x' || substr(md5(text), CAST(i * 2 - 1 AS INTEGER),
                                              2))::BIGINT)),
                 (a, x) -> a + x) % 251 AS BIGINT) AS checksum_mod
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal", "pandas_udf"),
 )
@@ -159,7 +159,15 @@ def mm_decode_features(spark: SparkSession, sf: str) -> DataFrame:
     for real decode/resize/feature-extract over 100 TB of media; partition
     count (not driver memory) bounds the working set.
     """
-    assets = documents_as_assets(spark, sf).select("asset_id", "content")
+    assets = (
+        documents_as_assets(spark, sf)
+        .select("asset_id", "content")
+        # a NULL-content asset (NULL-text doc) is not decodable and
+        # yields no row — the uniform mm_* contract (r13 adversarial
+        # pin; the Python fallback's -1 sentinels diverged from the
+        # oracle's NULL propagation)
+        .filter(F.col("content").isNotNull())
+    )
     return assets.mapInPandas(fake_decode_stats, schema=DECODE_SCHEMA)
 
 
@@ -201,6 +209,7 @@ def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     FROM documents,
          LATERAL (SELECT unnest(generate_series(
              0, 16 // {FRAME_BYTES} - 1, {FRAME_STRIDE})) AS fi)
+    WHERE text IS NOT NULL
     """,
     tags=("multimodal", "pandas_udf"),
 )
@@ -250,14 +259,19 @@ def resize_images(batches: Iterator[pd.DataFrame],
                    i -> substr(md5(text), CAST(i * 4 + 1 AS INTEGER), 2)),
                'string_agg', '')) AS resized_hex,
            CAST(8 AS BIGINT) AS resized_len
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal", "pandas_udf"),
 )
 def mm_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
     """Byte-stride "resize" via mapInPandas (every 2nd byte of the fake
-    image content); the oracle re-derives the strided hex in SQL."""
-    assets = documents_as_assets(spark, sf).select("asset_id", "content")
+    image content); the oracle re-derives the strided hex in SQL.
+    NULL-content assets yield no row (the uniform mm_* contract, r13)."""
+    assets = (
+        documents_as_assets(spark, sf)
+        .select("asset_id", "content")
+        .filter(F.col("content").isNotNull())
+    )
     return assets.mapInPandas(
         resize_images, schema="asset_id bigint, resized_hex string,"
         " resized_len bigint"
@@ -455,7 +469,7 @@ def fake_audio_frame_energy(
                md5(text) || md5(text || '1') || md5(text || '2')
                  || md5(text || '3') || md5(text || '4') || md5(text || '5')
                  || md5(text || '6') || md5(text || '7') AS h
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), samples AS (
         SELECT asset_id,
                list_transform(range(0, 128), i ->
@@ -511,7 +525,7 @@ def mm_audio_frame_energy(spark: SparkSession, sf: str) -> DataFrame:
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.to_binary(hexcol, F.lit("hex")).alias("content"),
-    )
+    ).filter(F.col("content").isNotNull())  # NULL-content: no row (r13)
     return assets.mapInPandas(fake_audio_frame_energy, AUDIO_ENERGY_SCHEMA)
 
 
@@ -592,7 +606,7 @@ def fake_scene_cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         SELECT doc_id AS asset_id,
                md5(text) || md5(text || '1') || md5(text || '2')
                  || md5(text || '3') AS h
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), samples AS (
         SELECT asset_id,
                list_transform(range(0, 64), i ->
@@ -653,5 +667,5 @@ def mm_video_scene_cut(spark: SparkSession, sf: str) -> DataFrame:
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.to_binary(hexcol, F.lit("hex")).alias("content"),
-    )
+    ).filter(F.col("content").isNotNull())  # NULL-content: no row (r13)
     return assets.mapInPandas(fake_scene_cuts, SCENE_CUT_SCHEMA)

@@ -174,12 +174,14 @@ def text_langid(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT doc_id,
            md5(nfull) AS norm_md5,
-           CAST(list_reduce(
+           CASE WHEN n64 IS NULL THEN NULL
+                ELSE CAST(list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                    list_transform(range(1, length(n64) + 1),
                        i -> CAST(ascii(substring(n64, CAST(i AS INTEGER), 1))
                                  AS BIGINT))),
-               (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS poly_hash
+               (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) END
+               AS poly_hash
     FROM norm
     """,
     tags=("text",),
@@ -188,7 +190,17 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized text + a 64-char
     polynomial rolling hash (mod 1e9+7), computed as an identical
     left-fold over character codes in Spark (aggregate) and DuckDB
-    (list_reduce)."""
+    (list_reduce).
+
+    NULL text fingerprints as NULL in BOTH columns (SQL convention,
+    matching md5's NULL propagation): Spark's sequence/aggregate chain
+    propagates the NULL naturally, while DuckDB's range(1, NULL) is an
+    EMPTY list whose fold is 0 — the r13 adversarial-corpus probe
+    caught the unguarded oracle colliding NULL text with empty text
+    (whose hash is legitimately 0 on both engines), hence the explicit
+    CASE. Empty text hashes to 0 on both: Spark's descending
+    sequence(1, 0) feeds ascii('') = 0 twice (0*31+0 folds stay 0),
+    DuckDB folds the bare seed."""
     d = table(spark, sf, "documents", spread=True)
     norm = F.lower(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9 ]", ""))
     return d.select(

@@ -1093,7 +1093,8 @@ def io_text_log_parse(spark: SparkSession, sf: str) -> DataFrame:
     WITH src AS (
         SELECT doc_id, text, md5(text) AS h,
                CAST(strlen(text) AS BIGINT) AS nb
-        FROM documents WHERE doc_id < 20
+        FROM documents WHERE doc_id < 20 AND text IS NOT NULL
+          AND strlen(text) > 0
     )
     SELECT CAST(COUNT(*) * 2 AS BIGINT) AS n_files,
            CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_assets,
@@ -1129,7 +1130,14 @@ def io_binaryfile_ingest(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(base)
     docs = (
         table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 20)
+        # a NULL document renders no asset file (r13: .encode crashed
+        # on NULL text), and neither does an EMPTY one — Spark's
+        # binaryFile source silently omits zero-byte files from the
+        # scan (probed r13: 22 files written, 20 rows read, byte totals
+        # equal), so the generator and the oracle's src CTE both
+        # exclude them to keep the dedup arithmetic exact
+        .filter((F.col("doc_id") < 20) & F.col("text").isNotNull()
+                & (F.length("text") > 0))
         .select("doc_id", "text")
         .collect()  # 20 rows — the asset GENERATOR is test scaffolding;
         #             the measured path is the binaryFile scan below

@@ -153,8 +153,27 @@ GATE: tuple[str, ...] = (
     # rounds stale).
     # -- changed implementation this round (VERDICT r12 #3: the
     #    embedding-cosine candidate shuffle slimmed to signature-only
-    #    rows, embeddings re-joined by vec_id for the exact stage):
+    #    rows, embeddings re-joined by vec_id for the exact stage; plus
+    #    the adversarial-corpus review's NULL/empty-doc contract fixes —
+    #    token-less docs excluded from the shingle surface, NULL text
+    #    fingerprints/chunks/assets yield NULL-or-no rows — and the
+    #    tw_session exact-gap boundary, each fix probed on the
+    #    degenerate-documents corpus AND hash-exact on the fixture):
     "dedup_embedding_cosine",
+    "dedup_cluster_components",
+    "dedup_minhash_calibration",
+    "dedup_minhash_decontaminate",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "io_binaryfile_ingest",
+    "mm_audio_frame_energy",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize_stub",
+    "mm_video_scene_cut",
+    "pipeline_incremental_dedup",
+    "text_chunk_udtf",
+    "text_fingerprint",
     # -- the 14 names the r12 rotation queued for round 13 (round-3
     #    cohort tail; last driver rows CORRECTNESS_r03):
     "tpch_q3",
@@ -172,9 +191,10 @@ GATE: tuple[str, ...] = (
     "window_ranking",
     "join_asof",
     # -- next-oldest ROTATED_OUT greens cycled back in (round-4/5
-    #    cohort, first 35 in cohort order; the remaining 11 — tpch_q8/
-    #    q12/q13/q15/q16/q17/q19/q20/q21/q22 + window_topk_per_group —
-    #    queue for round 14):
+    #    cohort, first 21 in cohort order after the changed-impl set
+    #    claimed 14 of the planned 35 refill slots; the remaining 25 —
+    #    join_asof_nearest..tpch_q4 plus tpch_q8/q12/q13/q15/q16/q17/
+    #    q19/q20/q21/q22 + window_topk_per_group — queue for round 14):
     "agg_histogram_equiwidth",
     "agg_incremental_merge",
     "agg_mode_deterministic",
@@ -196,20 +216,6 @@ GATE: tuple[str, ...] = (
     "io_schema_evolution",
     "io_sorted_clustered_write",
     "join_asof_forward",
-    "join_asof_nearest",
-    "join_null_safe",
-    "mm_asset_dedup",
-    "pipeline_training_mix",
-    "sampling_stratified_source",
-    "shuffle_deterministic_shards",
-    "sketch_countmin_heavy_hitters",
-    "text_commonness_score",
-    "text_contamination_ngram",
-    "text_heavy_hitters",
-    "text_pii_scrub",
-    "text_quality_repetition",
-    "tpch_q2",
-    "tpch_q4",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
@@ -232,7 +238,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "io_json_roundtrip",
     "dedup_simhash",
     "join_fuzzy_levenshtein",
-    "mm_resize_stub",
     "pcap_dns_http_dissect",
     "pcap_flow_stats",
     "event_ab_srm_drift_daily",
@@ -259,8 +264,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "sketch_quantiles",
     "sort_limit_topk",
     "subquery_exists_in",
-    "text_chunk_udtf",
-    "text_fingerprint",
     "text_langid",
     "text_quality_score",
     "text_token_count",
@@ -280,8 +283,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "stats_acf_daily_lags",
     "stats_anova_oneway",
     "stats_levene_brown_forsythe",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
     "join_semi_bloom_prefilter",
     "market_basket_pairs",
     "subquery_scalar",
@@ -297,7 +298,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "agg_variance_corr",
     "cte_reuse",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "distinct_dedup_rows",
     "filter_predicates",
     "grouped_apply_deviation",
@@ -315,8 +315,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "join_theta_nonequi",
     "latest_per_key",
     "mm_binary_metadata",
-    "mm_decode_features",
-    "mm_frame_sample",
     # -- round-10 GATE: 8 oracle greens + 3 clean rows-only rows>0 in
     #    CORRECTNESS_r10.json (zero red):
     "pcap_ja3_fingerprint",
@@ -400,10 +398,8 @@ ROTATED_OUT: tuple[str, ...] = (
     "stats_wilson_interval",
     "text_entropy_source_mix",
     "sampling_neyman_allocation",
-    "dedup_minhash_calibration",
     "embed_hard_negatives_lsh",
     "io_text_log_parse",
-    "io_binaryfile_ingest",
     "stats_ks_two_sample",
     "stats_cramers_v",
     "agg_trimmed_mean",
@@ -417,7 +413,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "graph_jaccard_coshopper",
     "curation_importance_weights",
     "graph_pagerank_suppliers",
-    "pipeline_incremental_dedup",
     "event_ab_did",
     "graph_label_spread_nation",
     "stats_roc_auc",
@@ -443,7 +438,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "io_dynamic_partition_pruning",
     "io_partition_overwrite_dynamic",
     "text_bpe_pair_counts",
-    "dedup_minhash_decontaminate",
     "pipeline_dataset_card",
     "event_watermark_lateness_audit",
     "event_cuped_adjustment",
@@ -512,13 +506,11 @@ ROTATED_OUT: tuple[str, ...] = (
     "resample_m4_downsample",
     "text_collocations_pmi",
     "dq_benford_first_digit",
-    "mm_audio_frame_energy",
     "feature_quantile_bucketize",
     "text_inverted_index",
     "snapshot_diff_cdc",
     "window_rolling_regression",
     "scalar_inet_funcs",
-    "mm_video_scene_cut",
     "pipeline_rag_chunk_index",
     "anomaly_mad_robust",
     "scd2_point_in_time_lookup",
@@ -527,9 +519,24 @@ ROTATED_OUT: tuple[str, ...] = (
     "window_nth_value",
     "io_snapshot_time_travel",
     "io_small_files_compaction",
-    # -- round-4/5 GATE, green in CORRECTNESS_r05.json; 35 of the 46
-    #    were r13-cycled back into GATE; these 11 are the front of the
+    # -- round-4/5 GATE, green in CORRECTNESS_r05.json; 21 of the 46
+    #    were r13-cycled back into GATE (the changed-impl set claimed
+    #    the other refill slots); these 25 are the front of the
     #    round-14 freshness queue:
+    "join_asof_nearest",
+    "join_null_safe",
+    "mm_asset_dedup",
+    "pipeline_training_mix",
+    "sampling_stratified_source",
+    "shuffle_deterministic_shards",
+    "sketch_countmin_heavy_hitters",
+    "text_commonness_score",
+    "text_contamination_ngram",
+    "text_heavy_hitters",
+    "text_pii_scrub",
+    "text_quality_repetition",
+    "tpch_q2",
+    "tpch_q4",
     "tpch_q8",
     "tpch_q12",
     "tpch_q13",
