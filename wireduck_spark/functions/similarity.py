@@ -48,13 +48,36 @@ def duck_cosine(a: str, b: str) -> str:
     )
 
 
+def similarity_surface(emb: DataFrame) -> DataFrame:
+    """NULL and zero-norm embeddings are EXCLUDED from the similarity
+    surface (r13 adversarial probe): cosine is undefined for them
+    (0/0), and under Spark's ANSI mode the zero-norm division is a
+    job-killing DIVIDE_BY_ZERO — one all-zero vector in a 100-TB
+    corpus must not abort the scan. The oracle twin is
+    DUCK_EMB_SURFACE; the rule is the embeddings analogue of the
+    dedup token-less-document exclusion."""
+    return emb.filter(
+        F.col("embedding").isNotNull()
+        & F.exists("embedding", lambda v: v != F.lit(0.0))
+    )
+
+
+# DuckDB twin of similarity_surface, used as a CTE body named `emb`.
+DUCK_EMB_SURFACE = """emb AS (
+        SELECT * FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
+    )"""
+
+
 @query(
     "sim_topk_bruteforce",
     oracle=f"""
-    WITH sims AS (
+    WITH {DUCK_EMB_SURFACE},
+    sims AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROUND({duck_cosine("q.embedding", "c.embedding")}, 6) AS cos_sim
-        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < {N_QUERY_VECS}
     ),
     ranked AS (
@@ -79,7 +102,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     per partition). This is the exact-recall baseline the ANN variant is
     measured against.
     """
-    emb = table(spark, sf, "embeddings", spread=True)
+    emb = similarity_surface(table(spark, sf, "embeddings", spread=True))
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -107,14 +130,15 @@ def sim_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "sim_ann_ivf_bucketed",
     oracle=f"""
-    WITH probes AS (
+    WITH {DUCK_EMB_SURFACE},
+    probes AS (
         SELECT q.vec_id AS query_id, q.label AS probe_label, q.embedding AS q_emb
-        FROM embeddings q WHERE q.vec_id < {N_QUERY_VECS}
+        FROM emb q WHERE q.vec_id < {N_QUERY_VECS}
     ),
     sims AS (
         SELECT p.query_id, c.vec_id AS neighbor_id,
                ROUND({duck_cosine("p.q_emb", "c.embedding")}, 6) AS cos_sim
-        FROM probes p JOIN embeddings c
+        FROM probes p JOIN emb c
           ON c.label = p.probe_label AND c.vec_id <> p.query_id
     ),
     ranked AS (
@@ -137,7 +161,7 @@ def sim_ann_ivf_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     fraction of the corpus — the same plan shape IVF gives you in a vector
     DB. Recall vs. the exact baseline is measured in tests.
     """
-    emb = table(spark, sf, "embeddings", spread=True)
+    emb = similarity_surface(table(spark, sf, "embeddings", spread=True))
     probes = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("probe_label"),
@@ -263,11 +287,12 @@ def _duck_candidates() -> str:
 @query(
     "sim_ann_hyperplane_lsh",
     oracle=f"""
-    WITH bucketed AS (
+    WITH {DUCK_EMB_SURFACE},
+    bucketed AS (
         SELECT vec_id, embedding,
                {", ".join(f'{_table_bucket_duck("embedding", t)} AS b{t}'
                           for t in range(N_LSH_TABLES))}
-        FROM embeddings
+        FROM emb
     ),
     candidates AS (
         {_duck_candidates()}
@@ -276,8 +301,8 @@ def _duck_candidates() -> str:
         SELECT cand.query_id, cand.neighbor_id,
                ROUND({duck_cosine("q.embedding", "c.embedding")}, 6) AS cos_sim
         FROM candidates cand
-        JOIN embeddings q ON q.vec_id = cand.query_id
-        JOIN embeddings c ON c.vec_id = cand.neighbor_id
+        JOIN emb q ON q.vec_id = cand.query_id
+        JOIN emb c ON c.vec_id = cand.neighbor_id
     ),
     ranked AS (
         SELECT query_id, neighbor_id, cos_sim,
@@ -309,7 +334,7 @@ def sim_ann_hyperplane_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # top-k result is localCheckpoint'ed below so the cache unpersists
     # before returning (session cache hygiene — round-7 ADVICE pattern).
     emb = (
-        table(spark, sf, "embeddings", spread=True)
+        similarity_surface(table(spark, sf, "embeddings", spread=True))
         .withColumn("buckets", F.expr(_spark_table_buckets("embedding")))
         .persist()
     )
@@ -526,11 +551,12 @@ def _duck_pair_candidates() -> str:
 @query(
     "sim_range_search_lsh",
     oracle=f"""
-    WITH bucketed AS (
+    WITH {DUCK_EMB_SURFACE},
+    bucketed AS (
         SELECT vec_id, embedding,
                {", ".join(f'{_table_bucket_duck("embedding", t)} AS b{t}'
                           for t in range(N_LSH_TABLES))}
-        FROM embeddings
+        FROM emb
     ), cand AS (
         {_duck_pair_candidates()}
     ), sims AS (
@@ -572,7 +598,7 @@ def range_search_lsh(spark: SparkSession, sf: str,
     """Parameterized radius-search engine behind sim_range_search_lsh;
     (n_tables, n_bits) is the recall/scale dial (bits ~ log2(corpus))."""
     emb = (
-        table(spark, sf, "embeddings", spread=True)
+        similarity_surface(table(spark, sf, "embeddings", spread=True))
         .withColumn(
             "buckets",
             F.expr(_spark_table_buckets("embedding", n_tables, n_bits)),

@@ -174,6 +174,12 @@ GATE: tuple[str, ...] = (
     "pipeline_incremental_dedup",
     "text_chunk_udtf",
     "text_fingerprint",
+    # -- the zero-norm/NULL embedding similarity-surface fix (the
+    #    adversarial probe's Spark-side ANSI DIVIDE_BY_ZERO crash class):
+    "sim_topk_bruteforce",
+    "sim_ann_ivf_bucketed",
+    "sim_ann_hyperplane_lsh",
+    "sim_range_search_lsh",
     # -- the 14 names the r12 rotation queued for round 13 (round-3
     #    cohort tail; last driver rows CORRECTNESS_r03):
     "tpch_q3",
@@ -191,10 +197,11 @@ GATE: tuple[str, ...] = (
     "window_ranking",
     "join_asof",
     # -- next-oldest ROTATED_OUT greens cycled back in (round-4/5
-    #    cohort, first 21 in cohort order after the changed-impl set
-    #    claimed 14 of the planned 35 refill slots; the remaining 25 —
-    #    join_asof_nearest..tpch_q4 plus tpch_q8/q12/q13/q15/q16/q17/
-    #    q19/q20/q21/q22 + window_topk_per_group — queue for round 14):
+    #    cohort, first 17 in cohort order after the changed-impl set
+    #    claimed 18 of the planned 35 refill slots; the remaining 29 —
+    #    event_retention_cohorts..tpch_q4 plus tpch_q8/q12/q13/q15/
+    #    q16/q17/q19/q20/q21/q22 + window_topk_per_group — queue for
+    #    round 14):
     "agg_histogram_equiwidth",
     "agg_incremental_merge",
     "agg_mode_deterministic",
@@ -212,10 +219,6 @@ GATE: tuple[str, ...] = (
     "embed_quantize_int8",
     "event_funnel_ordered",
     "event_retention_cohorts",
-    "io_partitioned_pruning",
-    "io_schema_evolution",
-    "io_sorted_clustered_write",
-    "join_asof_forward",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
@@ -256,9 +259,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "scalar_string_funcs",
     "setop_intersect_except",
     "setop_union_all",
-    "sim_ann_hyperplane_lsh",
-    "sim_ann_ivf_bucketed",
-    "sim_topk_bruteforce",
     "sketch_hll_distinct",
     "sketch_hll_union_rollup",
     "sketch_quantiles",
@@ -514,7 +514,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "pipeline_rag_chunk_index",
     "anomaly_mad_robust",
     "scd2_point_in_time_lookup",
-    "sim_range_search_lsh",
     "setop_bag_semantics",
     "window_nth_value",
     "io_snapshot_time_travel",
@@ -523,6 +522,10 @@ ROTATED_OUT: tuple[str, ...] = (
     #    were r13-cycled back into GATE (the changed-impl set claimed
     #    the other refill slots); these 25 are the front of the
     #    round-14 freshness queue:
+    "io_partitioned_pruning",
+    "io_schema_evolution",
+    "io_sorted_clustered_write",
+    "join_asof_forward",
     "join_asof_nearest",
     "join_null_safe",
     "mm_asset_dedup",
