@@ -97,6 +97,13 @@ def grouped_apply_deviation(spark: SparkSession, sf: str) -> DataFrame:
     logic Spark expressions can't state (sklearn fits, per-entity models).
     The cents quantization happens in Spark BEFORE Python so no float
     ever crosses the boundary.
+
+    NULL-value contract (r14 degenerate-events probe): a NULL value
+    reaches pandas as NaN, and the original ``astype("int64")`` raised
+    IntCastingNaNError — ONE NULL value in a 100-TB corpus aborted the
+    whole job. The oracle's window semantics are mirrored exactly:
+    COUNT(*) counts the NULL row, SUM skips it, and its own dev_scaled
+    is NULL (nullable Int64 out, so Arrow ships a proper NULL).
     """
     e = (
         table(spark, sf, "events")
@@ -105,13 +112,17 @@ def grouped_apply_deviation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def dev(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        s = int(pdf["vc"].sum())
+        n = len(pdf)  # COUNT(*): NULL rows included
+        mask = pdf["vc"].notna().to_numpy()
+        vals = pdf["vc"].to_numpy()[mask].astype("int64")
+        s = int(vals.sum())  # SUM skips NULL, like the oracle window
+        out = pd.array([None] * n, dtype="Int64")
+        out[mask] = vals * n - s
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"],
                 "event_id": pdf["event_id"],
-                "dev_scaled": pdf["vc"].astype("int64") * n - s,
+                "dev_scaled": out,
             }
         )
 

@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from wireduck_spark.registry import cents, query, table, ts_str
+from wireduck_spark.registry import (
+    cents, query, table, time_surface, ts_str,
+)
 
 SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
 

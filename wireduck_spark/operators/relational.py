@@ -19,7 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wireduck_spark.registry import cents, query, table, ts_str
+from wireduck_spark.registry import (
+    cents, cents_clamped, query, table, time_surface, ts_str,
+)
 
 # --------------------------------------------------------------------------
 # Scan + aggregate (flagship — the reference's README.md:160-167 groupby,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wireduck_spark.registry import cents, query, table
+from wireduck_spark.registry import cents, query, table, time_surface
 
 # ---------------------------------------------------------------------------
 # One-way ANOVA across document sources
@@ -819,7 +819,7 @@ def stats_poisson_dispersion(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
-        FROM events GROUP BY CAST(ts AS DATE)
+        FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)
     ),
     idx AS (
         SELECT d, x, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
@@ -867,8 +867,12 @@ def stats_acf_daily_lags(spark: SparkSession, sf: str) -> DataFrame:
     feeds one 7-group fold, replacing the range self-join whose
     broadcast side was a multi-row frame (the exact shape the hardened
     BNLJ classifier now flags).
+
+    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    the series index is day-ordered and the engines disagree on where a
+    NULL day sorts).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
         F.count("*").cast("bigint").alias("x"))
     tot = daily.agg(F.count("*").cast("bigint").alias("n"),
@@ -1365,7 +1369,8 @@ def stats_power_sample_size(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                  AS cents
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
     ),
     idx AS (
       SELECT event_type, cents,
@@ -1445,8 +1450,14 @@ def stats_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     state is 8 ints; series length is calendar-bounded. The streaming
     twin (cusum_tracker, streaming/stateful.py) carries the same 8-int
     state across micro-batches of CLOSED daily totals.
+    NULL-ts events are excluded on both engines (time_surface, rule 6),
+    and so are NULL event_types: a per-type monitor needs a type key —
+    the oracle's recursive fold cannot follow a NULL join key (its seed
+    state never advances), while Spark's aggregate() HOF folds the NULL
+    group, so the engines silently diverge from day 2 of a NULL series.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events")).filter(
+        F.col("event_type").isNotNull())
     daily = (
         e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
@@ -1980,7 +1991,7 @@ def stats_kendall_tau_weekly(spark: SparkSession, sf: str) -> DataFrame:
         SELECT y AS yt,
                lag(y) OVER (ORDER BY d) AS u,
                lag(x) OVER (ORDER BY d) AS v
-        FROM daily
+        FROM daily WHERE d IS NOT NULL
     ),
     mom AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS m,
@@ -2048,8 +2059,14 @@ def stats_granger_lagged_daily(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one map-combinable fold to <=366 day rows, one bounded
     window lag (constant-pmod allowlisted idiom), one scalar moment
     row; cost is the scan.
+
+    r14 contract: the NULL day (NULL-ts events) is dropped from the
+    lag ordering on both engines (rule 6 — the shared daily helper
+    keeps it for the week-blocked rank queries, where both engines
+    already agree; here the `ORDER BY d` lag pairing diverges on NULL
+    placement).
     """
-    daily = _daily_xy_spark(spark, sf)
+    daily = _daily_xy_spark(spark, sf).filter(F.col("d").isNotNull())
     w = Window.partitionBy(F.pmod(F.col("x"), F.lit(1))).orderBy("d")
     lagged = daily.select(
         F.col("y").alias("yt"),
@@ -2516,7 +2533,8 @@ _PH_DUCK_MDN = (f"(c.mdn + d.cents - {_PH_DUCK_MEAN}"
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                  AS cents
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
     ),
     idx AS (
       SELECT event_type, cents,
@@ -2597,8 +2615,14 @@ def stats_page_hinkley_drift(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one map-combinable (type, day) aggregate, then a per-type
     fold whose state is 8 ints; series length is calendar-bounded, and
     the per-type lists never co-shuffle with raw events.
+    NULL-ts events are excluded on both engines (time_surface, rule 6),
+    and so are NULL event_types: a per-type monitor needs a type key —
+    the oracle's recursive fold cannot follow a NULL join key (its seed
+    state never advances), while Spark's aggregate() HOF folds the NULL
+    group, so the engines silently diverge from day 2 of a NULL series.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events")).filter(
+        F.col("event_type").isNotNull())
     daily = (
         e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
@@ -2665,7 +2689,8 @@ _EW_DUCK_EXC = f"abs({_EW_DUCK_Z} - c.mu)"
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                  AS cents
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
     ),
     idx AS (
       SELECT event_type, cents,
@@ -2747,8 +2772,14 @@ def stats_ewma_control_chart(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one map-combinable (type, day) aggregate, then a per-type
     fold whose state is 6 ints; series length is calendar-bounded, and
     the per-type lists never co-shuffle with raw events.
+    NULL-ts events are excluded on both engines (time_surface, rule 6),
+    and so are NULL event_types: a per-type monitor needs a type key —
+    the oracle's recursive fold cannot follow a NULL join key (its seed
+    state never advances), while Spark's aggregate() HOF folds the NULL
+    group, so the engines silently diverge from day 2 of a NULL series.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events")).filter(
+        F.col("event_type").isNotNull())
     daily = (
         e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))

@@ -15,7 +15,9 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wireduck_spark.registry import cents, query, table, ts_str
+from wireduck_spark.registry import (
+    cents, cents_clamped, query, table, time_surface, ts_str,
+)
 
 
 @query(
@@ -28,6 +30,7 @@ from wireduck_spark.registry import cents, query, table, ts_str
            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                AS sum_cents
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
     """,
     tags=("timeseries", "window"),
@@ -36,11 +39,14 @@ from wireduck_spark.registry import cents, query, table, ts_str
 def tw_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1-hour windows (F.window == DuckDB time_bucket).
 
+    NULL-ts events are excluded on both engines (registry.time_surface,
+    rule 6 — F.window and time_bucket disagree on NULL placement).
+
     Scale: window-start is a pure function of ts, so this is an ordinary
     hash aggregation — partial aggregation map-side, one shuffle on
     (bucket, type). Streaming twin: readStream + withWatermark + same agg.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -69,6 +75,7 @@ def tw_tumbling(spark: SparkSession, sf: str) -> DataFrame:
                            - INTERVAL 30 MINUTE]) AS ws,
                value
         FROM events
+        WHERE ts IS NOT NULL
     )
     GROUP BY ws
     """,
@@ -76,8 +83,9 @@ def tw_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 )
 def tw_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding windows: 1 hour long, 30-minute slide (each event lands in
-    exactly 2 windows; the oracle materializes both via unnest)."""
-    e = table(spark, sf, "events")
+    exactly 2 windows; the oracle materializes both via unnest).
+    NULL-ts events excluded on both engines (time_surface, rule 6)."""
+    e = time_surface(table(spark, sf, "events"))
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -97,6 +105,7 @@ def tw_sliding(spark: SparkSession, sf: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts, value,
@@ -129,13 +138,14 @@ def tw_session(spark: SparkSession, sf: str) -> DataFrame:
     `>=` split diverged from the native operator exactly at the
     boundary — invisible on the fixture's microsecond timestamps,
     pinned by tests/test_boundary_semantics.py). Session end = last
-    event + gap in both.
+    event + gap in both. NULL-ts events are excluded on both engines
+    (time_surface, rule 6 — a NULL ts has no session placement).
 
     Scale: one shuffle on user_id; Spark's native session-window operator
     merges partial sessions map-side. Streaming twin uses the same
     expression with a watermark for state eviction.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     return (
         e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(
@@ -156,10 +166,11 @@ def tw_session(spark: SparkSession, sf: str) -> DataFrame:
     "join_asof",
     oracle="""
     WITH clicks AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
     ), purchases AS (
         SELECT user_id, ts, max(value) AS pvalue
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
         GROUP BY user_id, ts
     )
     SELECT c.event_id, c.user_id,
@@ -175,6 +186,11 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: for every click, the latest purchase value at ts <= click
     ts by the same user (DuckDB ASOF JOIN semantics, inclusive).
 
+    NULL-ts rows are excluded on both engines (time_surface, rule 6):
+    DuckDB's ASOF matches a NULL-ts probe to the LAST purchase while the
+    union-merge rewrite orders it first and yields NULL — a NULL probe
+    has no as-of position, so neither answer is meaningful.
+
     Spark has no native as-of operator (SURVEY.md §2 Tier B); the scalable
     rewrite is union-merge + running last_value, which costs ONE shuffle on
     user_id (same as a sort-merge join would) and never builds the
@@ -189,7 +205,7 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     inclusive `>=` bound. The purchase side is pre-aggregated to unique
     (user, ts) so ties are deterministic.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     clicks = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", F.lit(1).alias("kind"),
         F.lit(None).cast("double").alias("pvalue"),
@@ -344,6 +360,7 @@ def event_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
                AS sum_cents,
            CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -361,9 +378,11 @@ def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     the merge is a full outer join on the (tiny) group key space plus
     coalesce-combine — the event log is only ever scanned once per
     increment. The split point here is an arbitrary mid-corpus timestamp
-    so both sides are non-trivial.
+    so both sides are non-trivial. NULL-ts events are excluded on both
+    engines (time_surface, rule 6): an event with no timestamp belongs to
+    neither the BASE nor the DELTA side of a time-cut increment.
     """
-    ev = table(spark, sf, "events").withColumn(
+    ev = time_surface(table(spark, sf, "events")).withColumn(
         "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     cut = "2024-01-16 00:00:00"
@@ -465,17 +484,21 @@ def join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "anomaly_zscore_trailing",
     oracle="""
-    WITH framed AS (
+    WITH pts AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value IS NOT NULL THEN
+                 LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
+                                -10000000), 10000000) END AS x
+      FROM events
+      WHERE ts IS NOT NULL
+    ), framed AS (
       SELECT event_id, user_id,
              strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+             x,
              COUNT(*) OVER w AS n,
-             COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w, 0)
-                 AS s,
-             COALESCE(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
-                          * CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w, 0)
-                 AS q
-      FROM events
+             COALESCE(SUM(x) OVER w, 0) AS s,
+             COALESCE(SUM(x * x) OVER w, 0) AS q
+      FROM pts
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
@@ -506,11 +529,16 @@ def anomaly_zscore_trailing(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: one shuffle on user_id; the frame is a bounded 20-row running
     state per key — the same plan shape as window_frames, linear in
-    events. Magnitude check: |x| <= 1e7 cents, n <= 21 -> (n*x)^2 fits
-    comfortably in int64.
+    events. Magnitude contract (r14, rule 7): x is WINSORIZED to
+    +/-1e7 cents via cents_clamped on both engines, so with n <= 21
+    every intermediate — (n*x)^2 <= 4.4e16, 9*(n*q - s^2) <= ~4e17 —
+    fits int64; an un-clamped 1e10-magnitude value overflowed DuckDB's
+    BIGINT multiply and would abort a 100-TB Spark job under ANSI.
+    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    the trailing frame is ts-ordered).
     """
-    e = table(spark, sf, "events")
-    x = cents(F.col("value"))
+    e = time_surface(table(spark, sf, "events"))
+    x = cents_clamped(F.col("value"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -646,6 +674,7 @@ def join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  AS prev_ts
       FROM events
+      WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT *, CASE WHEN prev_ts IS NULL
@@ -688,9 +717,10 @@ def event_sessionization_gap(spark: SparkSession, sf: str) -> DataFrame:
     MICROSECONDS (unix_micros/epoch_us) — no float epoch, no
     second-truncation ambiguity between engines; value totals ride
     integer cents (registry rule 1); (ts, event_id) ordering ties are
-    broken by the unique event_id (rule 5).
+    broken by the unique event_id (rule 5). NULL-ts events are excluded
+    on both engines (time_surface, rule 6 — no session placement).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # session tz is pinned UTC (registry.table), so NTZ->LTZ is
     # instant-preserving and unix_micros stays integer-exact
@@ -1021,6 +1051,7 @@ def event_interarrival_regularity(spark: SparkSession, sf: str) -> DataFrame:
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
       FROM events
+      WHERE ts IS NOT NULL
     ),
     bigrams AS (
       SELECT prev_type, event_type AS next_type,
@@ -1050,9 +1081,11 @@ def event_transition_bigrams(spark: SparkSession, sf: str) -> DataFrame:
 
     Engine-exactness: counts are BIGINT; the probability is one
     double division of two exact integers + ROUND(.., 6) — identical
-    IEEE expression tree both sides (registry rule 2).
+    IEEE expression tree both sides (registry rule 2). NULL-ts events
+    are excluded on both engines (time_surface, rule 6 — adjacency is
+    ts-ordered, and the engines disagree on NULL placement).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type",
@@ -1399,6 +1432,7 @@ def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
                                       time_bucket(INTERVAL '1 hour', ts)
                                   ORDER BY ts DESC, event_id DESC) AS rn_d
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT event_type,
            strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
@@ -1430,8 +1464,10 @@ def resample_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
     bucket to a single row with map-side partials on the min/max part.
     Determinism: first/last are keyed on (ts, event_id) — a UNIQUE
     ordering — so ties in ts cannot flip values across engines.
+    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    a point with no timestamp has no bucket and no first/last position).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     pts = e.select(
         "event_type",
         F.window("ts", "1 hour").getField("start").alias("b"),
@@ -1608,6 +1644,7 @@ def anomaly_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
                lag(event_type, 1) OVER w AS prev1,
                lag(event_type, 2) OVER w AS prev2
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), tri AS (
         SELECT prev2, prev1, event_type AS curr,
@@ -1634,8 +1671,9 @@ def event_trigram_paths(spark: SparkSession, sf: str) -> DataFrame:
     Scale: both LAGs share ONE user-keyed window; the trigram and
     context tables are type-vocabulary-sized (|types|^3 at most), so
     the normalizing join touches ~hundreds of rows, never the corpus.
+    NULL-ts events are excluded on both engines (time_surface, rule 6).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.col("event_type").alias("curr"),
@@ -1664,6 +1702,7 @@ def event_trigram_paths(spark: SparkSession, sf: str) -> DataFrame:
            CAST(median(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w * 2
                 AS BIGINT) AS median2
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
     """,
@@ -1679,8 +1718,9 @@ def window_median_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: one user-keyed window exchange; the per-row array is bounded
     by the frame (8), so memory is O(frame), not O(partition).
+    NULL-ts events are excluded on both engines (time_surface, rule 6).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1901,12 +1941,18 @@ def event_watermark_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
                       CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
                   THEN 'control' ELSE 'treatment' END AS arm,
              CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
-                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           AND value IS NOT NULL
+                      THEN LEAST(GREATEST(
+                               CAST(ROUND(value * 100, 0) AS BIGINT),
+                               -10000000), 10000000)
                       ELSE 0 END) AS BIGINT) AS x_cents,
              CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
-                      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           AND value IS NOT NULL
+                      THEN LEAST(GREATEST(
+                               CAST(ROUND(value * 100, 0) AS BIGINT),
+                               -10000000), 10000000)
                       ELSE 0 END) AS BIGINT) AS y_cents
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     pooled AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -1954,8 +2000,12 @@ def event_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
     EXACT int64 sums of per-user cents; theta and the adjusted means
     are a handful of scalar IEEE ops on those exact integers with the
     same expression tree in both engines — no float aggregation order
-    anywhere (per-user x*y peaks ~1e12, pooled sums ~1e17: inside
-    int64 with 8x headroom; DuckDB's HUGEINT sums are cast back).
+    anywhere. r14 contract hardening: per-event cents are WINSORIZED to
+    +/-1e7 (cents_clamped, rule 7 — an un-clamped 1e10-magnitude value
+    overflowed the oracle's int64 x*y product and would abort the Spark
+    job under ANSI) and NULL-ts events are excluded on both engines
+    (time_surface, rule 6 — a pre/post time-cut query). Per-user sums
+    then peak ~1e12, pooled products ~1e17: inside int64 with headroom.
 
     Scale: one user-keyed aggregate (map-side combinable), a 1-row
     pooled-moment aggregate broadcast to the 2-row arm rollup — the
@@ -1963,7 +2013,7 @@ def event_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
     what event_ab_test_lift already pays. Assignment is the same salted
     md5 bucket, so both queries describe the same experiment.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     arm = F.when(
         F.expr("CAST(conv(substring(md5(concat('exp7:', "
                "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
@@ -1971,10 +2021,16 @@ def event_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("control"),
     ).otherwise(F.lit("treatment"))
     boundary = F.lit("2024-01-16").cast("timestamp_ntz").cast("timestamp")
+    # NULL-value events contribute 0 EXPLICITLY (not NULL) so an
+    # all-NULL user folds to 0 on both engines, mirroring the oracle's
+    # `AND value IS NOT NULL ... ELSE 0` CASE.
+    nn = F.col("value").isNotNull()
     per_user = e.groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts") < boundary, cents(F.col("value")))
+        F.sum(F.when((F.col("ts") < boundary) & nn,
+                     cents_clamped(F.col("value")))
               .otherwise(0)).cast("bigint").alias("x_cents"),
-        F.sum(F.when(F.col("ts") >= boundary, cents(F.col("value")))
+        F.sum(F.when((F.col("ts") >= boundary) & nn,
+                     cents_clamped(F.col("value")))
               .otherwise(0)).cast("bigint").alias("y_cents"),
     ).select(arm.alias("arm"), "x_cents", "y_cents")
     pooled = per_user.agg(
@@ -2104,6 +2160,7 @@ def event_attribution_linear(spark: SparkSession, sf: str) -> DataFrame:
     WITH iv AS (
       SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
       FROM events
+      WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, s, e,
@@ -2152,9 +2209,11 @@ def event_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
     sessionization merges points by gap; this merges spans by overlap.
 
     Scale: two windows + one aggregate, all partitioned by user_id —
-    ONE shuffle; integer microseconds end to end.
+    ONE shuffle; integer microseconds end to end. NULL-ts events are
+    excluded on both engines (time_surface, rule 6 — a NULL ts opens
+    no interval).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     iv = e.select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
@@ -2463,8 +2522,12 @@ def event_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "event_survival_kaplan_meier",
     oracle="""
-    WITH horizon AS (
-      SELECT MAX(ts) AS h FROM events
+    WITH surface AS (
+      SELECT * FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    horizon AS (
+      SELECT MAX(ts) AS h FROM surface
     ),
     per_user AS (
       SELECT user_id,
@@ -2473,7 +2536,7 @@ def event_error_budget_burn(spark: SparkSession, sf: str) -> DataFrame:
              CASE WHEN MAX(ts) < (SELECT h FROM horizon)
                                   - INTERVAL 7 DAY
                   THEN 1 ELSE 0 END AS churned
-      FROM events GROUP BY user_id
+      FROM surface GROUP BY user_id
     ),
     days AS (
       SELECT dur_days,
@@ -2545,8 +2608,15 @@ def event_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     construction — partitioned on a column-derived constant
     (pmod(dur_days,1)) to keep the no-global-window plan invariant
     checkable. The 1-row horizon and user-count scalars broadcast.
+
+    r14 contract: NULL-ts events are excluded (time_surface, rule 6 —
+    a lifetime is a ts interval) and so are NULL user_ids (a survival
+    subject needs an identity; with NULLs in, Spark's countDistinct
+    skips the NULL-user group the oracle's COUNT(*) counts, silently
+    shifting every at_risk value).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events")).filter(
+        F.col("user_id").isNotNull())
     horizon = e.agg(
         F.max("ts").alias("h"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
@@ -2682,7 +2752,8 @@ def window_trailing_interval(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
                  AS cents
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
     ),
     idx AS (
       SELECT event_type, cents,
@@ -2742,9 +2813,14 @@ def forecast_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
     whose state is 2 ints; series length is bounded by the calendar,
     not the corpus. Day gaps count as consecutive steps (documented —
     resample_gapfill is the upstream fix when calendar spacing
-    matters).
+    matters). NULL-ts events are excluded on both engines
+    (time_surface, rule 6 — the fold is day-ordered and the engines
+    disagree on where a NULL day sorts). NULL event_types are excluded
+    too: a per-type fold needs a type key — the oracle's recursive CTE
+    cannot follow a NULL join key while the aggregate() HOF folds it.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events")).filter(
+        F.col("event_type").isNotNull())
     daily = (
         e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
         .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))

@@ -636,6 +636,52 @@ def ts_str(col):
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def time_surface(df):
+    """Events with a NULL timestamp are EXCLUDED from time-keyed queries
+    (rule 6, the r14 degenerate-events contract — the batch mirror of the
+    streaming beacon's NaT drop): Spark and DuckDB disagree on where a
+    NULL ts lands (`F.window` emits a NULL window struct while
+    `time_bucket` groups NULL; window ORDER BY defaults differ — Spark
+    NULLS FIRST, DuckDB NULLS LAST), so any bucketing, session, daily
+    fold, as-of scan, or ts-ordered window frame over a corpus with NULL
+    timestamps silently diverges between engines. A NULL ts carries no
+    placement information for a time-keyed computation, so both engines
+    drop the row at the scan. The oracle twin is SQL_TIME_SURFACE.
+    Probed by tests/test_events_robustness.py."""
+    from pyspark.sql import functions as F
+    return df.filter(F.col("ts").isNotNull())
+
+
+def cents_clamped(col):
+    """Winsorized integer cents for int64-exact moment queries (rule 7,
+    the r14 degenerate-events contract): second-moment arithmetic like
+    (n*x - s)^2 needs |x| <= ~1e7 cents to stay inside int64 — one
+    1e10-magnitude row in a 100 TB corpus must neither overflow (DuckDB
+    raises, Spark ANSI raises) nor abort the job. Values are clamped to
+    +/-1e7 cents ($100k) on BOTH engines, the standard winsorization
+    robust-stats answer; the fixture's values (<= ~$1k) are untouched.
+    NULL stays NULL — both engines' LEAST/GREATEST *skip* NULL operands
+    (non-ANSI), so an unguarded clamp would resolve a NULL value to
+    whichever cap the nesting order hits first and diverge between the
+    twins. The oracle twin is SQL_CENTS_CLAMPED."""
+    from pyspark.sql import functions as F
+    c = cents(col)
+    return F.when(
+        c.isNotNull(),
+        F.greatest(F.least(c, F.lit(CENTS_CAP)), F.lit(-CENTS_CAP)),
+    )
+
+
+# |cents| cap for int64-exact second-moment queries (see cents_clamped).
+CENTS_CAP = 10_000_000
+
+
 # DuckDB-side twins of the helpers above, for use in oracle strings.
 SQL_CENTS = "CAST(ROUND({x} * 100, 0) AS BIGINT)"
 SQL_TS = "strftime({x}, '%Y-%m-%d %H:%M:%S')"
+SQL_TIME_SURFACE = "ts IS NOT NULL"
+SQL_CENTS_CLAMPED = (
+    "CASE WHEN {x} IS NOT NULL THEN "
+    "LEAST(GREATEST(CAST(ROUND({x} * 100, 0) AS BIGINT), "
+    f"-{CENTS_CAP}), {CENTS_CAP}) END"
+)
