@@ -700,6 +700,7 @@ def merge_upsert_scd(spark: SparkSession, sf: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER w AS prev_state
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     changes AS (
@@ -742,9 +743,11 @@ def scd2_history_build(spark: SparkSession, sf: str) -> DataFrame:
 
     Engine-exactness: version intervals are emitted as formatted-string
     timestamps (registry rule 3); (ts, event_id) ordering is made total
-    by the unique event_id tiebreak (rule 5).
+    by the unique event_id tiebreak (rule 5). NULL-ts events are
+    excluded on both engines (time_surface, rule 6 — a version interval
+    needs a valid_from).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = e.select(
         "user_id", "event_type", "ts", "event_id",
@@ -778,6 +781,7 @@ def scd2_history_build(spark: SparkSession, sf: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS distinct_types_so_far
     FROM events
+    WHERE ts IS NOT NULL
     """,
     tags=("window", "distinct"),
 )
@@ -796,8 +800,14 @@ def window_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
     Scale: two keyed shuffles, (user_id, event_type) then (user_id), with
     running frames — no global window, no per-row collections. 100 TB of
     events partitions by user exactly the same way.
+
+    r14 contract: NULL-ts events are excluded on both engines
+    (time_surface, rule 6 — the running order diverges on NULL
+    placement), and a NULL event_type never raises the count (the flag
+    mirrors COUNT(DISTINCT)'s NULL-skip; the row itself still appears
+    with its running total).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w_first = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id")
     w_run = (
@@ -807,7 +817,9 @@ def window_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
     flagged = e.select(
         "user_id", "event_id", "ts",
-        F.when(F.row_number().over(w_first) == 1, 1)
+        F.when(
+            (F.row_number().over(w_first) == 1)
+            & F.col("event_type").isNotNull(), 1)
         .otherwise(0).alias("is_first"),
     )
     return flagged.select(
@@ -973,7 +985,7 @@ def cte_recursive_bfs(spark: SparkSession, sf: str) -> DataFrame:
                                   ORDER BY ts, event_id) AS rn,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY ts, event_id) AS rn_t
-        FROM events WHERE user_id <= 50
+        FROM events WHERE user_id <= 50 AND ts IS NOT NULL
     )
     SELECT user_id, event_type,
            CAST(COUNT(*) AS BIGINT) AS run_len,
@@ -995,9 +1007,11 @@ def window_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
     Scale: both row_numbers and the final aggregate share the (user_id)
     hash partitioning — Catalyst plans ONE Exchange; the island grouping
     key (rn - rn_t) never leaves the partition. Same single-shuffle
-    shape as scd2_history_build.
+    shape as scd2_history_build. NULL-ts events are excluded on both
+    engines (time_surface, rule 6 — run adjacency is ts-ordered).
     """
-    e = table(spark, sf, "events").filter(F.col("user_id") <= 50)
+    e = time_surface(table(spark, sf, "events")).filter(
+        F.col("user_id") <= 50)
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_ut = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id")

@@ -411,16 +411,17 @@ def dq_freshness_sla(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tot AS (
       SELECT dim, CAST(SUM(n_base) AS BIGINT) AS t_base,
-             CAST(SUM(n_cand) AS BIGINT) AS t_cand
+             CAST(SUM(n_cand) AS BIGINT) AS t_cand,
+             CAST(COUNT(*) AS BIGINT) AS nb
       FROM counts GROUP BY dim
     )
     SELECT c.dim,
            CAST(COUNT(*) AS BIGINT) AS n_buckets,
            ROUND(SUM(
-             (CAST(c.n_base AS DOUBLE) / t.t_base
-              - CAST(c.n_cand AS DOUBLE) / t.t_cand)
-             * ln((CAST(c.n_base AS DOUBLE) / t.t_base)
-                  / (CAST(c.n_cand AS DOUBLE) / t.t_cand))
+             ((CAST(c.n_base AS DOUBLE) + 1) / (t.t_base + t.nb)
+              - (CAST(c.n_cand AS DOUBLE) + 1) / (t.t_cand + t.nb))
+             * ln(((CAST(c.n_base AS DOUBLE) + 1) / (t.t_base + t.nb))
+                  / ((CAST(c.n_cand AS DOUBLE) + 1) / (t.t_cand + t.nb)))
            ), 6) AS psi
     FROM counts c JOIN tot t ON c.dim = t.dim
     GROUP BY c.dim
@@ -441,10 +442,15 @@ def dq_distribution_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     buckets runs over <=5 values whose ADDITION ORDER could differ
     cross-engine — so buckets are few (the monitoring regime) and the
     result rounds to 6 dp, which absorbs the worst-case reassociation
-    error (~1e-13 here) with nine digits to spare. Every bucket is
-    non-empty in both snapshots by construction (hash-half split of
-    the same corpus), so no epsilon-smoothing is needed; a production
-    caller adds Laplace counts before the ratio.
+    error (~1e-13 here) with nine digits to spare.
+
+    r14 contract: the ratios are Laplace-smoothed (add-1 per bucket,
+    denominator t + n_buckets) on BOTH engines — a bucket present in
+    only one snapshot (a singleton event_type, or the NULL
+    missing-data bucket a NULL ts/type creates) is otherwise ln(0):
+    the oracle aborts and an unsmoothed 100-TB Spark job emits
+    -Infinity. Smoothing is the standard production PSI guard and
+    keeps the NULL bucket as a first-class missingness-drift signal.
 
     Scale: one scan -> two small grouped counts -> a per-dim rollup;
     nothing grows with the corpus but the first aggregate's input.
@@ -481,10 +487,13 @@ def dq_distribution_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     tot = counts.groupBy("dim").agg(
         F.sum("n_base").cast("bigint").alias("t_base"),
         F.sum("n_cand").cast("bigint").alias("t_cand"),
+        F.count("*").cast("bigint").alias("nb"),
     )
     j = counts.join(F.broadcast(tot), "dim")
-    p = F.col("n_base").cast("double") / F.col("t_base")
-    q = F.col("n_cand").cast("double") / F.col("t_cand")
+    p = ((F.col("n_base").cast("double") + 1)
+         / (F.col("t_base") + F.col("nb")))
+    q = ((F.col("n_cand").cast("double") + 1)
+         / (F.col("t_cand") + F.col("nb")))
     return (
         j.groupBy("dim")
         .agg(

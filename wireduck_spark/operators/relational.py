@@ -728,13 +728,16 @@ def window_ranking(spark: SparkSession, sf: str) -> DataFrame:
            first_value(value) OVER w AS first_val,
            ROUND(value - first_value(value) OVER w, 2) AS drift
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     tags=("window",),
 )
 def window_analytic(spark: SparkSession, sf: str) -> DataFrame:
-    """lag / lead / first_value analytics per user timeline."""
-    e = table(spark, sf, "events")
+    """lag / lead / first_value analytics per user timeline.
+    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    the timeline order diverges on NULL placement)."""
+    e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
@@ -759,6 +762,7 @@ def window_analytic(spark: SparkSession, sf: str) -> DataFrame:
                                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cnt_last_hour
     FROM events
+    WHERE ts IS NOT NULL
     """,
     tags=("window",),
     bench=True,
@@ -768,8 +772,9 @@ def window_frames(spark: SparkSession, sf: str) -> DataFrame:
 
     The RANGE frame runs over epoch seconds (integer) so Spark's numeric
     rangeBetween and DuckDB's numeric RANGE agree exactly.
+    NULL-ts events are excluded on both engines (time_surface, rule 6).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w_rows = (
         Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     )
@@ -1082,6 +1087,7 @@ def setop_bag_semantics(spark: SparkSession, sf: str) -> DataFrame:
                            END IGNORE NULLS)
                     OVER w AS BIGINT) AS last_big_cents
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
@@ -1094,9 +1100,10 @@ def window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
     reading' pattern sensor pipelines rely on.
 
     Scale: both analytics share one user-keyed running frame — a single
-    Exchange and sort, O(1) state per row.
+    Exchange and sort, O(1) state per row. NULL-ts events are excluded
+    on both engines (time_surface, rule 6).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1312,8 +1319,11 @@ _OLS2_MOMENTS_SQL = """
         SELECT event_type,
                CAST(hour(ts) AS BIGINT) AS x1,
                CAST(day(ts) AS BIGINT) AS x2,
-               CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+               CASE WHEN value IS NOT NULL THEN
+                   LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
+                                  -10000000), 10000000) END AS y
         FROM events
+        WHERE ts IS NOT NULL
     ),
     moments AS ({_OLS2_MOMENTS_SQL}),
     cast_m AS (
@@ -1327,9 +1337,11 @@ _OLS2_MOMENTS_SQL = """
         FROM moments
     )
     SELECT event_type, n,
-           ROUND({_OLS2_DET_B0} / {_OLS2_DET_M}, 6) AS b0_cents,
-           ROUND({_OLS2_DET_B1} / {_OLS2_DET_M}, 6) AS b1_per_hour,
-           ROUND({_OLS2_DET_B2} / {_OLS2_DET_M}, 6) AS b2_per_dom
+           ROUND({_OLS2_DET_B0} / NULLIF({_OLS2_DET_M}, 0), 6) AS b0_cents,
+           ROUND({_OLS2_DET_B1} / NULLIF({_OLS2_DET_M}, 0), 6)
+               AS b1_per_hour,
+           ROUND({_OLS2_DET_B2} / NULLIF({_OLS2_DET_M}, 0), 6)
+               AS b2_per_dom
     FROM cast_m
     ORDER BY event_type
     """,
@@ -1351,13 +1363,20 @@ def stats_ols_two_feature(spark: SparkSession, sf: str) -> DataFrame:
     (_det3) evaluated by both engines over double-cast moments, so the
     IEEE trees match operation-for-operation; coefficients round to
     6 dp on output.
+
+    r14 contract: NULL-ts events are excluded (time_surface, rule 6 —
+    the features ARE the timestamp), y is winsorized cents (rule 7),
+    and the Cramer divide is NULLIF-guarded on both engines — a
+    rank-deficient group (one row, or constant hour/day) has det 0,
+    which under Spark ANSI aborted the whole job; it now emits NULL
+    coefficients on both sides.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     obs = e.select(
         "event_type",
         F.hour("ts").cast("bigint").alias("x1"),
         F.dayofmonth("ts").cast("bigint").alias("x2"),
-        cents(F.col("value")).alias("y"),
+        cents_clamped(F.col("value")).alias("y"),
     )
     m = obs.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -1384,11 +1403,11 @@ def stats_ols_two_feature(spark: SparkSession, sf: str) -> DataFrame:
     )
     return c.select(
         "event_type", "n",
-        F.round(F.expr(f"{_OLS2_DET_B0} / {_OLS2_DET_M}"), 6)
+        F.round(F.expr(f"{_OLS2_DET_B0} / NULLIF({_OLS2_DET_M}, 0)"), 6)
         .alias("b0_cents"),
-        F.round(F.expr(f"{_OLS2_DET_B1} / {_OLS2_DET_M}"), 6)
+        F.round(F.expr(f"{_OLS2_DET_B1} / NULLIF({_OLS2_DET_M}, 0)"), 6)
         .alias("b1_per_hour"),
-        F.round(F.expr(f"{_OLS2_DET_B2} / {_OLS2_DET_M}"), 6)
+        F.round(F.expr(f"{_OLS2_DET_B2} / NULLIF({_OLS2_DET_M}, 0)"), 6)
         .alias("b2_per_dom"),
     ).orderBy("event_type")
 
@@ -1495,9 +1514,13 @@ def agg_arg_extrema(spark: SparkSession, sf: str) -> DataFrame:
              CASE WHEN (('0x' || substr(md5('exp7:' ||
                       CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
                   THEN 'control' ELSE 'treatment' END AS arm,
-             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CASE WHEN value IS NOT NULL THEN
+                 LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
+                                -10000000), 10000000) END) AS BIGINT)
                  AS y
-      FROM events GROUP BY user_id
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
     ),
     m AS (
       SELECT arm,
@@ -1520,18 +1543,19 @@ def agg_arg_extrema(spark: SparkSession, sf: str) -> DataFrame:
              CAST(s0 AS DOUBLE) / n0 AS m0,
              CAST(s1 AS DOUBLE) / n1 AS m1,
              (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
-                 / (n0 - 1) / n0 AS se0,
+                 / NULLIF(n0 - 1, 0) / n0 AS se0,
              (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
-                 / (n1 - 1) / n1 AS se1
+                 / NULLIF(n1 - 1, 0) / n1 AS se1
       FROM wide
     )
     SELECT n0 AS n_control, n1 AS n_treatment,
            ROUND(m0, 4) AS mean_control_cents,
            ROUND(m1, 4) AS mean_treatment_cents,
            ROUND(m1 - m0, 4) AS lift_cents,
-           ROUND((m1 - m0) / sqrt(se0 + se1), 4) AS t_stat,
+           ROUND((m1 - m0) / NULLIF(sqrt(se0 + se1), 0), 4) AS t_stat,
            ROUND((se0 + se1) * (se0 + se1)
-                 / (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 2)
+                 / NULLIF(se0 * se0 / NULLIF(n0 - 1, 0)
+                          + se1 * se1 / NULLIF(n1 - 1, 0), 0), 2)
                AS welch_dof
     FROM v
     """,
@@ -1555,8 +1579,14 @@ def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     shuffle of per-user rows and moves 6 integers afterward. At 100 TB
     the same plan holds for thousands of simultaneous experiments by
     adding experiment_id to both grouping keys.
+
+    r14 contract: NULL user_ids are excluded (an arm assignment needs
+    an identity), per-user spend uses winsorized cents (rule 7 — one
+    1e10-magnitude value overflows the int64 y*y moment on both
+    engines), and every divide is NULLIF-guarded (a one-user arm or a
+    zero-variance corpus must emit NULL, not abort the job under ANSI).
     """
-    e = table(spark, sf, "events")
+    e = table(spark, sf, "events").filter(F.col("user_id").isNotNull())
     arm = F.when(
         F.expr("CAST(conv(substring(md5(concat('exp7:', "
                "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
@@ -1565,7 +1595,7 @@ def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.lit("treatment"))
     per_user = (
         e.groupBy("user_id")
-        .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("y"))
+        .agg(F.sum(cents_clamped(F.col("value"))).cast("bigint").alias("y"))
         .select(arm.alias("arm"), "y")
     )
     m = per_user.groupBy("arm").agg(
@@ -1586,12 +1616,12 @@ def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     se0 = (
         (F.col("q0").cast("double")
          - F.col("s0").cast("double") * F.col("s0") / F.col("n0"))
-        / (F.col("n0") - 1) / F.col("n0")
+        / F.nullif(F.col("n0") - 1, F.lit(0)) / F.col("n0")
     )
     se1 = (
         (F.col("q1").cast("double")
          - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
-        / (F.col("n1") - 1) / F.col("n1")
+        / F.nullif(F.col("n1") - 1, F.lit(0)) / F.col("n1")
     )
     v = wide.select(
         "n0", "n1",
@@ -1606,14 +1636,17 @@ def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("m1") - F.col("m0"), 4).alias("lift_cents"),
         F.round(
             (F.col("m1") - F.col("m0"))
-            / F.sqrt(F.col("se0") + F.col("se1")),
+            / F.nullif(F.sqrt(F.col("se0") + F.col("se1")), F.lit(0.0)),
             4,
         ).alias("t_stat"),
         F.round(
             (F.col("se0") + F.col("se1")) * (F.col("se0") + F.col("se1"))
-            / (
-                F.col("se0") * F.col("se0") / (F.col("n0") - 1)
-                + F.col("se1") * F.col("se1") / (F.col("n1") - 1)
+            / F.nullif(
+                F.col("se0") * F.col("se0")
+                / F.nullif(F.col("n0") - 1, F.lit(0))
+                + F.col("se1") * F.col("se1")
+                / F.nullif(F.col("n1") - 1, F.lit(0)),
+                F.lit(0.0),
             ),
             2,
         ).alias("welch_dof"),
@@ -1882,7 +1915,9 @@ def event_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
              CASE WHEN (('0x' || substr(md5('exp7:' ||
                      CAST(user_id AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
                   THEN 0 ELSE 1 END AS t
-      FROM events GROUP BY user_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
     ),
     daily AS (
       SELECT obs_day, CAST(SUM(1 - t) AS BIGINT) AS c0,
@@ -1946,8 +1981,15 @@ def event_ab_srm_drift_daily(spark: SparkSession, sf: str) -> DataFrame:
     calendar-bounded daily table through one pmod-partitioned running
     sum — never a window over raw events. Keying by experiment_id
     generalizes to thousands of concurrent ramps.
+
+    r14 contract: NULL-ts events are excluded (time_surface, rule 6 —
+    first-seen needs a day) and so are NULL user_ids (an arm assignment
+    needs an identity; with NULLs in, Spark's md5-of-NULL yields a NULL
+    arm the SUM skips while the oracle's CASE ELSE branch counts it as
+    treatment — a silent one-user skew in every cumulative row).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events")).filter(
+        F.col("user_id").isNotNull())
     is_treat = (
         F.expr(
             "CAST(conv(substring(md5(concat('exp7:', "

@@ -355,6 +355,7 @@ def scalar_bitwise_funcs(spark: SparkSession, sf: str) -> DataFrame:
                  || CAST(user_id % 250 AS VARCHAR) || '.'
                  || CAST(event_id % 254 + 1 AS VARCHAR) AS ip
         FROM events
+        WHERE user_id IS NOT NULL AND event_id IS NOT NULL
     ), parsed AS (
         SELECT ip,
                CAST(split_part(ip, '.', 1) AS BIGINT) * 16777216
@@ -385,8 +386,14 @@ def scalar_inet_funcs(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: parse + containment are narrow string/int scalars; the only
     shuffle is the /16-keyed rollup (bounded key space).
+
+    r14 contract: rows with a NULL identity are excluded on both
+    engines — an ip synthesized from NULL is itself NULL, and the
+    engines then diverge downstream (Spark split_part(NULL) -> NULL,
+    DuckDB split_part(NULL) -> '' whose BIGINT cast aborts the oracle).
     """
-    e = table(spark, sf, "events")
+    e = table(spark, sf, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
     ips = e.select(
         F.concat(
             F.lit("10."), (F.col("user_id") % 200).cast("string"),

@@ -1348,6 +1348,7 @@ def event_dau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
             lag(CAST(ROUND(value * 100, 0) AS BIGINT), 6) OVER w AS c6,
             lag(CAST(ROUND(value * 100, 0) AS BIGINT), 7) OVER w AS c7
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), terms AS (
         SELECT event_id, user_id,
@@ -1389,8 +1390,9 @@ def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: all 8 LAG expressions share ONE user-keyed window — a single
     Exchange + sort, no self-joins; the frame is O(1) per row.
+    NULL-ts events are excluded on both engines (time_surface, rule 6).
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     c = cents(F.col("value"))
     lags = [c] + [F.lag(c, k).over(w) for k in range(1, 8)]
@@ -1510,10 +1512,13 @@ def resample_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH idx AS (
         SELECT event_id, user_id, ts,
-               CAST(ROUND(value * 100, 0) AS BIGINT) AS y,
+               CASE WHEN value IS NOT NULL THEN
+                   LEAST(GREATEST(CAST(ROUND(value * 100, 0) AS BIGINT),
+                                  -10000000), 10000000) END AS y,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn
         FROM events
+        WHERE ts IS NOT NULL
     ), sums AS (
         SELECT event_id, user_id, rn,
                CAST(COUNT(*) OVER w AS BIGINT) AS n,
@@ -1546,12 +1551,17 @@ def window_rolling_regression(spark: SparkSession, sf: str) -> DataFrame:
     Scale: row_number and all five frame sums share ONE user-keyed
     window partitioning (a single Exchange; the second Window reuses
     the sort). The frame is O(1) rows; nothing is quadratic.
+
+    r14 contract: NULL-ts events are excluded (time_surface, rule 6)
+    and y is winsorized to +/-1e7 cents (cents_clamped, rule 7) — the
+    ppm scaling multiplies the slope numerator by 1e6, so an un-clamped
+    1e10-magnitude value overflows int64 in both engines.
     """
-    e = table(spark, sf, "events")
+    e = time_surface(table(spark, sf, "events"))
     w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     idx = e.select(
         "event_id", "user_id", "ts",
-        cents(F.col("value")).alias("y"),
+        cents_clamped(F.col("value")).alias("y"),
     ).withColumn("rn", F.row_number().over(w1))
     wf = (
         Window.partitionBy("user_id").orderBy("rn").rowsBetween(-7, 0)
