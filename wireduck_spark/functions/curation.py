@@ -309,8 +309,10 @@ def semantic_kmeans_dedup(
     oracle="""
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
       UNION ALL
-      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id % 50 = 0
     ),
     q AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -398,8 +400,17 @@ def dedup_semantic_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     registered query, dedup_semantic_kmeans_scaled, plus a K-fold
     scale-stress row in SCALE.md; dedup_minhash_lsh remains the
     bounded-candidate dedup bench headline.
+
+    r14 contract: NULL embeddings are excluded on both engines — the
+    oracle's UNNEST silently drops them while Spark kept a NULL-g row
+    that row_number still assigned to a cluster, diverging n_members.
+    A NULL vector has no position, so it has no cluster. (Zero vectors
+    STAY: they are a legitimate grid point here, and the integer-only
+    cosine test `dot > 0` never divides, so no 0/0 exists in this
+    query.) Pinned by tests/test_embeddings_robustness.py.
     """
-    emb = table(spark, sf, "embeddings", spread=True)
+    emb = table(spark, sf, "embeddings", spread=True).filter(
+        F.col("embedding").isNotNull())
     aug = emb.select("vec_id", "embedding").unionAll(
         emb.filter(F.col("vec_id") % 50 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"

@@ -442,7 +442,7 @@ _DEDUP_LSH_BITS = 8
 
 def _dedup_cosine_oracle() -> str:
     from wireduck_spark.functions.similarity import (
-        _table_bucket_duck, duck_cosine)
+        DUCK_EMB_SURFACE, _table_bucket_duck, duck_cosine)
 
     buckets = ", ".join(
         f'{_table_bucket_duck("embedding", t, n_bits=_DEDUP_LSH_BITS)} AS b{t}'
@@ -455,9 +455,10 @@ def _dedup_cosine_oracle() -> str:
         for t in range(_DEDUP_LSH_TABLES)
     )
     return f"""
-    WITH bucketed AS (
+    WITH {DUCK_EMB_SURFACE},
+    bucketed AS (
         SELECT vec_id, label, {buckets}
-        FROM embeddings
+        FROM emb
     ),
     cand AS (
         SELECT DISTINCT label, vec_a, vec_b FROM (
@@ -468,8 +469,8 @@ def _dedup_cosine_oracle() -> str:
         SELECT c.label, c.vec_a, c.vec_b,
                {duck_cosine("ea.embedding", "eb.embedding")} AS cos_sim
         FROM cand c
-        JOIN embeddings ea ON ea.vec_id = c.vec_a
-        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        JOIN emb ea ON ea.vec_id = c.vec_a
+        JOIN emb eb ON eb.vec_id = c.vec_b
     ),
     ranked AS (
         SELECT label, vec_a, vec_b, cos_sim,
@@ -531,12 +532,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     so planted duplicates are recovered essentially always; pinned by
     tests/test_functions.py::
     test_embedding_cosine_lsh_recovers_planted_duplicates.
+
+    r14 (ADVICE): the similarity_surface / DUCK_EMB_SURFACE exclusion
+    now applies here too — a zero-norm embedding hashes to a concrete
+    all-ones bucket in every table, so two same-label zero vectors are
+    a guaranteed candidate pair whose cosine is 0/0: an ANSI
+    DIVIDE_BY_ZERO job abort; NULL embeddings also bucket
+    asymmetrically between the engines (Spark NULL dot vs DuckDB fold
+    over NULL), silently diverging the candidate sets.
     """
     from wireduck_spark.functions.similarity import (
-        _spark_table_buckets, cosine)
+        _spark_table_buckets, cosine, similarity_surface)
 
     emb = (
-        table(spark, sf, "embeddings", spread=True)
+        similarity_surface(table(spark, sf, "embeddings", spread=True))
         .withColumn(
             "buckets",
             F.expr(_spark_table_buckets(

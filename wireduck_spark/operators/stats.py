@@ -1192,6 +1192,7 @@ def feature_gini_split_gain(spark: SparkSession, sf: str) -> DataFrame:
                CAST(ROUND(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
                           * 10000, 0) AS BIGINT) AS xq
         FROM embeddings, unnest(range(1, 65)) AS t(i)
+        WHERE embedding IS NOT NULL
     ),
     cent AS (
         SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS s_d,
@@ -1233,8 +1234,17 @@ def embed_centroid_spread(spark: SparkSession, sf: str) -> DataFrame:
     Scale: posexplode to (vec, dim) rows — a narrow 64x map; centroid
     is a (label, dim)-keyed agg (10x64 rows, broadcast back); the
     distance join shuffles only quantized ints, never floats.
+
+    r14 contract: NULL embeddings are excluded on both engines — Spark's
+    posexplode skips a NULL array while the oracle's unnest(range) cross
+    join minted 64 NULL-xq rows for it, shifting every centroid count n
+    and adding a phantom NULL-d2 vector to the rollup. A NULL vector has
+    no position, so it has no spread. (Zero vectors and NULL labels
+    stay: both are consistent, meaningful groups in pure-L2 space.)
+    Pinned by tests/test_embeddings_robustness.py.
     """
-    emb = table(spark, sf, "embeddings", spread=True)
+    emb = table(spark, sf, "embeddings", spread=True).filter(
+        F.col("embedding").isNotNull())
     q = emb.select(
         "vec_id", "label",
         F.posexplode("embedding").alias("dim0", "x"),
