@@ -141,87 +141,128 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-13 rotation (VERDICT r12 next-round #3): all 50 r12 rows came
-    # back green (44 hash-exact + 6 clean rows-only), so the 49 that did
-    # not change again this round move to ROTATED_OUT; the gate re-fills
-    # ALL 50 slots = EVERY query whose builder fn source or oracle text
-    # changed since the round-12 snapshot (mechanically enforced by
-    # tests/test_entry.py::test_changed_impl_queries_are_gated against
-    # tools/query_digests_prev.json) + the 14 names the r12 rotation
-    # queued (round-3 cohort tail) + the next-oldest rotated greens
-    # (round-4/5 cohort — their driver rows are CORRECTNESS_r05, 8
-    # rounds stale).
-    # -- changed implementation this round (VERDICT r12 #3: the
-    #    embedding-cosine candidate shuffle slimmed to signature-only
-    #    rows, embeddings re-joined by vec_id for the exact stage; plus
-    #    the adversarial-corpus review's NULL/empty-doc contract fixes —
-    #    token-less docs excluded from the shingle surface, NULL text
-    #    fingerprints/chunks/assets yield NULL-or-no rows — and the
-    #    tw_session exact-gap boundary, each fix probed on the
-    #    degenerate-documents corpus AND hash-exact on the fixture):
+    # Round-14 rotation (VERDICT r13 next-round #1/#4): all 50 r13 rows
+    # came back green (49 hash-exact + 1 clean rows-only), so the 39 that
+    # did not change again this round move to ROTATED_OUT; the gate
+    # re-fills ALL 50 slots = EVERY query whose builder fn source or
+    # oracle text changed since the round-13 snapshot (mechanically
+    # enforced by tests/test_entry.py::test_changed_impl_queries_are_gated
+    # against tools/query_digests_prev.json) + the 11 names the r13
+    # rotation queued (round-4/5 cohort tail: the TPC-H block +
+    # window_topk_per_group) + the next-oldest rotated greens.
+    # -- changed implementation this round (SURVEY §12 item 0: the
+    #    degenerate-EVENTS battery — 34/96 queries diverged or crashed
+    #    on a corpus with NULL ts/user/type/value, negative, half-cent,
+    #    1e10-cent, duplicate-(user,ts) and singleton-user rows; the
+    #    NULL-ts time_surface contract (rule 6), winsorized cents_clamped
+    #    (rule 7), NULLIF divide guards, identity exclusions and
+    #    Laplace-smoothed PSI close all 34, pinned by
+    #    tests/test_events_robustness.py — plus the embeddings battery's
+    #    NULL-embedding contract (dedup_semantic_kmeans,
+    #    embed_centroid_spread) and the ADVICE similarity-surface fix to
+    #    dedup_embedding_cosine, pinned by
+    #    tests/test_embeddings_robustness.py):
+    "agg_incremental_merge",
+    "anomaly_zscore_trailing",
     "dedup_embedding_cosine",
+    "dedup_semantic_kmeans",
+    "dq_distribution_drift_psi",
+    "embed_centroid_spread",
+    "event_ab_srm_drift_daily",
+    "event_cuped_adjustment",
+    "event_interval_merge",
+    "event_sessionization_gap",
+    "event_survival_kaplan_meier",
+    "event_transition_bigrams",
+    "event_trigram_paths",
+    "forecast_holt_linear",
+    "grouped_apply_deviation",
+    "join_asof",
+    "resample_m4_downsample",
+    "scalar_inet_funcs",
+    "scd2_history_build",
+    "stats_acf_daily_lags",
+    "stats_cusum_drift",
+    "stats_ewma_control_chart",
+    "stats_granger_lagged_daily",
+    "stats_ols_two_feature",
+    "stats_page_hinkley_drift",
+    "stats_welch_ttest",
+    "tw_session",
+    "tw_sliding",
+    "tw_tumbling",
+    "window_analytic",
+    "window_ewma",
+    "window_frames",
+    "window_gaps_islands",
+    "window_median_sliding",
+    "window_nth_value",
+    "window_rolling_regression",
+    "window_running_distinct",
+    # -- the 11 names the r13 rotation queued for round 14 (round-4/5
+    #    cohort tail; last driver rows CORRECTNESS_r05):
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "window_topk_per_group",
+    # -- next-oldest ROTATED_OUT greens cycled back in (front of the
+    #    round-4/5 freshness queue; the remaining 23 of that cohort —
+    #    io_sorted_clustered_write..tpch_q4 — queue for round 15):
+    "io_partitioned_pruning",
+    "io_schema_evolution",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # -- round-13 GATE greens rotated out in r14: 38 hash-exact + 1
+    #    clean rows-only (dedup_semantic_kmeans_scaled) rows in
+    #    CORRECTNESS_r13.json; the 11 r13-gated names whose impls
+    #    changed again in r14 keep their GATE slots instead:
+    "agg_histogram_equiwidth",
+    "agg_mode_deterministic",
     "dedup_cluster_components",
     "dedup_minhash_calibration",
     "dedup_minhash_decontaminate",
     "dedup_minhash_lsh",
+    "dedup_ngram_containment",
     "dedup_ngram_jaccard",
+    "dedup_semantic_kmeans_scaled",
+    "embed_quantize_int8",
+    "event_funnel_ordered",
+    "event_peak_concurrency",
+    "event_retention_cohorts",
     "io_binaryfile_ingest",
+    "join_asof_tolerance",
+    "merge_upsert_scd",
     "mm_audio_frame_energy",
     "mm_decode_features",
     "mm_frame_sample",
     "mm_resize_stub",
     "mm_video_scene_cut",
+    "pipeline_eval_holdout",
     "pipeline_incremental_dedup",
+    "sampling_group_split",
+    "sim_ann_hyperplane_lsh",
+    "sim_ann_ivf_bucketed",
+    "sim_range_search_lsh",
+    "sim_topk_bruteforce",
     "text_chunk_udtf",
     "text_fingerprint",
-    # -- the zero-norm/NULL embedding similarity-surface fix (the
-    #    adversarial probe's Spark-side ANSI DIVIDE_BY_ZERO crash class):
-    "sim_topk_bruteforce",
-    "sim_ann_ivf_bucketed",
-    "sim_ann_hyperplane_lsh",
-    "sim_range_search_lsh",
-    # -- the 14 names the r12 rotation queued for round 13 (round-3
-    #    cohort tail; last driver rows CORRECTNESS_r03):
-    "tpch_q3",
+    "text_source_novelty",
     "tpch_q18",
+    "tpch_q3",
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
-    "tw_session",
-    "tw_sliding",
-    "tw_tumbling",
     "unpivot_melt",
-    "window_analytic",
-    "window_frames",
     "window_percent_cume",
     "window_ranking",
-    "join_asof",
-    # -- next-oldest ROTATED_OUT greens cycled back in (round-4/5
-    #    cohort, first 17 in cohort order after the changed-impl set
-    #    claimed 18 of the planned 35 refill slots; the remaining 29 —
-    #    event_retention_cohorts..tpch_q4 plus tpch_q8/q12/q13/q15/
-    #    q16/q17/q19/q20/q21/q22 + window_topk_per_group — queue for
-    #    round 14):
-    "agg_histogram_equiwidth",
-    "agg_incremental_merge",
-    "agg_mode_deterministic",
-    "anomaly_zscore_trailing",
-    "dedup_semantic_kmeans",
-    "dedup_semantic_kmeans_scaled",  # rows-only by design (no oracle)
-    "dedup_ngram_containment",
-    "event_sessionization_gap",
-    "sampling_group_split",
-    "text_source_novelty",
-    "event_peak_concurrency",
-    "join_asof_tolerance",
-    "pipeline_eval_holdout",
-    "merge_upsert_scd",
-    "embed_quantize_int8",
-    "event_funnel_ordered",
-    "event_retention_cohorts",
-)
-
-ROTATED_OUT: tuple[str, ...] = (
     # green hash-match rows in CORRECTNESS_r01.json ... _r12.json; still
     # verified by tools/check_oracle.py + pytest every run.
     # -- round-12 GATE: 44 oracle greens + 6 clean rows-only rows>0 in
@@ -230,7 +271,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "embed_pca_top_component",
     "pcap_flow_export_sink",
     "pcap_flow_lake_recurring_dst",
-    "stats_ewma_control_chart",
     "text_bpe_segment_compression",
     "text_bpe_train_merges",
     "pcap_tls_sni",
@@ -243,7 +283,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "join_fuzzy_levenshtein",
     "pcap_dns_http_dissect",
     "pcap_flow_stats",
-    "event_ab_srm_drift_daily",
     "proj_expressions",
     "resample_gapfill",
     "sampling_bernoulli",
@@ -276,11 +315,9 @@ ROTATED_OUT: tuple[str, ...] = (
     #    their GATE slots, which is where the other 2 r11 rows-only
     #    rows (pcap_flow_export_sink, pcap_flow_lake_recurring_dst)
     #    stayed:
-    "stats_page_hinkley_drift",
     "pcap_flow_import_talkers",
     "text_burstiness_vmr",
     "tpch_q11",
-    "stats_acf_daily_lags",
     "stats_anova_oneway",
     "stats_levene_brown_forsythe",
     "join_semi_bloom_prefilter",
@@ -300,7 +337,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "dedup_exact",
     "distinct_dedup_rows",
     "filter_predicates",
-    "grouped_apply_deviation",
     "io_csv_roundtrip",
     "io_orc_roundtrip",
     "io_parquet_roundtrip",
@@ -321,7 +357,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "pcap_arp_spoof_detect",
     "embed_pca_two_components",
     "stats_kendall_tau_weekly",
-    "stats_granger_lagged_daily",
     "quality_benford_first_digit",
     "stats_cramers_v_source_lang",
     "stats_weekday_effect_anova",
@@ -368,17 +403,14 @@ ROTATED_OUT: tuple[str, ...] = (
     "window_bollinger_bands",
     "window_rsi_sma",
     "feature_gini_split_gain",
-    "embed_centroid_spread",
     "stats_power_sample_size",
     "embed_quantization_error_audit",
-    "stats_cusum_drift",
     "window_macd_ema",
     "stats_schnabel_recapture",
     # -- round-8 GATE, all 48 oracle rows green + 2 pcap rows>0 in
     #    CORRECTNESS_r08.json (zero red):
     "pipeline_rag_eval_mrr",
     "embed_hard_negatives",
-    "forecast_holt_linear",
     "agg_weighted_percentile",
     "stats_chi_square_independence",
     "event_ab_srm_check",
@@ -430,17 +462,14 @@ ROTATED_OUT: tuple[str, ...] = (
     "io_bloom_filter_pointlookup",
     "agg_grouping_id_rollup",
     "io_multi_format_join",
-    "event_trigram_paths",
     "scalar_interval_arith",
     "dq_freshness_sla",
-    "window_median_sliding",
     "event_longest_streak",
     "io_dynamic_partition_pruning",
     "io_partition_overwrite_dynamic",
     "text_bpe_pair_counts",
     "pipeline_dataset_card",
     "event_watermark_lateness_audit",
-    "event_cuped_adjustment",
     "agg_bitmap_distinct",
     "scalar_variant_shred",
     "scalar_collation_caseless",
@@ -452,9 +481,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "text_bm25_score",
     "pipeline_hybrid_rrf",
     "agg_bool_predicates",
-    "stats_ols_two_feature",
-    "event_interval_merge",
-    "dq_distribution_drift_psi",
     "agg_decimal_exact",
     "event_cohort_ltv_curve",
     "text_readability_fk",
@@ -466,8 +492,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "text_url_canonical_dedup",
     "text_perplexity_unigram",
     "text_zipf_fit",
-    "stats_welch_ttest",
-    "event_survival_kaplan_meier",
     "window_trailing_interval",
     # pcap_scan_default rotated out for pcap_flagship_portpair (its 1-row
     # result is a weak rows>0 signal; goldens still pin it in pytest):
@@ -478,13 +502,10 @@ ROTATED_OUT: tuple[str, ...] = (
     "window_max_drawdown",
     "event_time_to_convert",
     "event_interarrival_regularity",
-    "event_transition_bigrams",
     "text_tfidf_keywords",
-    "scd2_history_build",
     "io_zorder_clustered_write",
     "graph_pagerank_bipartite",
     "graph_degree_stats",
-    "window_running_distinct",
     "dedup_paragraph_exact",
     "sampling_weighted_priority",
     "sampling_temperature_mix",
@@ -497,33 +518,25 @@ ROTATED_OUT: tuple[str, ...] = (
     "graph_triangle_count",
     "event_rfm_segmentation",
     "mm_phash_neardup",
-    "window_gaps_islands",
     "dq_referential_orphans",
     "dq_expectations_audit",
     "event_dau_stickiness",
-    "window_ewma",
     "text_url_extract_normalize",
-    "resample_m4_downsample",
     "text_collocations_pmi",
     "dq_benford_first_digit",
     "feature_quantile_bucketize",
     "text_inverted_index",
     "snapshot_diff_cdc",
-    "window_rolling_regression",
-    "scalar_inet_funcs",
     "pipeline_rag_chunk_index",
     "anomaly_mad_robust",
     "scd2_point_in_time_lookup",
     "setop_bag_semantics",
-    "window_nth_value",
     "io_snapshot_time_travel",
     "io_small_files_compaction",
     # -- round-4/5 GATE, green in CORRECTNESS_r05.json; 21 of the 46
     #    were r13-cycled back into GATE (the changed-impl set claimed
     #    the other refill slots); these 25 are the front of the
     #    round-14 freshness queue:
-    "io_partitioned_pruning",
-    "io_schema_evolution",
     "io_sorted_clustered_write",
     "join_asof_forward",
     "join_asof_nearest",
@@ -540,17 +553,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "text_quality_repetition",
     "tpch_q2",
     "tpch_q4",
-    "tpch_q8",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "window_topk_per_group",
 )
 
 

@@ -8,6 +8,21 @@ flow reassembly (state key = flow 4-tuple instead of user_id) and of any
 large-scale streaming feature extractor. State is bounded by the
 processing-time timeout: idle keys are evicted and emitted with
 `expired=true`.
+
+STATE-SCHEMA COMPATIBILITY (r14, ADVICE r13): the r13 day-ordered
+contract appended a `last_day` StringType field to EIGHT tracker state
+schemas (holt, cusum, acf, granger, kendall, trend-duo, page-hinkley,
+ewma-chart). Spark's state store validates the declared stateStructType
+against the checkpoint BEFORE any user code runs, so restarting one of
+these trackers from a pre-r13 checkpoint fails the query with a
+state-schema-incompatibility error — a tuple-width shim inside the
+update function (the `_distinct_update` legacy-CSV approach) can never
+execute for a schema-level change. The supported upgrade path is a NEW
+checkpoint directory: every affected tracker folds CLOSED daily totals,
+so replaying the daily source rebuilds state exactly (and the last_day
+watermark then enforces the replay arrives in order). In-place state
+migration would need the offline state-store rewrite tooling
+(state data source / StateStore APIs), deliberately out of scope here.
 """
 
 from __future__ import annotations
