@@ -271,6 +271,7 @@ def latest_per_key(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(cume_dist() OVER w, 6) AS cume,
            CAST(ntile(10) OVER w AS BIGINT) AS decile
     FROM customer
+    WHERE c_acctbal IS NOT NULL
     WINDOW w AS (ORDER BY c_acctbal, c_custkey)
     """,
     tags=("window",),
@@ -292,8 +293,16 @@ def window_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
     buckets-get-one-extra rule — identical to both engines' built-ins.
     The driver-side action touches one tiny count per partition; the
     persist pins the range layout between the count pass and rank pass.
-    """
-    c = table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+
+    r14 contract: NULL balances are excluded on both engines — a
+    percentile needs a value, and the engines place a NULL sort key at
+    OPPOSITE ends (Spark ORDER BY ASC is NULLS FIRST, DuckDB NULLS
+    LAST), so one NULL balance shifted EVERY customer's rank by one.
+    Found by the degenerate-dims probe; the window-order mirror of the
+    events NULL-ts rule (registry rule 6)."""
+    c = (table(spark, sf, "customer")
+         .filter(F.col("c_acctbal").isNotNull())
+         .select("c_custkey", "c_acctbal"))
     nparts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
         c.repartitionByRange(nparts, F.col("c_acctbal"), F.col("c_custkey"))

@@ -25,7 +25,7 @@ from wireduck_spark.registry import cents, query, table, ts_str
            replace(c_name, 'Customer', 'Cust') AS name_short,
            string_split(c_name, '#')[2] AS name_num,
            regexp_extract(c_name, '([0-9]+)', 1) AS digits,
-           trim(concat('  ', c_mktsegment, '  ')) AS trimmed,
+           trim('  ' || c_mktsegment || '  ') AS trimmed,
            concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
            CASE WHEN c_name LIKE '%00001%' THEN 1 ELSE 0 END AS has_00001
     FROM customer
@@ -33,7 +33,13 @@ from wireduck_spark.registry import cents, query, table, ts_str
     tags=("scalar", "string"),
 )
 def scalar_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
-    """substring/length/case/replace/split/regexp/trim/concat/LIKE."""
+    """substring/length/case/replace/split/regexp/trim/concat/LIKE.
+
+    r14 contract: the oracle's padded concat uses `||` (NULL-propagating
+    in both engines) rather than DuckDB's `concat()`, which SKIPS NULL
+    arguments while Spark's `F.concat` propagates them — a NULL
+    c_mktsegment silently diverged ('' vs NULL). Found by the
+    degenerate-dims probe; pinned by tests/test_dims_robustness.py."""
     c = table(spark, sf, "customer")
     return c.select(
         "c_custkey",

@@ -212,11 +212,13 @@ GATE: tuple[str, ...] = (
     "tpch_q21",
     "tpch_q22",
     "window_topk_per_group",
-    # -- next-oldest ROTATED_OUT greens cycled back in (front of the
-    #    round-4/5 freshness queue; the remaining 23 of that cohort —
-    #    io_sorted_clustered_write..tpch_q4 — queue for round 15):
-    "io_partitioned_pruning",
-    "io_schema_evolution",
+    # -- the degenerate-dims probe's two finds (swept AFTER the first
+    #    r14 rotation landed; the changed-impl rule forces both into
+    #    GATE, displacing the two queue-front fillers back to the
+    #    round-15 freshness queue, which now starts at
+    #    io_partitioned_pruning):
+    "scalar_string_funcs",
+    "window_percent_cume",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
@@ -261,7 +263,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "tpch_q6",
     "tpch_q7",
     "unpivot_melt",
-    "window_percent_cume",
     "window_ranking",
     # green hash-match rows in CORRECTNESS_r01.json ... _r12.json; still
     # verified by tools/check_oracle.py + pytest every run.
@@ -295,7 +296,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "scalar_json_funcs",
     "scalar_map_struct",
     "scalar_math_funcs",
-    "scalar_string_funcs",
     "setop_intersect_except",
     "setop_union_all",
     "sketch_hll_distinct",
@@ -537,6 +537,8 @@ ROTATED_OUT: tuple[str, ...] = (
     #    were r13-cycled back into GATE (the changed-impl set claimed
     #    the other refill slots); these 25 are the front of the
     #    round-14 freshness queue:
+    "io_partitioned_pruning",
+    "io_schema_evolution",
     "io_sorted_clustered_write",
     "join_asof_forward",
     "join_asof_nearest",
