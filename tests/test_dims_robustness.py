@@ -17,7 +17,7 @@ pinned here:
   OPPOSITE ends (Spark NULLS FIRST, DuckDB NULLS LAST), so ONE NULL
   balance shifted EVERY customer's percent_rank/cume_dist/decile.
   NULL balances are now excluded on both engines (a percentile needs
-  a value — the window-order mirror of the events NULL-ts rule 6).
+  a value — the window-order mirror of the events NULL-ts rule 10).
 
 The battery below re-runs the dimension-reading queries most exposed
 to the degenerate classes: every scalar/window/subquery/setop/agg

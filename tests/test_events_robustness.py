@@ -7,13 +7,13 @@ The driver fixture has ZERO such rows, so the oracle gate is blind to
 this entire input class — and the r14 probe of it found 34/96 events
 queries diverging or crashing. The repaired contract, pinned here:
 
-- rule 6 (time_surface): events with a NULL ts are EXCLUDED from
+- rule 10 (time_surface): events with a NULL ts are EXCLUDED from
   time-keyed queries on both engines — Spark `F.window` and DuckDB
   `time_bucket` place a NULL ts differently, and window ORDER BY
   defaults differ (Spark NULLS FIRST, DuckDB NULLS LAST), so every
   bucketing / session / daily fold / as-of scan / ts-ordered frame
   silently diverged.
-- rule 7 (cents_clamped): second-moment queries winsorize to ±1e7
+- rule 11 (cents_clamped): second-moment queries winsorize to ±1e7
   cents — one 1e10-magnitude value overflowed the oracle's int64
   square and would abort the Spark job under ANSI.
 - divide guards: rank-deficient OLS determinants, one-user arms, and
@@ -108,7 +108,7 @@ def test_events_battery_on_degenerate_corpus(spark, adv_dir, name):
 
 def test_degenerate_corpus_contract_highlights(spark, adv_dir):
     """The load-bearing contract points, asserted directly."""
-    # rule 6: the NULL-ts event (event_id 900001) appears in no
+    # rule 10: the NULL-ts event (event_id 900001) appears in no
     # time-bucketed output — tw_tumbling covers every bucket.
     tw = QUERIES["tw_tumbling"].fn(spark, adv_dir).collect()
     assert all(r["window_start"] is not None for r in tw)
@@ -121,7 +121,7 @@ def test_degenerate_corpus_contract_highlights(spark, adv_dir):
                spark, adv_dir).collect()}
     assert "error" in ols  # the 1e10-cents row's singleton-ish group ran
 
-    # rule 7: the 1e10-magnitude value is winsorized, not propagated —
+    # rule 11: the 1e10-magnitude value is winsorized, not propagated —
     # welch's means stay in clamped-cents range on both engines.
     welch = QUERIES["stats_welch_ttest"].fn(spark, adv_dir).collect()[0]
     assert abs(welch["mean_treatment_cents"]) <= 1e7 * 1.0

@@ -299,7 +299,7 @@ def window_percent_cume(spark: SparkSession, sf: str) -> DataFrame:
     OPPOSITE ends (Spark ORDER BY ASC is NULLS FIRST, DuckDB NULLS
     LAST), so one NULL balance shifted EVERY customer's rank by one.
     Found by the degenerate-dims probe; the window-order mirror of the
-    events NULL-ts rule (registry rule 6)."""
+    events NULL-ts rule (registry rule 10)."""
     c = (table(spark, sf, "customer")
          .filter(F.col("c_acctbal").isNotNull())
          .select("c_custkey", "c_acctbal"))
@@ -753,7 +753,7 @@ def scd2_history_build(spark: SparkSession, sf: str) -> DataFrame:
     Engine-exactness: version intervals are emitted as formatted-string
     timestamps (registry rule 3); (ts, event_id) ordering is made total
     by the unique event_id tiebreak (rule 5). NULL-ts events are
-    excluded on both engines (time_surface, rule 6 — a version interval
+    excluded on both engines (time_surface, rule 10 — a version interval
     needs a valid_from).
     """
     e = time_surface(table(spark, sf, "events"))
@@ -811,7 +811,7 @@ def window_running_distinct(spark: SparkSession, sf: str) -> DataFrame:
     events partitions by user exactly the same way.
 
     r14 contract: NULL-ts events are excluded on both engines
-    (time_surface, rule 6 — the running order diverges on NULL
+    (time_surface, rule 10 — the running order diverges on NULL
     placement), and a NULL event_type never raises the count (the flag
     mirrors COUNT(DISTINCT)'s NULL-skip; the row itself still appears
     with its running total).
@@ -1017,7 +1017,7 @@ def window_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
     hash partitioning — Catalyst plans ONE Exchange; the island grouping
     key (rn - rn_t) never leaves the partition. Same single-shuffle
     shape as scd2_history_build. NULL-ts events are excluded on both
-    engines (time_surface, rule 6 — run adjacency is ts-ordered).
+    engines (time_surface, rule 10 — run adjacency is ts-ordered).
     """
     e = time_surface(table(spark, sf, "events")).filter(
         F.col("user_id") <= 50)

@@ -735,7 +735,7 @@ def window_ranking(spark: SparkSession, sf: str) -> DataFrame:
 )
 def window_analytic(spark: SparkSession, sf: str) -> DataFrame:
     """lag / lead / first_value analytics per user timeline.
-    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    NULL-ts events are excluded on both engines (time_surface, rule 10 —
     the timeline order diverges on NULL placement)."""
     e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -772,7 +772,7 @@ def window_frames(spark: SparkSession, sf: str) -> DataFrame:
 
     The RANGE frame runs over epoch seconds (integer) so Spark's numeric
     rangeBetween and DuckDB's numeric RANGE agree exactly.
-    NULL-ts events are excluded on both engines (time_surface, rule 6).
+    NULL-ts events are excluded on both engines (time_surface, rule 10).
     """
     e = time_surface(table(spark, sf, "events"))
     w_rows = (
@@ -1101,7 +1101,7 @@ def window_nth_value(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: both analytics share one user-keyed running frame — a single
     Exchange and sort, O(1) state per row. NULL-ts events are excluded
-    on both engines (time_surface, rule 6).
+    on both engines (time_surface, rule 10).
     """
     e = time_surface(table(spark, sf, "events"))
     w = (
@@ -1364,8 +1364,8 @@ def stats_ols_two_feature(spark: SparkSession, sf: str) -> DataFrame:
     IEEE trees match operation-for-operation; coefficients round to
     6 dp on output.
 
-    r14 contract: NULL-ts events are excluded (time_surface, rule 6 —
-    the features ARE the timestamp), y is winsorized cents (rule 7),
+    r14 contract: NULL-ts events are excluded (time_surface, rule 10 —
+    the features ARE the timestamp), y is winsorized cents (rule 11),
     and the Cramer divide is NULLIF-guarded on both engines — a
     rank-deficient group (one row, or constant hour/day) has det 0,
     which under Spark ANSI aborted the whole job; it now emits NULL
@@ -1581,7 +1581,7 @@ def stats_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     adding experiment_id to both grouping keys.
 
     r14 contract: NULL user_ids are excluded (an arm assignment needs
-    an identity), per-user spend uses winsorized cents (rule 7 — one
+    an identity), per-user spend uses winsorized cents (rule 11 — one
     1e10-magnitude value overflows the int64 y*y moment on both
     engines), and every divide is NULLIF-guarded (a one-user arm or a
     zero-variance corpus must emit NULL, not abort the job under ANSI).
@@ -1982,7 +1982,7 @@ def event_ab_srm_drift_daily(spark: SparkSession, sf: str) -> DataFrame:
     sum — never a window over raw events. Keying by experiment_id
     generalizes to thousands of concurrent ramps.
 
-    r14 contract: NULL-ts events are excluded (time_surface, rule 6 —
+    r14 contract: NULL-ts events are excluded (time_surface, rule 10 —
     first-seen needs a day) and so are NULL user_ids (an arm assignment
     needs an identity; with NULLs in, Spark's md5-of-NULL yields a NULL
     arm the SUM skips while the oracle's CASE ELSE branch counts it as

@@ -868,7 +868,7 @@ def stats_acf_daily_lags(spark: SparkSession, sf: str) -> DataFrame:
     broadcast side was a multi-row frame (the exact shape the hardened
     BNLJ classifier now flags).
 
-    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    NULL-ts events are excluded on both engines (time_surface, rule 10 —
     the series index is day-ordered and the engines disagree on where a
     NULL day sorts).
     """
@@ -1460,7 +1460,7 @@ def stats_cusum_drift(spark: SparkSession, sf: str) -> DataFrame:
     state is 8 ints; series length is calendar-bounded. The streaming
     twin (cusum_tracker, streaming/stateful.py) carries the same 8-int
     state across micro-batches of CLOSED daily totals.
-    NULL-ts events are excluded on both engines (time_surface, rule 6),
+    NULL-ts events are excluded on both engines (time_surface, rule 10),
     and so are NULL event_types: a per-type monitor needs a type key —
     the oracle's recursive fold cannot follow a NULL join key (its seed
     state never advances), while Spark's aggregate() HOF folds the NULL
@@ -2071,7 +2071,7 @@ def stats_granger_lagged_daily(spark: SparkSession, sf: str) -> DataFrame:
     row; cost is the scan.
 
     r14 contract: the NULL day (NULL-ts events) is dropped from the
-    lag ordering on both engines (rule 6 — the shared daily helper
+    lag ordering on both engines (rule 10 — the shared daily helper
     keeps it for the week-blocked rank queries, where both engines
     already agree; here the `ORDER BY d` lag pairing diverges on NULL
     placement).
@@ -2625,7 +2625,7 @@ def stats_page_hinkley_drift(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one map-combinable (type, day) aggregate, then a per-type
     fold whose state is 8 ints; series length is calendar-bounded, and
     the per-type lists never co-shuffle with raw events.
-    NULL-ts events are excluded on both engines (time_surface, rule 6),
+    NULL-ts events are excluded on both engines (time_surface, rule 10),
     and so are NULL event_types: a per-type monitor needs a type key —
     the oracle's recursive fold cannot follow a NULL join key (its seed
     state never advances), while Spark's aggregate() HOF folds the NULL
@@ -2782,7 +2782,7 @@ def stats_ewma_control_chart(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one map-combinable (type, day) aggregate, then a per-type
     fold whose state is 6 ints; series length is calendar-bounded, and
     the per-type lists never co-shuffle with raw events.
-    NULL-ts events are excluded on both engines (time_surface, rule 6),
+    NULL-ts events are excluded on both engines (time_surface, rule 10),
     and so are NULL event_types: a per-type monitor needs a type key —
     the oracle's recursive fold cannot follow a NULL join key (its seed
     state never advances), while Spark's aggregate() HOF folds the NULL

@@ -40,7 +40,7 @@ def tw_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1-hour windows (F.window == DuckDB time_bucket).
 
     NULL-ts events are excluded on both engines (registry.time_surface,
-    rule 6 — F.window and time_bucket disagree on NULL placement).
+    rule 10 — F.window and time_bucket disagree on NULL placement).
 
     Scale: window-start is a pure function of ts, so this is an ordinary
     hash aggregation — partial aggregation map-side, one shuffle on
@@ -84,7 +84,7 @@ def tw_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 def tw_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding windows: 1 hour long, 30-minute slide (each event lands in
     exactly 2 windows; the oracle materializes both via unnest).
-    NULL-ts events excluded on both engines (time_surface, rule 6)."""
+    NULL-ts events excluded on both engines (time_surface, rule 10)."""
     e = time_surface(table(spark, sf, "events"))
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
@@ -139,7 +139,7 @@ def tw_session(spark: SparkSession, sf: str) -> DataFrame:
     boundary — invisible on the fixture's microsecond timestamps,
     pinned by tests/test_boundary_semantics.py). Session end = last
     event + gap in both. NULL-ts events are excluded on both engines
-    (time_surface, rule 6 — a NULL ts has no session placement).
+    (time_surface, rule 10 — a NULL ts has no session placement).
 
     Scale: one shuffle on user_id; Spark's native session-window operator
     merges partial sessions map-side. Streaming twin uses the same
@@ -186,7 +186,7 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: for every click, the latest purchase value at ts <= click
     ts by the same user (DuckDB ASOF JOIN semantics, inclusive).
 
-    NULL-ts rows are excluded on both engines (time_surface, rule 6):
+    NULL-ts rows are excluded on both engines (time_surface, rule 10):
     DuckDB's ASOF matches a NULL-ts probe to the LAST purchase while the
     union-merge rewrite orders it first and yields NULL — a NULL probe
     has no as-of position, so neither answer is meaningful.
@@ -379,7 +379,7 @@ def agg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     coalesce-combine — the event log is only ever scanned once per
     increment. The split point here is an arbitrary mid-corpus timestamp
     so both sides are non-trivial. NULL-ts events are excluded on both
-    engines (time_surface, rule 6): an event with no timestamp belongs to
+    engines (time_surface, rule 10): an event with no timestamp belongs to
     neither the BASE nor the DELTA side of a time-cut increment.
     """
     ev = time_surface(table(spark, sf, "events")).withColumn(
@@ -529,12 +529,12 @@ def anomaly_zscore_trailing(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: one shuffle on user_id; the frame is a bounded 20-row running
     state per key — the same plan shape as window_frames, linear in
-    events. Magnitude contract (r14, rule 7): x is WINSORIZED to
+    events. Magnitude contract (r14, rule 11): x is WINSORIZED to
     +/-1e7 cents via cents_clamped on both engines, so with n <= 21
     every intermediate — (n*x)^2 <= 4.4e16, 9*(n*q - s^2) <= ~4e17 —
     fits int64; an un-clamped 1e10-magnitude value overflowed DuckDB's
     BIGINT multiply and would abort a 100-TB Spark job under ANSI.
-    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    NULL-ts events are excluded on both engines (time_surface, rule 10 —
     the trailing frame is ts-ordered).
     """
     e = time_surface(table(spark, sf, "events"))
@@ -718,7 +718,7 @@ def event_sessionization_gap(spark: SparkSession, sf: str) -> DataFrame:
     second-truncation ambiguity between engines; value totals ride
     integer cents (registry rule 1); (ts, event_id) ordering ties are
     broken by the unique event_id (rule 5). NULL-ts events are excluded
-    on both engines (time_surface, rule 6 — no session placement).
+    on both engines (time_surface, rule 10 — no session placement).
     """
     e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1082,7 +1082,7 @@ def event_transition_bigrams(spark: SparkSession, sf: str) -> DataFrame:
     Engine-exactness: counts are BIGINT; the probability is one
     double division of two exact integers + ROUND(.., 6) — identical
     IEEE expression tree both sides (registry rule 2). NULL-ts events
-    are excluded on both engines (time_surface, rule 6 — adjacency is
+    are excluded on both engines (time_surface, rule 10 — adjacency is
     ts-ordered, and the engines disagree on NULL placement).
     """
     e = time_surface(table(spark, sf, "events"))
@@ -1390,7 +1390,7 @@ def window_ewma(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: all 8 LAG expressions share ONE user-keyed window — a single
     Exchange + sort, no self-joins; the frame is O(1) per row.
-    NULL-ts events are excluded on both engines (time_surface, rule 6).
+    NULL-ts events are excluded on both engines (time_surface, rule 10).
     """
     e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1466,7 +1466,7 @@ def resample_m4_downsample(spark: SparkSession, sf: str) -> DataFrame:
     bucket to a single row with map-side partials on the min/max part.
     Determinism: first/last are keyed on (ts, event_id) — a UNIQUE
     ordering — so ties in ts cannot flip values across engines.
-    NULL-ts events are excluded on both engines (time_surface, rule 6 —
+    NULL-ts events are excluded on both engines (time_surface, rule 10 —
     a point with no timestamp has no bucket and no first/last position).
     """
     e = time_surface(table(spark, sf, "events"))
@@ -1552,8 +1552,8 @@ def window_rolling_regression(spark: SparkSession, sf: str) -> DataFrame:
     window partitioning (a single Exchange; the second Window reuses
     the sort). The frame is O(1) rows; nothing is quadratic.
 
-    r14 contract: NULL-ts events are excluded (time_surface, rule 6)
-    and y is winsorized to +/-1e7 cents (cents_clamped, rule 7) — the
+    r14 contract: NULL-ts events are excluded (time_surface, rule 10)
+    and y is winsorized to +/-1e7 cents (cents_clamped, rule 11) — the
     ppm scaling multiplies the slope numerator by 1e6, so an un-clamped
     1e10-magnitude value overflows int64 in both engines.
     """
@@ -1681,7 +1681,7 @@ def event_trigram_paths(spark: SparkSession, sf: str) -> DataFrame:
     Scale: both LAGs share ONE user-keyed window; the trigram and
     context tables are type-vocabulary-sized (|types|^3 at most), so
     the normalizing join touches ~hundreds of rows, never the corpus.
-    NULL-ts events are excluded on both engines (time_surface, rule 6).
+    NULL-ts events are excluded on both engines (time_surface, rule 10).
     """
     e = time_surface(table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1728,7 +1728,7 @@ def window_median_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: one user-keyed window exchange; the per-row array is bounded
     by the frame (8), so memory is O(frame), not O(partition).
-    NULL-ts events are excluded on both engines (time_surface, rule 6).
+    NULL-ts events are excluded on both engines (time_surface, rule 10).
     """
     e = time_surface(table(spark, sf, "events"))
     w = (
@@ -2011,10 +2011,10 @@ def event_cuped_adjustment(spark: SparkSession, sf: str) -> DataFrame:
     are a handful of scalar IEEE ops on those exact integers with the
     same expression tree in both engines — no float aggregation order
     anywhere. r14 contract hardening: per-event cents are WINSORIZED to
-    +/-1e7 (cents_clamped, rule 7 — an un-clamped 1e10-magnitude value
+    +/-1e7 (cents_clamped, rule 11 — an un-clamped 1e10-magnitude value
     overflowed the oracle's int64 x*y product and would abort the Spark
     job under ANSI) and NULL-ts events are excluded on both engines
-    (time_surface, rule 6 — a pre/post time-cut query). Per-user sums
+    (time_surface, rule 10 — a pre/post time-cut query). Per-user sums
     then peak ~1e12, pooled products ~1e17: inside int64 with headroom.
 
     Scale: one user-keyed aggregate (map-side combinable), a 1-row
@@ -2220,7 +2220,7 @@ def event_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: two windows + one aggregate, all partitioned by user_id —
     ONE shuffle; integer microseconds end to end. NULL-ts events are
-    excluded on both engines (time_surface, rule 6 — a NULL ts opens
+    excluded on both engines (time_surface, rule 10 — a NULL ts opens
     no interval).
     """
     e = time_surface(table(spark, sf, "events"))
@@ -2619,7 +2619,7 @@ def event_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     (pmod(dur_days,1)) to keep the no-global-window plan invariant
     checkable. The 1-row horizon and user-count scalars broadcast.
 
-    r14 contract: NULL-ts events are excluded (time_surface, rule 6 —
+    r14 contract: NULL-ts events are excluded (time_surface, rule 10 —
     a lifetime is a ts interval) and so are NULL user_ids (a survival
     subject needs an identity; with NULLs in, Spark's countDistinct
     skips the NULL-user group the oracle's COUNT(*) counts, silently
@@ -2824,7 +2824,7 @@ def forecast_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
     not the corpus. Day gaps count as consecutive steps (documented —
     resample_gapfill is the upstream fix when calendar spacing
     matters). NULL-ts events are excluded on both engines
-    (time_surface, rule 6 — the fold is day-ordered and the engines
+    (time_surface, rule 10 — the fold is day-ordered and the engines
     disagree on where a NULL day sorts). NULL event_types are excluded
     too: a per-type fold needs a type key — the oracle's recursive CTE
     cannot follow a NULL join key while the aggregate() HOF folds it.

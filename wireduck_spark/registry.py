@@ -46,6 +46,18 @@ driver's order-insensitive value-hash matches bit-for-bit):
    rounding can't save (stats_benjamini_hochberg is the template;
    stats_ks_two_sample's flag compares sqrt-only trees and documents
    why that is safe unrounded).
+10. NULL-ts exclusion (r14 degenerate-events contract): events with a
+    NULL timestamp are EXCLUDED from time-keyed queries on both engines
+    via ``time_surface()`` / ``SQL_TIME_SURFACE`` — Spark ``F.window``
+    and DuckDB ``time_bucket`` place a NULL ts differently, and window
+    ORDER BY defaults differ (Spark NULLS FIRST, DuckDB NULLS LAST).
+    The same rule covers any NULL ORDER BY key (window_percent_cume's
+    NULL balance) and is the batch mirror of the streaming beacon's
+    NaT drop.
+11. Winsorized cents (r14): second-moment/int64-sensitive money columns
+    go through ``cents_clamped()`` / ``SQL_CENTS_CLAMPED`` (+/-1e7
+    cents) so one extreme-magnitude row can neither overflow an int64
+    moment nor abort a Spark job under ANSI.
 """
 
 from __future__ import annotations
@@ -154,8 +166,8 @@ GATE: tuple[str, ...] = (
     #    degenerate-EVENTS battery — 34/96 queries diverged or crashed
     #    on a corpus with NULL ts/user/type/value, negative, half-cent,
     #    1e10-cent, duplicate-(user,ts) and singleton-user rows; the
-    #    NULL-ts time_surface contract (rule 6), winsorized cents_clamped
-    #    (rule 7), NULLIF divide guards, identity exclusions and
+    #    NULL-ts time_surface contract (rule 10), winsorized cents_clamped
+    #    (rule 11), NULLIF divide guards, identity exclusions and
     #    Laplace-smoothed PSI close all 34, pinned by
     #    tests/test_events_robustness.py — plus the embeddings battery's
     #    NULL-embedding contract (dedup_semantic_kmeans,
@@ -642,7 +654,7 @@ def ts_str(col):
 
 def time_surface(df):
     """Events with a NULL timestamp are EXCLUDED from time-keyed queries
-    (rule 6, the r14 degenerate-events contract — the batch mirror of the
+    (rule 10, the r14 degenerate-events contract — the batch mirror of the
     streaming beacon's NaT drop): Spark and DuckDB disagree on where a
     NULL ts lands (`F.window` emits a NULL window struct while
     `time_bucket` groups NULL; window ORDER BY defaults differ — Spark
@@ -657,7 +669,7 @@ def time_surface(df):
 
 
 def cents_clamped(col):
-    """Winsorized integer cents for int64-exact moment queries (rule 7,
+    """Winsorized integer cents for int64-exact moment queries (rule 11,
     the r14 degenerate-events contract): second-moment arithmetic like
     (n*x - s)^2 needs |x| <= ~1e7 cents to stay inside int64 — one
     1e10-magnitude row in a 100 TB corpus must neither overflow (DuckDB
