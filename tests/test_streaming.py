@@ -2563,3 +2563,61 @@ def test_beacon_tracker_rejects_out_of_order_event():
     list(_beacon_update(key, [pdf(["2024-01-01 10:00:00"])], st))
     list(_beacon_update(key, [pdf([pd.NaT, "2024-01-01 10:05:00"])], st))
     assert st.get[1] == 1  # exactly one gap counted
+
+
+# ---------------------------------------------------------------------------
+# r14 (SURVEY §13 item 1c, pulled forward): the eight daily-fold trackers
+# under out-of-contract micro-batch shapes the r13 replay matrix did not
+# cover — an ALL-EMPTY micro-batch on warm state (must re-emit without
+# touching state) and a PARTIAL DAY split across two micro-batches (the
+# second batch re-presents the folded day: the day-ordered watermark must
+# raise, because the first fold already smoothed a partial total).
+# ---------------------------------------------------------------------------
+
+
+def _days_frame(days, **cols):
+    base = {"d": days}
+    base.update({k: v[: len(days)] if len(v) > len(days) else v
+                 for k, v in cols.items()})
+    return pd.DataFrame(base)
+
+
+_DAILY_TRACKER_CASES = [
+    ("holt", "_holt_update",
+     lambda d: _days_frame(d, cents=[100] * len(d))),
+    ("cusum", "_cusum_update",
+     lambda d: _days_frame(d, cents=[100] * len(d))),
+    ("page_hinkley", "_ph_update",
+     lambda d: _days_frame(d, cents=[100] * len(d))),
+    ("ewma_chart", "_ewma_chart_update",
+     lambda d: _days_frame(d, cents=[100] * len(d))),
+    ("acf", "_acf_update",
+     lambda d: _days_frame(d, x=[100] * len(d))),
+    ("granger", "_granger_update",
+     lambda d: _days_frame(d, x=[100] * len(d), y=[50] * len(d))),
+    ("kendall", "_kendall_update",
+     lambda d: _days_frame(d, x=[100] * len(d), y=[50] * len(d))),
+    ("trend_duo", "_trend_duo_update",
+     lambda d: _days_frame(d, y=[100] * len(d))),
+]
+
+
+@pytest.mark.parametrize(
+    "name,fn_name,mk", _DAILY_TRACKER_CASES,
+    ids=[c[0] for c in _DAILY_TRACKER_CASES])
+def test_daily_tracker_empty_batch_and_partial_day(name, fn_name, mk):
+    from wireduck_spark.streaming import stateful
+
+    fn = getattr(stateful, fn_name)
+    key = ("click",)
+    st = _StubState()
+    list(fn(key, [mk(["2024-01-01", "2024-01-02"])], st))
+    warm = st.get
+
+    # all-empty micro-batch: emit-only, state untouched
+    list(fn(key, [mk([])], st))
+    assert st.get == warm, f"{name}: empty batch mutated state"
+
+    # partial day split across batches: the re-presented day must raise
+    with pytest.raises(ValueError, match="day-ordered|day .* arrived"):
+        list(fn(key, [mk(["2024-01-02"])], st))

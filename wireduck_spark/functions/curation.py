@@ -491,8 +491,9 @@ def dedup_semantic_kmeans_scaled(spark: SparkSession, sf: str) -> DataFrame:
             i -> ('0x' || substr(md5(array_to_string(
                    list_slice(toks, CAST(i AS INTEGER),
                               CAST(i + 7 AS INTEGER)), ' ')), 1, 15))::BIGINT)
-        ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
-        END)) AS g
+        WHEN len(toks) >= 1 THEN
+          [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
+        ELSE [] END)) AS g
       FROM (SELECT doc_id, source, bucket,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
             FROM tagged)
@@ -530,6 +531,16 @@ def text_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
     expression in both engines keeps the oracle exact: any collision is
     bit-identical on both sides rather than an engine-dependent accuracy
     gap. Skew-bounded because grams within a doc are distinct.
+
+    r14 (composed-corpus find): token-less docs are excluded from the
+    GRAM surface on both engines — the whole-doc fallback gram for an
+    empty token list was Spark array_join([],' ') = a CONCRETE ''
+    (pairing every token-less test doc with every token-less train doc,
+    and at 100 TB funneling them into one join bucket) vs DuckDB
+    array_to_string NULLing out and self-excluding. The same token-less
+    shingle rule as dedup (r13); the doc still counts in n_test_docs —
+    it just cannot be contaminated. Pinned by
+    tests/test_composed_robustness.py.
     """
     bucket = (
         F.expr(_SPARK_H60.format(s="CAST(doc_id AS STRING)")) % 100
@@ -554,7 +565,10 @@ def text_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
                         "transform(sequence(1, size(toks) - 7),"
                         " i -> array_join(slice(toks, i, 8), ' '))"
                     ),
-                ).otherwise(F.array(F.array_join("toks", " ")))
+                )
+                .when(F.size("toks") >= 1,
+                      F.array(F.array_join("toks", " ")))
+                .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
             ),
         )
     )
@@ -936,8 +950,9 @@ def text_source_novelty(spark: SparkSession, sf: str) -> DataFrame:
             i -> ('0x' || substr(md5(array_to_string(
                    list_slice(toks, CAST(i AS INTEGER),
                               CAST(i + 7 AS INTEGER)), ' ')), 1, 15))::BIGINT)
-        ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
-        END)) AS g
+        WHEN len(toks) >= 1 THEN
+          [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT]
+        ELSE [] END)) AS g
       FROM (SELECT doc_id, source, bucket,
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
             FROM tagged)
@@ -979,6 +994,12 @@ def pipeline_eval_holdout(spark: SparkSession, sf: str) -> DataFrame:
     equi-join (the only corpus-sized shuffle, 60-bit int keys) ->
     distinct knockout ids -> left join + per-source rollup. Linear in
     gram volume; nothing quadratic anywhere.
+
+    r14: token-less docs are excluded from the gram surface on both
+    engines (the text_contamination_ngram '' whole-doc-gram find — this
+    query shares the construction and only dodged the composed-corpus
+    probe because its split hashes by SOURCE); they still count as eval
+    docs and contribute clean_chars.
     """
     d = (
         table(spark, sf, "documents", spread=True)
@@ -1000,7 +1021,10 @@ def pipeline_eval_holdout(spark: SparkSession, sf: str) -> DataFrame:
                         "transform(sequence(1, size(toks) - 7),"
                         " i -> array_join(slice(toks, i, 8), ' '))"
                     ),
-                ).otherwise(F.array(F.array_join("toks", " ")))
+                )
+                .when(F.size("toks") >= 1,
+                      F.array(F.array_join("toks", " ")))
+                .otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
             ),
         )
     )

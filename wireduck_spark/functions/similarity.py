@@ -436,11 +436,17 @@ def sim_ann_pq_rerank(spark: SparkSession, sf: str) -> DataFrame:
     vectors for the exact cosine re-rank and final top-3. Rows-only in
     the gate: k-means training is not SQL-expressible; recall@3 vs the
     brute-force baseline is asserted in tests/test_similarity_quality.py.
+
+    r14 (composed-corpus find): the similarity_surface rule applies
+    here too — a NULL embedding made np.stack ragged and CRASHED the
+    encode mapInPandas (one NULL row in 100 TB aborts the whole job),
+    and a zero-norm vector NaN-poisons its own codes through the 0/0
+    unit-normalization. Pinned by tests/test_composed_robustness.py.
     """
     import numpy as np
     import pandas as pd
 
-    emb = table(spark, sf, "embeddings", spread=True)
+    emb = similarity_surface(table(spark, sf, "embeddings", spread=True))
     sample = [
         r["embedding"]
         for r in emb.orderBy("vec_id").limit(PQ_TRAIN_N).collect()

@@ -220,9 +220,6 @@ GATE: tuple[str, ...] = (
     "tpch_q16",
     "tpch_q17",
     "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
     "window_topk_per_group",
     # -- the degenerate-dims probe's two finds (swept AFTER the first
     #    r14 rotation landed; the changed-impl rule forces both into
@@ -231,6 +228,13 @@ GATE: tuple[str, ...] = (
     #    io_partitioned_pruning):
     "scalar_string_funcs",
     "window_percent_cume",
+    # -- the composed-corpus probe's finds (the token-less ''-gram class
+    #    in the contamination surface + the PQ NULL-embedding crash);
+    #    their three slots come from deferring tpch_q20/q21/q22 to the
+    #    round-15 queue (right behind the io_* fillers):
+    "text_contamination_ngram",
+    "pipeline_eval_holdout",
+    "sim_ann_pq_rerank",
 )
 
 ROTATED_OUT: tuple[str, ...] = (
@@ -259,7 +263,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize_stub",
     "mm_video_scene_cut",
-    "pipeline_eval_holdout",
     "pipeline_incremental_dedup",
     "sampling_group_split",
     "sim_ann_hyperplane_lsh",
@@ -382,7 +385,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "pcap_protocol_hierarchy",
     "pcap_dns_latency",
     "pcap_beacon_detection",
-    "sim_ann_pq_rerank",
     "pcap_port_scan_detect",
     "pcap_ntp_clock_skew",
     "pcap_dhcp_lease_inventory",
@@ -551,6 +553,9 @@ ROTATED_OUT: tuple[str, ...] = (
     #    round-14 freshness queue:
     "io_partitioned_pruning",
     "io_schema_evolution",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
     "io_sorted_clustered_write",
     "join_asof_forward",
     "join_asof_nearest",
@@ -561,7 +566,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "shuffle_deterministic_shards",
     "sketch_countmin_heavy_hitters",
     "text_commonness_score",
-    "text_contamination_ngram",
     "text_heavy_hitters",
     "text_pii_scrub",
     "text_quality_repetition",
