@@ -182,3 +182,17 @@ def two_flow_pcap() -> bytes:
         [(1700000000.0, f1), (1700000000.5, f2), (1700000001.25, f3),
          (1700000002.0, f4)]
     )
+
+
+def build_eth_ipv4_raw(src: str, dst: str, proto: int,
+                       l4: bytes) -> bytes:
+    """Ethernet + IPv4 header around an arbitrary L4 payload — the
+    builder for non-TCP/UDP IP protocols (IGMP 2, SCTP 132, ...)."""
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x0800)
+    ip = struct.pack(
+        ">BBHHHBBH4s4s",
+        0x45, 0, 20 + len(l4), 1, 0, 64, proto, 0,
+        bytes(int(x) for x in src.split(".")),
+        bytes(int(x) for x in dst.split(".")),
+    )
+    return eth + ip + l4

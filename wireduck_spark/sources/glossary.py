@@ -88,6 +88,21 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("SSH Protocol", "SSH", "ssh"),
     GlossaryProtocol("Simple Mail Transfer Protocol", "SMTP", "smtp"),
     GlossaryProtocol("File Transfer Protocol (FTP)", "FTP", "ftp"),
+    # r14 breadth batch. mdns/llmnr reuse the DNS wire format, so their
+    # FIELDS live under dns.* (request dns columns to query them); the
+    # protocol rows make frame.protocols values resolvable.
+    GlossaryProtocol("Multicast Domain Name System", "mDNS", "mdns"),
+    GlossaryProtocol("Link-local Multicast Name Resolution", "LLMNR",
+                     "llmnr"),
+    GlossaryProtocol("Session Initiation Protocol", "SIP", "sip"),
+    GlossaryProtocol("Simple Network Management Protocol", "SNMP", "snmp"),
+    GlossaryProtocol("Syslog Message", "Syslog", "syslog"),
+    GlossaryProtocol("Trivial File Transfer Protocol", "TFTP", "tftp"),
+    GlossaryProtocol("Internet Group Management Protocol", "IGMP", "igmp"),
+    GlossaryProtocol("Stream Control Transmission Protocol", "SCTP",
+                     "sctp"),
+    GlossaryProtocol("Post Office Protocol", "POP", "pop"),
+    GlossaryProtocol("Internet Message Access Protocol", "IMAP", "imap"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -242,6 +257,42 @@ BUILTIN_FIELDS = [
     _F("JA3S String", "tls.handshake.ja3s_string", "FT_STRING", "tls"),
     _F("Server Name", "tls.handshake.extensions_server_name", "FT_STRING",
        "tls"),
+    # sip (RFC 3261 signaling; tshark's capitalized filter names)
+    _F("Method", "sip.Method", "FT_STRING", "sip"),
+    _F("Status-Code", "sip.Status-Code", "FT_UINT32", "sip"),
+    _F("Call-ID", "sip.Call-ID", "FT_STRING", "sip"),
+    _F("SIP from address", "sip.from.addr", "FT_STRING", "sip"),
+    _F("SIP to address", "sip.to.addr", "FT_STRING", "sip"),
+    # snmp (v1/v2c BER header; snmp.pdu_type is this engine's scalar for
+    # the context-tag choice tshark models as the snmp.data subtree)
+    _F("Version", "snmp.version", "FT_UINT8", "snmp"),
+    _F("Community", "snmp.community", "FT_STRING", "snmp"),
+    _F("PDU type", "snmp.pdu_type", "FT_UINT8", "snmp"),
+    # syslog
+    _F("Facility", "syslog.facility", "FT_UINT8", "syslog"),
+    _F("Level", "syslog.level", "FT_UINT8", "syslog"),
+    _F("Message", "syslog.msg", "FT_STRING", "syslog"),
+    # tftp (initial RRQ/WRQ only — transfers move to an ephemeral port,
+    # documented deviation in sources/native.py)
+    _F("Opcode", "tftp.opcode", "FT_UINT16", "tftp"),
+    _F("Source File", "tftp.source_file", "FT_STRING", "tftp"),
+    _F("Destination File", "tftp.destination_file", "FT_STRING", "tftp"),
+    _F("Type", "tftp.type", "FT_STRING", "tftp"),
+    # igmp
+    _F("Type", "igmp.type", "FT_UINT8", "igmp"),
+    _F("Max Resp Time", "igmp.max_resp", "FT_UINT8", "igmp"),
+    _F("Multicast Address", "igmp.maddr", "FT_IPv4", "igmp"),
+    # sctp (common header + first chunk type)
+    _F("Source port", "sctp.srcport", "FT_UINT16", "sctp"),
+    _F("Destination port", "sctp.dstport", "FT_UINT16", "sctp"),
+    _F("Verification tag", "sctp.verification_tag", "FT_UINT32", "sctp"),
+    _F("Chunk type", "sctp.chunk_type", "FT_UINT8", "sctp"),
+    # pop / imap (line-protocol control channels)
+    _F("Request command", "pop.request.command", "FT_STRING", "pop"),
+    _F("Response indicator", "pop.response.indicator", "FT_STRING", "pop"),
+    _F("Request Tag", "imap.request.tag", "FT_STRING", "imap"),
+    _F("Request Command", "imap.request.command", "FT_STRING", "imap"),
+    _F("Response Status", "imap.response.status", "FT_STRING", "imap"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -313,7 +364,8 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 14  # v14: + ssh/smtp/ftp banner fields
+GLOSSARY_VERSION = 15  # v15: + sip/snmp/syslog/tftp/igmp/sctp/pop/imap
+# (and the mdns/llmnr protocol rows) — the r14 breadth batch
 
 
 def cache_dir() -> str:

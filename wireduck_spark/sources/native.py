@@ -460,6 +460,12 @@ def _dissect_l4(
                 protos.append("smtp")
             elif 21 in (sport, dport) and _dissect_ftp(payload, fields):
                 protos.append("ftp")
+            elif 110 in (sport, dport) and _dissect_pop(payload, fields):
+                protos.append("pop")
+            elif 143 in (sport, dport) and _dissect_imap(payload, fields):
+                protos.append("imap")
+            elif 5060 in (sport, dport) and _dissect_sip(payload, fields):
+                protos.append("sip")
     elif proto == 17 and len(data) >= off + 8:  # UDP
         protos.append("udp")
         sport, dport, length, checksum = struct.unpack(">HHHH", data[off:off + 8])
@@ -521,6 +527,23 @@ def _dissect_l4(
                 f"VXLAN VNI {fields['vxlan.vni']}: "
                 + ":".join(inner_protos.split(":")[2:] or ["data"])
             )
+        elif (5355 in (sport, dport)) and len(payload) >= 12:
+            # LLMNR (RFC 4795) is DNS wire format on 5355 — same reuse
+            # as mdns above; dns.* fields, llmnr in frame.protocols.
+            if _dissect_dns(payload, fields):
+                protos.append("llmnr")
+        elif 5060 in (sport, dport):
+            if _dissect_sip(payload, fields):
+                protos.append("sip")
+        elif sport in (161, 162) or dport in (161, 162):
+            if _dissect_snmp(payload, fields):
+                protos.append("snmp")
+        elif dport == 514 or sport == 514:
+            if _dissect_syslog(payload, fields):
+                protos.append("syslog")
+        elif dport == 69:
+            if _dissect_tftp(payload, fields):
+                protos.append("tftp")
     elif proto == 1 and len(data) >= off + 4:  # ICMP
         protos.append("icmp")
         fields["icmp.type"] = data[off]
@@ -539,6 +562,37 @@ def _dissect_l4(
         fields["icmpv6.type"] = data[off]
         fields["icmpv6.code"] = data[off + 1]
         fields["icmpv6.checksum"] = struct.unpack(">H", data[off + 2:off + 4])[0]
+    elif proto == 2 and len(data) >= off + 8:  # IGMP (RFC 2236/3376)
+        protos.append("igmp")
+        fields["igmp.type"] = data[off]
+        fields["igmp.max_resp"] = data[off + 1]
+        fields["igmp.maddr"] = ".".join(
+            str(b) for b in data[off + 4:off + 8])
+        kind = {0x11: "Membership Query", 0x12: "Membership Report v1",
+                0x16: "Membership Report v2", 0x17: "Leave Group",
+                0x22: "Membership Report v3"}.get(
+                    data[off], f"Type 0x{data[off]:02x}")
+        fields["_ws.col.info"] = f"{kind} {fields['igmp.maddr']}"
+    elif proto == 132 and len(data) >= off + 12:  # SCTP (RFC 9260)
+        protos.append("sctp")
+        sport, dport = struct.unpack(">HH", data[off:off + 4])
+        fields["sctp.srcport"] = sport
+        fields["sctp.dstport"] = dport
+        fields["sctp.verification_tag"] = struct.unpack(
+            ">I", data[off + 4:off + 8])[0]
+        info = f"{sport} → {dport}"
+        if len(data) >= off + 13:
+            # first chunk type (0 DATA, 1 INIT, 2 INIT-ACK, 3 SACK, 4
+            # HEARTBEAT, 7 SHUTDOWN, 14 SHUTDOWN-COMPLETE, …)
+            ct = data[off + 12]
+            fields["sctp.chunk_type"] = ct
+            kind = {0: "DATA", 1: "INIT", 2: "INIT_ACK", 3: "SACK",
+                    4: "HEARTBEAT", 5: "HEARTBEAT_ACK", 6: "ABORT",
+                    7: "SHUTDOWN", 14: "SHUTDOWN_COMPLETE",
+                    11: "COOKIE_ECHO", 12: "COOKIE_ACK"}.get(
+                        ct, f"chunk {ct}")
+            info += f" [{kind}]"
+        fields["_ws.col.info"] = info
     elif proto == 47 and len(data) >= off + 4:  # GRE (RFC 2784/2890)
         flags_ver = struct.unpack(">H", data[off:off + 2])[0]
         ptype = struct.unpack(">H", data[off + 2:off + 4])[0]
@@ -700,6 +754,240 @@ def _dissect_ftp(payload: bytes, fields: dict) -> bool:
         fields["ftp.request.command"] = verb
         fields["_ws.col.info"] = f"Request: {line}"
         return True
+    return False
+
+
+_SIP_METHODS = ("INVITE", "ACK", "BYE", "CANCEL", "OPTIONS", "REGISTER",
+                "SUBSCRIBE", "NOTIFY", "REFER", "INFO", "MESSAGE",
+                "UPDATE", "PRACK")
+
+# RFC 3261 §7.3.3 compact header forms.
+_SIP_COMPACT = {"i": "call-id", "f": "from", "t": "to"}
+
+
+def _sip_headers(payload: bytes) -> dict:
+    """Case-folded {header: value} for the three analytic SIP headers,
+    tolerant of compact forms; stops at the blank line before any body."""
+    out: dict = {}
+    for raw in payload.split(b"\n")[1:64]:
+        raw = raw.rstrip(b"\r")
+        if not raw:
+            break
+        if b":" not in raw:
+            continue
+        name, _, value = raw.partition(b":")
+        try:
+            key = name.strip().decode("ascii").lower()
+            key = _SIP_COMPACT.get(key, key)
+            if key in ("call-id", "from", "to") and key not in out:
+                out[key] = value.strip().decode("ascii", errors="replace")
+        except UnicodeDecodeError:
+            continue
+    return out
+
+
+def _sip_addr(value: str) -> str:
+    """The addr-spec of a From/To header: the <...> URI when bracketed,
+    else the value before any ;params — matches what tshark's
+    sip.from.addr/sip.to.addr carry."""
+    if "<" in value and ">" in value:
+        return value[value.index("<") + 1:value.index(">")]
+    return value.split(";", 1)[0].strip()
+
+
+def _dissect_sip(payload: bytes, fields: dict) -> bool:
+    """SIP signaling (RFC 3261) on 5060: request method or status code
+    plus the Call-ID / From / To trio — the fields every VoIP CDR
+    reconstruction keys on (tshark names sip.Method, sip.Status-Code,
+    sip.Call-ID, sip.from.addr, sip.to.addr)."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    parts = line.split(" ")
+    if line.startswith("SIP/2.0 ") and len(parts) >= 2 \
+            and parts[1].isdigit():
+        fields["sip.Status-Code"] = int(parts[1])
+        fields["_ws.col.info"] = f"Status: {line}"
+    elif (len(parts) == 3 and parts[0] in _SIP_METHODS
+          and parts[2].startswith("SIP/")):
+        fields["sip.Method"] = parts[0]
+        fields["_ws.col.info"] = f"Request: {line}"
+    else:
+        return False
+    hdrs = _sip_headers(payload)
+    if "call-id" in hdrs:
+        fields["sip.Call-ID"] = hdrs["call-id"]
+    if "from" in hdrs:
+        fields["sip.from.addr"] = _sip_addr(hdrs["from"])
+    if "to" in hdrs:
+        fields["sip.to.addr"] = _sip_addr(hdrs["to"])
+    return True
+
+
+def _ber_len(payload: bytes, off: int):
+    """BER definite length at off -> (length, next_off) or None (long
+    forms beyond 2 bytes / indefinite lengths are rejected — SNMP on
+    the wire is definite and short)."""
+    if off >= len(payload):
+        return None
+    b = payload[off]
+    if b < 0x80:
+        return b, off + 1
+    if b == 0x81 and off + 1 < len(payload):
+        return payload[off + 1], off + 2
+    if b == 0x82 and off + 2 < len(payload):
+        return int.from_bytes(payload[off + 1:off + 3], "big"), off + 3
+    return None
+
+
+def _dissect_snmp(payload: bytes, fields: dict) -> bool:
+    """SNMP v1/v2c header (BER): version, community string, and PDU
+    type — the inventory/security triple (cleartext `public` on 161 is
+    a classic audit finding). v3 (version 3) emits version only; the
+    msgGlobalData that follows has no community. snmp.pdu_type is this
+    engine's name for the context tag (0xA0 get .. 0xA8 report);
+    tshark models it as the choice of snmp.data."""
+    if not payload or payload[0] != 0x30:
+        return False
+    ln = _ber_len(payload, 1)
+    if ln is None:
+        return False
+    _, off = ln
+    # version: INTEGER (universal 0x02), length 1
+    if off + 2 >= len(payload) or payload[off] != 0x02:
+        return False
+    vlen, voff = payload[off + 1], off + 2
+    if vlen != 1 or voff >= len(payload):
+        return False
+    version = payload[voff]
+    if version > 3:
+        return False
+    fields["snmp.version"] = version
+    off = voff + 1
+    if version == 3:
+        fields["_ws.col.info"] = "SNMPv3"
+        return True
+    # community: OCTET STRING
+    if off >= len(payload) or payload[off] != 0x04:
+        return False
+    ln = _ber_len(payload, off + 1)
+    if ln is None:
+        return False
+    clen, coff = ln
+    if coff + clen > len(payload):
+        return False
+    community = payload[coff:coff + clen].decode("ascii", errors="replace")
+    fields["snmp.community"] = community
+    off = coff + clen
+    if off < len(payload) and 0xA0 <= payload[off] <= 0xA8:
+        pdu = payload[off] - 0xA0
+        fields["snmp.pdu_type"] = pdu
+        kind = {0: "get-request", 1: "get-next-request", 2: "get-response",
+                3: "set-request", 4: "trap", 5: "getBulkRequest",
+                6: "informRequest", 7: "snmpV2-trap",
+                8: "report"}.get(pdu, f"pdu {pdu}")
+        fields["_ws.col.info"] = f"{kind} community={community}"
+    return True
+
+
+def _dissect_syslog(payload: bytes, fields: dict) -> bool:
+    """BSD syslog (RFC 3164/5424) on UDP 514: `<PRI>` splits into
+    facility (pri div 8) and severity (pri mod 8) — tshark fields
+    syslog.facility / syslog.level / syslog.msg."""
+    if len(payload) < 3 or payload[0:1] != b"<":
+        return False
+    end = payload.find(b">", 1, 5)
+    if end < 0 or not payload[1:end].isdigit():
+        return False
+    pri = int(payload[1:end])
+    if pri > 191:
+        return False
+    fields["syslog.facility"] = pri >> 3
+    fields["syslog.level"] = pri & 7
+    msg = payload[end + 1:end + 513].decode("utf-8", errors="replace")
+    fields["syslog.msg"] = msg
+    fields["_ws.col.info"] = f"SYSLOG {pri >> 3}.{pri & 7}: {msg[:80]}"
+    return True
+
+
+def _dissect_tftp(payload: bytes, fields: dict) -> bool:
+    """TFTP (RFC 1350) initial request on UDP 69: opcode plus the
+    filename/mode of RRQ/WRQ — the firmware/config-transfer audit
+    signal. DATA/ACK ride an ephemeral server port chosen per transfer,
+    so without flow tracking only the request packet claims the
+    protocol (documented deviation; same spirit as QUIC short
+    headers)."""
+    if len(payload) < 4:
+        return False
+    opcode = int.from_bytes(payload[0:2], "big")
+    if opcode not in (1, 2):
+        return False
+    rest = payload[2:]
+    parts = rest.split(b"\x00")
+    if len(parts) < 2 or not parts[0]:
+        return False
+    fields["tftp.opcode"] = opcode
+    fname = parts[0].decode("ascii", errors="replace")
+    fields["tftp.source_file" if opcode == 1
+           else "tftp.destination_file"] = fname
+    fields["tftp.type"] = parts[1].decode("ascii", errors="replace").lower()
+    kind = "Read Request" if opcode == 1 else "Write Request"
+    fields["_ws.col.info"] = f"{kind}, File: {fname}"
+    return True
+
+
+_POP_COMMANDS = ("USER", "PASS", "STAT", "LIST", "RETR", "DELE", "NOOP",
+                 "RSET", "QUIT", "TOP", "UIDL", "APOP", "CAPA", "STLS")
+
+
+def _dissect_pop(payload: bytes, fields: dict) -> bool:
+    """POP3 control channel (tshark fields pop.request.command /
+    pop.response.indicator) — same line grammar family as SMTP/FTP;
+    USER/PASS on 110 is the cleartext-credential audit case."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    if line.startswith("+OK") or line.startswith("-ERR"):
+        fields["pop.response.indicator"] = line.split(" ", 1)[0]
+        fields["_ws.col.info"] = f"S: {line}"
+        return True
+    verb = line.split(" ", 1)[0].upper()
+    if verb in _POP_COMMANDS:
+        fields["pop.request.command"] = verb
+        fields["_ws.col.info"] = f"C: {line}"
+        return True
+    return False
+
+
+_IMAP_COMMANDS = ("LOGIN", "LOGOUT", "CAPABILITY", "SELECT", "EXAMINE",
+                  "FETCH", "LIST", "LSUB", "STATUS", "SEARCH", "STORE",
+                  "COPY", "UID", "NOOP", "IDLE", "APPEND", "CREATE",
+                  "DELETE", "EXPUNGE", "AUTHENTICATE", "STARTTLS")
+
+
+def _dissect_imap(payload: bytes, fields: dict) -> bool:
+    """IMAP4 control channel: tagged `a001 LOGIN …` requests and
+    `* …` / `a001 OK …` responses (tshark fields imap.request.tag,
+    imap.request.command, imap.response.status)."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    parts = line.split(" ")
+    if parts[0] == "*" and len(parts) >= 2:
+        fields["imap.response.status"] = parts[1].upper()
+        fields["_ws.col.info"] = f"S: {line}"
+        return True
+    if len(parts) >= 2 and parts[0].isalnum() and len(parts[0]) <= 16:
+        word = parts[1].upper()
+        if word in ("OK", "NO", "BAD"):
+            fields["imap.response.status"] = word
+            fields["_ws.col.info"] = f"S: {line}"
+            return True
+        if word in _IMAP_COMMANDS:
+            fields["imap.request.tag"] = parts[0]
+            fields["imap.request.command"] = word
+            fields["_ws.col.info"] = f"C: {line}"
+            return True
     return False
 
 
