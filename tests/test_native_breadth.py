@@ -186,3 +186,160 @@ def test_new_protocols_resolve_in_glossary():
               "pop.response.indicator", "imap.request.tag",
               "imap.request.command", "imap.response.status"):
         assert f in declared, f
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 2: SMB/SMB2, Modbus/TCP, MQTT, TPKT/X.224 (RDP),
+# RADIUS, OSPF, WireGuard.
+# ---------------------------------------------------------------------------
+
+
+def test_smb2_negotiate_and_smb1(tmp_path):
+    smb2 = (b"\xfeSMB" + b"\x40\x00"        # header length 64
+            + b"\x00\x00"                    # credit charge
+            + b"\x00\x00\x00\x00"            # status
+            + b"\x00\x00"                    # command 0 = NEGOTIATE
+            + b"\x00\x00"                    # credits
+            + b"\x01\x00\x00\x00"            # flags: response
+            + b"\x00\x00\x00\x00"            # next command
+            + (0x2A).to_bytes(8, "little")   # message id
+            + bytes(8)                       # reserved/tree id
+            + (0xBEEF).to_bytes(8, "little")  # session id
+            + bytes(16))                     # signature
+    nbss = b"\x00" + len(smb2).to_bytes(3, "big") + smb2
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.2", "10.0.0.1", 445, 40003, 1, 1, 0x18, nbss))
+    assert pkt["smb2.cmd"] == 0
+    assert pkt["smb2.flags.response"] is True
+    assert pkt["smb2.msg_id"] == 0x2A
+    assert pkt["smb2.sesid"] == 0xBEEF
+    assert pkt["frame.protocols"].endswith("tcp:smb2")
+
+    smb1 = b"\xffSMB" + bytes([0x72]) + bytes(27)
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.2", 40003, 445, 1, 1, 0x18, smb1))
+    assert pkt["smb.cmd"] == 0x72
+    assert pkt["frame.protocols"].endswith("tcp:smb")
+
+
+def test_modbus_read_holding_registers(tmp_path):
+    mbap = struct.pack(">HHHB", 7, 0, 6, 1)      # trans 7, proto 0, len 6
+    pdu = struct.pack(">BHH", 3, 0, 10)           # fc3 read 10 regs @0
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40004, 502, 1, 1, 0x18, mbap + pdu))
+    assert pkt["mbtcp.trans_id"] == 7
+    assert pkt["mbtcp.unit_id"] == 1
+    assert pkt["modbus.func_code"] == 3
+    assert pkt["frame.protocols"].endswith("tcp:mbtcp")
+
+    # nonzero protocol id is not modbus
+    bad = struct.pack(">HHHB", 7, 9, 6, 1) + pdu
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40004, 502, 1, 1, 0x18, bad))
+    assert "mbtcp" not in pkt["frame.protocols"]
+
+
+def test_mqtt_connect(tmp_path):
+    var = (b"\x00\x04MQTT"          # protocol name
+           + b"\x04"                # level 4 (3.1.1)
+           + b"\x02"                # flags: clean session
+           + b"\x00\x3c"            # keepalive 60
+           + b"\x00\x08sensor42")   # client id
+    fixed = b"\x10" + bytes([len(var)])
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40005, 1883, 1, 1, 0x18, fixed + var))
+    assert pkt["mqtt.msgtype"] == 1
+    assert pkt["mqtt.protoname"] == "MQTT"
+    assert pkt["mqtt.clientid"] == "sensor42"
+    assert pkt["frame.protocols"].endswith("tcp:mqtt")
+
+    # random binary on 1883 whose 'protocol name' isn't MQTT: unclaimed
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40005, 1883, 1, 1, 0x18,
+        b"\x10\x08\x00\x04ABCD\x04\x02"))
+    assert "mqtt" not in pkt["frame.protocols"]
+
+
+def test_tpkt_x224_connection_request(tmp_path):
+    cotp = b"\x06\xe0\x00\x00\x00\x00\x00"   # LI 6, CR
+    tpkt = b"\x03\x00" + (4 + len(cotp)).to_bytes(2, "big") + cotp
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40006, 3389, 1, 1, 0x18, tpkt))
+    assert pkt["tpkt.version"] == 3
+    assert pkt["x224.type"] == 0xE
+    assert pkt["frame.protocols"].endswith("tcp:tpkt")
+
+
+def test_radius_access_request(tmp_path):
+    pkt_bytes = struct.pack(">BBH", 1, 5, 20) + bytes(16)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50001, 1812, pkt_bytes))
+    assert pkt["radius.code"] == 1
+    assert pkt["radius.id"] == 5
+    assert pkt["radius.length"] == 20
+    assert pkt["frame.protocols"].endswith("udp:radius")
+
+    # declared length mismatch is not radius
+    bad = struct.pack(">BBH", 1, 5, 99) + bytes(16)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50001, 1812, bad))
+    assert "radius" not in pkt["frame.protocols"]
+
+
+def test_ospf_hello(tmp_path):
+    hdr = (b"\x02\x01" + (44).to_bytes(2, "big")
+           + bytes([10, 0, 0, 1])      # router id
+           + bytes([0, 0, 0, 0])       # area id (backbone)
+           + bytes(8))                 # checksum/auth
+    pkt = _one(tmp_path, build_eth_ipv4_raw(
+        "10.0.0.1", "224.0.0.5", 89, hdr + bytes(20)))
+    assert pkt["ospf.version"] == 2
+    assert pkt["ospf.msg"] == 1
+    assert pkt["ospf.srcrouter"] == "10.0.0.1"
+    assert pkt["ospf.area_id"] == "0.0.0.0"
+    assert pkt["frame.protocols"].endswith("ip:ospf")
+
+
+def test_wireguard_handshake_and_transport(tmp_path):
+    init = b"\x01\x00\x00\x00" + (7).to_bytes(4, "little") + bytes(140)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50002, 51820, init))
+    assert pkt["wg.type"] == 1 and pkt["wg.sender"] == 7
+    assert pkt["frame.protocols"].endswith("udp:wg")
+
+    resp = (b"\x02\x00\x00\x00" + (9).to_bytes(4, "little")
+            + (7).to_bytes(4, "little") + bytes(80))
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.9", "10.0.0.1", 51820, 50002, resp))
+    assert pkt["wg.sender"] == 9 and pkt["wg.receiver"] == 7
+
+    data = b"\x04\x00\x00\x00" + (9).to_bytes(4, "little") + bytes(24)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50002, 51820, data))
+    assert pkt["wg.type"] == 4 and pkt["wg.receiver"] == 9
+
+    # nonzero reserved bytes are not wireguard
+    bad = b"\x01\x01\x00\x00" + bytes(144)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50002, 51820, bad))
+    assert "wg" not in pkt["frame.protocols"]
+
+
+def test_batch2_protocols_resolve_in_glossary():
+    from wireduck_spark.sources.glossary import (
+        BUILTIN_FIELDS, BUILTIN_PROTOCOLS)
+
+    protos = {p.filter_name for p in BUILTIN_PROTOCOLS}
+    for name in ("smb", "smb2", "mbtcp", "modbus", "mqtt", "tpkt",
+                 "x224", "radius", "ospf", "wg"):
+        assert name in protos, name
+    declared = {f.filter_name for f in BUILTIN_FIELDS}
+    for f in ("smb.cmd", "smb2.cmd", "smb2.flags.response",
+              "smb2.msg_id", "smb2.sesid", "mbtcp.trans_id",
+              "mbtcp.unit_id", "modbus.func_code", "mqtt.msgtype",
+              "mqtt.protoname", "mqtt.clientid", "tpkt.version",
+              "tpkt.length", "x224.type", "radius.code", "radius.id",
+              "radius.length", "ospf.version", "ospf.msg",
+              "ospf.srcrouter", "ospf.area_id", "wg.type", "wg.sender",
+              "wg.receiver"):
+        assert f in declared, f

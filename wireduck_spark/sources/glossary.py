@@ -103,6 +103,18 @@ BUILTIN_PROTOCOLS = [
                      "sctp"),
     GlossaryProtocol("Post Office Protocol", "POP", "pop"),
     GlossaryProtocol("Internet Message Access Protocol", "IMAP", "imap"),
+    # r14 breadth batch 2
+    GlossaryProtocol("SMB (Server Message Block Protocol)", "SMB", "smb"),
+    GlossaryProtocol("Server Message Block Protocol version 2 and 3",
+                     "SMB2", "smb2"),
+    GlossaryProtocol("Modbus/TCP", "Modbus/TCP", "mbtcp"),
+    GlossaryProtocol("Modbus", "Modbus", "modbus"),
+    GlossaryProtocol("MQ Telemetry Transport Protocol", "MQTT", "mqtt"),
+    GlossaryProtocol("TPKT - ISO on TCP - RFC1006", "TPKT", "tpkt"),
+    GlossaryProtocol("ITU-T Rec X.224", "X.224", "x224"),
+    GlossaryProtocol("RADIUS Protocol", "RADIUS", "radius"),
+    GlossaryProtocol("Open Shortest Path First", "OSPF", "ospf"),
+    GlossaryProtocol("WireGuard Protocol", "WireGuard", "wg"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -293,6 +305,37 @@ BUILTIN_FIELDS = [
     _F("Request Tag", "imap.request.tag", "FT_STRING", "imap"),
     _F("Request Command", "imap.request.command", "FT_STRING", "imap"),
     _F("Response Status", "imap.response.status", "FT_STRING", "imap"),
+    # smb / smb2 (magic-gated on 445; lateral-movement visibility)
+    _F("SMB Command", "smb.cmd", "FT_UINT8", "smb"),
+    _F("Command", "smb2.cmd", "FT_UINT16", "smb2"),
+    _F("Response", "smb2.flags.response", "FT_BOOLEAN", "smb2"),
+    _F("Message ID", "smb2.msg_id", "FT_UINT64", "smb2"),
+    _F("Session Id", "smb2.sesid", "FT_UINT64", "smb2"),
+    # modbus/tcp (MBAP proto-id-0 gated; ICS/OT inventory)
+    _F("Transaction Identifier", "mbtcp.trans_id", "FT_UINT16", "mbtcp"),
+    _F("Unit Identifier", "mbtcp.unit_id", "FT_UINT8", "mbtcp"),
+    _F("Function Code", "modbus.func_code", "FT_UINT8", "modbus"),
+    # mqtt
+    _F("Message Type", "mqtt.msgtype", "FT_UINT8", "mqtt"),
+    _F("Protocol Name", "mqtt.protoname", "FT_STRING", "mqtt"),
+    _F("Client ID", "mqtt.clientid", "FT_STRING", "mqtt"),
+    # tpkt / x224 (the RDP envelope)
+    _F("Version", "tpkt.version", "FT_UINT8", "tpkt"),
+    _F("Length", "tpkt.length", "FT_UINT16", "tpkt"),
+    _F("PDU Type", "x224.type", "FT_UINT8", "x224"),
+    # radius
+    _F("Code", "radius.code", "FT_UINT8", "radius"),
+    _F("Identifier", "radius.id", "FT_UINT8", "radius"),
+    _F("Length", "radius.length", "FT_UINT16", "radius"),
+    # ospf
+    _F("Version", "ospf.version", "FT_UINT8", "ospf"),
+    _F("Message", "ospf.msg", "FT_UINT8", "ospf"),
+    _F("Source OSPF Router", "ospf.srcrouter", "FT_IPv4", "ospf"),
+    _F("Area ID", "ospf.area_id", "FT_IPv4", "ospf"),
+    # wireguard
+    _F("Type", "wg.type", "FT_UINT8", "wg"),
+    _F("Sender Index", "wg.sender", "FT_UINT32", "wg"),
+    _F("Receiver Index", "wg.receiver", "FT_UINT32", "wg"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -364,8 +407,9 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 15  # v15: + sip/snmp/syslog/tftp/igmp/sctp/pop/imap
-# (and the mdns/llmnr protocol rows) — the r14 breadth batch
+GLOSSARY_VERSION = 16  # v16: r14 breadth batches — sip/snmp/syslog/
+# tftp/igmp/sctp/pop/imap/mdns/llmnr, then smb/smb2/mbtcp/modbus/mqtt/
+# tpkt/x224/radius/ospf/wg
 
 
 def cache_dir() -> str:

@@ -466,6 +466,17 @@ def _dissect_l4(
                 protos.append("imap")
             elif 5060 in (sport, dport) and _dissect_sip(payload, fields):
                 protos.append("sip")
+            elif 445 in (sport, dport) and _dissect_smb(payload, fields):
+                protos.append("smb2" if "smb2.cmd" in fields else "smb")
+            elif 502 in (sport, dport) and _dissect_modbus(
+                    payload, fields):
+                protos.append("mbtcp")
+            elif 1883 in (sport, dport) and _dissect_mqtt(
+                    payload, fields):
+                protos.append("mqtt")
+            elif 3389 in (sport, dport) and _dissect_tpkt(
+                    payload, fields):
+                protos.append("tpkt")
     elif proto == 17 and len(data) >= off + 8:  # UDP
         protos.append("udp")
         sport, dport, length, checksum = struct.unpack(">HHHH", data[off:off + 8])
@@ -544,6 +555,12 @@ def _dissect_l4(
         elif dport == 69:
             if _dissect_tftp(payload, fields):
                 protos.append("tftp")
+        elif sport in (1812, 1813) or dport in (1812, 1813):
+            if _dissect_radius(payload, fields):
+                protos.append("radius")
+        elif 51820 in (sport, dport):
+            if _dissect_wireguard(payload, fields):
+                protos.append("wg")
     elif proto == 1 and len(data) >= off + 4:  # ICMP
         protos.append("icmp")
         fields["icmp.type"] = data[off]
@@ -562,6 +579,8 @@ def _dissect_l4(
         fields["icmpv6.type"] = data[off]
         fields["icmpv6.code"] = data[off + 1]
         fields["icmpv6.checksum"] = struct.unpack(">H", data[off + 2:off + 4])[0]
+    elif proto == 89 and _dissect_ospf(data, off, fields):  # OSPFv2
+        protos.append("ospf")
     elif proto == 2 and len(data) >= off + 8:  # IGMP (RFC 2236/3376)
         protos.append("igmp")
         fields["igmp.type"] = data[off]
@@ -989,6 +1008,214 @@ def _dissect_imap(payload: bytes, fields: dict) -> bool:
             fields["_ws.col.info"] = f"C: {line}"
             return True
     return False
+
+
+_SMB2_COMMANDS = {
+    0: "NEGOTIATE", 1: "SESSION_SETUP", 2: "LOGOFF", 3: "TREE_CONNECT",
+    4: "TREE_DISCONNECT", 5: "CREATE", 6: "CLOSE", 7: "FLUSH", 8: "READ",
+    9: "WRITE", 10: "LOCK", 11: "IOCTL", 12: "CANCEL", 13: "ECHO",
+    14: "QUERY_DIRECTORY", 15: "CHANGE_NOTIFY", 16: "QUERY_INFO",
+    17: "SET_INFO", 18: "OPLOCK_BREAK",
+}
+
+
+def _dissect_smb(payload: bytes, fields: dict) -> bool:
+    """SMB1/SMB2/SMB3 on 445: the 4-byte protocol magic (\\xffSMB /
+    \\xfeSMB) behind optional NetBIOS session-service framing. SMB2
+    emits command, response flag, message id, and session id (tshark
+    names smb2.cmd / smb2.flags.response / smb2.msg_id /
+    smb2.sesid); legacy SMB1 emits smb.cmd. File-share visibility —
+    lateral-movement hunting's first question."""
+    # NetBIOS session service: 0x00 + 24-bit length, then the SMB PDU.
+    if len(payload) >= 8 and payload[0] == 0 and payload[4] in (
+            0xFF, 0xFE) and payload[5:8] == b"SMB":
+        payload = payload[4:]
+    if len(payload) >= 8 and payload[0] == 0xFF and payload[1:4] == b"SMB":
+        fields["smb.cmd"] = payload[4]
+        fields["_ws.col.info"] = f"SMB1 Command 0x{payload[4]:02x}"
+        return True
+    if len(payload) >= 64 and payload[0] == 0xFE and payload[1:4] == b"SMB":
+        cmd = int.from_bytes(payload[12:14], "little")
+        flags = int.from_bytes(payload[16:20], "little")
+        fields["smb2.cmd"] = cmd
+        fields["smb2.flags.response"] = bool(flags & 0x01)
+        fields["smb2.msg_id"] = int.from_bytes(payload[24:32], "little")
+        fields["smb2.sesid"] = int.from_bytes(payload[40:48], "little")
+        kind = _SMB2_COMMANDS.get(cmd, f"0x{cmd:04x}")
+        side = "Response" if flags & 0x01 else "Request"
+        fields["_ws.col.info"] = f"{kind} {side}"
+        return True
+    return False
+
+
+def _dissect_modbus(payload: bytes, fields: dict) -> bool:
+    """Modbus/TCP on 502 (MBAP framing): transaction id, unit id, and
+    function code — the ICS/OT inventory triple (tshark names
+    mbtcp.trans_id / mbtcp.unit_id / modbus.func_code). Gated on the
+    MBAP protocol-id field being 0 and a coherent length."""
+    if len(payload) < 8:
+        return False
+    trans_id = int.from_bytes(payload[0:2], "big")
+    proto_id = int.from_bytes(payload[2:4], "big")
+    length = int.from_bytes(payload[4:6], "big")
+    if proto_id != 0 or length < 2 or length > 254 \
+            or len(payload) < 6 + length:
+        return False
+    fields["mbtcp.trans_id"] = trans_id
+    fields["mbtcp.unit_id"] = payload[6]
+    func = payload[7]
+    fields["modbus.func_code"] = func & 0x7F
+    kind = {1: "Read Coils", 2: "Read Discrete Inputs",
+            3: "Read Holding Registers", 4: "Read Input Registers",
+            5: "Write Single Coil", 6: "Write Single Register",
+            15: "Write Multiple Coils",
+            16: "Write Multiple Registers"}.get(
+                func & 0x7F, f"Function {func & 0x7F}")
+    exc = " Exception" if func & 0x80 else ""
+    fields["_ws.col.info"] = f"Modbus {kind}{exc} (unit {payload[6]})"
+    return True
+
+
+_MQTT_TYPES = {1: "CONNECT", 2: "CONNACK", 3: "PUBLISH", 4: "PUBACK",
+               8: "SUBSCRIBE", 9: "SUBACK", 12: "PINGREQ",
+               13: "PINGRESP", 14: "DISCONNECT"}
+
+
+def _dissect_mqtt(payload: bytes, fields: dict) -> bool:
+    """MQTT on 1883: fixed-header message type (tshark mqtt.msgtype);
+    CONNECT additionally validates and emits the protocol name
+    ('MQTT' / 'MQIsdp') and client id (mqtt.protoname / mqtt.clientid)
+    — IoT fleet visibility. Non-CONNECT packets are claimed only for
+    defined message types with a coherent remaining length."""
+    if len(payload) < 2:
+        return False
+    msgtype = payload[0] >> 4
+    if msgtype not in _MQTT_TYPES:
+        return False
+    # variable-length remaining length (1-4 bytes, 7 bits each)
+    rem, mult, off = 0, 1, 1
+    while off < min(len(payload), 5):
+        b = payload[off]
+        rem += (b & 0x7F) * mult
+        mult <<= 7
+        off += 1
+        if not b & 0x80:
+            break
+    else:
+        return False
+    if len(payload) - off < rem or (msgtype != 3 and rem > 1024):
+        return False
+    if msgtype == 1:  # CONNECT: validate the protocol-name field
+        if off + 2 > len(payload):
+            return False
+        nlen = int.from_bytes(payload[off:off + 2], "big")
+        name = payload[off + 2:off + 2 + nlen]
+        if name not in (b"MQTT", b"MQIsdp"):
+            return False
+        fields["mqtt.protoname"] = name.decode("ascii")
+        # client id: after name, level(1), flags(1), keepalive(2)
+        cid_off = off + 2 + nlen + 4
+        if cid_off + 2 <= len(payload):
+            clen = int.from_bytes(payload[cid_off:cid_off + 2], "big")
+            cid = payload[cid_off + 2:cid_off + 2 + clen]
+            fields["mqtt.clientid"] = cid.decode("utf-8", errors="replace")
+    elif msgtype not in (3,) and payload[0] & 0x0F not in (0, 2):
+        # reserved flag bits must be 0 for non-PUBLISH types (bit 1 ok
+        # for SUBSCRIBE/UNSUBSCRIBE QoS1 requirement)
+        return False
+    fields["mqtt.msgtype"] = msgtype
+    fields["_ws.col.info"] = f"MQTT {_MQTT_TYPES[msgtype]}"
+    return True
+
+
+def _dissect_tpkt(payload: bytes, fields: dict) -> bool:
+    """TPKT (RFC 1006) + X.224 COTP on 3389 — the RDP connection
+    envelope: tpkt.version/tpkt.length and the COTP PDU type
+    (x224.type; 0xE0 CR / 0xD0 CC is the RDP handshake signature)."""
+    if len(payload) < 6 or payload[0] != 3 or payload[1] != 0:
+        return False
+    length = int.from_bytes(payload[2:4], "big")
+    if length != len(payload) or length < 6:
+        return False
+    fields["tpkt.version"] = 3
+    fields["tpkt.length"] = length
+    x224_type = payload[5] & 0xF0
+    fields["x224.type"] = x224_type >> 4
+    kind = {0xE0: "Connection Request", 0xD0: "Connection Confirm",
+            0xF0: "Data", 0x80: "Disconnect Request"}.get(
+                x224_type, f"0x{x224_type:02x}")
+    fields["_ws.col.info"] = f"X.224 {kind}"
+    return True
+
+
+_RADIUS_CODES = {1: "Access-Request", 2: "Access-Accept",
+                 3: "Access-Reject", 4: "Accounting-Request",
+                 5: "Accounting-Response", 11: "Access-Challenge"}
+
+
+def _dissect_radius(payload: bytes, fields: dict) -> bool:
+    """RADIUS on 1812/1813: code, packet id, declared length (tshark
+    radius.code / radius.id / radius.length) — AAA visibility. Gated on
+    a known code and the declared length matching the datagram."""
+    if len(payload) < 20:
+        return False
+    code = payload[0]
+    length = int.from_bytes(payload[2:4], "big")
+    if code not in _RADIUS_CODES or length != len(payload):
+        return False
+    fields["radius.code"] = code
+    fields["radius.id"] = payload[1]
+    fields["radius.length"] = length
+    fields["_ws.col.info"] = f"RADIUS {_RADIUS_CODES[code]} id={payload[1]}"
+    return True
+
+
+def _dissect_ospf(data: bytes, off: int, fields: dict) -> bool:
+    """OSPFv2 header (IP proto 89): version, packet type, router id,
+    area id (tshark ospf.version / ospf.msg / ospf.srcrouter /
+    ospf.area_id) — routing-plane visibility."""
+    if len(data) < off + 24 or data[off] != 2:
+        return False
+    ptype = data[off + 1]
+    if not 1 <= ptype <= 5:
+        return False
+    fields["ospf.version"] = 2
+    fields["ospf.msg"] = ptype
+    fields["ospf.srcrouter"] = ".".join(
+        str(b) for b in data[off + 4:off + 8])
+    fields["ospf.area_id"] = ".".join(
+        str(b) for b in data[off + 8:off + 12])
+    kind = {1: "Hello", 2: "DB Description", 3: "LS Request",
+            4: "LS Update", 5: "LS Acknowledge"}[ptype]
+    fields["_ws.col.info"] = f"OSPF {kind}"
+    return True
+
+
+def _dissect_wireguard(payload: bytes, fields: dict) -> bool:
+    """WireGuard on 51820: message type 1-4 with the three reserved
+    zero bytes (the RFC-draft gate), sender/receiver indices (tshark
+    wg.type / wg.sender / wg.receiver) — modern-VPN visibility."""
+    if len(payload) < 16 or payload[1:4] != b"\x00\x00\x00":
+        return False
+    mtype = payload[0]
+    if mtype not in (1, 2, 3, 4):
+        return False
+    sizes = {1: 148, 2: 92, 3: 64}
+    if mtype in sizes and len(payload) != sizes[mtype]:
+        return False
+    fields["wg.type"] = mtype
+    idx = int.from_bytes(payload[4:8], "little")
+    if mtype in (1, 2):       # initiation/response carry sender @4
+        fields["wg.sender"] = idx
+        if mtype == 2:        # response also names the receiver @8
+            fields["wg.receiver"] = int.from_bytes(
+                payload[8:12], "little")
+    else:                      # cookie reply / transport: receiver @4
+        fields["wg.receiver"] = idx
+    kind = {1: "Handshake Initiation", 2: "Handshake Response",
+            3: "Cookie Reply", 4: "Transport Data"}[mtype]
+    fields["_ws.col.info"] = f"WireGuard {kind}"
+    return True
 
 
 def _dissect_quic(payload: bytes, fields: dict) -> bool:
