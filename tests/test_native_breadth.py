@@ -343,3 +343,101 @@ def test_batch2_protocols_resolve_in_glossary():
               "ospf.srcrouter", "ospf.area_id", "wg.type", "wg.sender",
               "wg.receiver"):
         assert f in declared, f
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 3: BGP, RTSP, LDAP, Telnet, DNS over TCP.
+# ---------------------------------------------------------------------------
+
+
+def test_bgp_open_and_keepalive(tmp_path):
+    marker = b"\xff" * 16
+    open_msg = (marker + (29).to_bytes(2, "big") + b"\x01"
+                + b"\x04" + (65001).to_bytes(2, "big")
+                + (180).to_bytes(2, "big") + bytes([10, 0, 0, 1])
+                + b"\x00")
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.2", 40010, 179, 1, 1, 0x18, open_msg))
+    assert pkt["bgp.type"] == 1
+    assert pkt["bgp.open.version"] == 4
+    assert pkt["bgp.open.myas"] == 65001
+    assert pkt["bgp.open.identifier"] == "10.0.0.1"
+    assert pkt["frame.protocols"].endswith("tcp:bgp")
+
+    keepalive = marker + (19).to_bytes(2, "big") + b"\x04"
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.2", 40010, 179, 1, 1, 0x18, keepalive))
+    assert pkt["bgp.type"] == 4
+
+    # a broken marker is not BGP
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.2", 40010, 179, 1, 1, 0x18,
+        b"\xff" * 15 + b"\x00" + (19).to_bytes(2, "big") + b"\x04"))
+    assert "bgp" not in pkt["frame.protocols"]
+
+
+def test_rtsp_request_and_reply(tmp_path):
+    req = b"SETUP rtsp://cam1/track1 RTSP/1.0\r\nCSeq: 3\r\n\r\n"
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40011, 554, 1, 1, 0x18, req))
+    assert pkt["rtsp.method"] == "SETUP"
+    assert pkt["rtsp.url"] == "rtsp://cam1/track1"
+    assert pkt["frame.protocols"].endswith("tcp:rtsp")
+
+    resp = b"RTSP/1.0 200 OK\r\nCSeq: 3\r\n\r\n"
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.9", "10.0.0.1", 554, 40011, 1, 1, 0x18, resp))
+    assert pkt["rtsp.status"] == 200
+
+
+def test_ldap_bind_request(tmp_path):
+    bind = b"\x60\x07\x02\x01\x03\x04\x00\x80\x00"
+    msg = b"\x30" + bytes([3 + len(bind)]) + b"\x02\x01\x01" + bind
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40012, 389, 1, 1, 0x18, msg))
+    assert pkt["ldap.messageID"] == 1
+    assert pkt["ldap.protocolOp"] == 0x60
+    assert pkt["frame.protocols"].endswith("tcp:ldap")
+
+    # non-BER on 389 stays unclaimed
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40012, 389, 1, 1, 0x18, b"hello ldap"))
+    assert "ldap" not in pkt["frame.protocols"]
+
+
+def test_telnet_iac_negotiation(tmp_path):
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40013, 23, 1, 1, 0x18,
+        b"\xff\xfd\x18\xff\xfb\x03"))   # DO terminal-type, WILL sga
+    assert pkt["telnet.cmd"] == 0xFD
+    assert pkt["telnet.opt"] == 0x18
+    assert pkt["frame.protocols"].endswith("tcp:telnet")
+
+    # raw keystrokes on 23 stay opaque (no false positive)
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40013, 23, 1, 1, 0x18, b"ls -la\r\n"))
+    assert "telnet" not in pkt["frame.protocols"]
+
+
+def test_dns_over_tcp_length_prefix(tmp_path):
+    q = dns_query_payload("big.example.com", qtype=252)  # AXFR
+    framed = len(q).to_bytes(2, "big") + q
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40014, 53, 1, 1, 0x18, framed))
+    assert pkt["dns.qry.name"] == "big.example.com"
+    assert pkt["frame.protocols"].endswith("tcp:dns")
+
+
+def test_batch3_protocols_resolve_in_glossary():
+    from wireduck_spark.sources.glossary import (
+        BUILTIN_FIELDS, BUILTIN_PROTOCOLS)
+
+    protos = {p.filter_name for p in BUILTIN_PROTOCOLS}
+    for name in ("bgp", "rtsp", "ldap", "telnet"):
+        assert name in protos, name
+    declared = {f.filter_name for f in BUILTIN_FIELDS}
+    for f in ("bgp.length", "bgp.type", "bgp.open.version",
+              "bgp.open.myas", "bgp.open.identifier", "rtsp.method",
+              "rtsp.url", "rtsp.status", "ldap.messageID",
+              "ldap.protocolOp", "telnet.cmd", "telnet.opt"):
+        assert f in declared, f

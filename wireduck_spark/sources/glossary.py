@@ -115,6 +115,12 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("RADIUS Protocol", "RADIUS", "radius"),
     GlossaryProtocol("Open Shortest Path First", "OSPF", "ospf"),
     GlossaryProtocol("WireGuard Protocol", "WireGuard", "wg"),
+    # r14 breadth batch 3
+    GlossaryProtocol("Border Gateway Protocol", "BGP", "bgp"),
+    GlossaryProtocol("Real Time Streaming Protocol", "RTSP", "rtsp"),
+    GlossaryProtocol("Lightweight Directory Access Protocol", "LDAP",
+                     "ldap"),
+    GlossaryProtocol("Telnet", "TELNET", "telnet"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -336,6 +342,23 @@ BUILTIN_FIELDS = [
     _F("Type", "wg.type", "FT_UINT8", "wg"),
     _F("Sender Index", "wg.sender", "FT_UINT32", "wg"),
     _F("Receiver Index", "wg.receiver", "FT_UINT32", "wg"),
+    # bgp (marker-gated on 179)
+    _F("Length", "bgp.length", "FT_UINT16", "bgp"),
+    _F("Type", "bgp.type", "FT_UINT8", "bgp"),
+    _F("Version", "bgp.open.version", "FT_UINT8", "bgp"),
+    _F("My AS", "bgp.open.myas", "FT_UINT16", "bgp"),
+    _F("BGP Identifier", "bgp.open.identifier", "FT_IPv4", "bgp"),
+    # rtsp
+    _F("Method", "rtsp.method", "FT_STRING", "rtsp"),
+    _F("URL", "rtsp.url", "FT_STRING", "rtsp"),
+    _F("Status", "rtsp.status", "FT_UINT32", "rtsp"),
+    # ldap (BER-gated on 389; ldap.protocolOp is this engine's scalar
+    # for the application op tag tshark models as a choice subtree)
+    _F("Message Id", "ldap.messageID", "FT_UINT32", "ldap"),
+    _F("ProtocolOp", "ldap.protocolOp", "FT_UINT8", "ldap"),
+    # telnet (IAC-negotiation-gated on 23)
+    _F("Command", "telnet.cmd", "FT_UINT8", "telnet"),
+    _F("Option", "telnet.opt", "FT_UINT8", "telnet"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -407,9 +430,9 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 16  # v16: r14 breadth batches — sip/snmp/syslog/
+GLOSSARY_VERSION = 17  # v16: r14 breadth batches — sip/snmp/syslog/
 # tftp/igmp/sctp/pop/imap/mdns/llmnr, then smb/smb2/mbtcp/modbus/mqtt/
-# tpkt/x224/radius/ospf/wg
+# tpkt/x224/radius/ospf/wg, then bgp/rtsp/ldap/telnet + DNS-over-TCP
 
 
 def cache_dir() -> str:

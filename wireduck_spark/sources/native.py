@@ -477,6 +477,25 @@ def _dissect_l4(
             elif 3389 in (sport, dport) and _dissect_tpkt(
                     payload, fields):
                 protos.append("tpkt")
+            elif 179 in (sport, dport) and _dissect_bgp(payload, fields):
+                protos.append("bgp")
+            elif 554 in (sport, dport) and _dissect_rtsp(
+                    payload, fields):
+                protos.append("rtsp")
+            elif 389 in (sport, dport) and _dissect_ldap(
+                    payload, fields):
+                protos.append("ldap")
+            elif 23 in (sport, dport) and _dissect_telnet(
+                    payload, fields):
+                protos.append("telnet")
+            elif 53 in (sport, dport) and len(payload) >= 14:
+                # DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix
+                # then the standard message — zone transfers and large
+                # answers live here.
+                dlen = int.from_bytes(payload[0:2], "big")
+                if dlen >= 12 and _dissect_dns(
+                        payload[2:2 + dlen], fields):
+                    protos.append("dns")
     elif proto == 17 and len(data) >= off + 8:  # UDP
         protos.append("udp")
         sport, dport, length, checksum = struct.unpack(">HHHH", data[off:off + 8])
@@ -1215,6 +1234,116 @@ def _dissect_wireguard(payload: bytes, fields: dict) -> bool:
     kind = {1: "Handshake Initiation", 2: "Handshake Response",
             3: "Cookie Reply", 4: "Transport Data"}[mtype]
     fields["_ws.col.info"] = f"WireGuard {kind}"
+    return True
+
+
+_BGP_TYPES = {1: "OPEN", 2: "UPDATE", 3: "NOTIFICATION", 4: "KEEPALIVE",
+              5: "ROUTE-REFRESH"}
+
+
+def _dissect_bgp(payload: bytes, fields: dict) -> bool:
+    """BGP-4 on 179 (RFC 4271): the all-ones 16-byte marker gate, then
+    length/type (tshark bgp.length / bgp.type); OPEN additionally
+    emits version, AS number, and router identifier
+    (bgp.open.version / bgp.open.myas / bgp.open.identifier) —
+    peering-plane visibility."""
+    if len(payload) < 19 or payload[:16] != b"\xff" * 16:
+        return False
+    length = int.from_bytes(payload[16:18], "big")
+    btype = payload[18]
+    if not 19 <= length <= 4096 or btype not in _BGP_TYPES:
+        return False
+    fields["bgp.length"] = length
+    fields["bgp.type"] = btype
+    info = f"BGP {_BGP_TYPES[btype]}"
+    if btype == 1 and len(payload) >= 28:
+        fields["bgp.open.version"] = payload[19]
+        fields["bgp.open.myas"] = int.from_bytes(payload[20:22], "big")
+        fields["bgp.open.identifier"] = ".".join(
+            str(b) for b in payload[24:28])
+        info += f" AS{fields['bgp.open.myas']}"
+    fields["_ws.col.info"] = info
+    return True
+
+
+_RTSP_METHODS = ("OPTIONS", "DESCRIBE", "ANNOUNCE", "SETUP", "PLAY",
+                 "PAUSE", "TEARDOWN", "GET_PARAMETER", "SET_PARAMETER",
+                 "RECORD", "REDIRECT")
+
+
+def _dissect_rtsp(payload: bytes, fields: dict) -> bool:
+    """RTSP control channel on 554 (tshark rtsp.method / rtsp.url /
+    rtsp.status) — streaming-session visibility; the SETUP transport
+    negotiation is where RTP ports are born."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    parts = line.split(" ")
+    if line.startswith("RTSP/1.") and len(parts) >= 2 \
+            and parts[1].isdigit():
+        fields["rtsp.status"] = int(parts[1])
+        fields["_ws.col.info"] = f"Reply: {line}"
+        return True
+    if len(parts) == 3 and parts[0] in _RTSP_METHODS \
+            and parts[2].startswith("RTSP/"):
+        fields["rtsp.method"] = parts[0]
+        fields["rtsp.url"] = parts[1]
+        fields["_ws.col.info"] = f"Request: {line}"
+        return True
+    return False
+
+
+_LDAP_OPS = {
+    0x60: "bindRequest", 0x61: "bindResponse", 0x42: "unbindRequest",
+    0x63: "searchRequest", 0x64: "searchResEntry", 0x65: "searchResDone",
+    0x66: "modifyRequest", 0x67: "modifyResponse", 0x68: "addRequest",
+    0x69: "addResponse", 0x4A: "delRequest", 0x6B: "delResponse",
+    0x77: "extendedReq", 0x78: "extendedResp",
+}
+
+
+def _dissect_ldap(payload: bytes, fields: dict) -> bool:
+    """LDAP on 389 (BER): messageID and the protocolOp application tag
+    (tshark ldap.messageID; ldap.protocolOp is this engine's scalar
+    for the op tag tshark renders as the choice subtree) — directory
+    visibility, unsigned binds being the audit case."""
+    if not payload or payload[0] != 0x30:
+        return False
+    ln = _ber_len(payload, 1)
+    if ln is None:
+        return False
+    _, off = ln
+    if off + 2 >= len(payload) or payload[off] != 0x02:
+        return False
+    mlen = payload[off + 1]
+    if mlen < 1 or mlen > 4 or off + 2 + mlen > len(payload):
+        return False
+    msg_id = int.from_bytes(payload[off + 2:off + 2 + mlen], "big")
+    op_off = off + 2 + mlen
+    if op_off >= len(payload) or payload[op_off] not in _LDAP_OPS:
+        return False
+    fields["ldap.messageID"] = msg_id
+    fields["ldap.protocolOp"] = payload[op_off]
+    fields["_ws.col.info"] = (
+        f"LDAP {_LDAP_OPS[payload[op_off]]}({msg_id})")
+    return True
+
+
+def _dissect_telnet(payload: bytes, fields: dict) -> bool:
+    """Telnet on 23, claimed only for IAC option negotiation (0xFF
+    command sequences — tshark telnet.cmd/telnet.opt); raw keystroke
+    payloads stay opaque rather than false-positive on arbitrary
+    bytes. Cleartext remote shells are themselves the finding."""
+    if len(payload) < 3 or payload[0] != 0xFF:
+        return False
+    cmd, opt = payload[1], payload[2]
+    if cmd not in (0xFB, 0xFC, 0xFD, 0xFE, 0xFA):  # WILL/WONT/DO/DONT/SB
+        return False
+    fields["telnet.cmd"] = cmd
+    fields["telnet.opt"] = opt
+    kind = {0xFB: "Will", 0xFC: "Won't", 0xFD: "Do", 0xFE: "Don't",
+            0xFA: "Suboption"}[cmd]
+    fields["_ws.col.info"] = f"Telnet {kind} {opt}"
     return True
 
 
