@@ -441,3 +441,89 @@ def test_batch3_protocols_resolve_in_glossary():
               "rtsp.url", "rtsp.status", "ldap.messageID",
               "ldap.protocolOp", "telnet.cmd", "telnet.opt"):
         assert f in declared, f
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 4: HTTP/2 preface, MySQL, PostgreSQL, Redis, AMQP.
+# ---------------------------------------------------------------------------
+
+
+def test_http2_connection_preface(tmp_path):
+    preface = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+    settings = b"\x00\x00\x0c\x04\x00\x00\x00\x00\x00" + bytes(12)
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40020, 8443, 1, 1, 0x18,
+        preface + settings))
+    assert pkt["http2.type"] == 4          # SETTINGS
+    assert pkt["http2.length"] == 12
+    assert pkt["http2.streamid"] == 0
+    assert pkt["frame.protocols"].endswith("tcp:http2")
+
+
+def test_mysql_server_greeting(tmp_path):
+    body = b"\x0a" + b"8.0.36\x00" + bytes(20)
+    greeting = len(body).to_bytes(3, "little") + b"\x00" + body
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.9", "10.0.0.1", 3306, 40021, 1, 1, 0x18, greeting))
+    assert pkt["mysql.protocol"] == 10
+    assert pkt["mysql.version"] == "8.0.36"
+    assert pkt["frame.protocols"].endswith("tcp:mysql")
+
+    # opaque binary on 3306 stays unclaimed
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.9", "10.0.0.1", 3306, 40021, 1, 1, 0x18,
+        b"\x01\x02\x03\x04\x05\x06\x07\x08"))
+    assert "mysql" not in pkt["frame.protocols"]
+
+
+def test_pgsql_sslrequest_and_startup(tmp_path):
+    ssl_req = (8).to_bytes(4, "big") + (80877103).to_bytes(4, "big")
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40022, 5432, 1, 1, 0x18, ssl_req))
+    assert pkt["pgsql.length"] == 8 and pkt["pgsql.frontend"] is True
+    assert pkt["frame.protocols"].endswith("tcp:pgsql")
+
+    params = b"user\x00alice\x00database\x00app\x00\x00"
+    startup = ((8 + len(params)).to_bytes(4, "big")
+               + (196608).to_bytes(4, "big") + params)
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40022, 5432, 1, 1, 0x18, startup))
+    assert pkt["pgsql.length"] == 8 + len(params)
+
+
+def test_redis_resp_command(tmp_path):
+    req = b"*3\r\n$3\r\nSET\r\n$3\r\nfoo\r\n$3\r\nbar\r\n"
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40023, 6379, 1, 1, 0x18, req))
+    assert pkt["redis.command"] == "SET"
+    assert pkt["frame.protocols"].endswith("tcp:redis")
+
+    # a lone '*' line (not RESP grammar) stays unclaimed
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40023, 6379, 1, 1, 0x18,
+        b"*** hello ***\r\n"))
+    assert "redis" not in pkt["frame.protocols"]
+
+
+def test_amqp_protocol_header(tmp_path):
+    hdr = b"AMQP\x00\x00\x09\x01"
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40024, 5672, 1, 1, 0x18, hdr))
+    assert pkt["amqp.version.major"] == 0
+    assert pkt["amqp.version.minor"] == 9
+    assert pkt["frame.protocols"].endswith("tcp:amqp")
+
+
+def test_batch4_protocols_resolve_in_glossary():
+    from wireduck_spark.sources.glossary import (
+        BUILTIN_FIELDS, BUILTIN_PROTOCOLS)
+
+    protos = {p.filter_name for p in BUILTIN_PROTOCOLS}
+    for name in ("http2", "mysql", "pgsql", "redis", "amqp"):
+        assert name in protos, name
+    declared = {f.filter_name for f in BUILTIN_FIELDS}
+    for f in ("http2.length", "http2.type", "http2.streamid",
+              "mysql.protocol", "mysql.version", "pgsql.length",
+              "pgsql.frontend", "redis.command", "amqp.version.major",
+              "amqp.version.minor"):
+        assert f in declared, f

@@ -121,6 +121,13 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Lightweight Directory Access Protocol", "LDAP",
                      "ldap"),
     GlossaryProtocol("Telnet", "TELNET", "telnet"),
+    # r14 breadth batch 4 (app-layer / database tier, all magic-gated)
+    GlossaryProtocol("HyperText Transfer Protocol 2", "HTTP2", "http2"),
+    GlossaryProtocol("MySQL Protocol", "MySQL", "mysql"),
+    GlossaryProtocol("PostgreSQL", "PGSQL", "pgsql"),
+    GlossaryProtocol("Redis RESP", "Redis", "redis"),
+    GlossaryProtocol("Advanced Message Queueing Protocol", "AMQP",
+                     "amqp"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -359,6 +366,19 @@ BUILTIN_FIELDS = [
     # telnet (IAC-negotiation-gated on 23)
     _F("Command", "telnet.cmd", "FT_UINT8", "telnet"),
     _F("Option", "telnet.opt", "FT_UINT8", "telnet"),
+    # http2 (connection-preface gated, any port)
+    _F("Length", "http2.length", "FT_UINT24", "http2"),
+    _F("Type", "http2.type", "FT_UINT8", "http2"),
+    _F("Stream Identifier", "http2.streamid", "FT_UINT32", "http2"),
+    # mysql / pgsql / redis / amqp (service-greeting magic gates;
+    # redis.command is this engine's scalar for the RESP request verb)
+    _F("Protocol", "mysql.protocol", "FT_UINT8", "mysql"),
+    _F("Version", "mysql.version", "FT_STRING", "mysql"),
+    _F("Length", "pgsql.length", "FT_UINT32", "pgsql"),
+    _F("Frontend", "pgsql.frontend", "FT_BOOLEAN", "pgsql"),
+    _F("Command", "redis.command", "FT_STRING", "redis"),
+    _F("Major", "amqp.version.major", "FT_UINT8", "amqp"),
+    _F("Minor", "amqp.version.minor", "FT_UINT8", "amqp"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -430,9 +450,10 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 17  # v16: r14 breadth batches — sip/snmp/syslog/
+GLOSSARY_VERSION = 18  # v16: r14 breadth batches — sip/snmp/syslog/
 # tftp/igmp/sctp/pop/imap/mdns/llmnr, then smb/smb2/mbtcp/modbus/mqtt/
-# tpkt/x224/radius/ospf/wg, then bgp/rtsp/ldap/telnet + DNS-over-TCP
+# tpkt/x224/radius/ospf/wg, then bgp/rtsp/ldap/telnet + DNS-over-TCP,
+# then http2/mysql/pgsql/redis/amqp
 
 
 def cache_dir() -> str:

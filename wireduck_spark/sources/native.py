@@ -488,6 +488,20 @@ def _dissect_l4(
             elif 23 in (sport, dport) and _dissect_telnet(
                     payload, fields):
                 protos.append("telnet")
+            elif 3306 in (sport, dport) and _dissect_mysql(
+                    payload, fields):
+                protos.append("mysql")
+            elif 5432 in (sport, dport) and _dissect_pgsql(
+                    payload, fields):
+                protos.append("pgsql")
+            elif 6379 in (sport, dport) and _dissect_redis(
+                    payload, fields):
+                protos.append("redis")
+            elif 5672 in (sport, dport) and _dissect_amqp(
+                    payload, fields):
+                protos.append("amqp")
+            elif _dissect_http2(payload, fields):
+                protos.append("http2")
             elif 53 in (sport, dport) and len(payload) >= 14:
                 # DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix
                 # then the standard message — zone transfers and large
@@ -1344,6 +1358,109 @@ def _dissect_telnet(payload: bytes, fields: dict) -> bool:
     kind = {0xFB: "Will", 0xFC: "Won't", 0xFD: "Do", 0xFE: "Don't",
             0xFA: "Suboption"}[cmd]
     fields["_ws.col.info"] = f"Telnet {kind} {opt}"
+    return True
+
+
+def _dissect_http2(payload: bytes, fields: dict) -> bool:
+    """HTTP/2 connection preface (`PRI * HTTP/2.0`) on any TCP port —
+    the only h2 artifact recognizable without connection state; the
+    SETTINGS frame that must follow is parsed when present
+    (http2.type/http2.length/http2.streamid). Claimed only on the
+    literal 24-byte preface, never on bare binary frames."""
+    preface = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+    if not payload.startswith(preface):
+        return False
+    fields["_ws.col.info"] = "HTTP/2 Connection Preface"
+    rest = payload[len(preface):]
+    if len(rest) >= 9:
+        fields["http2.length"] = int.from_bytes(rest[0:3], "big")
+        fields["http2.type"] = rest[3]
+        fields["http2.streamid"] = (
+            int.from_bytes(rest[5:9], "big") & 0x7FFFFFFF)
+    return True
+
+
+def _dissect_mysql(payload: bytes, fields: dict) -> bool:
+    """MySQL initial handshake (server greeting) on 3306: protocol 10
+    + the NUL-terminated server version string (tshark
+    mysql.protocol / mysql.version) — database-inventory visibility;
+    the greeting travels server->client before any auth."""
+    if len(payload) < 6 or payload[4] != 0x0A:
+        return False
+    plen = int.from_bytes(payload[0:3], "little")
+    if plen + 4 > len(payload) or payload[3] != 0:  # sequence id 0
+        return False
+    end = payload.find(b"\x00", 5, 5 + 64)
+    if end < 0:
+        return False
+    version = payload[5:end]
+    if not version or not all(0x20 <= b < 0x7F for b in version):
+        return False
+    fields["mysql.protocol"] = 10
+    fields["mysql.version"] = version.decode("ascii")
+    fields["_ws.col.info"] = f"MySQL Server Greeting {fields['mysql.version']}"
+    return True
+
+
+def _dissect_pgsql(payload: bytes, fields: dict) -> bool:
+    """PostgreSQL startup on 5432: the SSLRequest magic (80877103) or a
+    StartupMessage with protocol 3.0 (196608), both length-framed
+    (tshark pgsql.length / pgsql.frontend) — database-inventory
+    visibility plus the does-it-negotiate-TLS audit bit."""
+    if len(payload) < 8:
+        return False
+    length = int.from_bytes(payload[0:4], "big")
+    code = int.from_bytes(payload[4:8], "big")
+    if length == 8 and code == 80877103:
+        fields["pgsql.length"] = length
+        fields["pgsql.frontend"] = True
+        fields["_ws.col.info"] = "PostgreSQL SSLRequest"
+        return True
+    if code == 196608 and 8 <= length <= 10000 \
+            and length <= len(payload):
+        fields["pgsql.length"] = length
+        fields["pgsql.frontend"] = True
+        fields["_ws.col.info"] = "PostgreSQL StartupMessage (3.0)"
+        return True
+    return False
+
+
+def _dissect_redis(payload: bytes, fields: dict) -> bool:
+    """Redis RESP on 6379: an array-of-bulk-strings request (the only
+    shape clients send) yields the command verb (this engine's
+    redis.command; tshark's RESP dissector models the frame tree).
+    Gated on the full *N / $len grammar, not just the leading '*'."""
+    if len(payload) < 8 or payload[0:1] != b"*":
+        return False
+    try:
+        head, rest = payload.split(b"\r\n", 1)
+        n = int(head[1:])
+        if not 1 <= n <= 1024 or not rest.startswith(b"$"):
+            return False
+        blen_raw, rest = rest[1:].split(b"\r\n", 1)
+        blen = int(blen_raw)
+        if not 1 <= blen <= 64 or len(rest) < blen:
+            return False
+        cmd = rest[:blen].decode("ascii").upper()
+    except (ValueError, UnicodeDecodeError):
+        return False
+    if not cmd.isalpha():
+        return False
+    fields["redis.command"] = cmd
+    fields["_ws.col.info"] = f"Redis {cmd} ({n} args)"
+    return True
+
+
+def _dissect_amqp(payload: bytes, fields: dict) -> bool:
+    """AMQP protocol header on 5672: the literal 'AMQP' magic + the
+    4-byte version triple (tshark amqp.version.major/minor for 0-9-1;
+    AMQP 1.0 sends id 0 proto 1.0.0) — message-broker inventory."""
+    if len(payload) < 8 or payload[0:4] != b"AMQP":
+        return False
+    fields["amqp.version.major"] = payload[5]
+    fields["amqp.version.minor"] = payload[6]
+    fields["_ws.col.info"] = (
+        f"AMQP Protocol Header {payload[5]}.{payload[6]}.{payload[7]}")
     return True
 
 
