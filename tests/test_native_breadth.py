@@ -527,3 +527,103 @@ def test_batch4_protocols_resolve_in_glossary():
               "pgsql.frontend", "redis.command", "amqp.version.major",
               "amqp.version.minor"):
         assert f in declared, f
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 5: DTLS, GTP-U (+decap), Kerberos, NBNS, RIP.
+# ---------------------------------------------------------------------------
+
+
+def test_dtls_handshake_any_port(tmp_path):
+    body = bytes(40)
+    rec = (b"\x16\xfe\xfd" + bytes(2) + bytes(6)
+           + len(body).to_bytes(2, "big") + body)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 49999, 60001, rec))  # random ports
+    assert pkt["dtls.record.content_type"] == 22
+    assert pkt["dtls.record.version"] == 0xFEFD
+    assert pkt["dtls.record.length"] == 40
+    assert pkt["frame.protocols"].endswith("udp:dtls")
+
+    # wrong version word is not DTLS
+    bad = (b"\x16\x03\x03" + bytes(8) + len(body).to_bytes(2, "big")
+           + body)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 49999, 60001, bad))
+    assert "dtls" not in pkt["frame.protocols"]
+
+
+def test_gtpu_decapsulates_inner_flow(tmp_path):
+    inner = build_eth_ipv4_tcp(
+        "172.16.0.1", "172.16.0.2", 1234, 80, 5, 0, 0x02, b"")[14:]
+    gtp = (b"\x30\xff" + len(inner).to_bytes(2, "big")
+           + (0xDEADBEEF).to_bytes(4, "big") + inner)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.2", 2152, 2152, gtp))
+    assert pkt["gtp.teid"] == 0xDEADBEEF
+    assert pkt["gtp.message"] == 0xFF
+    # inner subscriber flow wins the standard columns
+    assert pkt["ip.src"] == "172.16.0.1"
+    assert pkt["tcp.dstport"] == 80
+    assert pkt["gtp.outer_ip_src"] == "10.0.0.1"
+    assert "gtp" in pkt["frame.protocols"]
+    assert pkt["frame.protocols"].index("gtp") < \
+        pkt["frame.protocols"].rindex("tcp")
+
+
+def test_kerberos_as_req_udp_and_tcp(tmp_path):
+    asn1 = b"\x6a\x07\x30\x05\xa1\x03\x02\x01\x05"
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50005, 88, asn1))
+    assert pkt["kerberos.msg_type"] == 10
+    assert pkt["frame.protocols"].endswith("udp:kerberos")
+
+    framed = len(asn1).to_bytes(4, "big") + asn1
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 50006, 88, 1, 1, 0x18, framed))
+    assert pkt["kerberos.msg_type"] == 10
+    assert pkt["frame.protocols"].endswith("tcp:kerberos")
+
+
+def test_nbns_first_level_decoding(tmp_path):
+    # "FILESERVER" padded to 15 + suffix 0x20 (server service)
+    name = "FILESERVER".ljust(15) + "\x20"
+    encoded = "".join(
+        chr(65 + (ord(c) >> 4)) + chr(65 + (ord(c) & 0xF)) for c in name)
+    q = dns_query_payload(encoded, qtype=0x20, dns_id=0x7777)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.255", 137, 137, q))
+    assert pkt["nbns.id"] == 0x7777
+    assert pkt["nbns.name"] == "FILESERVER<20>"
+    assert pkt["frame.protocols"].endswith("udp:nbns")
+
+    # a normal (non-encoded) DNS name on 137 is NOT claimed as nbns
+    q2 = dns_query_payload("host.example.com")
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.255", 137, 137, q2))
+    assert "nbns" not in pkt["frame.protocols"]
+
+
+def test_rip_response(tmp_path):
+    rip = b"\x02\x02\x00\x00" + bytes(20)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "224.0.0.9", 520, 520, rip))
+    assert pkt["rip.command"] == 2
+    assert pkt["rip.version"] == 2
+    assert pkt["frame.protocols"].endswith("udp:rip")
+
+
+def test_batch5_protocols_resolve_in_glossary():
+    from wireduck_spark.sources.glossary import (
+        BUILTIN_FIELDS, BUILTIN_PROTOCOLS)
+
+    protos = {p.filter_name for p in BUILTIN_PROTOCOLS}
+    for name in ("dtls", "gtp", "kerberos", "nbns", "rip"):
+        assert name in protos, name
+    declared = {f.filter_name for f in BUILTIN_FIELDS}
+    for f in ("dtls.record.content_type", "dtls.record.version",
+              "dtls.record.length", "gtp.flags", "gtp.message",
+              "gtp.teid", "gtp.outer_ip_src", "gtp.outer_ip_dst",
+              "kerberos.msg_type", "nbns.id", "nbns.flags.response",
+              "nbns.name", "rip.command", "rip.version"):
+        assert f in declared, f

@@ -128,6 +128,12 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Redis RESP", "Redis", "redis"),
     GlossaryProtocol("Advanced Message Queueing Protocol", "AMQP",
                      "amqp"),
+    # r14 breadth batch 5
+    GlossaryProtocol("Datagram Transport Layer Security", "DTLS", "dtls"),
+    GlossaryProtocol("GPRS Tunneling Protocol", "GTP", "gtp"),
+    GlossaryProtocol("Kerberos", "KRB5", "kerberos"),
+    GlossaryProtocol("NetBIOS Name Service", "NBNS", "nbns"),
+    GlossaryProtocol("Routing Information Protocol", "RIP", "rip"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -379,6 +385,27 @@ BUILTIN_FIELDS = [
     _F("Command", "redis.command", "FT_STRING", "redis"),
     _F("Major", "amqp.version.major", "FT_UINT8", "amqp"),
     _F("Minor", "amqp.version.minor", "FT_UINT8", "amqp"),
+    # dtls (structural gate: type + version + exact record length)
+    _F("Content Type", "dtls.record.content_type", "FT_UINT8", "dtls"),
+    _F("Version", "dtls.record.version", "FT_UINT16", "dtls"),
+    _F("Length", "dtls.record.length", "FT_UINT16", "dtls"),
+    # gtp (v1-U on 2152; outer_* is the decap deviation shared with
+    # vxlan/gre)
+    _F("Flags", "gtp.flags", "FT_UINT8", "gtp"),
+    _F("Message Type", "gtp.message", "FT_UINT8", "gtp"),
+    _F("TEID", "gtp.teid", "FT_UINT32", "gtp"),
+    _F("Outer IP source (decap)", "gtp.outer_ip_src", "FT_IPv4", "gtp"),
+    _F("Outer IP destination (decap)", "gtp.outer_ip_dst", "FT_IPv4",
+       "gtp"),
+    # kerberos
+    _F("MSG Type", "kerberos.msg_type", "FT_UINT8", "kerberos"),
+    # nbns (first-level-decoded names)
+    _F("Transaction ID", "nbns.id", "FT_UINT16", "nbns"),
+    _F("Response", "nbns.flags.response", "FT_BOOLEAN", "nbns"),
+    _F("Name", "nbns.name", "FT_STRING", "nbns"),
+    # rip
+    _F("Command", "rip.command", "FT_UINT8", "rip"),
+    _F("Version", "rip.version", "FT_UINT8", "rip"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -450,10 +477,10 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 18  # v16: r14 breadth batches — sip/snmp/syslog/
+GLOSSARY_VERSION = 19  # v16: r14 breadth batches — sip/snmp/syslog/
 # tftp/igmp/sctp/pop/imap/mdns/llmnr, then smb/smb2/mbtcp/modbus/mqtt/
 # tpkt/x224/radius/ospf/wg, then bgp/rtsp/ldap/telnet + DNS-over-TCP,
-# then http2/mysql/pgsql/redis/amqp
+# then http2/mysql/pgsql/redis/amqp, then dtls/gtp/kerberos/nbns/rip
 
 
 def cache_dir() -> str:

@@ -500,6 +500,12 @@ def _dissect_l4(
             elif 5672 in (sport, dport) and _dissect_amqp(
                     payload, fields):
                 protos.append("amqp")
+            elif 88 in (sport, dport) and len(payload) > 4 \
+                    and int.from_bytes(payload[0:4], "big") \
+                    == len(payload) - 4 \
+                    and _dissect_kerberos(payload[4:], fields):
+                # TCP Kerberos: RFC 4120 §7.2.2 4-byte length prefix
+                protos.append("kerberos")
             elif _dissect_http2(payload, fields):
                 protos.append("http2")
             elif 53 in (sport, dport) and len(payload) >= 14:
@@ -594,6 +600,23 @@ def _dissect_l4(
         elif 51820 in (sport, dport):
             if _dissect_wireguard(payload, fields):
                 protos.append("wg")
+        elif 2152 in (sport, dport):
+            inner: list = []
+            if _dissect_gtp(payload, fields, inner):
+                # gtp sits BEFORE the decapped inner protocol chain
+                protos.append("gtp")
+                protos.extend(inner)
+        elif 88 in (sport, dport):
+            if _dissect_kerberos(payload, fields):
+                protos.append("kerberos")
+        elif 137 in (sport, dport):
+            if _dissect_nbns(payload, fields):
+                protos.append("nbns")
+        elif sport == 520 or dport == 520:
+            if _dissect_rip(payload, fields):
+                protos.append("rip")
+        elif _dissect_dtls(payload, fields):
+            protos.append("dtls")
     elif proto == 1 and len(data) >= off + 4:  # ICMP
         protos.append("icmp")
         fields["icmp.type"] = data[off]
@@ -1461,6 +1484,136 @@ def _dissect_amqp(payload: bytes, fields: dict) -> bool:
     fields["amqp.version.minor"] = payload[6]
     fields["_ws.col.info"] = (
         f"AMQP Protocol Header {payload[5]}.{payload[6]}.{payload[7]}")
+    return True
+
+
+def _dissect_dtls(payload: bytes, fields: dict) -> bool:
+    """DTLS record header on any UDP port (WebRTC media negotiates
+    random ports, so the gate is structural, not port-based): content
+    type 20-23 + version 0xFEFF (1.0) / 0xFEFD (1.2) + the declared
+    record length matching the datagram (tshark
+    dtls.record.content_type / .version / .length)."""
+    if len(payload) < 13 or payload[0] not in (20, 21, 22, 23):
+        return False
+    version = int.from_bytes(payload[1:3], "big")
+    if version not in (0xFEFF, 0xFEFD):
+        return False
+    length = int.from_bytes(payload[11:13], "big")
+    if 13 + length > len(payload):
+        return False
+    fields["dtls.record.content_type"] = payload[0]
+    fields["dtls.record.version"] = version
+    fields["dtls.record.length"] = length
+    kind = {20: "Change Cipher Spec", 21: "Alert", 22: "Handshake",
+            23: "Application Data"}[payload[0]]
+    fields["_ws.col.info"] = f"DTLS {kind}"
+    return True
+
+
+def _dissect_gtp(payload: bytes, fields: dict, protos: list) -> bool:
+    """GTPv1-U on 2152: flags/message/TEID (tshark gtp.flags /
+    gtp.message / gtp.teid), with one level of G-PDU (0xFF) inner-IPv4
+    decapsulation — the mobile-network twin of the VXLAN/GRE decap
+    (inner subscriber flow wins the standard columns, tunnel endpoints
+    stay as gtp.outer_ip_*)."""
+    if len(payload) < 8 or (payload[0] & 0xF0) != 0x30:
+        return False
+    msg = payload[1]
+    length = int.from_bytes(payload[2:4], "big")
+    if 8 + length > len(payload):
+        return False
+    fields["gtp.flags"] = payload[0]
+    fields["gtp.message"] = msg
+    fields["gtp.teid"] = int.from_bytes(payload[4:8], "big")
+    hdr = 8
+    if payload[0] & 0x07:  # E/S/PN flags add 4 option bytes
+        hdr += 4
+    if msg == 0xFF and len(payload) >= hdr + 20 \
+            and (payload[hdr] >> 4) == 4:
+        fields["gtp.outer_ip_src"] = fields.get("ip.src")
+        fields["gtp.outer_ip_dst"] = fields.get("ip.dst")
+        inner = payload[hdr:]
+        inner_fields: dict = {}
+        inner_protos: list = []
+        _dissect_ipv4(
+            b"\x00" * 14 + inner, 14, inner_protos, inner_fields)
+        inner_fields.pop("_ws.col.info", None)
+        fields.update(inner_fields)
+        protos.extend(inner_protos)
+        fields["_ws.col.info"] = (
+            f"GTP-U TEID 0x{fields['gtp.teid']:08x}: "
+            + ":".join(inner_protos or ["data"]))
+    else:
+        fields["_ws.col.info"] = f"GTP message 0x{msg:02x}"
+    return True
+
+
+_KRB_MSGS = {0x6A: "AS-REQ", 0x6B: "AS-REP", 0x6C: "TGS-REQ",
+             0x6D: "TGS-REP", 0x6E: "AP-REQ", 0x6F: "AP-REP",
+             0x7E: "KRB-ERROR"}
+
+
+def _dissect_kerberos(payload: bytes, fields: dict) -> bool:
+    """Kerberos v5 on 88: the ASN.1 APPLICATION tag selects the message
+    type (AS-REQ 10 .. KRB-ERROR 30 — tshark kerberos.msg_type carries
+    the application number, not the raw tag byte). Authentication-plane
+    visibility: AS-REQ floods and KRB-ERROR storms are the audit
+    signals."""
+    if len(payload) < 4 or payload[0] not in _KRB_MSGS:
+        return False
+    if _ber_len(payload, 1) is None:
+        return False
+    fields["kerberos.msg_type"] = payload[0] & 0x1F
+    fields["_ws.col.info"] = f"Kerberos {_KRB_MSGS[payload[0]]}"
+    return True
+
+
+def _nbns_decode(label: str) -> str | None:
+    """RFC 1001 §14.1 first-level decoding: a 32-char A..P label packs
+    16 bytes, two nibbles per char; the 16th byte is the NetBIOS
+    suffix. Returns 'NAME<suffix-hex>' or None if not NBNS-encoded."""
+    if len(label) != 32 or any(c < "A" or c > "P" for c in label):
+        return None
+    raw = bytes(
+        ((ord(label[i]) - 65) << 4) | (ord(label[i + 1]) - 65)
+        for i in range(0, 32, 2)
+    )
+    name = raw[:15].decode("ascii", errors="replace").rstrip(" ")
+    return f"{name}<{raw[15]:02x}>"
+
+
+def _dissect_nbns(payload: bytes, fields: dict) -> bool:
+    """NetBIOS Name Service on 137: DNS wire format whose names are
+    first-level encoded — decoded here to the human NetBIOS name +
+    suffix (tshark nbns.id / nbns.flags.response / nbns.name), the
+    legacy-Windows discovery chatter every enterprise capture is full
+    of."""
+    scratch: dict = {}
+    if not _dissect_dns(payload, scratch):
+        return False
+    fields["nbns.id"] = scratch.get("dns.id")
+    fields["nbns.flags.response"] = scratch.get("dns.flags.response")
+    qname = scratch.get("dns.qry.name", "")
+    decoded = _nbns_decode(qname.split(".")[0]) if qname else None
+    if decoded is None:
+        return False  # not first-level encoded -> not NBNS
+    fields["nbns.name"] = decoded
+    verb = "Name query response" if fields["nbns.flags.response"] \
+        else "Name query"
+    fields["_ws.col.info"] = f"NBNS {verb} {decoded}"
+    return True
+
+
+def _dissect_rip(payload: bytes, fields: dict) -> bool:
+    """RIP v1/v2 on 520: command (1 request / 2 response) and version
+    (tshark rip.command / rip.version) — legacy routing chatter."""
+    if len(payload) < 4 or payload[0] not in (1, 2) \
+            or payload[1] not in (1, 2) or payload[2:4] != b"\x00\x00":
+        return False
+    fields["rip.command"] = payload[0]
+    fields["rip.version"] = payload[1]
+    kind = "Request" if payload[0] == 1 else "Response"
+    fields["_ws.col.info"] = f"RIPv{payload[1]} {kind}"
     return True
 
 
