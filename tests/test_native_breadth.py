@@ -627,3 +627,37 @@ def test_batch5_protocols_resolve_in_glossary():
               "kerberos.msg_type", "nbns.id", "nbns.flags.response",
               "nbns.name", "rip.command", "rip.version"):
         assert f in declared, f
+
+
+def test_breadth_fields_through_spark_pipeline(spark, tmp_path):
+    """The full plumbing, not just iter_packets: glossary-driven schema
+    selection by NEW protocol names through spark.read.format('pcap') —
+    typed columns appear, values land, absent protocols stay NULL."""
+    import wireduck_spark
+
+    invite = (b"INVITE sip:bob@x.com SIP/2.0\r\ni: call-7\r\n"
+              b"From: <sip:a@x.com>\r\nTo: <sip:bob@x.com>\r\n\r\n")
+    var = b"\x00\x04MQTT\x04\x02\x00\x3c\x00\x03abc"
+    frames = [
+        (1700000000.0, build_eth_ipv4_udp(
+            "10.0.0.1", "10.0.0.2", 5060, 5060, invite)),
+        (1700000001.0, build_eth_ipv4_udp(
+            "10.0.0.5", "10.0.0.6", 51000, 514, b"<134>host app: hi")),
+        (1700000002.0, build_eth_ipv4_tcp(
+            "10.0.0.1", "10.0.0.9", 40005, 1883, 1, 1, 0x18,
+            b"\x10" + bytes([len(var)]) + var)),
+    ]
+    p = tmp_path / "mix.pcap"
+    p.write_bytes(build_pcap(frames))
+    wireduck_spark.init(spark)
+    df = (spark.read.format("pcap").option("engine", "native")
+          .option("path", str(p))
+          .option("protocols", "sip,syslog,mqtt").load())
+    names = [f.name for f in df.schema.fields]
+    for col in ("sip.Call-ID", "syslog.facility", "mqtt.clientid"):
+        assert col in names, col
+    rows = {r["frame.number"]: r for r in df.collect()}
+    assert rows[1]["sip.Method"] == "INVITE"
+    assert rows[1]["mqtt.clientid"] is None        # NULL across protos
+    assert rows[2]["syslog.facility"] == 16
+    assert rows[3]["mqtt.clientid"] == "abc"
