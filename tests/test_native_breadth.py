@@ -661,3 +661,74 @@ def test_breadth_fields_through_spark_pipeline(spark, tmp_path):
     assert rows[1]["mqtt.clientid"] is None        # NULL across protos
     assert rows[2]["syslog.facility"] == 16
     assert rows[3]["mqtt.clientid"] == "abc"
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 6: STUN, ISAKMP/IKE, SSDP.
+# ---------------------------------------------------------------------------
+
+
+def test_stun_binding_request_any_port(tmp_path):
+    req = (b"\x00\x01" + (8).to_bytes(2, "big")
+           + b"\x21\x12\xa4\x42" + bytes(12) + bytes(8))
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 61000, 62000, req))
+    assert pkt["stun.type"] == 1
+    assert pkt["stun.length"] == 8
+    assert pkt["frame.protocols"].endswith("udp:stun")
+
+    # wrong cookie is not STUN
+    bad = (b"\x00\x01" + (8).to_bytes(2, "big")
+           + b"\x00\x00\x00\x00" + bytes(12) + bytes(8))
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 61000, 62000, bad))
+    assert "stun" not in pkt["frame.protocols"]
+
+
+def test_isakmp_ikev2_sa_init(tmp_path):
+    hdr = (bytes(8) + bytes(8)            # SPIs
+           + b"\x21"                      # next payload SA
+           + b"\x20"                      # version 2.0
+           + bytes([34])                  # IKE_SA_INIT
+           + b"\x08"                      # flags: initiator
+           + bytes(4)                     # message id
+           + (28 + 12).to_bytes(4, "big"))
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 500, 500, hdr + bytes(12)))
+    assert pkt["isakmp.version"] == 2
+    assert pkt["isakmp.exchangetype"] == 34
+    assert pkt["frame.protocols"].endswith("udp:isakmp")
+
+    # NAT-T on 4500 behind the non-ESP marker
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 4500, 4500,
+        b"\x00\x00\x00\x00" + hdr + bytes(12)))
+    assert pkt["isakmp.version"] == 2
+
+
+def test_ssdp_msearch_and_response(tmp_path):
+    msearch = (b"M-SEARCH * HTTP/1.1\r\nHOST: 239.255.255.250:1900\r\n"
+               b"MAN: \"ssdp:discover\"\r\n\r\n")
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "239.255.255.250", 50010, 1900, msearch))
+    assert pkt["http.request.method"] == "M-SEARCH"
+    assert pkt["frame.protocols"].endswith("udp:ssdp")
+
+    resp = b"HTTP/1.1 200 OK\r\nST: upnp:rootdevice\r\n\r\n"
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.9", "10.0.0.1", 1900, 50010, resp))
+    assert pkt["http.response.code"] == 200
+    assert pkt["frame.protocols"].endswith("udp:ssdp")
+
+
+def test_batch6_protocols_resolve_in_glossary():
+    from wireduck_spark.sources.glossary import (
+        BUILTIN_FIELDS, BUILTIN_PROTOCOLS)
+
+    protos = {p.filter_name for p in BUILTIN_PROTOCOLS}
+    for name in ("stun", "isakmp", "ssdp"):
+        assert name in protos, name
+    declared = {f.filter_name for f in BUILTIN_FIELDS}
+    for f in ("stun.type", "stun.length", "isakmp.version",
+              "isakmp.exchangetype", "isakmp.length"):
+        assert f in declared, f

@@ -134,6 +134,15 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Kerberos", "KRB5", "kerberos"),
     GlossaryProtocol("NetBIOS Name Service", "NBNS", "nbns"),
     GlossaryProtocol("Routing Information Protocol", "RIP", "rip"),
+    # r14 breadth batch 6. ssdp reuses the HTTP field set (tshark's own
+    # model: the SSDP dissector IS the HTTP dissector under the ssdp
+    # protocol) — request http.* columns to query it.
+    GlossaryProtocol("Session Traversal Utilities for NAT", "STUN",
+                     "stun"),
+    GlossaryProtocol("Internet Security Association and Key Management"
+                     " Protocol", "ISAKMP", "isakmp"),
+    GlossaryProtocol("Simple Service Discovery Protocol", "SSDP",
+                     "ssdp"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -406,6 +415,13 @@ BUILTIN_FIELDS = [
     # rip
     _F("Command", "rip.command", "FT_UINT8", "rip"),
     _F("Version", "rip.version", "FT_UINT8", "rip"),
+    # stun (magic-cookie gated, any UDP port)
+    _F("Message Type", "stun.type", "FT_UINT16", "stun"),
+    _F("Message Length", "stun.length", "FT_UINT16", "stun"),
+    # isakmp / ike (500 + NAT-T 4500)
+    _F("Version", "isakmp.version", "FT_UINT8", "isakmp"),
+    _F("Exchange type", "isakmp.exchangetype", "FT_UINT8", "isakmp"),
+    _F("Length", "isakmp.length", "FT_UINT32", "isakmp"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -477,10 +493,10 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 19  # v16: r14 breadth batches — sip/snmp/syslog/
+GLOSSARY_VERSION = 20  # v16: r14 breadth batches — sip/snmp/syslog/
 # tftp/igmp/sctp/pop/imap/mdns/llmnr, then smb/smb2/mbtcp/modbus/mqtt/
 # tpkt/x224/radius/ospf/wg, then bgp/rtsp/ldap/telnet + DNS-over-TCP,
-# then http2/mysql/pgsql/redis/amqp, then dtls/gtp/kerberos/nbns/rip
+# then http2/mysql/pgsql/redis/amqp, then dtls/gtp/kerberos/nbns/rip + stun/isakmp/ssdp
 
 
 def cache_dir() -> str:

@@ -615,6 +615,15 @@ def _dissect_l4(
         elif sport == 520 or dport == 520:
             if _dissect_rip(payload, fields):
                 protos.append("rip")
+        elif sport in (500, 4500) or dport in (500, 4500):
+            if _dissect_isakmp(payload, fields,
+                               natt=(4500 in (sport, dport))):
+                protos.append("isakmp")
+        elif 1900 in (sport, dport):
+            if _dissect_ssdp(payload, fields):
+                protos.append("ssdp")
+        elif _dissect_stun(payload, fields):
+            protos.append("stun")
         elif _dissect_dtls(payload, fields):
             protos.append("dtls")
     elif proto == 1 and len(data) >= off + 4:  # ICMP
@@ -1484,6 +1493,82 @@ def _dissect_amqp(payload: bytes, fields: dict) -> bool:
     fields["amqp.version.minor"] = payload[6]
     fields["_ws.col.info"] = (
         f"AMQP Protocol Header {payload[5]}.{payload[6]}.{payload[7]}")
+    return True
+
+
+_STUN_TYPES = {0x0001: "Binding Request", 0x0101: "Binding Success",
+               0x0111: "Binding Error", 0x0011: "Binding Indication"}
+
+
+def _dissect_stun(payload: bytes, fields: dict) -> bool:
+    """STUN (RFC 5389) on any UDP port — ICE/WebRTC candidates ride
+    ephemeral ports, so the gate is the magic cookie 0x2112A442 plus
+    the zero top type bits and a 4-aligned length matching the
+    datagram (tshark stun.type / stun.length)."""
+    if len(payload) < 20 or payload[4:8] != b"\x21\x12\xa4\x42":
+        return False
+    mtype = int.from_bytes(payload[0:2], "big")
+    length = int.from_bytes(payload[2:4], "big")
+    if mtype & 0xC000 or length % 4 or 20 + length != len(payload):
+        return False
+    fields["stun.type"] = mtype
+    fields["stun.length"] = length
+    fields["_ws.col.info"] = (
+        f"STUN {_STUN_TYPES.get(mtype, f'0x{mtype:04x}')}")
+    return True
+
+
+def _dissect_isakmp(payload: bytes, fields: dict,
+                    natt: bool = False) -> bool:
+    """ISAKMP/IKE on 500 (and 4500 behind the non-ESP marker): SPIs,
+    major version (1 = IKEv1, 2 = IKEv2), exchange type, and the
+    declared length gate (tshark isakmp.version / isakmp.exchangetype
+    / isakmp.length) — VPN control-plane visibility. The NAT-T marker
+    strip is PORT-conditional: a zero leading SPI word on 500 must not
+    be misread as a marker."""
+    if natt and len(payload) >= 4 \
+            and payload[0:4] == b"\x00\x00\x00\x00":
+        payload = payload[4:]  # NAT-T non-ESP marker on 4500
+    if len(payload) < 28:
+        return False
+    version = payload[17]
+    exch = payload[18]
+    length = int.from_bytes(payload[24:28], "big")
+    if version not in (0x10, 0x20) or length != len(payload):
+        return False
+    fields["isakmp.version"] = version >> 4
+    fields["isakmp.exchangetype"] = exch
+    fields["isakmp.length"] = length
+    kind = {2: "Identity Protection", 4: "Aggressive",
+            5: "Informational", 34: "IKE_SA_INIT", 35: "IKE_AUTH",
+            36: "CREATE_CHILD_SA", 37: "INFORMATIONAL"}.get(
+                exch, f"exchange {exch}")
+    fields["_ws.col.info"] = f"IKEv{version >> 4} {kind}"
+    return True
+
+
+_SSDP_METHODS = (b"M-SEARCH", b"NOTIFY")
+
+
+def _dissect_ssdp(payload: bytes, fields: dict) -> bool:
+    """SSDP on 1900: UPnP discovery in HTTP syntax — tshark routes it
+    through the HTTP dissector under the ssdp protocol, mirrored here
+    (http.request.method / http.response.code fields, ssdp in
+    frame.protocols). IoT/UPnP exposure mapping."""
+    if payload.startswith(b"HTTP/1.1 200"):
+        return _dissect_http(payload, fields)
+    if not payload.startswith(_SSDP_METHODS):
+        return False
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    parts = line.split(" ", 2)
+    if len(parts) < 3 or not parts[2].startswith("HTTP/"):
+        return False
+    fields["http.request.method"] = parts[0]
+    fields["http.request.uri"] = parts[1]
+    fields["http.request.version"] = parts[2]
+    fields["_ws.col.info"] = line
     return True
 
 
