@@ -732,3 +732,116 @@ def test_batch6_protocols_resolve_in_glossary():
     for f in ("stun.type", "stun.length", "isakmp.version",
               "isakmp.exchangetype", "isakmp.length"):
         assert f in declared, f
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 7: PPTP, DNP3, BACnet, L2TP, Git, IRC, TACACS+.
+# ---------------------------------------------------------------------------
+
+
+def test_pptp_start_control_request(tmp_path):
+    body = bytes(146)
+    msg = ((156).to_bytes(2, "big") + (1).to_bytes(2, "big")
+           + b"\x1a\x2b\x3c\x4d" + (1).to_bytes(2, "big") + body)
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40030, 1723, 1, 1, 0x18, msg))
+    assert pkt["pptp.type"] == 1
+    assert pkt["frame.protocols"].endswith("tcp:pptp")
+
+    # broken magic is not pptp
+    bad = ((156).to_bytes(2, "big") + (1).to_bytes(2, "big")
+           + b"\x00\x00\x00\x00" + (1).to_bytes(2, "big") + body)
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40030, 1723, 1, 1, 0x18, bad))
+    assert "pptp" not in pkt["frame.protocols"]
+
+
+def test_dnp3_link_frame_tcp_and_udp(tmp_path):
+    frame = (b"\x05\x64\x0a\xc4" + (10).to_bytes(2, "little")
+             + (1).to_bytes(2, "little") + bytes(4))
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40031, 20000, 1, 1, 0x18, frame))
+    assert pkt["dnp3.dst"] == 10 and pkt["dnp3.src"] == 1
+    assert pkt["frame.protocols"].endswith("tcp:dnp3")
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 40031, 20000, frame))
+    assert pkt["frame.protocols"].endswith("udp:dnp3")
+
+
+def test_bacnet_bvlc(tmp_path):
+    npdu = bytes(10)
+    bvlc = b"\x81\x0b" + (4 + len(npdu)).to_bytes(2, "big") + npdu
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "255.255.255.255", 47808, 47808, bvlc))
+    assert pkt["bvlc.function"] == 0x0B
+    assert pkt["bvlc.length"] == 14
+    assert pkt["frame.protocols"].endswith("udp:bvlc")
+
+
+def test_l2tp_control_and_data(tmp_path):
+    ctrl = ((0xC802).to_bytes(2, "big") + (12).to_bytes(2, "big")
+            + (5).to_bytes(2, "big") + (0).to_bytes(2, "big")
+            + bytes(4))
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 1701, 1701, ctrl))
+    assert pkt["l2tp.type"] == 1
+    assert pkt["l2tp.tunnel"] == 5
+    assert pkt["frame.protocols"].endswith("udp:l2tp")
+
+    data = (0x0002).to_bytes(2, "big") + (5).to_bytes(2, "big") \
+        + (7).to_bytes(2, "big") + bytes(6)
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 1701, 1701, data))
+    assert pkt["l2tp.type"] == 0 and pkt["l2tp.session"] == 7
+
+
+def test_git_upload_pack_request(tmp_path):
+    body = b"git-upload-pack /project.git\x00host=example.com\x00"
+    line = f"{len(body) + 4:04x}".encode() + body
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40032, 9418, 1, 1, 0x18, line))
+    assert pkt["git.service"] == "git-upload-pack"
+    assert pkt["git.packet_len"] == len(body) + 4
+    assert pkt["frame.protocols"].endswith("tcp:git")
+
+
+def test_irc_command_and_numeric(tmp_path):
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40033, 6667, 1, 1, 0x18,
+        b"PRIVMSG #ops :deploy now\r\n"))
+    assert pkt["irc.request.command"] == "PRIVMSG"
+    assert pkt["frame.protocols"].endswith("tcp:irc")
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.9", "10.0.0.1", 6667, 40033, 1, 1, 0x18,
+        b":irc.example.com 001 alice :Welcome\r\n"))
+    assert pkt["irc.response.num_command"] == 1
+
+
+def test_tacplus_authentication(tmp_path):
+    body = bytes(20)
+    hdr = (b"\xc0" + b"\x01" + b"\x01" + b"\x00"
+           + (0xCAFE).to_bytes(4, "big")
+           + len(body).to_bytes(4, "big"))
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40034, 49, 1, 1, 0x18, hdr + body))
+    assert pkt["tacplus.type"] == 1
+    assert pkt["tacplus.session_id"] == 0xCAFE
+    assert pkt["frame.protocols"].endswith("tcp:tacplus")
+
+
+def test_batch7_protocols_resolve_in_glossary():
+    from wireduck_spark.sources.glossary import (
+        BUILTIN_FIELDS, BUILTIN_PROTOCOLS)
+
+    protos = {p.filter_name for p in BUILTIN_PROTOCOLS}
+    for name in ("pptp", "dnp3", "bvlc", "l2tp", "git", "irc",
+                 "tacplus"):
+        assert name in protos, name
+    declared = {f.filter_name for f in BUILTIN_FIELDS}
+    for f in ("pptp.length", "pptp.type", "dnp3.len", "dnp3.ctl",
+              "dnp3.dst", "dnp3.src", "bvlc.function", "bvlc.length",
+              "l2tp.type", "l2tp.tunnel", "l2tp.session",
+              "git.packet_len", "git.service", "irc.request.command",
+              "irc.response.num_command", "tacplus.type",
+              "tacplus.session_id"):
+        assert f in declared, f

@@ -143,6 +143,16 @@ BUILTIN_PROTOCOLS = [
                      " Protocol", "ISAKMP", "isakmp"),
     GlossaryProtocol("Simple Service Discovery Protocol", "SSDP",
                      "ssdp"),
+    # r14 breadth batch 7
+    GlossaryProtocol("Point-to-Point Tunneling Protocol", "PPTP",
+                     "pptp"),
+    GlossaryProtocol("Distributed Network Protocol 3.0", "DNP 3.0",
+                     "dnp3"),
+    GlossaryProtocol("BACnet Virtual Link Control", "BVLC", "bvlc"),
+    GlossaryProtocol("Layer 2 Tunneling Protocol", "L2TP", "l2tp"),
+    GlossaryProtocol("Git Smart Protocol", "GIT", "git"),
+    GlossaryProtocol("Internet Relay Chat", "IRC", "irc"),
+    GlossaryProtocol("TACACS+", "TACACS+", "tacplus"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -422,6 +432,31 @@ BUILTIN_FIELDS = [
     _F("Version", "isakmp.version", "FT_UINT8", "isakmp"),
     _F("Exchange type", "isakmp.exchangetype", "FT_UINT8", "isakmp"),
     _F("Length", "isakmp.length", "FT_UINT32", "isakmp"),
+    # pptp (magic-cookie gated on 1723)
+    _F("Length", "pptp.length", "FT_UINT16", "pptp"),
+    _F("Control Message Type", "pptp.type", "FT_UINT16", "pptp"),
+    # dnp3 (0x0564-gated on 20000; ICS next to Modbus)
+    _F("Length", "dnp3.len", "FT_UINT8", "dnp3"),
+    _F("Control", "dnp3.ctl", "FT_UINT8", "dnp3"),
+    _F("Destination", "dnp3.dst", "FT_UINT16", "dnp3"),
+    _F("Source", "dnp3.src", "FT_UINT16", "dnp3"),
+    # bacnet bvlc (0x81-gated on 47808)
+    _F("Function", "bvlc.function", "FT_UINT8", "bvlc"),
+    _F("BVLC-Length", "bvlc.length", "FT_UINT16", "bvlc"),
+    # l2tp (version-bits gated on 1701)
+    _F("Type", "l2tp.type", "FT_UINT8", "l2tp"),
+    _F("Tunnel ID", "l2tp.tunnel", "FT_UINT16", "l2tp"),
+    _F("Session ID", "l2tp.session", "FT_UINT16", "l2tp"),
+    # git (pkt-line gated on 9418; git.service is this engine's scalar
+    # for the request service string)
+    _F("Packet length", "git.packet_len", "FT_UINT16", "git"),
+    _F("Service", "git.service", "FT_STRING", "git"),
+    # irc
+    _F("Command", "irc.request.command", "FT_STRING", "irc"),
+    _F("Command", "irc.response.num_command", "FT_UINT16", "irc"),
+    # tacacs+ (version-nibble + exact-length gated on 49)
+    _F("Type", "tacplus.type", "FT_UINT8", "tacplus"),
+    _F("Session ID", "tacplus.session_id", "FT_UINT32", "tacplus"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -493,10 +528,11 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 20  # v16: r14 breadth batches — sip/snmp/syslog/
+GLOSSARY_VERSION = 21  # v16: r14 breadth batches — sip/snmp/syslog/
 # tftp/igmp/sctp/pop/imap/mdns/llmnr, then smb/smb2/mbtcp/modbus/mqtt/
 # tpkt/x224/radius/ospf/wg, then bgp/rtsp/ldap/telnet + DNS-over-TCP,
-# then http2/mysql/pgsql/redis/amqp, then dtls/gtp/kerberos/nbns/rip + stun/isakmp/ssdp
+# then http2/mysql/pgsql/redis/amqp, then dtls/gtp/kerberos/nbns/rip + stun/isakmp/ssdp,
+# then pptp/dnp3/bvlc/l2tp/git/irc/tacplus
 
 
 def cache_dir() -> str:

@@ -506,6 +506,21 @@ def _dissect_l4(
                     and _dissect_kerberos(payload[4:], fields):
                 # TCP Kerberos: RFC 4120 §7.2.2 4-byte length prefix
                 protos.append("kerberos")
+            elif 1723 in (sport, dport) and _dissect_pptp(
+                    payload, fields):
+                protos.append("pptp")
+            elif 20000 in (sport, dport) and _dissect_dnp3(
+                    payload, fields):
+                protos.append("dnp3")
+            elif 9418 in (sport, dport) and _dissect_git(
+                    payload, fields):
+                protos.append("git")
+            elif 6667 in (sport, dport) and _dissect_irc(
+                    payload, fields):
+                protos.append("irc")
+            elif 49 in (sport, dport) and _dissect_tacplus(
+                    payload, fields):
+                protos.append("tacplus")
             elif _dissect_http2(payload, fields):
                 protos.append("http2")
             elif 53 in (sport, dport) and len(payload) >= 14:
@@ -619,6 +634,15 @@ def _dissect_l4(
             if _dissect_isakmp(payload, fields,
                                natt=(4500 in (sport, dport))):
                 protos.append("isakmp")
+        elif 1701 in (sport, dport):
+            if _dissect_l2tp(payload, fields):
+                protos.append("l2tp")
+        elif 47808 in (sport, dport):
+            if _dissect_bacnet(payload, fields):
+                protos.append("bvlc")
+        elif 20000 in (sport, dport):
+            if _dissect_dnp3(payload, fields):
+                protos.append("dnp3")
         elif 1900 in (sport, dport):
             if _dissect_ssdp(payload, fields):
                 protos.append("ssdp")
@@ -1498,6 +1522,169 @@ def _dissect_amqp(payload: bytes, fields: dict) -> bool:
 
 _STUN_TYPES = {0x0001: "Binding Request", 0x0101: "Binding Success",
                0x0111: "Binding Error", 0x0011: "Binding Indication"}
+
+
+def _dissect_pptp(payload: bytes, fields: dict) -> bool:
+    """PPTP control channel on 1723: the magic cookie 0x1A2B3C4D gate
+    plus message/control types (tshark pptp.type for the control
+    message type, pptp.length) — legacy-VPN exposure; PPTP presence is
+    itself the audit finding."""
+    if len(payload) < 12 or payload[4:8] != b"\x1a\x2b\x3c\x4d":
+        return False
+    length = int.from_bytes(payload[0:2], "big")
+    msg = int.from_bytes(payload[2:4], "big")
+    if msg != 1 or length != len(payload):
+        return False
+    ctype = int.from_bytes(payload[8:10], "big")
+    fields["pptp.length"] = length
+    fields["pptp.type"] = ctype
+    kind = {1: "Start-Control-Connection-Request",
+            2: "Start-Control-Connection-Reply",
+            7: "Outgoing-Call-Request",
+            8: "Outgoing-Call-Reply"}.get(ctype, f"control {ctype}")
+    fields["_ws.col.info"] = f"PPTP {kind}"
+    return True
+
+
+def _dissect_dnp3(payload: bytes, fields: dict) -> bool:
+    """DNP3 link layer on 20000: the 0x0564 start bytes, length,
+    control, destination/source addresses (tshark dnp3.len / dnp3.ctl
+    / dnp3.dst / dnp3.src) — the second ICS/SCADA protocol next to
+    Modbus; electric-utility telemetry."""
+    if len(payload) < 10 or payload[0:2] != b"\x05\x64":
+        return False
+    length = payload[2]
+    if length < 5:
+        return False
+    fields["dnp3.len"] = length
+    fields["dnp3.ctl"] = payload[3]
+    fields["dnp3.dst"] = int.from_bytes(payload[4:6], "little")
+    fields["dnp3.src"] = int.from_bytes(payload[6:8], "little")
+    fields["_ws.col.info"] = (
+        f"DNP3 from {fields['dnp3.src']} to {fields['dnp3.dst']}")
+    return True
+
+
+def _dissect_bacnet(payload: bytes, fields: dict) -> bool:
+    """BACnet/IP BVLC on 47808: type 0x81, function, and the declared
+    length matching the datagram (tshark bvlc.function / bvlc.length)
+    — building-automation exposure mapping."""
+    if len(payload) < 4 or payload[0] != 0x81:
+        return False
+    length = int.from_bytes(payload[2:4], "big")
+    if length != len(payload) or payload[1] > 0x0C:
+        return False
+    fields["bvlc.function"] = payload[1]
+    fields["bvlc.length"] = length
+    kind = {0x0A: "Original-Unicast-NPDU",
+            0x0B: "Original-Broadcast-NPDU",
+            0x00: "BVLC-Result"}.get(payload[1],
+                                     f"function 0x{payload[1]:02x}")
+    fields["_ws.col.info"] = f"BACnet/IP {kind}"
+    return True
+
+
+def _dissect_l2tp(payload: bytes, fields: dict) -> bool:
+    """L2TPv2 on 1701: version-bits gate, control/data flag, tunnel and
+    session ids (tshark l2tp.type / l2tp.tunnel / l2tp.session) — the
+    carrier-VPN tunnel identity pair."""
+    if len(payload) < 8:
+        return False
+    flags = int.from_bytes(payload[0:2], "big")
+    if flags & 0x000F != 2:  # version must be 2
+        return False
+    is_control = bool(flags & 0x8000)
+    off = 2
+    if flags & 0x4000:  # length present
+        declared = int.from_bytes(payload[2:4], "big")
+        if declared != len(payload):
+            return False
+        off += 2
+    elif is_control:
+        return False  # control messages MUST carry a length (RFC 2661)
+    if off + 4 > len(payload):
+        return False
+    fields["l2tp.type"] = int(is_control)
+    fields["l2tp.tunnel"] = int.from_bytes(payload[off:off + 2], "big")
+    fields["l2tp.session"] = int.from_bytes(
+        payload[off + 2:off + 4], "big")
+    kind = "Control" if is_control else "Data"
+    fields["_ws.col.info"] = (
+        f"L2TP {kind} tunnel={fields['l2tp.tunnel']}"
+        f" session={fields['l2tp.session']}")
+    return True
+
+
+def _dissect_git(payload: bytes, fields: dict) -> bool:
+    """Git pkt-line on 9418: a 4-hex-digit length framing a
+    `git-upload-pack`/`git-receive-pack` request (tshark
+    git.packet_len; the service string is this engine's git.service)
+    — who clones what from where."""
+    if len(payload) < 8:
+        return False
+    try:
+        plen = int(payload[0:4], 16)
+    except ValueError:
+        return False
+    if plen < 8 or plen > len(payload):
+        return False
+    body = payload[4:plen]
+    if not body.startswith(b"git-"):
+        return False
+    fields["git.packet_len"] = plen
+    fields["git.service"] = body.split(b" ", 1)[0].decode(
+        "ascii", errors="replace")
+    fields["_ws.col.info"] = (
+        f"Git {fields['git.service']}")
+    return True
+
+
+_IRC_COMMANDS = ("NICK", "USER", "JOIN", "PART", "PRIVMSG", "NOTICE",
+                 "PING", "PONG", "QUIT", "MODE", "TOPIC", "KICK",
+                 "WHOIS", "CAP", "PASS")
+
+
+def _dissect_irc(payload: bytes, fields: dict) -> bool:
+    """IRC on 6667: client command verbs and server-prefixed numeric
+    replies (tshark irc.request.command / irc.response.num_command) —
+    the classic C2 long tail a capture audit still has to rule out."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    if line.startswith(":"):
+        parts = line.split(" ")
+        if len(parts) >= 2 and parts[1].isdigit() and len(parts[1]) == 3:
+            fields["irc.response.num_command"] = int(parts[1])
+            fields["_ws.col.info"] = f"IRC reply {parts[1]}"
+            return True
+        return False
+    verb = line.split(" ", 1)[0].upper()
+    if verb in _IRC_COMMANDS:
+        fields["irc.request.command"] = verb
+        fields["_ws.col.info"] = f"IRC {line[:80]}"
+        return True
+    return False
+
+
+def _dissect_tacplus(payload: bytes, fields: dict) -> bool:
+    """TACACS+ on 49: major version 0xC gate, packet type 1-3
+    (authen/author/acct), session id, and the body length matching the
+    TCP segment (tshark tacplus.type / tacplus.session_id) —
+    network-device AAA next to RADIUS."""
+    if len(payload) < 12 or (payload[0] >> 4) != 0x0C:
+        return False
+    ptype = payload[1]
+    if ptype not in (1, 2, 3):
+        return False
+    body_len = int.from_bytes(payload[8:12], "big")
+    if 12 + body_len != len(payload):
+        return False
+    fields["tacplus.type"] = ptype
+    fields["tacplus.session_id"] = int.from_bytes(payload[4:8], "big")
+    kind = {1: "Authentication", 2: "Authorization",
+            3: "Accounting"}[ptype]
+    fields["_ws.col.info"] = f"TACACS+ {kind}"
+    return True
 
 
 def _dissect_stun(payload: bytes, fields: dict) -> bool:
