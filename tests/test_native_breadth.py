@@ -845,3 +845,82 @@ def test_batch7_protocols_resolve_in_glossary():
               "irc.response.num_command", "tacplus.type",
               "tacplus.session_id"):
         assert f in declared, f
+
+
+# ---------------------------------------------------------------------------
+# Breadth batch 8: CoAP, Memcached, NATS, ICMPv6 NDP targets.
+# ---------------------------------------------------------------------------
+
+
+def test_coap_get(tmp_path):
+    msg = b"\x44\x01\x30\x39" + b"\xde\xad\xbe\xef" + b"\xb5sense"
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50020, 5683, msg))
+    assert pkt["coap.type"] == 0          # CON
+    assert pkt["coap.code"] == 1          # GET
+    assert pkt["coap.mid"] == 0x3039
+    assert pkt["frame.protocols"].endswith("udp:coap")
+
+    # version != 1 is not CoAP
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 50020, 5683, b"\x84\x01\x30\x39"))
+    assert "coap" not in pkt["frame.protocols"]
+
+
+def test_memcache_get_and_stats(tmp_path):
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40040, 11211, 1, 1, 0x18,
+        b"get user:42\r\n"))
+    assert pkt["memcache.command"] == "get"
+    assert pkt["frame.protocols"].endswith("tcp:memcache")
+    pkt = _one(tmp_path, build_eth_ipv4_udp(
+        "10.0.0.1", "10.0.0.9", 40040, 11211,
+        b"\x00\x00\x00\x00\x00\x01\x00\x00stats\r\n"))
+    # binary-framed UDP memcache is NOT the text protocol: unclaimed
+    assert "memcache" not in pkt["frame.protocols"]
+
+
+def test_nats_connect_and_pub(tmp_path):
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40041, 4222, 1, 1, 0x18,
+        b'CONNECT {"verbose":false}\r\n'))
+    assert pkt["nats.command"] == "CONNECT"
+    assert pkt["frame.protocols"].endswith("tcp:nats")
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40041, 4222, 1, 1, 0x18,
+        b"PUB orders.created 11\r\nhello world\r\n"))
+    assert pkt["nats.command"] == "PUB"
+
+    # CONNECT without a JSON body is not NATS
+    pkt = _one(tmp_path, build_eth_ipv4_tcp(
+        "10.0.0.1", "10.0.0.9", 40041, 4222, 1, 1, 0x18,
+        b"CONNECT please\r\n"))
+    assert "nats" not in pkt["frame.protocols"]
+
+
+def test_icmpv6_ndp_target_address(tmp_path):
+    src = bytes.fromhex("fe800000000000000000000000000001")
+    dst = bytes.fromhex("ff020000000000000000000100000002")
+    target = bytes.fromhex("20010db8000000000000000000000042")
+    # NS: type(1) code(1) cksum(2) reserved(4) target(16)
+    icmp6 = struct.pack(">BBH", 135, 0, 0) + bytes(4) + target
+    eth = bytes(6) + bytes([0, 0, 0, 0, 0, 1]) + struct.pack(">H", 0x86DD)
+    ip6 = (struct.pack(">IHBB", 0x60000000, len(icmp6), 58, 255)
+           + src + dst)
+    pkt = _one(tmp_path, eth + ip6 + icmp6)
+    assert pkt["icmpv6.type"] == 135
+    assert pkt["icmpv6.nd.ns.target_address"] == "2001:db8:0:0:0:0:0:42"
+
+
+def test_batch8_protocols_resolve_in_glossary():
+    from wireduck_spark.sources.glossary import (
+        BUILTIN_FIELDS, BUILTIN_PROTOCOLS)
+
+    protos = {p.filter_name for p in BUILTIN_PROTOCOLS}
+    for name in ("coap", "memcache", "nats"):
+        assert name in protos, name
+    declared = {f.filter_name for f in BUILTIN_FIELDS}
+    for f in ("coap.type", "coap.code", "coap.mid", "memcache.command",
+              "nats.command", "icmpv6.nd.ns.target_address",
+              "icmpv6.nd.na.target_address"):
+        assert f in declared, f

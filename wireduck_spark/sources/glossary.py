@@ -153,6 +153,10 @@ BUILTIN_PROTOCOLS = [
     GlossaryProtocol("Git Smart Protocol", "GIT", "git"),
     GlossaryProtocol("Internet Relay Chat", "IRC", "irc"),
     GlossaryProtocol("TACACS+", "TACACS+", "tacplus"),
+    # r14 breadth batch 8
+    GlossaryProtocol("Constrained Application Protocol", "CoAP", "coap"),
+    GlossaryProtocol("Memcache Protocol", "MEMCACHE", "memcache"),
+    GlossaryProtocol("NATS Messaging Protocol", "NATS", "nats"),
     GlossaryProtocol("Wireshark columns", "Columns", "_ws.col"),
 ]
 
@@ -457,6 +461,19 @@ BUILTIN_FIELDS = [
     # tacacs+ (version-nibble + exact-length gated on 49)
     _F("Type", "tacplus.type", "FT_UINT8", "tacplus"),
     _F("Session ID", "tacplus.session_id", "FT_UINT32", "tacplus"),
+    # coap (version-bits gated on 5683)
+    _F("Type", "coap.type", "FT_UINT8", "coap"),
+    _F("Code", "coap.code", "FT_UINT8", "coap"),
+    _F("Message ID", "coap.mid", "FT_UINT16", "coap"),
+    # memcache / nats (text-command gated; nats.command is this
+    # engine's name — tshark has no NATS dissector)
+    _F("Command", "memcache.command", "FT_STRING", "memcache"),
+    _F("Command", "nats.command", "FT_STRING", "nats"),
+    # icmpv6 NDP targets (the IPv6 ARP-spoofing analytic surface)
+    _F("Target Address", "icmpv6.nd.ns.target_address", "FT_IPv6",
+       "icmpv6"),
+    _F("Target Address", "icmpv6.nd.na.target_address", "FT_IPv6",
+       "icmpv6"),
     # _ws.col (unknown-protocol fields sort last in FetchSelectedFields)
     _F("Information", "_ws.col.info", "FT_STRING", "_ws.col"),
 ]
@@ -528,11 +545,12 @@ def _run_tshark_g(what: str) -> str:
 
 # Bump when BUILTIN_* content changes: the glossary parquet cache is keyed
 # by version so an old cache can't mask newly added builtin fields.
-GLOSSARY_VERSION = 21  # v16: r14 breadth batches — sip/snmp/syslog/
+GLOSSARY_VERSION = 22  # v16: r14 breadth batches — sip/snmp/syslog/
 # tftp/igmp/sctp/pop/imap/mdns/llmnr, then smb/smb2/mbtcp/modbus/mqtt/
 # tpkt/x224/radius/ospf/wg, then bgp/rtsp/ldap/telnet + DNS-over-TCP,
 # then http2/mysql/pgsql/redis/amqp, then dtls/gtp/kerberos/nbns/rip + stun/isakmp/ssdp,
-# then pptp/dnp3/bvlc/l2tp/git/irc/tacplus
+# then pptp/dnp3/bvlc/l2tp/git/irc/tacplus,
+# then coap/memcache/nats + icmpv6 NDP targets
 
 
 def cache_dir() -> str:

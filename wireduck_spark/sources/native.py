@@ -450,7 +450,11 @@ def _dissect_l4(
             f" Len={payload_len}"
         )
         if payload:
-            if _dissect_http(payload, fields):
+            if 4222 in (sport, dport) and _dissect_nats(payload, fields):
+                # NATS before generic HTTP: its CONNECT {json} line
+                # collides with the HTTP CONNECT method on 4222
+                protos.append("nats")
+            elif _dissect_http(payload, fields):
                 protos.append("http")
             elif _dissect_tls(payload, fields):
                 protos.append("tls")
@@ -521,6 +525,10 @@ def _dissect_l4(
             elif 49 in (sport, dport) and _dissect_tacplus(
                     payload, fields):
                 protos.append("tacplus")
+            elif 11211 in (sport, dport) and _dissect_memcache(
+                    payload, fields):
+                protos.append("memcache")
+
             elif _dissect_http2(payload, fields):
                 protos.append("http2")
             elif 53 in (sport, dport) and len(payload) >= 14:
@@ -640,6 +648,12 @@ def _dissect_l4(
         elif 47808 in (sport, dport):
             if _dissect_bacnet(payload, fields):
                 protos.append("bvlc")
+        elif 5683 in (sport, dport):
+            if _dissect_coap(payload, fields):
+                protos.append("coap")
+        elif 11211 in (sport, dport):
+            if _dissect_memcache(payload, fields):
+                protos.append("memcache")
         elif 20000 in (sport, dport):
             if _dissect_dnp3(payload, fields):
                 protos.append("dnp3")
@@ -668,6 +682,12 @@ def _dissect_l4(
         fields["icmpv6.type"] = data[off]
         fields["icmpv6.code"] = data[off + 1]
         fields["icmpv6.checksum"] = struct.unpack(">H", data[off + 2:off + 4])[0]
+        # NDP neighbor solicitation/advertisement target (RFC 4861) —
+        # the IPv6 twin of the ARP-spoofing analytic surface.
+        if data[off] in (135, 136) and len(data) >= off + 24:
+            fields["icmpv6.nd.ns.target_address" if data[off] == 135
+                   else "icmpv6.nd.na.target_address"] = _ipv6(
+                data[off + 8:off + 24])
     elif proto == 89 and _dissect_ospf(data, off, fields):  # OSPFv2
         protos.append("ospf")
     elif proto == 2 and len(data) >= off + 8:  # IGMP (RFC 2236/3376)
@@ -1522,6 +1542,68 @@ def _dissect_amqp(payload: bytes, fields: dict) -> bool:
 
 _STUN_TYPES = {0x0001: "Binding Request", 0x0101: "Binding Success",
                0x0111: "Binding Error", 0x0011: "Binding Indication"}
+
+
+_COAP_CODE_NAMES = {1: "GET", 2: "POST", 3: "PUT", 4: "DELETE"}
+
+
+def _dissect_coap(payload: bytes, fields: dict) -> bool:
+    """CoAP on 5683 (RFC 7252): version-1 bits + coherent token length
+    (tshark coap.type / coap.code / coap.mid) — constrained-device IoT
+    telemetry, the UDP twin of MQTT."""
+    if len(payload) < 4 or (payload[0] >> 6) != 1:
+        return False
+    tkl = payload[0] & 0x0F
+    if tkl > 8 or len(payload) < 4 + tkl:
+        return False
+    fields["coap.type"] = (payload[0] >> 4) & 0x03
+    fields["coap.code"] = payload[1]
+    fields["coap.mid"] = int.from_bytes(payload[2:4], "big")
+    cls, detail = payload[1] >> 5, payload[1] & 0x1F
+    kind = _COAP_CODE_NAMES.get(payload[1], f"{cls}.{detail:02d}")
+    fields["_ws.col.info"] = f"CoAP {kind} MID={fields['coap.mid']}"
+    return True
+
+
+_MEMCACHE_COMMANDS = ("get ", "gets ", "set ", "add ", "replace ",
+                      "append ", "prepend ", "cas ", "delete ", "incr ",
+                      "decr ", "touch ", "stats", "flush_all", "version")
+
+
+def _dissect_memcache(payload: bytes, fields: dict) -> bool:
+    """Memcached text protocol on 11211 (tshark memcache.command) —
+    cache-tier inventory; an internet-exposed memcached is both a data
+    leak and a DDoS reflector, which is why the audit looks."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    low = line.lower()
+    if not (low.startswith(_MEMCACHE_COMMANDS) or low in
+            ("stats", "version", "flush_all")):
+        return False
+    fields["memcache.command"] = low.split(" ", 1)[0]
+    fields["_ws.col.info"] = f"Memcache {line[:80]}"
+    return True
+
+
+def _dissect_nats(payload: bytes, fields: dict) -> bool:
+    """NATS on 4222: the INFO/CONNECT JSON handshake and the
+    PUB/SUB/MSG/PING/PONG verbs (nats.command — this engine's scalar;
+    tshark has no NATS dissector, field name namespaced accordingly) —
+    cloud-native messaging inventory."""
+    line = _line_protocol(payload)
+    if line is None:
+        return False
+    verb = line.split(" ", 1)[0].upper()
+    if verb in ("INFO", "CONNECT"):
+        if "{" not in line:
+            return False
+    elif verb not in ("PUB", "SUB", "UNSUB", "MSG", "PING", "PONG",
+                      "+OK", "-ERR"):
+        return False
+    fields["nats.command"] = verb
+    fields["_ws.col.info"] = f"NATS {line[:80]}"
+    return True
 
 
 def _dissect_pptp(payload: bytes, fields: dict) -> bool:
