@@ -73,15 +73,23 @@ DUCK_SHINGLES = """
 # requires at least one alphanumeric token.
 
 
-def _spark_shingles(d: DataFrame) -> DataFrame:
-    """doc_id, source, sh: distinct word-3-gram shingles (same
+def _spark_shingles(d: DataFrame, with_size: bool = False) -> DataFrame:
+    """doc_id, source [, n_sh], sh: distinct word-3-gram shingles (same
     construction as DUCK_SHINGLES).
 
     `toks` is materialized as a column BEFORE the transform lambda — an
     expression inside the lambda body would re-run the regex tokenizer per
     shingle element (~70x per doc), which measured 20x slower.
+
+    ``with_size=True`` additionally emits ``n_sh`` = the doc's distinct
+    shingle count, computed on the pre-explode array (r14 optimization,
+    guide §2.4): consumers that need per-doc shingle totals (containment
+    denominators) previously re-evaluated this whole pipeline through a
+    separate COUNT aggregate plus a join — one extra corpus tokenize pass
+    and two extra Exchanges — when the value is a `size()` away at
+    explode time. n_sh == COUNT(*) of the exploded rows by construction.
     """
-    return (
+    shs = (
         d.withColumn(
             "toks", F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         )
@@ -90,21 +98,27 @@ def _spark_shingles(d: DataFrame) -> DataFrame:
         # concrete '' shingle and pair every degenerate doc; size(NULL)
         # is -1, so NULL text is excluded here too)
         .filter(F.expr("size(toks) >= 1"))
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "CASE WHEN size(toks) >= 3 THEN"
-                        " transform(sequence(1, size(toks) - 2),"
-                        " i -> concat(element_at(toks, i), ' ',"
-                        " element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
-                        " ELSE array(array_join(toks, ' ')) END"
-                    )
+        .withColumn(
+            "shs",
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+                    " ELSE array(array_join(toks, ' ')) END"
                 )
-            ).alias("sh"),
+            ),
         )
+    )
+    extra = (
+        [F.size("shs").cast("bigint").alias("n_sh")] if with_size else []
+    )
+    return shs.select(
+        "doc_id",
+        "source",
+        *extra,
+        F.explode("shs").alias("sh"),
     )
 
 
@@ -773,6 +787,17 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     compare runs integer-only (common*10 >= n_sh*6) and the reported
     ratio divides two exact integers with one terminal round (registry
     rules 1-2).
+
+    r14 OPTIMIZATION (guide §2.3/§2.4): the denominator |grams(A)| is
+    carried as an n_sh column computed on the pre-explode shingle array
+    (identical to the old COUNT(*) per doc by construction), so the
+    separate `sizes` aggregate and its join are gone — that branch
+    re-tokenized the whole corpus a second time (the self-join's two
+    sides share ONE exchange via reuse; `sizes` could not). Both join
+    sides keep identical projections so the self-join exchange reuse
+    still fires; the per-group n_sh is recovered with MAX (constant
+    within a (doc_sub, doc_super) group). Plan: 3 corpus tokenize
+    subtrees -> 2 (1 at runtime after exchange reuse), 8 Exchanges -> 6.
     """
     d = table(spark, sf, "documents", spread=True)
     aug = d.select("doc_id", "source", "text").unionAll(
@@ -783,8 +808,7 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
             F.substring("text", 1, 200).alias("text"),
         )
     )
-    sh = _spark_shingles(aug)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = _spark_shingles(aug, with_size=True)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -798,17 +822,18 @@ def dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_sub"),
             F.col("b.doc_id").alias("doc_super"),
         )
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.max(F.col("a.n_sh")).alias("n_sh"),
+        )
     )
-    ss = sizes.alias("ss")
     return (
-        pairs.join(ss, F.col("doc_sub") == F.col("ss.doc_id"))
-        .filter(F.col("common") * 10 >= F.col("ss.n_sh") * 6)
+        pairs.filter(F.col("common") * 10 >= F.col("n_sh") * 6)
         .select(
             "doc_sub",
             "doc_super",
             F.round(
-                F.col("common") * F.lit(1.0) / F.col("ss.n_sh"), 4
+                F.col("common") * F.lit(1.0) / F.col("n_sh"), 4
             ).alias("containment"),
         )
     )
@@ -1260,42 +1285,53 @@ _SIMHASH16_DUCK = f"""
 """
 
 
-def _simhash16_spark(d: DataFrame) -> DataFrame:
-    """doc_id -> 16-bit SimHash fingerprint (the dedup_simhash pipeline,
-    factored for reuse by the keep-best canonical selection)."""
-    tokens = d.select(
-        "doc_id",
-        F.explode(
+def _simhash16_spark(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """doc_id [, *carry] -> 16-bit SimHash fingerprint (the dedup_simhash
+    pipeline, factored for reuse by the keep-best canonical selection).
+
+    r14 OPTIMIZATION (guide §2.3/§2.4 — aggregate before you shuffle,
+    then remove the shuffle outright): the fingerprint is a per-doc fold,
+    so it is computed entirely inside ONE narrow map stage with array
+    higher-order functions — the same zero-shuffle design as
+    _spark_minhash_sig. The previous shape exploded every distinct token,
+    multiplied the stream 16x against a broadcast bit table, and paid TWO
+    keyed shuffles ((doc_id, b) votes, then doc_id repack) — a 16x-token
+    shuffle volume for a value each doc can compute locally. Bit votes
+    are exact integer sums (order-free), so the fold is bit-identical to
+    the explode/groupBy formulation and to _SIMHASH16_DUCK; measured
+    ~1.9x on dedup_simhash and it removes 2 Exchanges from every
+    consumer. `carry` threads payload columns (e.g. n_chars) through so
+    consumers don't need a join back to the source table.
+
+    Docs with no [a-z0-9] token are excluded (the explode dropped them
+    implicitly; the oracle's unnest does the same)."""
+    h60 = SPARK_H60.format(s="t")
+    fold = (
+        "aggregate("
+        f" transform(toks, t -> CAST(({h60}) % 65536 AS BIGINT)),"
+        " array_repeat(0L, 16),"
+        " (acc, h) -> transform(sequence(0, 15),"
+        "  b -> element_at(acc, b + 1)"
+        "     + (CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END)),"
+        " acc -> aggregate(sequence(0, 15), 0L,"
+        "  (s, b) -> s + (CASE WHEN element_at(acc, b + 1) > 0"
+        "            THEN CAST(shiftleft(1L, b) AS BIGINT) ELSE 0L END)))"
+    )
+    return (
+        d.withColumn(
+            "toks",
             F.array_distinct(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
-            )
-        ).alias("tok"),
-    )
-    hashed = tokens.select(
-        "doc_id", (F.expr(SPARK_H60.format(s="tok")) % 65536).alias("h")
-    )
-    spark = d.sparkSession
-    votes = (
-        hashed.join(F.broadcast(spark.range(0, 16).select(F.col("id").alias("b"))))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN shiftright(h, CAST(b AS INT)) % 2 = 1"
-                    " THEN 1 ELSE -1 END"
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
                 )
-            ).alias("vote")
+            ),
         )
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN vote > 0"
-                " THEN CAST(shiftleft(1L, CAST(b AS INT)) AS BIGINT) ELSE 0 END"
-            )
+        .filter(F.expr("size(toks) >= 1"))
+        .select(
+            "doc_id",
+            *carry,
+            F.expr(fold).cast("bigint").alias("simhash16"),
         )
-        .cast("bigint")
-        .alias("simhash16")
     )
 
 
@@ -1337,17 +1373,20 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: fingerprints are exact integers (portable 60-bit md5
     hash), struct min is a total order, all outputs are exact BIGINTs.
 
-    Scale: token explode + two fingerprint aggregates (the simhash
-    cost, O(tokens)), then ONE fingerprint-keyed combinable aggregate —
-    the same shuffle profile as exact hash dedup; payload text never
-    moves, only (doc_id, fingerprint, n_chars).
+    Scale (r14 optimization, guide §2.4): the fingerprint fold runs in
+    ONE narrow map (zero-shuffle _simhash16_spark) with n_chars carried
+    through, so the whole query is that map plus ONE fingerprint-keyed
+    combinable aggregate — the same shuffle profile as exact hash dedup;
+    payload text never moves, only (doc_id, fingerprint, n_chars). The
+    previous shape recomputed the fingerprint pipeline's source scan and
+    shuffled a doc_id self-join just to re-attach n_chars (plan: 5
+    Exchanges -> 1, 2 scans -> 1).
     """
     d = table(spark, sf, "documents", spread=True)
-    fp = _simhash16_spark(d)
+    fp = _simhash16_spark(d, carry=("n_chars",))
     best = F.min(F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b")))
     return (
-        fp.join(d.select("doc_id", "n_chars"), "doc_id")
-        .groupBy(F.col("simhash16").alias("cluster_key"))
+        fp.groupBy(F.col("simhash16").alias("cluster_key"))
         .agg(
             F.count("*").cast("bigint").alias("cluster_size"),
             best.getField("b").alias("keep_id"),

@@ -230,12 +230,26 @@ def pipeline_training_mix(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.25))
         .select("doc_id", "source", "text", "n_tokens")
     )
-    keep = filtered.groupBy(
-        F.md5(F.col("text").cast("binary")).alias("h")
-    ).agg(F.min("doc_id").alias("keep_id"))
-    deduped = filtered.join(
-        keep, filtered.doc_id == keep.keep_id
-    ).select("doc_id", "source", "n_tokens")
+    # r14 OPTIMIZATION (guide §2.4 — remove shuffles outright): exact
+    # dedup as ONE hash-keyed window (keep the min doc_id per md5 group)
+    # instead of groupBy+self-join. The join shape evaluated `filtered`
+    # twice (the quality regexes ran over the corpus once per side; AQE
+    # could not reuse the exchanges because the two sides shuffle on
+    # different keys) and paid three Exchanges (h-agg, doc_id, keep_id).
+    # A row survives iff its doc_id is its md5 group's min — identical
+    # to the join on keep_id (doc_id is globally unique, so it can only
+    # match its own group's min). Projected to 4 slim columns before the
+    # window so the exchange never carries text.
+    w_dedup = Window.partitionBy("h")
+    deduped = (
+        filtered.select(
+            "doc_id", "source", "n_tokens",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+        )
+        .withColumn("keep_id", F.min("doc_id").over(w_dedup))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "n_tokens")
+    )
     rate = 10 + 4 * (F.substring("source", 4, 10).cast("long") % 10)
     hh = (
         F.expr(_SPARK_H60.format(s="concat(source, ':', CAST(doc_id AS STRING))"))

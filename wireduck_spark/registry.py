@@ -212,11 +212,14 @@ GATE: tuple[str, ...] = (
     "window_rolling_regression",
     "window_running_distinct",
     # -- the 11 names the r13 rotation queued for round 14 (round-4/5
-    #    cohort tail; last driver rows CORRECTNESS_r05):
+    #    cohort tail; last driver rows CORRECTNESS_r05). The r14
+    #    OPTIMIZATION phase displaced tpch_q12/q13/q15 (and later more of
+    #    this block) back to the round-15 freshness queue: the
+    #    changed-impl rule gives optimization rewrites (below) GATE
+    #    precedence over stale-green re-checks, and every displaced name
+    #    still passes tools/check_oracle.py at sf0.01 AND sf0.1 this
+    #    round (digest-unchanged since the r13 judge's 312/312 sweep).
     "tpch_q8",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
     "tpch_q16",
     "tpch_q17",
     "tpch_q19",
@@ -235,6 +238,13 @@ GATE: tuple[str, ...] = (
     "text_contamination_ngram",
     "pipeline_eval_holdout",
     "sim_ann_pq_rerank",
+    # -- r14 OPTIMIZATION-phase rewrites (results bit-identical, plans
+    #    restructured; each verified hash-exact at sf0.001/0.01/0.1 via
+    #    tools/check_oracle.py before taking its slot — see
+    #    OPTIMIZATION_r14.md for the before/after evidence):
+    "dedup_keep_best",          # zero-shuffle simhash fold, join removed
+    "dedup_ngram_containment",  # n_sh carried pre-explode, sizes branch gone
+    "pipeline_training_mix",    # exact dedup via window, self-join gone
 )
 
 ROTATED_OUT: tuple[str, ...] = (
@@ -242,13 +252,18 @@ ROTATED_OUT: tuple[str, ...] = (
     #    clean rows-only (dedup_semantic_kmeans_scaled) rows in
     #    CORRECTNESS_r13.json; the 11 r13-gated names whose impls
     #    changed again in r14 keep their GATE slots instead:
+    # -- r14 optimization-phase displacements (digest-unchanged,
+    #    check_oracle-green at sf0.01+sf0.1; front of the round-15
+    #    freshness queue):
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
     "agg_histogram_equiwidth",
     "agg_mode_deterministic",
     "dedup_cluster_components",
     "dedup_minhash_calibration",
     "dedup_minhash_decontaminate",
     "dedup_minhash_lsh",
-    "dedup_ngram_containment",
     "dedup_ngram_jaccard",
     "dedup_semantic_kmeans_scaled",
     "embed_quantize_int8",
@@ -451,7 +466,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "agg_trimmed_mean",
     "text_js_divergence_sources",
     "text_tokenizer_fertility",
-    "dedup_keep_best",
     "pipeline_rag_eval_mrr_ivf",
     "embed_matryoshka_eval",
     "pipeline_rag_eval_ndcg",
@@ -561,7 +575,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "join_asof_nearest",
     "join_null_safe",
     "mm_asset_dedup",
-    "pipeline_training_mix",
     "sampling_stratified_source",
     "shuffle_deterministic_shards",
     "sketch_countmin_heavy_hitters",
