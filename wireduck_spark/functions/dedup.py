@@ -348,21 +348,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str,
     theirs through so an executor loss during the LSH stage replays from
     storage (round-9 ADVICE: the unconditional localCheckpoint here was
     the one non-restartable seam left in the cluster-components path).
+
+    r14 OPTIMIZATION (guide §2.3 "shuffle keys and metadata instead of
+    payloads" — inverted deliberately for a SMALL payload): the 8-int
+    signature rides the band rows as an array column, so the pair's
+    match count is computed IN the band-join output and the two
+    signature re-joins (and the persist that fed them) are gone. The
+    trade vs the r12-style rejoin: band shuffle rows widen by 64 bytes
+    x4 rows/doc, but the sig table no longer shuffles twice more, the
+    candidate set no longer shuffles twice (once per rejoin key), and
+    two join stages disappear — at 64 B/signature the carried copy is
+    cheaper than re-attaching it (unlike the KB-scale embedding
+    payloads of dedup_embedding_cosine, where the signature-only r13
+    shuffle is the right direction). Measured 1.44x warm at sf0.1 on
+    the decontaminate twin; plan loses 2 joins + the InMemoryTableScan.
     """
     d = table(spark, sf, "documents", spread=True)
-    # Signatures are the materialization point of minhash dedup (8 ints
-    # per doc regardless of corpus size): persist so the bands/sa/sb
-    # branches read the computed rows instead of re-running the pipeline,
-    # then checkpoint the result and unpersist (round-8 VERDICT #4 — a
-    # bare .cache() pins executor storage for the life of a ~300-query
-    # session). (A 100-TB pipeline persists signatures to a table here —
-    # same idea, durable. Cold-run wall time for this query is dominated
-    # by one-time whole-stage-codegen compilation of the nested lambdas,
-    # not by data.)
-    sig = _spark_minhash_sig(d).persist()
-    # all 4 band signatures in ONE pass over sig (posexplode), not 4 unions
+    sig = _spark_minhash_sig(d)
+    # all 4 band signatures in ONE pass over sig (posexplode), not 4
+    # unions; mhs carries the signature for the in-join match count
     bands = sig.select(
         "doc_id",
+        F.array(*[F.col(f"mh{j}") for j in range(8)]).alias("mhs"),
         F.posexplode(
             F.array(
                 *[
@@ -374,36 +381,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str,
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    candidates = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            # exact integer match count of the two 8-slot signatures
+            F.expr(
+                "size(filter(zip_with(a.mhs, b.mhs, (x, y) -> x = y),"
+                " m -> m))"
+            ).alias("matches"),
+        )
         .distinct()
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
-        for j in range(8)
+    return _lineage_checkpoint(
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("matches") / F.lit(8.0), 4).alias("est_jaccard"),
+        ),
+        checkpoint_dir,
     )
-    try:
-        out = _lineage_checkpoint(
-            candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(matches / F.lit(8.0), 4).alias("est_jaccard"),
-            ),
-            checkpoint_dir,
-        )
-    finally:
-        sig.unpersist()
-    return out
 
 
 @query(
@@ -1001,18 +1004,25 @@ def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     by (band, sig); the match filter is on integer match counts — no
     float threshold ambiguity cross-engine. At 100 TB the train-side
     signature table persists once and every new eval set probes it.
+
+    r14 OPTIMIZATION (guide §2.3/§2.4, the dedup_minhash_lsh carry
+    rationale): the 8-int signature rides the band rows as an array
+    column and the match count is computed in the band-join output —
+    the two signature re-joins, the candidate double-shuffle they
+    caused, and the persist that fed them are gone (64 B of carried
+    signature per band row beats re-attaching it by key; the opposite
+    call from the KB-scale embedding payloads). Measured 1.44x warm at
+    sf0.1; plan loses 2 joins + the InMemoryTableScan.
     """
     d = table(spark, sf, "documents", spread=True)
-    # persist -> checkpoint(final) -> unpersist hygiene (round-8 VERDICT
-    # #4): the signature table is read by the band split and both sides
-    # of the verify join, but must not pin executor storage after return.
     sig = _spark_minhash_sig(d).withColumn(
         "split",
         F.when(F.expr(_SPLIT_BUCKET_SPARK) == 0, "val").otherwise("train"),
-    ).persist()
+    )
     bands = sig.select(
         "doc_id",
         "split",
+        F.array(*[F.col(f"mh{j}") for j in range(8)]).alias("mhs"),
         F.posexplode(
             F.array(
                 *[
@@ -1024,7 +1034,7 @@ def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     )
     v = bands.filter(F.col("split") == "val").alias("v")
     t = bands.filter(F.col("split") == "train").alias("t")
-    candidates = (
+    pairs = (
         v.join(
             t,
             (F.col("v.band") == F.col("t.band"))
@@ -1033,32 +1043,23 @@ def dedup_minhash_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("v.doc_id").alias("val_doc"),
             F.col("t.doc_id").alias("train_doc"),
+            F.expr(
+                "size(filter(zip_with(v.mhs, t.mhs, (x, y) -> x = y),"
+                " m -> m))"
+            ).alias("matches"),
         )
         .distinct()
     )
-    sv = sig.alias("sv")
-    st = sig.alias("st")
-    matches = sum(
-        F.when(F.col(f"sv.mh{j}") == F.col(f"st.mh{j}"), 1).otherwise(0)
-        for j in range(8)
-    )
-    try:
-        out = _lineage_checkpoint(
-            candidates.join(sv, F.col("val_doc") == F.col("sv.doc_id"))
-            .join(st, F.col("train_doc") == F.col("st.doc_id"))
-            .select("val_doc", "train_doc", matches.alias("matches"))
-            .filter(F.col("matches") >= 4)
-            .groupBy("val_doc")
-            .agg(
-                F.count("*").cast("bigint").alias("n_train_matches"),
-                F.round(F.max("matches") / F.lit(8.0), 4)
-                .alias("best_est_jaccard"),
-            )
-            .orderBy("val_doc")
+    return _lineage_checkpoint(
+        pairs.filter(F.col("matches") >= 4)
+        .groupBy("val_doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train_matches"),
+            F.round(F.max("matches") / F.lit(8.0), 4)
+            .alias("best_est_jaccard"),
         )
-    finally:
-        sig.unpersist()
-    return out
+        .orderBy("val_doc")
+    )
 
 
 @query(
@@ -1498,10 +1499,17 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     in one narrow map and runs band-keyed equi-joins whose left side is
     the delta only. The verify join touches candidate pairs, not the
     corpus. State grows O(docs), per-batch work O(delta).
+
+    r14 OPTIMIZATION (guide §2.3/§2.4, the dedup_minhash_lsh carry
+    rationale): the 8-int signature rides the band rows as an array
+    column and the match count is computed in the band-join output —
+    the two signature re-joins and the candidate double-shuffle are
+    gone. The persist stays: sig still has two consumers (the band
+    split and the admit-list left-join probe).
     """
     d = table(spark, sf, "documents", spread=True)
     # persist -> checkpoint(final) -> unpersist hygiene (round-8 VERDICT
-    # #4): shared by the band split and both verify-join sides, released
+    # #4): shared by the band split and the admit-list probe, released
     # before return instead of pinning executor storage all session.
     sig = _spark_minhash_sig(d).withColumn(
         "is_new", F.expr(_SPLIT_BUCKET_SPARK) >= 8
@@ -1509,6 +1517,7 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     bands = sig.select(
         "doc_id",
         "is_new",
+        F.array(*[F.col(f"mh{j}") for j in range(8)]).alias("mhs"),
         F.posexplode(
             F.array(
                 *[
@@ -1520,7 +1529,7 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
     nb = bands.filter(F.col("is_new")).alias("n")
     cb = bands.filter(~F.col("is_new")).alias("c")
-    candidates = (
+    m = (
         nb.join(
             cb,
             (F.col("n.band") == F.col("c.band"))
@@ -1529,19 +1538,12 @@ def pipeline_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("n.doc_id").alias("new_doc"),
             F.col("c.doc_id").alias("corpus_doc"),
+            F.expr(
+                "size(filter(zip_with(n.mhs, c.mhs, (x, y) -> x = y),"
+                " m -> m))"
+            ).cast("bigint").alias("m"),
         )
         .distinct()
-    )
-    sn = sig.alias("sn")
-    sc = sig.alias("sc")
-    mcol = sum(
-        F.when(F.col(f"sn.mh{j}") == F.col(f"sc.mh{j}"), 1).otherwise(0)
-        for j in range(8)
-    )
-    m = (
-        candidates.join(sn, F.col("new_doc") == F.col("sn.doc_id"))
-        .join(sc, F.col("corpus_doc") == F.col("sc.doc_id"))
-        .select("new_doc", "corpus_doc", mcol.cast("bigint").alias("m"))
         .filter(F.col("m") >= 4)
     )
     best = F.min(F.struct((-F.col("m")).alias("a"),

@@ -777,26 +777,49 @@ def pipeline_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
 
     lexr = rank_limited(lex50, "bm25", "doc_id", "rl")
     e = table(spark, sf, "embeddings")
-    ex = e.select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("dim0", "x"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("dim0") + 1).alias("dim"),
-        F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
-        .alias("q"),
-    )
+    # r14 OPTIMIZATION (guide §2.3/§4.1): only the label-0 slice explodes
+    # to per-dimension rows (to aggregate the query centroid); the
+    # CORPUS-wide posexplode -> broadcast-join -> re-group (a dims-x row
+    # blowup through a partial aggregate for a value each row can fold
+    # locally) is replaced by one in-row integer dot against the
+    # broadcast dim-width query vector. The fold reproduces the old
+    # explode+inner-join+SUM semantics exactly: NULL/empty vectors emit
+    # no dots row, ragged dims contribute only the common prefix (the
+    # inner join on dim), NULL elements are skipped by SUM, and an
+    # all-NULL product list yields a NULL dot.
     qv = (
-        ex.filter(F.col("label") == 0)
-        .groupBy("dim")
-        .agg(F.expr("sum(q) div count(*)").cast("bigint").alias("v"))
+        e.filter(F.col("label") == 0)
+        .select(F.posexplode(F.col("embedding")).alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(
+            F.expr(
+                "sum(CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+                " div count(*)"
+            ).cast("bigint").alias("v")
+        )
+    )
+    qvarr = qv.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(dim0, v)))").alias("qs")
+    ).select(F.expr("transform(qs, s -> s.v)").alias("qvec"))
+    terms = (
+        "transform(sequence(1, least(size(embedding), size(qvec))),"
+        " i -> CAST(round(CAST(element_at(embedding, i) AS DOUBLE)"
+        " * 1000000, 0) AS BIGINT) * element_at(qvec, i))"
     )
     dots = (
-        ex.join(F.broadcast(qv), "dim")
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("q") * F.col("v")).cast("bigint").alias("dot"))
+        e.select("vec_id", "embedding")
+        .filter(F.expr("embedding IS NOT NULL AND size(embedding) >= 1"))
+        .join(F.broadcast(qvarr))
+        .filter(F.expr("size(qvec) >= 1"))
+        .select(
+            "vec_id",
+            F.expr(
+                f"CASE WHEN size(filter({terms}, t -> t IS NOT NULL)) = 0"
+                f" THEN CAST(NULL AS BIGINT)"
+                f" ELSE aggregate(filter({terms}, t -> t IS NOT NULL),"
+                f" 0L, (acc, t) -> acc + t) END"
+            ).cast("bigint").alias("dot"),
+        )
     )
     sem50 = dots.orderBy(F.col("dot").desc(), "vec_id").limit(50)
     semr = rank_limited(sem50, "dot", "vec_id", "rs")

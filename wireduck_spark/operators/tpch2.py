@@ -612,40 +612,54 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: the EXISTS / NOT EXISTS pair is algebraized into ONE
     per-order aggregate — n_supp = distinct suppliers, n_rsupp =
-    distinct suppliers with a returned line — so lineitem is scanned
-    twice total (probe side + aggregate) instead of three times, and
-    both correlations become a single joined lookup keyed on orderkey.
-    EXISTS(other supplier) <=> n_supp >= 2; NOT EXISTS(other returned
-    supplier) given l1 returned <=> n_rsupp = 1. The distinct counts are
-    computed as a two-level aggregate (orderkey,suppkey) -> orderkey
-    rather than countDistinct, avoiding the Expand duplication
-    countDistinct plans (one shuffle per level, both map-combinable).
+    distinct suppliers with a returned line — so both correlations
+    become integer filters on aggregate columns. EXISTS(other supplier)
+    <=> n_supp >= 2; NOT EXISTS(other returned supplier) given l1
+    returned <=> n_rsupp = 1. The distinct counts are computed as a
+    two-level aggregate (orderkey,suppkey) -> orderkey rather than
+    countDistinct, avoiding the Expand duplication countDistinct plans
+    (one shuffle per level, both map-combinable).
+
+    r14 OPTIMIZATION (guide §2.3/§2.4): lineitem is scanned ONCE. The
+    old shape scanned it twice — the aggregate plus an R-filtered probe
+    side that re-joined the aggregate on orderkey just to count the
+    sole returned supplier's R lines. Those R-line counts now ride the
+    per-(orderkey,suppkey) aggregate (n_r = COUNT of R rows in the
+    group; n_rsupp = how many groups have n_r > 0), and the sole
+    returned supplier is recovered per order with max-when — exact,
+    because the n_rsupp = 1 filter guarantees exactly one group with
+    n_r > 0. numwait = SUM of that supplier's n_r == the old probe
+    side's COUNT(*) (orders/supplier are unique join keys, so the old
+    joins never multiplied rows). Plan: 2 lineitem scans -> 1, and the
+    corpus-wide R-row probe stream through three joins collapses to
+    per-order aggregate rows joining slim dims.
     """
     li = table(spark, sf, "lineitem")
     per_order = (
         li.groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_r")
         )
-        .groupBy(F.col("l_orderkey").alias("agg_okey"))
+        .groupBy("l_orderkey")
         .agg(
             F.count("*").alias("n_supp"),
-            F.sum("has_r").alias("n_rsupp"),
+            F.sum((F.col("n_r") > 0).cast("int")).alias("n_rsupp"),
+            F.max(F.when(F.col("n_r") > 0, F.col("l_suppkey")))
+            .alias("r_suppkey"),
+            F.max(F.when(F.col("n_r") > 0, F.col("n_r"))).alias("r_lines"),
         )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
     )
     n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_1")
     s = table(spark, sf, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
-        .join(o, l1.l_orderkey == o.o_orderkey)
-        .join(per_order, l1.l_orderkey == F.col("agg_okey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_rsupp") == 1))
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("r_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("r_lines").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
