@@ -631,15 +631,16 @@ def table(spark: SparkSession, sf_dir: str, name: str,
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark._wireduck_confs_set = True
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if spread:
-        df = spread_small_scan(df)
+        df = spread_small_scan(df, cache_key=path)
     return df
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+def spread_small_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Repartition an under-parallelized scan up to default parallelism.
 
     Small single-file parquet inputs plan as ONE input split, which pins
@@ -649,13 +650,33 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     count already exceeds parallelism and this is a no-op; the check is on
     the *planned* scan partitions, so no data is read to decide.
 
+    ``df.rdd.getNumPartitions()`` is plan-time only but costs a full
+    Catalyst conversion + py4j round-trip (~40-70 ms measured); queries
+    call table(spread=True) for the same parquet path many times per
+    session, so the PLANNED partition count is memoized per
+    (session, path) when ``cache_key`` is given — it is a pure function
+    of the file listing and the session's split confs, both fixed within
+    a session. Only the plan metadata is cached, never data or results.
+
     The round-robin shuffle this inserts moves only the small table itself
     (the whole point is that the table is small while the per-row compute
     above it is not); Spark's round-robin repartition is retry-deterministic
     (local sort before hashing), so failure replays cannot reorder results.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if cache_key is not None:
+        memo = getattr(spark, "_wireduck_scan_parts", None)
+        if memo is None:
+            memo = {}
+            spark._wireduck_scan_parts = memo
+        n_parts = memo.get(cache_key)
+        if n_parts is None:
+            n_parts = df.rdd.getNumPartitions()
+            memo[cache_key] = n_parts
+    else:
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

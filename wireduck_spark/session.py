@@ -30,6 +30,20 @@ def get_spark(app_name: str = "wireduck-spark", cpus: int | str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan the output partitioning of cached/persisted plans
+        # (off by default). Every iterative query here persists a
+        # pre-partitioned edge/signature table and then joins the small
+        # per-iteration state against it; with this off, the cached side is
+        # frozen at the static `spark.sql.shuffle.partitions` count, so at
+        # any scale the per-iteration join inherits a partition count chosen
+        # blind to the data (32 tiny cached partitions at sf0.1 — measured
+        # graph_pagerank_suppliers 4.5 s -> 3.5 s warm with AQE allowed to
+        # coalesce them; at cluster scale the same flag right-sizes the
+        # cached layout to advisoryPartitionSizeInBytes instead of a static
+        # constant — guide §2.2's "fewer, larger partitions" applied to the
+        # persisted seam). Results are partitioning-invariant.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
