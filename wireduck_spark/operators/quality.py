@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wireduck_spark.registry import cents, query, table, ts_str
@@ -452,8 +452,16 @@ def dq_distribution_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     -Infinity. Smoothing is the standard production PSI guard and
     keeps the NULL bucket as a first-class missingness-drift signal.
 
-    Scale: one scan -> two small grouped counts -> a per-dim rollup;
+    Scale: one scan -> ONE grouping-sets aggregate -> a per-dim rollup;
     nothing grows with the corpus but the first aggregate's input.
+
+    r14 optimization (guide §2.4): the two per-dim groupBys each rescanned
+    events and re-evaluated the md5 snapshot hash over every row (2 scans,
+    2 md5 passes, 2 exchanges). GROUPING SETS ((event_type), (hour_q))
+    computes both count tables in one pass — the union of the two groupBys
+    by definition; grouping_id() disambiguates a genuinely-NULL bucket
+    value from the other set's placeholder NULL, so the NULL missingness
+    bucket stays first-class. Counts are bit-identical.
     """
     e = table(spark, sf, "events")
     snap = F.when(
@@ -464,32 +472,40 @@ def dq_distribution_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.lit("cand"))
     s = e.select(
         snap.alias("snap"),
-        "event_type",
-        F.expr("CAST(hour(ts) AS BIGINT) div 6").alias("hour_bucket"),
+        F.col("event_type").cast("string").alias("bt"),
+        F.expr("CAST(hour(ts) AS BIGINT) div 6").cast("string").alias("hq"),
     )
-
-    def bucket_counts(col, dim_name):
-        return (
-            s.groupBy(F.col(col).cast("string").alias("bucket"))
-            .agg(
-                F.sum(F.when(F.col("snap") == "base", 1).otherwise(0))
-                .cast("bigint").alias("n_base"),
-                F.sum(F.when(F.col("snap") == "cand", 1).otherwise(0))
-                .cast("bigint").alias("n_cand"),
-            )
-            .select(F.lit(dim_name).alias("dim"), "bucket",
-                    "n_base", "n_cand")
+    counts = (
+        s.groupingSets([["bt"], ["hq"]], "bt", "hq")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.when(F.col("snap") == "base", 1).otherwise(0))
+            .cast("bigint").alias("n_base"),
+            F.sum(F.when(F.col("snap") == "cand", 1).otherwise(0))
+            .cast("bigint").alias("n_cand"),
         )
-
-    counts = bucket_counts("event_type", "event_type").unionAll(
-        bucket_counts("hour_bucket", "hour_q")
+        # gid bit order follows the grouping column list (bt, hq): the
+        # (bt) set leaves hq ungrouped -> gid 0b01; the (hq) set -> 0b10.
+        .select(
+            F.when(F.col("gid") == 1, F.lit("event_type"))
+            .otherwise(F.lit("hour_q")).alias("dim"),
+            F.when(F.col("gid") == 1, F.col("bt"))
+            .otherwise(F.col("hq")).alias("bucket"),
+            "n_base", "n_cand",
+        )
     )
-    tot = counts.groupBy("dim").agg(
-        F.sum("n_base").cast("bigint").alias("t_base"),
-        F.sum("n_cand").cast("bigint").alias("t_cand"),
-        F.count("*").cast("bigint").alias("nb"),
+    # Per-dim totals as window sums over the (bucket-cardinality-sized)
+    # counts table rather than a second aggregate + broadcast join: a
+    # second consumer of the counts subtree cannot share its exchange
+    # (column pruning makes the subtrees differ), so the join shape
+    # re-ran the whole scan+aggregate. One consumer -> one scan.
+    wd = Window.partitionBy("dim")
+    j = counts.select(
+        "dim", "bucket", "n_base", "n_cand",
+        F.sum("n_base").over(wd).cast("bigint").alias("t_base"),
+        F.sum("n_cand").over(wd).cast("bigint").alias("t_cand"),
+        F.count("*").over(wd).cast("bigint").alias("nb"),
     )
-    j = counts.join(F.broadcast(tot), "dim")
     p = ((F.col("n_base").cast("double") + 1)
          / (F.col("t_base") + F.col("nb")))
     q = ((F.col("n_cand").cast("double") + 1)

@@ -1232,8 +1232,18 @@ def embed_centroid_spread(spark: SparkSession, sf: str) -> DataFrame:
     truncating div is identical both engines).
 
     Scale: posexplode to (vec, dim) rows — a narrow 64x map; centroid
-    is a (label, dim)-keyed agg (10x64 rows, broadcast back); the
-    distance join shuffles only quantized ints, never floats.
+    is a (label, dim)-keyed agg (10x64 rows, collapsed to one dim-sorted
+    struct array per label and broadcast back); the per-vector distance
+    is an IN-ROW zip_with fold against the label's centroid array
+    (r14 optimization, guide §2.3/§4.1 — the pipeline_hybrid_rrf
+    pattern): the dims-x exploded stream through the broadcast join and
+    the vec_id-keyed aggregation exchange no longer exist, so nothing
+    per-vector is ever shuffled. The fold reproduces the join+SUM
+    semantics exactly: dims are dense 1..len by construction, so
+    position i pairs with centroid dim i (the join's equality); NULL
+    element products are skipped (SUM semantics) with an all-NULL
+    product list giving NULL; an empty-array vector emits no row (the
+    posexplode behavior); the integer expression tree is unchanged.
 
     r14 contract: NULL embeddings are excluded on both engines — Spark's
     posexplode skips a NULL array while the oracle's unnest(range) cross
@@ -1260,16 +1270,33 @@ def embed_centroid_spread(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("xq").cast("bigint").alias("s_d"),
         F.count("*").cast("bigint").alias("n"),
     )
-    c = cent.select(F.col("label").alias("cl"), F.col("dim").alias("cd"),
-                    "s_d", "n")
+    # one dim-sorted centroid array per label (struct sort: dim is the
+    # first field and dims are distinct within a label)
+    c = cent.groupBy("label").agg(
+        F.expr("array_sort(collect_list(struct(dim, s_d, n))) AS cs")
+    ).select(F.col("label").alias("cl"), "cs")
+    # per-dim squared residuals, positionally aligned: vector position i
+    # IS dim i (posexplode dim = pos + 1), and size(cs) >= size(embedding)
+    # for every member of the label, so the slice makes lengths equal.
+    terms = (
+        "zip_with(slice(cs, 1, size(embedding)),"
+        " transform(embedding, x ->"
+        "   CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)),"
+        " (cr, x) -> (x * cr.n - cr.s_d) * (x * cr.n - cr.s_d))"
+    )
     pervec = (
-        q.join(F.broadcast(c), (q.label == c.cl) & (q.dim == c.cd))
-        .groupBy("vec_id", "label")
-        .agg(
+        emb.filter(F.expr("size(embedding) >= 1"))
+        .join(F.broadcast(c), F.col("label") == F.col("cl"))
+        .select(
+            "vec_id", "label",
             F.expr(
-                "CAST(SUM((xq * n - s_d) * (xq * n - s_d))"
-                " div (ANY_VALUE(n) * ANY_VALUE(n)) AS BIGINT)"
-            ).alias("d2")
+                f"CASE WHEN size(filter({terms}, t -> t IS NOT NULL)) = 0"
+                f" THEN CAST(NULL AS BIGINT)"
+                f" ELSE CAST(aggregate(filter({terms}, t -> t IS NOT NULL),"
+                f" 0L, (acc, t) -> acc + t)"
+                f" div (element_at(cs, 1).n * element_at(cs, 1).n)"
+                f" AS BIGINT) END"
+            ).alias("d2"),
         )
     )
     return (

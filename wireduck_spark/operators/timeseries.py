@@ -2624,16 +2624,29 @@ def event_survival_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
     subject needs an identity; with NULLs in, Spark's countDistinct
     skips the NULL-user group the oracle's COUNT(*) counts, silently
     shifting every at_risk value).
+
+    r14 optimization (guide §2.4): the horizon scalars ride the per-user
+    aggregate instead of a second full events scan — MAX(last_ts) over
+    users IS the global MAX(ts) (every surviving event belongs to some
+    user once NULL user_ids are excluded), and COUNT(*) of user groups
+    IS COUNT(DISTINCT user_id). Both branches now hang off the one
+    user_id exchange, which AQE reuses at runtime: 2 events scans -> 1.
     """
     e = time_surface(table(spark, sf, "events")).filter(
         F.col("user_id").isNotNull())
-    horizon = e.agg(
-        F.max("ts").alias("h"),
-        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    lifetimes = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    # greatest(last, first) == last (min <= max within a group, ts
+    # non-null on the surface) — the first_ts reference exists ONLY to
+    # keep this branch's lifetimes subtree identical to per_user's
+    # (column pruning would otherwise drop first_ts here, and a pruned
+    # subtree cannot reuse the user_id exchange — that re-ran the scan).
+    horizon = lifetimes.agg(
+        F.max(F.greatest("last_ts", "first_ts")).alias("h"),
+        F.count("*").cast("bigint").alias("n_users"),
     )
     per_user = (
-        e.groupBy("user_id")
-        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        lifetimes
         .crossJoin(F.broadcast(horizon))
         .select(
             F.datediff(F.col("last_ts"), F.col("first_ts"))

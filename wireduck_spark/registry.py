@@ -236,7 +236,12 @@ GATE: tuple[str, ...] = (
     # -- r14 OPTIMIZATION-phase rewrites (results bit-identical, plans
     #    restructured; each verified hash-exact at sf0.001/0.01/0.1 via
     #    tools/check_oracle.py before taking its slot — see
-    #    OPTIMIZATION_r14.md for the before/after evidence):
+    #    OPTIMIZATION_r14.md for the before/after evidence). Session 3
+    #    additionally rewrote three already-gated names in place
+    #    (event_survival_kaplan_meier: horizon carried on the per-user
+    #    aggregate; dq_distribution_drift_psi: grouping-sets single
+    #    pass; embed_centroid_spread: in-row distance fold) — no new
+    #    slots needed:
     "dedup_keep_best",          # zero-shuffle simhash fold, join removed
     "dedup_ngram_containment",  # n_sh carried pre-explode, sizes branch gone
     "pipeline_training_mix",    # exact dedup via window, self-join gone
