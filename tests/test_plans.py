@@ -701,3 +701,62 @@ def test_bnlj_classifier_rejects_multirow_build_embedding_a_scalar(spark):
     jplan = dirty._jdf.queryExecution().executedPlan()
     assert pa.count_multirow_bnlj(jplan) == 1, (
         "multi-row build embedding a scalar must flag as multirow")
+
+
+def _final_adaptive_plan(spark, name, sf_dir) -> str:
+    """Collect the query and return ONLY the final AQE plan string (the
+    full executedPlan toString appends the initial plan, whose subtrees
+    ReusedExchange has collapsed at runtime — counting scans there
+    double-reports)."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    if "+- == Initial Plan ==" in final:
+        final = final.split("+- == Initial Plan ==")[0]
+    return final
+
+
+def test_survival_single_events_scan_via_reused_exchange(spark, sf_dir):
+    """r14 optimization pin (OPTIMIZATION_r14.md session 3): the
+    Kaplan-Meier horizon scalars ride the per-user lifetime aggregate —
+    the runtime plan must read the event log ONCE, with the horizon
+    branch reusing the user_id exchange. The greatest(last_ts, first_ts)
+    reference in the horizon aggregate exists to pin subtree identity
+    against column pruning; if a future edit re-forks the subtrees this
+    degrades silently to a second full scan, which is exactly what this
+    test fails on."""
+    final = _final_adaptive_plan(
+        spark, "event_survival_kaplan_meier", sf_dir)
+    scans = sum(1 for ln in final.splitlines()
+                if "FileScan parquet" in ln and "events.parquet" in ln)
+    assert scans == 1, f"expected 1 events scan, saw {scans}:\n{final[:2000]}"
+    assert "ReusedExchange" in final
+
+
+def test_psi_single_pass_grouping_sets(spark, sf_dir):
+    """r14 optimization pin: dq_distribution_drift_psi computes both
+    per-dim count tables in ONE grouping-sets pass (one scan, one md5
+    evaluation per event, Expand) and derives the per-dim totals as
+    window sums — no second consumer, no join. Before the rewrite the
+    runtime plan held 2 full scan+md5 passes and a broadcast join."""
+    final = _final_adaptive_plan(spark, "dq_distribution_drift_psi", sf_dir)
+    scans = sum(1 for ln in final.splitlines()
+                if "FileScan parquet" in ln and "events.parquet" in ln)
+    assert scans == 1, f"expected 1 events scan, saw {scans}:\n{final[:2000]}"
+    assert "Expand" in final
+    assert "Join" not in final
+
+
+def test_centroid_spread_single_explode(spark, sf_dir):
+    """r14 optimization pin: embed_centroid_spread's per-vector distance
+    is an in-row zip_with fold against the broadcast centroid arrays —
+    only the centroid branch explodes (1 Generate), and no per-vector
+    aggregation exchange exists (the only HashAggregates above the fold
+    are label-keyed). Before the rewrite the corpus posexploded TWICE
+    and re-aggregated by vec_id."""
+    plan = plan_of(spark, "embed_centroid_spread", sf_dir)
+    generates = sum(1 for ln in plan.splitlines()
+                    if ln.strip().startswith("(") and ") Generate" in ln)
+    assert generates == 1, plan[:2000]
+    assert "zip_with" in plan
+    assert "hashpartitioning(vec_id" not in plan
