@@ -153,27 +153,90 @@ def load_all_queries() -> dict[str, QuerySpec]:
 # ---------------------------------------------------------------------------
 
 GATE: tuple[str, ...] = (
-    # Round-14 rotation (VERDICT r13 next-round #1/#4): all 50 r13 rows
-    # came back green (49 hash-exact + 1 clean rows-only), so the 39 that
-    # did not change again this round move to ROTATED_OUT; the gate
-    # re-fills ALL 50 slots = EVERY query whose builder fn source or
-    # oracle text changed since the round-13 snapshot (mechanically
-    # enforced by tests/test_entry.py::test_changed_impl_queries_are_gated
-    # against tools/query_digests_prev.json) + the 11 names the r13
-    # rotation queued (round-4/5 cohort tail: the TPC-H block +
-    # window_topk_per_group) + the next-oldest rotated greens.
-    # -- changed implementation this round (SURVEY §12 item 0: the
-    #    degenerate-EVENTS battery — 34/96 queries diverged or crashed
-    #    on a corpus with NULL ts/user/type/value, negative, half-cent,
-    #    1e10-cent, duplicate-(user,ts) and singleton-user rows; the
-    #    NULL-ts time_surface contract (rule 10), winsorized cents_clamped
-    #    (rule 11), NULLIF divide guards, identity exclusions and
-    #    Laplace-smoothed PSI close all 34, pinned by
-    #    tests/test_events_robustness.py — plus the embeddings battery's
-    #    NULL-embedding contract (dedup_semantic_kmeans,
-    #    embed_centroid_spread) and the ADVICE similarity-surface fix to
-    #    dedup_embedding_cosine, pinned by
-    #    tests/test_embeddings_robustness.py):
+    # Round-15 rotation (VERDICT r14 next-round #1/#3): all 50 r14 rows
+    # came back clean (49 hash-exact + sim_ann_pq_rerank's documented
+    # no_oracle artifact row), so every r14-gated name whose impl does
+    # not change again this round moves to ROTATED_OUT; the 50 slots
+    # re-fill with (a) this round's second-consumer-anchor optimization
+    # rewrites (the r14 session-3 scan-census queue — results
+    # bit-identical, verified at sf0.001/0.01/0.1 via
+    # tools/check_oracle.py before each took its slot; mechanically
+    # enforced by test_changed_impl_queries_are_gated), (b) the two
+    # judge-flagged driver-unverified r14 helper rewrites, (c) the r14
+    # optimization-phase stale-green displacements, and (d) the oldest
+    # rotated greens (round-4/5 cohort remainder + round-6 cohort
+    # front).
+    # -- (a) r15 OPTIMIZATION rewrites (the carried-anchor /
+    #    in-row-unpivot templates from event_survival_kaplan_meier and
+    #    dq_expectations_audit; see OPTIMIZATION_r15.md for per-query
+    #    before/after plans):
+    "anomaly_mad_robust",
+    "dq_expectations_audit",
+    "dq_freshness_sla",
+    "event_dau_stickiness",
+    "event_peak_concurrency",
+    "feature_gini_split_gain",
+    "forecast_backtest_seasonal_naive",
+    "stats_capture_recapture",
+    "stats_cramers_v",
+    "stats_power_sample_size",
+    "stats_pr_auc_average_precision",
+    "stats_roc_auc",
+    "stats_two_proportion_ztest",
+    "tpch_q15",
+    "tpch_q17",
+    "dedup_ngram_jaccard",      # n_sh carry (the containment rewrite)
+    # -- (b) judge-flagged r14 rewrite shipped driver-UNVERIFIED (the
+    #    gate was full): the helper-level simhash fingerprint fold.
+    #    Digest-unchanged (helper change), gated by hand per VERDICT
+    #    r14 next-round #3:
+    "dedup_simhash",
+    # -- (c) r14 optimization-phase displacements (stale-green
+    #    re-checks; last driver rows CORRECTNESS_r05, digest-unchanged
+    #    since the r13 judge's 312/312 sweep):
+    "tpch_q8",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q19",
+    "window_topk_per_group",
+    # -- (d) round-4/5 cohort remainder (last driver rows
+    #    CORRECTNESS_r05):
+    "io_partitioned_pruning",
+    "io_schema_evolution",
+    "tpch_q20",
+    "tpch_q22",
+    "io_sorted_clustered_write",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_null_safe",
+    "mm_asset_dedup",
+    "sampling_stratified_source",
+    "shuffle_deterministic_shards",
+    "sketch_countmin_heavy_hitters",
+    "text_commonness_score",
+    "text_heavy_hitters",
+    "text_pii_scrub",
+    "text_quality_repetition",
+    "tpch_q2",
+    "tpch_q4",
+    # -- (d) round-6 cohort front (last driver rows CORRECTNESS_r06):
+    "seq_pack_greedy",
+    "window_max_drawdown",
+    "event_time_to_convert",
+    "event_interarrival_regularity",
+    "text_tfidf_keywords",
+    "io_zorder_clustered_write",
+    "graph_pagerank_bipartite",
+    "graph_degree_stats",
+    "dedup_paragraph_exact",
+)
+
+ROTATED_OUT: tuple[str, ...] = (
+    # -- round-14 GATE rotated out in r15: 49 hash-exact rows +
+    #    sim_ann_pq_rerank's documented no_oracle artifact row in
+    #    CORRECTNESS_r14.json; still verified by tools/check_oracle.py
+    #    + pytest every run (sim_ann_pq_rerank rows>0 via driver_sim):
     "agg_incremental_merge",
     "anomaly_zscore_trailing",
     "dedup_embedding_cosine",
@@ -211,75 +274,31 @@ GATE: tuple[str, ...] = (
     "window_nth_value",
     "window_rolling_regression",
     "window_running_distinct",
-    # -- the 11 names the r13 rotation queued for round 14 (round-4/5
-    #    cohort tail; last driver rows CORRECTNESS_r05). The r14
-    #    OPTIMIZATION phase displaced tpch_q12/q13/q15 (and later more of
-    #    this block) back to the round-15 freshness queue: the
-    #    changed-impl rule gives optimization rewrites (below) GATE
-    #    precedence over stale-green re-checks, and every displaced name
-    #    still passes tools/check_oracle.py at sf0.01 AND sf0.1 this
-    #    round (digest-unchanged since the r13 judge's 312/312 sweep).
-    # -- the degenerate-dims probe's two finds (swept AFTER the first
-    #    r14 rotation landed; the changed-impl rule forces both into
-    #    GATE, displacing the two queue-front fillers back to the
-    #    round-15 freshness queue, which now starts at
-    #    io_partitioned_pruning):
     "scalar_string_funcs",
     "window_percent_cume",
-    # -- the composed-corpus probe's finds (the token-less ''-gram class
-    #    in the contamination surface + the PQ NULL-embedding crash);
-    #    their three slots come from deferring tpch_q20/q21/q22 to the
-    #    round-15 queue (right behind the io_* fillers):
     "text_contamination_ngram",
     "pipeline_eval_holdout",
     "sim_ann_pq_rerank",
-    # -- r14 OPTIMIZATION-phase rewrites (results bit-identical, plans
-    #    restructured; each verified hash-exact at sf0.001/0.01/0.1 via
-    #    tools/check_oracle.py before taking its slot — see
-    #    OPTIMIZATION_r14.md for the before/after evidence). Session 3
-    #    additionally rewrote three already-gated names in place
-    #    (event_survival_kaplan_meier: horizon carried on the per-user
-    #    aggregate; dq_distribution_drift_psi: grouping-sets single
-    #    pass; embed_centroid_spread: in-row distance fold) — no new
-    #    slots needed:
-    "dedup_keep_best",          # zero-shuffle simhash fold, join removed
-    "dedup_ngram_containment",  # n_sh carried pre-explode, sizes branch gone
-    "pipeline_training_mix",    # exact dedup via window, self-join gone
-    # -- batch 2 (displaced the tpch_q8/q16/q17/q19 +
-    #    window_topk_per_group stale-green fillers to the round-15
-    #    freshness queue):
-    "tpch_q21",                   # single lineitem scan, probe join gone
-    "dedup_minhash_lsh",          # signature carried through band join
-    "dedup_minhash_decontaminate",  # same carry, persist dropped
-    "pipeline_incremental_dedup",   # same carry, verify re-joins gone
-    "pipeline_hybrid_rrf",        # corpus posexplode -> in-row dot fold
-)
-
-ROTATED_OUT: tuple[str, ...] = (
+    "dedup_keep_best",
+    "dedup_ngram_containment",
+    "pipeline_training_mix",
+    "tpch_q21",
+    "dedup_minhash_lsh",
+    "dedup_minhash_decontaminate",
+    "pipeline_incremental_dedup",
+    "pipeline_hybrid_rrf",
     # -- round-13 GATE greens rotated out in r14: 38 hash-exact + 1
     #    clean rows-only (dedup_semantic_kmeans_scaled) rows in
-    #    CORRECTNESS_r13.json; the 11 r13-gated names whose impls
-    #    changed again in r14 keep their GATE slots instead:
-    # -- r14 optimization-phase displacements (digest-unchanged,
-    #    check_oracle-green at sf0.01+sf0.1; front of the round-15
-    #    freshness queue):
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q8",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "window_topk_per_group",
+    #    CORRECTNESS_r13.json; the r14 optimization-phase displacements
+    #    (tpch_q8/q12/q13/q15/q16/q17/q19, window_topk_per_group) were
+    #    re-gated in r15 above:
     "agg_histogram_equiwidth",
     "agg_mode_deterministic",
     "dedup_cluster_components",
     "dedup_minhash_calibration",
-    "dedup_ngram_jaccard",
     "dedup_semantic_kmeans_scaled",
     "embed_quantize_int8",
     "event_funnel_ordered",
-    "event_peak_concurrency",
     "event_retention_cohorts",
     "io_binaryfile_ingest",
     "join_asof_tolerance",
@@ -320,7 +339,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "agg_cube",
     "join_right_outer",
     "io_json_roundtrip",
-    "dedup_simhash",
     "join_fuzzy_levenshtein",
     "pcap_dns_http_dissect",
     "pcap_flow_stats",
@@ -433,16 +451,12 @@ ROTATED_OUT: tuple[str, ...] = (
     # (embed_pca_top_component holds an r12 GATE slot — doc-pointer fix)
     "stats_cohens_kappa",
     "stats_mcnemar_paired_conversion",
-    "stats_two_proportion_ztest",
     "stats_cohens_d_effect",
-    "stats_capture_recapture",
     "stats_herfindahl_concentration",
     "stats_runs_test",
     "stats_poisson_dispersion",
     "window_bollinger_bands",
     "window_rsi_sma",
-    "feature_gini_split_gain",
-    "stats_power_sample_size",
     "embed_quantization_error_audit",
     "window_macd_ema",
     "stats_schnabel_recapture",
@@ -462,7 +476,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "event_ab_lift_by_decile",
     "stats_mann_whitney_u",
     "graph_assortativity",
-    "forecast_backtest_seasonal_naive",
     "dq_k_anonymity",
     "window_candlestick_ohlc",
     "scalar_array_set_ops",
@@ -472,7 +485,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "embed_hard_negatives_lsh",
     "io_text_log_parse",
     "stats_ks_two_sample",
-    "stats_cramers_v",
     "agg_trimmed_mean",
     "text_js_divergence_sources",
     "text_tokenizer_fertility",
@@ -485,10 +497,8 @@ ROTATED_OUT: tuple[str, ...] = (
     "graph_pagerank_suppliers",
     "event_ab_did",
     "graph_label_spread_nation",
-    "stats_roc_auc",
     "stats_spearman_corr",
     "stats_brier_calibration",
-    "stats_pr_auc_average_precision",
     "io_xml_roundtrip",
     "curation_quantile_normalize",
     "pcap_flagship_portpair",
@@ -501,7 +511,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "agg_grouping_id_rollup",
     "io_multi_format_join",
     "scalar_interval_arith",
-    "dq_freshness_sla",
     "event_longest_streak",
     "io_dynamic_partition_pruning",
     "io_partition_overwrite_dynamic",
@@ -535,15 +544,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "pcap_scan_default",
     # -- round-6 GATE, all 47 green in CORRECTNESS_r06.json (the one red,
     #    embed_mean_pool, was re-checked green in r7):
-    "seq_pack_greedy",
-    "window_max_drawdown",
-    "event_time_to_convert",
-    "event_interarrival_regularity",
-    "text_tfidf_keywords",
-    "io_zorder_clustered_write",
-    "graph_pagerank_bipartite",
-    "graph_degree_stats",
-    "dedup_paragraph_exact",
     "sampling_weighted_priority",
     "sampling_temperature_mix",
     "io_column_profile",
@@ -556,8 +556,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "event_rfm_segmentation",
     "mm_phash_neardup",
     "dq_referential_orphans",
-    "dq_expectations_audit",
-    "event_dau_stickiness",
     "text_url_extract_normalize",
     "text_collocations_pmi",
     "dq_benford_first_digit",
@@ -565,7 +563,6 @@ ROTATED_OUT: tuple[str, ...] = (
     "text_inverted_index",
     "snapshot_diff_cdc",
     "pipeline_rag_chunk_index",
-    "anomaly_mad_robust",
     "scd2_point_in_time_lookup",
     "setop_bag_semantics",
     "io_snapshot_time_travel",
@@ -574,24 +571,6 @@ ROTATED_OUT: tuple[str, ...] = (
     #    were r13-cycled back into GATE (the changed-impl set claimed
     #    the other refill slots); these 25 are the front of the
     #    round-14 freshness queue:
-    "io_partitioned_pruning",
-    "io_schema_evolution",
-    "tpch_q20",
-    "tpch_q22",
-    "io_sorted_clustered_write",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_null_safe",
-    "mm_asset_dedup",
-    "sampling_stratified_source",
-    "shuffle_deterministic_shards",
-    "sketch_countmin_heavy_hitters",
-    "text_commonness_score",
-    "text_heavy_hitters",
-    "text_pii_scrub",
-    "text_quality_repetition",
-    "tpch_q2",
-    "tpch_q4",
 )
 
 
