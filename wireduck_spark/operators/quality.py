@@ -156,6 +156,18 @@ def dq_expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
     uniqueness check shares the orders pass as a distinct-count (the
     only Expand in the plan, on the narrow key column). Unpivoting the
     one-row aggregates into audit rows is free.
+
+    r15 OPTIMIZATION (guide §2.4, the in-row-unpivot template): the
+    per-expectation union previously re-selected the 1-row aggregate
+    once per check, and because each branch referenced only ITS
+    violation column, Catalyst pruned each branch's aggregate down to a
+    different expression set — seven non-identical subtrees, so AQE
+    could reuse nothing and the runtime plan re-scanned lineitem 4x and
+    orders 3x. The unpivot is now an in-row ``inline`` of a
+    struct-array literal that references every violation column, so
+    each table keeps ONE aggregate subtree: runtime scans lineitem
+    4 -> 1, orders 3 -> 1. Row multiset unchanged (inline preserves
+    the per-check order the union emitted).
     """
     li = table(spark, sf, "lineitem").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -183,31 +195,38 @@ def dq_expectations_audit(spark: SparkSession, sf: str) -> DataFrame:
         .alias("v_dup"),
     )
 
-    def rows(src: DataFrame, tname: str, checks: list[tuple[str, str]]):
-        out = []
-        for expectation, vcol in checks:
-            out.append(
-                src.select(
-                    F.lit(tname).alias("table_name"),
-                    F.lit(expectation).alias("expectation"),
-                    F.col("n").alias("n_checked"),
-                    F.col(vcol).alias("n_violations"),
-                    (F.col(vcol) == 0).alias("passed"),
-                )
+    def rows(src: DataFrame, tname: str,
+             checks: list[tuple[str, str]]) -> DataFrame:
+        # one in-row unpivot per table: the struct array references
+        # EVERY violation column, so no union branch prunes the shared
+        # 1-row aggregate differently (that fork is what re-ran the
+        # scan per expectation before r15)
+        arr = F.array(*[
+            F.struct(
+                F.lit(expectation).alias("expectation"),
+                F.col(vcol).alias("v"),
             )
-        return out
+            for expectation, vcol in checks
+        ])
+        return src.select(
+            F.lit(tname).alias("table_name"), F.col("n"), F.inline(arr)
+        ).select(
+            "table_name", "expectation",
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+            (F.col("v") == 0).alias("passed"),
+        )
 
-    frames = rows(li, "lineitem", [
+    return rows(li, "lineitem", [
         ("l_quantity > 0", "v_qty"),
         ("l_discount in [0, 1]", "v_disc"),
         ("l_shipdate not null", "v_ship"),
         ("l_returnflag in (R,A,N)", "v_flag"),
-    ]) + rows(od, "orders", [
+    ]).unionAll(rows(od, "orders", [
         ("o_totalprice > 0", "v_price"),
         ("o_orderdate not null", "v_date"),
         ("o_orderkey unique", "v_dup"),
-    ])
-    return reduce(DataFrame.unionAll, frames)
+    ]))
 
 
 _BENFORD_BP = {1: 3010, 2: 1761, 3: 1249, 4: 969, 5: 792,
@@ -362,13 +381,29 @@ def dq_freshness_sla(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: one keyed max/count aggregate (map-side partials) + a 1-row
     broadcast anchor; output is source-cardinality-sized.
+
+    r15 OPTIMIZATION (guide §2.4, the survival-KM carried-anchor
+    template): the high-water anchor previously ran as a SECOND full
+    events scan + global MAX next to the per-type aggregate. MAX of
+    per-type MAX(ts) IS the global MAX(ts) (max skips the NULL last_ts
+    of an all-NULL-ts group, exactly as the global max skips those
+    rows), so the anchor now hangs off the per-type aggregate; the
+    n_events reference inside the `when` pins the count expression
+    against column pruning (a pruned subtree cannot reuse the
+    event_type exchange). Runtime: 2 events scans -> 1 + ReusedExchange.
     """
     e = table(spark, sf, "events")
-    anchor = e.agg(F.max("ts").alias("t_max"))
     per_type = e.groupBy("event_type").agg(
         F.max("ts").alias("last_ts"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+    # n_events >= 1 is true for every group (COUNT(*) of a non-empty
+    # group), so this is exactly MAX(last_ts) — the reference exists
+    # ONLY to keep this branch's per_type subtree identical to the
+    # probe branch's (the survival greatest() pin).
+    anchor = per_type.agg(
+        F.max(F.when(F.col("n_events") >= 1, F.col("last_ts")))
+        .alias("t_max"))
     # minute-BOUNDARY semantics to match DuckDB's datediff('minute'):
     # truncate both ends to the minute, then diff (an elapsed-time floor
     # would disagree whenever sub-minute components straddle a boundary)

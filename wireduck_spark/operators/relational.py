@@ -2555,9 +2555,19 @@ def _median_split_labels(per_user: DataFrame) -> DataFrame:
     """(user_id, score, label) with label = purchase cents above the
     global median — the shared label convention of the classifier-eval
     family. One 1-row broadcast scalar; the > compares through the same
-    DOUBLE cast both engines use."""
+    DOUBLE cast both engines use.
+
+    r15 OPTIMIZATION (guide §2.4, the survival-KM pin): the median
+    anchor referenced only purch_cents, so column pruning dropped the
+    score SUM from this branch's per_user aggregate and the pruned
+    subtree could not reuse the user_id exchange — the corpus scanned
+    twice at runtime (stats_roc_auc 2 scans, stats_pr_auc 4). score is
+    a count, always >= 0 and never NULL, so the CASE below is exactly
+    percentile(purch_cents) while keeping both branches' per_user
+    subtrees byte-identical: 1 scan + ReusedExchange."""
     med = per_user.agg(
-        F.expr("percentile(purch_cents, 0.5D)").alias("m"))
+        F.expr("percentile(CASE WHEN score >= 0 THEN purch_cents END,"
+               " 0.5D)").alias("m"))
     return per_user.crossJoin(F.broadcast(med)).select(
         "user_id", "score",
         F.when(F.col("purch_cents").cast("double") > F.col("m"), 1)
@@ -3283,57 +3293,71 @@ def stats_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: one (source, lang) rollup is the only corpus shuffle;
     margins and totals are category-sized broadcasts.
+
+    r15 OPTIMIZATION (guide §2.4, the PSI window-totals template): the
+    margin tables (rs, cs) were broadcast joins whose INNER equality
+    let Catalyst infer a different isnotnull filter into each branch's
+    scan (source+lang / source / lang / none), so the four cells
+    subtrees canonicalized differently, nothing reused, the lazy
+    persist() was raced by the concurrent broadcast jobs, and the
+    corpus scanned 4x at runtime. The margins are now window sums over
+    the category-sized cells table itself (partitioned on real
+    multi-value columns) with an explicit null filter reproducing the
+    joins' NULL-group drop — the null predicates cannot push through
+    both windows, so the cells aggregate stays unfiltered and
+    byte-identical under both remaining consumers (chi and tot):
+    4 scans -> 1 + ReusedExchange; the persist and the eager
+    localCheckpoint scaffolding go with it. Margins are exact: the
+    window partition source=s sums ALL cells of s (including NULL-lang
+    cells), exactly the oracle's GROUP BY source margin.
     """
     d = table(spark, sf, "documents", spread=True)
     cells = d.groupBy("source", "lang").agg(
         F.count("*").cast("bigint").alias("o"))
-    cells = cells.persist()
-    try:
-        rs = cells.groupBy("source").agg(
-            F.sum("o").cast("bigint").alias("r_tot"))
-        cs = cells.groupBy("lang").agg(
-            F.sum("o").cast("bigint").alias("c_tot"))
-        tot = cells.agg(
-            F.sum("o").cast("bigint").alias("n"),
-            F.countDistinct("source").cast("bigint").alias("r"),
-            F.countDistinct("lang").cast("bigint").alias("c"),
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("source").cast("bigint").alias("r"),
+        F.countDistinct("lang").cast("bigint").alias("c"),
+    )
+    margined = cells.select(
+        "source", "lang", "o",
+        F.sum("o").over(Window.partitionBy("source")).cast("bigint")
+        .alias("r_tot"),
+    ).select(
+        "source", "lang", "o", "r_tot",
+        F.sum("o").over(Window.partitionBy("lang")).cast("bigint")
+        .alias("c_tot"),
+    ).filter(F.col("source").isNotNull() & F.col("lang").isNotNull())
+    e_exp = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    od = F.col("o").cast("double")
+    chi = (
+        margined.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((od - e_exp) * (od - e_exp) / e_exp - e_exp)
+            .cast("double").alias("chi2_part")
         )
-        e_exp = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
-        od = F.col("o").cast("double")
-        chi = (
-            cells.join(F.broadcast(rs), "source")
-            .join(F.broadcast(cs), "lang")
-            .crossJoin(F.broadcast(tot))
-            .agg(
-                F.sum((od - e_exp) * (od - e_exp) / e_exp - e_exp)
-                .cast("double").alias("chi2_part")
-            )
+    )
+    mindof = F.when(
+        F.col("r") - 1 < F.col("c") - 1, F.col("r") - 1
+    ).otherwise(F.col("c") - 1)
+    return (
+        chi.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.col("r").alias("n_sources"),
+            F.col("c").alias("n_langs"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint")
+            .alias("dof"),
+            F.round(F.col("chi2_part") + F.col("n"), 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (F.col("chi2_part") + F.col("n"))
+                    / (F.col("n").cast("double") * mindof)
+                ),
+                4,
+            ).alias("cramers_v"),
         )
-        mindof = F.when(
-            F.col("r") - 1 < F.col("c") - 1, F.col("r") - 1
-        ).otherwise(F.col("c") - 1)
-        out = (
-            chi.crossJoin(F.broadcast(tot))
-            .select(
-                "n",
-                F.col("r").alias("n_sources"),
-                F.col("c").alias("n_langs"),
-                ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint")
-                .alias("dof"),
-                F.round(F.col("chi2_part") + F.col("n"), 4).alias("chi2"),
-                F.round(
-                    F.sqrt(
-                        (F.col("chi2_part") + F.col("n"))
-                        / (F.col("n").cast("double") * mindof)
-                    ),
-                    4,
-                ).alias("cramers_v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        cells.unpersist()
-    return out
+    )
 
 
 # --------------------------------------------------------------------------

@@ -376,26 +376,31 @@ def stats_two_proportion_ztest(spark: SparkSession, sf: str) -> DataFrame:
     IEEE-correctly-rounded everywhere — the stats_ks_two_sample
     sqrt-only precedent), rounded 4 dp.
 
-    Scale: distinct-user frame + one semi-join flag + a 1-row fold.
+    Scale: ONE per-user flag aggregate + a 1-row fold.
+
+    r15 OPTIMIZATION (guide §2.4): the distinct-user frame and the
+    converter set were two separate events scans joined back on
+    user_id. The conversion flag now rides the per-user aggregate as a
+    boolean MAX, so the scan, the distinct and the join collapse into
+    one keyed pass: 2 scans -> 1, join -> flag. Exactness: the old
+    LEFT JOIN never matched NULL user_ids, but a NULL user's arm is
+    NULL too (md5 of NULL), so it contributed to neither n nor x
+    before and still doesn't.
     """
     e = table(spark, sf, "events")
-    u = e.select("user_id").distinct().select(
-        "user_id", F.expr(_ARM_SPARK).cast("bigint").alias("arm"))
-    conv = (e.filter((F.col("event_type") == "purchase")
-                     & (F.col("value") > 80))
-            .select(F.col("user_id").alias("cu")).distinct())
-    arms = (
-        u.join(conv, u.user_id == conv.cu, "left")
-        .agg(
-            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
-            .cast("bigint").alias("n1"),
-            F.sum(F.when((F.col("arm") == 0) & F.col("cu").isNotNull(), 1)
-                  .otherwise(0)).cast("bigint").alias("x1"),
-            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
-            .cast("bigint").alias("n2"),
-            F.sum(F.when((F.col("arm") == 1) & F.col("cu").isNotNull(), 1)
-                  .otherwise(0)).cast("bigint").alias("x2"),
-        )
+    u = e.groupBy("user_id").agg(
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") > 80), 1).otherwise(0)).alias("cv"),
+    ).select("user_id", F.expr(_ARM_SPARK).cast("bigint").alias("arm"), "cv")
+    arms = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("cv") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("x1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("cv") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("x2"),
     )
     p1 = F.col("x1").cast("double") / F.col("n1")
     p2 = F.col("x2").cast("double") / F.col("n2")
@@ -537,19 +542,36 @@ def stats_capture_recapture(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: pure integer counts and truncating integer division
     (rule 6: DuckDB // pairs with Spark div).
 
-    Scale: two distinct sets + one equi-join — all user-dimension
-    bounded.
+    Scale: ONE filtered per-user flag aggregate + a 1-row fold.
+
+    r15 OPTIMIZATION (guide §2.4): the two distinct sets, their two
+    counts and the recapture join previously re-scanned events four
+    times at runtime (each consumer pruned the shared slice
+    differently). Both capture days now ride ONE per-user aggregate as
+    boolean MAX flags and all three counts fold from it in one pass:
+    4 scans -> 1, the join -> a flag conjunction. Exactness: sum(a) =
+    |distinct day-1 users| (a user groups once), and the original
+    recapture INNER JOIN on user_id never matched NULL user_ids, so
+    the conjunction count excludes them explicitly.
     """
     e = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
-    a = (e.filter(F.to_date("ts") == F.lit("2024-01-01").cast("date"))
-         .select("user_id").distinct())
-    b = (e.filter(F.to_date("ts") == F.lit("2024-01-02").cast("date"))
-         .select("user_id").distinct())
-    counts = (
-        a.agg(F.count("*").cast("bigint").alias("n_first"))
-        .crossJoin(b.agg(F.count("*").cast("bigint").alias("n_second")))
-        .crossJoin(a.join(b, "user_id")
-                   .agg(F.count("*").cast("bigint").alias("n_recaptured")))
+    d1 = F.lit("2024-01-01").cast("date")
+    d2 = F.lit("2024-01-02").cast("date")
+    flags = (
+        e.filter((F.to_date("ts") == d1) | (F.to_date("ts") == d2))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.to_date("ts") == d1, 1).otherwise(0)).alias("a"),
+            F.max(F.when(F.to_date("ts") == d2, 1).otherwise(0)).alias("b"),
+        )
+    )
+    counts = flags.agg(
+        F.sum("a").cast("bigint").alias("n_first"),
+        F.sum("b").cast("bigint").alias("n_second"),
+        F.sum(
+            F.when((F.col("a") == 1) & (F.col("b") == 1)
+                   & F.col("user_id").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_recaptured"),
     )
     return counts.select(
         "n_first", "n_second", "n_recaptured",
@@ -1125,8 +1147,23 @@ def feature_gini_split_gain(spark: SparkSession, sf: str) -> DataFrame:
     both engines (rule 6).
 
     Scale: label join is orders x broadcast(median scalar) + a
-    customer-keyed join; the unioned feature table is 3x orders but
+    customer-keyed join; the stacked feature table is 3x orders but
     folds map-side to <= sum of feature cardinalities rows.
+
+    r15 OPTIMIZATION (guide §2.4): the feature stack was a 3-way
+    unionAll of the SAME labeled join (3 scans) next to a separate
+    parent aggregate over it (a 4th) — plus the median anchor, orders
+    scanned 5x at runtime. The stack is now ONE in-row ``inline`` of a
+    3-struct array (1 scan, Generate 3x rows), and the parent moments
+    fold from the per-value table itself: within one feature the
+    values partition the corpus, so n = SUM(n_v) and sum(y) = SUM(y_v)
+    over that feature's rows reproduce the parent Gini exactly (the
+    per-feature conditional aggregate avoids a pushed-down filter that
+    would fork the shared subtree; the imp_ppm >= 0 reference — Gini
+    is always non-negative — pins the third aggregate expression
+    against column pruning). Runtime: orders 5 scans -> 2 (the
+    percentile anchor needs its own pass before labels exist — a
+    2-pass floor), customer 3 -> 1.
     """
     o = table(spark, sf, "orders")
     cst = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
@@ -1140,13 +1177,16 @@ def feature_gini_split_gain(spark: SparkSession, sf: str) -> DataFrame:
             .alias("y"),
         )
     )
-    stacked = (
-        lab.select(F.lit("orderpriority").alias("feature"),
-                   F.col("o_orderpriority").alias("v"), "y")
-        .unionAll(lab.select(F.lit("orderstatus"),
-                             F.col("o_orderstatus"), "y"))
-        .unionAll(lab.select(F.lit("mktsegment"),
-                             F.col("c_mktsegment"), "y"))
+    stacked = lab.select(
+        F.inline(F.array(
+            F.struct(F.lit("orderpriority").alias("feature"),
+                     F.col("o_orderpriority").alias("v")),
+            F.struct(F.lit("orderstatus").alias("feature"),
+                     F.col("o_orderstatus").alias("v")),
+            F.struct(F.lit("mktsegment").alias("feature"),
+                     F.col("c_mktsegment").alias("v")),
+        )),
+        F.col("y"),
     )
 
     def _imp_ppm() -> F.Column:
@@ -1154,19 +1194,38 @@ def feature_gini_split_gain(spark: SparkSession, sf: str) -> DataFrame:
         s0 = F.expr("sum(1 - y) * 1000 div count(*)")
         return (F.lit(1000000) - s1 * s1 - s0 * s0).cast("bigint")
 
-    parent = lab.agg(
-        F.count("*").cast("bigint").alias("n"),
-        _imp_ppm().alias("parent_ppm"),
-    )
     per_value = stacked.groupBy("feature", "v").agg(
         F.count("*").cast("bigint").alias("n_v"),
+        F.sum("y").cast("bigint").alias("y_v"),
         _imp_ppm().alias("imp_ppm"),
+    )
+    # parent moments recovered from ONE feature's rows (its values
+    # partition the labeled corpus); conditional aggregate — never a
+    # filter, which would push below the (feature, v) aggregate and
+    # fork the exchange both consumers share
+    one = F.col("feature") == "orderpriority"
+    s1p = F.expr("sum(CASE WHEN feature = 'orderpriority' THEN y_v END)"
+                 " * 1000 div"
+                 " sum(CASE WHEN feature = 'orderpriority' THEN n_v END)")
+    s0p = F.expr(
+        "sum(CASE WHEN feature = 'orderpriority' THEN n_v - y_v END)"
+        " * 1000 div"
+        " sum(CASE WHEN feature = 'orderpriority' THEN n_v END)")
+    parent = per_value.agg(
+        F.sum(F.when(one & (F.col("imp_ppm") >= 0), F.col("n_v")))
+        .cast("bigint").alias("n"),
+        (F.lit(1000000) - s1p * s1p - s0p * s0p).cast("bigint")
+        .alias("parent_ppm"),
     )
     return (
         per_value.crossJoin(F.broadcast(parent))
         .groupBy("feature")
         .agg(
-            F.count("*").cast("bigint").alias("n_values"),
+            # the y_v >= 0 reference (sums of 0/1 labels are
+            # non-negative) pins y_v against column pruning so both
+            # per_value consumers keep identical subtrees
+            F.count(F.when(F.col("y_v") >= 0, F.lit(1)))
+            .cast("bigint").alias("n_values"),
             F.first("parent_ppm").cast("bigint")
             .alias("parent_impurity_ppm"),
             F.expr("CAST(SUM(n_v * imp_ppm) div ANY_VALUE(n) AS BIGINT)")
@@ -1363,16 +1422,24 @@ def stats_power_sample_size(spark: SparkSession, sf: str) -> DataFrame:
     expression (sqrt-only, rule-9 safe) and CEIL of identical doubles
     is identical.
 
-    Scale: two distinct-user counts and a 1-row closed-form readout.
+    Scale: one per-user flag aggregate and a 1-row closed-form readout.
+
+    r15 OPTIMIZATION (guide §2.4): the two distinct-user counts were
+    two full events scans. Both now fold from ONE per-user aggregate —
+    n_users = COUNT of user groups, x_conv = SUM of the per-user
+    conversion MAX flag (the original DISTINCT counted a converting
+    NULL user_id once; the NULL group's flag counts it once too):
+    2 scans -> 1.
     """
     e = table(spark, sf, "events")
-    u = e.select("user_id").distinct().agg(
-        F.count("*").cast("bigint").alias("n_users"))
-    c = (e.filter((F.col("event_type") == "purchase")
-                  & (F.col("value") > 80))
-         .select("user_id").distinct()
-         .agg(F.count("*").cast("bigint").alias("x_conv")))
-    p = u.crossJoin(c).select(
+    g = e.groupBy("user_id").agg(
+        F.max(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") > 80), 1).otherwise(0)).alias("cv"))
+    uc = g.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("cv").cast("bigint").alias("x_conv"),
+    )
+    p = uc.select(
         "n_users", "x_conv",
         (F.col("x_conv").cast("double") / F.col("n_users")).alias("p1"),
         (F.col("x_conv").cast("double") / F.col("n_users") * 1.1)
