@@ -760,3 +760,74 @@ def test_centroid_spread_single_explode(spark, sf_dir):
     assert generates == 1, plan[:2000]
     assert "zip_with" in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def _big_scans(final: str, table_file: str) -> int:
+    return sum(1 for ln in final.splitlines()
+               if "FileScan parquet" in ln and table_file in ln)
+
+
+@pytest.mark.parametrize("name,table_file", [
+    ("dq_freshness_sla", "events.parquet"),
+    ("stats_capture_recapture", "events.parquet"),
+    ("stats_two_proportion_ztest", "events.parquet"),
+    ("stats_power_sample_size", "events.parquet"),
+    ("stats_cramers_v", "documents.parquet"),
+    ("tpch_q15", "lineitem.parquet"),
+    ("tpch_q17", "lineitem.parquet"),
+    ("anomaly_mad_robust", "events.parquet"),
+    ("forecast_backtest_seasonal_naive", "events.parquet"),
+    ("event_peak_concurrency", "events.parquet"),
+    ("event_dau_stickiness", "events.parquet"),
+    ("dedup_ngram_jaccard", "documents.parquet"),
+])
+def test_r15_single_big_table_scan(spark, sf_dir, name, table_file):
+    """r15 optimization pins (OPTIMIZATION_r15.md, the second-consumer-
+    anchor burn-down): each of these queries previously re-read its big
+    table 2-4x per run because a second consumer (a 1-row anchor, a
+    margin join, a shifted self-join, or a union of differently-pruned
+    projections) forked the shared subtree. The rewrites carry the
+    anchor on the keyed aggregate / unpivot in-row / window the margins,
+    and the FINAL adaptive plan must now read the big table ONCE. A
+    regression here degrades silently to extra full scans — exactly
+    what this pin fails on."""
+    final = _final_adaptive_plan(spark, name, sf_dir)
+    scans = _big_scans(final, table_file)
+    assert scans == 1, (
+        f"{name}: expected 1 {table_file} scan, saw {scans}:\n{final[:2000]}")
+
+
+def test_r15_expectations_audit_single_scan_each(spark, sf_dir):
+    """r15 pin: dq_expectations_audit unpivots each table's 1-row
+    conditional aggregate with one in-row inline (every violation column
+    referenced, so no union branch prunes the aggregate differently):
+    lineitem and orders each scan ONCE."""
+    final = _final_adaptive_plan(spark, "dq_expectations_audit", sf_dir)
+    assert _big_scans(final, "lineitem.parquet") == 1, final[:2000]
+    assert _big_scans(final, "orders.parquet") == 1, final[:2000]
+
+
+def test_r15_gini_two_scan_floor(spark, sf_dir):
+    """r15 pin: feature_gini_split_gain reads orders exactly TWICE (the
+    global percentile label anchor is a separate pass by necessity —
+    labels cannot exist before the median does) and customer once; the
+    3-way feature stack is one in-row inline and the parent moments fold
+    from the per-value aggregate."""
+    final = _final_adaptive_plan(spark, "feature_gini_split_gain", sf_dir)
+    assert _big_scans(final, "orders.parquet") == 2, final[:2000]
+    assert _big_scans(final, "customer.parquet") == 1, final[:2000]
+
+
+def test_r15_roc_auc_single_scan_under_checkpoint_skip(spark, sf_dir):
+    """r15 pin for the rank-helper family: with the helper's
+    localCheckpoint no-op'd (the scan_probe view — the checkpointed
+    final plan hides the lineage), stats_roc_auc's full lineage reads
+    events ONCE: the median anchor's CASE-pinned percentile keeps the
+    per-user subtree byte-identical to the label branch, so the user_id
+    exchange is reused instead of re-scanning the corpus."""
+    import tools.plan_audit as pa
+
+    with pa._CheckpointSkipper():
+        final = _final_adaptive_plan(spark, "stats_roc_auc", sf_dir)
+    scans = _big_scans(final, "events.parquet")
+    assert scans == 1, f"expected 1 events scan, saw {scans}:\n{final[:2000]}"

@@ -45,6 +45,9 @@ BOUNDED_CONSTANT_WINDOWS = {
     "text_zipf_fit",                  # top-50 vocabulary ranks
     "stats_bootstrap_ci",             # 200 bootstrap replicate sums
     "event_survival_kaplan_meier",    # per-day life table (<= 120 rows)
+    "tpch_q15",                       # per-supplier revenue table (r15
+    #                                   max-revenue window; supplier-
+    #                                   cardinality-bounded input)
     "stats_chi_square_independence",  # r x c contingency cells (<= 20)
     "stats_ks_two_sample",            # unit-value bins (<= value range)
     "text_js_divergence_sources",     # per-source count table (<= sources)

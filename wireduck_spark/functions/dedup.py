@@ -179,10 +179,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: this is the *verifier*; unblocked exact Jaccard is quadratic and
     intentionally not offered — dedup_minhash_lsh is the 100-TB path.
+
+    r15 OPTIMIZATION (guide §2.3/§2.4, the r14 dedup_ngram_containment
+    carry applied verbatim — it was gate-blocked in r14): both
+    per-doc denominators |grams(A)| / |grams(B)| are carried as the
+    pre-explode ``n_sh`` column (identical to the exploded COUNT(*) by
+    construction), recovered per pair group with MAX (constant within
+    the group), so the separate `sizes` aggregate and its TWO joins —
+    which re-tokenized the corpus a second time at runtime — are gone:
+    2 runtime scans -> 1 (the self-join sides keep identical
+    projections, so exchange reuse serves both from one tokenize).
     """
     d = table(spark, sf, "documents", spread=True)
-    sh = _spark_shingles(d)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = _spark_shingles(d, with_size=True)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -195,17 +204,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            F.max(F.col("a.n_sh")).alias("n_a"),
+            F.max(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")
+        F.col("n_a") + F.col("n_b") - F.col("common")
     )
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.2)
+        pairs.filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 

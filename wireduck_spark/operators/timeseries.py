@@ -797,18 +797,24 @@ def event_peak_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     per event, bounded running state per key, no global window. The
     sweep is the linear-time alternative to the quadratic
     self-join-on-overlap a naive formulation implies.
+
+    r15 OPTIMIZATION (guide §2.4): the +1/-1 point doubling was a
+    2-branch union of the same scan (2 runtime scans — the branches'
+    differing projections fork the subtrees). Each event row now
+    emits its start and end points with one in-row ``inline``: same
+    point multiset, 1 scan.
     """
     e = table(spark, sf, "events")
-    starts = e.select(
-        "user_id", "event_id", F.col("ts").alias("t"),
-        F.lit(1).alias("delta"),
-    )
-    ends = e.select(
+    points = e.select(
         "user_id", "event_id",
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
-        F.lit(-1).alias("delta"),
+        F.inline(F.array(
+            F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+            F.struct(
+                (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+                F.lit(-1).alias("delta"),
+            ),
+        )),
     )
-    points = starts.unionByName(ends)
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("t", "delta", "event_id")
@@ -1303,6 +1309,16 @@ def event_dau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
     covered day: shuffle volume is 7x user-days, never 7x events, and
     there is no per-day self-join or quadratic window. This is the
     standard scale-safe rewrite for "distinct over sliding window".
+
+    r15 OPTIMIZATION (guide §2.4): DAU previously ran as a second
+    consumer of the distinct user-day frame (its own groupBy + a join
+    back to WAU — 2 runtime scans). Each exploded cover row now
+    carries its ORIGIN day, so DAU(d) = the count of offset-0 rows in
+    cover group d (user-days are distinct, so exactly one such row per
+    active user) and the dau>0 filter reproduces the inner join's
+    "day had activity" row set (a NULL origin day explodes to nothing,
+    as before): 2 scans -> 1, join -> conditional count in the same
+    aggregate.
     """
     e = table(spark, sf, "events")
     ud = e.select(
@@ -1310,17 +1326,19 @@ def event_dau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
         .alias("day"),
     ).distinct()
-    dau = ud.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
     cover = ud.select(
         "user_id",
+        "day",
         F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6)))
         .alias("cover_day"),
     )
-    wau = cover.groupBy(F.col("cover_day").alias("day")).agg(
-        F.count_distinct("user_id").cast("bigint").alias("wau")
-    )
+    both = cover.groupBy(F.col("cover_day").alias("day")).agg(
+        F.count(F.when(F.col("day") == F.col("cover_day"), 1))
+        .cast("bigint").alias("dau"),
+        F.count_distinct("user_id").cast("bigint").alias("wau"),
+    ).filter(F.col("dau") > 0)
     return (
-        dau.join(wau, "day")
+        both
         .select(
             F.date_format(
                 F.date_add(F.lit("1970-01-01").cast("date"), F.col("day")),
@@ -1622,24 +1640,30 @@ def anomaly_mad_robust(spark: SparkSession, sf: str) -> DataFrame:
     is the pure BIGINT inequality 20000·(2|dev|) > 44478·(4·MAD) —
     no float comparison anywhere near the decision boundary.
 
-    Scale: two grouped exact medians + two user-keyed joins (all four
-    shuffles on the same key, Exchange-reusable). At 100 TB swap exact
-    medians for percentile_approx with a documented tolerance — the
-    inequality and joins are unchanged.
+    Scale: both exact medians ride per-user WINDOWS over one shuffle.
+    At 100 TB swap exact medians for percentile_approx with a
+    documented tolerance — the inequality is unchanged.
+
+    r15 OPTIMIZATION (guide §2.4): the two grouped medians + two
+    user-keyed joins re-scanned events 3x at runtime (each join
+    consumer pruned / filtered its aggregate branch differently). Both
+    medians are now whole-partition windows chained on the SAME
+    user_id partitioning — one Exchange, one scan, zero joins. The
+    median values are Spark's same median over the identical per-user
+    row multisets; the original INNER joins on user_id dropped
+    NULL-user rows, reproduced by the explicit isNotNull filter.
     """
     e = table(spark, sf, "events")
-    c = e.select(
+    w_u = Window.partitionBy("user_id")
+    c = e.filter(F.col("user_id").isNotNull()).select(
         "event_id", "user_id", cents(F.col("value")).alias("cents"))
-    med = c.groupBy("user_id").agg(
-        (F.median("cents") * 2).cast("bigint").alias("med2"))
-    dev = c.join(med, "user_id").select(
-        "event_id", "user_id", "cents", "med2",
-        F.abs(2 * F.col("cents") - F.col("med2")).alias("dev2"),
-    )
-    mad = dev.groupBy("user_id").agg(
-        (F.median("dev2") * 2).cast("bigint").alias("mad4"))
+    dev = c.withColumn(
+        "med2", (F.median("cents").over(w_u) * 2).cast("bigint")
+    ).withColumn("dev2", F.abs(2 * F.col("cents") - F.col("med2")))
+    scored = dev.withColumn(
+        "mad4", (F.median("dev2").over(w_u) * 2).cast("bigint"))
     return (
-        dev.join(mad, "user_id")
+        scored
         .filter((20000 * F.col("dev2") > 44478 * F.col("mad4"))
                 & (F.col("mad4") > 0))
         .select("event_id", "user_id", "cents", "med2", "mad4")
@@ -3016,9 +3040,20 @@ def forecast_backtest_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
     floats); MAE is kept as an exact integer SUM of absolute errors
     (days-scored count published so callers can divide).
 
-    Scale: the scoring joins are self-equi-joins of the (type, day)
-    rollup — a calendar-sized table, shuffled once on event_type; the
-    corpus-sized work is the single daily aggregate.
+    Scale: scoring is one in-row unpivot of the (type, day) rollup +
+    one keyed regroup — a calendar-sized shuffle; the corpus-sized
+    work is the single daily aggregate.
+
+    r15 OPTIMIZATION (guide §2.4): the two scoring self-joins consumed
+    the daily rollup three times with different shifted-day
+    projections and inferred join filters, so events scanned 3x at
+    runtime. Each daily row now EXPLODES into its three roles —
+    (d, actual), (d+7, weekly prediction), (d+1, daily prediction) —
+    and one (type, day) regroup recovers the triple with conditional
+    MAX (each role appears at most once per key: daily is keyed by
+    (type, d) and the calendar shifts are injective). Rows where all
+    three roles are present reproduce the double INNER join exactly:
+    3 scans -> 1, joins 2 -> 0.
     """
     e = table(spark, sf, "events")
     daily = (
@@ -3027,21 +3062,37 @@ def forecast_backtest_seasonal_naive(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(cents(F.col("value"))).cast("bigint").alias("cents"))
     )
-    a = daily.alias("a")
-    b = daily.select(
-        "event_type", F.date_add("d", 7).alias("d"),
-        F.col("cents").alias("pred_weekly"),
-    ).alias("b")
-    c = daily.select(
-        "event_type", F.date_add("d", 1).alias("d"),
-        F.col("cents").alias("pred_daily"),
-    ).alias("c")
-    joined = (
-        a.join(b, ["event_type", "d"])
-        .join(c, ["event_type", "d"])
+    roles = daily.select(
+        "event_type", "cents",
+        F.inline(F.array(
+            F.struct(F.col("d").alias("sd"), F.lit(0).alias("role")),
+            F.struct(F.date_add("d", 7).alias("sd"), F.lit(1).alias("role")),
+            F.struct(F.date_add("d", 1).alias("sd"), F.lit(2).alias("role")),
+        )),
+    )
+    # presence flags, NOT value non-nullness: a day whose SUM is NULL
+    # (all-NULL values) still joined in the original; and the original
+    # equi-joins never matched NULL keys, so NULL event_type / NULL day
+    # groups are dropped explicitly.
+    scored = (
+        roles.filter(F.col("event_type").isNotNull()
+                     & F.col("sd").isNotNull())
+        .groupBy("event_type", "sd")
+        .agg(
+            F.max(F.when(F.col("role") == 0, F.col("cents")))
+            .alias("cents"),
+            F.max(F.when(F.col("role") == 1, F.col("cents")))
+            .alias("pred_weekly"),
+            F.max(F.when(F.col("role") == 2, F.col("cents")))
+            .alias("pred_daily"),
+            *[F.max(F.when(F.col("role") == r, 1)).alias(f"p{r}")
+              for r in (0, 1, 2)],
+        )
+        .filter((F.col("p0") == 1) & (F.col("p1") == 1)
+                & (F.col("p2") == 1))
     )
     return (
-        joined.groupBy("event_type")
+        scored.groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_days_scored"),
             F.sum(F.abs(F.col("cents") - F.col("pred_weekly")))
