@@ -10,6 +10,9 @@ match exactly after canonicalization (tools/check_oracle.py:compare).
 import duckdb
 import pytest
 
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
+
 from tools.check_oracle import compare
 from wireduck_spark.registry import QUERIES, TABLES, load_all_queries
 

@@ -37,6 +37,9 @@ import sys
 import duckdb
 import pytest
 
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from wireduck_spark.registry import load_all_queries

@@ -21,6 +21,9 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
+
 from wireduck_spark.registry import table
 
 # -- predicate AST ----------------------------------------------------------

@@ -29,6 +29,9 @@ import os
 import duckdb
 import pytest
 
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
+
 from wireduck_spark.registry import load_all_queries
 
 QUERIES = load_all_queries()

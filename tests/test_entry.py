@@ -1,5 +1,7 @@
 """Driver-contract smoke: entry(), queries()/oracle_sql() gate shape."""
 
+import pytest
+
 import __spark_entry__ as contract
 from wireduck_spark.registry import (
     GATE,
@@ -85,6 +87,7 @@ def test_gate_partition():
     assert not stale, f"gate lists unknown queries: {sorted(stale)}"
 
 
+@pytest.mark.slow  # full-registry sweep (r15 driver-window split)
 def test_no_complex_top_level_columns_in_oracle_outputs(spark, sf_dir):
     """Contract rule (round-6 lesson, `embed_mean_pool` driver-red row;
     re-learned round 9 on the rows-only surface): the driver's pandas
@@ -130,6 +133,7 @@ def test_driver_sim_canonicalizer_reproduces_the_r9_crash(spark):
     assert driver_canon_rows(good) == 2
 
 
+@pytest.mark.slow  # full-registry sweep (r15 driver-window split)
 def test_each_query_runs_at_sf0001(spark, sf_dir):
     """Every REGISTERED query (not just the gate) executes: plans resolve
     and run at tiny scale; value checks are test_all_queries_green's job."""

@@ -6,8 +6,12 @@ doubles the IO bill; observe() rides the job that already ran).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Observation
 from pyspark.sql import functions as F
+
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
 
 from wireduck_spark.registry import cents, table
 

@@ -19,6 +19,9 @@ from __future__ import annotations
 
 import pytest
 
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
+
 from pcap_fixtures import build_eth_ipv4_udp, build_pcap, build_pcapng
 from wireduck_spark.sources.native import iter_packets
 

@@ -10,7 +10,11 @@ tests in test_native.py: goldens pin known-good outputs, properties pin
 
 from __future__ import annotations
 
+import pytest
 import struct
+
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
 
 from hypothesis import given, settings
 from hypothesis import strategies as st

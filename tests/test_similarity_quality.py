@@ -9,7 +9,11 @@ on legitimate hash geometry.
 
 from __future__ import annotations
 
+import pytest
 from wireduck_spark.registry import load_all_queries
+
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
 
 QUERIES = load_all_queries()
 

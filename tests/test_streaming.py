@@ -9,6 +9,9 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+# r15 driver-window split (pytest.ini): heavyweight battery, opt-in
+pytestmark = pytest.mark.slow
+
 from tests.pcap_fixtures import two_flow_pcap
 from wireduck_spark.registry import load_all_queries, table
 from wireduck_spark.streaming.stateful import running_user_totals

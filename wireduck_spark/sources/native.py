@@ -400,6 +400,276 @@ _HTTP_METHODS = (b"GET ", b"POST ", b"PUT ", b"DELETE ", b"HEAD ",
                  b"OPTIONS ", b"PATCH ", b"TRACE ", b"CONNECT ")
 
 
+def _tcp_options(data: bytes, off: int, data_off: int,
+                 fields: dict) -> None:
+    """TCP options (between the 20-byte header and data_off): MSS,
+    window scale, SACK-permitted — the flow-fingerprinting trio
+    (field names match tshark's epan TCP dissector). Split out of
+    _dissect_l4 in r15 so the vectorized batch path (native_vec) can
+    reuse the exact walk for the minority of rows with options."""
+    opt_off, opt_end = off + 20, off + min(data_off, len(data) - off)
+    while opt_off < opt_end:
+        kind = data[opt_off]
+        if kind == 0:  # end of options
+            break
+        if kind == 1:  # NOP
+            opt_off += 1
+            continue
+        if opt_off + 1 >= opt_end:
+            break
+        olen = data[opt_off + 1]
+        if olen < 2 or opt_off + olen > opt_end:
+            break
+        if kind == 2 and olen == 4:
+            fields["tcp.options.mss_val"] = struct.unpack(
+                ">H", data[opt_off + 2:opt_off + 4])[0]
+        elif kind == 3 and olen == 3:
+            fields["tcp.options.wscale.shift"] = data[opt_off + 2]
+        elif kind == 4 and olen == 2:
+            fields["tcp.options.sack_perm"] = True
+        opt_off += olen
+
+
+def _probe_smb_tcp(payload: bytes, fields: dict) -> str | None:
+    if _dissect_smb(payload, fields):
+        return "smb2" if "smb2.cmd" in fields else "smb"
+    return None
+
+
+def _probe_kerberos_tcp(payload: bytes, fields: dict) -> str | None:
+    # TCP Kerberos: RFC 4120 §7.2.2 4-byte length prefix
+    if len(payload) > 4 \
+            and int.from_bytes(payload[0:4], "big") == len(payload) - 4 \
+            and _dissect_kerberos(payload[4:], fields):
+        return "kerberos"
+    return None
+
+
+def _labeled(label: str, probe) -> object:
+    def run(payload: bytes, fields: dict) -> str | None:
+        return label if probe(payload, fields) else None
+
+    return run
+
+
+# Port-gated TCP probes in the _dissect_l4 chain's original elif order
+# (the tuple's first element). r15: the chain's ~25 `PORT in (sport,
+# dport)` membership tests cost more per packet than the probes they
+# guard on non-matching traffic; two dict lookups replace them. A
+# port's probe failing falls through to the next matching candidate,
+# then http2/dns — exactly the old elif semantics. Built lazily: the
+# probe functions are defined further down the module.
+_TCP_PORT_PROBES: dict = {}
+
+
+def _tcp_port_probes() -> dict:
+    if not _TCP_PORT_PROBES:
+        _TCP_PORT_PROBES.update({
+            22: (0, _labeled("ssh", _dissect_ssh)),
+            25: (1, _labeled("smtp", _dissect_smtp)),
+            21: (2, _labeled("ftp", _dissect_ftp)),
+            110: (3, _labeled("pop", _dissect_pop)),
+            143: (4, _labeled("imap", _dissect_imap)),
+            5060: (5, _labeled("sip", _dissect_sip)),
+            445: (6, _probe_smb_tcp),
+            502: (7, _labeled("mbtcp", _dissect_modbus)),
+            1883: (8, _labeled("mqtt", _dissect_mqtt)),
+            3389: (9, _labeled("tpkt", _dissect_tpkt)),
+            179: (10, _labeled("bgp", _dissect_bgp)),
+            554: (11, _labeled("rtsp", _dissect_rtsp)),
+            389: (12, _labeled("ldap", _dissect_ldap)),
+            23: (13, _labeled("telnet", _dissect_telnet)),
+            3306: (14, _labeled("mysql", _dissect_mysql)),
+            5432: (15, _labeled("pgsql", _dissect_pgsql)),
+            6379: (16, _labeled("redis", _dissect_redis)),
+            5672: (17, _labeled("amqp", _dissect_amqp)),
+            88: (18, _probe_kerberos_tcp),
+            1723: (19, _labeled("pptp", _dissect_pptp)),
+            20000: (20, _labeled("dnp3", _dissect_dnp3)),
+            9418: (21, _labeled("git", _dissect_git)),
+            6667: (22, _labeled("irc", _dissect_irc)),
+            49: (23, _labeled("tacplus", _dissect_tacplus)),
+            11211: (24, _labeled("memcache", _dissect_memcache)),
+        })
+    return _TCP_PORT_PROBES
+
+
+def _tcp_l7(payload: bytes, sport: int, dport: int,
+            fields: dict) -> str | None:
+    """The TCP payload probe chain from _dissect_l4 (r15 split so the
+    vectorized batch path can run it per payload row without re-doing
+    the fixed-header work; the port-gated middle section is a lookup
+    table in the chain's original order). Returns the protocol label
+    to append, or None."""
+    if 4222 in (sport, dport) and _dissect_nats(payload, fields):
+        # NATS before generic HTTP: its CONNECT {json} line
+        # collides with the HTTP CONNECT method on 4222
+        return "nats"
+    if _dissect_http(payload, fields):
+        return "http"
+    if _dissect_tls(payload, fields):
+        return "tls"
+    probes = _TCP_PORT_PROBES or _tcp_port_probes()
+    c1 = probes.get(sport)
+    c2 = probes.get(dport)
+    if c1 is not None:
+        if c2 is not None and c2 is not c1:
+            if c2[0] < c1[0]:
+                c1, c2 = c2, c1
+            label = c1[1](payload, fields)
+            if label:
+                return label
+            label = c2[1](payload, fields)
+            if label:
+                return label
+        else:
+            label = c1[1](payload, fields)
+            if label:
+                return label
+    elif c2 is not None:
+        label = c2[1](payload, fields)
+        if label:
+            return label
+    if _dissect_http2(payload, fields):
+        return "http2"
+    if 53 in (sport, dport) and len(payload) >= 14:
+        # DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix
+        # then the standard message — zone transfers and large
+        # answers live here.
+        dlen = int.from_bytes(payload[0:2], "big")
+        if dlen >= 12 and _dissect_dns(payload[2:2 + dlen], fields):
+            return "dns"
+    return None
+
+
+def _udp_payload_chain(data: bytes, off: int, payload: bytes,
+                       sport: int, dport: int, protos: list,
+                       fields: dict) -> None:
+    """The UDP payload probe chain, verbatim from _dissect_l4 (r15
+    split so the vectorized batch path can run it per payload row; the
+    VXLAN/GTP decap branches rewrite other layers' fields, so the
+    vectorized caller routes rows that could hit them — dport 4789 /
+    port 2152 — to the full-row fallback instead and they are only
+    reachable from the dict path here)."""
+    if (sport in (53, 5353) or dport in (53, 5353)) and len(payload) >= 12:
+        proto_name = "mdns" if 5353 in (sport, dport) else "dns"
+        if _dissect_dns(payload, fields):
+            protos.append(proto_name)
+    elif (sport == 123 or dport == 123) and len(payload) >= 48:
+        if _dissect_ntp(payload, fields):
+            protos.append("ntp")
+    elif (sport in (67, 68) or dport in (67, 68)) and len(payload) >= 240:
+        if _dissect_dhcp(payload, fields):
+            protos.append("dhcp")
+    elif (
+        443 in (sport, dport)
+        and len(payload) >= 7
+        # long header + fixed bit (RFC 9000 §17.2): 0b11xxxxxx.
+        # Short (1-RTT) headers are NOT claimed: without connection
+        # tracking their DCID length is unknowable and any opaque
+        # UDP payload would false-positive on a one-bit check.
+        and (payload[0] & 0xC0) == 0xC0
+    ):
+        if _dissect_quic(payload, fields):
+            protos.append("quic")
+    elif (
+        dport == 4789
+        and len(payload) >= 8 + 14
+        and payload[0] & 0x08  # VNI-valid flag (RFC 7348 §5)
+        and "vxlan.vni" not in fields  # one decap level, no loops
+    ):
+        # VXLAN decapsulation: 8-byte header, then a complete inner
+        # Ethernet frame. Deviation from tshark documented at the
+        # module level: tshark's `-T fields` joins outer+inner
+        # occurrences with commas (which the reference's stoll cast
+        # would NULL for numeric columns); here the INNER values win
+        # for the standard columns — the inner flow is the analytic
+        # identity in an overlay network — and the outer endpoints
+        # stay queryable as vxlan.outer_ip_src/dst. tcp.stream /
+        # udp.stream are computed from the merged (inner) tuple, so
+        # flow analytics see the tenant flow, not the tunnel.
+        protos.append("vxlan")
+        fields["vxlan.vni"] = int.from_bytes(payload[4:7], "big")
+        fields["vxlan.outer_ip_src"] = fields.get("ip.src")
+        fields["vxlan.outer_ip_dst"] = fields.get("ip.dst")
+        inner_fields: dict = {"vxlan.vni": fields["vxlan.vni"]}
+        dissect_packet(payload[8:], 1, inner_fields)
+        inner_protos = inner_fields.pop("frame.protocols", "")
+        inner_fields.pop("_ws.col.info", None)
+        fields.update(inner_fields)
+        if inner_protos:
+            protos.extend(inner_protos.split(":"))
+        fields["_ws.col.info"] = (
+            f"VXLAN VNI {fields['vxlan.vni']}: "
+            + ":".join(inner_protos.split(":")[2:] or ["data"])
+        )
+    elif (5355 in (sport, dport)) and len(payload) >= 12:
+        # LLMNR (RFC 4795) is DNS wire format on 5355 — same reuse
+        # as mdns above; dns.* fields, llmnr in frame.protocols.
+        if _dissect_dns(payload, fields):
+            protos.append("llmnr")
+    elif 5060 in (sport, dport):
+        if _dissect_sip(payload, fields):
+            protos.append("sip")
+    elif sport in (161, 162) or dport in (161, 162):
+        if _dissect_snmp(payload, fields):
+            protos.append("snmp")
+    elif dport == 514 or sport == 514:
+        if _dissect_syslog(payload, fields):
+            protos.append("syslog")
+    elif dport == 69:
+        if _dissect_tftp(payload, fields):
+            protos.append("tftp")
+    elif sport in (1812, 1813) or dport in (1812, 1813):
+        if _dissect_radius(payload, fields):
+            protos.append("radius")
+    elif 51820 in (sport, dport):
+        if _dissect_wireguard(payload, fields):
+            protos.append("wg")
+    elif 2152 in (sport, dport):
+        inner: list = []
+        if _dissect_gtp(payload, fields, inner):
+            # gtp sits BEFORE the decapped inner protocol chain
+            protos.append("gtp")
+            protos.extend(inner)
+    elif 88 in (sport, dport):
+        if _dissect_kerberos(payload, fields):
+            protos.append("kerberos")
+    elif 137 in (sport, dport):
+        if _dissect_nbns(payload, fields):
+            protos.append("nbns")
+    elif sport == 520 or dport == 520:
+        if _dissect_rip(payload, fields):
+            protos.append("rip")
+    elif sport in (500, 4500) or dport in (500, 4500):
+        if _dissect_isakmp(payload, fields,
+                           natt=(4500 in (sport, dport))):
+            protos.append("isakmp")
+    elif 1701 in (sport, dport):
+        if _dissect_l2tp(payload, fields):
+            protos.append("l2tp")
+    elif 47808 in (sport, dport):
+        if _dissect_bacnet(payload, fields):
+            protos.append("bvlc")
+    elif 5683 in (sport, dport):
+        if _dissect_coap(payload, fields):
+            protos.append("coap")
+    elif 11211 in (sport, dport):
+        if _dissect_memcache(payload, fields):
+            protos.append("memcache")
+    elif 20000 in (sport, dport):
+        if _dissect_dnp3(payload, fields):
+            protos.append("dnp3")
+    elif 1900 in (sport, dport):
+        if _dissect_ssdp(payload, fields):
+            protos.append("ssdp")
+    elif _dissect_stun(payload, fields):
+        protos.append("stun")
+    elif _dissect_dtls(payload, fields):
+        protos.append("dtls")
+
+
+
 def _dissect_l4(
     data: bytes, off: int, proto: int, l3_payload_len: int,
     protos: list, fields: dict,
@@ -428,30 +698,7 @@ def _dissect_l4(
         fields["tcp.checksum"] = checksum
         payload_len = max(l3_payload_len - data_off, 0)
         fields["tcp.len"] = payload_len
-        # TCP options (between the 20-byte header and data_off): MSS,
-        # window scale, SACK-permitted — the flow-fingerprinting trio
-        # (field names match tshark's epan TCP dissector).
-        opt_off, opt_end = off + 20, off + min(data_off, len(data) - off)
-        while opt_off < opt_end:
-            kind = data[opt_off]
-            if kind == 0:  # end of options
-                break
-            if kind == 1:  # NOP
-                opt_off += 1
-                continue
-            if opt_off + 1 >= opt_end:
-                break
-            olen = data[opt_off + 1]
-            if olen < 2 or opt_off + olen > opt_end:
-                break
-            if kind == 2 and olen == 4:
-                fields["tcp.options.mss_val"] = struct.unpack(
-                    ">H", data[opt_off + 2:opt_off + 4])[0]
-            elif kind == 3 and olen == 3:
-                fields["tcp.options.wscale.shift"] = data[opt_off + 2]
-            elif kind == 4 and olen == 2:
-                fields["tcp.options.sack_perm"] = True
-            opt_off += olen
+        _tcp_options(data, off, data_off, fields)
         payload = data[off + data_off:off + data_off + payload_len]
         if payload:
             fields["tcp.payload"] = payload.hex()
@@ -461,95 +708,9 @@ def _dissect_l4(
             f" Len={payload_len}"
         )
         if payload:
-            if 4222 in (sport, dport) and _dissect_nats(payload, fields):
-                # NATS before generic HTTP: its CONNECT {json} line
-                # collides with the HTTP CONNECT method on 4222
-                protos.append("nats")
-            elif _dissect_http(payload, fields):
-                protos.append("http")
-            elif _dissect_tls(payload, fields):
-                protos.append("tls")
-            elif 22 in (sport, dport) and _dissect_ssh(payload, fields):
-                protos.append("ssh")
-            elif 25 in (sport, dport) and _dissect_smtp(payload, fields):
-                protos.append("smtp")
-            elif 21 in (sport, dport) and _dissect_ftp(payload, fields):
-                protos.append("ftp")
-            elif 110 in (sport, dport) and _dissect_pop(payload, fields):
-                protos.append("pop")
-            elif 143 in (sport, dport) and _dissect_imap(payload, fields):
-                protos.append("imap")
-            elif 5060 in (sport, dport) and _dissect_sip(payload, fields):
-                protos.append("sip")
-            elif 445 in (sport, dport) and _dissect_smb(payload, fields):
-                protos.append("smb2" if "smb2.cmd" in fields else "smb")
-            elif 502 in (sport, dport) and _dissect_modbus(
-                    payload, fields):
-                protos.append("mbtcp")
-            elif 1883 in (sport, dport) and _dissect_mqtt(
-                    payload, fields):
-                protos.append("mqtt")
-            elif 3389 in (sport, dport) and _dissect_tpkt(
-                    payload, fields):
-                protos.append("tpkt")
-            elif 179 in (sport, dport) and _dissect_bgp(payload, fields):
-                protos.append("bgp")
-            elif 554 in (sport, dport) and _dissect_rtsp(
-                    payload, fields):
-                protos.append("rtsp")
-            elif 389 in (sport, dport) and _dissect_ldap(
-                    payload, fields):
-                protos.append("ldap")
-            elif 23 in (sport, dport) and _dissect_telnet(
-                    payload, fields):
-                protos.append("telnet")
-            elif 3306 in (sport, dport) and _dissect_mysql(
-                    payload, fields):
-                protos.append("mysql")
-            elif 5432 in (sport, dport) and _dissect_pgsql(
-                    payload, fields):
-                protos.append("pgsql")
-            elif 6379 in (sport, dport) and _dissect_redis(
-                    payload, fields):
-                protos.append("redis")
-            elif 5672 in (sport, dport) and _dissect_amqp(
-                    payload, fields):
-                protos.append("amqp")
-            elif 88 in (sport, dport) and len(payload) > 4 \
-                    and int.from_bytes(payload[0:4], "big") \
-                    == len(payload) - 4 \
-                    and _dissect_kerberos(payload[4:], fields):
-                # TCP Kerberos: RFC 4120 §7.2.2 4-byte length prefix
-                protos.append("kerberos")
-            elif 1723 in (sport, dport) and _dissect_pptp(
-                    payload, fields):
-                protos.append("pptp")
-            elif 20000 in (sport, dport) and _dissect_dnp3(
-                    payload, fields):
-                protos.append("dnp3")
-            elif 9418 in (sport, dport) and _dissect_git(
-                    payload, fields):
-                protos.append("git")
-            elif 6667 in (sport, dport) and _dissect_irc(
-                    payload, fields):
-                protos.append("irc")
-            elif 49 in (sport, dport) and _dissect_tacplus(
-                    payload, fields):
-                protos.append("tacplus")
-            elif 11211 in (sport, dport) and _dissect_memcache(
-                    payload, fields):
-                protos.append("memcache")
-
-            elif _dissect_http2(payload, fields):
-                protos.append("http2")
-            elif 53 in (sport, dport) and len(payload) >= 14:
-                # DNS over TCP (RFC 1035 §4.2.2): 2-byte length prefix
-                # then the standard message — zone transfers and large
-                # answers live here.
-                dlen = int.from_bytes(payload[0:2], "big")
-                if dlen >= 12 and _dissect_dns(
-                        payload[2:2 + dlen], fields):
-                    protos.append("dns")
+            label = _tcp_l7(payload, sport, dport, fields)
+            if label:
+                protos.append(label)
     elif proto == 17 and len(data) >= off + 8:  # UDP
         protos.append("udp")
         sport, dport, length, checksum = struct.unpack(">HHHH", data[off:off + 8])
@@ -559,122 +720,8 @@ def _dissect_l4(
         fields["udp.checksum"] = checksum
         fields["_ws.col.info"] = f"{sport} → {dport} Len={length - 8}"
         payload = data[off + 8:off + 8 + max(length - 8, 0)]
-        if (sport in (53, 5353) or dport in (53, 5353)) and len(payload) >= 12:
-            proto_name = "mdns" if 5353 in (sport, dport) else "dns"
-            if _dissect_dns(payload, fields):
-                protos.append(proto_name)
-        elif (sport == 123 or dport == 123) and len(payload) >= 48:
-            if _dissect_ntp(payload, fields):
-                protos.append("ntp")
-        elif (sport in (67, 68) or dport in (67, 68)) and len(payload) >= 240:
-            if _dissect_dhcp(payload, fields):
-                protos.append("dhcp")
-        elif (
-            443 in (sport, dport)
-            and len(payload) >= 7
-            # long header + fixed bit (RFC 9000 §17.2): 0b11xxxxxx.
-            # Short (1-RTT) headers are NOT claimed: without connection
-            # tracking their DCID length is unknowable and any opaque
-            # UDP payload would false-positive on a one-bit check.
-            and (payload[0] & 0xC0) == 0xC0
-        ):
-            if _dissect_quic(payload, fields):
-                protos.append("quic")
-        elif (
-            dport == 4789
-            and len(payload) >= 8 + 14
-            and payload[0] & 0x08  # VNI-valid flag (RFC 7348 §5)
-            and "vxlan.vni" not in fields  # one decap level, no loops
-        ):
-            # VXLAN decapsulation: 8-byte header, then a complete inner
-            # Ethernet frame. Deviation from tshark documented at the
-            # module level: tshark's `-T fields` joins outer+inner
-            # occurrences with commas (which the reference's stoll cast
-            # would NULL for numeric columns); here the INNER values win
-            # for the standard columns — the inner flow is the analytic
-            # identity in an overlay network — and the outer endpoints
-            # stay queryable as vxlan.outer_ip_src/dst. tcp.stream /
-            # udp.stream are computed from the merged (inner) tuple, so
-            # flow analytics see the tenant flow, not the tunnel.
-            protos.append("vxlan")
-            fields["vxlan.vni"] = int.from_bytes(payload[4:7], "big")
-            fields["vxlan.outer_ip_src"] = fields.get("ip.src")
-            fields["vxlan.outer_ip_dst"] = fields.get("ip.dst")
-            inner_fields: dict = {"vxlan.vni": fields["vxlan.vni"]}
-            dissect_packet(payload[8:], 1, inner_fields)
-            inner_protos = inner_fields.pop("frame.protocols", "")
-            inner_fields.pop("_ws.col.info", None)
-            fields.update(inner_fields)
-            if inner_protos:
-                protos.extend(inner_protos.split(":"))
-            fields["_ws.col.info"] = (
-                f"VXLAN VNI {fields['vxlan.vni']}: "
-                + ":".join(inner_protos.split(":")[2:] or ["data"])
-            )
-        elif (5355 in (sport, dport)) and len(payload) >= 12:
-            # LLMNR (RFC 4795) is DNS wire format on 5355 — same reuse
-            # as mdns above; dns.* fields, llmnr in frame.protocols.
-            if _dissect_dns(payload, fields):
-                protos.append("llmnr")
-        elif 5060 in (sport, dport):
-            if _dissect_sip(payload, fields):
-                protos.append("sip")
-        elif sport in (161, 162) or dport in (161, 162):
-            if _dissect_snmp(payload, fields):
-                protos.append("snmp")
-        elif dport == 514 or sport == 514:
-            if _dissect_syslog(payload, fields):
-                protos.append("syslog")
-        elif dport == 69:
-            if _dissect_tftp(payload, fields):
-                protos.append("tftp")
-        elif sport in (1812, 1813) or dport in (1812, 1813):
-            if _dissect_radius(payload, fields):
-                protos.append("radius")
-        elif 51820 in (sport, dport):
-            if _dissect_wireguard(payload, fields):
-                protos.append("wg")
-        elif 2152 in (sport, dport):
-            inner: list = []
-            if _dissect_gtp(payload, fields, inner):
-                # gtp sits BEFORE the decapped inner protocol chain
-                protos.append("gtp")
-                protos.extend(inner)
-        elif 88 in (sport, dport):
-            if _dissect_kerberos(payload, fields):
-                protos.append("kerberos")
-        elif 137 in (sport, dport):
-            if _dissect_nbns(payload, fields):
-                protos.append("nbns")
-        elif sport == 520 or dport == 520:
-            if _dissect_rip(payload, fields):
-                protos.append("rip")
-        elif sport in (500, 4500) or dport in (500, 4500):
-            if _dissect_isakmp(payload, fields,
-                               natt=(4500 in (sport, dport))):
-                protos.append("isakmp")
-        elif 1701 in (sport, dport):
-            if _dissect_l2tp(payload, fields):
-                protos.append("l2tp")
-        elif 47808 in (sport, dport):
-            if _dissect_bacnet(payload, fields):
-                protos.append("bvlc")
-        elif 5683 in (sport, dport):
-            if _dissect_coap(payload, fields):
-                protos.append("coap")
-        elif 11211 in (sport, dport):
-            if _dissect_memcache(payload, fields):
-                protos.append("memcache")
-        elif 20000 in (sport, dport):
-            if _dissect_dnp3(payload, fields):
-                protos.append("dnp3")
-        elif 1900 in (sport, dport):
-            if _dissect_ssdp(payload, fields):
-                protos.append("ssdp")
-        elif _dissect_stun(payload, fields):
-            protos.append("stun")
-        elif _dissect_dtls(payload, fields):
-            protos.append("dtls")
+        _udp_payload_chain(data, off, payload, sport, dport,
+                           protos, fields)
     elif proto == 1 and len(data) >= off + 4:  # ICMP
         protos.append("icmp")
         fields["icmp.type"] = data[off]
@@ -2375,12 +2422,14 @@ def is_pcapng(path: str) -> bool:
         return fh.read(4) == PCAPNG_MAGIC
 
 
-def _iter_classic_raw(fh, info: PcapInfo, size: int, start_byte, end_byte):
-    """(record_offset, header_bytes, data_bytes) per record of a classic
-    file, honoring byte-range slices with resync — the raw layer shared
-    by the dissecting iterator and the tshark-slice extractor (the latter
-    must copy record bytes verbatim, so it cannot consume parsed
-    timestamps)."""
+def _iter_classic_raw_batches(fh, info: PcapInfo, size: int, start_byte,
+                              end_byte, batch_rows: int = 1024):
+    """LISTS of (record_offset, header_bytes, data_bytes) per up-to-
+    batch_rows records of a classic file, honoring byte-range slices
+    with resync — the chunked-read batched core under every classic
+    record consumer (r15, guide §1.2 step 2: one 4 MiB fh.read per
+    chunk instead of two syscalls per record, and one generator
+    resumption per batch instead of per record)."""
     if not splittable_snaplen(info):
         # snaplen beyond the sane resync cap: byte-range resync can't be
         # trusted, so fall back to one unsplit read — the FIRST slice owns
@@ -2394,14 +2443,22 @@ def _iter_classic_raw(fh, info: PcapInfo, size: int, start_byte, end_byte):
         off = resync_offset(fh, info, start_byte, size)
     end = end_byte if end_byte is not None else size
     fh.seek(off)
+    unpack_from = struct.Struct(info.endian + "IIII").unpack_from
+    chunk = 4 << 20
+    buf = b""
+    pos = 0
+    out: list = []
+    append = out.append
     while off < end:
-        hdr = fh.read(RECORD_HEADER_LEN)
-        if len(hdr) < RECORD_HEADER_LEN:
-            break
-        _, _, incl, _ = struct.unpack(info.endian + "IIII", hdr)
-        # Two guards before the data read (r12 review): (a) a corrupt
+        if pos + RECORD_HEADER_LEN > len(buf):
+            buf = buf[pos:] + fh.read(chunk)
+            pos = 0
+            if len(buf) < RECORD_HEADER_LEN:
+                break
+        _, _, incl, _ = unpack_from(buf, pos)
+        # Two guards before the data slice (r12 review): (a) a corrupt
         # header's u32 incl (up to 4 GiB) must not become one giant
-        # fh.read allocation — >64 MiB is payload garbage, not a packet
+        # read/allocation — >64 MiB is payload garbage, not a packet
         # (the _MAX_SANE_ORIGLEN rationale); (b) a record extending past
         # `size` must not be read from a file that has GROWN since the
         # plan froze `size` — replays of a frozen byte range would
@@ -2409,26 +2466,69 @@ def _iter_classic_raw(fh, info: PcapInfo, size: int, start_byte, end_byte):
         # replays-identically contract).
         if incl > _MAX_SANE_ORIGLEN or off + RECORD_HEADER_LEN + incl > size:
             break
-        data = fh.read(incl)
-        if len(data) < incl:
-            break
-        yield off, hdr, data
+        rec_end = pos + RECORD_HEADER_LEN + incl
+        if rec_end > len(buf):
+            buf = buf[pos:] + fh.read(max(chunk, rec_end - pos))
+            pos = 0
+            rec_end = RECORD_HEADER_LEN + incl
+            if len(buf) < rec_end:
+                break
+        append((off, buf[pos:pos + RECORD_HEADER_LEN],
+                buf[pos + RECORD_HEADER_LEN:rec_end]))
+        pos = rec_end
         off += RECORD_HEADER_LEN + incl
+        if len(out) >= batch_rows:
+            yield out
+            out = []
+            append = out.append
+    if out:
+        yield out
+
+
+def _iter_classic_raw(fh, info: PcapInfo, size: int, start_byte, end_byte):
+    """(record_offset, header_bytes, data_bytes) per record of a classic
+    file, honoring byte-range slices with resync — the raw layer shared
+    by the dissecting iterator and the tshark-slice extractor (the latter
+    must copy record bytes verbatim, so it cannot consume parsed
+    timestamps)."""
+    for batch in _iter_classic_raw_batches(fh, info, size, start_byte,
+                                           end_byte):
+        yield from batch
+
+
+def _iter_classic_record_batches(fh, size: int, start_byte, end_byte,
+                                 batch_rows: int = 1024):
+    """COLUMNAR record batches — (offs, epochs, incls, origs, datas,
+    linktype) tuples of per-batch lists — the batched entry the
+    vectorized Arrow path consumes (r15: building five parallel lists
+    here is cheaper than 200k 6-tuples that batch_columns would
+    immediately re-gather into columns)."""
+    info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
+    unpack = struct.Struct(info.endian + "IIII").unpack
+    ns = info.ts_divisor == 1_000_000_000
+    lt = info.linktype
+    for batch in _iter_classic_raw_batches(fh, info, size, start_byte,
+                                           end_byte, batch_rows):
+        offs = [r[0] for r in batch]
+        hdrs = [unpack(r[1]) for r in batch]
+        datas = [r[2] for r in batch]
+        # integer microseconds (no float round-trip: ns captures keep
+        # exact us truncation, and 2038+ second counts stay exact)
+        if ns:
+            epochs = [u[0] * 1_000_000 + u[1] // 1000 for u in hdrs]
+        else:
+            epochs = [u[0] * 1_000_000 + u[1] for u in hdrs]
+        yield (offs, epochs, [u[2] for u in hdrs], [u[3] for u in hdrs],
+               datas, lt)
 
 
 def _iter_classic_records(fh, size: int, start_byte, end_byte):
     """(record_offset, epoch_us, incl, orig, data, linktype) per record of
     a classic-libpcap file, honoring byte-range slices with resync."""
-    info = read_global_header(fh.read(GLOBAL_HEADER_LEN))
-    for off, hdr, data in _iter_classic_raw(fh, info, size, start_byte,
-                                            end_byte):
-        ts_s, ts_frac, incl, orig = struct.unpack(info.endian + "IIII", hdr)
-        # integer microseconds (no float round-trip: ns captures keep
-        # exact us truncation, and 2038+ second counts stay exact)
-        epoch_us = ts_s * 1_000_000 + (
-            ts_frac // 1000 if info.ts_divisor == 1_000_000_000 else ts_frac
-        )
-        yield off, epoch_us, incl, orig, data, info.linktype
+    for offs, epochs, incls, origs, datas, lt in \
+            _iter_classic_record_batches(fh, size, start_byte, end_byte):
+        for i, off in enumerate(offs):
+            yield off, epochs[i], incls[i], origs[i], datas[i], lt
 
 
 def extract_classic_slice(path: str, start_byte, end_byte,
@@ -2783,6 +2883,86 @@ def _iter_pcapng_records(fh, size: int, start_byte=None, end_byte=None):
             incl = min(orig, len(data))
             yield off, 0, incl, orig, data[:incl], linktype
         off += blen
+
+
+def open_records(path: str, start_byte: int | None = None,
+                 end_byte: int | None = None, size: int | None = None):
+    """(records iterator, split flag) for a capture slice — the shared
+    record walk under iter_packets and the r15 vectorized batch path
+    (native_vec). Yields (off, epoch_us, incl, orig, data, linktype)
+    tuples; `split` tells the consumer whether frame.number is the byte
+    offset (sliced read) or the 1-based ordinal (whole-file read) —
+    the exact rule iter_packets documents below."""
+    fs = filesystem_for(path)
+    if size is None:
+        size = fs.size(path)
+    fh = fs.open(path)
+    pcapng = fh.read(4) == PCAPNG_MAGIC
+    fh.seek(0)
+    if pcapng:
+        records = _iter_pcapng_records(fh, size, start_byte, end_byte)
+    else:
+        records = _iter_classic_records(fh, size, start_byte, end_byte)
+    split = start_byte is not None and (
+        start_byte > GLOBAL_HEADER_LEN
+        or (end_byte is not None and end_byte < size)
+    )
+
+    def gen():
+        try:
+            yield from records
+        finally:
+            fh.close()
+
+    return gen(), split
+
+
+def open_record_batches(path: str, start_byte: int | None = None,
+                        end_byte: int | None = None,
+                        size: int | None = None,
+                        batch_rows: int = 4096):
+    """(iterator of record-tuple LISTS, split flag) — the batched twin
+    of open_records for the vectorized Arrow path (classic captures
+    walk the batched core directly; pcapng batches its per-record
+    iterator)."""
+    fs = filesystem_for(path)
+    if size is None:
+        size = fs.size(path)
+    fh = fs.open(path)
+    pcapng = fh.read(4) == PCAPNG_MAGIC
+    fh.seek(0)
+    split = start_byte is not None and (
+        start_byte > GLOBAL_HEADER_LEN
+        or (end_byte is not None and end_byte < size)
+    )
+
+    def _columnar(rows: list):
+        lts = [r[5] for r in rows]
+        lt = lts[0] if len(set(lts)) == 1 else lts
+        return ([r[0] for r in rows], [r[1] for r in rows],
+                [r[2] for r in rows], [r[3] for r in rows],
+                [r[4] for r in rows], lt)
+
+    def gen():
+        try:
+            if pcapng:
+                records = _iter_pcapng_records(fh, size, start_byte,
+                                               end_byte)
+                out: list = []
+                for rec in records:
+                    out.append(rec)
+                    if len(out) >= batch_rows:
+                        yield _columnar(out)
+                        out = []
+                if out:
+                    yield _columnar(out)
+            else:
+                yield from _iter_classic_record_batches(
+                    fh, size, start_byte, end_byte, batch_rows)
+        finally:
+            fh.close()
+
+    return gen(), split
 
 
 def iter_packets(

@@ -107,44 +107,60 @@ def native_arrow_batches(
     size: int | None = None,
 ):
     """Columnar emission for the native engine (shared by the batch reader
-    and the partitioned stream reader): packet dicts append straight into
-    per-column builders, one pyarrow RecordBatch per ARROW_BATCH_ROWS — no
-    intermediate row tuples (each batch crosses to the JVM as one Arrow
-    IPC message; the reference's analogue is the 2048-row DataChunk,
-    cpp:176)."""
+    and the partitioned stream reader), one pyarrow RecordBatch per
+    ARROW_BATCH_ROWS (each batch crosses to the JVM as one Arrow IPC
+    message; the reference's analogue is the 2048-row DataChunk,
+    cpp:176).
+
+    r15 OPTIMIZATION (guide §4.2): record batches go through the
+    VECTORIZED dissector (native_vec.batch_columns — NumPy gathers over
+    one concatenated byte buffer for the fixed L2/L3/L4 headers,
+    per-packet Python only for payload probes and off-fast-path rows),
+    replacing the per-packet dict build + per-column dict.get appends
+    that dominated the old path's profile. Output is bit-identical to
+    iter_packets by construction (fallback rows literally run it);
+    pinned by tests/test_native_vec.py's full differential."""
     import pyarrow as pa
+
+    from wireduck_spark.sources import native_vec
 
     aschema = _arrow_schema(schema)
     names = [f.name for f in schema.fields]
+    include_raw = "frame.raw" in names
 
-    def flush(cols):
-        return pa.RecordBatch.from_arrays(
-            [pa.array(c, type=f.type) for c, f in zip(cols, aschema)],
-            schema=aschema,
-        )
+    def flush(recs, frame_no0):
+        colmap = native_vec.batch_columns(
+            recs, names, split, frame_no0, include_raw)
+        arrays = []
+        for f in aschema:
+            col = colmap[f.name]
+            if isinstance(col, tuple):
+                arr, valid = col
+                arrays.append(pa.array(arr, type=f.type, mask=~valid))
+            else:
+                arrays.append(pa.array(col, type=f.type))
+        return pa.RecordBatch.from_arrays(arrays, schema=aschema)
 
-    cols: list[list] = [[] for _ in names]
-    name_cols = list(zip(names, cols))
-    n_in_batch = 0
+    batches, split = native.open_record_batches(
+        path, start_byte, end_byte, size=size,
+        batch_rows=ARROW_BATCH_ROWS)
     n_total = 0
-    for fields in native.iter_packets(
-        path, start_byte, end_byte, raw_ts=True,
-        include_raw="frame.raw" in names, size=size,
-    ):
+    frame_no0 = 1
+    for recs in batches:
+        n_batch = len(recs[0])
+        if limit is not None and n_total + n_batch > limit:
+            keep = limit - n_total
+            lt = recs[5]
+            recs = tuple(col[:keep] for col in recs[:5]) + (
+                lt if isinstance(lt, int) else lt[:keep],)
+            n_batch = keep
+        if not n_batch:
+            break
+        yield flush(recs, frame_no0)
+        frame_no0 += n_batch
+        n_total += n_batch
         if limit is not None and n_total >= limit:
             break
-        get = fields.get
-        for name, col in name_cols:
-            col.append(get(name))
-        n_in_batch += 1
-        n_total += 1
-        if n_in_batch >= ARROW_BATCH_ROWS:
-            yield flush(cols)
-            cols = [[] for _ in names]
-            name_cols = list(zip(names, cols))
-            n_in_batch = 0
-    if n_in_batch:
-        yield flush(cols)
 
 
 @dataclass
